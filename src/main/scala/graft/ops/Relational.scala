@@ -1,0 +1,183 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator library — one builder per SURVEY.md §2.B row.
+  * All pure built-in `Column` expressions (codegen'd, zero UDFs).
+  *
+  * Scale notes: dimension sides of joins are explicitly
+  * `broadcast(...)`-hinted where they are bounded (nation/region/
+  * customer-per-key lookups); fact-fact joins shuffle on their keys and
+  * rely on AQE for skew. Filters are plain parquet-pushable predicates.
+  */
+object Relational {
+
+  /** Q1-style multi-aggregate (G1/G3): pricing summary per flag/status. */
+  def pricingSummary(li: DataFrame): DataFrame =
+    li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** P2: prefix predicate (reference filters lines starting "From:",
+    * basic_tasks.py:43-51). Pushable `StartsWith` filter.
+    */
+  def prefixFilter(docs: DataFrame, prefix: String): DataFrame =
+    docs.filter(col("text").startsWith(prefix))
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
+  /** P4: boolean-flag predicate with null default
+    * (`coalesce(flag, false)`, basic_tasks.py:103).
+    */
+  def boolFlagFilter(orders: DataFrame): DataFrame =
+    orders
+      .withColumn("bigspender",
+        when(col("o_totalprice") > 200000, lit(true)))
+      .filter(coalesce(col("bigspender"), lit(false)))
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  /** P6: exact deduplication on a subset key. Deterministic variant of
+    * dropDuplicates: keep the first row per key by a total order
+    * (dropDuplicates keeps an arbitrary row, which cannot be
+    * oracle-checked).
+    */
+  def dedupKeepFirst(df: DataFrame, keys: Seq[String], order: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(order.map(c => col(c).asc): _*)
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** J2: left equi-join lookup (flag table broadcast onto a stream,
+    * basic_tasks.py:102). Customer is the bounded side -> broadcast.
+    */
+  def ordersWithCustomer(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders.join(broadcast(customer), col("o_custkey") === col("c_custkey"), "left")
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+        col("c_mktsegment"))
+      .orderBy("o_orderkey")
+
+  /** J4: semi join — customers having at least one order. */
+  def customersWithOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(orders.select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** J4: anti join — customers with no orders. */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(orders.select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** 3-way join + agg: revenue per market segment. lineitem-orders is
+    * the fact-fact shuffle join; customer is broadcast.
+    */
+  def revenueBySegment(li: DataFrame, orders: DataFrame, customer: DataFrame): DataFrame =
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("c_mktsegment")
+
+  /** G2: scalar sum (basic_tasks.py:99). */
+  def scalarSum(li: DataFrame): DataFrame =
+    li.agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+
+  /** G3: multi-key agg with distinct counts. */
+  def distinctAgg(li: DataFrame): DataFrame =
+    li.groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** G3: grouping sets via rollup. */
+  def rollupAgg(orders: DataFrame): DataFrame =
+    orders.rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy("status", "priority")
+
+  /** W1: running cumulative sum per key (cumsum, basic_tasks.py:100),
+    * partitioned by customer so the window shuffles on o_custkey and
+    * never needs a global sort.
+    */
+  def runningCustomerSpend(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("running_spend"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** W3: rank / dense_rank / lag within partitions. */
+  def orderRanks(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders.select(
+        col("o_custkey"), col("o_orderkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"))
+      .filter(col("prev_price").isNotNull)
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** O2: pagination with a stable total order (serve_view_df.py:108-116,
+    * PAGE_SIZE=30). Implemented with row_number over the order rather
+    * than limit/offset so any page is addressable.
+    */
+  def page(orders: DataFrame, pageSize: Int, pageIdx: Int): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders.select(col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") > pageSize * pageIdx && col("rn") <= pageSize * (pageIdx + 1))
+      .drop("rn")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+  }
+
+  /** O3: top-k per group. */
+  def topKPerGroup(part: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+    part.select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= k)
+      .orderBy(col("p_brand").asc, col("rn").asc)
+      .drop("rn")
+  }
+
+  /** Set ops: union / intersect / except on nation keys of two entity
+    * tables (SURVEY §2.B set-operations row).
+    */
+  def nationKeySetOp(customer: DataFrame, supplier: DataFrame, op: String): DataFrame = {
+    val c = customer.select(col("c_nationkey").cast("int").as("nationkey")).distinct()
+    val s = supplier.select(col("s_nationkey").cast("int").as("nationkey")).distinct()
+    val r = op match {
+      case "union"     => c.union(s).distinct()
+      case "intersect" => c.intersect(s)
+      case "except"    => c.except(s)
+    }
+    r.orderBy("nationkey")
+  }
+}

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table loaders + cross-engine-deterministic helpers shared by the
+  * operator library.
+  *
+  * Everything here must stay ANSI-safe (Spark 4 defaults
+  * `spark.sql.ansi.enabled=true`): no int64 overflow, no
+  * out-of-bounds array indexing, no bad casts.
+  */
+object T {
+  /** Load one driver-provided parquet table from an sf directory.
+    *
+    * The `events` table carries a parquet TIMESTAMP(NANOS) column,
+    * which Spark refuses to read natively; sessions must set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (Verify/Bench/tests
+    * do), and we convert the long nanos to a `timestamp_ntz` here so
+    * the wall-clock value matches DuckDB's naive read of the same file
+    * (session TZ is pinned to UTC).
+    */
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.fields.find(f =>
+        f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+      .map(_ => df.withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")))
+      .getOrElse(df)
+  }
+}
+
+object H {
+  /** 60-bit deterministic hash of a string, identical in Spark and
+    * DuckDB: first 15 hex chars of md5, parsed base-16.
+    * DuckDB equivalent: `('0x' || substr(md5(s), 1, 15))::BIGINT`.
+    * 15 hex chars = 60 bits, always fits signed int64 (ANSI-safe).
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** SQL text of hash60 for DuckDB oracles. */
+  def duckHash60(sqlExpr: String): String =
+    s"(('0x' || substr(md5($sqlExpr), 1, 15))::BIGINT)"
+
+  /** Same hash reduced below 2^30 so that `a*h + b` stays well inside
+    * int64 for multipliers up to ~2^31 (overflow-free in ANSI mode and
+    * in DuckDB, which also errors on int64 overflow).
+    */
+  def hash30(c: Column): Column = hash60(c) % lit(1073741824L)
+
+  def duckHash30(sqlExpr: String): String =
+    s"(${duckHash60(sqlExpr)} % 1073741824)"
+}
+
+/** Tokenization contract shared by the text operators and their
+  * oracles.
+  *
+  * Matches the *composed* semantics of the reference pipeline
+  * (/root/reference/frame_tasks/basic_tasks.py:54-79): `\b`-split +
+  * strip `\A\W+|\W+\Z` + keep length > 1 collapses to "lowercased
+  * `\w`-runs of length >= 2". Both Java regex and DuckDB's RE2 treat
+  * `\W` as ASCII-non-word by default, so the split is engine-portable.
+  */
+object Tok {
+  /** tokens(text): lowercased word tokens, length >= 2, as one row per
+    * token. Input column must be named; output column `token`.
+    */
+  def tokens(df: DataFrame, textCol: String): DataFrame =
+    df.select(
+        col("*"),
+        explode(split(lower(col(textCol)), "\\W+")).as("token"))
+      .filter(length(col("token")) > 1)
+
+  /** Raw whitespace token array (the documents table is space-joined
+    * words, so this equals the vocabulary tokens).
+    */
+  def tokenArray(textCol: String): Column = split(col(textCol), " ")
+
+  /** DuckDB fragment producing the same token rows from `documents`:
+    * use inside `FROM documents, unnest(...) AS t(token)`.
+    */
+  val duckSplit: String =
+    "unnest(string_split_regex(lower(text), '\\W+'))"
+}
