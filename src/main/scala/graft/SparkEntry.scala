@@ -256,6 +256,128 @@ object SparkEntry {
       (s, dir) =>
         Relational.nationKeySetOp(T(s, dir, "customer"), T(s, dir, "supplier"), "except")
     },
+
+    // F1/F5: split + explode (basic_tasks.py:32-40, tests/test2.py:20-27).
+    q("f1_split_explode",
+      """SELECT doc_id, t.word FROM documents,
+        |  unnest(string_split(text, ' ')) AS t(word)
+        |ORDER BY doc_id, word""".stripMargin) {
+      (s, dir) => Functions.splitExplode(T(s, dir, "documents"))
+    },
+
+    // F2+F3+P3 composed: the cleaned token stream with row ids.
+    q("f2_tokenize",
+      """SELECT doc_id, t.token FROM documents,
+        |  unnest(string_split_regex(lower(text), '\W+')) AS t(token)
+        |WHERE length(t.token) > 1
+        |ORDER BY doc_id, token""".stripMargin) {
+      (s, dir) => Functions.tokenizeWithId(T(s, dir, "documents"))
+    },
+
+    // F3: strip edge non-word chars (basic_tasks.py:73-79).
+    q("f3_clean_edges",
+      """SELECT p_partkey,
+        |  regexp_replace('  ' || p_brand || '##', '^\W+|\W+$', '', 'g') AS cleaned
+        |FROM part ORDER BY p_partkey""".stripMargin) {
+      (s, dir) => Functions.cleanEdges(T(s, dir, "part"))
+    },
+
+    // F4: remove digits (tests/test2.py:9-17).
+    q("f4_remove_digits",
+      """SELECT c_custkey,
+        |  regexp_replace(c_name, '\d', '', 'g') AS name_alpha
+        |FROM customer ORDER BY c_custkey""".stripMargin) {
+      (s, dir) => Functions.removeDigits(T(s, dir, "customer"))
+    },
+
+    // F6: string concat col+col and lit+col (tests/test.py:5-21).
+    q("f6_concat",
+      """SELECT c_custkey,
+        |  c_name || '-' || c_mktsegment AS tagged,
+        |  'hello ' || c_name AS greeted
+        |FROM customer ORDER BY c_custkey""".stripMargin) {
+      (s, dir) => Functions.concatCols(T(s, dir, "customer"))
+    },
+
+    // F7: casts long<->string.
+    q("f7_casts",
+      """SELECT c_custkey, c_custkey::VARCHAR AS key_str,
+        |  regexp_replace(c_name, '\D', '', 'g')::BIGINT AS name_num
+        |FROM customer ORDER BY c_custkey""".stripMargin) {
+      (s, dir) => Functions.casts(T(s, dir, "customer"))
+    },
+
+    // F8: scalar arithmetic (basic_tasks.py:100).
+    q("f8_arithmetic",
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+        |  l_linenumber * 2 + 1 AS odd_line
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) {
+      (s, dir) => Functions.arithmetic(T(s, dir, "lineitem"))
+    },
+
+    // F9: display truncation (serve_view_df.py:132-139).
+    q("f9_truncate",
+      """SELECT doc_id,
+        |  CASE WHEN length(text) > 30 THEN substr(text, 1, 30) || '...'
+        |       ELSE text END AS display
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, dir) => Functions.truncateDisplay(T(s, dir, "documents"))
+    },
+
+    // F10: date_trunc month aggregation.
+    q("f10_month_agg",
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY month ORDER BY month""".stripMargin) {
+      (s, dir) => Functions.ordersPerMonth(T(s, dir, "orders"))
+    },
+
+    // F10: JSON extraction + aggregation.
+    q("f10_json_agg",
+      """SELECT event_type, count(*) AS n,
+        |  (sum(json_extract_string(props, '$.k')::BIGINT))::BIGINT AS k_total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) => Functions.jsonAgg(T(s, dir, "events"))
+    },
+
+    // Streaming (batch form): tumbling 1-hour windows.
+    q("st_hourly_window",
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS mass
+        |FROM events GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin) {
+      (s, dir) => Events.hourlyTypeCounts(T(s, dir, "events"))
+    },
+
+    // Streaming (batch form): sliding 1-hour/30-min windows.
+    q("st_sliding_window",
+      """WITH w AS (SELECT unnest([
+        |    make_timestamp((epoch_us(ts) // 1800000000) * 1800000000),
+        |    make_timestamp((epoch_us(ts) // 1800000000) * 1800000000 - 1800000000)
+        |  ]) AS window_start FROM events)
+        |SELECT window_start, count(*) AS n FROM w
+        |GROUP BY window_start ORDER BY window_start""".stripMargin) {
+      (s, dir) => Events.slidingCounts(T(s, dir, "events"))
+    },
+
+    // Streaming (batch form): 30-minute-gap session windows per user.
+    q("st_session_window",
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM e)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) {
+      (s, dir) => Events.userSessions(T(s, dir, "events"))
+    },
   )
 
   // ---------------------------------------------------------------- //

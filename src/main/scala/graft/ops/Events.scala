@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Time-window operators over the `events` table — the batch forms of
+  * the Structured Streaming pipelines in `graft.streaming` (SURVEY.md
+  * §2.B streaming row). Batch-first so they are oracle-checkable; the
+  * streaming package reuses the same aggregation shapes behind
+  * `readStream` + watermark.
+  *
+  * Scale notes: tumbling windows groupBy (window, type) — map-side
+  * combinable, shuffle is O(#windows x #types). Sessionization uses
+  * Spark's native `session_window` (state-store-backed in streaming,
+  * merge-sort in batch), shuffling on user_id only.
+  */
+object Events {
+
+  /** Tumbling 1-hour windows: count + mass per (hour, event_type). */
+  def hourlyTypeCounts(events: DataFrame): DataFrame =
+    events.groupBy(
+        window(col("ts"), "1 hour").getField("start").as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("mass"))
+      .orderBy("window_start", "event_type")
+
+  /** Sliding windows: 1-hour window sliding by 30 minutes. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events.groupBy(
+        window(col("ts"), "1 hour", "30 minutes").getField("start")
+          .as("window_start"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("window_start")
+
+  /** Session windows with a 30-minute inactivity gap, per user:
+    * session start + event count. Native `session_window` keeps the
+    * whole computation in one shuffle on user_id.
+    */
+  def userSessions(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window").getField("start").as("session_start"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+}

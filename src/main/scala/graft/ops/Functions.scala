@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scalar-function operators — SURVEY.md §2.B F-series. All built-in
+  * codegen'd expressions; zero UDFs. Each mirrors a concrete reference
+  * transformation (citations inline).
+  */
+object Functions {
+
+  /** F1/F5: split + explode, one row per piece
+    * (basic_tasks.py:32-40, tests/test2.py:20-27).
+    */
+  def splitExplode(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .orderBy("doc_id", "word")
+
+  /** F2: tokenize with the stable pre-explode row id kept
+    * (basic_tasks.py:54-66; doc_id plays `sample_ind`).
+    */
+  def tokenizeWithId(docs: DataFrame): DataFrame =
+    Text.tokenize(docs).orderBy("doc_id", "token")
+
+  /** F3: strip edge non-word chars (basic_tasks.py:73-79) — shown on a
+    * deliberately dirtied input so the strip is observable.
+    */
+  def cleanEdges(part: DataFrame): DataFrame =
+    part.select(col("p_partkey"),
+        regexp_replace(concat(lit("  "), col("p_brand"), lit("##")),
+          "^\\W+|\\W+$", "").as("cleaned"))
+      .orderBy("p_partkey")
+
+  /** F4: remove digits (tests/test2.py:9-17). */
+  def removeDigits(customer: DataFrame): DataFrame =
+    customer.select(col("c_custkey"),
+        regexp_replace(col("c_name"), "\\d", "").as("name_alpha"))
+      .orderBy("c_custkey")
+
+  /** F6: string concatenation col+col and lit+col (tests/test.py:5-21). */
+  def concatCols(customer: DataFrame): DataFrame =
+    customer.select(col("c_custkey"),
+        concat(col("c_name"), lit("-"), col("c_mktsegment")).as("tagged"),
+        concat(lit("hello "), col("c_name")).as("greeted"))
+      .orderBy("c_custkey")
+
+  /** F7: casts (basic_tasks.py:38, serve_view_df.py:139). Long->string
+    * and digit-string->long; double->int is avoided because DuckDB
+    * rounds while Spark truncates.
+    */
+  def casts(customer: DataFrame): DataFrame =
+    customer.select(col("c_custkey"),
+        col("c_custkey").cast("string").as("key_str"),
+        regexp_replace(col("c_name"), "\\D", "").cast("long").as("name_num"))
+      .orderBy("c_custkey")
+
+  /** F8: scalar arithmetic (basic_tasks.py:100). Left unrounded:
+    * single-row IEEE products evaluate bit-identically in any engine,
+    * whereas rounding at a half-boundary does not.
+    */
+  def arithmetic(li: DataFrame): DataFrame =
+    li.select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))).as("charge"),
+        (col("l_linenumber") * 2 + 1).as("odd_line"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** F9: display truncation (serve_view_df.py:132-139, colwidth 30). */
+  def truncateDisplay(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        when(length(col("text")) > 30,
+          concat(substring(col("text"), 1, 30), lit("...")))
+          .otherwise(col("text")).as("display"))
+      .orderBy("doc_id")
+
+  /** F10: date/time — orders per month (month emitted as a string:
+    * date dtypes round-trip differently through parquet/pandas than
+    * strings do, and the compare is value-based).
+    */
+  def ordersPerMonth(orders: DataFrame): DataFrame =
+    orders.select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_totalprice"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("month")
+
+  /** F10: JSON extraction — sum of props.k per event type. */
+  def jsonAgg(events: DataFrame): DataFrame =
+    events.select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("k_total"))
+      .orderBy("event_type")
+}
