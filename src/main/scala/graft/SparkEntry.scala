@@ -361,6 +361,89 @@ object SparkEntry {
       (s, dir) => Events.slidingCounts(T(s, dir, "events"))
     },
 
+    // ---- North-star: dedup / similarity / text analysis / multimodal
+
+    // Exact dedup by content hash (fixture: exact copies at id+1e6).
+    q("ns_dedup_exact",
+      """WITH b AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
+        |SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+        |FROM b GROUP BY md5(text) ORDER BY canonical_id""".stripMargin) {
+      (s, dir) => Dedup.exactDedup(T(s, dir, "documents"))
+    },
+
+    // MinHash signatures + banded LSH near-dup pairs.
+    q("ns_dedup_minhash_lsh", Dedup.minhashLshOracle(0.5)) {
+      (s, dir) => Dedup.minhashLsh(T(s, dir, "documents"), 0.5)
+    },
+
+    // SimHash bucket collisions.
+    q("ns_dedup_simhash", Dedup.simhashOracle) {
+      (s, dir) => Dedup.simhashPairs(T(s, dir, "documents"))
+    },
+
+    // Exact n-gram Jaccard over shared-shingle candidates.
+    q("ns_dedup_ngram_jaccard", Dedup.ngramJaccardOracle(0.5)) {
+      (s, dir) => Dedup.ngramJaccard(T(s, dir, "documents"), 0.5)
+    },
+
+    // Embedding-cosine near-dup pairs.
+    q("ns_embed_neardup", Similarity.embeddingNearDupOracle(0.9)) {
+      (s, dir) => Similarity.embeddingNearDup(T(s, dir, "embeddings"), 0.9)
+    },
+
+    // Brute-force cosine top-k (exact ANN baseline).
+    q("ns_knn_bruteforce", Similarity.knnBruteForceOracle(10, 5)) {
+      (s, dir) => Similarity.knnBruteForce(T(s, dir, "embeddings"), 10, 5)
+    },
+
+    // Hyperplane-LSH bucketed ANN (the scale path).
+    q("ns_knn_lsh", Similarity.knnLshOracle(50, 3)) {
+      (s, dir) => Similarity.knnLsh(T(s, dir, "embeddings"), 50, 3)
+    },
+
+    // Language/topic ID by stopword-profile ratios.
+    q("ns_lang_profile", Analysis.langProfileOracle) {
+      (s, dir) => Analysis.langProfile(T(s, dir, "documents"))
+    },
+
+    // Document quality scoring.
+    q("ns_quality_score", Analysis.qualityScoreOracle) {
+      (s, dir) => Analysis.qualityScore(T(s, dir, "documents"))
+    },
+
+    // Token counting (whitespace + BPE-ish + chars/4).
+    q("ns_token_stats", Analysis.tokenStatsOracle) {
+      (s, dir) => Analysis.tokenStats(T(s, dir, "documents"))
+    },
+
+    // Rolling-hash document fingerprint.
+    q("ns_fingerprint", Analysis.fingerprintOracle) {
+      (s, dir) => Analysis.fingerprint(T(s, dir, "documents"))
+    },
+
+    // Multimodal: binary payload + typed metadata projection.
+    q("ns_media_meta",
+      """SELECT doc_id, octet_length(text::BLOB) AS byte_len,
+        |  (16 + doc_id % 64)::INT AS width,
+        |  (16 + doc_id % 48)::INT AS height,
+        |  substr(sha256(text), 1, 8) AS sha_prefix,
+        |  source AS media_source
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, dir) => Multimodal.mediaMeta(T(s, dir, "documents"))
+    },
+
+    // Multimodal: batched mapPartitions decode (stubbed codec), whose
+    // deterministic feature is still differential-tested.
+    q("ns_media_decode",
+      """SELECT doc_id, octet_length(text::BLOB) AS n_bytes,
+        |  round(list_sum(list_transform(range(1, length(text) + 1),
+        |      i -> ord(substr(text, i, 1))::DOUBLE)) / length(text), 6)
+        |    AS feat_mean
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, dir) => Multimodal.decodeFeaturesQuery(s, T(s, dir, "documents"))
+    },
+
     // Streaming (batch form): 30-minute-gap session windows per user.
     q("st_session_window",
       """WITH e AS (

@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language-ID
+  * by stopword-profile scoring, quality scoring, token counting
+  * (whitespace + BPE-ish estimate), and rolling-hash document
+  * fingerprinting.
+  *
+  * All are single-pass per-document projections/aggregations —
+  * map-side only until the (optional) groupBy, so they scale linearly
+  * and pipeline inside whole-stage codegen. Every score is a fixed
+  * IEEE expression over exact integers, so values are reproducible
+  * across engines without rounding.
+  */
+object Analysis {
+
+  /** Profile vocabularies for the language/topic classifier. The
+    * driver corpus is synthetic DB-English; profiles demonstrate the
+    * n-gram/stopword-ratio mechanism.
+    */
+  val Profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "value", "data"),
+    "db" -> Seq("join", "query", "scan", "hash", "merge", "sort"),
+    "st" -> Seq("stream", "batch", "window"))
+
+  /** Language-ID: per-doc ratio of tokens in each profile; prediction
+    * is the argmax with ties broken by profile declaration order.
+    */
+  def langProfile(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val ratios = Profiles.map { case (name, words) =>
+      (size(filter(col("toks"),
+        w => w.isInCollection(words))).cast("double") /
+        size(col("toks"))).as(s"r_$name")
+    }
+    val withR = toks.select((col("doc_id") +: ratios): _*)
+    val pred = when(col("r_en") >= col("r_db") && col("r_en") >= col("r_st"), "en")
+      .when(col("r_db") >= col("r_st"), "db")
+      .otherwise("st")
+    withR.withColumn("pred", pred).orderBy("doc_id")
+  }
+
+  def langProfileOracle: String = {
+    val ratioExprs = Profiles.map { case (name, words) =>
+      val set = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, w -> w IN ($set)))::DOUBLE / len(toks) AS r_$name"
+    }.mkString(",\n  ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |r AS (SELECT doc_id,
+       |  $ratioExprs
+       |FROM t)
+       |SELECT doc_id, r_en, r_db, r_st,
+       |  CASE WHEN r_en >= r_db AND r_en >= r_st THEN 'en'
+       |       WHEN r_db >= r_st THEN 'db'
+       |       ELSE 'st' END AS pred
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  /** Quality scoring: token count, type-token ratio, mean token
+    * length, length saturation; combined into one score. Weights and
+    * evaluation order identical to the oracle, so doubles match
+    * exactly.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), col("n_chars"),
+      split(col("text"), " ").as("toks"))
+    val n = size(col("toks")).cast("double")
+    val ttr = size(array_distinct(col("toks"))).cast("double") / n
+    val meanLen = aggregate(col("toks"), lit(0L),
+      (acc, w) => acc + length(w)).cast("double") / n
+    val lenSat = least(n / lit(100.0), lit(1.0))
+    t.select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        ttr.as("ttr"),
+        meanLen.as("mean_token_len"),
+        (ttr * lit(0.5) + lenSat * lit(0.3) +
+          least(meanLen / lit(10.0), lit(1.0)) * lit(0.2)).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  def qualityScoreOracle: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |m AS (SELECT doc_id,
+       |    len(toks) AS n_tokens,
+       |    len(list_distinct(toks))::DOUBLE / len(toks) AS ttr,
+       |    (list_sum(list_transform(toks, w -> length(w))))::DOUBLE / len(toks)
+       |      AS mean_token_len,
+       |    least(len(toks)::DOUBLE / 100.0, 1.0) AS len_sat
+       |  FROM t)
+       |SELECT doc_id, n_tokens, ttr, mean_token_len,
+       |  ttr * 0.5 + len_sat * 0.3 + least(mean_token_len / 10.0, 1.0) * 0.2
+       |    AS quality
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  /** Token counting: whitespace tokens, a BPE-ish subword estimate
+    * (ceil(len/4) per word), and the chars/4 heuristic.
+    */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("n_chars"),
+        split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_ws_tokens"),
+        aggregate(col("toks"), lit(0L),
+          (acc, w) => acc + shiftright((length(w) + 3).cast("long"), 2))
+          .as("n_bpe_est"),
+        expr("n_chars div 4").as("n_chars_div4"))
+      .orderBy("doc_id")
+
+  def tokenStatsOracle: String =
+    s"""WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(toks) AS n_ws_tokens,
+       |  (list_sum(list_transform(toks, w -> (length(w) + 3) // 4)))::BIGINT
+       |    AS n_bpe_est,
+       |  n_chars // 4 AS n_chars_div4
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  val FpMod = 2147483647L
+
+  /** Document fingerprint: left-fold polynomial rolling hash over the
+    * 30-bit token hashes, fp = (fp*31 + h) mod (2^31-1). acc < 2^31,
+    * acc*31 + h < 2^36 + 2^30: ANSI-overflow-safe.
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        aggregate(transform(col("toks"), w => H.hash30(w)), lit(0L),
+          (acc, h) => (acc * 31 + h) % lit(FpMod)).as("fingerprint"))
+      .orderBy("doc_id")
+
+  def fingerprintOracle: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+       |SELECT doc_id,
+       |  list_reduce(
+       |    list_prepend(0, list_transform(toks, w -> ${H.duckHash30("w")})),
+       |    (acc, h) -> (acc * 31 + h) % $FpMod) AS fingerprint
+       |FROM t ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,257 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact (content-hash groupBy), MinHash+LSH banding, SimHash
+  * bucketing, and exact n-gram Jaccard over candidate pairs.
+  *
+  * The driver corpus has no natural near-duplicates (max natural
+  * 2-gram Jaccard ≈ 0.09), so the oracle-checked queries construct a
+  * deterministic near-dup fixture inside the query: every document is
+  * unioned with a drop-first-token variant (doc_id + 1_000_000).
+  * Original/variant pairs have shingle Jaccard ≈ 0.95 and must be
+  * found; unrelated pairs sit ≈ 0.02 and must not.
+  *
+  * Scale posture (100 TB):
+  *  - all candidate generation is *bucketed* (LSH band join / simhash
+  *    bucket join / shared-shingle join) — never an all-pairs cross
+  *    join; shuffle volume is O(docs x bands), and pathological hot
+  *    buckets are AQE-skew-split (salt the band key if a single dup
+  *    cluster exceeds an executor).
+  *  - signatures are computed in one projection pass (map-side only);
+  *    the only shuffles are the band-key join and the final distinct.
+  *  - every hash is derived from md5 so results are reproducible
+  *    across engines and runs (no JVM-hashCode dependence).
+  */
+object Dedup {
+
+  val VariantIdOffset = 1000000L
+
+  /** Corpus of (doc_id, toks) plus drop-first-token variants. */
+  def corpusWithVariants(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val variants = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) > 3)
+      .select((col("doc_id") + VariantIdOffset).as("doc_id"),
+        slice(col("toks"), lit(2), size(col("toks")) - 1).as("toks"))
+    base.unionByName(variants)
+  }
+
+  /** Word n-gram shingles of a token-array column. */
+  def shingles(toks: Column, n: Int): Column =
+    transform(sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+
+  // ------------------------------------------------------------ exact
+
+  /** Exact dedup by content hash: canonical (min) id + copy count per
+    * distinct text. Fixture: an exact copy of every doc at
+    * id + 1_000_000, so every group has >= 2 members.
+    * At scale this is the standard hash-groupBy — map-side combine,
+    * shuffle O(#distinct texts); hash the content (md5) instead of
+    * grouping raw text so shuffle keys are fixed-width.
+    */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    val both = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.select((col("doc_id") + VariantIdOffset).as("doc_id"),
+        col("text")))
+    both.groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .select("canonical_id", "n_copies")
+      .orderBy("canonical_id")
+  }
+
+  // ---------------------------------------------------------- minhash
+
+  /** (a, b) coefficients of the k=16 minhash permutations
+    * h_i(x) = (a_i*x + b_i) mod M over the 30-bit base hash.
+    * a < 2^21, x < 2^30 => products < 2^51: ANSI-overflow-safe.
+    */
+  val MinhashAB: Seq[(Long, Long)] =
+    (0 until 16).map(i => (1000003L + 7919L * i, 15485863L + 104729L * i))
+  val MinhashMod = 2147483647L
+  val Bands = 8 // r=2 rows per band
+
+  /** Per-doc minhash signature array from 3-gram shingles. */
+  def signatures(corpus: DataFrame): DataFrame = {
+    val hs = corpus.select(col("doc_id"),
+      transform(shingles(col("toks"), 3), s => H.hash30(s)).as("hs"))
+    hs.select(col("doc_id"),
+      array(MinhashAB.map { case (a, b) =>
+        array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % lit(MinhashMod)))
+      }: _*).as("sig"))
+  }
+
+  /** MinHash + banded LSH near-dup pairs with estimated Jaccard
+    * >= `minSim`. est_sim = fraction of equal signature components.
+    */
+  def minhashLsh(docs: DataFrame, minSim: Double = 0.5): DataFrame = {
+    val sigs = signatures(corpusWithVariants(docs))
+
+    val bandKeys = transform(sequence(lit(0), lit(Bands - 1)),
+      j => concat_ws("_",
+        element_at(col("sig"), j * 2 + 1), element_at(col("sig"), j * 2 + 2)))
+    val bands = sigs
+      .select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "key")))
+
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+
+    val matches = aggregate(
+      zip_with(col("x.sig"), col("y.sig"),
+        (u, v) => when(u === v, 1L).otherwise(0L)),
+      lit(0L), (acc, m) => acc + m)
+
+    cand
+      .join(sigs.as("x"), col("id_a") === col("x.doc_id"))
+      .join(sigs.as("y"), col("id_b") === col("y.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        (matches / lit(MinhashAB.size.toDouble)).as("est_sim"))
+      .filter(col("est_sim") >= minSim)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** DuckDB oracle for [[minhashLsh]], generated from the same
+    * constants so Spark and the oracle can never drift.
+    */
+  def minhashLshOracle(minSim: Double = 0.5): String = {
+    val sigExprs = MinhashAB.map { case (a, b) =>
+      s"list_min(list_transform(hs, x -> ($a*x + $b) % $MinhashMod))"
+    }.mkString(",\n    ")
+    val bandKey = "sig[2*j+1]::VARCHAR || '_' || sig[2*j+2]::VARCHAR"
+    s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |corpus AS (
+       |  SELECT doc_id, toks FROM base WHERE len(toks) >= 3
+       |  UNION ALL
+       |  SELECT doc_id + $VariantIdOffset, toks[2:] FROM base WHERE len(toks) > 3),
+       |hashed AS (SELECT doc_id, list_transform(
+       |    list_transform(range(1, len(toks)-1),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+       |    s -> ${H.duckHash30("s")}) AS hs
+       |  FROM corpus),
+       |sig AS (SELECT doc_id, [$sigExprs] AS sig FROM hashed),
+       |bands AS (SELECT doc_id, j, $bandKey AS key
+       |          FROM sig, unnest(range(0, $Bands)) AS t(j)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bands a JOIN bands b
+       |           ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id),
+       |est AS (SELECT id_a, id_b,
+       |          len(list_filter(range(1, ${MinhashAB.size + 1}),
+       |            i -> x.sig[i] = y.sig[i])) / ${MinhashAB.size}.0 AS est_sim
+       |        FROM cand JOIN sig x ON id_a = x.doc_id
+       |                  JOIN sig y ON id_b = y.doc_id)
+       |SELECT id_a, id_b, est_sim FROM est WHERE est_sim >= $minSim
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------- simhash
+
+  val SimhashBits = 16
+
+  /** 16-bit SimHash per doc over the token multiset: bit j is set when
+    * the majority of token hashes have bit j set. Near-dups land in the
+    * same bucket; pairs sharing a bucket are reported.
+    * At 100 TB: widen to 64 bits and join on hamming-ball probes
+    * (flip-1-bit expansion) instead of exact bucket equality.
+    */
+  def simhashPairs(docs: DataFrame): DataFrame = {
+    val tok = corpusWithVariants(docs)
+      .select(col("doc_id"), explode(col("toks")).as("w"))
+      .select(col("doc_id"), H.hash30(col("w")).as("h"))
+    val bitSums = (0 until SimhashBits).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"s$j"))
+    val agged = tok.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+    val simhash = (0 until SimhashBits).map(j =>
+        when(col(s"s$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val buckets = agged.select(col("doc_id"), simhash.as("simhash"))
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.simhash") === col("b.simhash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.simhash").as("simhash"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** DuckDB oracle for [[simhashPairs]], same constants. */
+  def simhashOracle: String = {
+    val bitSums = (0 until SimhashBits)
+      .map(j => s"sum((h >> $j) & 1) AS s$j").mkString(", ")
+    val sim = (0 until SimhashBits)
+      .map(j => s"CASE WHEN s$j * 2 > n THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |corpus AS (
+       |  SELECT doc_id, toks FROM base WHERE len(toks) >= 3
+       |  UNION ALL
+       |  SELECT doc_id + $VariantIdOffset, toks[2:] FROM base WHERE len(toks) > 3),
+       |tok AS (SELECT doc_id, ${H.duckHash30("t.w")} AS h
+       |        FROM corpus, unnest(toks) AS t(w)),
+       |agged AS (SELECT doc_id, count(*) AS n, $bitSums FROM tok GROUP BY doc_id),
+       |buckets AS (SELECT doc_id, ($sim)::BIGINT AS simhash FROM agged)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS simhash
+       |FROM buckets a JOIN buckets b
+       |  ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ------------------------------------------------------ exact jaccard
+
+  /** Exact n-gram Jaccard near-dup pairs over a doc_id % 10 = 0 subset
+    * (the variant offset is a multiple of 10, so variants of selected
+    * docs are selected too). Candidates come from a shared-shingle
+    * join — at scale, shuffle is O(total shingles), and the join fans
+    * out only where shingles are actually shared.
+    */
+  def ngramJaccard(docs: DataFrame, minSim: Double = 0.5): DataFrame = {
+    val sub = corpusWithVariants(docs).filter(col("doc_id") % 10 === 0)
+    val sh = sub
+      .select(col("doc_id"), explode(array_distinct(shingles(col("toks"), 3))).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("x"), col("id_a") === col("x.doc_id"))
+      .join(sizes.as("y"), col("id_b") === col("y.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("x.n") + col("y.n") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= minSim)
+      .orderBy("id_a", "id_b")
+  }
+
+  def ngramJaccardOracle(minSim: Double = 0.5): String =
+    s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |corpus AS (
+       |  SELECT doc_id, toks FROM base WHERE len(toks) >= 3
+       |  UNION ALL
+       |  SELECT doc_id + $VariantIdOffset, toks[2:] FROM base WHERE len(toks) > 3),
+       |sub AS (SELECT * FROM corpus WHERE doc_id % 10 = 0),
+       |sh AS (SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(1, len(toks)-1),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+       |  FROM sub),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  inter::DOUBLE / (x.n + y.n - inter) AS jaccard
+       |FROM inter JOIN sizes x ON id_a = x.doc_id
+       |           JOIN sizes y ON id_b = y.doc_id
+       |WHERE inter::DOUBLE / (x.n + y.n - inter) >= $minSim
+       |ORDER BY id_a, id_b""".stripMargin
+}

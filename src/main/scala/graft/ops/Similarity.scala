@@ -1,0 +1,187 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`, 64-dim,
+  * unit-norm in the driver data): brute-force cosine top-k as the
+  * exact baseline and a random-hyperplane-LSH bucketed variant as the
+  * scale path.
+  *
+  * Scale posture (100 TB):
+  *  - brute force is quadratic and exists as the correctness baseline
+  *    and for small query sets (queries x corpus via broadcast of the
+  *    query side — no shuffle of the corpus).
+  *  - the LSH variant buckets the corpus once (map-only projection
+  *    onto shared deterministic hyperplanes), then joins query to
+  *    corpus on bucket equality: shuffle O(corpus), candidate sets
+  *    O(corpus / 2^planes). Recall is tuned by planes count and
+  *    multi-probe (flip-1-bit) expansion.
+  *  - all arithmetic is double-precision with a fixed fold order so
+  *    results are reproducible across engines.
+  */
+object Similarity {
+
+  val VariantIdOffset = 1000000L
+
+  /** Cast a float embedding to double for deterministic arithmetic. */
+  private def asDouble(e: Column): Column = transform(e, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Embedding near-dup: vec_id % 5 = 0 subset unioned with perturbed
+    * copies (first component + 0.5, id + 1_000_000); report pairs with
+    * cosine >= minSim. Natural pairs top out near 0.44, perturbed
+    * copies near 0.99.
+    */
+  def embeddingNearDup(emb: DataFrame, minSim: Double = 0.9): DataFrame = {
+    val base = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val variants = base.select((col("vec_id") + VariantIdOffset).as("vec_id"),
+      concat(array(element_at(col("v"), 1) + lit(0.5)),
+        slice(col("v"), 2, 63)).as("v"))
+    val all = base.unionByName(variants)
+    all.as("a")
+      .join(all.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= minSim)
+      .orderBy("id_a", "id_b")
+  }
+
+  def embeddingNearDupOracle(minSim: Double = 0.9): String =
+    s"""WITH base AS (SELECT vec_id,
+       |    list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings WHERE vec_id % 5 = 0),
+       |allv AS (
+       |  SELECT vec_id, v FROM base
+       |  UNION ALL
+       |  SELECT vec_id + $VariantIdOffset, [v[1] + 0.5] || v[2:] FROM base),
+       |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    round(
+       |      list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
+       |      (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i]))) *
+       |       sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))),
+       |      6) AS cos_sim
+       |  FROM allv a JOIN allv b ON a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= $minSim
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Brute-force cosine top-k: for each query (vec_id < nQueries) rank
+    * every other vector by rounded cosine desc, id asc. The ranking key
+    * is the ROUNDED similarity so ordering is engine-reproducible.
+    */
+  def knnBruteForce(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val all = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val queries = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = broadcast(queries)
+      .join(all, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("neighbor_id"), col("cos_sim"))
+      .orderBy("query_id", "rn")
+  }
+
+  def knnBruteForceOracle(nQueries: Int = 10, k: Int = 5): String =
+    s"""WITH allv AS (SELECT vec_id,
+       |    list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM allv WHERE vec_id < $nQueries),
+       |scored AS (SELECT query_id, vec_id AS neighbor_id,
+       |    round(
+       |      list_sum(list_transform(range(1, 65), i -> qv[i] * v[i])) /
+       |      (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i]))) *
+       |       sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))),
+       |      6) AS cos_sim
+       |  FROM q JOIN allv ON query_id <> vec_id),
+       |ranked AS (SELECT query_id, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+       |  FROM scored)
+       |SELECT query_id, rn, neighbor_id, cos_sim FROM ranked WHERE rn <= $k
+       |ORDER BY query_id, rn""".stripMargin
+
+  // ----------------------------------------------------------- LSH ANN
+
+  val Planes = 4
+
+  /** Deterministic random hyperplane p (0-based): component d in
+    * [-1, 1), derived from md5("p_<p>_<d>") identically in both
+    * engines; division by 2^30 is exact in binary.
+    */
+  private def planeComponent(p: Int, d: Column): Column =
+    ((H.hash30(concat(lit(s"p_${p}_"), d.cast("string"))) * 2 -
+      lit(1073741824L)).cast("double") / lit(1073741824.0))
+
+  private def planeVec(p: Int): Column =
+    transform(sequence(lit(1), lit(64)), d => planeComponent(p, d))
+
+  /** Sign-projection bucket id over [[Planes]] hyperplanes. */
+  def lshBucket(v: Column): Column =
+    (0 until Planes).map { p =>
+      when(dot(v, planeVec(p)) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Bucketed ANN: top-k neighbors per query (vec_id < nQueries)
+    * searched only within the query's LSH bucket.
+    */
+  def knnLsh(emb: DataFrame, nQueries: Int = 50, k: Int = 3): DataFrame = {
+    val all = emb
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", lshBucket(col("v")))
+    val queries = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("bucket").as("qbucket"))
+    val scored = broadcast(queries)
+      .join(all, col("qbucket") === col("bucket") &&
+        col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("neighbor_id"), col("cos_sim"))
+      .orderBy("query_id", "rn")
+  }
+
+  def knnLshOracle(nQueries: Int = 50, k: Int = 3): String = {
+    def dotPlane(p: Int): String =
+      s"""list_sum(list_transform(range(1, 65), d -> v[d] *
+         |      ((${H.duckHash30(s"'p_${p}_' || d::VARCHAR")} * 2 - 1073741824)::DOUBLE
+         |        / 1073741824)))""".stripMargin
+    val bucket = (0 until Planes).map { p =>
+      s"CASE WHEN ${dotPlane(p)} > 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH allv AS (SELECT vec_id,
+       |    list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |bucketed AS (SELECT vec_id, v, ($bucket)::BIGINT AS bucket FROM allv),
+       |q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
+       |      FROM bucketed WHERE vec_id < $nQueries),
+       |scored AS (SELECT query_id, vec_id AS neighbor_id,
+       |    round(
+       |      list_sum(list_transform(range(1, 65), i -> qv[i] * v[i])) /
+       |      (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i]))) *
+       |       sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))),
+       |      6) AS cos_sim
+       |  FROM q JOIN bucketed ON qbucket = bucket AND query_id <> vec_id),
+       |ranked AS (SELECT query_id, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+       |  FROM scored)
+       |SELECT query_id, rn, neighbor_id, cos_sim FROM ranked WHERE rn <= $k
+       |ORDER BY query_id, rn""".stripMargin
+  }
+}
