@@ -361,6 +361,36 @@ object SparkEntry {
       (s, dir) => Events.slidingCounts(T(s, dir, "events"))
     },
 
+    // ---- Planner (engine core, SURVEY §2.A): BFS-composed pipelines
+
+    // tests/test2.py end-to-end: plan splitter -> remove_num from the
+    // goal column name alone; expected rows are constants.
+    q("planner_test2",
+      """SELECT * FROM (VALUES ('sankho'), ('sarkar'), ('turjo'))
+        |  AS t(alpha_token) ORDER BY alpha_token""".stripMargin) {
+      (s, _) => graft.planner.Library.test2Pipeline(s)
+    },
+
+    // The flagship top90, but BFS-PLANNED from goal `text.tokens.top90`
+    // (tokenize -> counts -> top90); must equal the hand-built plan,
+    // so it shares w2_top90's oracle.
+    q("planner_top90",
+      """WITH toks AS (
+        |  SELECT t.token FROM documents,
+        |    unnest(string_split_regex(lower(text), '\W+')) AS t(token)
+        |  WHERE length(t.token) > 1),
+        |counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+        |tot AS (SELECT sum(cnt) AS total FROM counts),
+        |w AS (SELECT token, cnt,
+        |        sum(cnt) OVER (ORDER BY cnt DESC, token ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        |      FROM counts)
+        |SELECT token, cnt FROM w, tot
+        |WHERE running < 0.9 * total
+        |ORDER BY cnt DESC, token""".stripMargin) {
+      (s, dir) => graft.planner.Library.plannedTop90(T(s, dir, "documents"))
+    },
+
     // ---- North-star: dedup / similarity / text analysis / multimodal
 
     // Exact dedup by content hash (fixture: exact copies at id+1e6).

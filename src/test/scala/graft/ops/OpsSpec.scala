@@ -1,0 +1,92 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Operator-library sanity specs. Deep correctness lives in the
+  * DuckDB differential gate (Verify + oracle); these assert the
+  * invariants the oracle can't see: plan shape, planted-fixture
+  * recovery, entry contract.
+  */
+class OpsSpec extends SparkSpec {
+
+  test("entry returns rows > 0 (driver smoke contract)") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has an oracle or is explicitly oracle-free") {
+    val qs = graft.SparkEntry.queries.keySet
+    val os = graft.SparkEntry.oracleSql.keySet
+    assert(os.subsetOf(qs))
+    assert(qs.size >= 49)
+  }
+
+  test("top90 keeps under 90% of mass and is count-descending") {
+    val docs = T(spark, sf, "documents")
+    val top = Text.topPTokens(docs, 0.9).collect()
+    val totals = Text.tokenize(docs).count()
+    val kept = top.map(_.getAs[Long]("cnt")).sum
+    assert(kept < 0.9 * totals)
+    assert(top.map(_.getAs[Long]("cnt")).toSeq ==
+      top.map(_.getAs[Long]("cnt")).sortBy(-_).toSeq)
+  }
+
+  test("minhash-LSH recovers every planted near-dup pair") {
+    val docs = T(spark, sf, "documents")
+    val pairs = Dedup.minhashLsh(docs, 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = docs.select("doc_id").collect().map(_.getLong(0))
+      .filter { id => // docs with > 3 tokens get a variant
+        true
+      }
+    // spot-check: at least 90% of docs have their planted twin found
+    val found = planted.count(id => pairs.contains((id, id + 1000000L)))
+    assert(found >= planted.length * 9 / 10,
+      s"found $found of ${planted.length} planted pairs")
+  }
+
+  test("exact dedup groups every planted copy") {
+    val docs = T(spark, sf, "documents")
+    val groups = Dedup.exactDedup(docs).collect()
+    assert(groups.forall(_.getAs[Long]("n_copies") >= 2))
+  }
+
+  test("brute-force kNN neighbors are truly top-k (exhaustive check q0)") {
+    val emb = T(spark, sf, "embeddings")
+    val knn = Similarity.knnBruteForce(emb, 1, 5).collect()
+    assert(knn.length == 5)
+    val sims = knn.map(_.getAs[Double]("cos_sim"))
+    assert(sims.toSeq == sims.sortBy(-_).toSeq)
+  }
+
+  test("lsh knn returns only same-bucket neighbors, subset of brute scores") {
+    val emb = T(spark, sf, "embeddings")
+    val lsh = Similarity.knnLsh(emb, 5, 3).collect()
+    assert(lsh.nonEmpty)
+    // every reported similarity must match the brute-force score for
+    // that pair (the bucket restricts candidates, never alters scores)
+    val brute = Similarity.knnBruteForce(emb, 5, 500).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    lsh.foreach { r =>
+      val k = (r.getLong(0), r.getLong(2))
+      assert(brute(k) == r.getDouble(3))
+    }
+  }
+
+  test("session windows: event count is conserved") {
+    val ev = T(spark, sf, "events")
+    val sessions = Events.userSessions(ev)
+    assert(sessions.agg(sum("n_events")).collect()(0).getLong(0) == ev.count())
+  }
+
+  test("media decode stub: mean byte value in [0, 255], bytes match n_chars") {
+    val docs = T(spark, sf, "documents")
+    val feats = Multimodal.decodeFeatures(spark, docs).collect()
+    assert(feats.length == docs.count())
+    assert(feats.forall(f => f.feat_mean >= 0 && f.feat_mean <= 255))
+    val chars = docs.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(feats.forall(f => f.n_bytes == chars(f.doc_id)))
+  }
+}

@@ -1,0 +1,138 @@
+package graft.planner
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure metadata tests of the planner core (no Spark session):
+  * template grammar, unification, BFS search, termination caps.
+  * Mirrors the reference's test surface (tests/test.py unification,
+  * tests/test2.py planning) with real assertions instead of prints.
+  */
+class UnifySpec extends AnyFunSuite {
+
+  private def noop(n: Int): TaskInput => Seq[org.apache.spark.sql.DataFrame] =
+    _ => Seq.fill(n)(null)
+
+  test("template grammar {arg}, {arg.i}, {arg.i.j}") {
+    val b = Map("x" -> Binding(0, Vector(
+      ColMatch("usenet.path", Vector("usenet.path", "usenet")),
+      ColMatch("other.col", Vector("other.col", "other")))))
+    assert(Template.expand("{x}.lines", b) == "usenet.path.lines")
+    assert(Template.expand("{x.0}.lines", b) == "usenet.path.lines")
+    assert(Template.expand("{x.1}", b) == "other.col")
+    assert(Template.expand("{x.0.1}.read", b) == "usenet.read")
+    assert(Template.expand("a_{x.1.1}_b", b) == "a_other_b")
+    intercept[IllegalArgumentException](Template.expand("{y}", b))
+    intercept[IllegalArgumentException](Template.expand("{x.2}", b))
+  }
+
+  test("Pat uses python-re.match semantics: anchored prefix") {
+    assert(Pat(raw"(.+)\.tokens").matches("text.tokens") ==
+      Some(Vector("text.tokens", "text")))
+    // prefix match: trailing ".cnt" is allowed, like re.match
+    assert(Pat(raw"(.+)\.tokens").matches("text.tokens.cnt").isDefined)
+    assert(Pat(raw"(.+)\.tokens").matches("tokens").isEmpty)
+    assert(Lit("a").matches("a") == Some(Vector("a")))
+    assert(Lit("a").matches("ab").isEmpty)
+  }
+
+  test("unification: test.py fixture (a_maker over A,B)") {
+    val aMaker = Task("a_maker",
+      Vector(Req.lit("x", "A", "B")), Vector(Vector("C")))(noop(1))
+    val cands = Unify.satisfy(aMaker, Vector(Vector("A", "B"))).toList
+    assert(cands.size == 1)
+    assert(cands.head.bindings("x") == Binding(0,
+      Vector(ColMatch("A", Vector("A")), ColMatch("B", Vector("B")))))
+    assert(cands.head.outputs == Vector(Vector("C")))
+    // unsatisfiable when a literal is missing
+    assert(Unify.satisfy(aMaker, Vector(Vector("A"))).isEmpty)
+  }
+
+  test("same-frame constraint: one arg never binds across frames") {
+    val t = Task("t", Vector(Req.lit("x", "A", "B")), Vector(Vector("C")))(noop(1))
+    assert(Unify.satisfy(t, Vector(Vector("A"), Vector("B"))).isEmpty)
+    assert(Unify.satisfy(t, Vector(Vector("A", "B"), Vector("B"))).size == 1)
+  }
+
+  test("dynamic requirement resolves after concrete ones") {
+    val t = Task("t",
+      Vector(
+        Req("x", Vector(Pat(raw"(\w+)\.path"))),
+        Req("y", Vector(Lit("{x.0.1}.text")))),
+      Vector(Vector("{x.0.1}.done")))(noop(1))
+    val cands = Unify.satisfy(t,
+      Vector(Vector("usenet.path"), Vector("usenet.text"))).toList
+    assert(cands.size == 1)
+    assert(cands.head.bindings("y").cols.head.column == "usenet.text")
+    assert(cands.head.outputs == Vector(Vector("usenet.done")))
+  }
+
+  test("all-dynamic requirements rejected (BadTask)") {
+    intercept[IllegalArgumentException] {
+      Task("bad", Vector(Req("x", Vector(Lit("{y}.t")))),
+        Vector(Vector("o")))(noop(1))
+    }
+  }
+
+  test("appends propagates source-frame columns into declared outputs") {
+    val t = Task("t", Vector(Req.lit("x", "A")),
+      Vector(Vector("C")), appends = true)(noop(1))
+    val cands = Unify.satisfy(t, Vector(Vector("A", "B"))).toList
+    assert(cands.head.outputs == Vector(Vector("C", "A", "B")))
+  }
+}
+
+class PlannerSearchSpec extends AnyFunSuite {
+
+  private def noop(n: Int): TaskInput => Seq[org.apache.spark.sql.DataFrame] =
+    _ => Seq.fill(n)(null)
+
+  private val splitter = Task("splitter",
+    Vector(Req("x", Vector(Pat("(.+)")))),
+    Vector(Vector("{x}.split")))(noop(1))
+  private val removeNum = Task("remove_num",
+    Vector(Req("x", Vector(Pat("(.+)")))),
+    Vector(Vector("{x}.alpha")))(noop(1))
+  private val reg = TaskRegistry.of(splitter, removeNum)
+
+  test("BFS finds the minimal 2-step plan for test2.py") {
+    val path = Planner.findPath(reg,
+      Vector(Vector("index", "name")),
+      Vector(Vector("name.split.alpha"))).get
+    assert(path.map(_.task.name) == Vector("splitter", "remove_num"))
+    assert(path(0).outputs == Vector(Vector("name.split")))
+    assert(path(1).outputs == Vector(Vector("name.split.alpha")))
+  }
+
+  test("goal already satisfied -> empty plan") {
+    assert(Planner.findPath(reg, Vector(Vector("name")),
+      Vector(Vector("name"))).contains(Vector.empty))
+  }
+
+  test("generic-task cap bounds the search (unreachable goal -> None)") {
+    val t0 = System.nanoTime()
+    val r = Planner.findPath(reg,
+      Vector(Vector("name")), Vector(Vector("unreachable.goal")))
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(r.isEmpty)
+    // the reference burned 13.3s planning (BASELINE.md); we must not
+    assert(ms < 2000, s"planner took ${ms}ms")
+  }
+
+  test("novelty pruning: actions reproducing existing column sets are skipped") {
+    val idTask = Task("id", Vector(Req("x", Vector(Pat("(.+)")))),
+      Vector(Vector("{x}")))(noop(1))
+    val acts = Planner.actions(TaskRegistry.of(idTask),
+      Planner.initial(Vector(Vector("a"))))
+    assert(acts.isEmpty)
+  }
+
+  test("planner stays in milliseconds on the demo registry") {
+    val t0 = System.nanoTime()
+    val path = Planner.findPath(Library.registry,
+      Vector(Vector("doc_id", "text")),
+      Vector(Vector("text.tokens.top90"))).get
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(path.map(_.task.name) == Vector("tokenize", "counts", "top90"))
+    assert(ms < 1000, s"planner took ${ms}ms")
+  }
+}
