@@ -1,0 +1,76 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.security.MessageDigest
+
+/** Sources and sinks — SURVEY.md §2.B S1-S7.
+  *
+  * The reference reads files with per-row driver I/O
+  * (basic_tasks.py:21-29 `open(path).read()` inside `.apply`); every
+  * reader here is a distributed Spark source: listing, reading, and
+  * decoding happen on executors, so a 100 TB corpus scans in
+  * parallel with no driver round-trips.
+  */
+object Sources {
+
+  /** S1: glob file listing -> one row per path (basic_tasks.py:12-18).
+    * `binaryFile` lists distributively and prunes the content column
+    * when only `path` is selected.
+    */
+  def globPaths(spark: SparkSession, glob: String, pathCol: String = "path"): DataFrame =
+    spark.read.format("binaryFile").load(glob)
+      .select(col("path").as(pathCol))
+
+  /** S2: whole-file read beside the path (basic_tasks.py:21-29) —
+    * executor-side `wholetext`, not a driver loop.
+    */
+  def wholeText(spark: SparkSession, glob: String,
+      pathCol: String = "path", textCol: String = "text"): DataFrame =
+    spark.read.option("wholetext", "true").text(glob)
+      .select(input_file_name().as(pathCol), col("value").as(textCol))
+
+  /** S2 variant: line-per-row read with the source path kept. */
+  def textLines(spark: SparkSession, glob: String,
+      pathCol: String = "path", lineCol: String = "line"): DataFrame =
+    spark.read.text(glob)
+      .select(input_file_name().as(pathCol), col("value").as(lineCol))
+
+  /** S3: CSV source with header + schema inference (browse.py:19-26;
+    * the 1-row "schema peek" is free here — schemas are lazy).
+    */
+  def csv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** S6: CSV sink (serve_view_df.py:160-173). Single file only when
+    * `singleFile` (driver-download analogue); otherwise one file per
+    * partition, the scalable default.
+    */
+  def writeCsv(df: DataFrame, path: String, singleFile: Boolean = false): Unit =
+    (if (singleFile) df.coalesce(1) else df)
+      .write.mode("overwrite").option("header", "true").csv(path)
+
+  /** S4/S7 + A8: parquet result cache keyed by the hash of the
+    * query's logical plan (the reference pickles results keyed by
+    * mmh3 of the serialized plan, serve.py:38-77).
+    */
+  object PlanCache {
+    def planKey(df: DataFrame): String = {
+      // canonicalized: expression IDs normalized, so two builds of the
+      // same query share a key
+      val plan = df.queryExecution.analyzed.canonicalized.toString
+      MessageDigest.getInstance("SHA-256").digest(plan.getBytes("UTF-8"))
+        .take(16).map("%02x".format(_)).mkString
+    }
+
+    /** Materialize df under its plan hash (no-op when cached);
+      * returns the cached frame.
+      */
+    def materialize(spark: SparkSession, df: DataFrame, cacheDir: String): DataFrame = {
+      val target = s"$cacheDir/${planKey(df)}"
+      val done = new java.io.File(target, "_SUCCESS")
+      if (!done.exists()) df.write.mode("overwrite").parquet(target)
+      spark.read.parquet(target)
+    }
+  }
+}

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming pipelines over the `events` stream — the
+  * streaming forms of graft.ops.Events (same aggregation shapes, same
+  * column names), plus watermarked dedup and custom keyed state.
+  *
+  * Scale posture: these are the standard scalable shapes — watermarked
+  * windowed aggs keep state bounded by (watermark horizon x key
+  * cardinality); session windows and mapGroupsWithState shuffle once
+  * on the grouping key and keep per-key state in the state store
+  * (RocksDB at scale); dropDuplicatesWithinWatermark bounds the dedup
+  * state the same way.
+  */
+object EventStreams {
+
+  final case class Event(
+      event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  /** Tumbling 1-hour counts with a 2-hour watermark (append mode). */
+  def hourlyTypeCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("mass"))
+      .select(col("window").getField("start").as("window_start"),
+        col("event_type"), col("n"), col("mass"))
+
+  /** Session windows (30-minute gap) per user, watermarked. */
+  def userSessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window").getField("start").as("session_start"),
+        col("n_events"))
+
+  /** Exactly-once-style dedup on event_id within the watermark. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  final case class UserRunning(user_id: Long, n: Long, total: Double)
+
+  /** Custom keyed state: running per-user event count + value total
+    * via mapGroupsWithState (the escape hatch for state machines the
+    * built-in windows can't express).
+    */
+  def runningUserTotals(spark: SparkSession, events: DataFrame): Dataset[UserRunning] = {
+    import spark.implicits._
+    events.as[Event]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          val (n, total) = batch.foldLeft((prev.n, prev.total)) {
+            case ((c, t), e) => (c + 1, t + e.value)
+          }
+          val next = UserRunning(uid, n, total)
+          state.update(next)
+          next
+      }
+  }
+}

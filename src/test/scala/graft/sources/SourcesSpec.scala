@@ -1,0 +1,66 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** File source/sink specs against a temp corpus (the usenet-shaped
+  * glob -> whole-file-read path, S1/S2/S3/S6/A8).
+  */
+class SourcesSpec extends SparkSpec {
+
+  private lazy val corpus: String = {
+    val dir = Files.createTempDirectory("graft_corpus")
+    for (g <- Seq("g1", "g2"); i <- 1 to 3) {
+      val sub = dir.resolve(g); Files.createDirectories(sub)
+      Files.writeString(sub.resolve(s"doc$i.txt"),
+        s"From: user$i\nbody of $g doc $i\nlast line")
+    }
+    dir.toString
+  }
+
+  test("glob listing yields one row per file, path column only") {
+    val paths = Sources.globPaths(spark, s"$corpus/*/*", "usenet.path")
+    assert(paths.columns.toSeq == Seq("usenet.path"))
+    assert(paths.count() == 6)
+  }
+
+  test("wholeText reads full files beside their paths, distributed") {
+    val df = Sources.wholeText(spark, s"$corpus/*/*")
+    assert(df.count() == 6)
+    val one = df.filter(col("path").endsWith("g1/doc1.txt")).collect()
+    assert(one.length == 1)
+    assert(one(0).getAs[String]("text") ==
+      "From: user1\nbody of g1 doc 1\nlast line")
+  }
+
+  test("textLines + prefix filter reproduces the From: pipeline (P2)") {
+    val lines = Sources.textLines(spark, s"$corpus/*/*")
+    assert(lines.count() == 18) // 3 lines x 6 files
+    val from = lines.filter(col("line").startsWith("From:"))
+    assert(from.count() == 6)
+  }
+
+  test("csv sink/source round-trip, single-file mode") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_csv").toString + "/out"
+    val df = Seq((1L, "a,with,commas"), (2L, "plain")).toDF("id", "s")
+    Sources.writeCsv(df, out, singleFile = true)
+    val back = Sources.csv(spark, out)
+    assert(back.orderBy("id").collect().map(_.toSeq).toSeq ==
+      df.orderBy("id").collect().map(_.toSeq).toSeq)
+  }
+
+  test("plan cache: same plan hits, different plan misses") {
+    val cache = Files.createTempDirectory("graft_cache").toString
+    val docs = graft.ops.T(spark, sf, "documents").select("doc_id", "lang")
+    val first = Sources.PlanCache.materialize(spark, docs, cache)
+    assert(first.count() == docs.count())
+    val k1 = Sources.PlanCache.planKey(docs)
+    assert(new java.io.File(s"$cache/$k1/_SUCCESS").exists())
+    // identical plan -> same key; different plan -> different key
+    assert(Sources.PlanCache.planKey(
+      graft.ops.T(spark, sf, "documents").select("doc_id", "lang")) == k1)
+    assert(Sources.PlanCache.planKey(docs.filter(col("doc_id") > 10)) != k1)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming specs: feed the driver events through MemoryStream in
+  * multiple micro-batches and check the streaming aggregations agree
+  * with their batch forms (no late data at these watermarks, so the
+  * results must match exactly).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def batchEvents = graft.ops.T(spark, sf, "events")
+
+  private def loadEvents: Seq[EventStreams.Event] = {
+    import spark.implicits._
+    batchEvents
+      .select(col("event_id"), col("ts").cast("timestamp"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .as[EventStreams.Event].collect().toSeq
+  }
+
+  private def runToMemory(
+      name: String,
+      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      mode: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventStreams.Event]
+    val events = loadEvents
+    val (first, second) = events.splitAt(events.size / 2)
+    val query = build(stream.toDF()).writeStream
+      .format("memory").queryName(name).outputMode(mode).start()
+    try {
+      stream.addData(first); query.processAllAvailable()
+      stream.addData(second); query.processAllAvailable()
+      // a far-future heartbeat advances the watermark so append-mode
+      // windows before it finalize and emit
+      stream.addData(EventStreams.Event(999999L,
+        java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), 0L, "hb", 0.0, "{}"))
+      query.processAllAvailable()
+    } finally query.stop()
+    spark.table(name)
+  }
+
+  test("streaming hourly windows equal the batch aggregation") {
+    val got = runToMemory("hourly", EventStreams.hourlyTypeCounts, "append")
+      .filter(col("event_type") =!= "hb")
+      .orderBy("window_start", "event_type")
+      .collect()
+    val want = graft.ops.Events.hourlyTypeCounts(
+        batchEvents.withColumn("ts", col("ts").cast("timestamp")))
+      .collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("streaming sessions equal the batch session_window") {
+    val got = runToMemory("sessions", EventStreams.userSessions, "append")
+      .filter(col("n_events") > 0)
+      .orderBy("user_id", "session_start")
+      .collect()
+      .filterNot(r => r.getLong(0) == 0L &&
+        r.getAs[java.sql.Timestamp](1).toString.startsWith("2030"))
+    val want = graft.ops.Events.userSessions(
+        batchEvents.withColumn("ts", col("ts").cast("timestamp")))
+      .collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("dropDuplicatesWithinWatermark removes a replayed micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventStreams.Event]
+    val events = loadEvents.take(100)
+    val query = EventStreams.dedupWithinWatermark(stream.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      stream.addData(events); query.processAllAvailable()
+      stream.addData(events); query.processAllAvailable() // replay
+    } finally query.stop()
+    assert(spark.table("dedup").count() == 100)
+  }
+
+  test("mapGroupsWithState accumulates per-user totals across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventStreams.Event]
+    val events = loadEvents
+    val (first, second) = events.splitAt(events.size / 2)
+    val query = EventStreams.runningUserTotals(spark, stream.toDF())
+      .writeStream.format("memory").queryName("running")
+      .outputMode("update").start()
+    try {
+      stream.addData(first); query.processAllAvailable()
+      stream.addData(second); query.processAllAvailable()
+    } finally query.stop()
+    // latest state per user must equal the batch per-user counts
+    val latest = spark.table("running")
+      .groupBy("user_id").agg(max("n").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = batchEvents.groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(latest == want)
+  }
+}
