@@ -1,0 +1,13 @@
+/* Bridge for Spark 4's private[sql] Expression<->Column conversion:
+ * a single accessor pair placed inside the sql package namespace so
+ * graft's custom Catalyst expressions can be exposed as Columns. */
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+object graftShims {
+  def toColumn(e: Expression): Column =
+    classic.ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression =
+    classic.ExpressionUtils.expression(c)
+}

@@ -96,27 +96,28 @@ object Dedup {
     val bandKeys = transform(sequence(lit(0), lit(Bands - 1)),
       j => concat_ws("_",
         element_at(col("sig"), j * 2 + 1), element_at(col("sig"), j * 2 + 2)))
+    // carry the 16-long signature through the band shuffle: one corpus
+    // scan + one shuffle, instead of re-deriving signatures for both
+    // sides of the estimate join (3 corpus scans)
     val bands = sigs
-      .select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "key")))
-
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+      .select(col("doc_id"), col("sig"), posexplode(bandKeys).as(Seq("band", "key")))
 
     val matches = aggregate(
-      zip_with(col("x.sig"), col("y.sig"),
+      zip_with(col("a.sig"), col("b.sig"),
         (u, v) => when(u === v, 1L).otherwise(0L)),
       lit(0L), (acc, m) => acc + m)
 
-    cand
-      .join(sigs.as("x"), col("id_a") === col("x.doc_id"))
-      .join(sigs.as("y"), col("id_b") === col("y.doc_id"))
-      .select(col("id_a"), col("id_b"),
+    // MERGE hint: a broadcast self-join would recompute the signature
+    // subtree on both sides; sort-merge makes both sides shuffle on
+    // (band, key), so ReusedExchange derives signatures exactly once
+    bands.as("a")
+      .join(bands.as("b").hint("merge"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         (matches / lit(MinhashAB.size.toDouble)).as("est_sim"))
       .filter(col("est_sim") >= minSim)
+      .distinct() // same pair from several bands has the same est_sim
       .orderBy("id_a", "id_b")
   }
 

@@ -28,8 +28,13 @@ object Similarity {
   /** Cast a float embedding to double for deterministic arithmetic. */
   private def asDouble(e: Column): Column = transform(e, x => x.cast("double"))
 
+  /** Codegen'd custom expression (graft.functions.DotProduct): the
+    * higher-order `aggregate(zip_with(...))` formulation is
+    * interpreted per element and dominates pairwise runtime. Same
+    * left-to-right summation order, bit-identical results.
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.dot_product(a, b)
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -46,11 +51,14 @@ object Similarity {
     val variants = base.select((col("vec_id") + VariantIdOffset).as("vec_id"),
       concat(array(element_at(col("v"), 1) + lit(0.5)),
         slice(col("v"), 2, 63)).as("v"))
+    // norms once per vector (O(n·d)), not once per pair (O(n²·d))
     val all = base.unionByName(variants)
+      .withColumn("nrm", norm(col("v")))
     all.as("a")
       .join(all.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
+        round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
+          .as("cos_sim"))
       .filter(col("cos_sim") >= minSim)
       .orderBy("id_a", "id_b")
   }
@@ -79,12 +87,15 @@ object Similarity {
     */
   def knnBruteForce(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val all = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
     val queries = all.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
     val scored = broadcast(queries)
       .join(all, col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
+        round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6)
+          .as("cos_sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rn", row_number().over(w))
@@ -140,14 +151,16 @@ object Similarity {
     val all = emb
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("bucket", lshBucket(col("v")))
+      .withColumn("nrm", norm(col("v")))
     val queries = all.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("bucket").as("qbucket"))
+        col("bucket").as("qbucket"), col("nrm").as("qnrm"))
     val scored = broadcast(queries)
       .join(all, col("qbucket") === col("bucket") &&
         col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
+        round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6)
+          .as("cos_sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rn", row_number().over(w))

@@ -41,13 +41,18 @@ object Text {
     */
   def topPTokens(docs: DataFrame, p: Double = 0.9): DataFrame = {
     val counts = tokenize(docs).groupBy("token").agg(count(lit(1)).as("cnt"))
-    val total = counts.agg(sum("cnt").as("total"))
+    // both windows run over the same single-partition exchange of the
+    // vocab-sized counts table: one corpus scan total. (The
+    // alternative — a broadcast 1-row total — recomputes counts from
+    // the corpus, i.e. scans the corpus twice.)
     val running = Window
       .orderBy(col("cnt").desc, col("token").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     counts
       .withColumn("running", sum(col("cnt")).over(running))
-      .crossJoin(broadcast(total))
+      .withColumn("total", sum(col("cnt")).over(whole))
       .filter(col("running") < lit(p) * col("total"))
       .select("token", "cnt")
       .orderBy(col("cnt").desc, col("token").asc)

@@ -91,10 +91,11 @@ object Library {
       val running = Window
         .orderBy(col(bq(cntCol)).desc, col(bq(tokCol)).asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val total = counts.agg(sum(col(bq(cntCol))).as("__total"))
+      val whole = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       Seq(counts
         .withColumn("__running", sum(col(bq(cntCol))).over(running))
-        .crossJoin(broadcast(total))
+        .withColumn("__total", sum(col(bq(cntCol))).over(whole))
         .filter(col("__running") < lit(0.9) * col("__total"))
         .select(col(bq(tokCol)).as(outTok), col(bq(cntCol))))
     })
