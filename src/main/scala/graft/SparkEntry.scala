@@ -407,6 +407,12 @@ object SparkEntry {
       (s, dir) => Dedup.minhashLsh(T(s, dir, "documents"), 0.5)
     },
 
+    // MinHash signatures via the typed Aggregator (map-side-combinable
+    // sketch building; same constants, identical signatures).
+    q("ns_minhash_signatures", Dedup.minhashSignaturesAggOracle) {
+      (s, dir) => Dedup.minhashSignaturesAgg(T(s, dir, "documents"))
+    },
+
     // SimHash bucket collisions.
     q("ns_dedup_simhash", Dedup.simhashOracle) {
       (s, dir) => Dedup.simhashPairs(T(s, dir, "documents"))
@@ -461,6 +467,17 @@ object SparkEntry {
         |  source AS media_source
         |FROM documents ORDER BY doc_id""".stripMargin) {
       (s, dir) => Multimodal.mediaMeta(T(s, dir, "documents"))
+    },
+
+    // Multimodal: strided frame sampling from payloads.
+    q("ns_media_frames",
+      """SELECT doc_id, t.i AS frame_idx,
+        |  substr(text, (t.i*64 + 1)::INT, 16) AS frame
+        |FROM documents,
+        |  unnest(range(0, ((length(text) - 16) // 64) + 1)) AS t(i)
+        |WHERE length(text) >= 16
+        |ORDER BY doc_id, frame_idx""".stripMargin) {
+      (s, dir) => Multimodal.frameSample(T(s, dir, "documents"))
     },
 
     // Multimodal: batched mapPartitions decode (stubbed codec), whose

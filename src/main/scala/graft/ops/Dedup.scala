@@ -207,6 +207,41 @@ object Dedup {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** MinHash signatures via the typed Aggregator
+    * (graft.functions.MinHashAggregator) over EXPLODED shingle rows —
+    * the formulation that scales when a document's shingles don't fit
+    * one row: partial aggregation folds shingles map-side and only
+    * 16-long buffers cross the shuffle. Same constants as
+    * [[signatures]], so the signatures are identical.
+    */
+  def minhashSignaturesAgg(docs: DataFrame): DataFrame = {
+    val hashed = corpusWithVariants(docs)
+      .select(col("doc_id"),
+        explode(transform(shingles(col("toks"), 3), s => H.hash30(s))).as("h"))
+    val mh = udaf(graft.functions.MinHashAggregator.minhashSignature)
+    hashed.groupBy("doc_id").agg(mh(col("h")).as("sig"))
+      .select(col("doc_id") +:
+        MinhashAB.indices.map(i => element_at(col("sig"), i + 1).as(s"sig_$i")): _*)
+      .orderBy("doc_id")
+  }
+
+  def minhashSignaturesAggOracle: String = {
+    val minExprs = MinhashAB.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a*h + $b) % $MinhashMod) AS sig_$i"
+    }.mkString(",\n  ")
+    s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |corpus AS (
+       |  SELECT doc_id, toks FROM base WHERE len(toks) >= 3
+       |  UNION ALL
+       |  SELECT doc_id + $VariantIdOffset, toks[2:] FROM base WHERE len(toks) > 3),
+       |hashed AS (SELECT doc_id, ${H.duckHash30("t.s")} AS h
+       |  FROM corpus, unnest(list_transform(range(1, len(toks)-1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS t(s))
+       |SELECT doc_id,
+       |  $minExprs
+       |FROM hashed GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------ exact jaccard
 
   /** Exact n-gram Jaccard near-dup pairs over a doc_id % 10 = 0 subset

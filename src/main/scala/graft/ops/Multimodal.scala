@@ -45,6 +45,23 @@ object Multimodal {
         col("media_source"))
       .orderBy("doc_id")
 
+  /** Frame sampling: fixed-width "frames" cut from the payload at a
+    * stride — the multimodal analogue of video frame-sampling, with
+    * the same plumbing (per-row fan-out, bounded frame count, payload
+    * stays distributed). Stub-level decode: frames are raw slices.
+    */
+  def frameSample(docs: DataFrame, frameLen: Int = 16, stride: Int = 64): DataFrame =
+    docs.filter(length(col("text")) >= frameLen)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0L),
+            floor((length(col("text")) - frameLen) / stride).cast("long")),
+          i => col("text").substr(
+            (i * stride + 1).cast("int"), lit(frameLen)))))
+      .select(col("doc_id"), col("pos").cast("long").as("frame_idx"),
+        col("col").as("frame"))
+      .orderBy("doc_id", "frame_idx")
+
   case class MediaFeature(
       doc_id: Long, n_bytes: Int, feat_mean: Double, feat_dim: Int)
 

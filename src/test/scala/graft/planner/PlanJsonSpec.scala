@@ -1,0 +1,78 @@
+package graft.planner
+
+import graft.SparkSpec
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Plan serialization round-trip + property tests for the template/
+  * unify layer (the reference's only-partially-working test surface,
+  * SURVEY.md §5, hardened with generators).
+  */
+class PlanJsonSpec extends SparkSpec {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("plan JSON round-trips and replays to the same result") {
+    import spark.implicits._
+    val source = Seq((0L, "sankho123 turjo sarkar456")).toDF("index", "name")
+    val reg = TaskRegistry.of(Library.splitter, Library.removeNum)
+    val path = Planner.findPath(reg,
+      Vector(Vector("index", "name")), Vector(Vector("name.split.alpha"))).get
+
+    val json = PlanJson.toJson(path)
+    val back = PlanJson.fromJson(reg, json)
+    assert(back.map(_.task.name) == path.map(_.task.name))
+    assert(back.map(_.bindings) == path.map(_.bindings))
+    assert(back.map(_.outputs) == path.map(_.outputs))
+
+    val a = Executor.runPath(Seq(source), path).last.collect().toSeq
+    val b = Executor.runPath(Seq(source), back).last.collect().toSeq
+    assert(a == b)
+    // key is stable across serializations
+    assert(PlanJson.planKey(path) == PlanJson.planKey(back))
+  }
+
+  private val nameGen: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString).suchThat(_.nonEmpty)
+
+  test("property: literal variables match exactly themselves") {
+    check(Prop.forAll(nameGen, nameGen) { (a, b) =>
+      val m = Lit(a).matches(b)
+      if (a == b) m.contains(Vector(a)) else m.isEmpty
+    })
+  }
+
+  test("property: (.+) suffix pattern captures the prefix") {
+    check(Prop.forAll(nameGen, nameGen) { (base, suffix) =>
+      Pat(raw"(.+)\." + java.util.regex.Pattern.quote(suffix))
+        .matches(s"$base.$suffix")
+        .exists(g => g(1).nonEmpty && (g(1) + "." + suffix) == g(0))
+    })
+  }
+
+  test("property: template expand of {x} equals the bound column") {
+    check(Prop.forAll(nameGen, nameGen) { (colName, tail) =>
+      val b = Map("x" -> Binding(0, Vector(ColMatch(colName, Vector(colName)))))
+      Template.expand(s"{x}.$tail", b) == s"$colName.$tail"
+    })
+  }
+
+  test("property: every satisfied binding actually matches its columns") {
+    val varGen: Gen[Variable] = Gen.oneOf(
+      nameGen.map(Lit(_)),
+      Gen.const(Pat("(.+)")),
+      Gen.const(Pat(raw"(\w+)x")))
+    val frameGen: Gen[Vector[String]] =
+      Gen.nonEmptyListOf(nameGen).map(_.toVector.distinct)
+    check(Prop.forAll(varGen, frameGen) { (v, frame) =>
+      val t = Task("t", Vector(Req("x", Vector(v))),
+        Vector(Vector("out")))(_ => Seq(null))
+      Unify.satisfy(t, Vector(frame)).forall { c =>
+        c.bindings("x").cols.forall(cm =>
+          frame.contains(cm.column) && v.matches(cm.column).isDefined)
+      }
+    })
+  }
+}
