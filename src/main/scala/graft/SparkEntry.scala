@@ -361,6 +361,86 @@ object SparkEntry {
       (s, dir) => Events.slidingCounts(T(s, dir, "events"))
     },
 
+    // ---- Advanced join/query patterns (SURVEY §2.B J4 extensions)
+
+    // As-of join via union + running-last window (no range-join fanout).
+    q("j4_asof_join",
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts, c.ts AS prev_click_ts
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY event_id""".stripMargin) {
+      (s, dir) => Advanced.asofPurchaseClick(T(s, dir, "events"))
+    },
+
+    // Salted skew join — oracle is the UNSALTED join: semantics equal.
+    q("j4_salted_join",
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) {
+      (s, dir) => Advanced.saltedRevenueByNation(T(s, dir, "lineitem"),
+        T(s, dir, "supplier"), T(s, dir, "nation"))
+    },
+
+    // Correlated EXISTS via the spark.sql surface.
+    q("sql_exists",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin) {
+      (s, dir) => Advanced.sqlExists(s, dir)
+    },
+
+    // Scalar subquery via the spark.sql surface.
+    q("sql_scalar_subquery",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin) {
+      (s, dir) => Advanced.sqlScalarSubquery(s, dir)
+    },
+
+    // TPC-H Q3 shape: top-10 revenue orders for one segment.
+    q("q3_shipping_priority",
+      """SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin) {
+      (s, dir) => Advanced.shippingPriority(T(s, dir, "lineitem"),
+        T(s, dir, "orders"), T(s, dir, "customer"))
+    },
+
+    // TPC-H Q5 shape: nation revenue within one region (4-way join).
+    q("q5_region_volume",
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin) {
+      (s, dir) => Advanced.regionVolume(T(s, dir, "lineitem"),
+        T(s, dir, "orders"), T(s, dir, "supplier"), T(s, dir, "nation"),
+        T(s, dir, "region"))
+    },
+
+    // Approximate aggregates: engine-specific sketches, no cross-engine
+    // oracle (driver rows-only check; spec bounds vs exact).
+    qNoOracle("g3_approx_stats") {
+      (s, dir) => Advanced.approxStats(T(s, dir, "lineitem"))
+    },
+
     // ---- Planner (engine core, SURVEY §2.A): BFS-composed pipelines
 
     // tests/test2.py end-to-end: plan splitter -> remove_num from the

@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Advanced join/query patterns beyond the reference's surface
+  * (SURVEY.md §2.B J4 row: semi/anti/range/as-of "provided by the
+  * engine since the north star is full DataFrame capability").
+  */
+object Advanced {
+
+  /** As-of join without a range join: for every purchase event, the
+    * most recent prior click by the same user.
+    *
+    * The scalable pattern: union both sides, one shuffle on user_id,
+    * and a running `last` window carries the latest click timestamp
+    * forward — O(n log n) per key, no quadratic range-join fan-out,
+    * no broadcast requirement. (A range-condition join would fan out
+    * per pair and is the plan to avoid at 100 TB.)
+    */
+  def asofPurchaseClick(events: DataFrame): DataFrame = {
+    val tagged = events.select(col("event_id"), col("user_id"), col("ts"),
+      col("event_type"),
+      when(col("event_type") === "click", col("ts")).as("click_ts"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tagged
+      .withColumn("prev_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("prev_click_ts"))
+      .orderBy("event_id")
+  }
+
+  /** Salted join: identical semantics to a plain key join, with the
+    * big side's rows salted into `salt` sub-keys and the small side
+    * replicated once per salt value — the standard skew mitigation
+    * when one key dominates (AQE skew-split handles moderate skew;
+    * salting is the explicit fix for pathological keys). The result
+    * is oracle-checked against the UNSALTED join, proving semantics
+    * are unchanged.
+    */
+  def saltedRevenueByNation(li: DataFrame, supplier: DataFrame,
+      nation: DataFrame, salt: Int = 8): DataFrame = {
+    val big = li.withColumn("salt", pmod(xxhash64(col("l_orderkey")), lit(salt)))
+    val small = supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+      .withColumn("salt", explode(sequence(lit(0L), lit(salt - 1L))))
+    big.join(broadcast(small),
+        col("l_suppkey") === col("s_suppkey") && big("salt") === small("salt"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  /** Correlated EXISTS through the SQL surface (spark.sql over temp
+    * views): customers with at least one order above the threshold.
+    */
+  def sqlExists(spark: SparkSession, sfDir: String): DataFrame = {
+    T(spark, sfDir, "customer").createOrReplaceTempView("customer")
+    T(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Scalar subquery through the SQL surface: orders above the global
+    * average price.
+    */
+  def sqlScalarSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    T(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** TPC-H Q3 shape: shipping priority — top unshipped-revenue orders
+    * for one segment.
+    */
+  def shippingPriority(li: DataFrame, orders: DataFrame, customer: DataFrame,
+      segment: String = "BUILDING"): DataFrame =
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.filter(col("c_mktsegment") === segment)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+
+  /** TPC-H Q5 shape: revenue per nation for suppliers in one region
+    * (4-way join; region/nation/supplier broadcast, lineitem-orders
+    * shuffles).
+    */
+  def regionVolume(li: DataFrame, orders: DataFrame, supplier: DataFrame,
+      nation: DataFrame, region: DataFrame, regionName: String = "ASIA"): DataFrame =
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+
+  /** Approximate aggregates (HLL cardinality, quantile sketch) — the
+    * G3 approx surface. Engine-specific sketches don't cross-check
+    * against DuckDB, so these register without an oracle (driver
+    * rows-only check); the spec bounds them against exact values.
+    */
+  def approxStats(li: DataFrame): DataFrame =
+    li.agg(
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+      countDistinct(col("l_partkey")).as("exact_parts"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+        .as("median_price"))
+}

@@ -74,6 +74,25 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("approx aggregates land within tolerance of exact") {
+    val r = Advanced.approxStats(T(spark, sf, "lineitem")).collect()(0)
+    val approx = r.getAs[Long]("approx_parts").toDouble
+    val exact = r.getAs[Long]("exact_parts").toDouble
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"approx $approx vs exact $exact")
+    assert(r.getAs[Double]("median_price") > 0)
+  }
+
+  test("as-of join: prior click strictly precedes the purchase") {
+    val rows = Advanced.asofPurchaseClick(T(spark, sf, "events")).collect()
+    assert(rows.nonEmpty)
+    val withPrev = rows.filter(!_.isNullAt(3))
+    assert(withPrev.nonEmpty)
+    assert(withPrev.forall(r => // ntz columns surface as LocalDateTime
+      !r.getAs[java.time.LocalDateTime]("prev_click_ts")
+        .isAfter(r.getAs[java.time.LocalDateTime]("ts"))))
+  }
+
   test("session windows: event count is conserved") {
     val ev = T(spark, sf, "events")
     val sessions = Events.userSessions(ev)
