@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL-surface registration for graft's custom expressions, so
+  * `spark.sql("SELECT dot_product(a, b) ...")` works alongside the
+  * Column API.
+  *
+  * Two paths:
+  *  - [[register]]: per-session, for an already-built SparkSession;
+  *  - [[GraftExtensions]]: a SparkSessionExtensions installer for
+  *    `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+  *    on spark-submit (the idiomatic cluster deployment).
+  */
+object GraftFunctions {
+
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "dot_product" -> (exprs => DotProduct(exprs(0), exprs(1))))
+
+  def register(spark: SparkSession): Unit =
+    fns.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(e: SparkSessionExtensions): Unit =
+    e.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+}

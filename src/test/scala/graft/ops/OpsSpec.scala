@@ -93,6 +93,17 @@ class OpsSpec extends SparkSpec {
         .isAfter(r.getAs[java.time.LocalDateTime]("ts"))))
   }
 
+  test("dot_product is callable from the SQL surface") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect()(0).getDouble(0)
+    assert(r == 11.0)
+    // extensions installer is constructible and wires the same fn
+    new graft.functions.GraftExtensions()
+      .apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("session windows: event count is conserved") {
     val ev = T(spark, sf, "events")
     val sessions = Events.userSessions(ev)
