@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale smoke: multiply the documents corpus N-fold in-plan (no new
+  * files) and run the flagship + exact-dedup paths, reporting rows
+  * and wall time as one JSON line. Exercises the shapes that must
+  * hold at 100 TB: map-side-combined token counting (shuffle stays
+  * O(vocab) regardless of corpus size), vocab-sized windows, and
+  * fixed-width-key dedup groupBy.
+  *
+  * Usage: runMain graft.ScaleSmoke [sfDir] [multiplier]
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mult = args.lift(1).map(_.toInt).getOrElse(100)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = ops.T(spark, sfDir, "documents")
+    val copies = spark.range(mult).select(col("id").as("copy"))
+    val big = docs.crossJoin(copies)
+      .select((col("doc_id") * mult + col("copy")).as("doc_id"), col("text"))
+      .repartition(64)
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val (nTokens, tTok) = time(ops.Text.tokenize(big).count())
+    val (nTop, tTop) = time(ops.Text.topPTokens(big, 0.9).count())
+    val (nGroups, tDedup) = time(
+      big.groupBy(md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("n")).count())
+    println(s"""{"multiplier":$mult,"docs":${big.count()},""" +
+      s""""tokens":$nTokens,"tokenize_sec":$tTok,""" +
+      s""""top90_rows":$nTop,"top90_sec":$tTop,""" +
+      s""""dedup_groups":$nGroups,"dedup_sec":$tDedup}""")
+    spark.stop()
+  }
+}
