@@ -126,6 +126,17 @@ class PlannerSearchSpec extends AnyFunSuite {
     assert(acts.isEmpty)
   }
 
+  test("multi-goal planning: every goal set must be covered") {
+    val path = Planner.findPath(reg,
+      Vector(Vector("index", "name")),
+      Vector(Vector("name.split"), Vector("name.alpha"))).get
+    assert(path.map(_.task.name).toSet == Set("splitter", "remove_num"))
+    // and an impossible second goal fails the whole plan
+    assert(Planner.findPath(reg,
+      Vector(Vector("name")),
+      Vector(Vector("name.split"), Vector("nope"))).isEmpty)
+  }
+
   test("planner stays in milliseconds on the demo registry") {
     val t0 = System.nanoTime()
     val path = Planner.findPath(Library.registry,
