@@ -27,6 +27,15 @@ object SparkEntry {
       fn: (SparkSession, String) => DataFrame): Q =
     Q(name, fn, None)
 
+  /** Timestamps leave oracle-compared queries as STRINGS: Spark's
+    * parquet microsecond timestamps and DuckDB's nanosecond ones carry
+    * different datetime64 units into pandas, so a dtype-aware hash can
+    * disagree on bit-identical instants. DuckDB twin:
+    * strftime(x, '%Y-%m-%d %H:%M:%S.%f').
+    */
+  private def tsStr(c: org.apache.spark.sql.Column) =
+    date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
   // ---------------------------------------------------------------- //
 
   private lazy val registry: Seq[Q] = Seq(
@@ -343,11 +352,15 @@ object SparkEntry {
 
     // Streaming (batch form): tumbling 1-hour windows.
     q("st_hourly_window",
-      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S.%f')
+        |    AS window_start, event_type,
         |  count(*) AS n, round(sum(value), 2) AS mass
         |FROM events GROUP BY window_start, event_type
         |ORDER BY window_start, event_type""".stripMargin) {
       (s, dir) => Events.hourlyTypeCounts(T(s, dir, "events"))
+        .select(tsStr(col("window_start")).as("window_start"),
+          col("event_type"), col("n"), col("mass"))
+        .orderBy("window_start", "event_type")
     },
 
     // Streaming (batch form): sliding 1-hour/30-min windows.
@@ -355,10 +368,13 @@ object SparkEntry {
       """WITH w AS (SELECT unnest([
         |    make_timestamp((epoch_us(ts) // 1800000000) * 1800000000),
         |    make_timestamp((epoch_us(ts) // 1800000000) * 1800000000 - 1800000000)
-        |  ]) AS window_start FROM events)
-        |SELECT window_start, count(*) AS n FROM w
+        |  ]) AS ws FROM events)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S.%f') AS window_start,
+        |  count(*) AS n FROM w
         |GROUP BY window_start ORDER BY window_start""".stripMargin) {
       (s, dir) => Events.slidingCounts(T(s, dir, "events"))
+        .select(tsStr(col("window_start")).as("window_start"), col("n"))
+        .orderBy("window_start")
     },
 
     // ---- Advanced join/query patterns (SURVEY §2.B J4 extensions)
@@ -368,11 +384,16 @@ object SparkEntry {
       """WITH p AS (SELECT event_id, user_id, ts FROM events
         |           WHERE event_type = 'purchase'),
         |     c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
-        |SELECT p.event_id, p.user_id, p.ts, c.ts AS prev_click_ts
+        |SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS prev_click_ts
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY event_id""".stripMargin) {
       (s, dir) => Advanced.asofPurchaseClick(T(s, dir, "events"))
+        .select(col("event_id"), col("user_id"), tsStr(col("ts")).as("ts"),
+          tsStr(col("prev_click_ts")).as("prev_click_ts"))
+        .orderBy("event_id")
     },
 
     // Salted skew join — oracle is the UNSALTED join: semantics equal.
@@ -583,10 +604,15 @@ object SparkEntry {
         |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |      FROM e)
-        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  count(*) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin) {
       (s, dir) => Events.userSessions(T(s, dir, "events"))
+        .select(col("user_id"), tsStr(col("session_start")).as("session_start"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
     },
   )
 
