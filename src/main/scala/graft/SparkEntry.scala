@@ -240,6 +240,36 @@ object SparkEntry {
       (s, dir) => Relational.topKPerGroup(T(s, dir, "part"), 3)
     },
 
+    // Pivot: per-user event counts spread across type columns.
+    q("g3_pivot",
+      """SELECT user_id,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (s, dir) => Relational.pivotEventCounts(T(s, dir, "events"))
+    },
+
+    // W3 range frame: value-based window (orders within +/-10000 price).
+    q("w3_range_frame",
+      """SELECT o_custkey, o_orderkey,
+        |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+        |    RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING) AS n_in_band
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) {
+      (s, dir) => Relational.ordersInPriceBand(T(s, dir, "orders"))
+    },
+
+    // W3 ntile: per-customer price quartiles.
+    q("w3_ntile",
+      """SELECT o_custkey, o_orderkey,
+        |  ntile(4) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS quartile
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) {
+      (s, dir) => Relational.orderQuartiles(T(s, dir, "orders"))
+    },
+
     // Set operations.
     q("set_union",
       """SELECT nationkey FROM (
@@ -527,6 +557,11 @@ object SparkEntry {
     // Embedding-cosine near-dup pairs.
     q("ns_embed_neardup", Similarity.embeddingNearDupOracle(0.9)) {
       (s, dir) => Similarity.embeddingNearDup(T(s, dir, "embeddings"), 0.9)
+    },
+
+    // Embedding near-dup, LSH-bucketed (the scale path: no cross join).
+    q("ns_embed_neardup_lsh", Similarity.embeddingNearDupLshOracle(0.9)) {
+      (s, dir) => Similarity.embeddingNearDupLsh(T(s, dir, "embeddings"), 0.9)
     },
 
     // Brute-force cosine top-k (exact ANN baseline).

@@ -167,6 +167,39 @@ object Relational {
       .drop("rn")
   }
 
+  /** Pivot: event counts per user spread across type columns. The
+    * pivot values are given explicitly — one pass, deterministic
+    * column order (an unspecified pivot needs a distinct-values
+    * pre-pass and sorts columns by value).
+    */
+  def pivotEventCounts(events: DataFrame): DataFrame =
+    events.groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  /** W3 range frame: per customer, how many of their orders fall
+    * within +/-10000 of each order's price (value-based frame, so the
+    * result is order-independent and tie-safe).
+    */
+  def ordersInPriceBand(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice"))
+      .rangeBetween(-10000L, 10000L)
+    orders.select(col("o_custkey"), col("o_orderkey"),
+        count(lit(1)).over(w).as("n_in_band"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** W3 ntile: price quartile of each order within its customer. */
+  def orderQuartiles(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders.select(col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Set ops: union / intersect / except on nation keys of two entity
     * tables (SURVEY §2.B set-operations row).
     */

@@ -169,6 +169,74 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  /** LSH-bucketed embedding near-dup — the scale path for
+    * [[embeddingNearDup]]: candidates only form inside a shared
+    * hyperplane bucket (shuffle O(n), candidate sets O(n/2^planes)
+    * per bucket) instead of the all-pairs cross join.
+    *
+    * MULTI-PROBE: one side also probes the buckets at Hamming
+    * distance 1 (flip each plane bit), so near-dups that disagree on
+    * a single hyperplane are still candidates — recall goes from
+    * P(0 flips) to P(<=1 flip) for ~5x the candidate volume, still
+    * O(n), never all-pairs.
+    */
+  def embeddingNearDupLsh(emb: DataFrame, minSim: Double = 0.9): DataFrame = {
+    val base = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val variants = base.select((col("vec_id") + VariantIdOffset).as("vec_id"),
+      concat(array(element_at(col("v"), 1) + lit(0.5)),
+        slice(col("v"), 2, 63)).as("v"))
+    val all = base.unionByName(variants)
+      .withColumn("bucket", lshBucket(col("v")))
+      .withColumn("nrm", norm(col("v")))
+    val probeMasks = array((lit(0L) +:
+      (0 until Planes).map(p => lit(1L << p))): _*)
+    val probed = all.select(col("vec_id"), col("v"), col("nrm"),
+      explode(transform(probeMasks, m => col("bucket").bitwiseXOR(m)))
+        .as("pbucket"))
+    probed.as("a")
+      .join(all.as("b").hint("merge"),
+        col("a.pbucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= minSim)
+      .orderBy("id_a", "id_b")
+  }
+
+  def embeddingNearDupLshOracle(minSim: Double = 0.9): String = {
+    def dotPlane(p: Int): String =
+      s"""list_sum(list_transform(range(1, 65), d -> v[d] *
+         |      ((${H.duckHash30(s"'p_${p}_' || d::VARCHAR")} * 2 - 1073741824)::DOUBLE
+         |        / 1073741824)))""".stripMargin
+    val bucket = (0 until Planes).map { p =>
+      s"CASE WHEN ${dotPlane(p)} > 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH base AS (SELECT vec_id,
+       |    list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings WHERE vec_id % 5 = 0),
+       |allv AS (
+       |  SELECT vec_id, v FROM base
+       |  UNION ALL
+       |  SELECT vec_id + $VariantIdOffset, [v[1] + 0.5] || v[2:] FROM base),
+       |bucketed AS (SELECT vec_id, v, ($bucket)::BIGINT AS bucket FROM allv),
+       |probed AS (SELECT vec_id, v,
+       |    unnest([bucket, ${(0 until Planes)
+                  .map(p => s"xor(bucket, ${1L << p})").mkString(", ")}])
+       |      AS pbucket
+       |  FROM bucketed),
+       |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    round(
+       |      list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
+       |      (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i]))) *
+       |       sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))),
+       |      6) AS cos_sim
+       |  FROM probed a JOIN bucketed b
+       |    ON a.pbucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= $minSim
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   def knnLshOracle(nQueries: Int = 50, k: Int = 3): String = {
     def dotPlane(p: Int): String =
       s"""list_sum(list_transform(range(1, 65), d -> v[d] *
