@@ -372,6 +372,29 @@ object SparkEntry {
       (s, dir) => Functions.ordersPerMonth(T(s, dir, "orders"))
     },
 
+    // F10: date arithmetic + calendar extraction.
+    q("f10_date_arith",
+      """SELECT o_orderkey,
+        |  date_diff('day', DATE '1995-01-01', o_orderdate::DATE)::INT
+        |    AS days_since_95,
+        |  extract(year FROM o_orderdate)::INT AS yr,
+        |  extract(month FROM o_orderdate)::INT AS mth
+        |FROM orders ORDER BY o_orderkey""".stripMargin) {
+      (s, dir) => Functions.dateArithmetic(T(s, dir, "orders"))
+    },
+
+    // F10: array functions (size / membership / distinct-sort-slice).
+    q("f10_array_funcs",
+      """SELECT doc_id,
+        |  len(string_split(text, ' '))::INT AS n_toks,
+        |  list_contains(string_split(text, ' '), 'the') AS has_the,
+        |  array_to_string(
+        |    (list_sort(list_distinct(string_split(text, ' '))))[1:3], '-')
+        |    AS first3
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, dir) => Functions.arrayFunctions(T(s, dir, "documents"))
+    },
+
     // F10: JSON extraction + aggregation.
     q("f10_json_agg",
       """SELECT event_type, count(*) AS n,

@@ -84,6 +84,30 @@ object Functions {
       .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
       .orderBy("month")
 
+  /** F10: date arithmetic — order age in days from a fixed epoch and
+    * extraction of calendar parts.
+    */
+  def dateArithmetic(orders: DataFrame): DataFrame =
+    orders.select(col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"),
+          to_date(lit("1995-01-01"))).as("days_since_95"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mth"))
+      .orderBy("o_orderkey")
+
+  /** F10: array functions over the token array — size, membership,
+    * distinct-sort-slice-join.
+    */
+  def arrayFunctions(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    docs.select(col("doc_id"),
+        size(toks).as("n_toks"),
+        array_contains(toks, "the").as("has_the"),
+        array_join(slice(array_sort(array_distinct(toks)), 1, 3), "-")
+          .as("first3"))
+      .orderBy("doc_id")
+  }
+
   /** F10: JSON extraction — sum of props.k per event type. */
   def jsonAgg(events: DataFrame): DataFrame =
     events.select(col("event_type"),
