@@ -176,8 +176,10 @@ object Dedup {
         when(col(s"s$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
     val buckets = agged.select(col("doc_id"), simhash.as("simhash"))
+    // merge hint: both sides shuffle on simhash -> ReusedExchange
+    // computes the bit-sum aggregation once (broadcast would redo it)
     buckets.as("a")
-      .join(buckets.as("b"),
+      .join(buckets.as("b").hint("merge"),
         col("a.simhash") === col("b.simhash") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
@@ -256,7 +258,8 @@ object Dedup {
       .select(col("doc_id"), explode(array_distinct(shingles(col("toks"), 3))).as("sh"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
-      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .join(sh.as("b").hint("merge"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     inter
