@@ -68,6 +68,35 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("checkpointed query restarts exactly-once: no loss, no dupes") {
+    import spark.implicits._
+    val stage = java.nio.file.Files.createTempDirectory("graft_ckpt_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_ckpt_out").toString
+    val events = batchEvents.withColumn("ts", col("ts").cast("timestamp"))
+    events.repartition(6).write.mode("overwrite").parquet(stage)
+
+    def start() = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .start()
+
+    // run a couple of micro-batches, then kill the query mid-stream
+    val q1 = start()
+    try {
+      while (q1.recentProgress.length < 2) Thread.sleep(50)
+    } finally q1.stop()
+    // restart from the same checkpoint and drain
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(out)
+    assert(got.count() == events.count(), "row count must survive restart")
+    assert(got.select("event_id").distinct().count() == events.count(),
+      "no duplicated events after restart")
+  }
+
   test("dropDuplicatesWithinWatermark removes a replayed micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
