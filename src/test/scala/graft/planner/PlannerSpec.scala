@@ -137,6 +137,27 @@ class PlannerSearchSpec extends AnyFunSuite {
       Vector(Vector("name.split"), Vector("nope"))).isEmpty)
   }
 
+  test("deep chain with distractors plans in well under a second") {
+    // 8 chainable generic tasks + 8 distractors that never fire
+    val chain = (1 to 8).map { i =>
+      val from = if (i == 1) raw"(src)$$" else raw"(.+)\.s${i - 1}$$"
+      Task(s"step$i", Vector(Req("x", Vector(Pat(from)))),
+        Vector(Vector(s"{x}.s$i")))(noop(1))
+    }
+    val distractors = (1 to 8).map { i =>
+      Task(s"dead$i", Vector(Req.lit("x", s"missing_$i")),
+        Vector(Vector(s"never_$i")))(noop(1))
+    }
+    val reg = TaskRegistry((chain ++ distractors).toVector)
+    val goal = "src" + (1 to 8).map(i => s".s$i").mkString
+    val t0 = System.nanoTime()
+    val path = Planner.findPath(reg, Vector(Vector("src")),
+      Vector(Vector(goal))).get
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(path.map(_.task.name) == (1 to 8).map(i => s"step$i"))
+    assert(ms < 1000, s"deep plan took ${ms}ms")
+  }
+
   test("planner stays in milliseconds on the demo registry") {
     val t0 = System.nanoTime()
     val path = Planner.findPath(Library.registry,
