@@ -240,6 +240,29 @@ object SparkEntry {
       (s, dir) => Relational.topKPerGroup(T(s, dir, "part"), 3)
     },
 
+    // G3: statistical aggregates (exact percentiles, stddev, corr).
+    q("g3_stats",
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+        |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) => Relational.statsByFlag(T(s, dir, "lineitem"))
+    },
+
+    // F-series breadth: common string functions.
+    q("f_string_funcs",
+      """SELECT c_custkey,
+        |  lpad(c_custkey::VARCHAR, 10, '0') AS padded,
+        |  upper(c_mktsegment) AS seg_upper,
+        |  reverse(c_name) AS name_rev,
+        |  translate(c_name, '#', '-') AS name_dash,
+        |  repeat('ab', 3) AS abab
+        |FROM customer ORDER BY c_custkey""".stripMargin) {
+      (s, dir) => Relational.stringFunctions(T(s, dir, "customer"))
+    },
+
     // Pivot: per-user event counts spread across type columns.
     q("g3_pivot",
       """SELECT user_id,

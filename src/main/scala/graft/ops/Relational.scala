@@ -167,6 +167,30 @@ object Relational {
       .drop("rn")
   }
 
+  /** G3: statistical aggregates — exact interpolated percentiles
+    * (both engines define the continuous quantile identically),
+    * sample stddev, and correlation, rounded for cross-engine float
+    * stability.
+    */
+  def statsByFlag(li: DataFrame): DataFrame =
+    li.groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"),
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"))
+      .orderBy("l_returnflag")
+
+  /** F-series breadth: common string functions. */
+  def stringFunctions(customer: DataFrame): DataFrame =
+    customer.select(col("c_custkey"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
+        upper(col("c_mktsegment")).as("seg_upper"),
+        reverse(col("c_name")).as("name_rev"),
+        translate(col("c_name"), "#", "-").as("name_dash"),
+        repeat(lit("ab"), 3).as("abab"))
+      .orderBy("c_custkey")
+
   /** Pivot: event counts per user spread across type columns. The
     * pivot values are given explicitly — one pass, deterministic
     * column order (an unspecified pivot needs a distinct-values
