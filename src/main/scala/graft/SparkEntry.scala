@@ -395,6 +395,38 @@ object SparkEntry {
       (s, dir) => Functions.ordersPerMonth(T(s, dir, "orders"))
     },
 
+    // Null-handling functions.
+    q("f_null_funcs",
+      """SELECT l_orderkey, l_linenumber,
+        |  nullif(l_returnflag, 'N') AS flag_or_null,
+        |  coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_filled,
+        |  greatest(l_discount, l_tax) AS max_rate,
+        |  least(l_discount, l_tax) AS min_rate,
+        |  CASE WHEN l_discount > 0.05 THEN 'deep' ELSE 'shallow' END
+        |    AS discount_band
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) {
+      (s, dir) => Functions.nullFunctions(T(s, dir, "lineitem"))
+    },
+
+    // Union by name with missing columns (null-filled).
+    q("set_union_byname",
+      """SELECT id, name, bal FROM (
+        |  SELECT c_custkey AS id, c_name AS name FROM customer
+        |  UNION ALL BY NAME
+        |  SELECT s_suppkey AS id, s_name AS name, s_acctbal AS bal
+        |  FROM supplier)
+        |ORDER BY id, name""".stripMargin) {
+      (s, dir) =>
+        Functions.unionByNameEntities(T(s, dir, "customer"), T(s, dir, "supplier"))
+    },
+
+    // Regex capture-group extraction.
+    q("f_regexp_extract",
+      """SELECT c_custkey, regexp_extract(c_name, '(\d+)', 1) AS digits
+        |FROM customer ORDER BY c_custkey""".stripMargin) {
+      (s, dir) => Functions.regexpExtract(T(s, dir, "customer"))
+    },
+
     // F10: date arithmetic + calendar extraction.
     q("f10_date_arith",
       """SELECT o_orderkey,

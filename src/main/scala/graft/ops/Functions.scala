@@ -108,6 +108,37 @@ object Functions {
       .orderBy("doc_id")
   }
 
+  /** Null-handling surface: nullif / coalesce / greatest / least /
+    * conditional.
+    */
+  def nullFunctions(li: DataFrame): DataFrame =
+    li.select(col("l_orderkey"), col("l_linenumber"),
+        nullif(col("l_returnflag"), lit("N")).as("flag_or_null"),
+        coalesce(nullif(col("l_returnflag"), lit("N")), lit("none"))
+          .as("flag_filled"),
+        greatest(col("l_discount"), col("l_tax")).as("max_rate"),
+        least(col("l_discount"), col("l_tax")).as("min_rate"),
+        when(col("l_discount") > 0.05, "deep").otherwise("shallow")
+          .as("discount_band"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Union-by-name with missing columns (null-filled): the schema
+    * evolution form of union.
+    */
+  def unionByNameEntities(customer: DataFrame, supplier: DataFrame): DataFrame = {
+    val c = customer.select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val s = supplier.select(col("s_suppkey").as("id"), col("s_name").as("name"),
+      col("s_acctbal").as("bal"))
+    c.unionByName(s, allowMissingColumns = true)
+      .orderBy("id", "name")
+  }
+
+  /** Regex capture extraction (group 1). */
+  def regexpExtract(customer: DataFrame): DataFrame =
+    customer.select(col("c_custkey"),
+        regexp_extract(col("c_name"), "(\\d+)", 1).as("digits"))
+      .orderBy("c_custkey")
+
   /** F10: JSON extraction — sum of props.k per event type. */
   def jsonAgg(events: DataFrame): DataFrame =
     events.select(col("event_type"),
