@@ -667,6 +667,39 @@ object SparkEntry {
       (s, dir) => Analysis.tokenStats(T(s, dir, "documents"))
     },
 
+    // TF-IDF: top-3 scoring tokens per document.
+    q("ns_tfidf", Analysis.tfidfTop3Oracle) {
+      (s, dir) => Analysis.tfidfTop3(T(s, dir, "documents"))
+    },
+
+    // Deterministic hash sampling (reproducible 10% sample, no rand).
+    q("p_sample_hash",
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${graft.ops.H.duckHash60("text")} % 10 = 0
+         |ORDER BY doc_id""".stripMargin) {
+      (s, dir) => T(s, dir, "documents")
+        .filter(H.hash60(col("text")) % 10 === 0)
+        .select("doc_id", "lang").orderBy("doc_id")
+    },
+
+    // Signup -> purchase conversion funnel per user.
+    q("ev_funnel",
+      """WITH s AS (SELECT user_id, min(ts) AS signup_ts FROM events
+        |           WHERE event_type = 'signup' GROUP BY user_id),
+        |p AS (SELECT user_id, ts AS p_ts FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT s.user_id,
+        |  strftime(s.signup_ts, '%Y-%m-%d %H:%M:%S.%f') AS signup_ts,
+        |  strftime(min(CASE WHEN p.p_ts >= s.signup_ts THEN p.p_ts END),
+        |           '%Y-%m-%d %H:%M:%S.%f') AS first_purchase_ts,
+        |  min(CASE WHEN p.p_ts >= s.signup_ts THEN p.p_ts END) IS NOT NULL
+        |    AS converted
+        |FROM s LEFT JOIN p ON s.user_id = p.user_id
+        |GROUP BY s.user_id, s.signup_ts
+        |ORDER BY s.user_id""".stripMargin) {
+      (s, dir) => Events.signupPurchaseFunnel(T(s, dir, "events"))
+    },
+
     // Rolling-hash document fingerprint.
     q("ns_fingerprint", Analysis.fingerprintOracle) {
       (s, dir) => Analysis.fingerprint(T(s, dir, "documents"))

@@ -118,6 +118,49 @@ object Analysis {
        |  n_chars // 4 AS n_chars_div4
        |FROM t ORDER BY doc_id""".stripMargin
 
+  /** TF-IDF: top-3 scoring tokens per document. tf = in-doc count,
+    * idf = ln(N / df). The natural log can differ by an ulp between
+    * libm implementations, so scores are rounded to 6dp and the
+    * ranking runs on the ROUNDED score with a token tiebreak.
+    * Scale: two grouped aggregations (doc-term, term) + a broadcast
+    * of the vocab-sized df table — no all-pairs anything.
+    */
+  def tfidfTop3(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(df), "token")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+          .as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("token").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("token"), col("tfidf"))
+      .orderBy("doc_id", "rn")
+  }
+
+  val tfidfTop3Oracle: String =
+    """WITH tok AS (SELECT doc_id, t.token FROM documents,
+      |    unnest(string_split(text, ' ')) AS t(token)),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (SELECT doc_id, tf.token,
+      |    round(tf * ln(n_docs::DOUBLE / df.df), 6) AS tfidf
+      |  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n),
+      |ranked AS (SELECT doc_id, token, tfidf,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY tfidf DESC, token ASC) AS rn
+      |  FROM scored)
+      |SELECT doc_id, rn, token, tfidf FROM ranked WHERE rn <= 3
+      |ORDER BY doc_id, rn""".stripMargin
+
   val FpMod = 2147483647L
 
   /** Document fingerprint: left-fold polynomial rolling hash over the

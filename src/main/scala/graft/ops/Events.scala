@@ -32,6 +32,30 @@ object Events {
       .agg(count(lit(1)).as("n"))
       .orderBy("window_start")
 
+  /** Signup -> purchase funnel per user: first signup, first purchase
+    * AFTER that signup, and whether the user converted. One shuffle on
+    * user_id; conditional aggregation instead of self-joins.
+    */
+  def signupPurchaseFunnel(events: DataFrame): DataFrame = {
+    val firstSignup = events
+      .filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("signup_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    firstSignup
+      .join(purchases, Seq("user_id"), "left")
+      .groupBy("user_id", "signup_ts")
+      .agg(min(when(col("p_ts") >= col("signup_ts"), col("p_ts")))
+        .as("first_purchase_ts"))
+      .select(col("user_id"),
+        date_format(col("signup_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("signup_ts"),
+        date_format(col("first_purchase_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("first_purchase_ts"),
+        col("first_purchase_ts").isNotNull.as("converted"))
+      .orderBy("user_id")
+  }
+
   /** Session windows with a 30-minute inactivity gap, per user:
     * session start + event count. Native `session_window` keeps the
     * whole computation in one shuffle on user_id.
