@@ -622,6 +622,11 @@ object SparkEntry {
       (s, dir) => Dedup.minhashSignaturesAgg(T(s, dir, "documents"))
     },
 
+    // Near-dup clusters: connected components over the LSH pair graph.
+    q("ns_dedup_clusters", Dedup.minhashClustersOracle(0.5)) {
+      (s, dir) => Dedup.minhashClusters(T(s, dir, "documents"), 0.5)
+    },
+
     // SimHash bucket collisions.
     q("ns_dedup_simhash", Dedup.simhashOracle) {
       (s, dir) => Dedup.simhashPairs(T(s, dir, "documents"))
@@ -698,6 +703,11 @@ object SparkEntry {
         |GROUP BY s.user_id, s.signup_ts
         |ORDER BY s.user_id""".stripMargin) {
       (s, dir) => Events.signupPurchaseFunnel(T(s, dir, "events"))
+    },
+
+    // PMI co-occurrence over in-document token pairs.
+    q("ns_pmi_pairs", Analysis.pmiPairsOracle(50)) {
+      (s, dir) => Analysis.pmiPairs(T(s, dir, "documents"), 50)
     },
 
     // Rolling-hash document fingerprint.

@@ -161,6 +161,57 @@ object Analysis {
       |SELECT doc_id, rn, token, tfidf FROM ranked WHERE rn <= 3
       |ORDER BY doc_id, rn""".stripMargin
 
+  /** PMI co-occurrence: pointwise mutual information of token pairs
+    * co-occurring in a document, over the top candidate pairs.
+    * Bounded by vocabulary^2 regardless of corpus size (pair counts
+    * are map-side combinable), which is what makes PMI tractable at
+    * 100 TB: the shuffle carries vocab^2 partial counts, not the
+    * corpus.
+    */
+  def pmiPairs(docs: DataFrame, minPairDocs: Long = 50): DataFrame = {
+    val docToks = docs.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("toks"))
+    val n = docToks.select(count(lit(1)).as("n_docs"))
+    val tokDocs = docToks.select(col("doc_id"), explode(col("toks")).as("t"))
+    val tokDf = tokDocs.groupBy("t").agg(count(lit(1)).as("df"))
+    // in-doc token pairs (a < b), distinct per doc
+    val pairs = docToks.select(col("doc_id"),
+        explode(flatten(transform(col("toks"), (a, i) =>
+          transform(slice(col("toks"), i + 2, size(col("toks"))), b =>
+            struct(a.as("a"), b.as("b")))))).as("p"))
+      .select(col("doc_id"),
+        least(col("p.a"), col("p.b")).as("a"),
+        greatest(col("p.a"), col("p.b")).as("b"))
+      .distinct()
+    val pairDf = pairs.groupBy("a", "b").agg(count(lit(1)).as("pair_df"))
+      .filter(col("pair_df") >= minPairDocs)
+    pairDf
+      .join(broadcast(tokDf.select(col("t").as("a"), col("df").as("df_a"))), "a")
+      .join(broadcast(tokDf.select(col("t").as("b"), col("df").as("df_b"))), "b")
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("pair_df"),
+        round(log((col("pair_df") * col("n_docs")).cast("double") /
+          (col("df_a") * col("df_b"))), 6).as("pmi"))
+      .orderBy("a", "b")
+  }
+
+  def pmiPairsOracle(minPairDocs: Long = 50): String =
+    s"""WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+       |  FROM documents),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |td AS (SELECT doc_id, unnest(toks) AS t FROM d),
+       |df AS (SELECT t, count(*) AS df FROM td GROUP BY t),
+       |pr AS (SELECT DISTINCT x.doc_id,
+       |    least(x.t, y.t) AS a, greatest(x.t, y.t) AS b
+       |  FROM td x JOIN td y ON x.doc_id = y.doc_id AND x.t < y.t),
+       |pdf AS (SELECT a, b, count(*) AS pair_df FROM pr GROUP BY a, b
+       |        HAVING count(*) >= $minPairDocs)
+       |SELECT pdf.a, pdf.b, pair_df,
+       |  round(ln((pair_df * n_docs)::DOUBLE / (fa.df * fb.df)), 6) AS pmi
+       |FROM pdf JOIN df fa ON pdf.a = fa.t JOIN df fb ON pdf.b = fb.t
+       |CROSS JOIN n
+       |ORDER BY pdf.a, pdf.b""".stripMargin
+
   val FpMod = 2147483647L
 
   /** Document fingerprint: left-fold polynomial rolling hash over the

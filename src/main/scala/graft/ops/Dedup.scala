@@ -244,6 +244,63 @@ object Dedup {
        |FROM hashed GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Near-dup CLUSTERS: connected components over the MinHash-LSH
+    * pair graph, each doc labeled with its component's minimum id
+    * (the canonical representative). This is the step that turns
+    * pairwise matches into dedup decisions.
+    *
+    * Implementation: label propagation to a fixpoint — each round
+    * every node takes the min label in its neighborhood. Components
+    * here are tiny (near-dup clusters), so rounds ~ O(log diameter);
+    * each round is one shuffle. This is the standard large-graph
+    * approach when components are small (a 100 TB dedup graph is
+    * exactly that); GraphFrames-style alternating large/small star
+    * would be the next step for adversarial diameters.
+    */
+  def minhashClusters(docs: DataFrame, minSim: Double = 0.5, maxIter: Int = 10): DataFrame = {
+    val pairs = minhashLsh(docs, minSim).select("id_a", "id_b")
+    // undirected edge list + self-loops so isolated endpoints keep labels
+    val edges = pairs
+      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val nodes = edges.select(col("id_a").as("id")).distinct()
+    var labels = nodes.withColumn("label", col("id"))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels, edges("id_b") === labels("id"))
+        .groupBy(edges("id_a").as("id"))
+        .agg(min(col("label")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      val changed = next.as("n").join(labels.as("o"), Seq("id"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next.localCheckpoint(true) // cut the growing lineage
+      converged = changed == 0
+      iter += 1
+    }
+    labels.groupBy("label")
+      .agg(count(lit(1)).as("cluster_size"),
+        min(col("id")).as("canonical_id"))
+      .select(col("canonical_id"), col("cluster_size"))
+      .orderBy("canonical_id")
+  }
+
+  def minhashClustersOracle(minSim: Double = 0.5): String =
+    s"""WITH RECURSIVE pairs AS (${minhashLshOracle(minSim)
+          .replace("ORDER BY id_a, id_b", "")}),
+       |edges AS (SELECT id_a, id_b FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |nodes AS (SELECT DISTINCT id_a AS id FROM edges),
+       |reach(id, root) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.id_b, r.root FROM reach r JOIN edges e ON e.id_a = r.id),
+       |labels AS (SELECT id, min(root) AS label FROM reach GROUP BY id)
+       |SELECT min(id) AS canonical_id, count(*) AS cluster_size
+       |FROM labels GROUP BY label ORDER BY canonical_id""".stripMargin
+
   // ------------------------------------------------------ exact jaccard
 
   /** Exact n-gram Jaccard near-dup pairs over a doc_id % 10 = 0 subset
