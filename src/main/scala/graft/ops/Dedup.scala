@@ -259,11 +259,14 @@ object Dedup {
     */
   def minhashClusters(docs: DataFrame, minSim: Double = 0.5, maxIter: Int = 10): DataFrame = {
     val pairs = minhashLsh(docs, minSim).select("id_a", "id_b")
-    // undirected edge list + self-loops so isolated endpoints keep labels
+    // materialize the edge list ONCE: every iteration joins against it,
+    // and without the checkpoint the whole LSH pipeline would re-run
+    // per round
     val edges = pairs
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .localCheckpoint(true)
     val nodes = edges.select(col("id_a").as("id")).distinct()
-    var labels = nodes.withColumn("label", col("id"))
+    var labels = nodes.withColumn("label", col("id")).localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -271,12 +274,14 @@ object Dedup {
         .join(labels, edges("id_b") === labels("id"))
         .groupBy(edges("id_a").as("id"))
         .agg(min(col("label")).as("nmin"))
+      // checkpoint BEFORE the change count so the round executes once
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint(true)
       val changed = next.as("n").join(labels.as("o"), Seq("id"))
         .filter(col("n.label") =!= col("o.label")).count()
-      labels = next.localCheckpoint(true) // cut the growing lineage
+      labels = next
       converged = changed == 0
       iter += 1
     }
