@@ -737,6 +737,11 @@ object SparkEntry {
       (s, dir) => Multimodal.frameSample(T(s, dir, "documents"))
     },
 
+    // Multimodal: nearest-neighbor resize stub (fixed-width subsample).
+    q("ns_media_resize", Multimodal.resizeOracle(32)) {
+      (s, dir) => Multimodal.resize(T(s, dir, "documents"), 32)
+    },
+
     // Multimodal: batched mapPartitions decode (stubbed codec), whose
     // deterministic feature is still differential-tested.
     q("ns_media_decode",

@@ -62,6 +62,34 @@ object Multimodal {
         col("col").as("frame"))
       .orderBy("doc_id", "frame_idx")
 
+  /** Resize: subsample the payload to a fixed target width by taking
+    * evenly-spaced samples — the stub analogue of image resizing
+    * (nearest-neighbor downsample over a 1-D payload), with the real
+    * plumbing: deterministic index arithmetic, per-row bounded output,
+    * metadata updated to the new dimensions.
+    */
+  def resize(docs: DataFrame, targetWidth: Int = 32): DataFrame =
+    docs.filter(length(col("text")) >= targetWidth)
+      .select(col("doc_id"),
+        length(col("text")).as("orig_len"),
+        lit(targetWidth).as("new_width"),
+        concat_ws("",
+          transform(sequence(lit(0), lit(targetWidth - 1)),
+            i => col("text").substr(
+              (i * length(col("text"))).cast("long")
+                .divide(targetWidth).cast("int") + 1,
+              lit(1)))).as("resized"))
+      .orderBy("doc_id")
+
+  def resizeOracle(targetWidth: Int = 32): String =
+    s"""SELECT doc_id, length(text)::INT AS orig_len,
+       |  $targetWidth AS new_width,
+       |  array_to_string(list_transform(range(0, $targetWidth),
+       |    i -> substr(text, ((i * length(text)) // $targetWidth + 1)::INT, 1)),
+       |    '') AS resized
+       |FROM documents WHERE length(text) >= $targetWidth
+       |ORDER BY doc_id""".stripMargin
+
   case class MediaFeature(
       doc_id: Long, n_bytes: Int, feat_mean: Double, feat_dim: Int)
 
