@@ -218,6 +218,23 @@ object SparkEntry {
       (s, dir) => Relational.orderRanks(T(s, dir, "orders"))
     },
 
+    // W3: distribution functions + unbounded-frame first/last.
+    q("w3_distribution",
+      """SELECT o_custkey, o_orderkey,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume,
+        |  first_value(o_totalprice) OVER wf AS cheapest,
+        |  last_value(o_totalprice) OVER wf AS priciest
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice ASC, o_orderkey ASC),
+        |  wf AS (PARTITION BY o_custkey
+        |         ORDER BY o_totalprice ASC, o_orderkey ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) {
+      (s, dir) => Relational.priceDistribution(T(s, dir, "orders"))
+    },
+
     // O2: stable pagination, page 2 of 30 (serve_view_df.py:108-116).
     q("o2_page",
       """SELECT o_orderkey, o_totalprice FROM (

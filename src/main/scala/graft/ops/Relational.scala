@@ -143,6 +143,21 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** W3: distribution window functions — percent_rank, cume_dist,
+    * first/last value over the per-customer price order.
+    */
+  def priceDistribution(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders.select(col("o_custkey"), col("o_orderkey"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        first(col("o_totalprice")).over(wFull).as("cheapest"),
+        last(col("o_totalprice")).over(wFull).as("priciest"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** O2: pagination with a stable total order (serve_view_df.py:108-116,
     * PAGE_SIZE=30). Implemented with row_number over the order rather
     * than limit/offset so any page is addressable.
