@@ -246,6 +246,17 @@ object SparkEntry {
       (s, dir) => Relational.page(T(s, dir, "orders"), 30, 1)
     },
 
+    // O2: negative page index — last 30 rows of the order.
+    q("o2_page_neg",
+      """SELECT o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderkey, o_totalprice,
+        |    row_number() OVER (ORDER BY o_totalprice ASC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 30
+        |ORDER BY o_totalprice DESC, o_orderkey ASC""".stripMargin) {
+      (s, dir) => Relational.page(T(s, dir, "orders"), 30, -1)
+    },
+
     // O3: top-k per group.
     q("o3_topk_per_group",
       """SELECT p_brand, p_partkey, p_retailprice FROM (

@@ -159,16 +159,23 @@ object Relational {
   }
 
   /** O2: pagination with a stable total order (serve_view_df.py:108-116,
-    * PAGE_SIZE=30). Implemented with row_number over the order rather
-    * than limit/offset so any page is addressable.
+    * PAGE_SIZE=30; negative page counts from the END, as the
+    * reference's head/tail arithmetic does). Implemented with
+    * row_number over the order rather than limit/offset so any page is
+    * addressable, and over the reversed order for negative pages so no
+    * total count is needed.
     */
   def page(orders: DataFrame, pageSize: Int, pageIdx: Int): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val fwd = Seq(col("o_totalprice").desc, col("o_orderkey").asc)
+    val (order, idx) =
+      if (pageIdx >= 0) (fwd, pageIdx)
+      else (Seq(col("o_totalprice").asc, col("o_orderkey").desc), -pageIdx - 1)
+    val w = Window.orderBy(order: _*)
     orders.select(col("o_orderkey"), col("o_totalprice"),
         row_number().over(w).as("rn"))
-      .filter(col("rn") > pageSize * pageIdx && col("rn") <= pageSize * (pageIdx + 1))
+      .filter(col("rn") > pageSize * idx && col("rn") <= pageSize * (idx + 1))
       .drop("rn")
-      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .orderBy(fwd: _*)
   }
 
   /** O3: top-k per group. */
