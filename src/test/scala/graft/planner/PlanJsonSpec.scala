@@ -59,6 +59,24 @@ class PlanJsonSpec extends SparkSpec {
     })
   }
 
+  test("property: a found path, symbolically applied, reaches the goal") {
+    val depthGen = Gen.choose(1, 6)
+    check(Prop.forAll(depthGen) { depth =>
+      val chain = (1 to depth).map { i =>
+        val from = if (i == 1) raw"(src)$$" else raw"(.+)\.s${i - 1}$$"
+        Task(s"step$i", Vector(Req("x", Vector(Pat(from)))),
+          Vector(Vector(s"{x}.s$i")))(_ => Seq(null))
+      }
+      val reg = TaskRegistry(chain.toVector)
+      val goal = Vector(Vector("src" + (1 to depth).map(i => s".s$i").mkString))
+      Planner.findPath(reg, Vector(Vector("src")), goal).exists { path =>
+        val end = path.foldLeft(Planner.initial(Vector(Vector("src"))))(
+          Planner.apply)
+        path.length == depth && Planner.goalReached(end, goal)
+      }
+    })
+  }
+
   test("property: every satisfied binding actually matches its columns") {
     val varGen: Gen[Variable] = Gen.oneOf(
       nameGen.map(Lit(_)),
