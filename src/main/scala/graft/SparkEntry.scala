@@ -268,6 +268,19 @@ object SparkEntry {
       (s, dir) => Relational.topKPerGroup(T(s, dir, "part"), 3)
     },
 
+    // G3: misc aggregates (sorted listagg, bit ops, arg-min/max).
+    q("g3_misc_aggs",
+      """SELECT o_orderstatus,
+        |  array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',')
+        |    AS priorities,
+        |  bit_or(o_custkey) AS cust_bits_or,
+        |  bit_and(o_custkey) AS cust_bits_and,
+        |  arg_min(o_totalprice, o_orderkey) AS first_order_price,
+        |  arg_max(o_totalprice, o_orderkey) AS last_order_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) {
+      (s, dir) => Relational.miscAggs(T(s, dir, "orders"))
+    },
+
     // G3: statistical aggregates (exact percentiles, stddev, corr).
     q("g3_stats",
       """SELECT l_returnflag,

@@ -213,6 +213,21 @@ object Relational {
         repeat(lit("ab"), 3).as("abab"))
       .orderBy("c_custkey")
 
+  /** G3: misc aggregates — deterministic list aggregation (collected,
+    * sorted, joined), bitwise OR/AND, and arg-min/max keyed on a
+    * UNIQUE column so ties cannot flip the result.
+    */
+  def miscAggs(orders: DataFrame): DataFrame =
+    orders.groupBy("o_orderstatus")
+      .agg(
+        array_join(array_sort(collect_set(col("o_orderpriority"))), ",")
+          .as("priorities"),
+        bit_or(col("o_custkey")).as("cust_bits_or"),
+        bit_and(col("o_custkey")).as("cust_bits_and"),
+        min_by(col("o_totalprice"), col("o_orderkey")).as("first_order_price"),
+        max_by(col("o_totalprice"), col("o_orderkey")).as("last_order_price"))
+      .orderBy("o_orderstatus")
+
   /** Pivot: event counts per user spread across type columns. The
     * pivot values are given explicitly — one pass, deterministic
     * column order (an unspecified pivot needs a distinct-values
