@@ -816,6 +816,101 @@ object SparkEntry {
           col("n_events"))
         .orderBy("user_id", "session_start")
     },
+
+    // J4: range join — orders binned into irregular price bands.
+    q("j4_range_join", Advanced.rangeJoinOracle) {
+      (s, dir) => Advanced.rangeJoinPriceBands(T(s, dir, "orders"))
+    },
+
+    // Correlated LATERAL subquery (per-customer ORDER BY + LIMIT).
+    q("sql_lateral",
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
+        |WHERE c_custkey % 10 = 0
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin) {
+      (s, dir) => Advanced.sqlLateral(s, dir)
+    },
+
+    // G3: CUBE grouping sets.
+    q("g3_cube",
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin) {
+      (s, dir) => Advanced.cubeAgg(T(s, dir, "lineitem"))
+    },
+
+    // G3: explicit GROUPING SETS.
+    q("g3_grouping_sets",
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin) {
+      (s, dir) => Advanced.groupingSetsAgg(T(s, dir, "orders"))
+    },
+
+    // Streaming (batch form): watermark-admitted events per type.
+    q("st_watermark",
+      """SELECT event_type, count(*) AS n FROM events
+        |WHERE ts >= (SELECT max(ts) - INTERVAL 6 HOUR FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) => Events.watermarkAdmitted(T(s, dir, "events"))
+    },
+
+    // IVF ANN: coarse-quantized cells + nprobe-cell search.
+    q("ns_knn_ivf", Similarity.knnIvfOracle(50, 3, 2)) {
+      (s, dir) => Similarity.knnIvf(T(s, dir, "embeddings"), 50, 3, 2)
+    },
+
+    // F10: map functions over parsed JSON props.
+    q("f10_map_funcs",
+      """SELECT event_id,
+        |  array_to_string(list_sort(json_keys(props)), ',') AS keys_str,
+        |  json_extract_string(props, '$.k')::BIGINT AS k_val,
+        |  (len(json_keys(props)) + 1)::INT AS n_keys
+        |FROM events ORDER BY event_id""".stripMargin) {
+      (s, dir) => Functions.mapFunctions(T(s, dir, "events"))
+    },
+
+    // F10: struct build / array-of-struct sort / field access.
+    q("f10_struct_funcs",
+      """WITH t AS (SELECT doc_id,
+        |    list_sort(list_transform(string_split(text, ' '),
+        |      s -> struct_pack(len := length(s)::INT, tok := s))) AS ss
+        |  FROM documents)
+        |SELECT doc_id, ss[-1].len AS max_len, ss[-1].tok AS max_tok
+        |FROM t ORDER BY doc_id""".stripMargin) {
+      (s, dir) => Functions.structFunctions(T(s, dir, "documents"))
+    },
+
+    // F10: interval / calendar arithmetic. The 90-day add is integer
+    // day arithmetic in the oracle: DuckDB compares interval constants
+    // with months≡30days, so INTERVAL 90 DAY == INTERVAL 3 MONTH and
+    // its CSE would merge the two additions into one.
+    q("f10_interval_arith",
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate::DATE + INTERVAL 3 MONTH, '%Y-%m-%d')
+        |    AS plus_3_months,
+        |  strftime(o_orderdate::DATE + 90, '%Y-%m-%d')
+        |    AS plus_90_days,
+        |  strftime(date_trunc('week', o_orderdate::DATE), '%Y-%m-%d')
+        |    AS week_start,
+        |  strftime(last_day(o_orderdate::DATE), '%Y-%m-%d') AS month_end,
+        |  extract(doy FROM o_orderdate::DATE)::INT AS doy
+        |FROM orders ORDER BY o_orderkey""".stripMargin) {
+      (s, dir) => Functions.intervalArithmetic(T(s, dir, "orders"))
+    },
+
+    // Typed Dataset[T] surface: case-class Encoder + custom Aggregator.
+    q("ds_typed_agg", Typed.typedRevenueOracle) {
+      (s, dir) => Typed.typedRevenueByFlag(T(s, dir, "lineitem"))
+    },
   )
 
   // ---------------------------------------------------------------- //

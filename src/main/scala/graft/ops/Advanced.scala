@@ -121,4 +121,82 @@ object Advanced {
       countDistinct(col("l_partkey")).as("exact_parts"),
       percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
         .as("median_price"))
+
+  /** Irregular price bands for [[rangeJoinPriceBands]]: (name, lo, hi),
+    * half-open [lo, hi). Shared with the oracle generator.
+    */
+  val PriceBands: Seq[(String, Long, Long)] = Seq(
+    ("a_low", 0L, 75000L), ("b_mid", 75000L, 180000L),
+    ("c_high", 180000L, 320000L), ("d_lux", 320000L, 1000000L))
+
+  /** J4 range join: orders binned into irregular price bands via a
+    * non-equi `lo <= price < hi` join.
+    *
+    * Scale posture: the band side is tiny and broadcast, so this is a
+    * broadcast nested-loop over O(bands) comparisons per row — no
+    * shuffle of the fact side at all. (For range joins where BOTH
+    * sides are large, the scale plan is bin-bucketing: overlap each
+    * range onto fixed-width bins and equi-join on bin id first.)
+    */
+  def rangeJoinPriceBands(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val bands = PriceBands.toDF("band", "lo", "hi")
+    orders.join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("band")
+  }
+
+  def rangeJoinOracle: String = {
+    val vals = PriceBands.map { case (b, lo, hi) => s"('$b', $lo, $hi)" }
+      .mkString(", ")
+    s"""SELECT band, count(*) AS n, round(sum(o_totalprice), 2) AS total
+       |FROM orders JOIN (VALUES $vals) AS bands(band, lo, hi)
+       |  ON o_totalprice >= lo AND o_totalprice < hi
+       |GROUP BY band ORDER BY band""".stripMargin
+  }
+
+  /** Correlated LATERAL subquery through the SQL surface: the top-2
+    * orders per customer for a deterministic customer subset. Catalyst
+    * decorrelates the per-row ORDER BY + LIMIT into a ranked window —
+    * one shuffle, no per-customer re-scan.
+    */
+  def sqlLateral(spark: SparkSession, sfDir: String): DataFrame = {
+    T(spark, sfDir, "customer").createOrReplaceTempView("customer")
+    T(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2)
+        |WHERE c_custkey % 10 = 0
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+  }
+
+  /** G3: CUBE over (returnflag, linestatus) — all four grouping-set
+    * combinations with coalesced 'ALL' labels.
+    */
+  def cubeAgg(li: DataFrame): DataFrame =
+    li.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n"), col("qty"))
+      .orderBy("flag", "status")
+
+  /** G3: explicit GROUPING SETS — per-status, per-priority, and grand
+    * total in one pass (one shuffle, expanded map-side).
+    */
+  def groupingSetsAgg(orders: DataFrame): DataFrame =
+    orders.groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy("status", "priority")
 }

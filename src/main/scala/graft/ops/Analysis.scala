@@ -169,20 +169,21 @@ object Analysis {
     * corpus.
     */
   def pmiPairs(docs: DataFrame, minPairDocs: Long = 50): DataFrame = {
+    // SORTED distinct tokens: pairs enumerated with i < j are then
+    // already (a < b)-normalized AND unique per doc — no per-pair
+    // least/greatest and, crucially, no distinct() (which would
+    // shuffle every generated pair row; the only shuffle left is the
+    // map-side-combined groupBy over <=|vocab|^2 partial counts)
     val docToks = docs.select(col("doc_id"),
-      array_distinct(split(col("text"), " ")).as("toks"))
+      array_sort(array_distinct(split(col("text"), " "))).as("toks"))
     val n = docToks.select(count(lit(1)).as("n_docs"))
     val tokDocs = docToks.select(col("doc_id"), explode(col("toks")).as("t"))
     val tokDf = tokDocs.groupBy("t").agg(count(lit(1)).as("df"))
-    // in-doc token pairs (a < b), distinct per doc
     val pairs = docToks.select(col("doc_id"),
         explode(flatten(transform(col("toks"), (a, i) =>
           transform(slice(col("toks"), i + 2, size(col("toks"))), b =>
             struct(a.as("a"), b.as("b")))))).as("p"))
-      .select(col("doc_id"),
-        least(col("p.a"), col("p.b")).as("a"),
-        greatest(col("p.a"), col("p.b")).as("b"))
-      .distinct()
+      .select(col("p.a").as("a"), col("p.b").as("b"))
     val pairDf = pairs.groupBy("a", "b").agg(count(lit(1)).as("pair_df"))
       .filter(col("pair_df") >= minPairDocs)
     pairDf

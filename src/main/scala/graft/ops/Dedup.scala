@@ -274,15 +274,17 @@ object Dedup {
         .join(labels, edges("id_b") === labels("id"))
         .groupBy(edges("id_a").as("id"))
         .agg(min(col("label")).as("nmin"))
-      // checkpoint BEFORE the change count so the round executes once
+      // carry the previous label through the checkpoint so convergence
+      // is a filter over the materialized frame, not another join
       val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .localCheckpoint(true)
-      val changed = next.as("n").join(labels.as("o"), Seq("id"))
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels = next
-      converged = changed == 0
+      // round 1 always changes labels (or there are no edges at all):
+      // skip its convergence count
+      converged = iter > 0 &&
+        next.filter(col("label") =!= col("prev")).count() == 0
+      labels = next.select(col("id"), col("label"))
       iter += 1
     }
     labels.groupBy("label")

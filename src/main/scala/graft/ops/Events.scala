@@ -56,6 +56,23 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Watermark semantics in batch form: keep only events within the
+    * last `lateness` of the stream's max timestamp (what a streaming
+    * watermark would admit at end-of-stream), counted per type.
+    *
+    * The max-ts scalar is a separate tiny aggregate broadcast into the
+    * filter — NOT a global window (which would single-partition the
+    * whole table).
+    */
+  def watermarkAdmitted(events: DataFrame, lateness: String = "6 hours"): DataFrame = {
+    val mx = events.agg(max("ts").as("mx"))
+    events.join(broadcast(mx),
+        col("ts") >= col("mx") - expr(s"INTERVAL $lateness"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
   /** Session windows with a 30-minute inactivity gap, per user:
     * session start + event count. Native `session_window` keeps the
     * whole computation in one shuffle on user_id.

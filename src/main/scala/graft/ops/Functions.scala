@@ -146,4 +146,48 @@ object Functions {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("k").as("k_total"))
       .orderBy("event_type")
+
+  /** F10: map functions — parse the JSON props into a
+    * `map<string,string>`, inspect its keys, extract a value, and
+    * extend it with `map`/`map_concat`. All codegen'd built-ins.
+    */
+  def mapFunctions(events: DataFrame): DataFrame = {
+    val m = from_json(col("props"),
+      org.apache.spark.sql.types.DataType.fromDDL("map<string,string>"))
+    events.select(col("event_id"),
+        array_join(array_sort(map_keys(m)), ",").as("keys_str"),
+        element_at(m, "k").cast("long").as("k_val"),
+        size(map_concat(m, map(lit("src"), col("event_type")))).as("n_keys"))
+      .orderBy("event_id")
+  }
+
+  /** F10: struct functions — build an array of (len, tok) structs per
+    * document, sort it by the struct's natural (lexicographic-by-field)
+    * order, and take the maximum element. Struct comparison semantics
+    * match DuckDB's `struct_pack` + `list_sort`.
+    */
+  def structFunctions(docs: DataFrame): DataFrame = {
+    val structs = transform(split(col("text"), " "),
+      t => struct(length(t).as("len"), t.as("tok")))
+    val mx = element_at(array_sort(structs), -1)
+    docs.select(col("doc_id"),
+        mx.getField("len").as("max_len"),
+        mx.getField("tok").as("max_tok"))
+      .orderBy("doc_id")
+  }
+
+  /** F10: interval / calendar arithmetic — add months and days, week
+    * truncation, month end, day-of-year. Dates emitted as strings (the
+    * compare is value-based; date dtypes round-trip differently).
+    */
+  def intervalArithmetic(orders: DataFrame): DataFrame = {
+    val d = col("o_orderdate").cast("date")
+    orders.select(col("o_orderkey"),
+        date_format(add_months(d, 3), "yyyy-MM-dd").as("plus_3_months"),
+        date_format(date_add(d, 90), "yyyy-MM-dd").as("plus_90_days"),
+        date_format(date_trunc("week", d), "yyyy-MM-dd").as("week_start"),
+        date_format(last_day(d), "yyyy-MM-dd").as("month_end"),
+        dayofyear(d).as("doy"))
+      .orderBy("o_orderkey")
+  }
 }

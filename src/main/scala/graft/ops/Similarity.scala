@@ -237,6 +237,101 @@ object Similarity {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ----------------------------------------------------------- IVF ANN
+
+  /** Every `CentroidStride`-th vector is a coarse centroid — a
+    * deterministic quantizer (no trained k-means), so both engines
+    * derive identical cells.
+    */
+  val CentroidStride = 40L
+
+  /** IVF (inverted-file) ANN: assign every vector to its nearest
+    * coarse centroid ("cell"), then answer each query by brute-forcing
+    * only the `nprobe` cells nearest the query.
+    *
+    * Scale posture: assignment is a broadcast of the centroid set
+    * (O(C) per row, map-only) + a map-side-combinable struct-max
+    * groupBy — never a window over the O(n*C) score stream; the probe
+    * join shuffles only on cell id, so candidate volume is
+    * O(n * nprobe / C) per query instead of O(n).
+    */
+  def knnIvf(emb: DataFrame, nQueries: Int = 50, k: Int = 3,
+      nprobe: Int = 2): DataFrame = {
+    val all = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val cents = all.filter(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val scored = all.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
+          .as("ccos"))
+    // nearest cell per vector: max (ccos, -cid) struct == highest
+    // cosine, ties to the smallest centroid id — partial-aggregatable,
+    // unlike a row_number window over the full n x C score stream
+    val assigned = scored.groupBy("vec_id")
+      .agg(max(struct(col("ccos"), (-col("cid")).as("negcid"))).as("best"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        (-col("best.negcid")).as("cell"))
+    val wProbe = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val qprobes = scored.filter(col("vec_id") < nQueries)
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("cid").as("cell"))
+    val cand = broadcast(qprobes)
+      .join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6)
+          .as("cos_sim"))
+    val wK = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    cand.withColumn("rn", row_number().over(wK))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("neighbor_id"), col("cos_sim"))
+      .orderBy("query_id", "rn")
+  }
+
+  def knnIvfOracle(nQueries: Int = 50, k: Int = 3, nprobe: Int = 2): String =
+    s"""WITH allv AS (SELECT vec_id,
+       |    list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, v AS cv FROM allv
+       |          WHERE vec_id % $CentroidStride = 0),
+       |scored AS (SELECT vec_id, v, cid,
+       |    round(
+       |      list_sum(list_transform(range(1, 65), i -> v[i] * cv[i])) /
+       |      (sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))) *
+       |       sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])))),
+       |      6) AS ccos
+       |  FROM allv CROSS JOIN cents),
+       |assigned AS (SELECT vec_id, v, cell FROM (
+       |    SELECT vec_id, v, cid AS cell,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY ccos DESC, cid ASC) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |qprobes AS (SELECT query_id, qv, cell FROM (
+       |    SELECT vec_id AS query_id, v AS qv, cid AS cell,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY ccos DESC, cid ASC) AS rn
+       |    FROM scored WHERE vec_id < $nQueries) WHERE rn <= $nprobe),
+       |cand AS (SELECT query_id, a.vec_id AS neighbor_id,
+       |    round(
+       |      list_sum(list_transform(range(1, 65), i -> qv[i] * a.v[i])) /
+       |      (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i]))) *
+       |       sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i])))),
+       |      6) AS cos_sim
+       |  FROM qprobes q JOIN assigned a USING (cell)
+       |  WHERE query_id <> a.vec_id),
+       |ranked AS (SELECT query_id, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+       |  FROM cand)
+       |SELECT query_id, rn, neighbor_id, cos_sim FROM ranked WHERE rn <= $k
+       |ORDER BY query_id, rn""".stripMargin
+
   def knnLshOracle(nQueries: Int = 50, k: Int = 3): String = {
     def dotPlane(p: Int): String =
       s"""list_sum(list_transform(range(1, 65), d -> v[d] *

@@ -119,4 +119,85 @@ class OpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(feats.forall(f => f.n_bytes == chars(f.doc_id)))
   }
+
+  test("range join: bands partition the orders (each row in exactly one band)") {
+    val orders = T(spark, sf, "orders")
+    val bands = Advanced.rangeJoinPriceBands(orders).collect()
+    assert(bands.map(_.getAs[Long]("n")).sum == orders.count())
+  }
+
+  test("ivf knn: reported similarities match brute-force scores") {
+    val emb = T(spark, sf, "embeddings")
+    val ivf = Similarity.knnIvf(emb, 5, 3, 2).collect()
+    assert(ivf.nonEmpty)
+    val brute = Similarity.knnBruteForce(emb, 5, 500).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    ivf.foreach { r =>
+      assert(brute((r.getLong(0), r.getLong(2))) == r.getDouble(3))
+    }
+    // per-query results are rank-ordered
+    ivf.groupBy(_.getLong(0)).values.foreach { rows =>
+      val sims = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sims.toSeq == sims.sortBy(-_).toSeq)
+    }
+  }
+
+  test("cube/grouping-sets: ALL-ALL row equals the table count") {
+    val li = T(spark, sf, "lineitem")
+    val cube = Advanced.cubeAgg(li).collect()
+    val allRow = cube.filter(r =>
+      r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    assert(allRow.length == 1 && allRow(0).getAs[Long]("n") == li.count())
+
+    val orders = T(spark, sf, "orders")
+    val gs = Advanced.groupingSetsAgg(orders).collect()
+    val grand = gs.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    assert(grand.length == 1 && grand(0).getAs[Long]("n") == orders.count())
+    // per-status counts (priority=ALL) re-sum to the grand total
+    val perStatus = gs.filter(r => r.getString(0) != "ALL")
+      .map(_.getAs[Long]("n")).sum
+    assert(perStatus == orders.count())
+  }
+
+  test("typed Dataset aggregation equals the untyped groupBy form") {
+    val li = T(spark, sf, "lineitem")
+    val typed = Typed.typedRevenueByFlag(li).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val untyped = li.filter(col("l_quantity") > 10)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(typed.toSeq == untyped.toSeq)
+  }
+
+  test("watermark admission: nonempty strict subset, within the cutoff") {
+    val ev = T(spark, sf, "events")
+    val admitted = Events.watermarkAdmitted(ev)
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(admitted > 0 && admitted < ev.count())
+  }
+
+  test("struct functions: max_len is the true longest-token length") {
+    val docs = T(spark, sf, "documents").limit(50)
+    val got = Functions.structFunctions(docs).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    docs.select("doc_id", "text").collect().foreach { r =>
+      val expect = r.getString(1).split(" ").map(_.length).max
+      assert(got(r.getLong(0)) == expect)
+    }
+  }
+
+  test("lateral top-2: at most two orders per customer, correctly ranked") {
+    val rows = Advanced.sqlLateral(spark, sf).collect()
+    val byCust = rows.groupBy(_.getLong(0))
+    assert(byCust.nonEmpty)
+    byCust.values.foreach { rs =>
+      assert(rs.length <= 2)
+      val prices = rs.map(_.getDouble(2))
+      assert(prices.toSeq == prices.sortBy(-(_: Double)).toSeq)
+    }
+  }
 }
