@@ -911,6 +911,40 @@ object SparkEntry {
     q("ds_typed_agg", Typed.typedRevenueOracle) {
       (s, dir) => Typed.typedRevenueByFlag(T(s, dir, "lineitem"))
     },
+
+    // df.stat surface: contingency table (crosstab).
+    q("g3_crosstab", Relational.crosstabOracle) {
+      (s, dir) => Relational.crosstabStatusPriority(T(s, dir, "orders"))
+    },
+
+    // Unpivot/melt: wide rate columns to long (kind, value) rows.
+    q("g3_unpivot",
+      """SELECT l_orderkey, l_linenumber, 'l_discount' AS rate_kind,
+        |  l_discount AS rate FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, rate_kind""".stripMargin) {
+      (s, dir) => Relational.unpivotRates(T(s, dir, "lineitem"))
+    },
+
+    // Repetition quality signal: most-frequent-bigram mass per doc.
+    q("ns_repetition", Analysis.repetitionScoreOracle) {
+      (s, dir) => Analysis.repetitionScore(T(s, dir, "documents"))
+    },
+
+    // Training-data chunking: overlapping token windows per document.
+    q("ns_chunking", Analysis.chunkDocumentsOracle) {
+      (s, dir) => Analysis.chunkDocuments(T(s, dir, "documents"))
+    },
+
+    // VARIANT semi-structured type: parse once, extract typed fields.
+    q("f10_variant",
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k')::BIGINT AS k_val,
+        |  json_extract_string(props, '$.k') AS k_str
+        |FROM events ORDER BY event_id""".stripMargin) {
+      (s, dir) => Functions.variantExtract(T(s, dir, "events"))
+    },
   )
 
   // ---------------------------------------------------------------- //

@@ -213,6 +213,90 @@ object Analysis {
        |CROSS JOIN n
        |ORDER BY pdf.a, pdf.b""".stripMargin
 
+  /** Repetition scoring (Gopher/C4-style quality filter): fraction of
+    * the document's bigrams occupied by its single most frequent
+    * bigram. High values flag template/boilerplate text. One map-side
+    * pass: bigrams per doc stay inside the row (array ops), no
+    * explode-shuffle of the corpus.
+    */
+  def repetitionScore(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val bigrams = Dedup.shingles(toks, 2)
+    // top bigram count = length of the longest run in the SORTED
+    // bigram array, computed with a fold: (prev, run, best)
+    val sorted = array_sort(bigrams)
+    val best = aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, b) => {
+        val run = when(b === acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(b.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    docs.filter(size(toks) >= 2)
+      .select(col("doc_id"),
+        (size(toks) - 1).cast("long").as("n_bigrams"),
+        best.as("top_bigram_n"),
+        (best.cast("double") / (size(toks) - 1).cast("double"))
+          .as("repetition"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle via the obviously-correct quadratic form (count every
+    * distinct bigram, take the max) — DuckDB 1.0's `list_reduce`
+    * mis-folds struct accumulators, so the run-length formulation is
+    * Spark-side only.
+    */
+  def repetitionScoreOracle: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+       |b AS (SELECT doc_id, len(toks) - 1 AS n_bigrams,
+       |    list_transform(range(1, len(toks)),
+       |      i -> toks[i] || ' ' || toks[i+1]) AS bs
+       |  FROM t),
+       |m AS (SELECT doc_id, n_bigrams,
+       |    list_max(list_transform(list_distinct(bs),
+       |      d -> len(list_filter(bs, x -> x = d)))) AS top_bigram_n
+       |  FROM b)
+       |SELECT doc_id, n_bigrams, top_bigram_n,
+       |  top_bigram_n::DOUBLE / n_bigrams AS repetition
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  val ChunkSize = 50
+  val ChunkStride = 40
+
+  /** Document chunking for training pipelines: overlapping
+    * [[ChunkSize]]-token windows at [[ChunkStride]] stride (last
+    * partial window kept when >= stride boundary). Map-side explode —
+    * chunk rows inherit the document's partitioning, no shuffle.
+    */
+  def chunkDocuments(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val starts = sequence(lit(0),
+      greatest((size(toks) - 1).cast("int"), lit(0)), lit(ChunkStride))
+    docs.select(col("doc_id"), toks.as("toks"),
+        posexplode(starts).as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(ChunkSize)))
+          .as("chunk"),
+        least(size(col("toks")) - col("start"), lit(ChunkSize))
+          .as("chunk_tokens"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  def chunkDocumentsOracle: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |s AS (SELECT doc_id, toks,
+       |    unnest(range(0, greatest(len(toks) - 1, 0) + 1, $ChunkStride))
+       |      AS start
+       |  FROM t)
+       |SELECT doc_id, (start // $ChunkStride)::INT AS chunk_idx,
+       |  array_to_string(toks[start + 1 : start + $ChunkSize], ' ') AS chunk,
+       |  least(len(toks) - start, $ChunkSize)::INT AS chunk_tokens
+       |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+
   val FpMod = 2147483647L
 
   /** Document fingerprint: left-fold polynomial rolling hash over the

@@ -265,8 +265,14 @@ object Dedup {
     val edges = pairs
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .localCheckpoint(true)
-    val nodes = edges.select(col("id_a").as("id")).distinct()
-    var labels = nodes.withColumn("label", col("id")).localCheckpoint(true)
+    // round 1 fused into initialization: from identity labels, the
+    // first propagation is just min(id, min direct neighbor) — one
+    // aggregation over the edge list instead of an identity
+    // checkpoint + join + re-checkpoint
+    var labels = edges.groupBy(col("id_a").as("id"))
+      .agg(min(col("id_b")).as("nmin"))
+      .select(col("id"), least(col("id"), col("nmin")).as("label"))
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -280,10 +286,7 @@ object Dedup {
         .select(col("id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .localCheckpoint(true)
-      // round 1 always changes labels (or there are no edges at all):
-      // skip its convergence count
-      converged = iter > 0 &&
-        next.filter(col("label") =!= col("prev")).count() == 0
+      converged = next.filter(col("label") =!= col("prev")).count() == 0
       labels = next.select(col("id"), col("label"))
       iter += 1
     }

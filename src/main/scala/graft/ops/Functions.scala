@@ -176,6 +176,19 @@ object Functions {
       .orderBy("doc_id")
   }
 
+  /** F10: VARIANT (semi-structured) surface — parse the JSON props
+    * once into a variant and extract typed fields from it. Variant is
+    * the open-schema scale path: one parse, many typed reads, no
+    * per-field re-parsing of the JSON text.
+    */
+  def variantExtract(events: DataFrame): DataFrame = {
+    val v = parse_json(col("props"))
+    events.select(col("event_id"),
+        variant_get(v, "$.k", "bigint").as("k_val"),
+        variant_get(v, "$.k", "string").as("k_str"))
+      .orderBy("event_id")
+  }
+
   /** F10: interval / calendar arithmetic — add months and days, week
     * truncation, month end, day-of-year. Dates emitted as strings (the
     * compare is value-based; date dtypes round-trip differently).

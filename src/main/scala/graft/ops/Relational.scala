@@ -264,6 +264,39 @@ object Relational {
   /** Set ops: union / intersect / except on nation keys of two entity
     * tables (SURVEY §2.B set-operations row).
     */
+  /** Priority values for [[crosstabStatusPriority]]'s oracle
+    * generator (pinned — the crosstab's column set must be stable).
+    */
+  val Priorities: Seq[String] =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  /** `df.stat.crosstab` surface: status x priority contingency table.
+    * Internally a pivoted count — one shuffle, map-side combined.
+    */
+  def crosstabStatusPriority(orders: DataFrame): DataFrame =
+    orders.stat.crosstab("o_orderstatus", "o_orderpriority")
+      .withColumnRenamed("o_orderstatus_o_orderpriority", "status")
+      .orderBy("status")
+
+  def crosstabOracle: String = {
+    val cells = Priorities.map(p =>
+      s"""sum(CASE WHEN o_orderpriority = '$p' THEN 1 ELSE 0 END)::BIGINT AS "$p"""")
+      .mkString(",\n  ")
+    s"""SELECT o_orderstatus AS status,
+       |  $cells
+       |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin
+  }
+
+  /** `unpivot` (melt) surface: wide per-line rate columns to long
+    * (key, value) rows — the inverse of pivot, map-only (no shuffle).
+    */
+  def unpivotRates(li: DataFrame): DataFrame =
+    li.unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_discount"), col("l_tax")),
+        "rate_kind", "rate")
+      .orderBy("l_orderkey", "l_linenumber", "rate_kind")
+
   def nationKeySetOp(customer: DataFrame, supplier: DataFrame, op: String): DataFrame = {
     val c = customer.select(col("c_nationkey").cast("int").as("nationkey")).distinct()
     val s = supplier.select(col("s_nationkey").cast("int").as("nationkey")).distinct()

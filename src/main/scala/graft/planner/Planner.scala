@@ -87,4 +87,47 @@ object Planner {
     }
     None
   }
+
+  /** A* variant of [[findPath]]: f = plan length + number of goal
+    * sets no pooled frame covers yet. The heuristic is admissible
+    * whenever each task application satisfies at most one outstanding
+    * goal set (true for every reference-shaped task — single-frame
+    * outputs and disjoint goals), so the plan is minimal there; in the
+    * corner case where one new frame covers several goal sets at once
+    * it may return a plan one step off minimal, which is why BFS stays
+    * the default and this is the opt-in for large registries.
+    */
+  def findPathAStar(
+      registry: TaskRegistry,
+      sources: Vector[Vector[String]],
+      goal: Vector[Vector[String]],
+      maxRepeatGeneric: Int = 1,
+      maxExpansions: Int = 100000): Option[Vector[Action]] = {
+    def h(state: State): Int =
+      goal.count(g => !state.frames.exists(f => g.forall(f.contains)))
+    val start = initial(sources)
+    if (goalReached(start, goal)) return Some(Vector.empty)
+    // ordered by f asc; tie-broken by insertion order for stability
+    implicit val ord: Ordering[(Int, Long, State, Vector[Action])] =
+      Ordering.by(e => (-e._1, -e._2))
+    val open = scala.collection.mutable.PriorityQueue(
+      (h(start), 0L, start, Vector.empty[Action]))
+    var visited = Set(start.key)
+    var expansions = 0
+    var tick = 0L
+    while (open.nonEmpty && expansions < maxExpansions) {
+      val (_, _, state, path) = open.dequeue()
+      expansions += 1
+      for (a <- actions(registry, state, maxRepeatGeneric)) {
+        val next = apply(state, a)
+        if (!visited.contains(next.key)) {
+          if (goalReached(next, goal)) return Some(path :+ a)
+          visited += next.key
+          tick += 1
+          open.enqueue((path.length + 1 + h(next), tick, next, path :+ a))
+        }
+      }
+    }
+    None
+  }
 }

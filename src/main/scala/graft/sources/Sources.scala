@@ -50,6 +50,24 @@ object Sources {
     (if (singleFile) df.coalesce(1) else df)
       .write.mode("overwrite").option("header", "true").csv(path)
 
+  /** JSON-lines source/sink — schema-on-read for semi-structured
+    * interchange (each partition writes its own file; splittable).
+    */
+  def json(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** ORC source/sink — the second columnar format, same pushdown and
+    * pruning properties as parquet.
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** S4/S7 + A8: parquet result cache keyed by the hash of the
     * query's logical plan (the reference pickles results keyed by
     * mmh3 of the serialized plan, serve.py:38-77).

@@ -46,4 +46,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("dotproduct("), p.take(2000))
     assert(!p.contains("zip_with"), p.take(2000))
   }
+
+  test("range join broadcasts the band side (fact side never shuffles for the join)") {
+    val p = plan("j4_range_join")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("lateral top-2 decorrelates to a ranked window, not a per-row re-scan") {
+    val p = plan("sql_lateral")
+    assert(p.contains("row_number") || p.contains("Window"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("IVF assignment is a broadcast of centroids + partial struct-max") {
+    val p = plan("ns_knn_ivf")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(3000))
+    assert(p.contains("partial_max") || p.contains("partial_first"), p.take(3000))
+  }
+
+  test("typed aggregator keeps partial aggregation (map-side combine)") {
+    val p = plan("ds_typed_agg")
+    assert(p.contains("partial_"), p.take(3000))
+  }
+
+  test("unpivot stays map-only until the final presentation sort") {
+    val p = plan("g3_unpivot")
+    assert(!p.contains("HashAggregate"), p.take(3000))
+  }
 }

@@ -158,6 +158,33 @@ class PlannerSearchSpec extends AnyFunSuite {
     assert(ms < 1000, s"deep plan took ${ms}ms")
   }
 
+  test("A* finds the same-length plans as BFS on every fixture") {
+    // test2.py fixture
+    val bfs1 = Planner.findPath(reg,
+      Vector(Vector("index", "name")), Vector(Vector("name.split.alpha"))).get
+    val astar1 = Planner.findPathAStar(reg,
+      Vector(Vector("index", "name")), Vector(Vector("name.split.alpha"))).get
+    assert(astar1.length == bfs1.length)
+    assert(astar1.map(_.task.name) == Vector("splitter", "remove_num"))
+    // deep chain
+    val chain = (1 to 8).map { i =>
+      val from = if (i == 1) raw"(src)$$" else raw"(.+)\.s${i - 1}$$"
+      Task(s"step$i", Vector(Req("x", Vector(Pat(from)))),
+        Vector(Vector(s"{x}.s$i")))(noop(1))
+    }
+    val chainReg = TaskRegistry(chain.toVector)
+    val goal = Vector(Vector("src" + (1 to 8).map(i => s".s$i").mkString))
+    val astar2 = Planner.findPathAStar(chainReg, Vector(Vector("src")), goal).get
+    assert(astar2.map(_.task.name) == (1 to 8).map(i => s"step$i"))
+    // demo registry flagship
+    val astar3 = Planner.findPathAStar(Library.registry,
+      Vector(Vector("doc_id", "text")), Vector(Vector("text.tokens.top90"))).get
+    assert(astar3.map(_.task.name) == Vector("tokenize", "counts", "top90"))
+    // unreachable stays unreachable
+    assert(Planner.findPathAStar(reg, Vector(Vector("name")),
+      Vector(Vector("unreachable.goal"))).isEmpty)
+  }
+
   test("planner stays in milliseconds on the demo registry") {
     val t0 = System.nanoTime()
     val path = Planner.findPath(Library.registry,

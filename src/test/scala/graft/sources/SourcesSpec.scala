@@ -51,6 +51,51 @@ class SourcesSpec extends SparkSpec {
       df.orderBy("id").collect().map(_.toSeq).toSeq)
   }
 
+  test("json round-trip preserves rows and nested extraction works") {
+    val out = Files.createTempDirectory("graft_json").toString + "/out"
+    val ev = graft.ops.T(spark, sf, "events").limit(200)
+    Sources.writeJson(ev.select("event_id", "event_type", "props"), out)
+    val back = Sources.json(spark, out)
+    assert(back.count() == 200)
+    assert(back.select(get_json_object(col("props"), "$.k")).na.drop()
+      .count() == 200)
+  }
+
+  test("orc round-trip preserves rows; predicate pushes to the orc scan") {
+    val out = Files.createTempDirectory("graft_orc").toString + "/out"
+    val orders = graft.ops.T(spark, sf, "orders")
+    Sources.writeOrc(orders, out)
+    val back = Sources.orc(spark, out)
+    assert(back.count() == orders.count())
+    val filtered = back.filter(col("o_totalprice") > 300000)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThan(o_totalprice"), plan.take(1500))
+    assert(filtered.count() ==
+      orders.filter(col("o_totalprice") > 300000).count())
+  }
+
+  test("catalog surface: saveAsTable, spark.table, insertInto append") {
+    val nation = graft.ops.T(spark, sf, "nation")
+    spark.sql("DROP TABLE IF EXISTS graft_nation")
+    nation.write.mode("overwrite").saveAsTable("graft_nation")
+    assert(spark.table("graft_nation").count() == nation.count())
+    assert(spark.catalog.tableExists("graft_nation"))
+    nation.limit(5).write.insertInto("graft_nation")
+    assert(spark.table("graft_nation").count() == nation.count() + 5)
+    spark.sql("DROP TABLE graft_nation")
+  }
+
+  test("observe() collects pipeline metrics without a second pass") {
+    import org.apache.spark.sql.Observation
+    val obs = Observation("docs_metrics")
+    val docs = graft.ops.T(spark, sf, "documents")
+      .observe(obs, count(lit(1)).as("n"), sum(length(col("text"))).as("chars"))
+    val n = docs.count()
+    assert(obs.get("n") == n)
+    assert(obs.get("chars").asInstanceOf[Long] > 0)
+  }
+
   test("plan cache: same plan hits, different plan misses") {
     val cache = Files.createTempDirectory("graft_cache").toString
     val docs = graft.ops.T(spark, sf, "documents").select("doc_id", "lang")
