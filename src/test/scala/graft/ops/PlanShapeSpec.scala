@@ -70,6 +70,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_"), p.take(3000))
   }
 
+  test("LSH self-join reuses the signature exchange at runtime (AQE)") {
+    // the pre-execution plan prints two signature subtrees; the final
+    // adaptive plan must collapse side b into a ReusedExchange so
+    // md5-shingling + minhash transforms run once
+    val df = graft.SparkEntry.queries("ns_dedup_minhash_lsh")(spark, sf)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"))
+  }
+
   test("unpivot stays map-only until the final presentation sort") {
     val p = plan("g3_unpivot")
     assert(!p.contains("HashAggregate"), p.take(3000))
