@@ -54,9 +54,97 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All-permutation MinHash minima in one pass: for each (a_i, b_i)
+  * pair, min over the input hash array of (a_i*h + b_i) % mod.
+  *
+  * Replaces k interpreted `array_min(transform(hs, ...))` higher-order
+  * calls (k lambda dispatches per element) with a single codegen'd
+  * k-wide inner loop — the hot path of MinHash signature derivation,
+  * which at 100 TB runs once per shingle of every document. Math is
+  * identical long arithmetic, so signatures are bit-equal to the
+  * higher-order formulation (callers guarantee a*h+b stays < 2^63).
+  * Empty input yields NULL (the composed form yields an array of
+  * nulls; both only occur for shingle-less docs, which callers filter).
+  */
+case class MinHashSignature(child: Expression, ab: Seq[(Long, Long)], mod: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  private lazy val aArr: Array[Long] = ab.map(_._1).toArray
+  private lazy val bArr: Array[Long] = ab.map(_._2).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (n == 0) return null
+    val k = aArr.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = xs.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = (aArr(j) * h + bArr(j)) % mod
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("mhB", bArr, "long[]")
+    val k = ab.length
+    nullSafeCodeGen(ctx, ev, c => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val mins = ctx.freshName("mins")
+      s"""
+         |int $n = $c.numElements();
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $mins = new long[$k];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $h = $c.getLong($i);
+         |    for (int $j = 0; $j < $k; $j++) {
+         |      long $v = ($aRef[$j] * $h + $bRef[$j]) % ${mod}L;
+         |      if ($v < $mins[$j]) $mins[$j] = $v;
+         |    }
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions
+         |    .UnsafeArrayData.fromPrimitiveArray($mins);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Codegen'd dot product of two ArrayType(DoubleType) columns. */
   def dot_product(a: Column, b: Column): Column =
     graftShims.toColumn(
       DotProduct(graftShims.toExpression(a), graftShims.toExpression(b)))
+
+  /** Codegen'd MinHash signature over an ArrayType(LongType) hash
+    * column — one array of per-permutation minima.
+    */
+  def minhash_signature(hs: Column, ab: Seq[(Long, Long)], mod: Long): Column =
+    graftShims.toColumn(
+      MinHashSignature(graftShims.toExpression(hs), ab, mod))
 }

@@ -77,14 +77,18 @@ object Dedup {
   val MinhashMod = 2147483647L
   val Bands = 8 // r=2 rows per band
 
-  /** Per-doc minhash signature array from 3-gram shingles. */
+  /** Per-doc minhash signature array from 3-gram shingles, via the
+    * codegen'd [[graft.functions.MinHashSignature]] expression (one
+    * pass over the shingle hashes computes all 16 minima; the
+    * `array(array_min(transform(...)) x16)` composition it replaces is
+    * interpreted per element and dominated signature derivation).
+    */
   def signatures(corpus: DataFrame): DataFrame = {
     val hs = corpus.select(col("doc_id"),
       transform(shingles(col("toks"), 3), s => H.hash30(s)).as("hs"))
     hs.select(col("doc_id"),
-      array(MinhashAB.map { case (a, b) =>
-        array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % lit(MinhashMod)))
-      }: _*).as("sig"))
+      graft.functions.VectorFunctions
+        .minhash_signature(col("hs"), MinhashAB, MinhashMod).as("sig"))
   }
 
   /** MinHash + banded LSH near-dup pairs with estimated Jaccard
