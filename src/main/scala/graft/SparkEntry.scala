@@ -937,6 +937,73 @@ object SparkEntry {
       (s, dir) => Analysis.chunkDocuments(T(s, dir, "documents"))
     },
 
+    // W3: lead / nth_value windows.
+    q("w3_lead_nth",
+      """SELECT o_custkey, o_orderkey,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  nth_value(o_totalprice, 2) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS second_cheapest
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) {
+      (s, dir) => Relational.leadNth(T(s, dir, "orders"))
+    },
+
+    // Set ops with bag semantics (multiplicity-preserving).
+    q("set_intersect_all",
+      """SELECT nationkey, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT ALL
+        |  SELECT s_nationkey FROM supplier)
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin) {
+      (s, dir) => Relational.nationKeyBagOp(
+        T(s, dir, "customer"), T(s, dir, "supplier"), "intersect_all")
+    },
+
+    q("set_except_all",
+      """SELECT nationkey, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  EXCEPT ALL
+        |  SELECT s_nationkey FROM supplier)
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin) {
+      (s, dir) => Relational.nationKeyBagOp(
+        T(s, dir, "customer"), T(s, dir, "supplier"), "except_all")
+    },
+
+    // O2 via the SQL surface: LIMIT ... OFFSET pagination.
+    q("o2_sql_offset",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 30 OFFSET 60""".stripMargin) {
+      (s, dir) => {
+        T(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""SELECT o_orderkey, o_totalprice FROM orders
+                |ORDER BY o_totalprice DESC, o_orderkey ASC
+                |LIMIT 30 OFFSET 60""".stripMargin)
+      }
+    },
+
+    // Row-level bitwise functions.
+    q("f_bitwise_funcs",
+      """SELECT l_orderkey, l_linenumber,
+        |  l_orderkey & 255 AS and255,
+        |  l_orderkey | l_linenumber AS or_line,
+        |  xor(l_orderkey, l_linenumber) AS xor_line,
+        |  (l_linenumber << 4) AS line_shl4,
+        |  (l_orderkey >> 2) AS key_shr2,
+        |  bit_count(l_orderkey)::INT AS key_bits
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) {
+      (s, dir) => Functions.bitwiseFunctions(T(s, dir, "lineitem"))
+    },
+
+    // PII scrubbing with planted email/phone and portable regexes.
+    q("ns_scrub_pii", Analysis.scrubPiiOracle) {
+      (s, dir) => Analysis.scrubPii(T(s, dir, "documents"))
+    },
+
     // VARIANT semi-structured type: parse once, extract typed fields.
     q("f10_variant",
       """SELECT event_id,

@@ -297,6 +297,42 @@ object Analysis {
        |  least(len(toks) - start, $ChunkSize)::INT AS chunk_tokens
        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Regexes for [[scrubPii]], shared with the oracle generator
+    * (portable across Java regex and RE2).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+1-555-[0-9]{4}"
+
+  /** PII scrubbing (training-data redaction): plant a deterministic
+    * email + phone per document, then redact both with portable
+    * regexes and count the redactions. Map-side only — at 100 TB this
+    * pipelines inside the scan's codegen stage.
+    */
+  def scrubPii(docs: DataFrame): DataFrame = {
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val noEmail = regexp_replace(planted, EmailRe, "<EMAIL>")
+    docs.select(col("doc_id"),
+        regexp_replace(noEmail, PhoneRe, "<PHONE>").as("scrubbed"),
+        regexp_count(planted, lit(EmailRe)).as("n_emails"),
+        regexp_count(planted, lit(PhoneRe)).as("n_phones"))
+      .orderBy("doc_id")
+  }
+
+  def scrubPiiOracle: String =
+    s"""WITH p AS (SELECT doc_id,
+       |    text || ' contact user' || doc_id ||
+       |    '@example.com or +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+       |      AS planted
+       |  FROM documents)
+       |SELECT doc_id,
+       |  regexp_replace(regexp_replace(planted, '$EmailRe', '<EMAIL>', 'g'),
+       |    '$PhoneRe', '<PHONE>', 'g') AS scrubbed,
+       |  len(regexp_extract_all(planted, '$EmailRe'))::INT AS n_emails,
+       |  len(regexp_extract_all(planted, '$PhoneRe'))::INT AS n_phones
+       |FROM p ORDER BY doc_id""".stripMargin
+
   val FpMod = 2147483647L
 
   /** Document fingerprint: left-fold polynomial rolling hash over the

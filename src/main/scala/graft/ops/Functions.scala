@@ -176,6 +176,19 @@ object Functions {
       .orderBy("doc_id")
   }
 
+  /** Row-level bitwise surface: and/or/xor/shifts/bit_count over the
+    * key columns.
+    */
+  def bitwiseFunctions(li: DataFrame): DataFrame =
+    li.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_orderkey").bitwiseAND(lit(255L)).as("and255"),
+        col("l_orderkey").bitwiseOR(col("l_linenumber")).as("or_line"),
+        col("l_orderkey").bitwiseXOR(col("l_linenumber")).as("xor_line"),
+        shiftleft(col("l_linenumber"), 4).as("line_shl4"),
+        shiftright(col("l_orderkey"), 2).as("key_shr2"),
+        bit_count(col("l_orderkey")).as("key_bits"))
+      .orderBy("l_orderkey", "l_linenumber")
+
   /** F10: VARIANT (semi-structured) surface — parse the JSON props
     * once into a variant and extract typed fields from it. Variant is
     * the open-schema scale path: one parse, many typed reads, no

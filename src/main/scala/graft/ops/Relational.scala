@@ -264,6 +264,32 @@ object Relational {
   /** Set ops: union / intersect / except on nation keys of two entity
     * tables (SURVEY §2.B set-operations row).
     */
+  /** W3: lead / nth_value — next order's price and the 2nd-cheapest
+    * price per customer over an unbounded frame.
+    */
+  def leadNth(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders.select(col("o_custkey"), col("o_orderkey"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        nth_value(col("o_totalprice"), 2).over(wf).as("second_cheapest"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Set ops with bag semantics: INTERSECT ALL / EXCEPT ALL keep
+    * duplicate multiplicity (Spark `intersectAll`/`exceptAll`).
+    */
+  def nationKeyBagOp(customer: DataFrame, supplier: DataFrame, op: String): DataFrame = {
+    val c = customer.select(col("c_nationkey").as("nationkey"))
+    val s = supplier.select(col("s_nationkey").as("nationkey"))
+    val r = op match {
+      case "intersect_all" => c.intersectAll(s)
+      case "except_all"    => c.exceptAll(s)
+    }
+    r.groupBy("nationkey").agg(count(lit(1)).as("n")).orderBy("nationkey")
+  }
+
   /** Priority values for [[crosstabStatusPriority]]'s oracle
     * generator (pinned — the crosstab's column set must be stable).
     */
