@@ -1004,6 +1004,59 @@ object SparkEntry {
       (s, dir) => Analysis.scrubPii(T(s, dir, "documents"))
     },
 
+    // F1: explode_outer keeps empty-array rows as NULL elements.
+    q("f1_explode_outer",
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> w = 'window') AS l
+        |  FROM documents)
+        |SELECT doc_id, w FROM (
+        |  SELECT doc_id, unnest(l) AS w FROM t WHERE len(l) > 0
+        |  UNION ALL
+        |  SELECT doc_id, NULL FROM t WHERE len(l) = 0)
+        |ORDER BY doc_id, coalesce(w, '')""".stripMargin) {
+      (s, dir) => Functions.explodeOuter(T(s, dir, "documents"))
+    },
+
+    // F10: higher-order array functions.
+    q("f10_higher_order",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  len(list_filter(toks, w -> length(w) > 4))::INT AS n_long,
+        |  len(list_filter(toks, w -> w = 'sort')) > 0 AS has_sort,
+        |  len(list_filter(toks, w -> length(w) >= 10)) = 0 AS all_short,
+        |  (list_sum(list_transform(toks, w -> length(w))))::BIGINT AS sum_len,
+        |  len(list_filter(range(1, len(toks) + 1),
+        |    i -> toks[i] = toks[len(toks) + 1 - i]))::INT AS n_sym
+        |FROM t ORDER BY doc_id""".stripMargin) {
+      (s, dir) => Functions.higherOrderFunctions(T(s, dir, "documents"))
+    },
+
+    // ANSI-safe try_* family (errors -> NULL, not exceptions).
+    q("f_try_funcs",
+      """SELECT c_custkey,
+        |  try_cast(c_name AS BIGINT) AS name_num,
+        |  c_acctbal / nullif((c_custkey % 3)::DOUBLE, 0) AS bal_div,
+        |  CASE WHEN c_custkey > 0 THEN NULL
+        |       ELSE 9223372036854775807 END AS overflow_add
+        |FROM customer ORDER BY c_custkey""".stripMargin) {
+      (s, dir) => Functions.tryFunctions(T(s, dir, "customer"))
+    },
+
+    // Edit distance (levenshtein) on derived strings.
+    q("f_fuzzy_levenshtein",
+      """SELECT c_custkey,
+        |  levenshtein(c_name, regexp_replace(c_name, '\d', '', 'g'))::INT
+        |    AS lev_digits,
+        |  levenshtein(lower(c_mktsegment), 'building')::INT AS lev_building
+        |FROM customer ORDER BY c_custkey""".stripMargin) {
+      (s, dir) => Functions.fuzzyDistance(T(s, dir, "customer"))
+    },
+
+    // End-to-end keep-first near-dup dedup decision (summary row).
+    q("ns_dedup_keep_first", Dedup.keepFirstSummaryOracle(0.5)) {
+      (s, dir) => Dedup.keepFirstSummary(T(s, dir, "documents"), 0.5)
+    },
+
     // VARIANT semi-structured type: parse once, extract typed fields.
     q("f10_variant",
       """SELECT event_id,

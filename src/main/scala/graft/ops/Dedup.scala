@@ -315,6 +315,37 @@ object Dedup {
        |SELECT min(id) AS canonical_id, count(*) AS cluster_size
        |FROM labels GROUP BY label ORDER BY canonical_id""".stripMargin
 
+  /** End-to-end keep-first dedup: the pipeline decision rule used by
+    * production near-dup dedup — DROP any document that has an
+    * LSH-confirmed near-duplicate with a smaller id; the smallest id
+    * of each dup group survives. One summary row: corpus size, docs
+    * dropped, docs kept. Cost on top of [[minhashLsh]] is a distinct
+    * on the drop side + an anti join.
+    */
+  def keepFirstSummary(docs: DataFrame, minSim: Double = 0.5): DataFrame = {
+    val corpus = corpusWithVariants(docs).select("doc_id")
+    val drops = minhashLsh(docs, minSim).select(col("id_b").as("doc_id")).distinct()
+    val kept = corpus.join(drops, Seq("doc_id"), "left_anti")
+    corpus.agg(count(lit(1)).as("n_corpus"))
+      .crossJoin(drops.agg(count(lit(1)).as("n_dropped")))
+      .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
+  }
+
+  def keepFirstSummaryOracle(minSim: Double = 0.5): String =
+    s"""WITH pairs AS (${minhashLshOracle(minSim)
+          .replace("ORDER BY id_a, id_b", "")}),
+       |base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |corpus AS (
+       |  SELECT doc_id FROM base WHERE len(toks) >= 3
+       |  UNION ALL
+       |  SELECT doc_id + $VariantIdOffset FROM base WHERE len(toks) > 3),
+       |drops AS (SELECT DISTINCT id_b AS doc_id FROM pairs)
+       |SELECT
+       |  (SELECT count(*) FROM corpus) AS n_corpus,
+       |  (SELECT count(*) FROM drops) AS n_dropped,
+       |  (SELECT count(*) FROM corpus WHERE doc_id NOT IN
+       |     (SELECT doc_id FROM drops)) AS n_kept""".stripMargin
+
   // ------------------------------------------------------ exact jaccard
 
   /** Exact n-gram Jaccard near-dup pairs over a doc_id % 10 = 0 subset

@@ -176,6 +176,52 @@ object Functions {
       .orderBy("doc_id")
   }
 
+  /** F1 variant: `explode_outer` — rows whose array is empty survive
+    * with a NULL element (plain explode drops them).
+    */
+  def explodeOuter(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode_outer(filter(split(col("text"), " "), w => w === "window"))
+          .as("w"))
+      .orderBy(col("doc_id"), coalesce(col("w"), lit("")))
+
+  /** F10: higher-order array functions — filter / exists / forall /
+    * transform+aggregate / zip_with in one projection.
+    */
+  def higherOrderFunctions(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    docs.select(col("doc_id"),
+        size(filter(toks, w => length(w) > 4)).as("n_long"),
+        exists(toks, w => w === "sort").as("has_sort"),
+        forall(toks, w => length(w) < 10).as("all_short"),
+        aggregate(transform(toks, w => length(w).cast("long")), lit(0L),
+          (acc, x) => acc + x).as("sum_len"),
+        size(filter(zip_with(toks, reverse(toks), (a, b) => a === b),
+          x => x)).as("n_sym"))
+      .orderBy("doc_id")
+  }
+
+  /** ANSI-safe `try_*` family: failures yield NULL instead of throwing
+    * (Spark 4 runs ANSI mode, where plain cast/arithmetic errors).
+    */
+  def tryFunctions(customer: DataFrame): DataFrame =
+    customer.select(col("c_custkey"),
+        col("c_name").try_cast("bigint").as("name_num"),
+        try_divide(col("c_acctbal"), (col("c_custkey") % 3).cast("double"))
+          .as("bal_div"),
+        try_add(lit(Long.MaxValue), when(col("c_custkey") > 0, 1L)
+          .otherwise(0L)).as("overflow_add"))
+      .orderBy("c_custkey")
+
+  /** Edit-distance surface: levenshtein against derived strings. */
+  def fuzzyDistance(customer: DataFrame): DataFrame =
+    customer.select(col("c_custkey"),
+        levenshtein(col("c_name"),
+          regexp_replace(col("c_name"), "\\d", "")).as("lev_digits"),
+        levenshtein(lower(col("c_mktsegment")), lit("building"))
+          .as("lev_building"))
+      .orderBy("c_custkey")
+
   /** Row-level bitwise surface: and/or/xor/shifts/bit_count over the
     * key columns.
     */
