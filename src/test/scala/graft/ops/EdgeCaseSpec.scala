@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input guards: every operator family must survive an
+  * empty corpus and single-row inputs without crashing (the 100 TB
+  * posture includes partitions that are empty after pruning).
+  */
+class EdgeCaseSpec extends SparkSpec {
+
+  private def emptyDocs = T(spark, sf, "documents").filter(col("doc_id") < 0)
+  private def oneDoc = T(spark, sf, "documents").limit(1)
+
+  test("dedup family returns empty (not error) on an empty corpus") {
+    assert(Dedup.exactDedup(emptyDocs).count() == 0)
+    assert(Dedup.minhashLsh(emptyDocs, 0.5).count() == 0)
+    assert(Dedup.minhashClusters(emptyDocs, 0.5).count() == 0)
+    assert(Dedup.ngramJaccard(emptyDocs, 0.5).count() == 0)
+    assert(Dedup.simhashPairs(emptyDocs).count() == 0)
+  }
+
+  test("text analysis on empty and single-doc corpora") {
+    assert(Analysis.tfidfTop3(emptyDocs).count() == 0)
+    assert(Analysis.pmiPairs(emptyDocs, 1).count() == 0)
+    assert(Analysis.repetitionScore(emptyDocs).count() == 0)
+    assert(Analysis.chunkDocuments(emptyDocs).count() == 0)
+    assert(Analysis.qualityScore(oneDoc).count() == 1)
+    assert(Analysis.chunkDocuments(oneDoc).count() >= 1)
+  }
+
+  test("similarity on an empty embedding set") {
+    val emptyEmb = T(spark, sf, "embeddings").filter(col("vec_id") < 0)
+    assert(Similarity.knnBruteForce(emptyEmb, 5, 3).count() == 0)
+    assert(Similarity.knnLsh(emptyEmb, 5, 3).count() == 0)
+    assert(Similarity.knnIvf(emptyEmb, 5, 3, 2).count() == 0)
+    assert(Similarity.embeddingNearDupLsh(emptyEmb, 0.9).count() == 0)
+  }
+
+  test("windows/aggregations on empty and single-row relational input") {
+    val emptyOrders = T(spark, sf, "orders").filter(col("o_orderkey") < 0)
+    assert(Relational.runningCustomerSpend(emptyOrders).count() == 0)
+    // Spark's rollup/cube lower to Expand + grouped aggregate, so an
+    // empty input has zero groups — no grand-total row (unlike
+    // engines that special-case the () grouping set)
+    assert(Relational.rollupAgg(emptyOrders).count() == 0)
+    assert(Advanced.cubeAgg(
+      T(spark, sf, "lineitem").filter(col("l_orderkey") < 0)).count() == 0)
+    val one = T(spark, sf, "orders").limit(1)
+    assert(Relational.leadNth(one).count() == 1)
+    assert(Relational.page(one, 30, -1).count() == 1)
+  }
+
+  test("events pipelines on an empty stream table") {
+    val emptyEv = T(spark, sf, "events").filter(col("event_id") < 0)
+    assert(Events.userSessions(emptyEv).count() == 0)
+    assert(Events.signupPurchaseFunnel(emptyEv).count() == 0)
+    assert(Events.watermarkAdmitted(emptyEv).count() == 0)
+    assert(Advanced.asofPurchaseClick(emptyEv).count() == 0)
+  }
+}
