@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Structured Streaming pipelines over the `events` stream — the
   * streaming forms of graft.ops.Events (same aggregation shapes, same
@@ -87,5 +88,37 @@ object EventStreams {
           state.update(next)
           next
       }
+  }
+
+  /** The same running totals on Spark 4's `transformWithState` API —
+    * typed `ValueState` handles, per-state TTL, timers. This is the
+    * forward-looking state surface (RocksDB-backed only); semantics
+    * match [[runningUserTotals]], proven by the spec.
+    */
+  class RunningTotalsProcessor
+      extends StatefulProcessor[Long, Event, UserRunning] {
+    @transient private var state: ValueState[UserRunning] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserRunning]("totals",
+        Encoders.product[UserRunning], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[UserRunning] = {
+      val prev = Option(state.get()).getOrElse(UserRunning(key, 0L, 0.0))
+      val next = rows.foldLeft(prev) { (b, e) =>
+        UserRunning(key, b.n + 1, b.total + e.value)
+      }
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def runningUserTotalsTws(spark: SparkSession, events: DataFrame): Dataset[UserRunning] = {
+    import spark.implicits._
+    events.as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 }

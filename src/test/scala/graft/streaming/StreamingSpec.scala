@@ -112,6 +112,38 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup").count() == 100)
   }
 
+  test("transformWithState running totals equal the batch per-user counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[EventStreams.Event]
+      val events = loadEvents.take(2000)
+      val (first, second) = events.splitAt(events.size / 2)
+      val query = EventStreams.runningUserTotalsTws(spark, stream.toDF())
+        .writeStream.format("memory").queryName("tws")
+        .outputMode("update").start()
+      try {
+        stream.addData(first); query.processAllAvailable()
+        stream.addData(second); query.processAllAvailable()
+      } finally query.stop()
+      val latest = spark.table("tws")
+        .groupBy("user_id").agg(max("n").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = events.groupBy(_.user_id).map { case (u, es) => u -> es.size.toLong }
+      assert(latest == want)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-stream interval join equals the batch join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
