@@ -83,4 +83,16 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("g3_unpivot")
     assert(!p.contains("HashAggregate"), p.take(3000))
   }
+
+  test("every registered query plans cleanly with zero CartesianProducts") {
+    // blanket guard: all pair generation must stay broadcast or
+    // bucketed — an unconstrained cross product anywhere is the 100 TB
+    // failure mode. Also proves every registry entry analyzes.
+    val offenders = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
+      val p = graft.SparkEntry.queries(n)(spark, sf)
+        .queryExecution.executedPlan.toString
+      if (p.contains("CartesianProduct")) Some(n) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
 }
