@@ -641,6 +641,16 @@ object SparkEntry {
       (s, dir) => graft.planner.Library.plannedTop90(T(s, dir, "documents"))
     },
 
+    // Exact dedup reached BY PLANNING (BFS composes the registered
+    // dedup task from the goal name); shares ns_dedup_exact's oracle.
+    q("planner_dedup",
+      """WITH b AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
+        |SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+        |FROM b GROUP BY md5(text) ORDER BY canonical_id""".stripMargin) {
+      (s, dir) => graft.planner.Library.plannedDedup(T(s, dir, "documents"))
+    },
+
     // ---- North-star: dedup / similarity / text analysis / multimodal
 
     // Exact dedup by content hash (fixture: exact copies at id+1e6).

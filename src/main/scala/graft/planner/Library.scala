@@ -100,9 +100,28 @@ object Library {
         .select(col(bq(tokCol)).as(outTok), col(bq(cntCol))))
     })
 
+  /** Exact content dedup as a planner task — the north-star extension
+    * ops register exactly like the reference-shaped ones, so goals
+    * can compose them (`text.canonical_id` is reachable from any
+    * (doc_id, text) frame).
+    */
+  val dedupExact: Task = Task(
+    name = "dedup_exact",
+    requires = Vector(Req("docs", Vector(Lit("doc_id"), Pat("(text)")))),
+    makes = Vector(Vector("{docs.1}.canonical_id", "{docs.1}.n_copies")))(
+    in => {
+      val txt = in.bindings("docs").cols(1).column
+      val outCanon = in.expects.head(0)
+      val outN = in.expects.head(1)
+      Seq(in.frames("docs")
+        .groupBy(md5(col(bq(txt))))
+        .agg(min(col("doc_id")).as(outCanon), count(lit(1)).as(outN))
+        .select(col(bq(outCanon)), col(bq(outN))))
+    })
+
   /** The registry used by the planner demos. */
   val registry: TaskRegistry =
-    TaskRegistry.of(splitter, removeNum, tokenize, counts, top90)
+    TaskRegistry.of(splitter, removeNum, tokenize, counts, top90, dedupExact)
 
   // ------------------------------------------------------------ demos
 
@@ -118,6 +137,25 @@ object Library {
       Vector(Vector("name.split.alpha")))
     pool.last.select(col(bq("name.split.alpha")).as("alpha_token"))
       .orderBy("alpha_token")
+  }
+
+  /** Exact dedup, but PLANNED: BFS reaches `text.canonical_id` from
+    * the (doc_id, text) corpus via the registered dedup task. Fixture
+    * matches `ns_dedup_exact` (a copy of every doc at id + 1e6), so it
+    * shares that oracle.
+    */
+  def plannedDedup(docs: DataFrame): DataFrame = {
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("text")))
+    val pool = Executor.run(
+      registry,
+      Seq(corpus),
+      Vector(Vector("text.canonical_id", "text.n_copies")))
+    pool.last
+      .select(col(bq("text.canonical_id")).as("canonical_id"),
+        col(bq("text.n_copies")).as("n_copies"))
+      .orderBy("canonical_id")
   }
 
   /** The usenet-shaped flagship, but PLANNED: BFS composes
