@@ -190,6 +190,29 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("persist() reuses the materialized flagship across two actions") {
+    val top = Text.topPTokens(T(spark, sf, "documents"), 0.9).persist()
+    try {
+      val n1 = top.count()
+      assert(top.queryExecution.executedPlan.toString
+        .contains("InMemoryTableScan") || n1 >= 0)
+      // second action must hit the cache, not re-derive the pipeline
+      val plan2 = top.filter(col("cnt") > 0).queryExecution.executedPlan.toString
+      assert(plan2.contains("InMemoryTableScan"), plan2.take(1500))
+      assert(top.filter(col("cnt") > 0).count() == n1)
+    } finally top.unpersist()
+  }
+
+  test("parameterized spark.sql binds named parameters") {
+    T(spark, sf, "orders").createOrReplaceTempView("orders_p")
+    val n = spark.sql(
+      "SELECT count(*) AS n FROM orders_p WHERE o_totalprice > :lo",
+      Map("lo" -> 300000)).collect()(0).getLong(0)
+    val want = T(spark, sf, "orders")
+      .filter(col("o_totalprice") > 300000).count()
+    assert(n == want)
+  }
+
   test("lateral top-2: at most two orders per customer, correctly ranked") {
     val rows = Advanced.sqlLateral(spark, sf).collect()
     val byCust = rows.groupBy(_.getLong(0))
