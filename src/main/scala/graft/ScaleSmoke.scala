@@ -41,10 +41,22 @@ object ScaleSmoke {
     val (nGroups, tDedup) = time(
       big.groupBy(md5(col("text")).as("h"))
         .agg(count(lit(1)).as("n")).count())
+    // LSH near-dup over SYNTHETIC DISTINCT docs (multiplying real docs
+    // would build m-cliques of exact copies and measure quadratic
+    // fixture blowup, not the algorithm): unique md5-token texts, so
+    // the only near-dups are the fixture's planted variants — output
+    // and cost stay linear in corpus size.
+    val nLshDocs = 1000L * mult
+    val lshDocs = spark.range(nLshDocs).select(col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(1), lit(60)),
+        i => conv(substring(md5(concat(col("id"), lit("_"), i)), 1, 8), 16, 10)))
+        .as("text"))
+    val (nPairs, tLsh) = time(ops.Dedup.minhashLsh(lshDocs, 0.5).count())
     println(s"""{"multiplier":$mult,"docs":${big.count()},""" +
       s""""tokens":$nTokens,"tokenize_sec":$tTok,""" +
       s""""top90_rows":$nTop,"top90_sec":$tTop,""" +
-      s""""dedup_groups":$nGroups,"dedup_sec":$tDedup}""")
+      s""""dedup_groups":$nGroups,"dedup_sec":$tDedup,""" +
+      s""""lsh_docs":$nLshDocs,"lsh_pairs":$nPairs,"lsh_sec":$tLsh}""")
     spark.stop()
   }
 }

@@ -683,6 +683,20 @@ object SparkEntry {
       (s, dir) => Dedup.simhashPairs(T(s, dir, "documents"))
     },
 
+    // SimHash with hamming-ball (distance <= 1) multi-probe.
+    q("ns_dedup_simhash_probe", Dedup.simhashProbeOracle) {
+      (s, dir) => Dedup.simhashProbePairs(T(s, dir, "documents"))
+    },
+
+    // Two-stage salted aggregation (skew mitigation; unsalted oracle).
+    q("g3_salted_agg",
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS total_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) => Advanced.twoStageAgg(T(s, dir, "lineitem"))
+    },
+
     // Exact n-gram Jaccard over shared-shingle candidates.
     q("ns_dedup_ngram_jaccard", Dedup.ngramJaccardOracle(0.5)) {
       (s, dir) => Dedup.ngramJaccard(T(s, dir, "documents"), 0.5)

@@ -122,6 +122,23 @@ object Advanced {
       percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
         .as("median_price"))
 
+  /** Two-stage (salted) aggregation: the skewed-key mitigation for
+    * aggregations — partials on (key, salt) first, so one hot key
+    * spreads over `salt` reducers, then the tiny per-salt partials
+    * re-aggregate. Semantics identical to the direct groupBy (the
+    * oracle is the UNSALTED aggregation); sums re-sum and counts
+    * re-sum losslessly.
+    */
+  def twoStageAgg(li: DataFrame, salt: Int = 16): DataFrame =
+    li.groupBy(col("l_returnflag"),
+        pmod(xxhash64(col("l_orderkey")), lit(salt)).as("salt"))
+      .agg(sum(col("l_quantity")).as("partial_qty"),
+        count(lit(1)).as("partial_n"))
+      .groupBy("l_returnflag")
+      .agg(round(sum("partial_qty"), 2).as("total_qty"),
+        sum("partial_n").as("n"))
+      .orderBy("l_returnflag")
+
   /** Irregular price bands for [[rangeJoinPriceBands]]: (name, lo, hi),
     * half-open [lo, hi). Shared with the oracle generator.
     */

@@ -213,6 +213,65 @@ object Dedup {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** SimHash with hamming-ball multi-probe — the scale path promised
+    * by [[simhashPairs]]'s doc: pairs within hamming distance 1 of
+    * each other's bucket are also candidates (one side probes its
+    * bucket plus each 1-bit flip; a pair at distance 0 or 1 matches
+    * via exactly one probe mask, so no distinct is needed).
+    */
+  def simhashProbePairs(docs: DataFrame): DataFrame = {
+    val tok = corpusWithVariants(docs)
+      .select(col("doc_id"), explode(col("toks")).as("w"))
+      .select(col("doc_id"), H.hash30(col("w")).as("h"))
+    val bitSums = (0 until SimhashBits).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"s$j"))
+    val agged = tok.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+    val simhash = (0 until SimhashBits).map(j =>
+        when(col(s"s$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val buckets = agged.select(col("doc_id"), simhash.as("simhash"))
+    val probeMasks = array((lit(0L) +:
+      (0 until SimhashBits).map(j => lit(1L << j))): _*)
+    val probed = buckets.select(col("doc_id"), col("simhash"),
+      explode(transform(probeMasks, m => col("simhash").bitwiseXOR(m)))
+        .as("pbucket"))
+    probed.as("a")
+      .join(buckets.as("b").hint("merge"),
+        col("a.pbucket") === col("b.simhash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("int").as("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
+  def simhashProbeOracle: String = {
+    val bitSums = (0 until SimhashBits)
+      .map(j => s"sum((h >> $j) & 1) AS s$j").mkString(", ")
+    val sim = (0 until SimhashBits)
+      .map(j => s"CASE WHEN s$j * 2 > n THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    val masks = (0L +: (0 until SimhashBits).map(j => 1L << j))
+      .mkString(", ")
+    s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |corpus AS (
+       |  SELECT doc_id, toks FROM base WHERE len(toks) >= 3
+       |  UNION ALL
+       |  SELECT doc_id + $VariantIdOffset, toks[2:] FROM base WHERE len(toks) > 3),
+       |tok AS (SELECT doc_id, ${H.duckHash30("t.w")} AS h
+       |        FROM corpus, unnest(toks) AS t(w)),
+       |agged AS (SELECT doc_id, count(*) AS n, $bitSums FROM tok GROUP BY doc_id),
+       |buckets AS (SELECT doc_id, ($sim)::BIGINT AS simhash FROM agged),
+       |probed AS (SELECT doc_id, simhash, xor(simhash, m.m) AS pbucket
+       |           FROM buckets, unnest([$masks]) AS m(m))
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+       |FROM probed a JOIN buckets b
+       |  ON a.pbucket = b.simhash AND a.doc_id < b.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** MinHash signatures via the typed Aggregator
     * (graft.functions.MinHashAggregator) over EXPLODED shingle rows —
     * the formulation that scales when a document's shingles don't fit

@@ -190,6 +190,23 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("df.stat sketches: bloom filter and count-min behave as sketches") {
+    val li = T(spark, sf, "lineitem")
+    val bf = li.stat.bloomFilter("l_orderkey", 10000, 0.03)
+    val present = li.select("l_orderkey").distinct().limit(100)
+      .collect().map(_.getLong(0))
+    assert(present.forall(bf.mightContain)) // no false negatives ever
+    val absent = (1 to 200).map(i => -i.toLong)
+    assert(absent.count(bf.mightContain) < 20) // fpp ~3%
+    val cms = li.stat.countMinSketch(col("l_returnflag"), 0.001, 0.99, 42)
+    val exact = li.groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      val est = cms.estimateCount(k)
+      assert(est >= n && est <= n + (0.001 * li.count()).toLong + n / 10)
+    }
+  }
+
   test("persist() reuses the materialized flagship across two actions") {
     val top = Text.topPTokens(T(spark, sf, "documents"), 0.9).persist()
     try {
