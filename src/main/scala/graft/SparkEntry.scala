@@ -936,6 +936,54 @@ object SparkEntry {
       (s, dir) => Typed.typedRevenueByFlag(T(s, dir, "lineitem"))
     },
 
+    // Aggregate FILTER clause: selective aggregation in one pass.
+    q("g3_filter_clause",
+      """SELECT l_returnflag,
+        |  count(*) AS n_all,
+        |  count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+        |  round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2)
+        |    AS deep_discount_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) => {
+        T(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql("""SELECT l_returnflag,
+                |  count(*) AS n_all,
+                |  count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+                |  round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2)
+                |    AS deep_discount_price
+                |FROM lineitem GROUP BY l_returnflag
+                |ORDER BY l_returnflag""".stripMargin)
+      }
+    },
+
+    // Array set operations (order-normalized for cross-engine parity).
+    q("f10_array_setops",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |    ['the', 'a', 'scan', 'join'] AS probe
+        |  FROM documents)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(list_sort(list_distinct(
+        |    list_filter(toks, x -> list_contains(probe, x)))), ','), '')
+        |    AS inter,
+        |  coalesce(array_to_string(list_sort(list_distinct(
+        |    list_filter(toks, x -> NOT list_contains(probe, x)))), ','), '')
+        |    AS minus,
+        |  len(list_distinct(toks || probe))::INT AS n_union,
+        |  list_has_any(toks, probe) AS overlaps
+        |FROM t ORDER BY doc_id""".stripMargin) {
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val probe = array(lit("the"), lit("a"), lit("scan"), lit("join"))
+        T(s, dir, "documents").select(col("doc_id"),
+            array_join(array_sort(array_intersect(toks, probe)), ",")
+              .as("inter"),
+            array_join(array_sort(array_except(toks, probe)), ",").as("minus"),
+            size(array_union(toks, probe)).as("n_union"),
+            arrays_overlap(toks, probe).as("overlaps"))
+          .orderBy("doc_id")
+      }
+    },
+
     // df.stat surface: contingency table (crosstab).
     q("g3_crosstab", Relational.crosstabOracle) {
       (s, dir) => Relational.crosstabStatusPriority(T(s, dir, "orders"))
