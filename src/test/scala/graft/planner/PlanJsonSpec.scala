@@ -77,6 +77,32 @@ class PlanJsonSpec extends SparkSpec {
     })
   }
 
+  test("property: A* agrees with BFS (same reachability, same length)") {
+    val depthGen = Gen.choose(1, 6)
+    val distractGen = Gen.choose(0, 4)
+    check(Prop.forAll(depthGen, distractGen) { (depth, nDead) =>
+      val chain = (1 to depth).map { i =>
+        val from = if (i == 1) raw"(src)$$" else raw"(.+)\.s${i - 1}$$"
+        Task(s"step$i", Vector(Req("x", Vector(Pat(from)))),
+          Vector(Vector(s"{x}.s$i")))(_ => Seq(null))
+      }
+      val dead = (1 to nDead).map(i =>
+        Task(s"dead$i", Vector(Req("x", Vector(Lit(s"missing$i")))),
+          Vector(Vector(s"never$i")))(_ => Seq(null)))
+      val reg = TaskRegistry((chain ++ dead).toVector)
+      val goal = Vector(Vector("src" + (1 to depth).map(i => s".s$i").mkString))
+      val bfs = Planner.findPath(reg, Vector(Vector("src")), goal)
+      val astar = Planner.findPathAStar(reg, Vector(Vector("src")), goal)
+      bfs.isDefined == astar.isDefined &&
+        bfs.map(_.length) == astar.map(_.length) &&
+        astar.forall { path =>
+          Planner.goalReached(
+            path.foldLeft(Planner.initial(Vector(Vector("src"))))(Planner.apply),
+            goal)
+        }
+    })
+  }
+
   test("property: every satisfied binding actually matches its columns") {
     val varGen: Gen[Variable] = Gen.oneOf(
       nameGen.map(Lit(_)),
