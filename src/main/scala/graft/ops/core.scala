@@ -20,14 +20,24 @@ object T {
     * the wall-clock value matches DuckDB's naive read of the same file
     * (session TZ is pinned to UTC).
     */
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    df.schema.fields.find(f =>
-        f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
-      .map(_ => df.withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")))
-      .getOrElse(df)
-  }
+  /** Memoized per (session, dir, table): the returned DataFrame is an
+    * immutable lazy plan, so sharing it across queries is safe and
+    * skips re-listing files + re-reading parquet footers on every
+    * query build (measurable across a 100+-query run). No data is
+    * cached — only the analyzed relation.
+    */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    memo.computeIfAbsent((spark, sfDir, name), { _ =>
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      df.schema.fields.find(f =>
+          f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+        .map(_ => df.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")))
+        .getOrElse(df)
+    })
 }
 
 object H {
