@@ -1071,6 +1071,11 @@ object SparkEntry {
       (s, dir) => Functions.bitwiseFunctions(T(s, dir, "lineitem"))
     },
 
+    // URL canonicalization dedup over planted crawl-style URLs.
+    q("ns_url_dedup", Analysis.urlDedupOracle) {
+      (s, dir) => Analysis.urlDedup(T(s, dir, "documents"))
+    },
+
     // PII scrubbing with planted email/phone and portable regexes.
     q("ns_scrub_pii", Analysis.scrubPiiOracle) {
       (s, dir) => Analysis.scrubPii(T(s, dir, "documents"))

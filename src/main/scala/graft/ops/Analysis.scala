@@ -333,6 +333,37 @@ object Analysis {
        |  len(regexp_extract_all(planted, '$PhoneRe'))::INT AS n_phones
        |FROM p ORDER BY doc_id""".stripMargin
 
+  /** URL canonicalization dedup (the C4-style crawl-dedup step):
+    * plant a messy URL per doc (mixed-case host, tracking query,
+    * trailing slash), canonicalize with `parse_url` (lowercased host +
+    * query-stripped, slash-trimmed path), and group pages by canonical
+    * URL. Map-side canonicalization, one fixed-width-key groupBy.
+    */
+  def urlDedup(docs: DataFrame): DataFrame = {
+    val url = concat(lit("https://Host"), col("doc_id") % 50,
+      lit(".Example.COM/path"), col("doc_id") % 20,
+      lit("/?utm_source=x&id="), col("doc_id"))
+    val host = lower(parse_url(url, lit("HOST")))
+    val path = regexp_replace(parse_url(url, lit("PATH")), "/$", "")
+    docs.select(col("doc_id"), concat(host, path).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_pages"), min(col("doc_id")).as("first_doc"))
+      .orderBy("canonical_url")
+  }
+
+  val urlDedupOracle: String =
+    s"""WITH u AS (SELECT doc_id,
+       |    'https://Host' || (doc_id % 50) || '.Example.COM/path' ||
+       |    (doc_id % 20) || '/?utm_source=x&id=' || doc_id AS url
+       |  FROM documents),
+       |c AS (SELECT doc_id,
+       |    lower(regexp_extract(url, '://([^/]+)', 1)) ||
+       |    regexp_replace(regexp_extract(url, '://[^/]+([^?]*)', 1), '/$$', '')
+       |      AS canonical_url
+       |  FROM u)
+       |SELECT canonical_url, count(*) AS n_pages, min(doc_id) AS first_doc
+       |FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin
+
   val FpMod = 2147483647L
 
   /** Document fingerprint: left-fold polynomial rolling hash over the
