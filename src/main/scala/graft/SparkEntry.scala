@@ -846,6 +846,34 @@ object SparkEntry {
       (s, dir) => Advanced.rangeJoinPriceBands(T(s, dir, "orders"))
     },
 
+    // J4: interval-OVERLAP join (range-range).
+    q("j4_overlap_join", Advanced.overlapJoinOracle) {
+      (s, dir) => Advanced.overlapJoinPromos(T(s, dir, "orders"))
+    },
+
+    // SQL PIVOT syntax (the SQL twin of the DataFrame pivot).
+    q("sql_pivot",
+      """SELECT user_id,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+        |    AS purchase,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (s, dir) => {
+        T(s, dir, "events").createOrReplaceTempView("events")
+        // missing (user, type) combos pivot to NULL; the oracle's
+        // CASE-sum yields 0 — coalesce to align
+        s.sql("""SELECT user_id, coalesce(click, 0) AS click,
+                |  coalesce(purchase, 0) AS purchase,
+                |  coalesce(view, 0) AS view
+                |FROM (SELECT * FROM (SELECT user_id, event_type FROM events)
+                |      PIVOT (count(*) FOR event_type IN
+                |             ('click' AS click, 'purchase' AS purchase,
+                |              'view' AS view)))
+                |ORDER BY user_id""".stripMargin)
+      }
+    },
+
     // Correlated LATERAL subquery (per-customer ORDER BY + LIMIT).
     q("sql_lateral",
       """SELECT c_custkey, o_orderkey, o_totalprice

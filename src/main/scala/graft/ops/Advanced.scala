@@ -175,6 +175,47 @@ object Advanced {
        |GROUP BY band ORDER BY band""".stripMargin
   }
 
+  /** Promotion windows for [[overlapJoinPromos]]: (name, start, end)
+    * date literals, half-open [start, end).
+    */
+  val PromoWindows: Seq[(String, String, String)] = Seq(
+    ("w1_95h2", "1995-07-01", "1996-01-01"),
+    ("w2_96", "1996-01-01", "1997-01-01"),
+    ("w3_97q1", "1997-01-01", "1997-04-01"))
+
+  /** J4 interval-OVERLAP join (range-range, not point-range): each
+    * order's 90-day fulfilment interval joined to every promotion
+    * window it overlaps. Windows broadcast; the fact side streams.
+    * With two LARGE interval sets the scale plan is bin-overlap: emit
+    * one row per fixed-width bin an interval touches, equi-join on bin
+    * id, then re-check the exact overlap predicate.
+    */
+  def overlapJoinPromos(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val windows = PromoWindows.toDF("w_name", "w_start", "w_end")
+      .select(col("w_name"), col("w_start").cast("date").as("ws"),
+        col("w_end").cast("date").as("we"))
+    val d = col("o_orderdate").cast("date")
+    orders.select(col("o_orderkey"), d.as("o_start"),
+        date_add(d, 90).as("o_end"))
+      .join(broadcast(windows),
+        col("o_start") < col("we") && col("ws") <= col("o_end"))
+      .groupBy("w_name")
+      .agg(count(lit(1)).as("n_overlapping"))
+      .orderBy("w_name")
+  }
+
+  def overlapJoinOracle: String = {
+    val vals = PromoWindows.map { case (n, s, e) =>
+      s"('$n', DATE '$s', DATE '$e')"
+    }.mkString(", ")
+    s"""SELECT w_name, count(*) AS n_overlapping
+       |FROM orders JOIN (VALUES $vals) AS w(w_name, ws, we)
+       |  ON o_orderdate::DATE < we AND ws <= o_orderdate::DATE + 90
+       |GROUP BY w_name ORDER BY w_name""".stripMargin
+  }
+
   /** Correlated LATERAL subquery through the SQL surface: the top-2
     * orders per customer for a deterministic customer subset. Catalyst
     * decorrelates the per-row ORDER BY + LIMIT into a ranked window —
