@@ -135,6 +135,46 @@ case class MinHashSignature(child: Expression, ab: Seq[(Long, Long)], mod: Long)
     copy(child = newChild)
 }
 
+/** First 60 bits of md5(input) as a non-negative long — bit-identical
+  * to `conv(substring(md5(x), 1, 15), 16, 10)` (15 hex chars = the
+  * first 7.5 digest bytes, big-endian) but without materializing the
+  * hex string, substring, or base-16 parse per row. This hash is the
+  * cross-engine contract shared with the DuckDB oracles
+  * (`('0x' || substr(md5(x),1,15))::BIGINT`), so the digest itself
+  * must stay md5.
+  */
+case class Md5Prefix60(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    Md5Prefix60.fromBytes(bytes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Md5Prefix60.fromBytes($c.getBytes());")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Prefix60 =
+    copy(child = newChild)
+}
+
+object Md5Prefix60 {
+  /** 60-bit big-endian prefix of the md5 digest: 7 full bytes plus
+    * the high nibble of byte 8 — exactly the value of the first 15
+    * hex characters parsed base-16.
+    */
+  def fromBytes(bytes: Array[Byte]): Long = {
+    val d = org.apache.commons.codec.digest.DigestUtils.md5(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+}
+
 object VectorFunctions {
   /** Codegen'd dot product of two ArrayType(DoubleType) columns. */
   def dot_product(a: Column, b: Column): Column =
@@ -147,4 +187,8 @@ object VectorFunctions {
   def minhash_signature(hs: Column, ab: Seq[(Long, Long)], mod: Long): Column =
     graftShims.toColumn(
       MinHashSignature(graftShims.toExpression(hs), ab, mod))
+
+  /** Codegen'd 60-bit md5 prefix of a string column. */
+  def md5_prefix60(c: Column): Column =
+    graftShims.toColumn(Md5Prefix60(graftShims.toExpression(c)))
 }

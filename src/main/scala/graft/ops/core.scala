@@ -45,9 +45,12 @@ object H {
     * DuckDB: first 15 hex chars of md5, parsed base-16.
     * DuckDB equivalent: `('0x' || substr(md5(s), 1, 15))::BIGINT`.
     * 15 hex chars = 60 bits, always fits signed int64 (ANSI-safe).
+    * Computed by the codegen'd [[graft.functions.Md5Prefix60]] —
+    * digest bytes straight to long, no hex-string round trip
+    * (bit-equality with the conv/substring form is spec-asserted).
     */
   def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    graft.functions.VectorFunctions.md5_prefix60(c.cast("string"))
 
   /** SQL text of hash60 for DuckDB oracles. */
   def duckHash60(sqlExpr: String): String =

@@ -190,6 +190,22 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("Md5Prefix60 equals the conv/substring md5 formulation bit-for-bit") {
+    val docs = T(spark, sf, "documents")
+    def old(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val texts = docs.select(
+      (old(col("text")) =!= H.hash60(col("text"))).as("d"))
+    assert(texts.filter(col("d")).count() == 0)
+    val toks = docs.select(explode(split(col("text"), " ")).as("w"))
+      .select((old(col("w")) =!= H.hash60(col("w"))).as("d"))
+    assert(toks.filter(col("d")).count() == 0)
+    // empty string too
+    val empty = spark.sql("SELECT '' AS s")
+      .select(old(col("s")).as("a"), H.hash60(col("s")).as("b")).collect()(0)
+    assert(empty.getLong(0) == empty.getLong(1))
+  }
+
   test("df.stat sketches: bloom filter and count-min behave as sketches") {
     val li = T(spark, sf, "lineitem")
     val bf = li.stat.bloomFilter("l_orderkey", 10000, 0.03)
