@@ -1099,6 +1099,11 @@ object SparkEntry {
       (s, dir) => Functions.bitwiseFunctions(T(s, dir, "lineitem"))
     },
 
+    // End-to-end quality-filter gate (lang + quality + repetition).
+    q("ns_quality_filter", Analysis.qualityFilterOracle) {
+      (s, dir) => Analysis.qualityFilterSummary(T(s, dir, "documents"))
+    },
+
     // URL canonicalization dedup over planted crawl-style URLs.
     q("ns_url_dedup", Analysis.urlDedupOracle) {
       (s, dir) => Analysis.urlDedup(T(s, dir, "documents"))

@@ -333,6 +333,37 @@ object Analysis {
        |  len(regexp_extract_all(planted, '$PhoneRe'))::INT AS n_phones
        |FROM p ORDER BY doc_id""".stripMargin
 
+  /** End-to-end quality-filter decision (the C4/Gopher-style keep/drop
+    * gate): combine the language profile, quality score, and
+    * repetition signals into one keep decision and report counts per
+    * (predicted lang, keep). Every signal is row-local, so the only
+    * shuffles are the doc_id joins of three map-side frames and the
+    * tiny final aggregate.
+    */
+  def qualityFilterSummary(docs: DataFrame): DataFrame = {
+    val q = qualityScore(docs).select(col("doc_id"), col("quality"))
+    val r = repetitionScore(docs).select(col("doc_id"), col("repetition"))
+    val l = langProfile(docs).select(col("doc_id"), col("pred"))
+    q.join(r, "doc_id").join(l, "doc_id")
+      .select(col("pred"),
+        (col("quality") > 0.5 && col("repetition") < 0.05).as("keep"))
+      .groupBy("pred", "keep")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("pred", "keep")
+  }
+
+  def qualityFilterOracle: String = {
+    def strip(sql: String) = sql.replaceAll("ORDER BY [^|]*$", "")
+    s"""WITH q AS (${strip(qualityScoreOracle)}),
+       |r AS (${strip(repetitionScoreOracle)}),
+       |l AS (${strip(langProfileOracle)})
+       |SELECT l.pred,
+       |  (q.quality > 0.5 AND r.repetition < 0.05) AS keep,
+       |  count(*) AS n
+       |FROM q JOIN r USING (doc_id) JOIN l USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** URL canonicalization dedup (the C4-style crawl-dedup step):
     * plant a messy URL per doc (mixed-case host, tracking query,
     * trailing slash), canonicalize with `parse_url` (lowercased host +
