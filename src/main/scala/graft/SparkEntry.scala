@@ -1012,6 +1012,29 @@ object SparkEntry {
       }
     },
 
+    // Modern SQL sugar: GROUP BY ALL / ORDER BY ALL.
+    q("sql_group_by_all",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin) {
+      (s, dir) => {
+        T(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n
+                |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin)
+      }
+    },
+
+    // F10: struct -> JSON serialization (compact, key-ordered).
+    q("f10_to_json",
+      """SELECT event_id,
+        |  to_json(struct_pack(id := event_id, typ := event_type))
+        |    AS j
+        |FROM events ORDER BY event_id""".stripMargin) {
+      (s, dir) => T(s, dir, "events").select(col("event_id"),
+          to_json(struct(col("event_id").as("id"),
+            col("event_type").as("typ"))).as("j"))
+        .orderBy("event_id")
+    },
+
     // df.stat surface: contingency table (crosstab).
     q("g3_crosstab", Relational.crosstabOracle) {
       (s, dir) => Relational.crosstabStatusPriority(T(s, dir, "orders"))
