@@ -97,6 +97,22 @@ class StreamingSpec extends SparkSpec {
       "no duplicated events after restart")
   }
 
+  test("Trigger.AvailableNow drains the full source then stops on its own") {
+    val stage = java.nio.file.Files.createTempDirectory("graft_an_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_an_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_an_ckpt").toString
+    val events = batchEvents.withColumn("ts", col("ts").cast("timestamp"))
+    events.repartition(4).write.mode("overwrite").parquet(stage)
+    val q = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow query must self-stop")
+    assert(spark.read.parquet(out).count() == events.count())
+  }
+
   test("dropDuplicatesWithinWatermark removes a replayed micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
