@@ -339,15 +339,19 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val neighborMin = edges
+      // one union + one min-groupBy per round: each node's own label
+      // row (tagged with prev) unions with its neighbors' label
+      // contributions; min collapses both, and max(prev) recovers the
+      // unique non-null previous label — no second join
+      val own = labels.select(col("id"), col("label"),
+        col("label").as("prev"))
+      val fromNeighbors = edges
         .join(labels, edges("id_b") === labels("id"))
-        .groupBy(edges("id_a").as("id"))
-        .agg(min(col("label")).as("nmin"))
-      // carry the previous label through the checkpoint so convergence
-      // is a filter over the materialized frame, not another join
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), col("label").as("prev"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .select(edges("id_a").as("id"), col("label"),
+          lit(null).cast("long").as("prev"))
+      val next = own.unionByName(fromNeighbors)
+        .groupBy("id")
+        .agg(min(col("label")).as("label"), max(col("prev")).as("prev"))
         .localCheckpoint(true)
       converged = next.filter(col("label") =!= col("prev")).count() == 0
       labels = next.select(col("id"), col("label"))
