@@ -341,11 +341,42 @@ object Analysis {
     * tiny final aggregate.
     */
   def qualityFilterSummary(docs: DataFrame): DataFrame = {
-    val q = qualityScore(docs).select(col("doc_id"), col("quality"))
-    val r = repetitionScore(docs).select(col("doc_id"), col("repetition"))
-    val l = langProfile(docs).select(col("doc_id"), col("pred"))
-    q.join(r, "doc_id").join(l, "doc_id")
-      .select(col("pred"),
+    // every signal is row-local, so compute all three in ONE
+    // projection — no doc_id joins at all; the oracle's CTE-join
+    // formulation is value-identical because the signal expressions
+    // are shared with the standalone queries' oracles
+    val toks = split(col("text"), " ")
+    val n = size(toks).cast("double")
+    val ttr = size(array_distinct(toks)).cast("double") / n
+    val meanLen = aggregate(toks, lit(0L),
+      (acc, w) => acc + length(w)).cast("double") / n
+    val lenSat = least(n / lit(100.0), lit(1.0))
+    val quality = ttr * lit(0.5) + lenSat * lit(0.3) +
+      least(meanLen / lit(10.0), lit(1.0)) * lit(0.2)
+
+    val sortedBigrams = array_sort(Dedup.shingles(toks, 2))
+    val best = aggregate(
+      sortedBigrams,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, b) => {
+        val run = when(b === acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(b.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val repetition = best.cast("double") / (size(toks) - 1).cast("double")
+
+    val ratios = Profiles.map { case (name, words) =>
+      (size(filter(toks, w => w.isInCollection(words))).cast("double") / n)
+        .as(s"r_$name")
+    }
+    docs.filter(size(toks) >= 2)
+      .select((Seq(quality.as("quality"), repetition.as("repetition")) ++
+        ratios): _*)
+      .select(
+        when(col("r_en") >= col("r_db") && col("r_en") >= col("r_st"), "en")
+          .when(col("r_db") >= col("r_st"), "db").otherwise("st").as("pred"),
         (col("quality") > 0.5 && col("repetition") < 0.05).as("keep"))
       .groupBy("pred", "keep")
       .agg(count(lit(1)).as("n"))
