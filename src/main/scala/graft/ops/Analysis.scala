@@ -344,8 +344,16 @@ object Analysis {
     // every signal is row-local, so compute all three in ONE
     // projection — no doc_id joins at all; the oracle's CTE-join
     // formulation is value-identical because the signal expressions
-    // are shared with the standalone queries' oracles
-    val toks = split(col("text"), " ")
+    // are shared with the standalone queries' oracles.
+    // The token array is projected FIRST: referencing the aliased
+    // column keeps CollapseProject from re-inlining the split into
+    // every one of the ~10 signal expressions (the split is the
+    // expensive part — re-evaluating it per signal multiplied the
+    // row cost ~10x)
+    val tokenized = docs
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val toks = col("toks")
     val n = size(toks).cast("double")
     val ttr = size(array_distinct(toks)).cast("double") / n
     val meanLen = aggregate(toks, lit(0L),
@@ -371,7 +379,7 @@ object Analysis {
       (size(filter(toks, w => w.isInCollection(words))).cast("double") / n)
         .as(s"r_$name")
     }
-    docs.filter(size(toks) >= 2)
+    tokenized
       .select((Seq(quality.as("quality"), repetition.as("repetition")) ++
         ratios): _*)
       .select(
