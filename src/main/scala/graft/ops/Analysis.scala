@@ -220,7 +220,12 @@ object Analysis {
     * explode-shuffle of the corpus.
     */
   def repetitionScore(docs: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
+    // alias the token array first: inlined, every element_at inside
+    // the shingle lambda would re-split the text
+    val tokenized = docs
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val toks = col("toks")
     val bigrams = Dedup.shingles(toks, 2)
     // top bigram count = length of the longest run in the SORTED
     // bigram array, computed with a fold: (prev, run, best)
@@ -235,7 +240,7 @@ object Analysis {
           greatest(acc.getField("best"), run).as("best"))
       },
       acc => acc.getField("best"))
-    docs.filter(size(toks) >= 2)
+    tokenized
       .select(col("doc_id"),
         (size(toks) - 1).cast("long").as("n_bigrams"),
         best.as("top_bigram_n"),
