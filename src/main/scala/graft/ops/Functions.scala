@@ -99,8 +99,9 @@ object Functions {
     * distinct-sort-slice-join.
     */
   def arrayFunctions(docs: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
-    docs.select(col("doc_id"),
+    val toks = col("toks")
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
         size(toks).as("n_toks"),
         array_contains(toks, "the").as("has_the"),
         array_join(slice(array_sort(array_distinct(toks)), 1, 3), "-")
@@ -189,8 +190,11 @@ object Functions {
     * transform+aggregate / zip_with in one projection.
     */
   def higherOrderFunctions(docs: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
-    docs.select(col("doc_id"),
+    // project the split once — unaliased, CollapseProject would
+    // re-evaluate it inside all five signals
+    val toks = col("toks")
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
         size(filter(toks, w => length(w) > 4)).as("n_long"),
         exists(toks, w => w === "sort").as("has_sort"),
         forall(toks, w => length(w) < 10).as("all_short"),
