@@ -605,9 +605,15 @@ object SparkEntry {
         T(s, dir, "region"))
     },
 
-    // Approximate aggregates: engine-specific sketches, no cross-engine
-    // oracle (driver rows-only check; spec bounds vs exact).
-    qNoOracle("g3_approx_stats") {
+    // Approximate aggregates: exact companions hash-checked; the
+    // sketch columns fold to within-bounds booleans that oracle as
+    // constant TRUE (out-of-bounds sketch => hash mismatch).
+    q("g3_approx_stats",
+      """SELECT count(DISTINCT l_partkey) AS exact_parts,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
+        |  true AS approx_parts_ok,
+        |  true AS approx_median_ok
+        |FROM lineitem""".stripMargin) {
       (s, dir) => Advanced.approxStats(T(s, dir, "lineitem"))
     },
 
@@ -688,6 +694,12 @@ object SparkEntry {
       (s, dir) => Dedup.simhashProbePairs(T(s, dir, "documents"))
     },
 
+    // Corpus-scale SimHash: 60-bit fingerprint, Manku-style block-split
+    // candidates, hamming <= 5 confirmation.
+    q("ns_dedup_simhash64", Dedup.simhashWideOracle) {
+      (s, dir) => Dedup.simhashWidePairs(T(s, dir, "documents"))
+    },
+
     // Two-stage salted aggregation (skew mitigation; unsalted oracle).
     q("g3_salted_agg",
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS total_qty,
@@ -720,6 +732,16 @@ object SparkEntry {
     // Hyperplane-LSH bucketed ANN (the scale path).
     q("ns_knn_lsh", Similarity.knnLshOracle(50, 3)) {
       (s, dir) => Similarity.knnLsh(T(s, dir, "embeddings"), 50, 3)
+    },
+
+    // Multi-probe LSH ANN: queries also probe flip-1-bit buckets.
+    q("ns_knn_lsh_probe", Similarity.knnLshProbeOracle(50, 3)) {
+      (s, dir) => Similarity.knnLshProbe(T(s, dir, "embeddings"), 50, 3)
+    },
+
+    // Recall@k of multi-probe LSH vs the exact brute-force ranking.
+    q("ns_knn_recall", Similarity.knnLshRecallOracle(50, 3)) {
+      (s, dir) => Similarity.knnLshRecall(T(s, dir, "embeddings"), 50, 3)
     },
 
     // Language/topic ID by stopword-profile ratios.

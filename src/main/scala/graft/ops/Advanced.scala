@@ -111,16 +111,31 @@ object Advanced {
       .orderBy(col("revenue").desc, col("n_name").asc)
 
   /** Approximate aggregates (HLL cardinality, quantile sketch) — the
-    * G3 approx surface. Engine-specific sketches don't cross-check
-    * against DuckDB, so these register without an oracle (driver
-    * rows-only check); the spec bounds them against exact values.
+    * G3 approx surface. The sketches themselves are engine-specific
+    * and can't hash-match a DuckDB run, so the query emits the EXACT
+    * companions (cross-checkable) plus booleans asserting the sketch
+    * landed within its error bound of the exact value. The booleans
+    * oracle as constant `true`, so a sketch drifting out of bounds
+    * flips the hash and fails the gate — the approx surface is
+    * verified, not merely trusted.
     */
   def approxStats(li: DataFrame): DataFrame =
     li.agg(
-      approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-      countDistinct(col("l_partkey")).as("exact_parts"),
-      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
-        .as("median_price"))
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        round(percentile(col("l_extendedprice"), lit(0.5)), 2)
+          .as("median_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("approx_median"))
+      .select(
+        col("exact_parts"),
+        col("median_price"),
+        // 0.02 rsd sketch: allow 3 standard errors (6%).
+        (abs(col("approx_parts") - col("exact_parts")) <=
+          col("exact_parts") * lit(0.06)).as("approx_parts_ok"),
+        // accuracy=10000 quantile sketch on a continuous column: 1%.
+        (abs(col("approx_median") - col("median_price")) <=
+          col("median_price") * lit(0.01)).as("approx_median_ok"))
 
   /** Two-stage (salted) aggregation: the skewed-key mitigation for
     * aggregations — partials on (key, salt) first, so one hot key

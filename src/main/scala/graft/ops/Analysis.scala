@@ -122,8 +122,15 @@ object Analysis {
     * idf = ln(N / df). The natural log can differ by an ulp between
     * libm implementations, so scores are rounded to 6dp and the
     * ranking runs on the ROUNDED score with a token tiebreak.
-    * Scale: two grouped aggregations (doc-term, term) + a broadcast
-    * of the vocab-sized df table — no all-pairs anything.
+    * Scale: two grouped aggregations (doc-term, term) + a join with
+    * the vocab-sized df table — no all-pairs anything. The df side is
+    * deliberately UNHINTED: it is broadcast-small at test scale and
+    * AQE will broadcast it from its runtime size, but a 100 TB
+    * corpus's vocabulary (noisy tokens included) can exceed the
+    * broadcast limit, and a forced broadcast() hint would OOM the
+    * driver there; leaving the choice to AQE is the scale-safe
+    * default. (The single-row n_docs count stays broadcast — a 1-row
+    * side is always safe.)
     */
   def tfidfTop3(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),
@@ -131,7 +138,7 @@ object Analysis {
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n_docs"))
-    val scored = tf.join(broadcast(df), "token")
+    val scored = tf.join(df, "token")
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("token"),
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
@@ -186,9 +193,12 @@ object Analysis {
       .select(col("p.a").as("a"), col("p.b").as("b"))
     val pairDf = pairs.groupBy("a", "b").agg(count(lit(1)).as("pair_df"))
       .filter(col("pair_df") >= minPairDocs)
+    // tokDf is vocab-sized: unhinted (AQE broadcasts it when its
+    // runtime size allows; see tfidfTop3's doc for why a forced
+    // broadcast() would be wrong at corpus scale)
     pairDf
-      .join(broadcast(tokDf.select(col("t").as("a"), col("df").as("df_a"))), "a")
-      .join(broadcast(tokDf.select(col("t").as("b"), col("df").as("df_b"))), "b")
+      .join(tokDf.select(col("t").as("a"), col("df").as("df_a")), "a")
+      .join(tokDf.select(col("t").as("b"), col("df").as("df_b")), "b")
       .crossJoin(broadcast(n))
       .select(col("a"), col("b"), col("pair_df"),
         round(log((col("pair_df") * col("n_docs")).cast("double") /

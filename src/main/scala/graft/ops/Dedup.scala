@@ -29,6 +29,20 @@ object Dedup {
 
   val VariantIdOffset = 1000000L
 
+  /** Iteration barrier for the label-propagation loop: cut the lineage
+    * so each round doesn't re-run the whole upstream pipeline.
+    * When the session has a checkpoint dir configured (cluster mode:
+    * point it at reliable storage with
+    * `sc.setCheckpointDir("hdfs://...")`), use a reliable
+    * `checkpoint()` that survives executor loss mid-iteration;
+    * otherwise fall back to `localCheckpoint` (local mode — no
+    * distributed-FS round trip).
+    */
+  private def iterCheckpoint(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(true)
+    else df.localCheckpoint(true)
+
   /** Corpus of (doc_id, toks) plus drop-first-token variants. */
   def corpusWithVariants(docs: DataFrame): DataFrame = {
     val base = docs
@@ -162,24 +176,39 @@ object Dedup {
 
   val SimhashBits = 16
 
-  /** 16-bit SimHash per doc over the token multiset: bit j is set when
-    * the majority of token hashes have bit j set. Near-dups land in the
-    * same bucket; pairs sharing a bucket are reported.
-    * At 100 TB: widen to 64 bits and join on hamming-ball probes
-    * (flip-1-bit expansion) instead of exact bucket equality.
+  /** (doc_id, simhash) buckets: bit j of the simhash is set when the
+    * majority of the doc's token hashes have bit j set (token
+    * MULTISET — repeated tokens vote repeatedly, the standard
+    * frequency weighting). One explode + one groupBy: map-side
+    * partial aggregation folds the per-token bit votes, so only
+    * `bits + 1` longs per doc cross the shuffle regardless of doc
+    * length.
     */
-  def simhashPairs(docs: DataFrame): DataFrame = {
+  private def simhashBuckets(docs: DataFrame, bits: Int): DataFrame = {
+    // 16-bit keeps the historical 30-bit base hash; the wide variant
+    // needs all 60 md5-prefix bits
+    val hashFn: Column => Column =
+      if (bits > 30) H.hash60 else H.hash30
     val tok = corpusWithVariants(docs)
       .select(col("doc_id"), explode(col("toks")).as("w"))
-      .select(col("doc_id"), H.hash30(col("w")).as("h"))
-    val bitSums = (0 until SimhashBits).map(j =>
+      .select(col("doc_id"), hashFn(col("w")).as("h"))
+    val bitSums = (0 until bits).map(j =>
       sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"s$j"))
     val agged = tok.groupBy("doc_id")
       .agg(count(lit(1)).as("n"), bitSums: _*)
-    val simhash = (0 until SimhashBits).map(j =>
+    val simhash = (0 until bits).map(j =>
         when(col(s"s$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
-    val buckets = agged.select(col("doc_id"), simhash.as("simhash"))
+    agged.select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  /** 16-bit SimHash per doc over the token multiset: near-dups land in
+    * the same bucket; pairs sharing a bucket are reported. The
+    * corpus-scale variant is [[simhashWidePairs]] (60 bits +
+    * block-split candidates).
+    */
+  def simhashPairs(docs: DataFrame): DataFrame = {
+    val buckets = simhashBuckets(docs, SimhashBits)
     // merge hint: both sides shuffle on simhash -> ReusedExchange
     // computes the bit-sum aggregation once (broadcast would redo it)
     buckets.as("a")
@@ -220,17 +249,7 @@ object Dedup {
     * via exactly one probe mask, so no distinct is needed).
     */
   def simhashProbePairs(docs: DataFrame): DataFrame = {
-    val tok = corpusWithVariants(docs)
-      .select(col("doc_id"), explode(col("toks")).as("w"))
-      .select(col("doc_id"), H.hash30(col("w")).as("h"))
-    val bitSums = (0 until SimhashBits).map(j =>
-      sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"s$j"))
-    val agged = tok.groupBy("doc_id")
-      .agg(count(lit(1)).as("n"), bitSums: _*)
-    val simhash = (0 until SimhashBits).map(j =>
-        when(col(s"s$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    val buckets = agged.select(col("doc_id"), simhash.as("simhash"))
+    val buckets = simhashBuckets(docs, SimhashBits)
     val probeMasks = array((lit(0L) +:
       (0 until SimhashBits).map(j => lit(1L << j))): _*)
     val probed = buckets.select(col("doc_id"), col("simhash"),
@@ -269,6 +288,81 @@ object Dedup {
        |  bit_count(xor(a.simhash, b.simhash))::INT AS hamming
        |FROM probed a JOIN buckets b
        |  ON a.pbucket = b.simhash AND a.doc_id < b.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ---- wide (corpus-scale) simhash: 60 bits + block-split candidates
+
+  /** 60 bits (the full md5-prefix hash) instead of 16: at corpus scale
+    * a 16-bit fingerprint has only 65k buckets, so unrelated docs
+    * collide constantly; 60 bits makes random collisions negligible.
+    */
+  val SimhashWideBits = 60
+  val SimhashWideBlocks = 4 // 4 x 15-bit blocks
+  val SimhashMaxHamming = 5
+
+  /** Corpus-scale SimHash near-dup pairs — the design from Manku,
+    * Jain & Das Sarma, "Detecting Near-Duplicates for Web Crawling"
+    * (WWW'07): a wide fingerprint is split into
+    * [[SimhashWideBlocks]] equal blocks, candidate pairs share at
+    * least one EXACT block (equi-join per block — never a hamming
+    * scan), and candidates are confirmed by `bit_count(xor) <=`
+    * [[SimhashMaxHamming]]. The pigeonhole guarantee: any pair within
+    * hamming `blocks - 1` (= 3) shares an untouched block and is
+    * found; pairs at hamming 4-5 are found when their flipped bits
+    * cluster (deterministic given the data).
+    *
+    * Scale posture: shuffle is O(docs x blocks) fixed-width longs;
+    * per-block buckets have 2^15 keys, so fan-out per bucket stays
+    * tiny; no probe-explosion (contrast the 17x fan-out of the
+    * flip-1-bit 16-bit variant).
+    */
+  def simhashWidePairs(docs: DataFrame): DataFrame = {
+    val w = SimhashWideBits / SimhashWideBlocks // 15
+    val buckets = simhashBuckets(docs, SimhashWideBits)
+    val blockKeys = array((0 until SimhashWideBlocks).map(b =>
+      shiftright(col("simhash"), b * w).bitwiseAND(lit((1L << w) - 1))): _*)
+    val blocks = buckets.select(col("doc_id"), col("simhash"),
+      posexplode(blockKeys).as(Seq("blk", "key")))
+    // merge hint: both sides shuffle on (blk, key) -> ReusedExchange
+    // derives the 60 bit-sums once
+    blocks.as("a")
+      .join(blocks.as("b").hint("merge"),
+        col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= SimhashMaxHamming)
+      .distinct() // a pair can share several blocks
+      .orderBy("id_a", "id_b")
+  }
+
+  /** DuckDB oracle for [[simhashWidePairs]], same constants. */
+  def simhashWideOracle: String = {
+    val w = SimhashWideBits / SimhashWideBlocks
+    val bitSums = (0 until SimhashWideBits)
+      .map(j => s"sum((h >> $j) & 1) AS s$j").mkString(", ")
+    val sim = (0 until SimhashWideBits)
+      .map(j => s"CASE WHEN s$j * 2 > n THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |corpus AS (
+       |  SELECT doc_id, toks FROM base WHERE len(toks) >= 3
+       |  UNION ALL
+       |  SELECT doc_id + $VariantIdOffset, toks[2:] FROM base WHERE len(toks) > 3),
+       |tok AS (SELECT doc_id, ${H.duckHash60("t.w")} AS h
+       |        FROM corpus, unnest(toks) AS t(w)),
+       |agged AS (SELECT doc_id, count(*) AS n, $bitSums FROM tok GROUP BY doc_id),
+       |buckets AS (SELECT doc_id, ($sim)::BIGINT AS simhash FROM agged),
+       |blocks AS (SELECT doc_id, simhash, t.b AS blk,
+       |             (simhash >> (t.b * $w)) & ${(1L << w) - 1} AS key
+       |           FROM buckets, unnest(range(0, $SimhashWideBlocks)) AS t(b))
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+       |FROM blocks a JOIN blocks b
+       |  ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxHamming
        |ORDER BY id_a, id_b""".stripMargin
   }
 
@@ -325,17 +419,15 @@ object Dedup {
     // materialize the edge list ONCE: every iteration joins against it,
     // and without the checkpoint the whole LSH pipeline would re-run
     // per round
-    val edges = pairs
-      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .localCheckpoint(true)
+    val edges = iterCheckpoint(pairs
+      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))))
     // round 1 fused into initialization: from identity labels, the
     // first propagation is just min(id, min direct neighbor) — one
     // aggregation over the edge list instead of an identity
     // checkpoint + join + re-checkpoint
-    var labels = edges.groupBy(col("id_a").as("id"))
+    var labels = iterCheckpoint(edges.groupBy(col("id_a").as("id"))
       .agg(min(col("id_b")).as("nmin"))
-      .select(col("id"), least(col("id"), col("nmin")).as("label"))
-      .localCheckpoint(true)
+      .select(col("id"), least(col("id"), col("nmin")).as("label")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -349,10 +441,9 @@ object Dedup {
         .join(labels, edges("id_b") === labels("id"))
         .select(edges("id_a").as("id"), col("label"),
           lit(null).cast("long").as("prev"))
-      val next = own.unionByName(fromNeighbors)
+      val next = iterCheckpoint(own.unionByName(fromNeighbors)
         .groupBy("id")
-        .agg(min(col("label")).as("label"), max(col("prev")).as("prev"))
-        .localCheckpoint(true)
+        .agg(min(col("label")).as("label"), max(col("prev")).as("prev")))
       converged = next.filter(col("label") =!= col("prev")).count() == 0
       labels = next.select(col("id"), col("label"))
       iter += 1
@@ -411,16 +502,34 @@ object Dedup {
 
   // ------------------------------------------------------ exact jaccard
 
+  /** Document-frequency cap for the shared-shingle join: a shingle
+    * present in more than this many documents is boilerplate (a
+    * header, a license block, a common phrase) — it fans the self-join
+    * out quadratically on one key while carrying no discriminative
+    * signal. Dropped from the shingle universe BEFORE the join (and
+    * before the per-doc set sizes, so Jaccard stays exact over the
+    * retained universe). At 100 TB this cap is what keeps the hottest
+    * shingle from melting one executor.
+    */
+  val MaxShingleDf = 50
+
   /** Exact n-gram Jaccard near-dup pairs over a doc_id % 10 = 0 subset
     * (the variant offset is a multiple of 10, so variants of selected
     * docs are selected too). Candidates come from a shared-shingle
     * join — at scale, shuffle is O(total shingles), and the join fans
-    * out only where shingles are actually shared.
+    * out only where shingles are actually shared; [[MaxShingleDf]]
+    * bounds the worst per-shingle fan-out to df^2 pairs.
     */
-  def ngramJaccard(docs: DataFrame, minSim: Double = 0.5): DataFrame = {
+  def ngramJaccard(docs: DataFrame, minSim: Double = 0.5,
+      maxDf: Int = MaxShingleDf): DataFrame = {
     val sub = corpusWithVariants(docs).filter(col("doc_id") % 10 === 0)
-    val sh = sub
+    val shAll = sub
       .select(col("doc_id"), explode(array_distinct(shingles(col("toks"), 3))).as("sh"))
+    val hot = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("sh")
+    // anti join shuffles on sh — the same key the self-join needs, so
+    // the exchange is shared; no extra full pass over the corpus
+    val sh = shAll.join(hot, Seq("sh"), "left_anti")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b").hint("merge"),
@@ -437,17 +546,20 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  def ngramJaccardOracle(minSim: Double = 0.5): String =
+  def ngramJaccardOracle(minSim: Double = 0.5,
+      maxDf: Int = MaxShingleDf): String =
     s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |corpus AS (
        |  SELECT doc_id, toks FROM base WHERE len(toks) >= 3
        |  UNION ALL
        |  SELECT doc_id + $VariantIdOffset, toks[2:] FROM base WHERE len(toks) > 3),
        |sub AS (SELECT * FROM corpus WHERE doc_id % 10 = 0),
-       |sh AS (SELECT doc_id, unnest(list_distinct(
+       |sh0 AS (SELECT doc_id, unnest(list_distinct(
        |    list_transform(range(1, len(toks)-1),
        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
        |  FROM sub),
+       |hot AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > $maxDf),
+       |sh AS (SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)),
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id

@@ -169,6 +169,63 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  /** Multi-probe bucketed ANN: like [[knnLsh]], but each query also
+    * probes the buckets at Hamming distance 1 from its own (flip each
+    * plane bit) — the standard recall fix for sign-LSH, where a
+    * near-neighbor disagreeing on one hyperplane lands one bit away.
+    * Candidate volume grows ~(planes+1)x but stays O(n / 2^planes)
+    * per query; the corpus is never rescanned (the probe fan-out is
+    * on the tiny broadcast query side only, so the corpus-side plan
+    * is identical to single-probe).
+    */
+  def knnLshProbe(emb: DataFrame, nQueries: Int = 50, k: Int = 3): DataFrame = {
+    val all = emb
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", lshBucket(col("v")))
+      .withColumn("nrm", norm(col("v")))
+    val probeMasks = array((lit(0L) +:
+      (0 until Planes).map(p => lit(1L << p))): _*)
+    // buckets partition the corpus and probe targets are distinct, so
+    // each (query, neighbor) pair matches via at most one probe — no
+    // dedup needed downstream
+    val queries = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"),
+        explode(transform(probeMasks, m => col("bucket").bitwiseXOR(m)))
+          .as("pbucket"))
+    val scored = broadcast(queries)
+      .join(all, col("pbucket") === col("bucket") &&
+        col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6)
+          .as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("neighbor_id"), col("cos_sim"))
+      .orderBy("query_id", "rn")
+  }
+
+  /** Recall@k of the multi-probe LSH search against the exact
+    * brute-force ranking, one row per query — the measurement that
+    * justifies shipping the approximate path. Both rankings use the
+    * same rounded-cosine + id tiebreak, so the recall is
+    * engine-reproducible.
+    */
+  def knnLshRecall(emb: DataFrame, nQueries: Int = 50, k: Int = 3): DataFrame = {
+    val exact = knnBruteForce(emb, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = knnLshProbe(emb, nQueries, k)
+      .select(col("query_id").as("aq"), col("neighbor_id").as("hit_id"))
+    exact.join(approx,
+        col("query_id") === col("aq") && col("neighbor_id") === col("hit_id"),
+        "left")
+      .groupBy("query_id")
+      .agg(round(count(col("hit_id")) / lit(k.toDouble), 4).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** LSH-bucketed embedding near-dup — the scale path for
     * [[embeddingNearDup]]: candidates only form inside a shared
     * hyperplane bucket (shuffle O(n), candidate sets O(n/2^planes)
@@ -360,4 +417,65 @@ object Similarity {
        |SELECT query_id, rn, neighbor_id, cos_sim FROM ranked WHERE rn <= $k
        |ORDER BY query_id, rn""".stripMargin
   }
+
+  /** Shared CTE prefix for the multi-probe oracles: bucketed corpus +
+    * probe-expanded queries + the ranked candidate stream.
+    */
+  private def probeRankedCtes(nQueries: Int): String = {
+    def dotPlane(p: Int): String =
+      s"""list_sum(list_transform(range(1, 65), d -> v[d] *
+         |      ((${H.duckHash30(s"'p_${p}_' || d::VARCHAR")} * 2 - 1073741824)::DOUBLE
+         |        / 1073741824)))""".stripMargin
+    val bucket = (0 until Planes).map { p =>
+      s"CASE WHEN ${dotPlane(p)} > 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString(" + ")
+    s"""allv AS (SELECT vec_id,
+       |    list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |bucketed AS (SELECT vec_id, v, ($bucket)::BIGINT AS bucket FROM allv),
+       |q AS (SELECT vec_id AS query_id, v AS qv,
+       |    unnest([bucket, ${(0 until Planes)
+                .map(p => s"xor(bucket, ${1L << p})").mkString(", ")}])
+       |      AS pbucket
+       |  FROM bucketed WHERE vec_id < $nQueries),
+       |scored AS (SELECT query_id, vec_id AS neighbor_id,
+       |    round(
+       |      list_sum(list_transform(range(1, 65), i -> qv[i] * v[i])) /
+       |      (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i]))) *
+       |       sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))),
+       |      6) AS cos_sim
+       |  FROM q JOIN bucketed ON pbucket = bucket AND query_id <> vec_id),
+       |ranked AS (SELECT query_id, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+       |  FROM scored)""".stripMargin
+  }
+
+  def knnLshProbeOracle(nQueries: Int = 50, k: Int = 3): String =
+    s"""WITH ${probeRankedCtes(nQueries)}
+       |SELECT query_id, rn, neighbor_id, cos_sim FROM ranked WHERE rn <= $k
+       |ORDER BY query_id, rn""".stripMargin
+
+  def knnLshRecallOracle(nQueries: Int = 50, k: Int = 3): String =
+    s"""WITH ${probeRankedCtes(nQueries)},
+       |probe_topk AS (SELECT query_id, neighbor_id FROM ranked WHERE rn <= $k),
+       |exact_scored AS (SELECT a.query_id, vec_id AS neighbor_id,
+       |    round(
+       |      list_sum(list_transform(range(1, 65), i -> qv[i] * v[i])) /
+       |      (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i]))) *
+       |       sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))),
+       |      6) AS cos_sim
+       |  FROM (SELECT vec_id AS query_id, v AS qv FROM allv
+       |        WHERE vec_id < $nQueries) a
+       |  JOIN allv ON query_id <> vec_id),
+       |exact_topk AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+       |    FROM exact_scored) WHERE rn <= $k)
+       |SELECT e.query_id,
+       |  round(count(p.neighbor_id) / $k.0, 4) AS recall
+       |FROM exact_topk e LEFT JOIN probe_topk p
+       |  ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
 }

@@ -76,10 +76,12 @@ class OpsSpec extends SparkSpec {
 
   test("approx aggregates land within tolerance of exact") {
     val r = Advanced.approxStats(T(spark, sf, "lineitem")).collect()(0)
-    val approx = r.getAs[Long]("approx_parts").toDouble
-    val exact = r.getAs[Long]("exact_parts").toDouble
-    assert(math.abs(approx - exact) / exact < 0.05,
-      s"approx $approx vs exact $exact")
+    // the query itself folds the sketch-vs-exact comparison into
+    // booleans (so the oracle can hash-check them); a false here means
+    // a sketch drifted out of its error bound
+    assert(r.getAs[Boolean]("approx_parts_ok"))
+    assert(r.getAs[Boolean]("approx_median_ok"))
+    assert(r.getAs[Long]("exact_parts") > 0)
     assert(r.getAs[Double]("median_price") > 0)
   }
 

@@ -84,6 +84,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("HashAggregate"), p.take(3000))
   }
 
+  test("vocab-sized TF-IDF/PMI sides are not force-broadcast (AQE decides)") {
+    // with the broadcast threshold disabled, an unhinted vocab join
+    // must fall back to a shuffle join — a forced broadcast() hint
+    // would pin BroadcastHashJoin regardless and OOM the driver on a
+    // 100 TB corpus's vocabulary
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "-1")
+    try {
+      val p1 = plan("ns_tfidf")
+      assert(!p1.contains("BroadcastHashJoin"), p1.take(3000))
+      assert(p1.contains("SortMergeJoin"), p1.take(3000))
+      val p2 = plan("ns_pmi_pairs")
+      assert(!p2.contains("BroadcastHashJoin"), p2.take(3000))
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("every registered query plans cleanly with zero CartesianProducts") {
     // blanket guard: all pair generation must stay broadcast or
     // bucketed — an unconstrained cross product anywhere is the 100 TB

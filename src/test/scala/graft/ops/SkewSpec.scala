@@ -37,4 +37,24 @@ class SkewSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("df-cap bounds the hot-shingle fan-out in exact Jaccard") {
+    import spark.implicits._
+    // 60 docs (ids multiples of 10, so the % 10 subset keeps them) all
+    // sharing one boilerplate 3-gram; every other shingle is unique to
+    // its doc+variant
+    val docs = (1 to 60).map(i => (i * 10L, s"boiler plate common u$i v$i"))
+      .toDF("doc_id", "text")
+    // uncapped: the shared shingle alone fans out to C(60,2) = 1770
+    // cross-doc candidate pairs, plus 60 base-variant pairs — the
+    // quadratic hot-key blowup a 100 TB corpus would hit on any
+    // boilerplate n-gram
+    val uncapped = Dedup.ngramJaccard(docs, 0.0, maxDf = 1000000).count()
+    assert(uncapped == 1830L, s"uncapped=$uncapped")
+    // capped at df <= 50: the df=60 boilerplate shingle is dropped
+    // BEFORE the self-join; only the base-variant pairs (via their
+    // df=2 shingles) remain
+    val capped = Dedup.ngramJaccard(docs, 0.0, maxDf = 50).count()
+    assert(capped == 60L, s"capped=$capped")
+  }
 }
