@@ -512,6 +512,21 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
     },
 
+    // Streaming, actually streamed: Trigger.AvailableNow drains the
+    // events parquet as a stream; result must equal the batch
+    // aggregation (same oracle SQL as st_hourly_window).
+    q("st_available_now",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S.%f')
+        |    AS window_start, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS mass
+        |FROM events GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin) {
+      (s, dir) => graft.streaming.EventStreams.availableNowHourly(s, dir)
+        .select(tsStr(col("window_start")).as("window_start"),
+          col("event_type"), col("n"), col("mass"))
+        .orderBy("window_start", "event_type")
+    },
+
     // Streaming (batch form): sliding 1-hour/30-min windows.
     q("st_sliding_window",
       """WITH w AS (SELECT unnest([
@@ -838,6 +853,14 @@ object SparkEntry {
         |    AS feat_mean
         |FROM documents ORDER BY doc_id""".stripMargin) {
       (s, dir) => Multimodal.decodeFeaturesQuery(s, T(s, dir, "documents"))
+    },
+
+    // Multimodal -> ANN loop: binary payloads through the batched
+    // embedding stub, then IVF top-k over the derived vectors.
+    q("ns_media_knn",
+      Similarity.knnIvfOracleFrom(Multimodal.mediaEmbeddingCte, 50, 3, 2)) {
+      (s, dir) => Similarity.knnIvf(
+        Multimodal.mediaEmbeddings(s, T(s, dir, "documents")), 50, 3, 2)
     },
 
     // Streaming (batch form): 30-minute-gap session windows per user.

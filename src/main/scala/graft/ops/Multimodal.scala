@@ -130,4 +130,53 @@ object Multimodal {
       .toDF()
       .select(col("doc_id"), col("n_bytes"), round(col("feat_mean"), 6).as("feat_mean"))
       .orderBy("doc_id")
+
+  val EmbeddingDim = 64
+
+  case class MediaEmbedding(vec_id: Long, embedding: Array[Double])
+
+  /** The binary -> embedding leg of the multimodal loop: a
+    * [[EmbeddingDim]]-dim vector per payload, produced in the same
+    * batched per-partition shape as [[decodeFeatures]] (this is where
+    * a real image/audio encoder would run; the STUB feature for dim d
+    * is the mean of the payload bytes at positions ≡ d mod 64 —
+    * deterministic and SQL-expressible, so the whole loop stays
+    * oracle-checked). Output matches the `embeddings` table contract
+    * (`vec_id`, `embedding`), so it feeds [[Similarity.knnIvf]]
+    * et al. unchanged — the payload bytes never leave the executors.
+    */
+  def mediaEmbeddings(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    mediaTable(docs)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            val emb = Array.tabulate(EmbeddingDim) { d =>
+              // ascending-position accumulation == the oracle's
+              // list_avg fold order (bit-stable double parity)
+              var s = 0.0; var n = 0; var p = d
+              while (p < bytes.length) { s += (bytes(p) & 0xff); n += 1; p += EmbeddingDim }
+              if (n == 0) 0.0 else s / n
+            }
+            MediaEmbedding(id, emb)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** DuckDB CTE producing [[mediaEmbeddings]]'s vectors from
+    * `documents` (payloads are ASCII, so `ascii(substr(...))` equals
+    * the payload byte). Shaped for [[Similarity.knnIvfOracleFrom]].
+    */
+  val mediaEmbeddingCte: String =
+    s"""allv AS (SELECT doc_id AS vec_id,
+       |    list_transform(range(0, $EmbeddingDim), d ->
+       |      coalesce(list_avg(list_transform(
+       |        list_filter(range(1, length(text) + 1),
+       |          p -> (p - 1) % $EmbeddingDim = d),
+       |        p -> ascii(substr(text, p::INT, 1)))), 0.0)) AS v
+       |  FROM documents)""".stripMargin
 }

@@ -352,9 +352,18 @@ object Similarity {
   }
 
   def knnIvfOracle(nQueries: Int = 50, k: Int = 3, nprobe: Int = 2): String =
-    s"""WITH allv AS (SELECT vec_id,
-       |    list_transform(embedding, x -> x::DOUBLE) AS v
-       |  FROM embeddings),
+    knnIvfOracleFrom(
+      s"""allv AS (SELECT vec_id,
+         |    list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings)""".stripMargin, nQueries, k, nprobe)
+
+  /** [[knnIvfOracle]] over any `allv(vec_id, v)` CTE — lets the same
+    * IVF search oracle run over derived vectors (e.g. the multimodal
+    * [[Multimodal.mediaEmbeddingCte]]), not just the embeddings table.
+    */
+  def knnIvfOracleFrom(allvCte: String, nQueries: Int, k: Int,
+      nprobe: Int): String =
+    s"""WITH $allvCte,
        |cents AS (SELECT vec_id AS cid, v AS cv FROM allv
        |          WHERE vec_id % $CentroidStride = 0),
        |scored AS (SELECT vec_id, v, cid,

@@ -1,0 +1,142 @@
+package graft.planner
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Interactive one-step exploration — the CLI analogue of the
+  * reference's Flask browser (/root/reference/frame_tasks/serve.py:
+  * 110-147, serve_view_df.py:75-157): from a pool of source frames,
+  * repeatedly list the legal next actions ([[Planner.actions]]),
+  * apply the chosen one ([[Executor.callTask]]), and page through a
+  * stably-ordered preview of the newest frame. The steps taken
+  * serialize via [[PlanJson]] (the JSON replacement for the
+  * reference's URL query strings) and materialize through
+  * [[graft.sources.Sources.PlanCache]].
+  *
+  * The session is a plain value + pure transitions so the spec can
+  * drive it exactly as a user would; `main` wires it to stdin.
+  */
+object Browse {
+
+  final case class Session(
+      registry: TaskRegistry,
+      pool: Vector[DataFrame],
+      state: Planner.State,
+      path: Vector[Planner.Action])
+
+  def open(registry: TaskRegistry, sources: Seq[DataFrame]): Session =
+    Session(registry, sources.toVector,
+      Planner.initial(sources.toVector.map(_.columns.toVector)),
+      Vector.empty)
+
+  /** Legal next steps from the current pool. */
+  def actions(s: Session): Vector[Planner.Action] =
+    Planner.actions(s.registry, s.state)
+
+  /** One-line rendering of an action (the browser's link text). */
+  def describe(a: Planner.Action): String = {
+    val binds = a.bindings.toSeq.sortBy(_._1).map { case (arg, b) =>
+      s"$arg=#${b.frameIdx}(${b.cols.map(_.column).mkString(",")})"
+    }.mkString(" ")
+    s"${a.task.name} $binds -> ${a.outputs.map(_.mkString("[", ",", "]")).mkString(" ")}"
+  }
+
+  /** Apply action `idx` from [[actions]]; appends its output frames. */
+  def step(s: Session, idx: Int): Session = {
+    val a = actions(s)(idx)
+    Session(s.registry,
+      s.pool ++ Executor.callTask(s.pool, a),
+      Planner.apply(s.state, a),
+      s.path :+ a)
+  }
+
+  val PageSize = 30 // serve_view_df.py's PAGE_SIZE
+
+  /** Page `pageIdx` of the newest frame under a stable total order
+    * (all columns ascending) — row_number windowed like the O2
+    * pagination operator, so any page is addressable without a count.
+    */
+  def preview(s: Session, pageIdx: Int, pageSize: Int = PageSize): DataFrame = {
+    val df = s.pool.last
+    val order = df.columns.toSeq.map(c => col(s"`$c`").asc)
+    val w = Window.orderBy(order: _*)
+    df.select(row_number().over(w).as("__rn"), col("*"))
+      .filter(col("__rn") > pageSize * pageIdx &&
+        col("__rn") <= pageSize * (pageIdx + 1))
+      .drop("__rn")
+      .orderBy(order: _*)
+  }
+
+  /** One command against the session; returns the next session and
+    * the lines to print. Commands: `<n>` apply action n; `p <k>`
+    * page k of the newest frame; `plan` dump the steps as JSON;
+    * `cache <dir>` materialize the newest frame under its plan hash;
+    * anything else re-lists the state.
+    */
+  def command(s: Session, line: String): (Session, Seq[String]) =
+    line.trim.split("\\s+").toList match {
+      case n :: Nil if n.forall(_.isDigit) && n.nonEmpty =>
+        val acts = actions(s)
+        val i = n.toInt
+        if (i >= acts.length) (s, Seq(s"no action $i"))
+        else {
+          val next = step(s, i)
+          (next, Seq(s"applied: ${describe(acts(i))}") ++ listing(next))
+        }
+      case "p" :: k :: Nil =>
+        (s, preview(s, k.toInt).collect().map(_.toString).toSeq)
+      case "plan" :: Nil =>
+        (s, Seq(PlanJson.toJson(s.path)))
+      case "cache" :: dir :: Nil =>
+        val cached = graft.sources.Sources.PlanCache
+          .materialize(s.pool.last.sparkSession, s.pool.last, dir)
+        (s, Seq(s"cached ${cached.count()} rows under " +
+          graft.sources.Sources.PlanCache.planKey(s.pool.last)))
+      case _ => (s, listing(s))
+    }
+
+  /** The browser "page": pool summary + numbered next actions. */
+  def listing(s: Session): Seq[String] = {
+    val frames = s.pool.zipWithIndex.map { case (df, i) =>
+      s"frame #$i: (${df.columns.mkString(", ")})"
+    }
+    val acts = actions(s).zipWithIndex.map { case (a, i) =>
+      s"  [$i] ${describe(a)}"
+    }
+    frames ++ (s"next steps:" +: acts)
+  }
+
+  /** stdin/stdout driver: `runMain graft.Browse [sfDir]` starts from
+    * the documents table (or test2's literal frame with no args).
+    */
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val source = args.headOption match {
+      case Some(dir) => graft.ops.T(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      case None => Seq((0L, "sankho123 turjo sarkar456")).toDF("index", "name")
+    }
+    var s = open(Library.registry, Seq(source))
+    listing(s).foreach(println)
+    print("> "); Console.out.flush()
+    var line = scala.io.StdIn.readLine()
+    while (line != null && line.trim != "q") {
+      val (next, out) = command(s, line)
+      s = next
+      out.foreach(println)
+      print("> "); Console.out.flush()
+      line = scala.io.StdIn.readLine()
+    }
+    spark.stop()
+  }
+}

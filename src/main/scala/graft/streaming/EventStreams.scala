@@ -121,4 +121,43 @@ object EventStreams {
       .transformWithState(new RunningTotalsProcessor,
         TimeMode.None(), OutputMode.Update())
   }
+
+  /** End-to-end `Trigger.AvailableNow` run of [[hourlyTypeCounts]]
+    * over the events parquet READ AS A STREAM, drained to completion
+    * into a memory sink, returning the final table. This is the
+    * batch-stream equivalence contract: the result must equal the
+    * batch aggregation over the same files (the `st_available_now`
+    * oracle entry shares `st_hourly_window`'s SQL).
+    *
+    * Complete output mode, deliberately: with append mode the windows
+    * inside the final watermark horizon would never emit for a
+    * bounded input. The sink holds only the aggregated table
+    * (hours x event_types), not the event stream, so "memory" is
+    * safe at any corpus size.
+    */
+  def availableNowHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/events.parquet") // schema probe
+    // the table is a single parquet FILE: a plain file path makes the
+    // file stream source force basePath to the file (then reject it as
+    // "must be a directory"), so address it with a glob — glob paths
+    // keep basePath inference on the parent directory
+    val stream = spark.readStream.schema(raw.schema)
+      .parquet(s"$sfDir/events.parque[t]")
+    // same TIMESTAMP(NANOS) normalization as the batch loader
+    // graft.ops.T, except plain TIMESTAMP (not ntz): watermarks
+    // require it, and with the session TZ pinned to UTC the formatted
+    // wall-clock values are identical
+    val events =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else stream
+    val sink = "st_available_now_sink"
+    val query = hourlyTypeCounts(events).writeStream
+      .format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(sink)
+  }
 }
