@@ -863,6 +863,28 @@ object SparkEntry {
         Multimodal.mediaEmbeddings(s, T(s, dir, "documents")), 50, 3, 2)
     },
 
+    // Benchmark-contamination check: train/eval shared-shingle join
+    // with the df-cap bounding boilerplate fan-out.
+    q("ns_contamination", Pipeline.contaminationOracle()) {
+      (s, dir) => Pipeline.contamination(T(s, dir, "documents"))
+    },
+
+    // Sequence packing into 256-token bins, per source shard.
+    q("ns_seq_pack", Pipeline.seqPackOracle(256)) {
+      (s, dir) => Pipeline.seqPack(T(s, dir, "documents"), 256)
+    },
+
+    // Cross-corpus dedup: incoming batch vs reference corpus via
+    // MinHash band collisions (incoming x reference, not self-join).
+    q("ns_dedup_cross", Pipeline.crossDedupOracle(0.5)) {
+      (s, dir) => Pipeline.crossDedup(T(s, dir, "documents"), 0.5)
+    },
+
+    // Deterministic per-source (domain-mix) sampling summary.
+    q("ns_source_sample", Pipeline.sourceSampleOracle) {
+      (s, dir) => Pipeline.sourceSample(T(s, dir, "documents"))
+    },
+
     // Streaming (batch form): 30-minute-gap session windows per user.
     q("st_session_window",
       """WITH e AS (

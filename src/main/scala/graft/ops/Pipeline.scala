@@ -1,0 +1,227 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-production operators a large-scale training-data pipeline
+  * runs between "crawl" and "train": benchmark-contamination
+  * detection, sequence packing into token budgets, cross-corpus
+  * dedup of an incoming batch against a reference corpus, and
+  * deterministic per-source (domain-mix) sampling.
+  *
+  * Scale posture (100 TB):
+  *  - contamination + cross-dedup candidate generation is bucketed
+  *    (shared-shingle join / minhash band join), never all-pairs, with
+  *    the same df-cap as [[Dedup.ngramJaccard]] bounding hot keys;
+  *  - packing windows are partitioned per source shard — the global
+  *    order a single window would need does not exist at corpus
+  *    scale, and per-shard packing is what production pipelines do;
+  *  - sampling decisions are pure per-row md5 hash arithmetic
+  *    (map-only, reproducible across engines and runs — no RNG
+  *    state, no driver coordination).
+  */
+object Pipeline {
+
+  import Dedup.{MaxShingleDf, VariantIdOffset}
+
+  /** Train/eval n-gram contamination check. Eval set: every 25th doc.
+    * Training set: the drop-first-token variants of ALL docs (so the
+    * eval docs' variants are deliberate "leaks" that must be caught).
+    * A training doc is flagged when it shares any surviving 3-gram
+    * shingle with an eval doc; reported with how many eval docs it
+    * hits and the total shared-shingle count.
+    *
+    * Shingles with document frequency > `maxDf` are dropped before
+    * the join, exactly as in [[Dedup.ngramJaccard]]: boilerplate
+    * n-grams carry no contamination signal and are the quadratic hot
+    * keys at scale.
+    */
+  def contamination(docs: DataFrame, maxDf: Int = MaxShingleDf): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val eval_ = base.filter(col("doc_id") % 25 === 0)
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id").as("eval_id"), col("toks"))
+    val train = base.filter(size(col("toks")) > 3)
+      .select((col("doc_id") + VariantIdOffset).as("train_id"),
+        slice(col("toks"), lit(2), size(col("toks")) - 1).as("toks"))
+    def shingleRows(df: DataFrame, idCol: String) = df
+      .select(col(idCol),
+        explode(array_distinct(Dedup.shingles(col("toks"), 3))).as("sh"))
+    val evalSh = shingleRows(eval_, "eval_id")
+    val trainSh = shingleRows(train, "train_id")
+    val hot = trainSh.select("sh")
+      .unionAll(evalSh.select("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("sh")
+    trainSh.join(hot, Seq("sh"), "left_anti")
+      .join(evalSh.join(hot, Seq("sh"), "left_anti"), "sh")
+      .groupBy("train_id")
+      .agg(countDistinct(col("eval_id")).as("n_eval_docs"),
+        count(lit(1)).as("n_shared"))
+      .orderBy("train_id")
+  }
+
+  def contaminationOracle(maxDf: Int = MaxShingleDf): String =
+    s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |ev AS (SELECT doc_id AS eval_id, toks FROM base
+       |       WHERE doc_id % 25 = 0 AND len(toks) >= 3),
+       |tr AS (SELECT doc_id + $VariantIdOffset AS train_id, toks[2:] AS toks
+       |       FROM base WHERE len(toks) > 3),
+       |evsh AS (SELECT eval_id, unnest(list_distinct(
+       |    list_transform(range(1, len(toks)-1),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+       |  FROM ev),
+       |trsh AS (SELECT train_id, unnest(list_distinct(
+       |    list_transform(range(1, len(toks)-1),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+       |  FROM tr),
+       |hot AS (SELECT sh FROM (SELECT sh FROM trsh UNION ALL SELECT sh FROM evsh)
+       |        GROUP BY sh HAVING count(*) > $maxDf),
+       |t2 AS (SELECT * FROM trsh WHERE sh NOT IN (SELECT sh FROM hot)),
+       |e2 AS (SELECT * FROM evsh WHERE sh NOT IN (SELECT sh FROM hot))
+       |SELECT train_id, count(DISTINCT eval_id) AS n_eval_docs,
+       |  count(*) AS n_shared
+       |FROM t2 JOIN e2 USING (sh)
+       |GROUP BY train_id ORDER BY train_id""".stripMargin
+
+  /** Sequence packing: assign each document to a fixed token-budget
+    * bin, packing greedily in doc_id order WITHIN its source shard
+    * (bin = whole-doc placement by running token count). Per-shard
+    * windows, deliberately: a corpus has no global order to pack by,
+    * and one global window would serialize the job — per-source
+    * packing is both the scalable and the semantically right shape
+    * (training shards are built per domain slice).
+    */
+  def seqPack(docs: DataFrame, budget: Int = 256): DataFrame = {
+    val toks = docs.select(col("source"), col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_toks"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.withColumn("cum", sum("n_toks").over(w))
+      .select(col("source"), col("doc_id"), col("n_toks"),
+        expr(s"(cum - n_toks) div $budget").as("bin_id"),
+        (col("cum") - col("n_toks") - expr(s"(cum - n_toks) div $budget") * budget)
+          .as("bin_offset"))
+      .orderBy("source", "doc_id")
+  }
+
+  def seqPackOracle(budget: Int = 256): String =
+    s"""WITH t AS (SELECT source, doc_id,
+       |    len(string_split(text, ' '))::BIGINT AS n_toks FROM documents),
+       |c AS (SELECT source, doc_id, n_toks,
+       |    sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t)
+       |SELECT source, doc_id, n_toks,
+       |  (cum - n_toks) // $budget AS bin_id,
+       |  cum - n_toks - ((cum - n_toks) // $budget) * $budget AS bin_offset
+       |FROM c ORDER BY source, doc_id""".stripMargin
+
+  /** Cross-corpus dedup: an INCOMING batch (the drop-first-token
+    * variants) checked against a REFERENCE corpus (the originals) by
+    * MinHash-LSH band collision + signature-estimate confirmation —
+    * the "dedup the new crawl against what we already have" shape.
+    * Unlike the self-join of [[Dedup.minhashLsh]], the band join here
+    * is incoming x reference, so a daily batch only shuffles
+    * O(batch + touched reference buckets). One row per flagged
+    * incoming doc: how many reference docs it matched and its best
+    * similarity estimate.
+    */
+  def crossDedup(docs: DataFrame, minSim: Double = 0.5): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val reference = base.filter(size(col("toks")) >= 3)
+    val incoming = base.filter(size(col("toks")) > 3)
+      .select((col("doc_id") + VariantIdOffset).as("doc_id"),
+        slice(col("toks"), lit(2), size(col("toks")) - 1).as("toks"))
+    def bands(corpus: DataFrame) = {
+      val sigs = Dedup.signatures(corpus)
+      val bandKeys = transform(sequence(lit(0), lit(Dedup.Bands - 1)),
+        j => concat_ws("_",
+          element_at(col("sig"), j * 2 + 1), element_at(col("sig"), j * 2 + 2)))
+      sigs.select(col("doc_id"), col("sig"),
+        posexplode(bandKeys).as(Seq("band", "key")))
+    }
+    val est = aggregate(
+      zip_with(col("in.sig"), col("ref.sig"),
+        (u, v) => when(u === v, 1L).otherwise(0L)),
+      lit(0L), (acc, m) => acc + m) / lit(Dedup.MinhashAB.size.toDouble)
+    bands(incoming).as("in")
+      .join(bands(reference).as("ref").hint("merge"),
+        col("in.band") === col("ref.band") && col("in.key") === col("ref.key"))
+      .select(col("in.doc_id").as("incoming_id"),
+        col("ref.doc_id").as("ref_id"), est.as("est_sim"))
+      .filter(col("est_sim") >= minSim)
+      .distinct() // several bands can pair the same docs
+      .groupBy("incoming_id")
+      .agg(count(lit(1)).as("n_ref_matches"), max(col("est_sim")).as("best_sim"))
+      .orderBy("incoming_id")
+  }
+
+  def crossDedupOracle(minSim: Double = 0.5): String = {
+    val sigExprs = Dedup.MinhashAB.map { case (a, b) =>
+      s"list_min(list_transform(hs, x -> ($a*x + $b) % ${Dedup.MinhashMod}))"
+    }.mkString(",\n    ")
+    val bandKey = "sig[2*j+1]::VARCHAR || '_' || sig[2*j+2]::VARCHAR"
+    val nSig = Dedup.MinhashAB.size
+    s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |ref AS (SELECT doc_id, toks FROM base WHERE len(toks) >= 3),
+       |inc AS (SELECT doc_id + $VariantIdOffset AS doc_id, toks[2:] AS toks
+       |        FROM base WHERE len(toks) > 3),
+       |refh AS (SELECT doc_id, list_transform(
+       |    list_transform(range(1, len(toks)-1),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+       |    s -> ${H.duckHash30("s")}) AS hs FROM ref),
+       |inch AS (SELECT doc_id, list_transform(
+       |    list_transform(range(1, len(toks)-1),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+       |    s -> ${H.duckHash30("s")}) AS hs FROM inc),
+       |refsig AS (SELECT doc_id, [$sigExprs] AS sig FROM refh),
+       |incsig AS (SELECT doc_id, [$sigExprs] AS sig FROM inch),
+       |refb AS (SELECT doc_id, j, $bandKey AS key
+       |         FROM refsig, unnest(range(0, ${Dedup.Bands})) AS t(j)),
+       |incb AS (SELECT doc_id, j, $bandKey AS key
+       |         FROM incsig, unnest(range(0, ${Dedup.Bands})) AS t(j)),
+       |cand AS (SELECT DISTINCT i.doc_id AS incoming_id, r.doc_id AS ref_id
+       |         FROM incb i JOIN refb r ON i.j = r.j AND i.key = r.key),
+       |est AS (SELECT incoming_id, ref_id,
+       |          len(list_filter(range(1, ${nSig + 1}),
+       |            i -> x.sig[i] = y.sig[i])) / $nSig.0 AS est_sim
+       |        FROM cand JOIN incsig x ON incoming_id = x.doc_id
+       |                  JOIN refsig y ON ref_id = y.doc_id)
+       |SELECT incoming_id, count(*) AS n_ref_matches, max(est_sim) AS best_sim
+       |FROM est WHERE est_sim >= $minSim
+       |GROUP BY incoming_id ORDER BY incoming_id""".stripMargin
+  }
+
+  /** Deterministic per-source (domain-mix) sampling: each source
+    * shard gets a reproducible keep-rate derived from its name, and
+    * each doc a reproducible keep/drop from md5 hash arithmetic — the
+    * stateless, coordination-free way to hit a target domain mixture
+    * at any scale (re-running, or running on a different cluster,
+    * keeps exactly the same docs). Reports per-source totals.
+    */
+  def sourceSample(docs: DataFrame): DataFrame = {
+    val rate = ((H.hash60(col("source")) % 9 + 1).cast("double") / 10.0)
+    val keep = H.hash60(concat(col("source"), lit("|"),
+      col("doc_id").cast("string"))) % 10000 < rate * 10000
+    docs.select(col("source"), col("doc_id"), rate.as("rate"), keep.as("keep"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        first(col("rate")).as("rate"))
+      .orderBy("source")
+  }
+
+  def sourceSampleOracle: String = {
+    val rate = s"((${H.duckHash60("source")} % 9 + 1) / 10.0)"
+    val keep = s"(${H.duckHash60("source || '|' || doc_id::VARCHAR")} % 10000) < $rate * 10000"
+    s"""SELECT source, count(*) AS n_total,
+       |  sum(CASE WHEN $keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |  $rate AS rate
+       |FROM documents
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+}

@@ -79,6 +79,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"))
   }
 
+  test("wide-simhash block join reuses the bit-vote exchange at runtime (AQE)") {
+    val df = graft.SparkEntry.queries("ns_dedup_simhash64")(spark, sf)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"))
+  }
+
   test("unpivot stays map-only until the final presentation sort") {
     val p = plan("g3_unpivot")
     assert(!p.contains("HashAggregate"), p.take(3000))
