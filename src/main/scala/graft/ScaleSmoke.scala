@@ -52,11 +52,26 @@ object ScaleSmoke {
         i => conv(substring(md5(concat(col("id"), lit("_"), i)), 1, 8), 16, 10)))
         .as("text"))
     val (nPairs, tLsh) = time(ops.Dedup.minhashLsh(lshDocs, 0.5).count())
+    // wide simhash over the same synthetic distinct corpus: candidate
+    // generation is the 4x15-bit block join, so pair volume (and cost)
+    // must stay linear — only planted variants and rare block
+    // collisions survive
+    val (nSim64, tSim64) = time(ops.Dedup.simhashWidePairs(lshDocs).count())
+    // cross-corpus dedup: incoming (variants) vs reference (originals)
+    // band join — the daily-batch shape; linear in batch size
+    val (nCross, tCross) = time(ops.Pipeline.crossDedup(lshDocs, 0.5).count())
+    // packing is one partitioned window: linear, parallel per shard
+    val packDocs = big.withColumn("source",
+      concat(lit("src"), pmod(col("doc_id"), lit(64)).cast("string")))
+    val (nPack, tPack) = time(ops.Pipeline.seqPack(packDocs, 256).count())
     println(s"""{"multiplier":$mult,"docs":${big.count()},""" +
       s""""tokens":$nTokens,"tokenize_sec":$tTok,""" +
       s""""top90_rows":$nTop,"top90_sec":$tTop,""" +
       s""""dedup_groups":$nGroups,"dedup_sec":$tDedup,""" +
-      s""""lsh_docs":$nLshDocs,"lsh_pairs":$nPairs,"lsh_sec":$tLsh}""")
+      s""""lsh_docs":$nLshDocs,"lsh_pairs":$nPairs,"lsh_sec":$tLsh,""" +
+      s""""simhash64_pairs":$nSim64,"simhash64_sec":$tSim64,""" +
+      s""""cross_flagged":$nCross,"cross_sec":$tCross,""" +
+      s""""pack_rows":$nPack,"pack_sec":$tPack}""")
     spark.stop()
   }
 }

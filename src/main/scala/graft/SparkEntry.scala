@@ -885,6 +885,17 @@ object SparkEntry {
       (s, dir) => Pipeline.sourceSample(T(s, dir, "documents"))
     },
 
+    // Sub-document (chunk-level) dedup: fixed-token chunks hashed,
+    // first occurrence wins, dup chunks counted per doc.
+    q("ns_chunk_dedup", Dedup.chunkDedupOracle(32)) {
+      (s, dir) => Dedup.chunkDedup(T(s, dir, "documents"), 32)
+    },
+
+    // Per-source corpus profile: counts + token-length quantiles.
+    q("ns_corpus_stats", Analysis.corpusStatsOracle) {
+      (s, dir) => Analysis.corpusStats(T(s, dir, "documents"))
+    },
+
     // Streaming (batch form): 30-minute-gap session windows per user.
     q("st_session_window",
       """WITH e AS (

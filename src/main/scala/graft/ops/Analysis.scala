@@ -469,4 +469,30 @@ object Analysis {
        |    list_prepend(0, list_transform(toks, w -> ${H.duckHash30("w")})),
        |    (acc, h) -> (acc * 31 + h) % $FpMod) AS fingerprint
        |FROM t ORDER BY doc_id""".stripMargin
+
+  /** Per-source corpus profile: doc counts plus token-length quantiles
+    * (exact interpolated percentiles — both engines define the
+    * continuous quantile identically) and mean char length. The
+    * monitoring query every corpus build runs per shard; one grouped
+    * aggregation, map-side combinable except the exact percentiles,
+    * whose state is per-source and bounded by shard doc count (for a
+    * streaming-scale variant, swap in approx_percentile).
+    */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"),
+        col("n_chars"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(percentile(col("n_toks"), lit(0.5)), 2).as("p50_toks"),
+        round(percentile(col("n_toks"), lit(0.9)), 2).as("p90_toks"),
+        round(avg(col("n_chars")), 2).as("mean_chars"))
+      .orderBy("source")
+
+  def corpusStatsOracle: String =
+    """SELECT source, count(*) AS n_docs,
+      |  round(quantile_cont(len(string_split(text, ' ')), 0.5), 2) AS p50_toks,
+      |  round(quantile_cont(len(string_split(text, ' ')), 0.9), 2) AS p90_toks,
+      |  round(avg(n_chars), 2) AS mean_chars
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
 }

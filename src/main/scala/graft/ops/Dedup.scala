@@ -500,6 +500,60 @@ object Dedup {
        |  (SELECT count(*) FROM corpus WHERE doc_id NOT IN
        |     (SELECT doc_id FROM drops)) AS n_kept""".stripMargin
 
+  // ------------------------------------------------- chunk-level dedup
+
+  /** Sub-document dedup (the line/paragraph-level pass production
+    * pipelines run before document-level near-dup): documents split
+    * into fixed `chunkTokens`-token chunks, each chunk hashed, and
+    * every chunk that already occurred earlier in corpus order
+    * (smallest (doc_id, chunk_idx) wins) counted as a duplicate.
+    * Fixture: an exact copy of every doc at id + 1_000_000, so every
+    * copy's chunk is a dup of its original's.
+    *
+    * Scale posture: chunks shuffle once on their fixed-width md5 hash;
+    * the per-hash window ranks tiny groups (dup families), never the
+    * corpus. Reported per doc: total chunks and duplicated chunks —
+    * the scrub pass would drop chunks with rn > 1.
+    */
+  def chunkDedup(docs: DataFrame, chunkTokens: Int = 32): DataFrame = {
+    val both = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.select(
+        (col("doc_id") + VariantIdOffset).as("doc_id"), col("text")))
+    val chunks = both
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(toks)-1) div $chunkTokens), " +
+          s"i -> concat_ws(' ', slice(toks, i*$chunkTokens + 1, $chunkTokens)))"))
+        .as(Seq("chunk_idx", "chunk")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("chunk")))
+      .orderBy(col("doc_id").asc, col("chunk_idx").asc)
+    chunks
+      .withColumn("rn", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .orderBy("doc_id")
+  }
+
+  def chunkDedupOracle(chunkTokens: Int = 32): String =
+    s"""WITH both_docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $VariantIdOffset, text FROM documents),
+       |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM both_docs),
+       |chunks AS (SELECT doc_id, u.i AS chunk_idx,
+       |    array_to_string(toks[u.i*$chunkTokens + 1 : u.i*$chunkTokens + $chunkTokens], ' ')
+       |      AS chunk
+       |  FROM t, unnest(range(0, (len(toks)-1)//$chunkTokens + 1)) AS u(i)),
+       |ranked AS (SELECT doc_id, chunk_idx,
+       |    row_number() OVER (PARTITION BY md5(chunk)
+       |      ORDER BY doc_id, chunk_idx) AS rn
+       |  FROM chunks)
+       |SELECT doc_id, count(*) AS n_chunks,
+       |  sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks
+       |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------ exact jaccard
 
   /** Document-frequency cap for the shared-shingle join: a shingle
