@@ -90,5 +90,62 @@ object Sources {
       if (!done.exists()) df.write.mode("overwrite").parquet(target)
       spark.read.parquet(target)
     }
+
+    // ---- async submit-and-poll (the reference's Celery worker,
+    // serve.py:57-107, without the broker): submission returns the
+    // plan key immediately, materialization runs on a background
+    // thread in its own Spark job group, and pollers read the status
+    // until the cache turns Done. On a cluster this is the job
+    // server's role; the surface exists so the reference's
+    // "start task / poll result_id" flow has a runnable analogue.
+
+    sealed trait Status
+    case object Running extends Status
+    case class Done(rows: Long) extends Status
+    case class Failed(error: String) extends Status
+
+    private val jobs =
+      new java.util.concurrent.ConcurrentHashMap[String, Status]()
+
+    /** Submit df for materialization under its plan key; returns the
+      * key at once. Duplicate submissions of an in-flight or finished
+      * plan are no-ops (idempotent, like the reference's cache check
+      * before enqueueing, serve.py:61-66).
+      */
+    def submit(spark: SparkSession, df: DataFrame, cacheDir: String): String = {
+      val key = planKey(df)
+      val fresh = jobs.putIfAbsent(key, Running) == null
+      if (fresh) {
+        val t = new Thread(() => {
+          try {
+            spark.sparkContext.setJobGroup(s"graft-cache-$key",
+              s"async materialize $key", interruptOnCancel = true)
+            val cached = materialize(spark, df, cacheDir)
+            jobs.put(key, Done(cached.count()))
+          } catch {
+            case e: Throwable => jobs.put(key, Failed(String.valueOf(e.getMessage)))
+          } finally spark.sparkContext.clearJobGroup()
+        }, s"graft-async-$key")
+        t.setDaemon(true)
+        t.start()
+      }
+      key
+    }
+
+    /** Poll a submitted key: None = unknown key. */
+    def poll(key: String): Option[Status] = Option(jobs.get(key))
+
+    /** Blocking fetch of a finished materialization. */
+    def await(spark: SparkSession, key: String, cacheDir: String,
+        timeoutMs: Long = 120000): DataFrame = {
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      while (poll(key).contains(Running) && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      poll(key) match {
+        case Some(Done(_)) => spark.read.parquet(s"$cacheDir/$key")
+        case Some(Failed(e)) => throw new RuntimeException(s"job $key failed: $e")
+        case other => throw new RuntimeException(s"job $key not done: $other")
+      }
+    }
   }
 }

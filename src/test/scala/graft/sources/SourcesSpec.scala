@@ -108,4 +108,18 @@ class SourcesSpec extends SparkSpec {
       graft.ops.T(spark, sf, "documents").select("doc_id", "lang")) == k1)
     assert(Sources.PlanCache.planKey(docs.filter(col("doc_id") > 10)) != k1)
   }
+
+  test("async cache: submit returns at once, poll reaches Done, await reads") {
+    val cache = Files.createTempDirectory("graft_async").toString
+    val docs = graft.ops.T(spark, sf, "documents").select("doc_id", "source")
+    val key = Sources.PlanCache.submit(spark, docs, cache)
+    assert(Sources.PlanCache.poll(key).isDefined) // Running or already Done
+    val fetched = Sources.PlanCache.await(spark, key, cache)
+    assert(fetched.count() == docs.count())
+    assert(Sources.PlanCache.poll(key)
+      .contains(Sources.PlanCache.Done(docs.count())))
+    // resubmission of a finished plan is an idempotent no-op
+    assert(Sources.PlanCache.submit(spark, docs, cache) == key)
+    assert(Sources.PlanCache.poll("nope").isEmpty)
+  }
 }
