@@ -29,6 +29,20 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Analysis.chunkDocuments(oneDoc).count() >= 1)
   }
 
+  test("corpus-production ops on empty and single-doc corpora") {
+    assert(Pipeline.contamination(emptyDocs).count() == 0)
+    assert(Pipeline.seqPack(emptyDocs).count() == 0)
+    assert(Pipeline.crossDedup(emptyDocs, 0.5).count() == 0)
+    assert(Pipeline.sourceSample(emptyDocs).count() == 0)
+    assert(Dedup.chunkDedup(emptyDocs).count() == 0)
+    assert(Analysis.corpusStats(emptyDocs).count() == 0)
+    assert(Pipeline.seqPack(oneDoc).count() == 1)
+    // one doc + its exact copy: every chunk of the copy is a dup
+    val cd = Dedup.chunkDedup(oneDoc).collect()
+    assert(cd.length == 2 && cd(0).getLong(2) == 0 &&
+      cd(1).getLong(2) == cd(1).getLong(1))
+  }
+
   test("similarity on an empty embedding set") {
     val emptyEmb = T(spark, sf, "embeddings").filter(col("vec_id") < 0)
     assert(Similarity.knnBruteForce(emptyEmb, 5, 3).count() == 0)

@@ -79,6 +79,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"))
   }
 
+  test("sequence packing is one partitioned window, zero joins") {
+    val p = plan("ns_seq_pack")
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+    // the window partitions by source — never a global (empty
+    // partition-spec) window over the corpus. In executedPlan.toString
+    // a Window prints "Window [exprs], [partitionSpec], [orderSpec]".
+    assert(p.contains("], [source#"), p.take(2000))
+  }
+
   test("wide-simhash block join reuses the bit-vote exchange at runtime (AQE)") {
     val df = graft.SparkEntry.queries("ns_dedup_simhash64")(spark, sf)
     df.collect()
