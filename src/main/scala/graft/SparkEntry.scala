@@ -896,6 +896,12 @@ object SparkEntry {
       (s, dir) => Analysis.corpusStats(T(s, dir, "documents"))
     },
 
+    // Bigram LM score: smoothed conditional log-likelihood per doc —
+    // the perplexity-proxy quality signal (corpus as its own LM).
+    q("ns_lm_score", Analysis.lmScoreOracle) {
+      (s, dir) => Analysis.lmScore(T(s, dir, "documents"))
+    },
+
     // Streaming (batch form): 30-minute-gap session windows per user.
     q("st_session_window",
       """WITH e AS (

@@ -470,6 +470,56 @@ object Analysis {
        |    (acc, h) -> (acc * 31 + h) % $FpMod) AS fingerprint
        |FROM t ORDER BY doc_id""".stripMargin
 
+  /** Bigram language-model score per document — the perplexity-proxy
+    * quality signal (the role KenLM perplexity plays in CCNet-style
+    * corpus filtering, self-contained: the corpus is its own LM).
+    * score(doc) = mean over adjacent token pairs of
+    * ln((c(w1,w2) + 1) / (c(w1) + V)) — add-one smoothed conditional
+    * log-likelihood; V = unigram vocabulary size. Unusually repetitive
+    * or templated docs score high, gibberish scores low.
+    *
+    * Scale posture: bigram/unigram count tables are vocab-bounded
+    * grouped aggregations (map-side combinable); the per-doc score
+    * join is bigram-stream x count-tables on the token keys — AQE
+    * broadcasts the count tables when they fit, shuffles otherwise
+    * (unhinted, same reasoning as TF-IDF); the final per-doc mean is
+    * one more map-side-combinable aggregation. Nothing is ever
+    * all-pairs and no state exceeds O(vocab^2 observed bigrams).
+    */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      split(col("text"), " ").as("toks"))
+    val bi = toks.select(col("doc_id"), posexplode(expr(
+        "transform(slice(toks, 1, size(toks) - 1), (w, i) -> struct(w as w1, toks[i + 1] as w2))"))
+        .as(Seq("pos", "p")))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .filter(col("w2").isNotNull)
+    val biCnt = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uniCnt = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = toks.select(explode(col("toks")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    bi.join(biCnt, Seq("w1", "w2"))
+      .join(uniCnt, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(round(avg(
+        log((col("c12") + lit(1)).cast("double") / (col("c1") + col("v")))), 4)
+        .as("lm_score"))
+      .orderBy("doc_id")
+  }
+
+  def lmScoreOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |bi AS (SELECT doc_id, u.i AS pos, toks[u.i] AS w1, toks[u.i + 1] AS w2
+      |  FROM t, unnest(range(1, len(toks))) AS u(i)),
+      |bic AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+      |unic AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+      |v AS (SELECT count(DISTINCT u.w) AS v FROM t, unnest(toks) AS u(w))
+      |SELECT doc_id,
+      |  round(avg(ln((c12 + 1)::DOUBLE / (c1 + v))), 4) AS lm_score
+      |FROM bi JOIN bic USING (w1, w2) JOIN unic USING (w1) CROSS JOIN v
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Per-source corpus profile: doc counts plus token-length quantiles
     * (exact interpolated percentiles — both engines define the
     * continuous quantile identically) and mean char length. The
