@@ -759,6 +759,11 @@ object SparkEntry {
       (s, dir) => Similarity.knnLshRecall(T(s, dir, "embeddings"), 50, 3)
     },
 
+    // Recall@k of IVF (nprobe cells) vs the exact ranking.
+    q("ns_knn_ivf_recall", Similarity.knnIvfRecallOracle(50, 3, 2)) {
+      (s, dir) => Similarity.knnIvfRecall(T(s, dir, "embeddings"), 50, 3, 2)
+    },
+
     // Language/topic ID by stopword-profile ratios.
     q("ns_lang_profile", Analysis.langProfileOracle) {
       (s, dir) => Analysis.langProfile(T(s, dir, "documents"))

@@ -17,7 +17,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 object GraftFunctions {
 
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "dot_product" -> (exprs => DotProduct(exprs(0), exprs(1))))
+    "dot_product" -> (exprs => DotProduct(exprs(0), exprs(1))),
+    "md5_prefix60" -> (exprs => Md5Prefix60(exprs(0))))
 
   def register(spark: SparkSession): Unit =
     fns.foreach { case (name, builder) =>
@@ -27,9 +28,14 @@ object GraftFunctions {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(e: SparkSessionExtensions): Unit =
+  def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("md5_prefix60"),
+      new ExpressionInfo(classOf[Md5Prefix60].getName, "md5_prefix60"),
+      (exprs: Seq[Expression]) => Md5Prefix60(exprs(0))))
+  }
 }

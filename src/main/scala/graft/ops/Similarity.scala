@@ -363,7 +363,14 @@ object Similarity {
     */
   def knnIvfOracleFrom(allvCte: String, nQueries: Int, k: Int,
       nprobe: Int): String =
-    s"""WITH $allvCte,
+    s"""WITH ${ivfRankedCtes(allvCte, nQueries, nprobe)}
+       |SELECT query_id, rn, neighbor_id, cos_sim FROM ranked WHERE rn <= $k
+       |ORDER BY query_id, rn""".stripMargin
+
+  /** CTE chain (allv -> ... -> ranked) shared by the IVF oracles. */
+  private def ivfRankedCtes(allvCte: String, nQueries: Int,
+      nprobe: Int): String =
+    s"""$allvCte,
        |cents AS (SELECT vec_id AS cid, v AS cv FROM allv
        |          WHERE vec_id % $CentroidStride = 0),
        |scored AS (SELECT vec_id, v, cid,
@@ -394,9 +401,54 @@ object Similarity {
        |ranked AS (SELECT query_id, neighbor_id, cos_sim,
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
-       |  FROM cand)
-       |SELECT query_id, rn, neighbor_id, cos_sim FROM ranked WHERE rn <= $k
-       |ORDER BY query_id, rn""".stripMargin
+       |  FROM cand)""".stripMargin
+
+  /** Recall@k of the IVF search against the exact brute-force
+    * ranking, one row per query — the companion measurement to
+    * [[knnLshRecall]] (nprobe is the recall dial for IVF).
+    */
+  def knnIvfRecall(emb: DataFrame, nQueries: Int = 50, k: Int = 3,
+      nprobe: Int = 2): DataFrame = {
+    val exact = knnBruteForce(emb, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = knnIvf(emb, nQueries, k, nprobe)
+      .select(col("query_id").as("aq"), col("neighbor_id").as("hit_id"))
+    exact.join(approx,
+        col("query_id") === col("aq") && col("neighbor_id") === col("hit_id"),
+        "left")
+      .groupBy("query_id")
+      .agg(round(count(col("hit_id")) / lit(k.toDouble), 4).as("recall"))
+      .orderBy("query_id")
+  }
+
+  def knnIvfRecallOracle(nQueries: Int = 50, k: Int = 3,
+      nprobe: Int = 2): String = {
+    val allv =
+      s"""allv AS (SELECT vec_id,
+         |    list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings)""".stripMargin
+    s"""WITH ${ivfRankedCtes(allv, nQueries, nprobe)},
+       |probe_topk AS (SELECT query_id, neighbor_id FROM ranked WHERE rn <= $k),
+       |exact_scored AS (SELECT a.query_id, vec_id AS neighbor_id,
+       |    round(
+       |      list_sum(list_transform(range(1, 65), i -> qv[i] * v[i])) /
+       |      (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i]))) *
+       |       sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))),
+       |      6) AS cos_sim
+       |  FROM (SELECT vec_id AS query_id, v AS qv FROM allv
+       |        WHERE vec_id < $nQueries) a
+       |  JOIN allv ON query_id <> vec_id),
+       |exact_topk AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+       |    FROM exact_scored) WHERE rn <= $k)
+       |SELECT e.query_id,
+       |  round(count(p.neighbor_id) / $k.0, 4) AS recall
+       |FROM exact_topk e LEFT JOIN probe_topk p
+       |  ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+  }
 
   def knnLshOracle(nQueries: Int = 50, k: Int = 3): String = {
     def dotPlane(p: Int): String =

@@ -101,6 +101,12 @@ class OpsSpec extends SparkSpec {
       "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
       .collect()(0).getDouble(0)
     assert(r == 11.0)
+    // md5_prefix60 in SQL must bit-match the conv/substring formulation
+    val h = spark.sql(
+      """SELECT md5_prefix60('abc') AS a,
+        |  conv(substring(md5('abc'), 1, 15), 16, 10) AS b""".stripMargin)
+      .collect()(0)
+    assert(h.getLong(0) == h.getString(1).toLong)
     // extensions installer is constructible and wires the same fn
     new graft.functions.GraftExtensions()
       .apply(new org.apache.spark.sql.SparkSessionExtensions)
