@@ -699,6 +699,12 @@ object SparkEntry {
       (s, dir) => Dedup.minhashClusters(T(s, dir, "documents"), 0.5)
     },
 
+    // Same clusters via large/small-star contraction: O(log n) rounds
+    // regardless of component diameter (shares the recursive oracle).
+    q("ns_dedup_clusters_star", Dedup.minhashClustersOracle(0.5)) {
+      (s, dir) => Graph.minhashClustersStar(T(s, dir, "documents"), 0.5)
+    },
+
     // SimHash bucket collisions.
     q("ns_dedup_simhash", Dedup.simhashOracle) {
       (s, dir) => Dedup.simhashPairs(T(s, dir, "documents"))

@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components via the alternating large-star /
+  * small-star algorithm (Kiveris, Lattanzi, Mirrokni, Rastogi &
+  * Vassilvitskii, "Connected Components in MapReduce and Beyond",
+  * SoCC'14) — the adversarial-diameter upgrade over per-round label
+  * propagation: label propagation needs O(diameter) rounds (a
+  * 1000-link near-dup chain = 1000 shuffles), the star algorithm
+  * contracts paths doubly-exponentially and converges in
+  * O(log n) rounds regardless of diameter.
+  *
+  * Each round is two grouped aggregations + joins over the edge list
+  * (shuffle O(|E|)), the same per-round cost as label propagation —
+  * the win is purely in round count. Lineage is cut per round with
+  * the same reliable-checkpoint policy as
+  * [[Dedup.minhashClusters]].
+  */
+object Graph {
+
+  /** One large-star step: every neighbor v of a center u with v > u
+    * re-attaches to m = min(N(u) ∪ u). Input/output edges are
+    * (src, dst) pairs, orientation irrelevant (bidirected internally).
+    */
+  private[ops] def largeStar(edges: DataFrame): DataFrame = {
+    val bi = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+    val centerMin = bi.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src"), least(col("src"), col("mn")).as("m"))
+    bi.join(centerMin, "src")
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  /** One small-star step: every smaller neighbor (and the center)
+    * attaches to the center's minimum neighbor. Output edges are
+    * oriented larger -> smaller.
+    */
+  private[ops] def smallStar(edges: DataFrame): DataFrame = {
+    val dir = edges.select(
+        greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val centerMin = dir.groupBy("src").agg(min("dst").as("m"))
+    val reattached = dir.join(centerMin, "src")
+      .filter(col("dst") =!= col("m"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+    val own = centerMin.select(col("src"), col("m").as("dst"))
+    reattached.unionByName(own).distinct()
+  }
+
+  private def iterCheckpoint(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(true)
+    else df.localCheckpoint(true)
+
+  /** Connected components of an undirected edge list (`src`, `dst`
+    * long columns). Returns ((id, label) frame over every node that
+    * appears in an edge, rounds used). Convergence is detected by an
+    * edge-set fingerprint (count + two independent hash sums) — an
+    * O(1)-state aggregate, not a distributed set compare.
+    */
+  def ccStar(edges0: DataFrame, maxIter: Int = 25): (DataFrame, Int) = {
+    var edges = iterCheckpoint(
+      edges0.select(col("src"), col("dst")).filter(col("src") =!= col("dst")))
+    def fingerprint(e: DataFrame): (Long, Long, Long) = {
+      // hashes reduced mod ~1e9 before summing: ANSI-overflow-safe up
+      // to ~9e9 edges per fingerprint
+      val r = e.agg(
+        count(lit(1)),
+        coalesce(sum(pmod(xxhash64(col("src"), col("dst")), lit(1000000007L))),
+          lit(0L)),
+        coalesce(sum(pmod(xxhash64(col("dst"), col("src")), lit(998244353L))),
+          lit(0L)))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    var fp = (-1L, 0L, 0L)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIter) {
+      edges = iterCheckpoint(smallStar(largeStar(edges)))
+      val next = fingerprint(edges)
+      converged = next == fp
+      fp = next
+      rounds += 1
+    }
+    // at the fixpoint the edge set is a union of stars rooted at each
+    // component's minimum: every non-root points straight at its root
+    val labels = edges.select(col("src").as("id"), col("dst").as("label"))
+      .unionByName(edges.select(col("dst").as("id"), col("dst").as("label")))
+      .groupBy("id").agg(min("label").as("label"))
+    (labels, rounds)
+  }
+
+  /** [[Dedup.minhashClusters]] with star-contraction components —
+    * identical output (shares the recursive-CTE oracle), but the
+    * round count is O(log n) in the worst case instead of
+    * O(cluster diameter), which is what survives an adversarial
+    * version-drift chain at 100 TB.
+    */
+  def minhashClustersStar(docs: DataFrame, minSim: Double = 0.5): DataFrame = {
+    val pairs = Dedup.minhashLsh(docs, minSim)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val (labels, _) = ccStar(pairs)
+    labels.groupBy("label")
+      .agg(count(lit(1)).as("cluster_size"),
+        min(col("id")).as("canonical_id"))
+      .select(col("canonical_id"), col("cluster_size"))
+      .orderBy("canonical_id")
+  }
+}

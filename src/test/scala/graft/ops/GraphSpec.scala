@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Star-contraction connected components: correctness against a
+  * driver-side union-find on random graphs, and the logarithmic
+  * round bound on the adversarial input (a long path) that per-round
+  * label propagation cannot handle.
+  */
+class GraphSpec extends SparkSpec {
+
+  private def toDF(edges: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    edges.toDF("src", "dst")
+  }
+
+  /** Reference components via union-find over the collected edges. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  test("ccStar matches union-find on a seeded random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(200)((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter(e => e._1 != e._2)
+    val want = unionFind(edges)
+    val (labels, rounds) = Graph.ccStar(toDF(edges))
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"labels diverge from union-find (rounds=$rounds)")
+  }
+
+  test("a 1000-link chain converges in O(log n) rounds, not O(diameter)") {
+    val chain = (0L until 999L).map(i => (i, i + 1))
+    val (labels, rounds) = Graph.ccStar(toDF(chain))
+    val got = labels.collect()
+    assert(got.length == 1000)
+    assert(got.forall(_.getLong(1) == 0L), "every node must label to the min")
+    // label propagation would need ~500 rounds on this input; the star
+    // algorithm contracts paths doubly-exponentially
+    assert(rounds <= 15, s"took $rounds rounds")
+  }
+
+  test("empty and single-edge graphs") {
+    assert(Graph.ccStar(toDF(Seq.empty))._1.count() == 0)
+    val (l, _) = Graph.ccStar(toDF(Seq((5L, 3L))))
+    assert(l.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((3L, 3L), (5L, 3L)))
+  }
+}
