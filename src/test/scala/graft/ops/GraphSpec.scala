@@ -50,6 +50,23 @@ class GraphSpec extends SparkSpec {
     assert(rounds <= 15, s"took $rounds rounds")
   }
 
+  test("property: ccStar equals union-find on random small graphs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val edgeGen = Gen.listOfN(25,
+      Gen.zip(Gen.choose(0L, 39L), Gen.choose(0L, 39L)))
+      .map(_.filter(e => e._1 != e._2))
+    val prop = Prop.forAll(edgeGen) { edges =>
+      edges.isEmpty || {
+        val (labels, _) = Graph.ccStar(toDF(edges))
+        val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == unionFind(edges)
+      }
+    }
+    // each sample runs Spark jobs — keep the count modest
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("empty and single-edge graphs") {
     assert(Graph.ccStar(toDF(Seq.empty))._1.count() == 0)
     val (l, _) = Graph.ccStar(toDF(Seq((5L, 3L))))
