@@ -902,6 +902,13 @@ object SparkEntry {
       (s, dir) => Dedup.chunkDedup(T(s, dir, "documents"), 32)
     },
 
+    // Arbitrary-offset duplicated spans (suffix-array-style matching):
+    // every 16-token sliding window hashed; catches the shifted
+    // variants that fixed chunks miss.
+    q("ns_span_dedup", Dedup.spanDedupOracle(16)) {
+      (s, dir) => Dedup.spanDedup(T(s, dir, "documents"), 16)
+    },
+
     // Per-source corpus profile: counts + token-length quantiles.
     q("ns_corpus_stats", Analysis.corpusStatsOracle) {
       (s, dir) => Analysis.corpusStats(T(s, dir, "documents"))

@@ -554,6 +554,71 @@ object Dedup {
        |  sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks
        |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- span-level dedup
+
+  val SpanTokens = 16
+
+  /** Arbitrary-offset duplicated-span detection — the distributed
+    * stand-in for suffix-array exact-substring dedup (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * ACL'22): EVERY [[SpanTokens]]-token sliding window is hashed, a
+    * window whose hash occurs 2+ times anywhere in the corpus is a
+    * duplicated span, and each doc reports its duplicated-window
+    * ratio. Unlike fixed-chunk hashing ([[chunkDedup]]), this catches
+    * overlap at ANY offset — the fixture's drop-first-token variants
+    * shift every chunk boundary, are invisible to chunk hashing, and
+    * still light up here (all their interior windows match the
+    * original's).
+    *
+    * Scale posture: O(tokens) window rows, one map-side-combinable
+    * count per hash, one broadcast-or-shuffle join back (AQE
+    * decides), one per-doc rollup. Fixed-width md5 keys; nothing
+    * quadratic anywhere.
+    */
+  def spanDedup(docs: DataFrame, spanTokens: Int = SpanTokens): DataFrame = {
+    val both = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= spanTokens)
+      .unionByName(docs
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) > spanTokens)
+        .select((col("doc_id") + VariantIdOffset).as("doc_id"),
+          slice(col("toks"), lit(2), size(col("toks")) - 1).as("toks")))
+    val windows = both.select(col("doc_id"),
+      explode(transform(shingles(col("toks"), spanTokens), s => md5(s)))
+        .as("h"))
+    val dupHashes = windows.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("h")
+    windows
+      .join(dupHashes.withColumn("dup", lit(1L)), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("dup"), lit(0L))).as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        round(col("n_dup_windows") / col("n_windows").cast("double"), 4)
+          .as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
+  def spanDedupOracle(spanTokens: Int = SpanTokens): String =
+    s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |corpus AS (
+       |  SELECT doc_id, toks FROM base WHERE len(toks) >= $spanTokens
+       |  UNION ALL
+       |  SELECT doc_id + $VariantIdOffset, toks[2:] FROM base
+       |  WHERE len(toks) > $spanTokens),
+       |w AS (SELECT doc_id, md5(u.s) AS h
+       |  FROM corpus, unnest(list_transform(
+       |    range(1, len(toks) - ${spanTokens - 2}),
+       |    i -> array_to_string(toks[i : i + ${spanTokens - 1}], ' '))) AS u(s)),
+       |duph AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2)
+       |SELECT doc_id, count(*) AS n_windows,
+       |  sum(CASE WHEN h IN (SELECT h FROM duph) THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_dup_windows,
+       |  round(sum(CASE WHEN h IN (SELECT h FROM duph) THEN 1 ELSE 0 END)
+       |    / count(*)::DOUBLE, 4) AS dup_ratio
+       |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------ exact jaccard
 
   /** Document-frequency cap for the shared-shingle join: a shingle

@@ -49,6 +49,26 @@ class PipelineSpec extends SparkSpec {
     assert(flagged.agg(min(col("best_sim"))).collect()(0).getDouble(0) >= 0.5)
   }
 
+  test("span dedup catches the shifted variants that chunk hashing misses") {
+    val rows = Dedup.spanDedup(T(spark, sf, "documents"), 16).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val variants = rows.filter(_._1 >= Dedup.VariantIdOffset)
+    assert(variants.nonEmpty)
+    // every window of a drop-first-token variant is a window of its
+    // original at a shifted offset -> all its spans are duplicated
+    variants.foreach { case (id, (n, dup)) =>
+      assert(n == dup, s"variant $id: $dup of $n windows flagged")
+    }
+    // most originals' first window (contains the dropped token) exists
+    // nowhere else; a minority share natural prefixes with other docs
+    // (the corpus generator reuses templates), so assert majority, not
+    // all
+    val originals = rows.filter(_._1 < Dedup.VariantIdOffset)
+    val partial = originals.count { case (_, (n, dup)) => dup < n }
+    assert(partial * 2 > originals.size,
+      s"only $partial of ${originals.size} originals partially duplicated")
+  }
+
   test("sourceSample is deterministic with in-range rates") {
     val a = Pipeline.sourceSample(T(spark, sf, "documents")).collect()
     val b = Pipeline.sourceSample(T(spark, sf, "documents")).collect()
