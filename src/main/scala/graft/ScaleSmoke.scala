@@ -43,14 +43,14 @@ object ScaleSmoke {
         .agg(count(lit(1)).as("n")).count())
     // LSH near-dup over SYNTHETIC DISTINCT docs (multiplying real docs
     // would build m-cliques of exact copies and measure quadratic
-    // fixture blowup, not the algorithm): unique md5-token texts, so
-    // the only near-dups are the fixture's planted variants — output
-    // and cost stay linear in corpus size.
+    // fixture blowup, not the algorithm): the DSv2 generator emits
+    // unique md5-token texts straight from executor partitions (no
+    // files, no driver data), so the only near-dups are the fixture's
+    // planted variants — output and cost stay linear in corpus size.
     val nLshDocs = 1000L * mult
-    val lshDocs = spark.range(nLshDocs).select(col("id").as("doc_id"),
-      concat_ws(" ", transform(sequence(lit(1), lit(60)),
-        i => conv(substring(md5(concat(col("id"), lit("_"), i)), 1, 8), 16, 10)))
-        .as("text"))
+    val lshDocs = spark.read.format("graft.sources.SynthDocsSource")
+      .option("rows", nLshDocs.toString).option("partitions", "64")
+      .option("tokens", "60").load()
     val (nPairs, tLsh) = time(ops.Dedup.minhashLsh(lshDocs, 0.5).count())
     // wide simhash over the same synthetic distinct corpus: candidate
     // generation is the 4x15-bit block join, so pair volume (and cost)

@@ -37,5 +37,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("md5_prefix60"),
       new ExpressionInfo(classOf[Md5Prefix60].getName, "md5_prefix60"),
       (exprs: Seq[Expression]) => Md5Prefix60(exprs(0))))
+    // declarative HOF dot products rewrite to the codegen expression
+    e.injectOptimizerRule(_ => DotProductRewrite)
   }
 }

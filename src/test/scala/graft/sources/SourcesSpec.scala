@@ -109,6 +109,22 @@ class SourcesSpec extends SparkSpec {
     assert(Sources.PlanCache.planKey(docs.filter(col("doc_id") > 10)) != k1)
   }
 
+  test("DSv2 synthetic source: deterministic, partitioned, file-less") {
+    def read = spark.read.format("graft.sources.SynthDocsSource")
+      .option("rows", "10000").option("partitions", "16")
+      .option("tokens", "12").load()
+    assert(read.schema.fieldNames.toSeq == Seq("doc_id", "text"))
+    assert(read.count() == 10000)
+    assert(read.rdd.getNumPartitions == 16)
+    // deterministic across reads
+    val a = read.orderBy("doc_id").limit(3).collect().map(_.getString(1))
+    val b = read.orderBy("doc_id").limit(3).collect().map(_.getString(1))
+    assert(a.sameElements(b))
+    // unique vocabulary per doc -> exact dedup finds only the planted copies
+    val groups = graft.ops.Dedup.exactDedup(read.limit(100))
+    assert(groups.count() == 100)
+  }
+
   test("async cache: submit returns at once, poll reaches Done, await reads") {
     val cache = Files.createTempDirectory("graft_async").toString
     val docs = graft.ops.T(spark, sf, "documents").select("doc_id", "source")
