@@ -920,6 +920,12 @@ object SparkEntry {
       (s, dir) => Analysis.lmScore(T(s, dir, "documents"))
     },
 
+    // Gopher-style rule gate: the canonical pre-LM quality heuristics
+    // as per-rule booleans + the conjunction, one map pass.
+    q("ns_gopher_filter", Analysis.gopherFilterOracle) {
+      (s, dir) => Analysis.gopherFilter(T(s, dir, "documents"))
+    },
+
     // Streaming (batch form): 30-minute-gap session windows per user.
     q("st_session_window",
       """WITH e AS (

@@ -470,6 +470,71 @@ object Analysis {
        |    (acc, h) -> (acc * 31 + h) % $FpMod) AS fingerprint
        |FROM t ORDER BY doc_id""".stripMargin
 
+  /** Gopher-style rule filter (after Rae et al., "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * table of quality heuristics): the canonical pre-LM rule gate —
+    * word-count bounds, mean-word-length bounds, symbol-to-word
+    * ratio, fraction of alphabetic words, and stopword presence —
+    * each surfaced as its own boolean plus the conjunction, per doc.
+    * All row-local projections over one token-array alias (the
+    * CollapseProject lesson: alias the split ONCE), so the whole gate
+    * is a single map pass at any corpus size.
+    */
+  def gopherFilter(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val n = size(col("toks")).cast("double")
+    val meanLen = aggregate(col("toks"), lit(0L),
+      (acc, w) => acc + length(w)).cast("double") / n
+    val alphaFrac = size(filter(col("toks"),
+      w => w.rlike("[a-zA-Z]"))).cast("double") / n
+    val symbolFrac = size(filter(col("toks"),
+      w => w.rlike("^[^a-zA-Z0-9]+$"))).cast("double") / n
+    val stopHits = size(array_intersect(col("toks"),
+      array(GopherStopwords.map(lit): _*)))
+    t.select(col("doc_id"),
+        (n >= 5 && n <= 100000).as("ok_word_count"),
+        (meanLen >= 2.0 && meanLen <= 12.0).as("ok_mean_word_len"),
+        (symbolFrac <= 0.1).as("ok_symbol_ratio"),
+        (alphaFrac >= 0.8).as("ok_alpha_words"),
+        (stopHits >= 2).as("ok_stopwords"))
+      .withColumn("keep",
+        col("ok_word_count") && col("ok_mean_word_len") &&
+          col("ok_symbol_ratio") && col("ok_alpha_words") &&
+          col("ok_stopwords"))
+      .orderBy("doc_id")
+  }
+
+  /** The stopword set Gopher's "contains at least 2 stop words" rule
+    * uses (shared with the oracle generator).
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherFilterOracle: String = {
+    val stops = GopherStopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |m AS (SELECT doc_id,
+       |    len(toks)::DOUBLE AS n,
+       |    (list_sum(list_transform(toks, w -> length(w))))::DOUBLE
+       |      / len(toks) AS mean_len,
+       |    len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]')))::DOUBLE
+       |      / len(toks) AS alpha_frac,
+       |    len(list_filter(toks, w -> regexp_matches(w, '^[^a-zA-Z0-9]+$$')))::DOUBLE
+       |      / len(toks) AS symbol_frac,
+       |    len(list_intersect(list_distinct(toks), [$stops])) AS stop_hits
+       |  FROM t)
+       |SELECT doc_id,
+       |  n >= 5 AND n <= 100000 AS ok_word_count,
+       |  mean_len >= 2.0 AND mean_len <= 12.0 AS ok_mean_word_len,
+       |  symbol_frac <= 0.1 AS ok_symbol_ratio,
+       |  alpha_frac >= 0.8 AS ok_alpha_words,
+       |  stop_hits >= 2 AS ok_stopwords,
+       |  (n >= 5 AND n <= 100000) AND (mean_len >= 2.0 AND mean_len <= 12.0)
+       |    AND symbol_frac <= 0.1 AND alpha_frac >= 0.8 AND stop_hits >= 2
+       |    AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   /** Bigram language-model score per document — the perplexity-proxy
     * quality signal (the role KenLM perplexity plays in CCNet-style
     * corpus filtering, self-contained: the corpus is its own LM).
