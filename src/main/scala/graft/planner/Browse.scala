@@ -88,6 +88,23 @@ object Browse {
         (s, preview(s, k.toInt).collect().map(_.toString).toSeq)
       case "plan" :: Nil =>
         (s, Seq(PlanJson.toJson(s.path)))
+      case "goal" :: cols if cols.nonEmpty =>
+        // BFS-plan from the CURRENT pool to the requested column set
+        // and apply the whole path — the reference's goal-directed
+        // mode (solve.py) launched from mid-exploration state
+        Planner.findPath(s.registry, s.pool.map(_.columns.toVector),
+          Vector(cols.toVector)) match {
+          case None => (s, Seq(s"goal ${cols.mkString(",")} unreachable"))
+          case Some(path) =>
+            val next = path.foldLeft(s) { (acc, a) =>
+              Session(acc.registry,
+                acc.pool ++ Executor.callTask(acc.pool, a),
+                Planner.apply(acc.state, a),
+                acc.path :+ a)
+            }
+            (next, Seq(s"planned ${path.length} steps: " +
+              path.map(_.task.name).mkString(" -> ")) ++ listing(next))
+        }
       case "cache" :: dir :: Nil =>
         val cached = graft.sources.Sources.PlanCache
           .materialize(s.pool.last.sparkSession, s.pool.last, dir)

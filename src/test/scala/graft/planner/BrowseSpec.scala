@@ -56,4 +56,18 @@ class BrowseSpec extends SparkSpec {
     val (_, planOut) = Browse.command(s1, "plan")
     assert(planOut.head.contains("\"task\":\"splitter\""), planOut)
   }
+
+  test("the goal command plans and applies a full path from mid-state") {
+    import spark.implicits._
+    val source = Seq((0L, "sankho123 turjo sarkar456")).toDF("index", "name")
+    val s0 = Browse.open(reg, Seq(source))
+    val (s1, out) = Browse.command(s0, "goal name.split.alpha")
+    assert(out.exists(_.startsWith("planned 2 steps: splitter -> remove_num")),
+      out)
+    val got = s1.pool.last.select(col("`name.split.alpha`"))
+      .collect().map(_.getString(0)).sorted
+    assert(got.sameElements(Array("sankho", "sarkar", "turjo")))
+    val (_, unreachable) = Browse.command(s1, "goal no.such.column")
+    assert(unreachable.exists(_.contains("unreachable")))
+  }
 }
