@@ -926,6 +926,11 @@ object SparkEntry {
       (s, dir) => Analysis.gopherFilter(T(s, dir, "documents"))
     },
 
+    // Zipf slope over the top-1000 vocabulary (corpus-health check).
+    q("ns_zipf_fit", Analysis.zipfFitOracle(1000)) {
+      (s, dir) => Analysis.zipfFit(T(s, dir, "documents"), 1000)
+    },
+
     // Streaming (batch form): 30-minute-gap session windows per user.
     q("st_session_window",
       """WITH e AS (

@@ -585,6 +585,38 @@ object Analysis {
       |FROM bi JOIN bic USING (w1, w2) JOIN unic USING (w1) CROSS JOIN v
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Zipf fit: the slope of ln(freq) ~ ln(rank) over the top-k
+    * vocabulary — the corpus-health diagnostic (natural language sits
+    * near -1; templated/boilerplate corpora drift). The regression
+    * runs AFTER aggregation over the vocab-sized count table, so the
+    * global rank window and the single-row regression are both
+    * O(vocab), never O(corpus).
+    */
+  def zipfFit(docs: DataFrame, topK: Int = 1000): DataFrame = {
+    val counts = Tok.tokens(docs, "text")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token").asc)
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .agg(
+        round(regr_slope(log(col("cnt").cast("double")),
+          log(col("rank").cast("double"))), 4).as("zipf_slope"),
+        count(lit(1)).as("n_top"))
+  }
+
+  def zipfFitOracle(topK: Int = 1000): String =
+    s"""WITH toks AS (
+       |  SELECT t.token FROM documents, ${Tok.duckSplit} AS t(token)
+       |  WHERE length(t.token) > 1),
+       |counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+       |ranked AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token ASC)
+       |    AS rank FROM counts)
+       |SELECT round(regr_slope(ln(cnt::DOUBLE), ln(rank::DOUBLE)), 4)
+       |    AS zipf_slope,
+       |  count(*) AS n_top
+       |FROM ranked WHERE rank <= $topK""".stripMargin
+
   /** Per-source corpus profile: doc counts plus token-length quantiles
     * (exact interpolated percentiles — both engines define the
     * continuous quantile identically) and mean char length. The
