@@ -931,6 +931,12 @@ object SparkEntry {
       (s, dir) => Analysis.zipfFit(T(s, dir, "documents"), 1000)
     },
 
+    // Capstone: the full corpus build — quality gate -> exact dedup ->
+    // near-dup keep-first, one summary row of per-stage survivors.
+    q("ns_corpus_build", Pipeline.corpusBuildOracle(0.5)) {
+      (s, dir) => Pipeline.corpusBuild(T(s, dir, "documents"), 0.5)
+    },
+
     // Streaming (batch form): 30-minute-gap session windows per user.
     q("st_session_window",
       """WITH e AS (

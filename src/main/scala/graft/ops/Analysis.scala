@@ -510,10 +510,13 @@ object Analysis {
   val GopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
-  def gopherFilterOracle: String = {
+  /** The gopher metric CTE (`m`, expects a preceding `t(doc_id,
+    * toks)`) and the keep conjunction — shared between the standalone
+    * oracle and composed pipelines so the rule set cannot drift.
+    */
+  def gopherMetricsCte: String = {
     val stops = GopherStopwords.map(w => s"'$w'").mkString(", ")
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-       |m AS (SELECT doc_id,
+    s"""m AS (SELECT doc_id,
        |    len(toks)::DOUBLE AS n,
        |    (list_sum(list_transform(toks, w -> length(w))))::DOUBLE
        |      / len(toks) AS mean_len,
@@ -522,7 +525,24 @@ object Analysis {
        |    len(list_filter(toks, w -> regexp_matches(w, '^[^a-zA-Z0-9]+$$')))::DOUBLE
        |      / len(toks) AS symbol_frac,
        |    len(list_intersect(list_distinct(toks), [$stops])) AS stop_hits
-       |  FROM t)
+       |  FROM t)""".stripMargin
+  }
+
+  val gopherKeepCond: String =
+    "n >= 5 AND n <= 100000 AND mean_len >= 2.0 AND mean_len <= 12.0 " +
+      "AND symbol_frac <= 0.1 AND alpha_frac >= 0.8 AND stop_hits >= 2"
+
+  /** The vocabulary-independent subset of the gate (everything except
+    * the stopword rule) — what a composed pipeline applies to a
+    * corpus whose vocabulary the English stopword list doesn't cover.
+    */
+  val gopherStructuralCond: String =
+    "n >= 5 AND n <= 100000 AND mean_len >= 2.0 AND mean_len <= 12.0 " +
+      "AND symbol_frac <= 0.1 AND alpha_frac >= 0.8"
+
+  def gopherFilterOracle: String = {
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |$gopherMetricsCte
        |SELECT doc_id,
        |  n >= 5 AND n <= 100000 AS ok_word_count,
        |  mean_len >= 2.0 AND mean_len <= 12.0 AS ok_mean_word_len,

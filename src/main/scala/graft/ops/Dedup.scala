@@ -106,10 +106,16 @@ object Dedup {
   }
 
   /** MinHash + banded LSH near-dup pairs with estimated Jaccard
-    * >= `minSim`. est_sim = fraction of equal signature components.
+    * >= `minSim` over the standard drop-first-token fixture. */
+  def minhashLsh(docs: DataFrame, minSim: Double = 0.5): DataFrame =
+    minhashPairs(corpusWithVariants(docs), minSim)
+
+  /** The same banded pair estimation over ANY `(doc_id, toks)` corpus
+    * — the composable form ([[Pipeline.corpusBuild]] runs it over the
+    * quality-gated, exact-deduped corpus).
     */
-  def minhashLsh(docs: DataFrame, minSim: Double = 0.5): DataFrame = {
-    val sigs = signatures(corpusWithVariants(docs))
+  def minhashPairs(corpus: DataFrame, minSim: Double): DataFrame = {
+    val sigs = signatures(corpus)
 
     val bandKeys = transform(sequence(lit(0), lit(Bands - 1)),
       j => concat_ws("_",
@@ -139,20 +145,18 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** DuckDB oracle for [[minhashLsh]], generated from the same
-    * constants so Spark and the oracle can never drift.
+  /** CTE chain `hashed -> sig -> bands -> cand -> est` computing
+    * MinHash-LSH pair estimates over ANY preceding `corpus(doc_id,
+    * toks)` CTE — shared by the fixture oracle below and by composed
+    * pipelines ([[Pipeline]]'s corpus build). Same constants as the
+    * Spark plan, so the two can never drift.
     */
-  def minhashLshOracle(minSim: Double = 0.5): String = {
+  def minhashEstCtes: String = {
     val sigExprs = MinhashAB.map { case (a, b) =>
       s"list_min(list_transform(hs, x -> ($a*x + $b) % $MinhashMod))"
     }.mkString(",\n    ")
     val bandKey = "sig[2*j+1]::VARCHAR || '_' || sig[2*j+2]::VARCHAR"
-    s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-       |corpus AS (
-       |  SELECT doc_id, toks FROM base WHERE len(toks) >= 3
-       |  UNION ALL
-       |  SELECT doc_id + $VariantIdOffset, toks[2:] FROM base WHERE len(toks) > 3),
-       |hashed AS (SELECT doc_id, list_transform(
+    s"""hashed AS (SELECT doc_id, list_transform(
        |    list_transform(range(1, len(toks)-1),
        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
        |    s -> ${H.duckHash30("s")}) AS hs
@@ -167,10 +171,21 @@ object Dedup {
        |          len(list_filter(range(1, ${MinhashAB.size + 1}),
        |            i -> x.sig[i] = y.sig[i])) / ${MinhashAB.size}.0 AS est_sim
        |        FROM cand JOIN sig x ON id_a = x.doc_id
-       |                  JOIN sig y ON id_b = y.doc_id)
+       |                  JOIN sig y ON id_b = y.doc_id)""".stripMargin
+  }
+
+  /** DuckDB oracle for [[minhashLsh]], generated from the same
+    * constants so Spark and the oracle can never drift.
+    */
+  def minhashLshOracle(minSim: Double = 0.5): String =
+    s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |corpus AS (
+       |  SELECT doc_id, toks FROM base WHERE len(toks) >= 3
+       |  UNION ALL
+       |  SELECT doc_id + $VariantIdOffset, toks[2:] FROM base WHERE len(toks) > 3),
+       |$minhashEstCtes
        |SELECT id_a, id_b, est_sim FROM est WHERE est_sim >= $minSim
        |ORDER BY id_a, id_b""".stripMargin
-  }
 
   // ---------------------------------------------------------- simhash
 

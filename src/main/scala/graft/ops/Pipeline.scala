@@ -196,6 +196,61 @@ object Pipeline {
        |GROUP BY incoming_id ORDER BY incoming_id""".stripMargin
   }
 
+  /** End-to-end corpus build — the capstone composition: the Gopher
+    * quality gate, then exact dedup (min doc_id per content hash),
+    * then MinHash-LSH near-dup keep-first, each stage feeding the
+    * next, with one summary row of survivor counts per stage. This is
+    * the actual "raw crawl -> training corpus" pipeline the
+    * individual operators exist for; running it as ONE lazy plan
+    * means Catalyst sees the whole composition (each stage's filter
+    * prunes before the next stage's shuffle — the near-dup banding
+    * runs over only the quality-gated, exact-deduped survivors).
+    */
+  def corpusBuild(docs: DataFrame, minSim: Double = 0.5): DataFrame = {
+    // structural rules only: the stopword rule is vocabulary-dependent
+    // (this corpus's synthetic vocabulary contains no English
+    // stopwords, and a gate that drops 100% of docs would leave the
+    // downstream dedup stages composing over nothing)
+    val quality = Analysis.gopherFilter(docs)
+      .filter(col("ok_word_count") && col("ok_mean_word_len") &&
+        col("ok_symbol_ratio") && col("ok_alpha_words"))
+      .select("doc_id").join(docs, "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy("doc_id")
+    val exactKept = quality.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    val corpus = exactKept
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val drops = Dedup.minhashPairs(corpus, minSim)
+      .select(col("id_b").as("doc_id")).distinct()
+    val finalKept = exactKept.join(drops, Seq("doc_id"), "left_anti")
+    docs.agg(count(lit(1)).as("n_in"))
+      .crossJoin(quality.agg(count(lit(1)).as("n_quality")))
+      .crossJoin(exactKept.agg(count(lit(1)).as("n_exact")))
+      .crossJoin(finalKept.agg(count(lit(1)).as("n_final")))
+  }
+
+  def corpusBuildOracle(minSim: Double = 0.5): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |${Analysis.gopherMetricsCte},
+       |quality AS (SELECT d.doc_id, d.text FROM documents d JOIN m USING (doc_id)
+       |            WHERE ${Analysis.gopherStructuralCond}),
+       |exact AS (SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |    FROM quality) WHERE rn = 1),
+       |corpus AS (SELECT doc_id, string_split(text, ' ') AS toks FROM exact
+       |           WHERE len(string_split(text, ' ')) >= 3),
+       |${Dedup.minhashEstCtes},
+       |drops AS (SELECT DISTINCT id_b FROM est WHERE est_sim >= $minSim)
+       |SELECT
+       |  (SELECT count(*) FROM documents) AS n_in,
+       |  (SELECT count(*) FROM quality) AS n_quality,
+       |  (SELECT count(*) FROM exact) AS n_exact,
+       |  (SELECT count(*) FROM exact
+       |   WHERE doc_id NOT IN (SELECT id_b FROM drops)) AS n_final""".stripMargin
+
   /** Deterministic per-source (domain-mix) sampling: each source
     * shard gets a reproducible keep-rate derived from its name, and
     * each doc a reproducible keep/drop from md5 hash arithmetic — the
