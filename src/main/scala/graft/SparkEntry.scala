@@ -1326,8 +1326,13 @@ object SparkEntry {
     Text.topPTokens(T(spark, "/root/testdata/sf0.001", "documents"), 0.9)
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    // a duplicate name would silently shadow a query in this Map and
+    // the driver would verify one query twice instead of both
+    val dups = registry.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
     registry.map(x => x.name -> x.fn).toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
