@@ -4,6 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // One timed run per query proved ±3-5x noisy across rounds; run each
+    // query `reps` times and report the per-query MEDIAN (plus min) so
+    // cross-round deltas reflect the plan, not the box.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,15 +19,23 @@ object Bench {
     // absorb JVM/codegen/session warm-up outside any query's timing
     spark.range(1000000).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val ts = (1 to reps).map(_ => time(fn)).sorted
+      val median = ts(ts.size / 2)
+      (name, median, ts.head)
+    }
+    def fmt(sel: ((String, Double, Double)) => (String, Double)) =
+      results.map(sel).map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+    val qs = fmt { case (k, med, _) => (k, med) }
+    val mins = fmt { case (k, _, mn) => (k, mn) }
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$mins,"sf":"$sfDir"}"""
     println(line)
     // The stdout line gets truncated by log tooling past ~50 queries; persist the
     // full per-query breakdown so cross-round comparisons cover every query.

@@ -60,6 +60,19 @@ object ScaleSmoke {
     // cross-corpus dedup: incoming (variants) vs reference (originals)
     // band join — the daily-batch shape; linear in batch size
     val (nCross, tCross) = time(ops.Pipeline.crossDedup(lshDocs, 0.5).count())
+    // star-contraction CC over the LSH pair graph: edge volume is
+    // linear (planted variants only), so per-round cost is linear and
+    // the round count O(log n) — the iterative shape must not blow up
+    // in either rounds or per-round wall as the corpus grows
+    val (ccOut, tCc) = time {
+      val pairs = ops.Dedup.minhashLsh(lshDocs, 0.5)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val (labels, rounds) = ops.Graph.ccStar(pairs)
+      (labels.count(), rounds)
+    }
+    val (nCcLabels, ccRounds) = ccOut
+    // span dedup: sliding 16-token windows, O(tokens) rows end-to-end
+    val (nSpan, tSpan) = time(ops.Dedup.spanDedup(lshDocs).count())
     // packing is one partitioned window: linear, parallel per shard
     val packDocs = big.withColumn("source",
       concat(lit("src"), pmod(col("doc_id"), lit(64)).cast("string")))
@@ -71,6 +84,9 @@ object ScaleSmoke {
       s""""lsh_docs":$nLshDocs,"lsh_pairs":$nPairs,"lsh_sec":$tLsh,""" +
       s""""simhash64_pairs":$nSim64,"simhash64_sec":$tSim64,""" +
       s""""cross_flagged":$nCross,"cross_sec":$tCross,""" +
+      s""""ccstar_labels":$nCcLabels,"ccstar_rounds":$ccRounds,""" +
+      s""""ccstar_sec":$tCc,""" +
+      s""""span_docs":$nSpan,"span_sec":$tSpan,""" +
       s""""pack_rows":$nPack,"pack_sec":$tPack}""")
     spark.stop()
   }

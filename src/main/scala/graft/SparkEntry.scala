@@ -721,6 +721,12 @@ object SparkEntry {
       (s, dir) => Dedup.simhashWidePairs(T(s, dir, "documents"))
     },
 
+    // Measured recall of the block-split candidates vs exact hamming
+    // pairs, per distance: <=3 guaranteed by pigeonhole, 4-5 partial.
+    q("ns_dedup_simhash64_recall", Dedup.simhashWideRecallOracle) {
+      (s, dir) => Dedup.simhashWideRecall(T(s, dir, "documents"))
+    },
+
     // Two-stage salted aggregation (skew mitigation; unsalted oracle).
     q("g3_salted_agg",
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS total_qty,

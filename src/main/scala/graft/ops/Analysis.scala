@@ -563,13 +563,16 @@ object Analysis {
     * log-likelihood; V = unigram vocabulary size. Unusually repetitive
     * or templated docs score high, gibberish scores low.
     *
-    * Scale posture: bigram/unigram count tables are vocab-bounded
-    * grouped aggregations (map-side combinable); the per-doc score
-    * join is bigram-stream x count-tables on the token keys — AQE
-    * broadcasts the count tables when they fit, shuffles otherwise
-    * (unhinted, same reasoning as TF-IDF); the final per-doc mean is
-    * one more map-side-combinable aggregation. Nothing is ever
-    * all-pairs and no state exceeds O(vocab^2 observed bigrams).
+    * Scale posture: the bigram stream is FIRST collapsed to
+    * (doc_id, w1, w2) -> m (one map-side-combinable aggregation), and
+    * both count tables derive from that collapsed frame — so the
+    * count-table joins run over per-doc-DISTINCT bigrams, not the raw
+    * token stream (repetitive docs, the ones an LM filter exists for,
+    * are exactly the ones this shrinks most). The per-doc mean is
+    * recovered exactly as sum(m * ln)/sum(m). AQE broadcasts the
+    * count tables when they fit, shuffles otherwise (unhinted, same
+    * reasoning as TF-IDF). Nothing is ever all-pairs and no state
+    * exceeds O(observed bigrams).
     */
   def lmScore(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
@@ -579,16 +582,19 @@ object Analysis {
         .as(Seq("pos", "p")))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
       .filter(col("w2").isNotNull)
-    val biCnt = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val uniCnt = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val docBi = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
+    val biCnt = docBi.groupBy("w1", "w2").agg(sum("m").as("c12"))
+    val uniCnt = docBi.groupBy("w1").agg(sum("m").as("c1"))
     val vocab = toks.select(explode(col("toks")).as("w"))
       .agg(countDistinct(col("w")).as("v"))
-    bi.join(biCnt, Seq("w1", "w2"))
+    docBi.join(biCnt, Seq("w1", "w2"))
       .join(uniCnt, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .groupBy("doc_id")
-      .agg(round(avg(
-        log((col("c12") + lit(1)).cast("double") / (col("c1") + col("v")))), 4)
+      .agg(round(
+        sum(col("m") *
+          log((col("c12") + lit(1)).cast("double") / (col("c1") + col("v")))) /
+          sum(col("m")), 4)
         .as("lm_score"))
       .orderBy("doc_id")
   }
@@ -597,12 +603,13 @@ object Analysis {
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |bi AS (SELECT doc_id, u.i AS pos, toks[u.i] AS w1, toks[u.i + 1] AS w2
       |  FROM t, unnest(range(1, len(toks))) AS u(i)),
-      |bic AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
-      |unic AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+      |db AS (SELECT doc_id, w1, w2, count(*) AS m FROM bi GROUP BY doc_id, w1, w2),
+      |bic AS (SELECT w1, w2, sum(m) AS c12 FROM db GROUP BY w1, w2),
+      |unic AS (SELECT w1, sum(m) AS c1 FROM db GROUP BY w1),
       |v AS (SELECT count(DISTINCT u.w) AS v FROM t, unnest(toks) AS u(w))
       |SELECT doc_id,
-      |  round(avg(ln((c12 + 1)::DOUBLE / (c1 + v))), 4) AS lm_score
-      |FROM bi JOIN bic USING (w1, w2) JOIN unic USING (w1) CROSS JOIN v
+      |  round(sum(m * ln((c12 + 1)::DOUBLE / (c1 + v))) / sum(m), 4) AS lm_score
+      |FROM db JOIN bic USING (w1, w2) JOIN unic USING (w1) CROSS JOIN v
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Zipf fit: the slope of ln(freq) ~ ln(rank) over the top-k

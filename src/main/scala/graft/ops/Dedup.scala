@@ -381,6 +381,72 @@ object Dedup {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Measured recall of [[simhashWidePairs]] against the EXACT
+    * hamming-ball pairs, per hamming distance — the number that backs
+    * the block-split design's claim: distance <= blocks-1 (= 3) is
+    * found with certainty (pigeonhole: 3 flipped bits can touch at
+    * most 3 of the 4 blocks), distance 4-5 only when the flips
+    * cluster. Same measurement shape as
+    * [[Similarity.knnLshRecall]] (Similarity.scala) — exact reference
+    * ranking left-joined with the approximate hits.
+    *
+    * The exact side is deliberately the quadratic all-pairs
+    * comparison (broadcast nested-loop over fixed-width longs) — a
+    * measurement bed for the fixture, not a scale path; the scale
+    * path is exactly what is being graded here.
+    */
+  def simhashWideRecall(docs: DataFrame): DataFrame = {
+    val buckets = simhashBuckets(docs, SimhashWideBits)
+    val exact = buckets.as("a")
+      .join(broadcast(buckets.as("b")), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= SimhashMaxHamming)
+    val found = simhashWidePairs(docs)
+      .select(col("id_a").as("fa"), col("id_b").as("fb"))
+    exact.join(found,
+        col("id_a") === col("fa") && col("id_b") === col("fb"), "left")
+      .groupBy("hamming")
+      .agg(count(lit(1)).as("n_true"), count(col("fa")).as("n_found"),
+        round(count(col("fa")) / count(lit(1)), 4).as("recall"))
+      .orderBy("hamming")
+  }
+
+  /** DuckDB oracle for [[simhashWideRecall]], same constants. */
+  def simhashWideRecallOracle: String = {
+    val w = SimhashWideBits / SimhashWideBlocks
+    val bitSums = (0 until SimhashWideBits)
+      .map(j => s"sum((h >> $j) & 1) AS s$j").mkString(", ")
+    val sim = (0 until SimhashWideBits)
+      .map(j => s"CASE WHEN s$j * 2 > n THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |corpus AS (
+       |  SELECT doc_id, toks FROM base WHERE len(toks) >= 3
+       |  UNION ALL
+       |  SELECT doc_id + $VariantIdOffset, toks[2:] FROM base WHERE len(toks) > 3),
+       |tok AS (SELECT doc_id, ${H.duckHash60("t.w")} AS h
+       |        FROM corpus, unnest(toks) AS t(w)),
+       |agged AS (SELECT doc_id, count(*) AS n, $bitSums FROM tok GROUP BY doc_id),
+       |buckets AS (SELECT doc_id, ($sim)::BIGINT AS simhash FROM agged),
+       |blocks AS (SELECT doc_id, simhash, t.b AS blk,
+       |             (simhash >> (t.b * $w)) & ${(1L << w) - 1} AS key
+       |           FROM buckets, unnest(range(0, $SimhashWideBlocks)) AS t(b)),
+       |found AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |          FROM blocks a JOIN blocks b
+       |            ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id
+       |          WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxHamming),
+       |exact AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |            bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+       |          FROM buckets a JOIN buckets b ON a.doc_id < b.doc_id
+       |          WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxHamming)
+       |SELECT hamming, count(*) AS n_true, count(f.id_a) AS n_found,
+       |  round(count(f.id_a) / count(*), 4) AS recall
+       |FROM exact e LEFT JOIN found f USING (id_a, id_b)
+       |GROUP BY hamming ORDER BY hamming""".stripMargin
+  }
+
   /** MinHash signatures via the typed Aggregator
     * (graft.functions.MinHashAggregator) over EXPLODED shingle rows —
     * the formulation that scales when a document's shingles don't fit

@@ -23,16 +23,22 @@ object Graph {
   /** One large-star step: every neighbor v of a center u with v > u
     * re-attaches to m = min(N(u) ∪ u). Input/output edges are
     * (src, dst) pairs, orientation irrelevant (bidirected internally).
+    *
+    * `dedup = false` skips the duplicate elimination — correct
+    * whenever the output feeds an operator that is itself
+    * duplicate-insensitive ([[smallStar]]'s min aggregate and final
+    * distinct), and saves one wide shuffle of the full edge set per
+    * round in the composed loop.
     */
-  private[ops] def largeStar(edges: DataFrame): DataFrame = {
+  private[ops] def largeStar(edges: DataFrame, dedup: Boolean = true): DataFrame = {
     val bi = edges.unionByName(
       edges.select(col("dst").as("src"), col("src").as("dst")))
     val centerMin = bi.groupBy("src").agg(min("dst").as("mn"))
       .select(col("src"), least(col("src"), col("mn")).as("m"))
-    bi.join(centerMin, "src")
+    val out = bi.join(centerMin, "src")
       .filter(col("dst") > col("src"))
       .select(col("dst").as("src"), col("m").as("dst"))
-      .distinct()
+    if (dedup) out.distinct() else out
   }
 
   /** One small-star step: every smaller neighbor (and the center)
@@ -78,11 +84,23 @@ object Graph {
         .collect()(0)
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
+    val reliable =
+      edges0.sparkSession.sparkContext.getCheckpointDir.isDefined
     var fp = (-1L, 0L, 0L)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxIter) {
-      edges = iterCheckpoint(smallStar(largeStar(edges)))
+      val stepped = smallStar(largeStar(edges, dedup = false))
+      // Per-round lineage policy: in local mode the cut is a LAZY
+      // localCheckpoint, so the convergence fingerprint below is the
+      // ONE Spark job that also materializes the round (the eager
+      // cut + separate fingerprint job doubled per-round scheduler
+      // overhead). With a reliable checkpoint dir — a real cluster —
+      // the round stays eagerly checkpointed: the fingerprint then
+      // reads checkpoint files (cheap second job), and every round
+      // remains recoverable if an executor dies mid-iteration.
+      edges = if (reliable) stepped.checkpoint(true)
+              else stepped.localCheckpoint(false)
       val next = fingerprint(edges)
       converged = next == fp
       fp = next

@@ -115,8 +115,8 @@ object Pipeline {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
        |  FROM t)
        |SELECT source, doc_id, n_toks,
-       |  (cum - n_toks) // $budget AS bin_id,
-       |  cum - n_toks - ((cum - n_toks) // $budget) * $budget AS bin_offset
+       |  ((cum - n_toks) // $budget)::BIGINT AS bin_id,
+       |  (cum - n_toks - ((cum - n_toks) // $budget) * $budget)::BIGINT AS bin_offset
        |FROM c ORDER BY source, doc_id""".stripMargin
 
   /** Cross-corpus dedup: an INCOMING batch (the drop-first-token

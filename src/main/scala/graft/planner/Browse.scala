@@ -1,7 +1,6 @@
 package graft.planner
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Interactive one-step exploration — the CLI analogue of the
@@ -53,19 +52,31 @@ object Browse {
 
   val PageSize = 30 // serve_view_df.py's PAGE_SIZE
 
-  /** Page `pageIdx` of the newest frame under a stable total order
-    * (all columns ascending) — row_number windowed like the O2
-    * pagination operator, so any page is addressable without a count.
+  /** The distributed part of [[preview]]: the stable-ordered (all
+    * columns ascending) top `pageSize * (pageIdx + 1)` rows. Spark
+    * plans orderBy+limit as TakeOrderedAndProject — every partition
+    * keeps only its local top-k and the driver merges — so a page
+    * view never funnels the whole frame through a single-partition
+    * global Window (the round-3 audit's scale concern).
+    */
+  private[planner] def previewTop(df: DataFrame, pageIdx: Int,
+      pageSize: Int): DataFrame = {
+    val order = df.columns.toSeq.map(c => col(s"`$c`").asc)
+    df.orderBy(order: _*).limit((pageSize * (pageIdx + 1)).max(0))
+  }
+
+  /** Page `pageIdx` of the newest frame under a stable total order:
+    * distributed top-k via [[previewTop]], then the page is the local
+    * tail of the k collected rows — k grows with page depth, which is
+    * the right trade for an interactive pager (the reference's
+    * head/tail arithmetic, serve_view_df.py:108-116, pays the same).
     */
   def preview(s: Session, pageIdx: Int, pageSize: Int = PageSize): DataFrame = {
     val df = s.pool.last
-    val order = df.columns.toSeq.map(c => col(s"`$c`").asc)
-    val w = Window.orderBy(order: _*)
-    df.select(row_number().over(w).as("__rn"), col("*"))
-      .filter(col("__rn") > pageSize * pageIdx &&
-        col("__rn") <= pageSize * (pageIdx + 1))
-      .drop("__rn")
-      .orderBy(order: _*)
+    val rows = previewTop(df, pageIdx, pageSize).collect()
+      .drop((pageSize * pageIdx).max(0))
+    import scala.jdk.CollectionConverters._
+    df.sparkSession.createDataFrame(rows.toSeq.asJava, df.schema)
   }
 
   /** One command against the session; returns the next session and

@@ -37,6 +37,14 @@ class BrowseSpec extends SparkSpec {
     // preview pages the newest frame under a stable order
     assert(Browse.preview(s, 0).collect().length == 3)
     assert(Browse.preview(s, 1).collect().isEmpty)
+
+    // the distributed part plans as top-k (TakeOrderedAndProject:
+    // per-partition local top-k, driver merge), never a global Window
+    // funneling the frame through one partition
+    val plan = Browse.previewTop(s.pool.last, 0, Browse.PageSize)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Window"), plan)
   }
 
   test("the command surface lists, applies, and dumps the plan") {
