@@ -1,0 +1,83 @@
+package graft.planner
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import graft.SparkSpec
+
+/** Drives [[Serve]] over real HTTP the way a browser drives the
+  * reference's Flask app (serve.py): explore → follow an action link
+  * → view the produced frame (first hit gets the async wait page,
+  * then the rendered table) → download the CSV.
+  */
+class ServeSpec extends SparkSpec {
+
+  private val client = HttpClient.newHttpClient()
+
+  private def get(url: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  /** Poll `url` until the async materialization finishes (202 → 200),
+    * like the reference's data_wait.html auto-refresh loop.
+    */
+  private def getDone(url: String, attempts: Int = 100): HttpResponse[String] = {
+    var r = get(url)
+    var left = attempts
+    while (r.statusCode() == 202 && left > 0) {
+      Thread.sleep(200); r = get(url); left -= 1
+    }
+    r
+  }
+
+  test("explore -> act -> view -> csv round-trips over HTTP") {
+    import spark.implicits._
+    val source = Seq((0L, "sankho123 turjo sarkar456")).toDF("index", "name")
+    val cacheDir = java.nio.file.Files
+      .createTempDirectory("graft-serve-spec").toString
+    val srv = new Serve(
+      TaskRegistry.of(Library.splitter, Library.removeNum),
+      Seq(source), cacheDir)
+    try {
+      val base = s"http://localhost:${srv.boundPort}"
+
+      // the root explore page lists the source frame and the splitter
+      val home = get(s"$base/explore/")
+      assert(home.statusCode() == 200, home.body())
+      assert(home.body().contains("frame #0: (index, name)"), home.body())
+      assert(home.body().contains("splitter"), home.body())
+
+      // follow the action whose output is name.split (state moves
+      // entirely via the URL, like the reference's ?q=)
+      val link = """href="(/explore/[^"]+)">([^<]*)</a>""".r
+        .findAllMatchIn(home.body())
+        .collectFirst { case m if m.group(2).contains("name.split") =>
+          m.group(1) }
+      assert(link.isDefined, home.body())
+      val after = get(base + link.get)
+      assert(after.statusCode() == 200, after.body())
+      assert(after.body().contains("name.split"), after.body())
+      assert(after.body().contains("remove_num"), after.body())
+
+      // view the new frame: async compute, then a rendered page
+      val q = link.get.stripPrefix("/explore/")
+      val view = getDone(s"$base/view/0/1/$q")
+      assert(view.statusCode() == 200, view.body())
+      assert(view.body().contains("sankho123"), view.body())
+      assert(view.body().contains("<table>"), view.body())
+      // "last" page arithmetic resolves like serve_view_df.py:83-85
+      assert(getDone(s"$base/view/last/1/$q").statusCode() == 200)
+
+      // CSV download carries all rows
+      val csv = getDone(s"$base/download/csv/1/$q")
+      assert(csv.statusCode() == 200)
+      assert(csv.headers().firstValue("Content-Type").orElse("")
+        .startsWith("text/csv"))
+      assert(csv.body().linesIterator.size == 4, csv.body()) // header + 3 rows
+      assert(csv.body().contains("turjo"), csv.body())
+
+      // bad routes 404 rather than crash the server
+      assert(get(s"$base/nope").statusCode() == 404)
+    } finally srv.stop()
+  }
+}
