@@ -522,9 +522,18 @@ object Dedup {
         .join(labels, edges("id_b") === labels("id"))
         .select(edges("id_a").as("id"), col("label"),
           lit(null).cast("long").as("prev"))
-      val next = iterCheckpoint(own.unionByName(fromNeighbors)
+      val stepped = own.unionByName(fromNeighbors)
         .groupBy("id")
-        .agg(min(col("label")).as("label"), max(col("prev")).as("prev")))
+        .agg(min(col("label")).as("label"), max(col("prev")).as("prev"))
+      // same per-round lineage policy as Graph.ccStar: lazy local
+      // checkpoint in local mode so the convergence count below is the
+      // ONE job that also materializes the round; eager reliable
+      // checkpoint on a cluster (recoverable mid-iteration, and the
+      // count then reads checkpoint files)
+      val next =
+        if (stepped.sparkSession.sparkContext.getCheckpointDir.isDefined)
+          stepped.checkpoint(true)
+        else stepped.localCheckpoint(false)
       converged = next.filter(col("label") =!= col("prev")).count() == 0
       labels = next.select(col("id"), col("label"))
       iter += 1
