@@ -119,6 +119,32 @@ object Pipeline {
        |  (cum - n_toks - ((cum - n_toks) // $budget) * $budget)::BIGINT AS bin_offset
        |FROM c ORDER BY source, doc_id""".stripMargin
 
+  /** Training-shard writer — the sink at the end of the corpus
+    * pipeline: Hive-style `source=` partition directories (any
+    * per-domain read prunes whole directories before listing a file),
+    * file sizes bounded by `maxRecordsPerFile` (each shard stays an
+    * independently loadable unit), and rows range-partitioned +
+    * sorted on (source, doc_id) so every shard file covers a
+    * contiguous doc_id span — parquet min/max zone maps then prune
+    * doc-range reads inside a source too.
+    *
+    * `repartitionByRange` rather than `repartition(col("source"))`,
+    * deliberately: hash-by-source gives one task per source (a
+    * dominant domain — half a real crawl — would serialize into one
+    * writer), while range partitioning splits a big source across
+    * many tasks yet keeps each task's output inside one partition
+    * directory. The reference's nearest surface is the CSV download
+    * sink (serve_view_df.py:160-173); this is its corpus-scale form.
+    */
+  def writeShards(docs: DataFrame, dir: String,
+      maxRecordsPerFile: Int = 1000000): Unit =
+    docs.repartitionByRange(col("source"), col("doc_id"))
+      .sortWithinPartitions("source", "doc_id")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .partitionBy("source")
+      .parquet(dir)
+
   /** Cross-corpus dedup: an INCOMING batch (the drop-first-token
     * variants) checked against a REFERENCE corpus (the originals) by
     * MinHash-LSH band collision + signature-estimate confirmation —
