@@ -1045,6 +1045,21 @@ object SparkEntry {
       (s, dir) => Similarity.knnIvf(T(s, dir, "embeddings"), 50, 3, 2)
     },
 
+    // Persisted-index IVF: build once into a per-sfDir temp dir
+    // (reused across reps), probe with dynamic-partition-pruned cell
+    // reads. Ranking-identical to ns_knn_ivf -> same oracle.
+    q("ns_knn_ivf_indexed", Similarity.knnIvfOracle(50, 3, 2)) {
+      (s, dir) =>
+        val idx = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-" +
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        if (!new java.io.File(s"$idx/cells/_SUCCESS").exists())
+          Similarity.ivfBuild(T(s, dir, "embeddings"), idx)
+        Similarity.ivfQuery(T(s, dir, "embeddings")
+          .filter(col("vec_id") < 50)
+          .select(col("vec_id").as("query_id"), col("embedding")), idx, 3, 2)
+    },
+
     // F10: map functions over parsed JSON props.
     q("f10_map_funcs",
       """SELECT event_id,

@@ -191,7 +191,14 @@ final class Serve(
           respond(ex, code, body)
         case List("download", "csv", index, q) =>
           csv(index.toInt, q) match {
-            case Some(body) => respond(ex, 200, body, "text/csv; charset=utf-8")
+            case Some(body) =>
+              // filename = longest column name (serve_view_df.py:171)
+              val s = session(decode(q))
+              val fname = s.pool(index.toInt).columns.maxBy(_.length)
+                .replaceAll("[^A-Za-z0-9._-]", "_")
+              ex.getResponseHeaders.set("Content-Disposition",
+                s"""attachment; filename="$fname.csv"""")
+              respond(ex, 200, body, "text/csv; charset=utf-8")
             case None => respond(ex, 202, waitPage)
           }
         case _ => respond(ex, 404, "<html><body>not found</body></html>")
