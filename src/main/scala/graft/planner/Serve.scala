@@ -74,6 +74,25 @@ final class Serve(
     ex.close()
   }
 
+  /** [[Browse.describe]] as HTML with every bound column in a color
+    * unique to that column across all listed actions — the
+    * reference's matched-column color coding (serve.py:125-129,
+    * extras_ui.get_unique_colors), with evenly spaced hues replacing
+    * its random palette so colors are stable across renders.
+    */
+  private def describeHtml(a: Planner.Action,
+      hue: Map[String, Int]): String = {
+    val binds = a.bindings.toSeq.sortBy(_._1).map { case (arg, b) =>
+      val cols = b.cols.map { c =>
+        s"""<span style="color:hsl(${hue(c.column)},70%,40%)">""" +
+          esc(c.column) + "</span>"
+      }.mkString(",")
+      s"${esc(arg)}=#${b.frameIdx}($cols)"
+    }.mkString(" ")
+    s"${esc(a.task.name)} $binds -&gt; " +
+      esc(a.outputs.map(_.mkString("[", ",", "]")).mkString(" "))
+  }
+
   private def explorePage(q: String): String = {
     val s = session(decode(q))
     val frames = s.pool.zipWithIndex.map { case (df, i) =>
@@ -81,9 +100,16 @@ final class Serve(
         s""" <a href="/view/0/$i/$q">view</a>""" +
         s""" <a href="/download/csv/$i/$q">csv</a></li>"""
     }.mkString("\n")
-    val acts = Browse.actions(s).zipWithIndex.map { case (a, i) =>
+    val actsList = Browse.actions(s)
+    val colsUse = actsList
+      .flatMap(_.bindings.valuesIterator.flatMap(_.cols.map(_.column)))
+      .distinct.sorted
+    val hue = colsUse.zipWithIndex.map { case (c, i) =>
+      c -> i * 360 / math.max(1, colsUse.size)
+    }.toMap
+    val acts = actsList.zipWithIndex.map { case (a, i) =>
       val nq = encode(s.path :+ a)
-      s"""<li>[$i] <a href="/explore/$nq">${esc(Browse.describe(a))}</a></li>"""
+      s"""<li>[$i] <a href="/explore/$nq">${describeHtml(a, hue)}</a></li>"""
     }.mkString("\n")
     val back =
       if (s.path.isEmpty) ""

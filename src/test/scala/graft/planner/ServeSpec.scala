@@ -47,9 +47,12 @@ class ServeSpec extends SparkSpec {
       assert(home.body().contains("frame #0: (index, name)"), home.body())
       assert(home.body().contains("splitter"), home.body())
 
+      // bound columns are color-coded like the reference's explore page
+      assert(home.body().contains("color:hsl("), home.body())
+
       // follow the action whose output is name.split (state moves
       // entirely via the URL, like the reference's ?q=)
-      val link = """href="(/explore/[^"]+)">([^<]*)</a>""".r
+      val link = """href="(/explore/[^"]+)">(.*?)</a>""".r
         .findAllMatchIn(home.body())
         .collectFirst { case m if m.group(2).contains("name.split") =>
           m.group(1) }
