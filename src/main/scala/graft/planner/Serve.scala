@@ -170,9 +170,16 @@ final class Serve(
         val body = rows.map(r =>
           r.toSeq.map(v => s"<td>${renderCell(v)}</td>")
             .mkString("<tr>", "", "</tr>")).mkString("\n")
-        val nav = (0 until npages).map { p =>
-          if (p == page) s"<b>$p</b>"
-          else s"""<a href="/view/$p/$index/$q">$p</a>"""
+        // bounded nav window (serve_view_df.py:44-52, NAV_PAGE_COUNT):
+        // current +/- 2 plus first/last — constant-size HTML however
+        // many pages the frame has
+        val navPages = ((0 +: (page - 2 to page + 2) :+ (npages - 1))
+          .filter(p => p >= 0 && p < npages)).distinct.sorted
+        val nav = navPages.map { p =>
+          val label =
+            if (p == 0) "First" else if (p == npages - 1) "Last" else s"$p"
+          if (p == page) s"<b>$label</b>"
+          else s"""<a href="/view/$p/$index/$q">$label</a>"""
         }.mkString(" ")
         (200,
           s"""<html><body><h1>frame #$index page $page/${npages - 1}</h1>
