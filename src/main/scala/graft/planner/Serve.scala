@@ -145,12 +145,23 @@ final class Serve(
     """<html><head><meta http-equiv="refresh" content="1"></head>
       |<body><p>computing… (auto-refreshes)</p></body></html>""".stripMargin
 
-  private def renderCell(v: Any): String = {
+  private def renderCell(v: Any, colw: Int): String = {
     val s = String.valueOf(v)
-    esc(if (s.length > ViewMaxColWidth) s.take(ViewMaxColWidth) + "..." else s)
+    esc(if (s.length > colw) s.take(colw) + "..." else s)
   }
 
-  private def viewPage(pageRaw: String, index: Int, q: String): (Int, String) = {
+  /** The `colw` cookie (serve_view_df.py:55-72): current display
+    * column width, adjusted ±10 by the col-width endpoints.
+    */
+  private def cookieColw(ex: HttpExchange): Int =
+    Option(ex.getRequestHeaders.getFirst("Cookie")).toSeq
+      .flatMap(_.split(";")).map(_.trim)
+      .collectFirst { case c if c.startsWith("colw=") =>
+        c.stripPrefix("colw=").toIntOption }
+      .flatten.getOrElse(ViewMaxColWidth)
+
+  private def viewPage(pageRaw: String, index: Int, q: String,
+      colw: Int): (Int, String) = {
     val s = session(decode(q))
     cachedFrame(s, index) match {
       case None => (202, waitPage)
@@ -168,7 +179,7 @@ final class Serve(
         val head = cached.columns
           .map(c => s"<th>${esc(c)}</th>").mkString("<tr>", "", "</tr>")
         val body = rows.map(r =>
-          r.toSeq.map(v => s"<td>${renderCell(v)}</td>")
+          r.toSeq.map(v => s"<td>${renderCell(v, colw)}</td>")
             .mkString("<tr>", "", "</tr>")).mkString("\n")
         // bounded nav window (serve_view_df.py:44-52, NAV_PAGE_COUNT):
         // current +/- 2 plus first/last — constant-size HTML however
@@ -216,11 +227,19 @@ final class Serve(
           respond(ex, 200, explorePage(""))
         case List("explore", q) =>
           respond(ex, 200, explorePage(q))
+        case List("view", "increase_col_width", x) =>
+          val next = (cookieColw(ex) + x.toInt).max(1)
+          ex.getResponseHeaders.set("Set-Cookie", s"colw=$next")
+          respond(ex, 200, next.toString, "text/plain; charset=utf-8")
+        case List("view", "decrease_col_width", x) =>
+          val next = (cookieColw(ex) - x.toInt).max(1)
+          ex.getResponseHeaders.set("Set-Cookie", s"colw=$next")
+          respond(ex, 200, next.toString, "text/plain; charset=utf-8")
         case List("view", page, index, q) =>
-          val (code, body) = viewPage(page, index.toInt, q)
+          val (code, body) = viewPage(page, index.toInt, q, cookieColw(ex))
           respond(ex, code, body)
         case List("view", page, index) =>
-          val (code, body) = viewPage(page, index.toInt, "")
+          val (code, body) = viewPage(page, index.toInt, "", cookieColw(ex))
           respond(ex, code, body)
         case List("download", "csv", index, q) =>
           csv(index.toInt, q) match {

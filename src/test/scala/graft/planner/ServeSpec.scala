@@ -79,6 +79,23 @@ class ServeSpec extends SparkSpec {
       assert(csv.body().linesIterator.size == 4, csv.body()) // header + 3 rows
       assert(csv.body().contains("turjo"), csv.body())
 
+      // col-width cookie endpoints adjust the display width
+      val wider = get(s"$base/view/increase_col_width/10")
+      assert(wider.body() == "40", wider.body())
+      assert(wider.headers().firstValue("Set-Cookie").orElse("") == "colw=40")
+      val narrower = client.send(
+        HttpRequest.newBuilder(URI.create(s"$base/view/decrease_col_width/10"))
+          .header("Cookie", "colw=40").GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(narrower.body() == "30", narrower.body())
+
+      // a narrow colw cookie truncates table cells like the reference
+      val narrowView = client.send(
+        HttpRequest.newBuilder(URI.create(s"$base/view/0/1/$q"))
+          .header("Cookie", "colw=4").GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(narrowView.body().contains("sank..."), narrowView.body())
+
       // bad routes 404 rather than crash the server
       assert(get(s"$base/nope").statusCode() == 404)
     } finally srv.stop()
