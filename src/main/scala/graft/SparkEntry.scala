@@ -604,6 +604,22 @@ object SparkEntry {
         T(s, dir, "orders"), T(s, dir, "customer"))
     },
 
+    // TPC-H Q10 shape: returned-item revenue per customer, top 20
+    // (scan-filtered fact, broadcast dims).
+    q("q10_returned_revenue",
+      """SELECT c_custkey, c_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin) {
+      (s, dir) => Advanced.returnedRevenue(T(s, dir, "lineitem"),
+        T(s, dir, "orders"), T(s, dir, "customer"), T(s, dir, "nation"))
+    },
+
     // TPC-H Q5 shape: nation revenue within one region (4-way join).
     q("q5_region_volume",
       """SELECT n_name,

@@ -110,6 +110,25 @@ object Advanced {
         .as("revenue"))
       .orderBy(col("revenue").desc, col("n_name").asc)
 
+  /** TPC-H Q10 shape: revenue lost to returned items per customer,
+    * top 20. The fact side is FILTERED AT THE SCAN (l_returnflag = 'R'
+    * reaches parquet as a pushed predicate), customer/nation broadcast,
+    * and the top-20 is TakeOrderedAndProject after a map-side-combined
+    * per-customer rollup — at 100 TB only returned line items ever
+    * leave the scan stage.
+    */
+  def returnedRevenue(li: DataFrame, orders: DataFrame,
+      customer: DataFrame, nation: DataFrame): DataFrame =
+    li.filter(col("l_returnflag") === "R")
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+
   /** Approximate aggregates (HLL cardinality, quantile sketch) — the
     * G3 approx surface. The sketches themselves are engine-specific
     * and can't hash-match a DuckDB run, so the query emits the EXACT
