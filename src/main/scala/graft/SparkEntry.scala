@@ -620,6 +620,36 @@ object SparkEntry {
         T(s, dir, "orders"), T(s, dir, "customer"), T(s, dir, "nation"))
     },
 
+    // TPC-H Q12 shape: conditional aggregation over the order join.
+    q("q12_priority_lines",
+      """SELECT l_linestatus,
+        |  count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |             THEN 1 END) AS high_line_count,
+        |  count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |             THEN 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) {
+      (s, dir) => Advanced.priorityLineCounts(T(s, dir, "lineitem"),
+        T(s, dir, "orders"))
+    },
+
+    // TPC-H Q18 shape: large-volume orders via aggregated-subquery
+    // semi-join.
+    q("q18_large_orders",
+      """WITH big AS (SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 250.0)
+        |SELECT c_name, o_orderkey, o_totalprice,
+        |  round(sum(l_quantity), 2) AS total_qty
+        |FROM lineitem
+        |JOIN big USING (l_orderkey)
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_name, o_orderkey, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin) {
+      (s, dir) => Advanced.largeOrders(T(s, dir, "lineitem"),
+        T(s, dir, "orders"), T(s, dir, "customer"))
+    },
+
     // TPC-H Q5 shape: nation revenue within one region (4-way join).
     q("q5_region_volume",
       """SELECT n_name,

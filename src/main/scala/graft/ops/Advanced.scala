@@ -129,6 +129,42 @@ object Advanced {
       .orderBy(col("revenue").desc, col("c_custkey").asc)
       .limit(20)
 
+  /** TPC-H Q12 shape: high/low-priority line counts per line status —
+    * the conditional-aggregation join. One shuffle join on orderkey
+    * (unhinted: orders is a quarter of lineitem's rows, AQE picks),
+    * then a 2-row map-side-combined rollup; the CASE branches are
+    * `count(when(...))` so both engines produce BIGINT.
+    */
+  def priorityLineCounts(li: DataFrame, orders: DataFrame): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(count(when(high, 1)).as("high_line_count"),
+        count(when(!high, 1)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  /** TPC-H Q18 shape: large-volume orders (HAVING-subquery semi-join).
+    * The qualifying-order set is a map-side-combinable per-order
+    * rollup whose ~1% survivors broadcast back onto the fact join —
+    * the aggregated-subquery pattern that stays cheap at 100 TB
+    * because the filter reduces before anything wide happens.
+    */
+  def largeOrders(li: DataFrame, orders: DataFrame, customer: DataFrame,
+      minQty: Double = 250.0): DataFrame = {
+    val big = li.groupBy("l_orderkey")
+      .agg(sum(col("l_quantity")).as("qty_sum"))
+      .filter(col("qty_sum") > minQty)
+      .select("l_orderkey")
+    li.join(big, "l_orderkey")
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_name", "o_orderkey", "o_totalprice")
+      .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(20)
+  }
+
   /** Approximate aggregates (HLL cardinality, quantile sketch) — the
     * G3 approx surface. The sketches themselves are engine-specific
     * and can't hash-match a DuckDB run, so the query emits the EXACT

@@ -227,6 +227,23 @@ final class Serve(
           respond(ex, 200, explorePage(""))
         case List("explore", q) =>
           respond(ex, 200, explorePage(q))
+        case "goal" :: cols :: rest if rest.length <= 1 =>
+          // plan a full path to the comma-separated goal columns from
+          // the current state and redirect to the resulting explore
+          // URL — the CLI's `goal` command (Browse.scala) over HTTP
+          val q = rest.headOption.getOrElse("")
+          val s = session(decode(q))
+          Planner.findPath(s.registry, s.pool.map(_.columns.toVector),
+            Vector(cols.split(",").toVector)) match {
+            case None =>
+              respond(ex, 404,
+                s"<html><body>goal ${esc(cols)} unreachable</body></html>")
+            case Some(path) =>
+              ex.getResponseHeaders.set("Location",
+                s"/explore/${encode(s.path ++ path)}")
+              ex.sendResponseHeaders(302, -1)
+              ex.close()
+          }
         case List("view", "increase_col_width", x) =>
           val next = (cookieColw(ex) + x.toInt).max(1)
           ex.getResponseHeaders.set("Set-Cookie", s"colw=$next")

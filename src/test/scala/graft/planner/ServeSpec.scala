@@ -96,6 +96,14 @@ class ServeSpec extends SparkSpec {
         HttpResponse.BodyHandlers.ofString())
       assert(narrowView.body().contains("sank..."), narrowView.body())
 
+      // the goal route plans a whole path and redirects to it
+      val goal = get(s"$base/goal/name.split.alpha")
+      assert(goal.statusCode() == 302, goal.body())
+      val planned = get(base +
+        goal.headers().firstValue("Location").orElseThrow())
+      assert(planned.body().contains("name.split.alpha"), planned.body())
+      assert(get(s"$base/goal/no.such.column").statusCode() == 404)
+
       // bad routes 404 rather than crash the server
       assert(get(s"$base/nope").statusCode() == 404)
     } finally srv.stop()
