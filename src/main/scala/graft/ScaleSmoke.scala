@@ -77,6 +77,14 @@ object ScaleSmoke {
     val packDocs = big.withColumn("source",
       concat(lit("src"), pmod(col("doc_id"), lit(64)).cast("string")))
     val (nPack, tPack) = time(ops.Pipeline.seqPack(packDocs, 256).count())
+    // shard write: range-partitioned partitionBy(source) parquet —
+    // wall must scale with rows, not sources x tasks (tiny-file check)
+    val shardDir = java.nio.file.Files
+      .createTempDirectory("graft-smoke-shards").toString
+    val (nShard, tShard) = time {
+      ops.Pipeline.writeShards(packDocs, shardDir, 1000000)
+      spark.read.parquet(shardDir).count()
+    }
     println(s"""{"multiplier":$mult,"docs":${big.count()},""" +
       s""""tokens":$nTokens,"tokenize_sec":$tTok,""" +
       s""""top90_rows":$nTop,"top90_sec":$tTop,""" +
@@ -87,7 +95,8 @@ object ScaleSmoke {
       s""""ccstar_labels":$nCcLabels,"ccstar_rounds":$ccRounds,""" +
       s""""ccstar_sec":$tCc,""" +
       s""""span_docs":$nSpan,"span_sec":$tSpan,""" +
-      s""""pack_rows":$nPack,"pack_sec":$tPack}""")
+      s""""pack_rows":$nPack,"pack_sec":$tPack,""" +
+      s""""shard_rows":$nShard,"shard_sec":$tShard}""")
     spark.stop()
   }
 }
