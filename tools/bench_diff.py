@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Per-query ratio diff of two Bench JSON artifacts.
+
+Usage: bench_diff.py OLD.json NEW.json [--threshold 1.5]
+
+Reads the {"metric":"total","queries":{name:sec,...}} line each artifact
+holds (BENCH_FULL.json / BENCH_r*.json; a git ref works via
+`git show <ref>:BENCH_FULL.json > /tmp/old.json`), prints one row per
+query sorted by regression (new/old descending), and flags rows past the
+threshold. Queries present in only one artifact are listed separately so
+surface growth is visible, not silently dropped.
+"""
+import argparse
+import json
+import signal
+import sys
+
+signal.signal(signal.SIGPIPE, signal.SIG_DFL)  # play nice with `| head`
+
+
+def load(path):
+    with open(path) as f:
+        text = f.read()
+    # artifacts are one JSON object, possibly surrounded by log lines
+    for line in text.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            obj = json.loads(line)
+            if "queries" in obj:
+                return obj
+    raise SystemExit(f"{path}: no line with a 'queries' object")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--threshold", type=float, default=1.5,
+                    help="flag ratios above this (and below 1/this)")
+    args = ap.parse_args()
+
+    old, new = load(args.old), load(args.new)
+    oq, nq = old["queries"], new["queries"]
+    shared = sorted(set(oq) & set(nq), key=lambda q: nq[q] / oq[q],
+                    reverse=True)
+    only_old = sorted(set(oq) - set(nq))
+    only_new = sorted(set(nq) - set(oq))
+
+    print(f"{'query':<28} {'old_s':>8} {'new_s':>8} {'ratio':>7}  flag")
+    for q in shared:
+        r = nq[q] / oq[q]
+        flag = ""
+        if r >= args.threshold:
+            flag = "REGRESSION"
+        elif r <= 1 / args.threshold:
+            flag = "improved"
+        print(f"{q:<28} {oq[q]:>8.3f} {nq[q]:>8.3f} {r:>7.2f}  {flag}")
+
+    tot_old = sum(oq[q] for q in shared)
+    tot_new = sum(nq[q] for q in shared)
+    print(f"\nshared {len(shared)} queries: {tot_old:.1f}s -> {tot_new:.1f}s "
+          f"(ratio {tot_new / tot_old:.2f})")
+    if only_old:
+        print(f"removed ({len(only_old)}): {', '.join(only_old)}")
+    if only_new:
+        tot = sum(nq[q] for q in only_new)
+        print(f"added ({len(only_new)}, {tot:.1f}s): {', '.join(only_new)}")
+    n_reg = sum(1 for q in shared if nq[q] / oq[q] >= args.threshold)
+    print(f"regressions past {args.threshold}x: {n_reg}")
+    return 1 if n_reg else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
