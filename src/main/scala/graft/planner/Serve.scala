@@ -120,25 +120,119 @@ final class Serve(
        |$back</body></html>""".stripMargin
   }
 
-  /** The cached materialization of frame `index`, or None while the
-    * async job is still running (submitting it if nobody has).
+  /** Rows per sorted page-cache file: bounds what any single page
+    * render ever reads or collects (<= 2 files span a page), however
+    * many rows the frame has. 4096 = 136 UI pages per file.
     */
-  private def cachedFrame(s: Browse.Session, index: Int): Option[DataFrame] = {
+  private val PageFileRows = 4096
+
+  private def stableOrder(df: DataFrame) =
+    df.columns.toSeq.map(c => col(s"`$c`").asc)
+
+  /** Serving caches built beside the raw parquet, inside the same
+    * async job (the [[PlanCache.submit]] `andThen` hook):
+    *
+    *   - `<key>.pages` — the frame under the stable total order (all
+    *     columns asc), range-partitioned by the sort and split into
+    *     files of <= [[PageFileRows]] rows. Lexicographic file order
+    *     IS the global row order, so page p lives in the one (or two,
+    *     at a boundary) files its row span overlaps — a deep page
+    *     costs one bounded file read, not a `limit(n)` collect
+    *     (the round-4 audit's last scale-killer, Browse.scala's
+    *     previewTop applied to page "last").
+    *   - `<key>.csv` — the same ordering as distributed headerless
+    *     CSV part files; a download streams them in name order
+    *     straight from disk (RFC-style quote doubling, nulls as
+    *     "null" like the old in-memory renderer), never collecting
+    *     the frame to the driver (serve_view_df.py:167 does — that is
+    *     the one reference behavior deliberately not reproduced).
+    */
+  private def buildPageCache(cached: DataFrame, key: String): Unit = {
+    val sorted = cached.orderBy(stableOrder(cached): _*)
+    sorted.write.mode("overwrite")
+      .option("maxRecordsPerFile", PageFileRows.toLong)
+      .parquet(s"$cacheDir/$key.pages")
+    // CSV rejects nested types the parquet pages keep; stringify every
+    // column for the download (sort order is the typed one above)
+    sorted.select(sorted.columns.toSeq
+        .map(c => col(s"`$c`").cast("string").as(c)): _*)
+      .write.mode("overwrite")
+      .option("header", "false").option("nullValue", "null")
+      .option("escape", "\"")
+      .csv(s"$cacheDir/$key.csv")
+  }
+
+  /** The served frame's plan key and row count, or None while the
+    * async materialization (raw parquet + page/CSV caches + count)
+    * is still running — submitting it if nobody has. The count comes
+    * from the Done status recorded at materialization time, so a page
+    * render runs no per-request counting job (round-4 audit item (b)).
+    */
+  private def servedFrame(s: Browse.Session, index: Int): Option[(String, Long)] = {
     val df = s.pool(index)
     val spark = df.sparkSession
     val key = PlanCache.planKey(df)
     PlanCache.poll(key) match {
-      case Some(PlanCache.Done(_)) =>
-        Some(spark.read.parquet(s"$cacheDir/$key"))
+      case Some(PlanCache.Done(n)) => Some((key, n))
       case Some(PlanCache.Failed(e)) =>
         throw new RuntimeException(s"materialization failed: $e")
       case Some(PlanCache.Running) => None
       case None =>
-        // cold cache from an earlier server run counts as done
-        if (new java.io.File(s"$cacheDir/$key", "_SUCCESS").exists())
-          Some(spark.read.parquet(s"$cacheDir/$key"))
-        else { PlanCache.submit(spark, df, cacheDir); None }
+        // cold raw cache from an earlier run still re-submits (the
+        // materialize inside is a no-op) so the page/CSV caches and
+        // the remembered count get rebuilt exactly once
+        PlanCache.submit(spark, df, cacheDir,
+          cached => buildPageCache(cached, key))
+        None
     }
+  }
+
+  private case class PageFile(path: String, rows: Long, start: Long)
+
+  private val manifests =
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[PageFile]]()
+
+  /** Sorted page files with their row counts (parquet footer metadata,
+    * read driver-side once per key — no Spark job) and cumulative
+    * start offsets.
+    */
+  private def manifest(spark: SparkSession, key: String): Vector[PageFile] =
+    manifests.computeIfAbsent(key, _ => {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val parts = Option(new java.io.File(s"$cacheDir/$key.pages").listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .map(_.getPath).sorted
+      var cum = 0L
+      parts.toVector.map { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val n = try reader.getRecordCount finally reader.close()
+        val pf = PageFile(p, n, cum)
+        cum += n
+        pf
+      }
+    })
+
+  /** Rows [page*PageSize, +PageSize) of the sorted cache: only the
+    * 1-2 files overlapping that span are read, each re-sorted (they
+    * are single bounded files) — collect stays <= [[PageFileRows]]
+    * rows for page one million as for page one.
+    */
+  private def pageRows(spark: SparkSession, key: String, page: Int): Seq[Row] = {
+    val start = page.toLong * Browse.PageSize
+    val end = start + Browse.PageSize
+    manifest(spark, key)
+      .filter(f => f.start < end && f.start + f.rows > start)
+      .flatMap { f =>
+        val df = spark.read.parquet(f.path)
+        df.orderBy(stableOrder(df): _*)
+          .limit((end - f.start).min(f.rows).toInt)
+          .collect()
+          .drop((start - f.start).max(0).toInt)
+      }
   }
 
   private def waitPage: String =
@@ -163,10 +257,9 @@ final class Serve(
   private def viewPage(pageRaw: String, index: Int, q: String,
       colw: Int): (Int, String) = {
     val s = session(decode(q))
-    cachedFrame(s, index) match {
+    servedFrame(s, index) match {
       case None => (202, waitPage)
-      case Some(cached) =>
-        val n = cached.count()
+      case Some((key, n)) =>
         val npages = math.max(1, math.ceil(n.toDouble / Browse.PageSize).toInt)
         val page0 = pageRaw.toLowerCase match {
           case "first" => 0
@@ -174,9 +267,8 @@ final class Serve(
           case p => p.toInt
         }
         val page = if (page0 < 0) npages + page0 else math.min(page0, npages - 1)
-        val rows = Browse.previewTop(cached, page, Browse.PageSize)
-          .collect().drop((Browse.PageSize * page).max(0))
-        val head = cached.columns
+        val rows = pageRows(s.pool(index).sparkSession, key, page)
+        val head = s.pool(index).columns
           .map(c => s"<th>${esc(c)}</th>").mkString("<tr>", "", "</tr>")
         val body = rows.map(r =>
           r.toSeq.map(v => s"<td>${renderCell(v, colw)}</td>")
@@ -208,15 +300,41 @@ final class Serve(
       "\"" + s.replace("\"", "\"\"") + "\""
     else s
 
-  private def csv(index: Int, q: String): Option[String] = {
-    val s = session(decode(q))
-    cachedFrame(s, index).map { cached =>
-      val order = cached.columns.toSeq.map(c => col(s"`$c`").asc)
-      val lines = cached.orderBy(order: _*).collect()
-        .map(_.toSeq.map(v => csvCell(String.valueOf(v))).mkString(","))
-      (cached.columns.map(csvCell).mkString(",") +: lines).mkString("\n")
+  /** Stream the CSV cache to the response: a header line, then the
+    * sorted part files copied byte-for-byte in name order. Chunked
+    * transfer, O(buffer) memory, ZERO Spark jobs on a warm cache —
+    * the distributed-write-then-stream replacement for the old
+    * `collect().mkString` (which was reference-faithful,
+    * serve_view_df.py:167, and a driver OOM at corpus scale).
+    * Returns false while the materialization is still running.
+    */
+  private def streamCsv(ex: HttpExchange, s: Browse.Session,
+      index: Int): Boolean =
+    servedFrame(s, index) match {
+      case None => false
+      case Some((key, _)) =>
+        val cols = s.pool(index).columns
+        // filename = longest column name (serve_view_df.py:171)
+        val fname = cols.maxBy(_.length).replaceAll("[^A-Za-z0-9._-]", "_")
+        val parts = Option(new java.io.File(s"$cacheDir/$key.csv").listFiles())
+          .getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".csv"))
+          .sortBy(_.getName)
+        ex.getResponseHeaders.set("Content-Type", "text/csv; charset=utf-8")
+        ex.getResponseHeaders.set("Content-Disposition",
+          s"""attachment; filename="$fname.csv"""")
+        ex.sendResponseHeaders(200, 0) // length 0 = chunked streaming
+        val out = ex.getResponseBody
+        try {
+          out.write((cols.map(csvCell).mkString(",") + "\n").getBytes(UTF_8))
+          parts.foreach(p => java.nio.file.Files.copy(p.toPath, out))
+        } finally {
+          out.close()
+          ex.close()
+        }
+        true
     }
-  }
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   server.createContext("/", (ex: HttpExchange) => {
@@ -259,17 +377,11 @@ final class Serve(
           val (code, body) = viewPage(page, index.toInt, "", cookieColw(ex))
           respond(ex, code, body)
         case List("download", "csv", index, q) =>
-          csv(index.toInt, q) match {
-            case Some(body) =>
-              // filename = longest column name (serve_view_df.py:171)
-              val s = session(decode(q))
-              val fname = s.pool(index.toInt).columns.maxBy(_.length)
-                .replaceAll("[^A-Za-z0-9._-]", "_")
-              ex.getResponseHeaders.set("Content-Disposition",
-                s"""attachment; filename="$fname.csv"""")
-              respond(ex, 200, body, "text/csv; charset=utf-8")
-            case None => respond(ex, 202, waitPage)
-          }
+          if (!streamCsv(ex, session(decode(q)), index.toInt))
+            respond(ex, 202, waitPage)
+        case List("download", "csv", index) =>
+          if (!streamCsv(ex, session(Vector.empty), index.toInt))
+            respond(ex, 202, waitPage)
         case _ => respond(ex, 404, "<html><body>not found</body></html>")
       }
     } catch {

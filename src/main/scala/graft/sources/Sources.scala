@@ -110,9 +110,14 @@ object Sources {
     /** Submit df for materialization under its plan key; returns the
       * key at once. Duplicate submissions of an in-flight or finished
       * plan are no-ops (idempotent, like the reference's cache check
-      * before enqueueing, serve.py:61-66).
+      * before enqueueing, serve.py:61-66). `andThen` runs on the
+      * worker thread against the cached frame BEFORE the status turns
+      * Done — the hook serving layers use to build derived caches
+      * (sorted page files, CSV) inside the same async job, so Done
+      * means "every read path is ready", not just the raw parquet.
       */
-    def submit(spark: SparkSession, df: DataFrame, cacheDir: String): String = {
+    def submit(spark: SparkSession, df: DataFrame, cacheDir: String,
+        andThen: DataFrame => Unit = _ => ()): String = {
       val key = planKey(df)
       val fresh = jobs.putIfAbsent(key, Running) == null
       if (fresh) {
@@ -121,6 +126,7 @@ object Sources {
             spark.sparkContext.setJobGroup(s"graft-cache-$key",
               s"async materialize $key", interruptOnCancel = true)
             val cached = materialize(spark, df, cacheDir)
+            andThen(cached)
             jobs.put(key, Done(cached.count()))
           } catch {
             case e: Throwable => jobs.put(key, Failed(String.valueOf(e.getMessage)))

@@ -108,4 +108,72 @@ class ServeSpec extends SparkSpec {
       assert(get(s"$base/nope").statusCode() == 404)
     } finally srv.stop()
   }
+
+  test("warm CSV download streams from disk: zero Spark jobs, no collect") {
+    import spark.implicits._
+    val source = Seq((0L, "sankho123 turjo sarkar456")).toDF("index", "name")
+    val cacheDir = java.nio.file.Files
+      .createTempDirectory("graft-serve-csv").toString
+    val srv = new Serve(TaskRegistry.of(Library.splitter), Seq(source), cacheDir)
+    try {
+      val base = s"http://localhost:${srv.boundPort}"
+      val cold = getDone(s"$base/download/csv/0/")
+      assert(cold.statusCode() == 200, cold.body())
+      assert(cold.body().contains("sankho123"), cold.body())
+
+      val jobs = new java.util.concurrent.atomic.AtomicInteger()
+      val counter = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(counter)
+      val warm =
+        try {
+          val r = get(s"$base/download/csv/0/")
+          org.apache.spark.GraftListenerDrain.drain(spark.sparkContext, 30000)
+          r
+        } finally spark.sparkContext.removeSparkListener(counter)
+      assert(warm.statusCode() == 200)
+      assert(warm.body() == cold.body())
+      assert(jobs.get() == 0,
+        s"warm CSV download ran ${jobs.get()} Spark jobs; must stream from disk")
+    } finally srv.stop()
+  }
+
+  test("a deep last page reads one bounded cache file, not the frame") {
+    val n = 50000L // 1,667 pages — the old limit(n) path would collect all n
+    val source = spark.read.format("graft.sources.SynthDocsSource")
+      .option("rows", n.toString).option("partitions", "8")
+      .option("tokens", "5").load()
+    val cacheDir = java.nio.file.Files
+      .createTempDirectory("graft-serve-deep").toString
+    val srv = new Serve(TaskRegistry.of(Library.splitter), Seq(source), cacheDir)
+    try {
+      val base = s"http://localhost:${srv.boundPort}"
+      assert(getDone(s"$base/view/0/0/").statusCode() == 200)
+
+      val read = new java.util.concurrent.atomic.LongAdder
+      val counter = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = e.stageInfo.taskMetrics
+          if (m != null) read.add(m.inputMetrics.recordsRead)
+        }
+      }
+      spark.sparkContext.addSparkListener(counter)
+      val last =
+        try {
+          val r = get(s"$base/view/last/0/")
+          org.apache.spark.GraftListenerDrain.drain(spark.sparkContext, 30000)
+          r
+        } finally spark.sparkContext.removeSparkListener(counter)
+      assert(last.statusCode() == 200, last.body())
+      assert(last.body().contains(s"page 1666/1666"), last.body())
+      // a page spans at most two 4096-row cache files; reading rows
+      // anywhere near the 50k frame means the bounded paging regressed
+      assert(read.sum < 10000,
+        s"last-page render read ${read.sum} records; paging must stay bounded")
+    } finally srv.stop()
+  }
 }
