@@ -56,4 +56,49 @@ class MeterSpec extends SparkSpec {
     }
     assert(sw < 256 * 1024, s"w2_top90 shuffled $sw bytes (input $input)")
   }
+
+  test("LSH dedup shuffles signatures, not text: 8x the text, same bytes") {
+    // the PLANS.md claim measured: per-doc shuffle cost is the fixed
+    // signature width. Repeating each text 8x leaves the shingle SET
+    // (hence every minhash signature) identical, so if the exchanges
+    // carry signatures the shuffle must not grow with the text bytes.
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val (swBase, _) = measure {
+      graft.ops.Dedup.minhashLsh(docs, 0.5).count()
+    }
+    val fat = docs.select(col("doc_id"),
+      concat_ws(" ", array_repeat(col("text"), 8)).as("text"))
+    val (swFat, inputFat) = measure {
+      graft.ops.Dedup.minhashLsh(fat, 0.5).count()
+    }
+    assert(swFat < swBase * 3 / 2,
+      s"8x text grew the LSH shuffle $swBase -> $swFat bytes " +
+        s"(input $inputFat); exchanges must carry signatures, not text")
+    // and the absolute volume is the signature budget: <= ~2 KB/doc
+    val nDocs = docs.count()
+    assert(swBase < nDocs * 2048,
+      s"LSH shuffled $swBase bytes for $nDocs docs (> 2 KB/doc)")
+  }
+
+  test("wide simhash shuffles 64-bit fingerprints: bounded per doc") {
+    val (sw, input) = measure {
+      SparkEntry.queries("ns_dedup_simhash64")(spark, sf).count()
+    }
+    // the 4x15-bit Manku block join moves (block-key, fingerprint, id)
+    // rows — a fixed-width budget per doc, never the text
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(sw < nDocs * 1024,
+      s"simhash64 shuffled $sw bytes for $nDocs docs (input $input)")
+  }
+
+  test("span dedup broadcasts the dup-hash side: window stream never shuffles") {
+    val (sw, input) = measure {
+      SparkEntry.queries("ns_span_dedup")(spark, sf).count()
+    }
+    // only the per-doc rollup's exchange may move; the O(tokens)
+    // sliding-window stream shuffling would be ~input-sized
+    assert(sw < 64 * 1024, s"span_dedup shuffled $sw bytes (input $input)")
+  }
 }
