@@ -1096,7 +1096,10 @@ object SparkEntry {
     // reads. Ranking-identical to ns_knn_ivf -> same oracle.
     q("ns_knn_ivf_indexed", Similarity.knnIvfOracle(50, 3, 2)) {
       (s, dir) =>
+        // path carries the quantizer config: retraining (LloydRounds
+        // bump) must invalidate previously persisted indexes
         val idx = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-" +
+          s"l${Similarity.LloydRounds}-" +
           java.security.MessageDigest.getInstance("MD5")
             .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
         if (!new java.io.File(s"$idx/cells/_SUCCESS").exists())

@@ -296,11 +296,69 @@ object Similarity {
 
   // ----------------------------------------------------------- IVF ANN
 
-  /** Every `CentroidStride`-th vector is a coarse centroid — a
-    * deterministic quantizer (no trained k-means), so both engines
-    * derive identical cells.
+  /** Every `CentroidStride`-th vector seeds a coarse centroid; the
+    * quantizer is then refined with [[LloydRounds]] Lloyd iterations
+    * (see [[trainedCents]]) — deterministic end to end, so both
+    * engines derive identical cells.
     */
   val CentroidStride = 40L
+
+  /** Lloyd refinement rounds for the coarse quantizer. One round on
+    * the fixture cuts max-cell skew 1.30 -> 1.22 and lifts recall@3
+    * at nprobe=2 from 0.32 to 0.43 (PLANS.md, round 5).
+    */
+  val LloydRounds = 1
+
+  /** Fixed-point scale for the Lloyd centroid mean: components are
+    * quantized to round(x * FixPoint) longs and SUMMED AS INTEGERS,
+    * which is exactly associative — the mean is identical under any
+    * partial-aggregation order, so Spark's distributed sum and
+    * DuckDB's single-node sum produce bit-identical centroids. A
+    * double-sum mean would differ in the last bits by fold order and
+    * poison the rounded-cosine tiebreaks downstream.
+    */
+  val FixPoint = 1000000L
+
+  /** Seed centroids by the deterministic stride sample, then run
+    * [[LloydRounds]] iterations of Lloyd's algorithm: assign each
+    * vector to its nearest centroid (broadcast argmax — the same
+    * map-side-combinable struct-max as [[knnIvf]] assignment), then
+    * move each centroid to the fixed-point mean of its cell. Both
+    * steps are one shuffle each on fixed-width keys; at 100 TB this
+    * is 2 passes over the vectors per round, all map-side-combined.
+    * Cells keep their seed's id, so downstream tiebreaks (`cid` asc)
+    * stay stable; an emptied cell simply drops out.
+    */
+  private[ops] def trainedCents(all: DataFrame): DataFrame = {
+    var cents = all.filter(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("nrm").as("cnrm"))
+    for (_ <- 1 to LloydRounds) {
+      val scored = all.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("cid"),
+          round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
+            .as("ccos"))
+      val assigned = scored.groupBy("vec_id")
+        .agg(max(struct(col("ccos"), (-col("cid")).as("negcid"))).as("best"),
+          first(col("v")).as("v"))
+        .select(col("v"), (-col("best.negcid")).as("cell"))
+      val perDim = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .select(col("cell"), col("dim"),
+          round(col("x") * FixPoint).cast("long").as("q"))
+        .groupBy("cell", "dim")
+        .agg(sum("q").as("s"), count(lit(1)).as("n"))
+      cents = perDim
+        .groupBy("cell")
+        .agg(collect_list(struct(col("dim"),
+          (col("s").cast("double") / (col("n") * lit(FixPoint.toDouble)))
+            .as("x"))).as("parts"))
+        .select(col("cell").as("cid"),
+          transform(array_sort(col("parts")), p => p.getField("x")).as("cv"))
+        .withColumn("cnrm", norm(col("cv")))
+    }
+    cents
+  }
 
   /** IVF (inverted-file) ANN: assign every vector to its nearest
     * coarse centroid ("cell"), then answer each query by brute-forcing
@@ -316,8 +374,7 @@ object Similarity {
       nprobe: Int = 2): DataFrame = {
     val all = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val cents = all.filter(col("vec_id") % CentroidStride === 0)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val cents = trainedCents(all)
     val scored = all.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
         round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
@@ -367,19 +424,46 @@ object Similarity {
        |SELECT query_id, rn, neighbor_id, cos_sim FROM ranked WHERE rn <= $k
        |ORDER BY query_id, rn""".stripMargin
 
-  /** CTE chain (allv -> ... -> ranked) shared by the IVF oracles. */
+  /** CTE chain (allv -> ... -> ranked) shared by the IVF oracles.
+    * Mirrors [[trainedCents]]: stride seed `cents_0`, then one
+    * (scored_r, asg_r, upd_r, cents_r) block per Lloyd round — the
+    * fixed-point integer mean makes the centroid arithmetic
+    * order-independent, so the chain is engine-reproducible.
+    */
   private def ivfRankedCtes(allvCte: String, nQueries: Int,
-      nprobe: Int): String =
+      nprobe: Int): String = {
+    val lloyd = (1 to LloydRounds).map { r =>
+      s"""scored_$r AS (SELECT vec_id, v, cid,
+         |    round(
+         |      list_sum(list_transform(range(1, 65), i -> v[i] * cv[i])) /
+         |      (sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))) *
+         |       sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])))),
+         |      6) AS ccos
+         |  FROM allv CROSS JOIN cents_${r - 1}),
+         |asg_$r AS (SELECT vec_id, v, cell FROM (
+         |    SELECT vec_id, v, cid AS cell,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY ccos DESC, cid ASC) AS rn
+         |    FROM scored_$r) WHERE rn = 1),
+         |upd_$r AS (SELECT cell, dim, sum(q) AS s, count(*) AS n FROM (
+         |    SELECT cell, dim, round(v[dim] * $FixPoint)::BIGINT AS q
+         |    FROM asg_$r CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) d)
+         |  GROUP BY cell, dim),
+         |cents_$r AS (SELECT cell AS cid,
+         |    list(s::DOUBLE / (n * $FixPoint.0) ORDER BY dim) AS cv
+         |  FROM upd_$r GROUP BY cell),""".stripMargin
+    }.mkString("\n")
     s"""$allvCte,
-       |cents AS (SELECT vec_id AS cid, v AS cv FROM allv
+       |cents_0 AS (SELECT vec_id AS cid, v AS cv FROM allv
        |          WHERE vec_id % $CentroidStride = 0),
+       |$lloyd
        |scored AS (SELECT vec_id, v, cid,
        |    round(
        |      list_sum(list_transform(range(1, 65), i -> v[i] * cv[i])) /
        |      (sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))) *
        |       sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])))),
        |      6) AS ccos
-       |  FROM allv CROSS JOIN cents),
+       |  FROM allv CROSS JOIN cents_$LloydRounds),
        |assigned AS (SELECT vec_id, v, cell FROM (
        |    SELECT vec_id, v, cid AS cell,
        |      row_number() OVER (PARTITION BY vec_id
@@ -402,6 +486,7 @@ object Similarity {
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
        |  FROM cand)""".stripMargin
+  }
 
   /** Recall@k of the IVF search against the exact brute-force
     * ranking, one row per query — the companion measurement to
@@ -463,9 +548,7 @@ object Similarity {
   def ivfBuild(emb: DataFrame, dir: String): Unit = {
     val all = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val cents = all.filter(col("vec_id") % CentroidStride === 0)
-      .select(col("vec_id").as("cid"), col("v").as("cv"),
-        col("nrm").as("cnrm"))
+    val cents = trainedCents(all)
     val scored = all.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
         round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
