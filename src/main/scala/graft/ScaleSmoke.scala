@@ -85,6 +85,60 @@ object ScaleSmoke {
       ops.Pipeline.writeShards(packDocs, shardDir, 1000000)
       spark.read.parquet(shardDir).count()
     }
+    // persisted IVF index: build once with ~sqrt(n) cells (the serving
+    // config — cell SIZE then grows as sqrt(n), so a 100-query probe
+    // batch reading nprobe cells per query costs O(sqrt(n))/query, not
+    // O(n): ivf_probe_sec must grow far below 10x per data decade
+    // while ivf_build_sec is the one-time linear-scan cost paid at
+    // build. Vectors are synthesized in-plan (hash-derived, executor-
+    // side) so the corpus never touches the driver or disk.
+    val nVecs = 1000L * mult
+    val emb = spark.range(nVecs).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(64)),
+        d => pmod(hash(col("id") * 64 + d), lit(1000)).cast("double")
+          / 500.0 - 1.0).as("embedding"))
+    val stride = math.max(1L, math.round(math.sqrt(nVecs.toDouble)))
+    val ivfDir = java.nio.file.Files
+      .createTempDirectory("graft-smoke-ivf").toString
+    val (nCells, tIvfBuild) = time {
+      ops.Similarity.ivfBuild(emb, ivfDir, stride)
+      spark.read.parquet(s"$ivfDir/centroids").count()
+    }
+    val probeQueries = emb.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val (nProbe, tIvfProbe) = time(
+      ops.Similarity.ivfQuery(probeQueries, ivfDir, 3, 2).count())
+    // streaming incremental dedup: drain the synthetic corpus as an
+    // AvailableNow file stream through the transformWithState bucket-
+    // ownership processor (RocksDB state); rows/s and state size are
+    // the numbers a deployment sizes by — state is O(distinct band
+    // keys), decisions O(docs x bands)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val streamSrcDir = java.nio.file.Files
+      .createTempDirectory("graft-smoke-stream-src").toString
+    lshDocs.write.mode("overwrite").parquet(streamSrcDir)
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("graft-smoke-stream-ck").toString
+    val decisions = new java.util.concurrent.atomic.LongAdder
+    var stateRows = 0L
+    val (_, tStream) = time {
+      val src = spark.readStream
+        .schema(sources.SynthDocsSource.schema).parquet(streamSrcDir)
+      val query = streaming.DedupStream.incrementalDedup(spark, src)
+        .writeStream.outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckDir)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[streaming.DedupStream.BandDecision],
+              _: Long) => decisions.add(b.count())
+        }
+        .start()
+      query.awaitTermination()
+      stateRows = Option(query.lastProgress)
+        .flatMap(p => p.stateOperators.headOption)
+        .map(_.numRowsTotal).getOrElse(0L)
+    }
     println(s"""{"multiplier":$mult,"docs":${big.count()},""" +
       s""""tokens":$nTokens,"tokenize_sec":$tTok,""" +
       s""""top90_rows":$nTop,"top90_sec":$tTop,""" +
@@ -96,7 +150,12 @@ object ScaleSmoke {
       s""""ccstar_sec":$tCc,""" +
       s""""span_docs":$nSpan,"span_sec":$tSpan,""" +
       s""""pack_rows":$nPack,"pack_sec":$tPack,""" +
-      s""""shard_rows":$nShard,"shard_sec":$tShard}""")
+      s""""shard_rows":$nShard,"shard_sec":$tShard,""" +
+      s""""ivf_vecs":$nVecs,"ivf_cells":$nCells,""" +
+      s""""ivf_build_sec":$tIvfBuild,""" +
+      s""""ivf_probe_rows":$nProbe,"ivf_probe_sec":$tIvfProbe,""" +
+      s""""stream_dedup_decisions":${decisions.sum},""" +
+      s""""stream_state_rows":$stateRows,"stream_dedup_sec":$tStream}""")
     spark.stop()
   }
 }

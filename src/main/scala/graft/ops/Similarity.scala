@@ -329,8 +329,9 @@ object Similarity {
     * Cells keep their seed's id, so downstream tiebreaks (`cid` asc)
     * stay stable; an emptied cell simply drops out.
     */
-  private[ops] def trainedCents(all: DataFrame): DataFrame = {
-    var cents = all.filter(col("vec_id") % CentroidStride === 0)
+  private[ops] def trainedCents(all: DataFrame,
+      stride: Long = CentroidStride): DataFrame = {
+    var cents = all.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"),
         col("nrm").as("cnrm"))
     for (_ <- 1 to LloydRounds) {
@@ -545,10 +546,11 @@ object Similarity {
     * recomputes assignment per run, which is the measurement shape,
     * not the serving shape.
     */
-  def ivfBuild(emb: DataFrame, dir: String): Unit = {
+  def ivfBuild(emb: DataFrame, dir: String,
+      stride: Long = CentroidStride): Unit = {
     val all = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val cents = trainedCents(all)
+    val cents = trainedCents(all, stride)
     val scored = all.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
         round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
