@@ -650,6 +650,23 @@ object SparkEntry {
         T(s, dir, "orders"), T(s, dir, "customer"))
     },
 
+    // TPC-H Q2 shape: correlated min-cost subquery, decorrelated as a
+    // per-part min agg joined back (no partsupp in the testdata;
+    // lineitem is the part-supplier bridge).
+    q("q2_min_cost_supplier", ops.Advanced.minCostSupplierOracle()) {
+      (s, dir) => Advanced.minCostSupplier(T(s, dir, "lineitem"),
+        T(s, dir, "part"), T(s, dir, "supplier"), T(s, dir, "nation"),
+        T(s, dir, "region"))
+    },
+
+    // TPC-H Q20 shape: nested semi-join chain (part-name filter ->
+    // volume-share threshold -> supplier -> region nations).
+    q("q20_qualified_suppliers", ops.Advanced.qualifiedSuppliersOracle()) {
+      (s, dir) => Advanced.qualifiedSuppliers(T(s, dir, "lineitem"),
+        T(s, dir, "part"), T(s, dir, "supplier"), T(s, dir, "nation"),
+        T(s, dir, "region"))
+    },
+
     // TPC-H Q5 shape: nation revenue within one region (4-way join).
     q("q5_region_volume",
       """SELECT n_name,

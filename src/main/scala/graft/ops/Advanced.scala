@@ -165,6 +165,127 @@ object Advanced {
       .limit(20)
   }
 
+  /** TPC-H Q2 shape (the testdata has no partsupp, so lineitem is the
+    * part-supplier bridge): for each ECONOMY part, the region's
+    * suppliers who sold it at its region-wide MINIMUM price — the
+    * correlated min-cost subquery, DECORRELATED the way it must run
+    * at scale: the per-part min is one map-side-combined aggregate of
+    * the region-filtered fact, joined back on (part, price=min)
+    * instead of a per-row subquery. Dimensions broadcast; both the
+    * eligible stream and the min table are per-part-sized at corpus
+    * scale, so that join stays unhinted for AQE to pick (the q12/q18
+    * policy). Ties (same part sold at the min by several suppliers)
+    * surface as rows, exactly as in Q2.
+    */
+  def minCostSupplier(li: DataFrame, part: DataFrame, supplier: DataFrame,
+      nation: DataFrame, region: DataFrame,
+      regionName: String = "ASIA"): DataFrame = {
+    val regionSupp = supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        col("s_acctbal"))
+    val eligible = li
+      .join(broadcast(regionSupp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"), col("l_extendedprice"), col("s_name"),
+        col("n_name"), col("s_acctbal"))
+    val minp = eligible.groupBy("l_partkey")
+      .agg(min(col("l_extendedprice")).as("mp"))
+      .withColumnRenamed("l_partkey", "mp_partkey")
+    eligible
+      .join(minp, col("l_partkey") === col("mp_partkey") &&
+        col("l_extendedprice") === col("mp"))
+      .join(broadcast(part.filter(col("p_type") === "ECONOMY")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
+        round(col("s_acctbal"), 2).as("acctbal"),
+        round(col("mp"), 2).as("min_price"))
+      .distinct()
+      .orderBy(col("acctbal").desc, col("p_partkey").asc, col("s_name").asc)
+      .limit(20)
+  }
+
+  def minCostSupplierOracle(regionName: String = "ASIA"): String =
+    s"""WITH eligible AS (
+       |  SELECT l_partkey, l_suppkey, l_extendedprice FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |  WHERE r_name = '$regionName'),
+       |minp AS (SELECT l_partkey, min(l_extendedprice) AS mp
+       |  FROM eligible GROUP BY l_partkey)
+       |SELECT DISTINCT p_partkey, p_name, s_name, n_name,
+       |  round(s_acctbal, 2) AS acctbal, round(mp, 2) AS min_price
+       |FROM eligible e
+       |JOIN minp m ON e.l_partkey = m.l_partkey AND e.l_extendedprice = m.mp
+       |JOIN part ON p_partkey = e.l_partkey
+       |JOIN supplier ON s_suppkey = e.l_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE p_type = 'ECONOMY'
+       |ORDER BY acctbal DESC, p_partkey ASC, s_name ASC LIMIT 20""".stripMargin
+
+  /** TPC-H Q20 shape: the nested semi-join chain. A supplier
+    * qualifies when, for some 'small%' part, their shipped volume
+    * exceeds 20% of that part's total (the partsupp-availqty
+    * threshold re-expressed over lineitem); qualifying suppliers
+    * then semi-join the region's nations. Every membership test is a
+    * LEFT SEMI join — nothing fans out, each stage only shrinks:
+    * part-filter semi prunes the fact at the scan side, the
+    * per-(supplier, part) rollup is map-side-combined against the
+    * per-part totals, and the final supplier test carries only
+    * supplier ids. Quantities are integral doubles, so the 0.2 *
+    * total threshold compares exactly in both engines.
+    */
+  def qualifiedSuppliers(li: DataFrame, part: DataFrame,
+      supplier: DataFrame, nation: DataFrame, region: DataFrame,
+      regionName: String = "EUROPE", share: Double = 0.2): DataFrame = {
+    val smallParts = part.filter(col("p_name").startsWith("small"))
+      .select(col("p_partkey"))
+    val partTotal = li
+      .join(smallParts, col("l_partkey") === col("p_partkey"), "leftsemi")
+      .groupBy("l_partkey")
+      .agg(sum(col("l_quantity")).as("tot"))
+      .withColumnRenamed("l_partkey", "pt_partkey")
+    val heavy = li
+      .join(partTotal, col("l_partkey") === col("pt_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"), col("tot"))
+      .agg(sum(col("l_quantity")).as("qty"))
+      .filter(col("qty") > col("tot") * share)
+      .select(col("l_suppkey"))
+    val regionNations = nation
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    supplier
+      .join(heavy, col("s_suppkey") === col("l_suppkey"), "leftsemi")
+      .join(broadcast(regionNations),
+        col("s_nationkey") === col("n_nationkey"), "leftsemi")
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("s_acctbal"), 2).as("acctbal"))
+      .orderBy("s_suppkey")
+  }
+
+  def qualifiedSuppliersOracle(regionName: String = "EUROPE",
+      share: Double = 0.2): String =
+    s"""WITH part_total AS (
+       |  SELECT l_partkey, sum(l_quantity) AS tot FROM lineitem
+       |  WHERE l_partkey IN (SELECT p_partkey FROM part
+       |                      WHERE p_name LIKE 'small%')
+       |  GROUP BY l_partkey),
+       |heavy AS (
+       |  SELECT li.l_suppkey FROM lineitem li
+       |  JOIN part_total pt ON li.l_partkey = pt.l_partkey
+       |  GROUP BY li.l_suppkey, li.l_partkey, pt.tot
+       |  HAVING sum(li.l_quantity) > $share * pt.tot)
+       |SELECT s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+       |FROM supplier
+       |WHERE s_suppkey IN (SELECT l_suppkey FROM heavy)
+       |  AND s_nationkey IN (SELECT n_nationkey FROM nation
+       |                      JOIN region ON n_regionkey = r_regionkey
+       |                      WHERE r_name = '$regionName')
+       |ORDER BY s_suppkey""".stripMargin
+
   /** Approximate aggregates (HLL cardinality, quantile sketch) — the
     * G3 approx surface. The sketches themselves are engine-specific
     * and can't hash-match a DuckDB run, so the query emits the EXACT
