@@ -74,50 +74,85 @@ final class Serve(
     ex.close()
   }
 
-  /** [[Browse.describe]] as HTML with every bound column in a color
-    * unique to that column across all listed actions — the
-    * reference's matched-column color coding (serve.py:125-129,
-    * extras_ui.get_unique_colors), with evenly spaced hues replacing
-    * its random palette so colors are stable across renders.
+  /** The reference's stylesheet, inlined (static/styles/mainpage.css
+    * plus the bits planner.html pulls from Bootstrap that the page
+    * actually uses) — no CDN fetch, no framework: the engine's UI is
+    * one self-contained HTML response.
+    */
+  private val Style =
+    """<style>
+      |body { font-family: sans-serif; margin: 1rem 2rem; }
+      |h1 { font-size: 1.5rem; } h2 { font-size: 1.2rem; }
+      |ul, ol { line-height: 1.6; }
+      |.frame-pool a.frame { display: inline-block; margin: 0.2rem;
+      |  padding: 0.3rem 0.6rem; border: 1px solid #4a7; border-radius: 4px;
+      |  text-decoration: none; }
+      |.cancel { display: inline-block; padding: 0.3rem 0.6rem;
+      |  background: #e9b949; border-radius: 4px; color: black;
+      |  text-decoration: none; }
+      |.task-name { font-weight: bold; }
+      |</style>""".stripMargin
+
+  /** [[Browse.describe]] as HTML with every bound column marked by a
+    * colored double overline unique to that column across all listed
+    * actions — the reference's matched-column coding mechanism
+    * (state.tpl's `text-decoration: <color> double overline`,
+    * serve.py:125-129 extras_ui.get_unique_colors), with evenly
+    * spaced hues replacing its random palette so colors are stable
+    * across renders.
     */
   private def describeHtml(a: Planner.Action,
       hue: Map[String, Int]): String = {
     val binds = a.bindings.toSeq.sortBy(_._1).map { case (arg, b) =>
       val cols = b.cols.map { c =>
-        s"""<span style="color:hsl(${hue(c.column)},70%,40%)">""" +
-          esc(c.column) + "</span>"
+        s"""<span class="source-column" style="text-decoration: """ +
+          s"""hsl(${hue(c.column)},70%,40%) double overline; """ +
+          s"""text-decoration-thickness: 2px">${esc(c.column)}</span>"""
       }.mkString(",")
       s"${esc(arg)}=#${b.frameIdx}($cols)"
     }.mkString(" ")
-    s"${esc(a.task.name)} $binds -&gt; " +
+    s"""<span class="task-name">${esc(a.task.name)}</span> $binds -&gt; """ +
       esc(a.outputs.map(_.mkString("[", ",", "]")).mkString(" "))
   }
 
+  /** The explore page, structured as the reference's planner.html:
+    * a "Current" section (the frame pool as outlined buttons, the
+    * applied-action history, and the Cancel-last-task button — its
+    * `back` link) and a "Next" section of plannable actions.
+    */
   private def explorePage(q: String): String = {
     val s = session(decode(q))
-    val frames = s.pool.zipWithIndex.map { case (df, i) =>
-      s"""<li>frame #$i: (${esc(df.columns.mkString(", "))})""" +
-        s""" <a href="/view/0/$i/$q">view</a>""" +
-        s""" <a href="/download/csv/$i/$q">csv</a></li>"""
-    }.mkString("\n")
     val actsList = Browse.actions(s)
-    val colsUse = actsList
+    val colsUse = (actsList ++ s.path)
       .flatMap(_.bindings.valuesIterator.flatMap(_.cols.map(_.column)))
       .distinct.sorted
     val hue = colsUse.zipWithIndex.map { case (c, i) =>
       c -> i * 360 / math.max(1, colsUse.size)
     }.toMap
+    val frames = s.pool.zipWithIndex.map { case (df, i) =>
+      s"""<span><a class="frame" href="/view/0/$i/$q">frame #$i: """ +
+        s"""(${esc(df.columns.mkString(", "))})</a>""" +
+        s""" <a href="/download/csv/$i/$q">csv</a></span>"""
+    }.mkString("\n")
+    val applied = s.path.reverse.map { a =>
+      s"<li>${describeHtml(a, hue)}</li>"
+    }.mkString("\n")
     val acts = actsList.zipWithIndex.map { case (a, i) =>
       val nq = encode(s.path :+ a)
       s"""<li>[$i] <a href="/explore/$nq">${describeHtml(a, hue)}</a></li>"""
     }.mkString("\n")
-    val back =
+    val cancel =
       if (s.path.isEmpty) ""
-      else s"""<p><a href="/explore/${encode(s.path.dropRight(1))}">back</a></p>"""
-    s"""<html><body><h1>explore</h1>
-       |<ul>$frames</ul>
-       |<h2>next steps</h2><ul>$acts</ul>
-       |$back</body></html>""".stripMargin
+      else s"""<p><a class="cancel" """ +
+        s"""href="/explore/${encode(s.path.dropRight(1))}">""" +
+        "Cancel last task</a></p>"
+    s"""<html><head><title>Explore Frame-Tasks</title>$Style</head>
+       |<body><h1>Current</h1>
+       |<div class="frame-pool">$frames</div>
+       |<h2>Tasks</h2><ol class="actions">$applied</ol>
+       |$cancel
+       |<h1>Next</h1><ul>$acts</ul>
+       |</body></html>""".stripMargin
   }
 
   /** Rows per sorted page-cache file: bounds what any single page

@@ -47,8 +47,11 @@ class ServeSpec extends SparkSpec {
       assert(home.body().contains("frame #0: (index, name)"), home.body())
       assert(home.body().contains("splitter"), home.body())
 
-      // bound columns are color-coded like the reference's explore page
-      assert(home.body().contains("color:hsl("), home.body())
+      // bound columns carry the reference's colored-double-overline
+      // coding (state.tpl) and the page is planner.html's Current/Next
+      assert(home.body().contains("double overline"), home.body())
+      assert(home.body().contains("<h1>Current</h1>") &&
+        home.body().contains("<h1>Next</h1>"), home.body())
 
       // follow the action whose output is name.split (state moves
       // entirely via the URL, like the reference's ?q=)
@@ -61,6 +64,8 @@ class ServeSpec extends SparkSpec {
       assert(after.statusCode() == 200, after.body())
       assert(after.body().contains("name.split"), after.body())
       assert(after.body().contains("remove_num"), after.body())
+      // the applied step lists under Tasks and can be cancelled
+      assert(after.body().contains("Cancel last task"), after.body())
 
       // view the new frame: async compute, then a rendered page
       val q = link.get.stripPrefix("/explore/")
