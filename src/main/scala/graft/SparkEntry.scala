@@ -667,6 +667,31 @@ object SparkEntry {
         T(s, dir, "region"))
     },
 
+    // TPC-H Q14 shape: conditional-aggregate ratio (promo share).
+    q("q14_promo_share", ops.Advanced.promoRevenueShareOracle()) {
+      (s, dir) => Advanced.promoRevenueShare(T(s, dir, "lineitem"),
+        T(s, dir, "part"))
+    },
+
+    // TPC-H Q19 shape: disjunctive multi-band predicate join.
+    q("q19_band_revenue", ops.Advanced.disjunctiveBandRevenueOracle) {
+      (s, dir) => Advanced.disjunctiveBandRevenue(T(s, dir, "lineitem"),
+        T(s, dir, "part"))
+    },
+
+    // TPC-H Q21 shape: EXISTS + NOT EXISTS on the same fact
+    // (semi + anti over distinct key pairs).
+    q("q21_waiting_suppliers", ops.Advanced.waitingSuppliersOracle()) {
+      (s, dir) => Advanced.waitingSuppliers(T(s, dir, "lineitem"),
+        T(s, dir, "orders"), T(s, dir, "supplier"))
+    },
+
+    // TPC-H Q22 shape: scalar-subquery threshold + anti join.
+    q("q22_inactive_high_balance", ops.Advanced.inactiveHighBalanceOracle()) {
+      (s, dir) => Advanced.inactiveHighBalance(T(s, dir, "customer"),
+        T(s, dir, "orders"), T(s, dir, "nation"))
+    },
+
     // TPC-H Q5 shape: nation revenue within one region (4-way join).
     q("q5_region_volume",
       """SELECT n_name,

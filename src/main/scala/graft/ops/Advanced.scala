@@ -286,6 +286,154 @@ object Advanced {
        |                      WHERE r_name = '$regionName')
        |ORDER BY s_suppkey""".stripMargin
 
+  /** TPC-H Q14 shape: promo revenue share — a conditional aggregate
+    * ratio over the part join. The shipdate window is pushed to the
+    * fact scan, part broadcasts, and the whole year reduces to ONE
+    * row in a single map-side-combined aggregate (no regrouping: the
+    * CASE lives inside the sum).
+    */
+  def promoRevenueShare(li: DataFrame, part: DataFrame,
+      year: Int = 1997): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    li.filter(col("l_shipdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) /
+          sum(rev), 4).as("promo_share"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  def promoRevenueShareOracle(year: Int = 1997): String =
+    s"""SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+       |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END) /
+       |    sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share,
+       |  count(*) AS n_lines
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_shipdate >= TIMESTAMP '$year-01-01'
+       |  AND l_shipdate < TIMESTAMP '${year + 1}-01-01'""".stripMargin
+
+  /** TPC-H Q19 shape: the disjunctive-predicate join — an OR of
+    * (type, quantity-band, size-band) conjuncts that references BOTH
+    * sides, so no single conjunct can be pushed below the join alone.
+    * The join stays a plain broadcast equi-join on partkey with the
+    * disjunction evaluated as a post-join filter — the plan that
+    * scales, versus the naive per-disjunct union of three joins which
+    * would scan the fact three times.
+    */
+  def disjunctiveBandRevenue(li: DataFrame, part: DataFrame): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val cond =
+      (col("p_type") === "SMALL" && col("l_quantity").between(1, 11) &&
+        col("p_size").between(1, 15)) ||
+      (col("p_type") === "MEDIUM" && col("l_quantity").between(10, 20) &&
+        col("p_size").between(1, 25)) ||
+      (col("p_type") === "LARGE" && col("l_quantity").between(20, 30) &&
+        col("p_size").between(1, 35))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(round(sum(rev), 2).as("revenue"), count(lit(1)).as("n_lines"))
+  }
+
+  def disjunctiveBandRevenueOracle: String =
+    """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_type = 'SMALL' AND l_quantity BETWEEN 1 AND 11
+      |       AND p_size BETWEEN 1 AND 15)
+      |   OR (p_type = 'MEDIUM' AND l_quantity BETWEEN 10 AND 20
+      |       AND p_size BETWEEN 1 AND 25)
+      |   OR (p_type = 'LARGE' AND l_quantity BETWEEN 20 AND 30
+      |       AND p_size BETWEEN 1 AND 35)""".stripMargin
+
+  /** TPC-H Q21 shape: suppliers who kept orders waiting — the
+    * EXISTS + NOT-EXISTS pair over the same fact (no commit/receipt
+    * dates in the testdata, so "late" is shipping >60 days after the
+    * order date). Both subqueries run as ONE distinct (order,
+    * supplier) pair frame each: EXISTS = LEFT SEMI against all pairs
+    * of the order, NOT EXISTS = LEFT ANTI against the late pairs —
+    * the fact is scanned twice and reduced to fixed-width key pairs
+    * before anything joins, never correlated row-at-a-time.
+    */
+  def waitingSuppliers(li: DataFrame, orders: DataFrame,
+      supplier: DataFrame, lateDays: Int = 60): DataFrame = {
+    val pairs = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val late = li
+      .join(orders.filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >
+        col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val multiSupplier = late.as("l1")
+      .join(pairs.as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+          col("l1.l_suppkey") =!= col("l2.l_suppkey"), "left_semi")
+    val soleBlame = multiSupplier.as("l1")
+      .join(late.as("l3"),
+        col("l1.l_orderkey") === col("l3.l_orderkey") &&
+          col("l1.l_suppkey") =!= col("l3.l_suppkey"), "left_anti")
+    soleBlame
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(10)
+  }
+
+  def waitingSuppliersOracle(lateDays: Int = 60): String =
+    s"""WITH late AS (
+       |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE o_orderstatus = 'F'
+       |    AND l_shipdate > o_orderdate + INTERVAL $lateDays DAY),
+       |pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+       |SELECT s_name, count(*) AS numwait
+       |FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+       |WHERE EXISTS (SELECT 1 FROM pairs l2
+       |              WHERE l2.l_orderkey = l1.l_orderkey
+       |                AND l2.l_suppkey <> l1.l_suppkey)
+       |  AND NOT EXISTS (SELECT 1 FROM late l3
+       |              WHERE l3.l_orderkey = l1.l_orderkey
+       |                AND l3.l_suppkey <> l1.l_suppkey)
+       |GROUP BY s_name ORDER BY numwait DESC, s_name ASC LIMIT 10""".stripMargin
+
+  /** TPC-H Q22 shape: high-balance customers gone quiet — a scalar
+    * subquery threshold (average positive balance, rounded on both
+    * engines before comparing) plus a LEFT ANTI join against recent
+    * orders (the testdata's every customer has SOME order, so the
+    * anti-join is against activity since `since` rather than
+    * existence). The scalar enters as a broadcast 1-row cross join;
+    * the anti join carries only custkeys.
+    */
+  def inactiveHighBalance(customer: DataFrame, orders: DataFrame,
+      nation: DataFrame, since: String = "2000-01-01"): DataFrame = {
+    val avgBal = customer.filter(col("c_acctbal") > 0)
+      .agg(round(avg(col("c_acctbal")), 2).as("ab"))
+    val recent = orders
+      .filter(col("o_orderdate") >= lit(since).cast("timestamp"))
+      .select(col("o_custkey"))
+    customer.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("ab"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(col("c_acctbal")), 2).as("totacctbal"))
+      .orderBy("n_name")
+  }
+
+  def inactiveHighBalanceOracle(since: String = "2000-01-01"): String =
+    s"""WITH avg_bal AS (
+       |  SELECT round(avg(c_acctbal), 2) AS ab FROM customer
+       |  WHERE c_acctbal > 0)
+       |SELECT n_name, count(*) AS numcust,
+       |  round(sum(c_acctbal), 2) AS totacctbal
+       |FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |WHERE c_acctbal > (SELECT ab FROM avg_bal)
+       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+       |                  AND o_orderdate >= TIMESTAMP '$since')
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   /** Approximate aggregates (HLL cardinality, quantile sketch) — the
     * G3 approx surface. The sketches themselves are engine-specific
     * and can't hash-match a DuckDB run, so the query emits the EXACT
