@@ -52,32 +52,30 @@ object Browse {
 
   val PageSize = 30 // serve_view_df.py's PAGE_SIZE
 
-  /** The distributed part of [[preview]]: the stable-ordered (all
-    * columns ascending) top `pageSize * (pageIdx + 1)` rows. Spark
-    * plans orderBy+limit as TakeOrderedAndProject — every partition
-    * keeps only its local top-k and the driver merges — so a page
-    * view never funnels the whole frame through a single-partition
-    * global Window (the round-3 audit's scale concern).
+  /** The distributed page plan: the stable-ordered (all columns
+    * ascending) rows [pageIdx * pageSize, +pageSize). Spark plans
+    * orderBy + offset + limit as TakeOrderedAndProject — every
+    * partition keeps only its local top-(offset + pageSize), the
+    * driver merges and SKIPS the offset, so only one page of rows is
+    * ever collected however deep the page (no single-partition
+    * global Window, and no O(page * size) driver collect — the
+    * round-4 audit's last CLI-side trap).
     */
   private[planner] def previewTop(df: DataFrame, pageIdx: Int,
       pageSize: Int): DataFrame = {
     val order = df.columns.toSeq.map(c => col(s"`$c`").asc)
-    df.orderBy(order: _*).limit((pageSize * (pageIdx + 1)).max(0))
+    df.orderBy(order: _*)
+      .offset((pageSize * pageIdx).max(0)).limit(pageSize)
   }
 
-  /** Page `pageIdx` of the newest frame under a stable total order:
-    * distributed top-k via [[previewTop]], then the page is the local
-    * tail of the k collected rows — k grows with page depth, which is
-    * the right trade for an interactive pager (the reference's
-    * head/tail arithmetic, serve_view_df.py:108-116, pays the same).
+  /** Page `pageIdx` of the newest frame under a stable total order —
+    * the lazy [[previewTop]] plan; collecting it yields exactly the
+    * page. (The Serve layer pages a sorted parquet cache instead —
+    * bounded FILE reads — but the CLI browses un-materialized frames,
+    * where the distributed top-k + offset is the right shape.)
     */
-  def preview(s: Session, pageIdx: Int, pageSize: Int = PageSize): DataFrame = {
-    val df = s.pool.last
-    val rows = previewTop(df, pageIdx, pageSize).collect()
-      .drop((pageSize * pageIdx).max(0))
-    import scala.jdk.CollectionConverters._
-    df.sparkSession.createDataFrame(rows.toSeq.asJava, df.schema)
-  }
+  def preview(s: Session, pageIdx: Int, pageSize: Int = PageSize): DataFrame =
+    previewTop(s.pool.last, pageIdx, pageSize)
 
   /** One command against the session; returns the next session and
     * the lines to print. Commands: `<n>` apply action n; `p <k>`
