@@ -667,6 +667,18 @@ object SparkEntry {
         T(s, dir, "region"))
     },
 
+    // TPC-H Q6 shape: pure scan-aggregate, every predicate pushed.
+    q("q6_discount_band", ops.Advanced.discountBandRevenueOracle()) {
+      (s, dir) => Advanced.discountBandRevenue(T(s, dir, "lineitem"))
+    },
+
+    // TPC-H Q17 shape: per-part avg-quantity correlated subquery,
+    // decorrelated (integral sums -> exact threshold parity).
+    q("q17_small_qty_revenue", ops.Advanced.smallQuantityRevenueOracle()) {
+      (s, dir) => Advanced.smallQuantityRevenue(T(s, dir, "lineitem"),
+        T(s, dir, "part"))
+    },
+
     // TPC-H Q14 shape: conditional-aggregate ratio (promo share).
     q("q14_promo_share", ops.Advanced.promoRevenueShareOracle()) {
       (s, dir) => Advanced.promoRevenueShare(T(s, dir, "lineitem"),

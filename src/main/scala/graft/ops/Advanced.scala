@@ -434,6 +434,64 @@ object Advanced {
        |                  AND o_orderdate >= TIMESTAMP '$since')
        |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** TPC-H Q6 shape: the pure scan-aggregate — every predicate
+    * (shipdate window, discount band, quantity cap) reaches the
+    * parquet scan as a pushed filter and the whole query is one
+    * map-side-combined aggregate: no join, no wide exchange, the
+    * cheapest possible 100 TB query and the benchmark's floor for
+    * scan throughput.
+    */
+  def discountBandRevenue(li: DataFrame, year: Int = 1997): DataFrame =
+    li.filter(col("l_shipdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit(s"${year + 1}-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  def discountBandRevenueOracle(year: Int = 1997): String =
+    s"""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       |  count(*) AS n_lines
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '$year-01-01'
+       |  AND l_shipdate < TIMESTAMP '${year + 1}-01-01'
+       |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q17 shape: the avg-quantity correlated subquery,
+    * decorrelated as a per-part mean joined back. The mean is
+    * sum/count of INTEGRAL quantities — both exact, so the division
+    * and the 0.2x threshold compare identically across engines (the
+    * parity rule: never threshold a non-integral float aggregate).
+    * The brand's part list broadcasts and prunes BOTH fact passes
+    * before the per-part rollup — at 100 TB only the brand's line
+    * items are ever aggregated.
+    */
+  def smallQuantityRevenue(li: DataFrame, part: DataFrame,
+      brand: String = "Brand#1"): DataFrame = {
+    val brandParts = part.filter(col("p_brand") === brand)
+      .select(col("p_partkey"))
+    val brandLi = li
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+    val partAvg = brandLi.groupBy("l_partkey")
+      .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    brandLi.join(partAvg, Seq("l_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(round(sum(col("l_extendedprice")) / lit(7.0), 2).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  def smallQuantityRevenueOracle(brand: String = "Brand#1"): String =
+    s"""WITH part_avg AS (
+       |  SELECT l_partkey, sum(l_quantity) / count(*) AS avg_qty
+       |  FROM lineitem GROUP BY l_partkey)
+       |SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       |  count(*) AS n_lines
+       |FROM lineitem
+       |JOIN part_avg USING (l_partkey)
+       |JOIN part ON p_partkey = l_partkey
+       |WHERE p_brand = '$brand' AND l_quantity < 0.2 * avg_qty""".stripMargin
+
   /** Approximate aggregates (HLL cardinality, quantile sketch) — the
     * G3 approx surface. The sketches themselves are engine-specific
     * and can't hash-match a DuckDB run, so the query emits the EXACT
