@@ -58,4 +58,69 @@ class DedupStreamSpec extends SparkSpec {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("bucket state survives a query restart from its checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def text(id: Long, drop: Int): String =
+        (drop until 40).map(i => s"r${id}x$i").mkString(" ")
+      val originals = (0L until 20L).map(id => Doc(id, text(id, 0)))
+      val copies = (0L until 20L).map(id => Doc(id + 1000, text(id, 1)))
+
+      // one durable checkpoint, two query INCARNATIONS — the daily-batch
+      // deployment shape: ingest, shut down, come back tomorrow. The
+      // sink is foreachBatch (memory-format sinks refuse checkpoint
+      // recovery), each incarnation draining into its own buffer.
+      val ck = java.nio.file.Files
+        .createTempDirectory("graft-dedup-restart-ck").toString
+      val stream = MemoryStream[Doc]
+      def start(sink: java.util.List[DedupStream.BandDecision]) =
+        DedupStream.incrementalDedup(spark, stream.toDF())
+          .writeStream
+          .option("checkpointLocation", ck)
+          .outputMode("update")
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[DedupStream.BandDecision],
+                _: Long) =>
+              sink.addAll(java.util.Arrays.asList(b.collect(): _*))
+              ()
+          }
+          .start()
+
+      val day1Out = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[DedupStream.BandDecision]())
+      val day1 = start(day1Out)
+      try { stream.addData(originals); day1.processAllAvailable() }
+      finally day1.stop()
+
+      val day2Out = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[DedupStream.BandDecision]())
+      val day2 = start(day2Out)
+      try { stream.addData(copies); day2.processAllAvailable() }
+      finally day2.stop()
+
+      // day 2's sink only saw day 2's batch, yet every near-copy is
+      // routed to its DAY-1 owner: the bucket map was recovered from
+      // the checkpointed RocksDB state, not recomputed
+      import scala.jdk.CollectionConverters._
+      val out = day2Out.asScala.toSeq
+      assert(!out.exists(_.doc_id < 1000),
+        "restarted query must not reprocess day 1")
+      val hits = out.filter(d => d.doc_id >= 1000 && !d.is_first)
+        .groupBy(_.doc_id).view.mapValues(_.map(_.owner_id).toSet).toMap
+      (0L until 20L).foreach { id =>
+        val flagged = hits.getOrElse(id + 1000, Set.empty)
+        assert(flagged.contains(id),
+          s"copy ${id + 1000} lost its pre-restart owner $id (hit: $flagged)")
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
