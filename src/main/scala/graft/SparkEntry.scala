@@ -1298,6 +1298,13 @@ object SparkEntry {
       (s, dir) => Analysis.repetitionScore(T(s, dir, "documents"))
     },
 
+    // C4-style per-source boilerplate detection (trigram document
+    // frequency; planted header -> known answer: exactly 3 flagged
+    // trigram positions on even docs, 0 elsewhere).
+    q("ns_boilerplate", Analysis.boilerplateOracle()) {
+      (s, dir) => Analysis.boilerplate(T(s, dir, "documents"))
+    },
+
     // Training-data chunking: overlapping token windows per document.
     q("ns_chunking", Analysis.chunkDocumentsOracle) {
       (s, dir) => Analysis.chunkDocuments(T(s, dir, "documents"))

@@ -669,4 +669,79 @@ object Analysis {
       |  round(quantile_cont(len(string_split(text, ' ')), 0.9), 2) AS p90_toks,
       |  round(avg(n_chars), 2) AS mean_chars
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** The planted per-source boilerplate header (the fixture pattern
+    * the dedup family uses: construct the phenomenon in-plan so the
+    * detector has a known answer — every even doc gets this 5-token
+    * header, so its 3 internal trigrams must be flagged and nothing
+    * else).
+    */
+  val BoilerHeader = "promo visit example site now"
+
+  /** C4/RefinedWeb-style per-source boilerplate detection: a token
+    * TRIGRAM occurring in >= `minDf` of a source's documents is
+    * boilerplate (the line-frequency rule, adapted to the fixture's
+    * single-line docs); each document reports how many of its trigram
+    * positions are boilerplate-covered.
+    *
+    * Scale shape: the trigram stream is one Generate (map-only,
+    * O(tokens) rows); per-(source, trigram) document frequency is a
+    * two-level map-side-combined aggregate; the boilerplate table is
+    * bounded by ACTUALLY-REPEATED content per source (the only thing
+    * worth shipping), so at corpus scale the stream-side join
+    * broadcasts it — the same posture as span dedup. Removal (strip
+    * the covered spans) is a filter on the same covered flag; the
+    * query reports the detection surface, which is the part with a
+    * known oracle.
+    */
+  def boilerplate(docs: DataFrame, minDf: Double = 0.4): DataFrame = {
+    val withHeader = docs.select(col("doc_id"), col("source"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(BoilerHeader + " "), col("text")))
+        .otherwise(col("text")).as("t"))
+    val toks = withHeader
+      .select(col("doc_id"), col("source"), split(col("t"), " ").as("a"))
+      .filter(size(col("a")) >= 3)
+    val tris = toks.select(col("doc_id"), col("source"),
+      explode(transform(sequence(lit(0), size(col("a")) - 3),
+        i => concat_ws(" ", element_at(col("a"), i + 1),
+          element_at(col("a"), i + 2), element_at(col("a"), i + 3))))
+        .as("tri"))
+    val srcN = withHeader.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+    val df = tris.select("source", "tri", "doc_id").distinct()
+      .groupBy("source", "tri")
+      .agg(count(lit(1)).as("df"))
+    val boiler = df.join(srcN, Seq("source"))
+      .filter(col("df") >= lit(minDf) * col("n_docs"))
+      .select(col("source").as("b_source"), col("tri").as("b_tri"))
+    tris
+      .join(boiler, col("source") === col("b_source") &&
+        col("tri") === col("b_tri"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"),
+        count(col("b_tri")).as("n_boiler"),
+        round(count(col("b_tri")) / count(lit(1)), 4).as("boiler_frac"))
+      .orderBy("doc_id")
+  }
+
+  def boilerplateOracle(minDf: Double = 0.4): String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |    CASE WHEN doc_id % 2 = 0 THEN '$BoilerHeader ' || text
+       |         ELSE text END AS t
+       |  FROM documents),
+       |toks AS (SELECT doc_id, source, string_split(t, ' ') AS a FROM d),
+       |tris AS (SELECT doc_id, source,
+       |    a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS tri
+       |  FROM toks, unnest(range(1, len(a) - 1)) AS u(i)),
+       |srcn AS (SELECT source, count(*) AS n_docs FROM d GROUP BY source),
+       |df AS (SELECT source, tri, count(DISTINCT doc_id) AS df
+       |       FROM tris GROUP BY 1, 2),
+       |boiler AS (SELECT df.source, df.tri FROM df JOIN srcn USING (source)
+       |           WHERE df >= $minDf * n_docs)
+       |SELECT t.doc_id, count(*) AS n_tri, count(b.tri) AS n_boiler,
+       |  round(count(b.tri) / count(*)::DOUBLE, 4) AS boiler_frac
+       |FROM tris t LEFT JOIN boiler b
+       |  ON t.source = b.source AND t.tri = b.tri
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 }
