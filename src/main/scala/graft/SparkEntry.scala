@@ -1298,6 +1298,12 @@ object SparkEntry {
       (s, dir) => Analysis.repetitionScore(T(s, dir, "documents"))
     },
 
+    // Quality-curriculum sampling: value-banded quality strata with
+    // rising deterministic-hash keep rates; the per-band mixing table.
+    q("ns_quality_sample", Analysis.qualitySampleOracle) {
+      (s, dir) => Analysis.qualitySample(T(s, dir, "documents"))
+    },
+
     // C4-style per-source boilerplate detection (trigram document
     // frequency; planted header -> known answer: exactly 3 flagged
     // trigram positions on even docs, 0 elsewhere).

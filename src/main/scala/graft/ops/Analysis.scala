@@ -670,6 +670,60 @@ object Analysis {
       |  round(avg(n_chars), 2) AS mean_chars
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** Quality-curriculum sampling: band documents by their quality
+    * score ([[qualityScore]]'s formula — fixed VALUE thresholds,
+    * `floor(quality * 10)`, NOT data quantiles: quantiles would need
+    * a global sort/window, banding is map-only and gives the same
+    * curriculum dial), then keep a deterministically-hash-sampled
+    * fraction that RISES with the band — band b keeps (b+1)/10 of its
+    * docs. One map-side-combined aggregate reports per band how many
+    * docs/tokens survive: the mixing table a curriculum data loader
+    * consumes. Whole plan is scan -> project -> agg; nothing wide.
+    */
+  def qualitySample(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), col("text"),
+      split(col("text"), " ").as("toks"))
+    val n = size(col("toks")).cast("double")
+    val ttr = size(array_distinct(col("toks"))).cast("double") / n
+    val meanLen = aggregate(col("toks"), lit(0L),
+      (acc, w) => acc + length(w)).cast("double") / n
+    val lenSat = least(n / lit(100.0), lit(1.0))
+    val quality = ttr * lit(0.5) + lenSat * lit(0.3) +
+      least(meanLen / lit(10.0), lit(1.0)) * lit(0.2)
+    val banded = t.select(col("text"),
+      least(floor(quality * 10).cast("int"), lit(9)).as("band"),
+      size(col("toks")).cast("long").as("n_toks"))
+    banded
+      .withColumn("keep",
+        H.hash60(col("text")) % 1000 < (col("band") + 1) * lit(100))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("keep"), 1)).as("n_kept"),
+        sum(when(col("keep"), col("n_toks"))).as("kept_toks"))
+      .orderBy("band")
+  }
+
+  def qualitySampleOracle: String =
+    s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |m AS (SELECT text, len(toks)::BIGINT AS n_toks,
+       |    len(list_distinct(toks))::DOUBLE / len(toks) AS ttr,
+       |    (list_sum(list_transform(toks, w -> length(w))))::DOUBLE /
+       |      len(toks) AS mean_len,
+       |    least(len(toks)::DOUBLE / 100.0, 1.0) AS len_sat
+       |  FROM t),
+       |b AS (SELECT n_toks,
+       |    least(floor((ttr * 0.5 + len_sat * 0.3 +
+       |      least(mean_len / 10.0, 1.0) * 0.2) * 10)::INT, 9) AS band,
+       |    ${H.duckHash60("text")} % 1000 < (least(floor((ttr * 0.5 +
+       |      len_sat * 0.3 + least(mean_len / 10.0, 1.0) * 0.2)
+       |      * 10)::INT, 9) + 1) * 100 AS keep
+       |  FROM m)
+       |SELECT band, count(*) AS n_docs,
+       |  count(CASE WHEN keep THEN 1 END) AS n_kept,
+       |  sum(CASE WHEN keep THEN n_toks END)::BIGINT AS kept_toks
+       |FROM b GROUP BY band ORDER BY band""".stripMargin
+
   /** The planted per-source boilerplate header (the fixture pattern
     * the dedup family uses: construct the phenomenon in-plan so the
     * detector has a known answer — every even doc gets this 5-token
