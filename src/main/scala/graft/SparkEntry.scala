@@ -679,6 +679,44 @@ object SparkEntry {
         T(s, dir, "part"))
     },
 
+    // TPC-H Q4 shape: correlated EXISTS with a both-sides predicate.
+    q("q4_late_orders", ops.Advanced.latePriorityOrdersOracle()) {
+      (s, dir) => Advanced.latePriorityOrders(T(s, dir, "lineitem"),
+        T(s, dir, "orders"))
+    },
+
+    // TPC-H Q7 shape: two-role nation dimension, bilateral trade.
+    q("q7_nation_trade", ops.Advanced.nationTradeRevenueOracle()) {
+      (s, dir) => Advanced.nationTradeRevenue(T(s, dir, "lineitem"),
+        T(s, dir, "supplier"), T(s, dir, "nation"), T(s, dir, "orders"),
+        T(s, dir, "customer"))
+    },
+
+    // TPC-H Q8 shape: market-share ratio over a six-table join.
+    q("q8_market_share", ops.Advanced.nationMarketShareOracle()) {
+      (s, dir) => Advanced.nationMarketShare(T(s, dir, "lineitem"),
+        T(s, dir, "part"), T(s, dir, "supplier"), T(s, dir, "nation"),
+        T(s, dir, "orders"), T(s, dir, "customer"), T(s, dir, "region"))
+    },
+
+    // TPC-H Q13 shape: left-outer count histogram (keeps zeros).
+    q("q13_order_histogram", ops.Advanced.orderCountHistogramOracle) {
+      (s, dir) => Advanced.orderCountHistogram(T(s, dir, "customer"),
+        T(s, dir, "orders"))
+    },
+
+    // TPC-H Q15 shape: scalar MAX subquery matched back by equality.
+    q("q15_top_supplier", ops.Advanced.topRevenueSupplierOracle()) {
+      (s, dir) => Advanced.topRevenueSupplier(T(s, dir, "lineitem"),
+        T(s, dir, "supplier"))
+    },
+
+    // TPC-H Q16 shape: NOT IN as anti join + count-distinct rollup.
+    q("q16_part_suppliers", ops.Advanced.partSupplierCountsOracle) {
+      (s, dir) => Advanced.partSupplierCounts(T(s, dir, "lineitem"),
+        T(s, dir, "part"), T(s, dir, "supplier"))
+    },
+
     // TPC-H Q14 shape: conditional-aggregate ratio (promo share).
     q("q14_promo_share", ops.Advanced.promoRevenueShareOracle()) {
       (s, dir) => Advanced.promoRevenueShare(T(s, dir, "lineitem"),

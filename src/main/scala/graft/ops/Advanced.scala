@@ -492,6 +492,220 @@ object Advanced {
        |JOIN part ON p_partkey = l_partkey
        |WHERE p_brand = '$brand' AND l_quantity < 0.2 * avg_qty""".stripMargin
 
+  /** TPC-H Q4 shape: orders with at least one late line item, counted
+    * per priority — a correlated EXISTS whose predicate references
+    * BOTH sides (l_shipdate vs o_orderdate + interval), planned as one
+    * LEFT SEMI with the compound condition. The order-date window is
+    * pushed to the orders scan; "late" adapts Q4's commit/receipt
+    * comparison to the testdata's shipdate.
+    */
+  def latePriorityOrders(li: DataFrame, orders: DataFrame,
+      lateDays: Int = 90): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .join(li, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") >
+          col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+
+  def latePriorityOrdersOracle(lateDays: Int = 90): String =
+    s"""SELECT o_orderpriority, count(*) AS order_count
+       |FROM orders
+       |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+       |  AND o_orderdate < TIMESTAMP '1997-04-01'
+       |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+       |              AND l_shipdate > o_orderdate + INTERVAL $lateDays DAY)
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q7 shape: bilateral trade revenue between two nations per
+    * ship year — the two-role dimension join (nation enters twice,
+    * supplier-side and customer-side). Both nation copies are
+    * PRE-FILTERED to the two trading nations before broadcasting, so
+    * the fact stream shrinks at the first join; the pair condition
+    * then only removes same-nation flows.
+    */
+  def nationTradeRevenue(li: DataFrame, supplier: DataFrame,
+      nation: DataFrame, orders: DataFrame, customer: DataFrame,
+      na: String = "NATION_1", nb: String = "NATION_2"): DataFrame = {
+    val pair = nation.filter(col("n_name").isin(na, nb))
+    val n1 = pair.select(col("n_nationkey").as("n1_key"),
+      col("n_name").as("supp_nation"))
+    val n2 = pair.select(col("n_nationkey").as("n2_key"),
+      col("n_name").as("cust_nation"))
+    li.join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("int").as("ship_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "ship_year")
+  }
+
+  def nationTradeRevenueOracle(na: String = "NATION_1",
+      nb: String = "NATION_2"): String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |  year(l_shipdate)::INT AS ship_year,
+       |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       |FROM lineitem
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |WHERE (n1.n_name = '$na' AND n2.n_name = '$nb')
+       |   OR (n1.n_name = '$nb' AND n2.n_name = '$na')
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** TPC-H Q8 shape: one nation's market share inside a region's
+    * market for one part type, per order year — the conditional
+    * revenue ratio over a six-table join. Part-type and region
+    * filters prune their broadcast sides before the fact joins; the
+    * share is a single conditional aggregate (no regrouping).
+    */
+  def nationMarketShare(li: DataFrame, part: DataFrame,
+      supplier: DataFrame, nation: DataFrame, orders: DataFrame,
+      customer: DataFrame, region: DataFrame,
+      regionName: String = "ASIA", partType: String = "ECONOMY",
+      homeNation: String = "NATION_5"): DataFrame = {
+    val n1 = nation.select(col("n_nationkey").as("n1_key"),
+      col("n_name").as("supp_nation"))
+    val marketNations = nation
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("n2_key"))
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    li.join(broadcast(part.filter(col("p_type") === partType)),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(marketNations), col("c_nationkey") === col("n2_key"),
+        "left_semi")
+      .groupBy(year(col("o_orderdate")).cast("int").as("order_year"))
+      .agg(round(sum(when(col("supp_nation") === homeNation, rev)
+          .otherwise(lit(0.0))) / sum(rev), 4).as("mkt_share"))
+      .orderBy("order_year")
+  }
+
+  def nationMarketShareOracle(regionName: String = "ASIA",
+      partType: String = "ECONOMY", homeNation: String = "NATION_5"): String =
+    s"""WITH flows AS (
+       |  SELECT year(o_orderdate)::INT AS order_year,
+       |    n1.n_name AS supp_nation,
+       |    l_extendedprice * (1 - l_discount) AS rev
+       |  FROM lineitem
+       |  JOIN part ON l_partkey = p_partkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |  JOIN region ON n2.n_regionkey = r_regionkey
+       |  WHERE r_name = '$regionName' AND p_type = '$partType')
+       |SELECT order_year,
+       |  round(sum(CASE WHEN supp_nation = '$homeNation' THEN rev
+       |            ELSE 0 END) / sum(rev), 4) AS mkt_share
+       |FROM flows GROUP BY order_year ORDER BY order_year""".stripMargin
+
+  /** TPC-H Q13 shape: the customer order-count distribution INCLUDING
+    * zero-order customers — a filtered LEFT OUTER join, a per-customer
+    * count, then a count-of-counts histogram. The left join is what
+    * keeps the zeros: an inner join would silently drop exactly the
+    * customers the distribution's head is about.
+    */
+  def orderCountHistogram(customer: DataFrame,
+      orders: DataFrame): DataFrame = {
+    val perCust = customer
+      .join(orders.filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+    perCust.groupBy("n_orders")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("n_orders")
+  }
+
+  def orderCountHistogramOracle: String =
+    """SELECT n_orders, count(*) AS n_customers FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS n_orders
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |    AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey)
+      |GROUP BY n_orders ORDER BY n_orders""".stripMargin
+
+  /** TPC-H Q15 shape: the top-revenue supplier — a scalar MAX
+    * subquery matched back by equality. The per-supplier rollup is
+    * map-side combined; the max enters as a broadcast 1-row cross
+    * join and the equality match is within-engine (each engine
+    * compares its own sums), so ties aside the pick is deterministic.
+    */
+  def topRevenueSupplier(li: DataFrame, supplier: DataFrame,
+      since: String = "1998-01-01"): DataFrame = {
+    val srev = li
+      .filter(col("l_shipdate") >= lit(since).cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("total"))
+    val maxRev = srev.agg(max(col("total")).as("max_total"))
+    srev.crossJoin(broadcast(maxRev))
+      .filter(col("total") === col("max_total"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("total"), 2).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  def topRevenueSupplierOracle(since: String = "1998-01-01"): String =
+    s"""WITH srev AS (SELECT l_suppkey,
+       |    sum(l_extendedprice * (1 - l_discount)) AS total
+       |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '$since'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, round(total, 2) AS total_revenue
+       |FROM supplier JOIN srev ON s_suppkey = l_suppkey
+       |WHERE total = (SELECT max(total) FROM srev)
+       |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q16 shape: supplier counts per part attribute bucket with
+    * an excluded-supplier set — NOT IN re-expressed as the LEFT ANTI
+    * join it must become at scale (the excluded set is tiny and
+    * broadcasts; suppkeys are never null, so the semantics match),
+    * then a count-distinct rollup under a full-tiebreak top-20.
+    */
+  def partSupplierCounts(li: DataFrame, part: DataFrame,
+      supplier: DataFrame): DataFrame = {
+    val excluded = supplier.filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    li.join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .join(broadcast(part.filter(col("p_brand") =!= "Brand#1" &&
+          col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+        col("p_type").asc, col("p_size").asc)
+      .limit(20)
+  }
+
+  def partSupplierCountsOracle: String =
+    """SELECT p_brand, p_type, p_size,
+      |  count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+      |                        WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+      |LIMIT 20""".stripMargin
+
   /** Approximate aggregates (HLL cardinality, quantile sketch) — the
     * G3 approx surface. The sketches themselves are engine-specific
     * and can't hash-match a DuckDB run, so the query emits the EXACT
