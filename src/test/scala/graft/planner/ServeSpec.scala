@@ -179,6 +179,16 @@ class ServeSpec extends SparkSpec {
       // anywhere near the 50k frame means the bounded paging regressed
       assert(read.sum < 10000,
         s"last-page render read ${read.sum} records; paging must stay bounded")
+
+      // page 136 covers rows 4080-4110: it STRADDLES the 4096-row
+      // file boundary, so both overlapping files must contribute and
+      // the stitched page must still hold exactly PageSize rows
+      val straddle = get(s"$base/view/136/0/")
+      assert(straddle.statusCode() == 200, straddle.body())
+      val dataRows = "<tr><td>".r.findAllIn(straddle.body()).size
+      assert(dataRows == Browse.PageSize,
+        s"boundary-straddling page rendered $dataRows rows, " +
+          s"expected ${Browse.PageSize}")
     } finally srv.stop()
   }
 }
