@@ -699,6 +699,21 @@ object SparkEntry {
         T(s, dir, "orders"), T(s, dir, "customer"), T(s, dir, "region"))
     },
 
+    // TPC-H Q9 shape: multi-table profit expression by nation-year
+    // (p_retailprice stands in for the missing supplycost).
+    q("q9_nation_profit", ops.Advanced.nationProfitOracle()) {
+      (s, dir) => Advanced.nationProfit(T(s, dir, "lineitem"),
+        T(s, dir, "part"), T(s, dir, "supplier"), T(s, dir, "nation"),
+        T(s, dir, "orders"))
+    },
+
+    // TPC-H Q11 shape: value concentration vs a scalar threshold
+    // (scale-free 2x-mean cut instead of TPC-H's 1/SF fraction).
+    q("q11_value_concentration", ops.Advanced.valueConcentrationOracle()) {
+      (s, dir) => Advanced.valueConcentration(T(s, dir, "lineitem"),
+        T(s, dir, "supplier"), T(s, dir, "nation"))
+    },
+
     // TPC-H Q13 shape: left-outer count histogram (keeps zeros).
     q("q13_order_histogram", ops.Advanced.orderCountHistogramOracle) {
       (s, dir) => Advanced.orderCountHistogram(T(s, dir, "customer"),

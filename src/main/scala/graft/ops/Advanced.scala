@@ -706,6 +706,90 @@ object Advanced {
       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
       |LIMIT 20""".stripMargin
 
+  /** TPC-H Q9 shape: product-line profit by nation and year — the
+    * multi-table arithmetic expression inside one aggregate (revenue
+    * minus cost, where `0.6 * p_retailprice * l_quantity` stands in
+    * for the missing partsupp supplycost). The part-name filter
+    * prunes its broadcast side first, so at corpus scale only the
+    * product line's rows flow through the four joins.
+    */
+  def nationProfit(li: DataFrame, part: DataFrame, supplier: DataFrame,
+      nation: DataFrame, orders: DataFrame,
+      namePattern: String = "gear"): DataFrame = {
+    // revenue-minus-cost terms CANCEL, so a double sum's fold-order
+    // error can exceed the 2-decimal rounding grain (it did, on 1 of
+    // 175 fixture groups) — quantize each row to exact integer cents
+    // and sum those: integer addition is associative, so the total is
+    // identical under any partial-aggregation order (the same
+    // fixed-point rule the Lloyd centroid mean uses)
+    val profitCents = round((col("l_extendedprice") *
+      (lit(1) - col("l_discount")) -
+      lit(0.6) * col("p_retailprice") * col("l_quantity")) * 100)
+      .cast("long")
+    li.join(broadcast(part.filter(col("p_name").contains(namePattern))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg((sum(profitCents).cast("double") / lit(100.0)).as("profit"))
+      .orderBy("nation", "o_year")
+  }
+
+  def nationProfitOracle(namePattern: String = "gear"): String =
+    s"""SELECT n_name AS nation, year(o_orderdate)::INT AS o_year,
+       |  sum(round((l_extendedprice * (1 - l_discount)
+       |    - 0.6 * p_retailprice * l_quantity) * 100)::BIGINT)::DOUBLE
+       |    / 100.0 AS profit
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |WHERE p_name LIKE '%$namePattern%'
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** TPC-H Q11 shape: value concentration — one nation's per-part
+    * traded value (the availqty x supplycost stand-in) filtered by a
+    * scalar threshold over the SAME rollup. TPC-H scales its fraction
+    * by 1/SF; here the threshold is scale-free (2x the mean part
+    * value) so the query is meaningful at every SF. Both sides of the
+    * comparison are rounded (the house parity rule for float-sum
+    * thresholds); the scalar enters as a broadcast 1-row cross join.
+    */
+  def valueConcentration(li: DataFrame, supplier: DataFrame,
+      nation: DataFrame, nationName: String = "NATION_3",
+      multiple: Double = 2.0): DataFrame = {
+    val natSupp = supplier
+      .join(broadcast(nation.filter(col("n_name") === nationName)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val value = li
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"),
+        "left_semi")
+      .groupBy("l_partkey")
+      .agg(sum(col("l_extendedprice")).as("v"))
+    val threshold = value
+      .agg(round(lit(multiple) * avg(col("v")), 2).as("cut"))
+    value.crossJoin(broadcast(threshold))
+      .filter(round(col("v"), 2) > col("cut"))
+      .select(col("l_partkey"), round(col("v"), 2).as("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey").asc)
+  }
+
+  def valueConcentrationOracle(nationName: String = "NATION_3",
+      multiple: Double = 2.0): String =
+    s"""WITH val AS (
+       |  SELECT l_partkey, sum(l_extendedprice) AS v
+       |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  WHERE n_name = '$nationName'
+       |  GROUP BY l_partkey)
+       |SELECT l_partkey, round(v, 2) AS part_value
+       |FROM val
+       |WHERE round(v, 2) > (SELECT round($multiple * avg(v), 2) FROM val)
+       |ORDER BY part_value DESC, l_partkey ASC""".stripMargin
+
   /** Approximate aggregates (HLL cardinality, quantile sketch) — the
     * G3 approx surface. The sketches themselves are engine-specific
     * and can't hash-match a DuckDB run, so the query emits the EXACT
