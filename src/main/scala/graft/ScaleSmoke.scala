@@ -88,10 +88,14 @@ object ScaleSmoke {
     // persisted IVF index: build once with ~sqrt(n) cells (the serving
     // config — cell SIZE then grows as sqrt(n), so a 100-query probe
     // batch reading nprobe cells per query costs O(sqrt(n))/query, not
-    // O(n): ivf_probe_sec must grow far below 10x per data decade
-    // while ivf_build_sec is the one-time linear-scan cost paid at
-    // build. Vectors are synthesized in-plan (hash-derived, executor-
-    // side) so the corpus never touches the driver or disk.
+    // O(n): ivf_probe_sec must grow far below 10x per data decade.
+    // ivf_build_sec is the one-time n x sqrt(n)-assignment cost
+    // (every vector scored against every centroid, twice: one Lloyd
+    // round + final assignment) — expect ~30x per decade asymptote,
+    // paid once per corpus; a real deployment trains the quantizer on
+    // a sample to keep the n x C term bounded. Vectors are
+    // synthesized in-plan (hash-derived, executor-side) so the corpus
+    // never touches the driver or disk.
     val nVecs = 1000L * mult
     val emb = spark.range(nVecs).select(col("id").as("vec_id"),
       transform(sequence(lit(1), lit(64)),

@@ -186,7 +186,14 @@ object Advanced {
         col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_name"),
         col("s_acctbal"))
+    // per-part mins are independent across parts, so restricting to
+    // the queried part type BEFORE the rollup is semantics-preserving
+    // and prunes both fact passes (~6x here: one type of six) — the
+    // filter would otherwise apply only after the min join-back
+    val econParts = part.filter(col("p_type") === "ECONOMY")
     val eligible = li
+      .join(broadcast(econParts.select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi")
       .join(broadcast(regionSupp), col("l_suppkey") === col("s_suppkey"))
       .select(col("l_partkey"), col("l_extendedprice"), col("s_name"),
         col("n_name"), col("s_acctbal"))
@@ -196,7 +203,7 @@ object Advanced {
     eligible
       .join(minp, col("l_partkey") === col("mp_partkey") &&
         col("l_extendedprice") === col("mp"))
-      .join(broadcast(part.filter(col("p_type") === "ECONOMY")),
+      .join(broadcast(econParts),
         col("l_partkey") === col("p_partkey"))
       .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
         round(col("s_acctbal"), 2).as("acctbal"),
@@ -649,28 +656,38 @@ object Advanced {
     */
   def topRevenueSupplier(li: DataFrame, supplier: DataFrame,
       since: String = "1998-01-01"): DataFrame = {
+    // the max is matched back by EQUALITY, and the srev rollup runs
+    // twice in the plan (probe side + max side) with independent
+    // shuffle fetch orders — a double sum could differ in the last
+    // bits between the two branches and match nothing. Sum exact
+    // integer cents instead (associative, identical under any
+    // aggregation order): the q9 fixed-point rule
+    val revCents = round(col("l_extendedprice") *
+      (lit(1) - col("l_discount")) * 100).cast("long")
     val srev = li
       .filter(col("l_shipdate") >= lit(since).cast("timestamp"))
       .groupBy("l_suppkey")
-      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
-        .as("total"))
-    val maxRev = srev.agg(max(col("total")).as("max_total"))
+      .agg(sum(revCents).as("total_cents"))
+    val maxRev = srev.agg(max(col("total_cents")).as("max_cents"))
     srev.crossJoin(broadcast(maxRev))
-      .filter(col("total") === col("max_total"))
+      .filter(col("total_cents") === col("max_cents"))
       .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
-        round(col("total"), 2).as("total_revenue"))
+        (col("total_cents").cast("double") / lit(100.0))
+          .as("total_revenue"))
       .orderBy("s_suppkey")
   }
 
   def topRevenueSupplierOracle(since: String = "1998-01-01"): String =
     s"""WITH srev AS (SELECT l_suppkey,
-       |    sum(l_extendedprice * (1 - l_discount)) AS total
+       |    sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)
+       |      AS total_cents
        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '$since'
        |  GROUP BY l_suppkey)
-       |SELECT s_suppkey, s_name, round(total, 2) AS total_revenue
+       |SELECT s_suppkey, s_name,
+       |  total_cents::DOUBLE / 100.0 AS total_revenue
        |FROM supplier JOIN srev ON s_suppkey = l_suppkey
-       |WHERE total = (SELECT max(total) FROM srev)
+       |WHERE total_cents = (SELECT max(total_cents) FROM srev)
        |ORDER BY s_suppkey""".stripMargin
 
   /** TPC-H Q16 shape: supplier counts per part attribute bucket with

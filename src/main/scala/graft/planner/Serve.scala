@@ -197,6 +197,49 @@ final class Serve(
       .csv(s"$cacheDir/$key.csv")
   }
 
+  /** This instance's serving caches for `key` exist on disk. The
+    * PlanCache status map is JVM-GLOBAL while cacheDir is
+    * per-instance, so a Done recorded by another Serve over the same
+    * plan does NOT mean our pages/CSV exist — trusting it blindly
+    * would serve empty 200s. Done only counts together with this
+    * check; when it fails, [[rebuildLocal]] fills this cacheDir.
+    */
+  private def cachesReady(key: String): Boolean =
+    new java.io.File(s"$cacheDir/$key.pages", "_SUCCESS").exists() &&
+      new java.io.File(s"$cacheDir/$key.csv", "_SUCCESS").exists()
+
+  /** key -> "failed: …" for local page-cache rebuilds; a key is
+    * in-flight while mapped to "running".
+    */
+  private val localBuilds =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build this instance's raw + page/CSV caches for a plan another
+    * instance already materialized (global status Done, local files
+    * absent): same async posture as a fresh submit — the request gets
+    * the wait page while a daemon thread fills the local cacheDir.
+    */
+  private def rebuildLocal(spark: SparkSession,
+      df: DataFrame, key: String): Unit = {
+    val st = localBuilds.get(key)
+    if (st != null && st.startsWith("failed"))
+      throw new RuntimeException(st)
+    if (localBuilds.putIfAbsent(key, "running") == null) {
+      val t = new Thread(() => {
+        try {
+          val cached = PlanCache.materialize(spark, df, cacheDir)
+          buildPageCache(cached, key)
+          localBuilds.remove(key)
+        } catch {
+          case e: Throwable =>
+            localBuilds.put(key, s"failed: ${String.valueOf(e.getMessage)}")
+        }
+      }, s"graft-pagecache-$key")
+      t.setDaemon(true)
+      t.start()
+    }
+  }
+
   /** The served frame's plan key and row count, or None while the
     * async materialization (raw parquet + page/CSV caches + count)
     * is still running — submitting it if nobody has. The count comes
@@ -208,7 +251,10 @@ final class Serve(
     val spark = df.sparkSession
     val key = PlanCache.planKey(df)
     PlanCache.poll(key) match {
-      case Some(PlanCache.Done(n)) => Some((key, n))
+      case Some(PlanCache.Done(n)) if cachesReady(key) => Some((key, n))
+      case Some(PlanCache.Done(_)) =>
+        rebuildLocal(spark, df, key)
+        None
       case Some(PlanCache.Failed(e)) =>
         throw new RuntimeException(s"materialization failed: $e")
       case Some(PlanCache.Running) => None
@@ -253,8 +299,10 @@ final class Serve(
 
   /** Rows [page*PageSize, +PageSize) of the sorted cache: only the
     * 1-2 files overlapping that span are read, each re-sorted (they
-    * are single bounded files) — collect stays <= [[PageFileRows]]
-    * rows for page one million as for page one.
+    * are single bounded files) with offset + limit so the driver
+    * collects EXACTLY the page's rows — executors scan at most
+    * [[PageFileRows]] rows per file, the driver never holds more
+    * than a page.
     */
   private def pageRows(spark: SparkSession, key: String, page: Int): Seq[Row] = {
     val start = page.toLong * Browse.PageSize
@@ -262,11 +310,12 @@ final class Serve(
     manifest(spark, key)
       .filter(f => f.start < end && f.start + f.rows > start)
       .flatMap { f =>
+        val lo = (start - f.start).max(0)
+        val hi = (end - f.start).min(f.rows)
         val df = spark.read.parquet(f.path)
         df.orderBy(stableOrder(df): _*)
-          .limit((end - f.start).min(f.rows).toInt)
+          .offset(lo.toInt).limit((hi - lo).toInt)
           .collect()
-          .drop((start - f.start).max(0).toInt)
       }
   }
 

@@ -191,4 +191,31 @@ class ServeSpec extends SparkSpec {
           s"expected ${Browse.PageSize}")
     } finally srv.stop()
   }
+
+  test("a second instance over the same plan rebuilds ITS caches, not empty 200s") {
+    // PlanCache status is JVM-global; cacheDir is per-instance. A
+    // Done recorded by instance A must not trick instance B into
+    // serving pages/CSV from files it never built.
+    import spark.implicits._
+    val source = Seq((7L, "alpha beta gamma")).toDF("index", "name")
+    def newServe() = new Serve(TaskRegistry.of(Library.splitter), Seq(source),
+      java.nio.file.Files.createTempDirectory("graft-serve-2nd").toString)
+    val a = newServe()
+    try {
+      val viewA = getDone(s"http://localhost:${a.boundPort}/view/0/0/")
+      assert(viewA.statusCode() == 200 && viewA.body().contains("alpha"))
+    } finally a.stop()
+    val b = newServe()
+    try {
+      // first hit may answer 202 while B fills its own cacheDir; it
+      // must NEVER answer 200 without the data
+      val viewB = getDone(s"http://localhost:${b.boundPort}/view/0/0/")
+      assert(viewB.statusCode() == 200, viewB.body())
+      assert(viewB.body().contains("alpha"), viewB.body())
+      val csvB = getDone(s"http://localhost:${b.boundPort}/download/csv/0/")
+      assert(csvB.statusCode() == 200)
+      assert(csvB.body().linesIterator.size == 2, csvB.body()) // header + 1 row
+      assert(csvB.body().contains("beta"), csvB.body())
+    } finally b.stop()
+  }
 }

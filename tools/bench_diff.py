@@ -41,14 +41,17 @@ def main():
 
     old, new = load(args.old), load(args.new)
     oq, nq = old["queries"], new["queries"]
-    shared = sorted(set(oq) & set(nq), key=lambda q: nq[q] / oq[q],
-                    reverse=True)
+
+    def ratio(q):
+        return nq[q] / oq[q] if oq[q] > 0 else float("inf")
+
+    shared = sorted(set(oq) & set(nq), key=ratio, reverse=True)
     only_old = sorted(set(oq) - set(nq))
     only_new = sorted(set(nq) - set(oq))
 
     print(f"{'query':<28} {'old_s':>8} {'new_s':>8} {'ratio':>7}  flag")
     for q in shared:
-        r = nq[q] / oq[q]
+        r = ratio(q)
         flag = ""
         if r >= args.threshold:
             flag = "REGRESSION"
@@ -58,14 +61,15 @@ def main():
 
     tot_old = sum(oq[q] for q in shared)
     tot_new = sum(nq[q] for q in shared)
+    tot_ratio = f"{tot_new / tot_old:.2f}" if tot_old > 0 else "n/a"
     print(f"\nshared {len(shared)} queries: {tot_old:.1f}s -> {tot_new:.1f}s "
-          f"(ratio {tot_new / tot_old:.2f})")
+          f"(ratio {tot_ratio})")
     if only_old:
         print(f"removed ({len(only_old)}): {', '.join(only_old)}")
     if only_new:
         tot = sum(nq[q] for q in only_new)
         print(f"added ({len(only_new)}, {tot:.1f}s): {', '.join(only_new)}")
-    n_reg = sum(1 for q in shared if nq[q] / oq[q] >= args.threshold)
+    n_reg = sum(1 for q in shared if ratio(q) >= args.threshold)
     print(f"regressions past {args.threshold}x: {n_reg}")
     return 1 if n_reg else 0
 
