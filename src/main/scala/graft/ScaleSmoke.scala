@@ -89,23 +89,26 @@ object ScaleSmoke {
     // config — cell SIZE then grows as sqrt(n), so a 100-query probe
     // batch reading nprobe cells per query costs O(sqrt(n))/query, not
     // O(n): ivf_probe_sec must grow far below 10x per data decade.
-    // ivf_build_sec is the one-time n x sqrt(n)-assignment cost
-    // (every vector scored against every centroid, twice: one Lloyd
-    // round + final assignment) — expect ~30x per decade asymptote,
-    // paid once per corpus; a real deployment trains the quantizer on
-    // a sample to keep the n x C term bounded. Vectors are
-    // synthesized in-plan (hash-derived, executor-side) so the corpus
-    // never touches the driver or disk.
+    // ivf_build_sec is the one-time cost: Lloyd training on a fixed
+    // TrainPerCell x cells hash-sample (corpus-size-independent per
+    // cell) + ONE map-only NearestCell assignment sweep — build wall
+    // should now track ~linear per data decade, where the old
+    // full-corpus-trained n x C scored stream grew n^1.5 (182 s at
+    // mult=1000, round 5). Vectors are synthesized in-plan
+    // (hash-derived, executor-side) so the corpus never touches the
+    // driver or disk.
     val nVecs = 1000L * mult
     val emb = spark.range(nVecs).select(col("id").as("vec_id"),
       transform(sequence(lit(1), lit(64)),
         d => pmod(hash(col("id") * 64 + d), lit(1000)).cast("double")
           / 500.0 - 1.0).as("embedding"))
     val stride = math.max(1L, math.round(math.sqrt(nVecs.toDouble)))
+    val trainSample = (ops.Similarity.TrainPerCell *
+      math.max(1L, nVecs / stride)).toInt
     val ivfDir = java.nio.file.Files
       .createTempDirectory("graft-smoke-ivf").toString
     val (nCells, tIvfBuild) = time {
-      ops.Similarity.ivfBuild(emb, ivfDir, stride)
+      ops.Similarity.ivfBuild(emb, ivfDir, stride, trainSample)
       spark.read.parquet(s"$ivfDir/centroids").count()
     }
     val probeQueries = emb.filter(col("vec_id") < 100)

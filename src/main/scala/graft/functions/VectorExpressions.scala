@@ -175,11 +175,100 @@ object Md5Prefix60 {
   }
 }
 
+/** Nearest coarse centroid per vector as ONE map-only codegen'd
+  * expression: the centroid table (O(C) rows — collected once on the
+  * driver, like any broadcast dimension) rides into codegen as a
+  * reference object, and each row runs a tight primitive argmax loop.
+  *
+  * This replaces the `crossJoin(broadcast(cents)) + groupBy struct-max`
+  * assignment, which MATERIALIZES n x C scored rows before the partial
+  * aggregation collapses them — at 1M vectors x 1000 cells that is a
+  * billion-row intermediate for a per-row reduction. Here the argmax
+  * never leaves the register file: no shuffle, no intermediate rows,
+  * whole-stage codegen intact, so corpus assignment is a genuinely
+  * linear pass (per-row work O(C·d), the same FLOPs the scored stream
+  * paid, minus all the row machinery).
+  *
+  * Semantics are bit-identical to the struct-max form (differential-
+  * tested in NearestCellSpec): cosine = round6(dot(v,cv)/(nrm·cnrm))
+  * with the same left-to-right summation as [[DotProduct]], Spark's
+  * Round HALF_UP via the same BigDecimal path, winner = highest
+  * rounded cosine with ties to the smallest centroid id, NaN ordered
+  * greatest exactly as Spark's struct ordering does.
+  */
+case class NearestCell(vec: Expression, nrm: Expression,
+    centIds: Array[Long], centVecs: Array[Array[Double]],
+    centNrms: Array[Double]) extends BinaryExpression {
+
+  override def left: Expression = vec
+  override def right: Expression = nrm
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NearestCell.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[Double],
+      centIds, centVecs, centNrms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ids = ctx.addReferenceObj("ncIds", centIds, "long[]")
+    val vecs = ctx.addReferenceObj("ncVecs", centVecs, "double[][]")
+    val nrms = ctx.addReferenceObj("ncNrms", centNrms, "double[]")
+    nullSafeCodeGen(ctx, ev, (v, n) =>
+      s"${ev.value} = graft.functions.NearestCell.compute($v, $n, $ids, $vecs, $nrms);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCell =
+    copy(vec = newLeft, nrm = newRight)
+}
+
+object NearestCell {
+  /** Spark's `round(x, 6)` for doubles, exactly: the BigDecimal
+    * decimal-string path with HALF_UP — NOT `math.round`-style
+    * binary rounding.
+    */
+  def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  def compute(v: ArrayData, nrm: Double, ids: Array[Long],
+      vecs: Array[Array[Double]], nrms: Array[Double]): Long = {
+    var best = Double.NegativeInfinity
+    var bestId = Long.MaxValue
+    var c = 0
+    while (c < ids.length) {
+      val cv = vecs(c)
+      val n = math.min(v.numElements(), cv.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += v.getDouble(i) * cv(i); i += 1 }
+      val ccos = round6(s / (nrm * nrms(c)))
+      // Double.compare orders NaN greatest and -0.0 < 0.0, matching
+      // Spark's struct-max double ordering
+      val cmp = java.lang.Double.compare(ccos, best)
+      if (cmp > 0 || (cmp == 0 && ids(c) < bestId)) {
+        best = ccos
+        bestId = ids(c)
+      }
+      c += 1
+    }
+    bestId
+  }
+}
+
 object VectorFunctions {
   /** Codegen'd dot product of two ArrayType(DoubleType) columns. */
   def dot_product(a: Column, b: Column): Column =
     graftShims.toColumn(
       DotProduct(graftShims.toExpression(a), graftShims.toExpression(b)))
+
+  /** Codegen'd nearest-centroid assignment over a collected centroid
+    * table (ids/vectors/norms aligned by index).
+    */
+  def nearest_cell(v: Column, nrm: Column, ids: Array[Long],
+      vecs: Array[Array[Double]], nrms: Array[Double]): Column =
+    graftShims.toColumn(NearestCell(graftShims.toExpression(v),
+      graftShims.toExpression(nrm), ids, vecs, nrms))
 
   /** Codegen'd MinHash signature over an ArrayType(LongType) hash
     * column — one array of per-permutation minima.

@@ -356,30 +356,35 @@ object Advanced {
   /** TPC-H Q21 shape: suppliers who kept orders waiting — the
     * EXISTS + NOT-EXISTS pair over the same fact (no commit/receipt
     * dates in the testdata, so "late" is shipping >60 days after the
-    * order date). Both subqueries run as ONE distinct (order,
-    * supplier) pair frame each: EXISTS = LEFT SEMI against all pairs
-    * of the order, NOT EXISTS = LEFT ANTI against the late pairs —
-    * the fact is scanned twice and reduced to fixed-width key pairs
-    * before anything joins, never correlated row-at-a-time.
+    * order date). ONE scan of the fact: conditional aggregation folds
+    * each (order, supplier) pair to `max(l_shipdate)` (a pair is late
+    * iff its LATEST line shipped late), the order lookup attaches the
+    * status/date, and both EXISTS predicates become window counts over
+    * the order — `n_supp > 1` (some other supplier exists) and
+    * `n_late = 1` (no other late supplier). The window rides the join
+    * exchange on `l_orderkey`, so the whole query is one full-fact
+    * shuffle plus fixed-width pair frames, never correlated
+    * row-at-a-time (vs the two-distinct form this replaces, which
+    * scanned and shuffled the fact twice).
     */
   def waitingSuppliers(li: DataFrame, orders: DataFrame,
       supplier: DataFrame, lateDays: Int = 60): DataFrame = {
-    val pairs = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
-    val late = li
-      .join(orders.filter(col("o_orderstatus") === "F"),
-        col("l_orderkey") === col("o_orderkey"))
-      .filter(col("l_shipdate") >
-        col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
-    val multiSupplier = late.as("l1")
-      .join(pairs.as("l2"),
-        col("l1.l_orderkey") === col("l2.l_orderkey") &&
-          col("l1.l_suppkey") =!= col("l2.l_suppkey"), "left_semi")
-    val soleBlame = multiSupplier.as("l1")
-      .join(late.as("l3"),
-        col("l1.l_orderkey") === col("l3.l_orderkey") &&
-          col("l1.l_suppkey") =!= col("l3.l_suppkey"), "left_anti")
-    soleBlame
+    val pairAgg = li.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("l_shipdate")).as("max_ship"))
+    // left join: a pair whose order is absent still counts toward the
+    // EXISTS side (the oracle's `pairs` never touches orders)
+    val flagged = pairAgg
+      .join(orders.select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderdate")), col("l_orderkey") === col("o_orderkey"), "left")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        when(col("o_orderstatus") === "F" && col("max_ship") >
+          col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"), 1L)
+          .otherwise(0L).as("late"))
+    val wOrd = Window.partitionBy("l_orderkey")
+    flagged
+      .withColumn("n_supp", count(lit(1)).over(wOrd))
+      .withColumn("n_late", sum(col("late")).over(wOrd))
+      .filter(col("late") === 1 && col("n_supp") > 1 && col("n_late") === 1)
       .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
       .groupBy("s_name")
       .agg(count(lit(1)).as("numwait"))
@@ -770,9 +775,15 @@ object Advanced {
     * traded value (the availqty x supplycost stand-in) filtered by a
     * scalar threshold over the SAME rollup. TPC-H scales its fraction
     * by 1/SF; here the threshold is scale-free (2x the mean part
-    * value) so the query is meaningful at every SF. Both sides of the
-    * comparison are rounded (the house parity rule for float-sum
-    * thresholds); the scalar enters as a broadcast 1-row cross join.
+    * value) so the query is meaningful at every SF.
+    *
+    * Parity: per-part value is summed in EXACT INTEGER CENTS (the
+    * q9/q15 fixed-point rule) — integer sums are associative under
+    * any aggregation order, so the threshold cut can never land on a
+    * fold-order-dependent half-cent boundary the way a rounded double
+    * sum could. The mean is `exact long sum / exact count`, one double
+    * division on both engines; the scalar enters as a broadcast 1-row
+    * cross join.
     */
   def valueConcentration(li: DataFrame, supplier: DataFrame,
       nation: DataFrame, nationName: String = "NATION_3",
@@ -785,26 +796,27 @@ object Advanced {
       .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"),
         "left_semi")
       .groupBy("l_partkey")
-      .agg(sum(col("l_extendedprice")).as("v"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("vc"))
     val threshold = value
-      .agg(round(lit(multiple) * avg(col("v")), 2).as("cut"))
+      .agg(round(lit(multiple) * avg(col("vc"))).cast("long").as("cut"))
     value.crossJoin(broadcast(threshold))
-      .filter(round(col("v"), 2) > col("cut"))
-      .select(col("l_partkey"), round(col("v"), 2).as("part_value"))
+      .filter(col("vc") > col("cut"))
+      .select(col("l_partkey"),
+        (col("vc").cast("double") / 100.0).as("part_value"))
       .orderBy(col("part_value").desc, col("l_partkey").asc)
   }
 
   def valueConcentrationOracle(nationName: String = "NATION_3",
       multiple: Double = 2.0): String =
     s"""WITH val AS (
-       |  SELECT l_partkey, sum(l_extendedprice) AS v
+       |  SELECT l_partkey, sum(round(l_extendedprice * 100)::BIGINT) AS vc
        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
        |  JOIN nation ON s_nationkey = n_nationkey
        |  WHERE n_name = '$nationName'
        |  GROUP BY l_partkey)
-       |SELECT l_partkey, round(v, 2) AS part_value
+       |SELECT l_partkey, vc::DOUBLE / 100.0 AS part_value
        |FROM val
-       |WHERE round(v, 2) > (SELECT round($multiple * avg(v), 2) FROM val)
+       |WHERE vc > (SELECT round($multiple * avg(vc))::BIGINT FROM val)
        |ORDER BY part_value DESC, l_partkey ASC""".stripMargin
 
   /** Approximate aggregates (HLL cardinality, quantile sketch) — the

@@ -319,23 +319,61 @@ object Similarity {
     */
   val FixPoint = 1000000L
 
+  /** Fixed Lloyd-training sample size: the quantizer trains on the
+    * `TrainSample` vectors with the smallest deterministic hash
+    * (md5-derived, tiebreak vec_id — identical ordering in both
+    * engines), NOT the full corpus. K-means quality needs O(samples
+    * per centroid), not O(corpus): training on everything made
+    * `ivfBuild` n^1.5 (two full n x C passes per Lloyd round — 182 s
+    * at the mult=1000 smoke), while a fixed-size sample makes training
+    * cost independent of corpus size and leaves the one linear
+    * assignment pass as the only full-corpus work. Serving-scale
+    * builds pass an explicit sample (~[[TrainPerCell]] x cells, see
+    * [[ivfBuild]]); this default covers the fixture-scale oracle
+    * queries.
+    */
+  val TrainSample = 1600
+
+  /** Training vectors per centroid for serving-scale builds: with
+    * cells grown as sqrt(n), a 32x-cells sample keeps Lloyd cost at
+    * O(32·C²) = O(32·n) — linear, and vanishing next to the
+    * assignment pass.
+    */
+  val TrainPerCell = 32
+
+  /** Deterministic training-sample hash — the cross-engine ordering
+    * key for the LIMIT-sample (salted so it is independent of every
+    * other hash-derived decision in the pipeline).
+    */
+  private def trainHash(id: Column): Column =
+    H.hash30(concat(lit("tr_"), id.cast("string")))
+
   /** Seed centroids by the deterministic stride sample, then run
-    * [[LloydRounds]] iterations of Lloyd's algorithm: assign each
-    * vector to its nearest centroid (broadcast argmax — the same
-    * map-side-combinable struct-max as [[knnIvf]] assignment), then
-    * move each centroid to the fixed-point mean of its cell. Both
-    * steps are one shuffle each on fixed-width keys; at 100 TB this
-    * is 2 passes over the vectors per round, all map-side-combined.
-    * Cells keep their seed's id, so downstream tiebreaks (`cid` asc)
-    * stay stable; an emptied cell simply drops out.
+    * [[LloydRounds]] iterations of Lloyd's algorithm over the
+    * hash-smallest `trainSample` vectors: assign each training vector
+    * to its nearest centroid (broadcast argmax — map-side-combinable
+    * struct-max over a SAMPLE-sized stream, never n x C), then move
+    * each centroid to the fixed-point mean of its training cell. At
+    * 100 TB the training passes touch O(trainSample) rows per round —
+    * corpus-size-independent; the sample selection itself is one
+    * TakeOrdered over the corpus. Cells keep their seed's id, so
+    * downstream tiebreaks (`cid` asc) stay stable; a cell with no
+    * training member drops out (deterministically — the oracle's CTE
+    * chain drops it too).
     */
   private[ops] def trainedCents(all: DataFrame,
-      stride: Long = CentroidStride): DataFrame = {
+      stride: Long = CentroidStride,
+      trainSample: Int = TrainSample): DataFrame = {
     var cents = all.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"),
         col("nrm").as("cnrm"))
+    val train = all
+      .withColumn("trh", trainHash(col("vec_id")))
+      .orderBy(col("trh"), col("vec_id"))
+      .limit(trainSample)
+      .select(col("vec_id"), col("v"), col("nrm"))
     for (_ <- 1 to LloydRounds) {
-      val scored = all.crossJoin(broadcast(cents))
+      val scored = train.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("v"), col("cid"),
           round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
             .as("ccos"))
@@ -361,36 +399,67 @@ object Similarity {
     cents
   }
 
+  /** Corpus -> cell assignment as a map-only pass: collect the trained
+    * centroid table (O(C) driver rows — the same data every broadcast
+    * of `cents` already ships) and run the codegen'd
+    * [[graft.functions.NearestCell]] argmax per row. Replaces the
+    * `crossJoin(broadcast(cents)) + groupBy struct-max` formulation,
+    * which materialized an n x C scored stream before the partial agg
+    * collapsed it — the dominant cost of [[ivfBuild]] at the scale
+    * smoke. Ranking-identical (differential-tested in
+    * NearestCellSpec): same rounded cosine, same smallest-cid
+    * tiebreak.
+    */
+  private def collectCents(
+      cents: DataFrame): Array[(Long, Array[Double], Double)] =
+    cents.orderBy("cid").collect().map(r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+
+  private def assignCells(all: DataFrame,
+      centArr: Array[(Long, Array[Double], Double)]): DataFrame =
+    all.withColumn("cell", graft.functions.VectorFunctions.nearest_cell(
+      col("v"), col("nrm"),
+      centArr.map(_._1), centArr.map(_._2), centArr.map(_._3)))
+
+  /** The collected centroid table back as a (local-relation) frame for
+    * the query-probe side — the trained-quantizer plan executes ONCE
+    * (at [[collectCents]]) instead of once per consumer.
+    */
+  private def centsDf(spark: org.apache.spark.sql.SparkSession,
+      centArr: Array[(Long, Array[Double], Double)]): DataFrame = {
+    import spark.implicits._
+    centArr.toSeq.map(c => (c._1, c._2.toSeq, c._3))
+      .toDF("cid", "cv", "cnrm")
+  }
+
   /** IVF (inverted-file) ANN: assign every vector to its nearest
     * coarse centroid ("cell"), then answer each query by brute-forcing
     * only the `nprobe` cells nearest the query.
     *
-    * Scale posture: assignment is a broadcast of the centroid set
-    * (O(C) per row, map-only) + a map-side-combinable struct-max
-    * groupBy — never a window over the O(n*C) score stream; the probe
-    * join shuffles only on cell id, so candidate volume is
-    * O(n * nprobe / C) per query instead of O(n).
+    * Scale posture: assignment is the map-only codegen'd
+    * [[graft.functions.NearestCell]] argmax over the collected
+    * centroid table — zero shuffle, no n x C intermediate stream; the
+    * probe join shuffles only on cell id, so candidate volume is
+    * O(n * nprobe / C) per query instead of O(n). Only the (tiny)
+    * query side scores against every centroid, to pick its `nprobe`
+    * nearest cells.
     */
   def knnIvf(emb: DataFrame, nQueries: Int = 50, k: Int = 3,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = 2, trainSample: Int = TrainSample): DataFrame = {
     val all = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val cents = trainedCents(all)
-    val scored = all.crossJoin(broadcast(cents))
+    val centArr = collectCents(
+      trainedCents(all, CentroidStride, trainSample))
+    val assigned = assignCells(all, centArr)
+    val cents = centsDf(emb.sparkSession, centArr)
+    val qscored = all.filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
         round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
           .as("ccos"))
-    // nearest cell per vector: max (ccos, -cid) struct == highest
-    // cosine, ties to the smallest centroid id — partial-aggregatable,
-    // unlike a row_number window over the full n x C score stream
-    val assigned = scored.groupBy("vec_id")
-      .agg(max(struct(col("ccos"), (-col("cid")).as("negcid"))).as("best"),
-        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
-      .select(col("vec_id"), col("v"), col("nrm"),
-        (-col("best.negcid")).as("cell"))
     val wProbe = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("cid").asc)
-    val qprobes = scored.filter(col("vec_id") < nQueries)
+    val qprobes = qscored
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
@@ -409,30 +478,33 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
-  def knnIvfOracle(nQueries: Int = 50, k: Int = 3, nprobe: Int = 2): String =
+  def knnIvfOracle(nQueries: Int = 50, k: Int = 3, nprobe: Int = 2,
+      trainSample: Int = TrainSample): String =
     knnIvfOracleFrom(
       s"""allv AS (SELECT vec_id,
          |    list_transform(embedding, x -> x::DOUBLE) AS v
-         |  FROM embeddings)""".stripMargin, nQueries, k, nprobe)
+         |  FROM embeddings)""".stripMargin, nQueries, k, nprobe, trainSample)
 
   /** [[knnIvfOracle]] over any `allv(vec_id, v)` CTE — lets the same
     * IVF search oracle run over derived vectors (e.g. the multimodal
     * [[Multimodal.mediaEmbeddingCte]]), not just the embeddings table.
     */
   def knnIvfOracleFrom(allvCte: String, nQueries: Int, k: Int,
-      nprobe: Int): String =
-    s"""WITH ${ivfRankedCtes(allvCte, nQueries, nprobe)}
+      nprobe: Int, trainSample: Int = TrainSample): String =
+    s"""WITH ${ivfRankedCtes(allvCte, nQueries, nprobe, trainSample)}
        |SELECT query_id, rn, neighbor_id, cos_sim FROM ranked WHERE rn <= $k
        |ORDER BY query_id, rn""".stripMargin
 
   /** CTE chain (allv -> ... -> ranked) shared by the IVF oracles.
-    * Mirrors [[trainedCents]]: stride seed `cents_0`, then one
-    * (scored_r, asg_r, upd_r, cents_r) block per Lloyd round — the
-    * fixed-point integer mean makes the centroid arithmetic
-    * order-independent, so the chain is engine-reproducible.
+    * Mirrors [[trainedCents]]: stride seed `cents_0`, the
+    * hash-smallest-[[TrainSample]] `train` subset, then one
+    * (scored_r, asg_r, upd_r, cents_r) block per Lloyd round over
+    * `train` — the fixed-point integer mean makes the centroid
+    * arithmetic order-independent, so the chain is
+    * engine-reproducible.
     */
   private def ivfRankedCtes(allvCte: String, nQueries: Int,
-      nprobe: Int): String = {
+      nprobe: Int, trainSample: Int = TrainSample): String = {
     val lloyd = (1 to LloydRounds).map { r =>
       s"""scored_$r AS (SELECT vec_id, v, cid,
          |    round(
@@ -440,7 +512,7 @@ object Similarity {
          |      (sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))) *
          |       sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])))),
          |      6) AS ccos
-         |  FROM allv CROSS JOIN cents_${r - 1}),
+         |  FROM train CROSS JOIN cents_${r - 1}),
          |asg_$r AS (SELECT vec_id, v, cell FROM (
          |    SELECT vec_id, v, cid AS cell,
          |      row_number() OVER (PARTITION BY vec_id
@@ -457,6 +529,9 @@ object Similarity {
     s"""$allvCte,
        |cents_0 AS (SELECT vec_id AS cid, v AS cv FROM allv
        |          WHERE vec_id % $CentroidStride = 0),
+       |train AS (SELECT vec_id, v FROM allv
+       |          ORDER BY ${H.duckHash30("'tr_' || vec_id::VARCHAR")},
+       |            vec_id LIMIT $trainSample),
        |$lloyd
        |scored AS (SELECT vec_id, v, cid,
        |    round(
@@ -539,28 +614,26 @@ object Similarity {
   /** Build the IVF index ONCE and persist it under `dir`: the coarse
     * quantizer at `dir/centroids` and every vector's cell assignment
     * at `dir/cells`, Hive-partitioned by cell id. The build is the
-    * same assignment pipeline as [[knnIvf]] (broadcast centroids +
-    * partial struct-max, never a window over the n x C score stream);
-    * the point of persisting is that a 100 TB vector store is built
-    * once and probed millions of times — the inline [[knnIvf]]
-    * recomputes assignment per run, which is the measurement shape,
-    * not the serving shape.
+    * same assignment pipeline as [[knnIvf]]: quantizer training is
+    * corpus-size-independent (fixed hash-sample, [[trainedCents]])
+    * and assignment is the map-only [[graft.functions.NearestCell]]
+    * pass — so build cost is ONE linear sweep over the vectors, not
+    * the n^1.5 of full-corpus Lloyd + an n x C scored stream. The
+    * point of persisting is that a 100 TB vector store is built once
+    * and probed millions of times — the inline [[knnIvf]] recomputes
+    * assignment per run, which is the measurement shape, not the
+    * serving shape. Serving-scale callers size `trainSample` as
+    * [[TrainPerCell]] x expected cells.
     */
   def ivfBuild(emb: DataFrame, dir: String,
-      stride: Long = CentroidStride): Unit = {
+      stride: Long = CentroidStride,
+      trainSample: Int = TrainSample): Unit = {
     val all = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val cents = trainedCents(all, stride)
-    val scored = all.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
-        round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
-          .as("ccos"))
-    val assigned = scored.groupBy("vec_id")
-      .agg(max(struct(col("ccos"), (-col("cid")).as("negcid"))).as("best"),
-        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
-      .select(col("vec_id"), col("v"), col("nrm"),
-        (-col("best.negcid")).as("cell"))
-    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    val centArr = collectCents(trainedCents(all, stride, trainSample))
+    val assigned = assignCells(all, centArr)
+    centsDf(emb.sparkSession, centArr)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
     assigned.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/cells")
   }

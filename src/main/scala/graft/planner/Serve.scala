@@ -183,6 +183,10 @@ final class Serve(
     *     the one reference behavior deliberately not reproduced).
     */
   private def buildPageCache(cached: DataFrame, key: String): Unit = {
+    // the .pages directory is about to be overwritten with new part
+    // files — a manifest computed over the old listing must not
+    // survive the rebuild (stale file names 500 until restart)
+    manifests.remove(key)
     val sorted = cached.orderBy(stableOrder(cached): _*)
     sorted.write.mode("overwrite")
       .option("maxRecordsPerFile", PageFileRows.toLong)
@@ -222,8 +226,14 @@ final class Serve(
   private def rebuildLocal(spark: SparkSession,
       df: DataFrame, key: String): Unit = {
     val st = localBuilds.get(key)
-    if (st != null && st.startsWith("failed"))
+    if (st != null && st.startsWith("failed")) {
+      // report the failure once, then clear the entry so the NEXT
+      // request re-triggers the build — a transient failure (disk
+      // blip, executor loss) must not brick the frame for the
+      // server's lifetime
+      localBuilds.remove(key, st)
       throw new RuntimeException(st)
+    }
     if (localBuilds.putIfAbsent(key, "running") == null) {
       val t = new Thread(() => {
         try {
@@ -385,12 +395,16 @@ final class Serve(
     else s
 
   /** Stream the CSV cache to the response: a header line, then the
-    * sorted part files copied byte-for-byte in name order. Chunked
-    * transfer, O(buffer) memory, ZERO Spark jobs on a warm cache —
-    * the distributed-write-then-stream replacement for the old
+    * sorted part files copied byte-for-byte in name order, O(buffer)
+    * memory, ZERO Spark jobs on a warm cache — the
+    * distributed-write-then-stream replacement for the old
     * `collect().mkString` (which was reference-faithful,
-    * serve_view_df.py:167, and a driver OOM at corpus scale).
-    * Returns false while the materialization is still running.
+    * serve_view_df.py:167, and a driver OOM at corpus scale). The
+    * response carries an explicit Content-Length (header bytes + the
+    * part sizes snapshotted BEFORE streaming) so an IO error mid-copy
+    * surfaces to the client as a truncated body, not a silently
+    * short 200. Returns false while the materialization is still
+    * running.
     */
   private def streamCsv(ex: HttpExchange, s: Browse.Session,
       index: Int): Boolean =
@@ -405,13 +419,15 @@ final class Serve(
           .filter(f => f.getName.startsWith("part-") &&
             f.getName.endsWith(".csv"))
           .sortBy(_.getName)
+        val header = (cols.map(csvCell).mkString(",") + "\n").getBytes(UTF_8)
+        val total = header.length.toLong + parts.map(_.length()).sum
         ex.getResponseHeaders.set("Content-Type", "text/csv; charset=utf-8")
         ex.getResponseHeaders.set("Content-Disposition",
           s"""attachment; filename="$fname.csv"""")
-        ex.sendResponseHeaders(200, 0) // length 0 = chunked streaming
+        ex.sendResponseHeaders(200, total)
         val out = ex.getResponseBody
         try {
-          out.write((cols.map(csvCell).mkString(",") + "\n").getBytes(UTF_8))
+          out.write(header)
           parts.foreach(p => java.nio.file.Files.copy(p.toPath, out))
         } finally {
           out.close()

@@ -101,4 +101,43 @@ class MeterSpec extends SparkSpec {
     // sliding-window stream shuffling would be ~input-sized
     assert(sw < 64 * 1024, s"span_dedup shuffled $sw bytes (input $input)")
   }
+
+  test("star-contraction CC: O(log n) rounds, per-round shuffle O(|E|)") {
+    // adversarial diameter: one 4096-node path — the shape where
+    // label propagation needs thousands of rounds and where a
+    // lineage/contraction regression would blow either the round
+    // count or the per-round edge volume
+    import spark.implicits._
+    val n = 4096
+    val chain = (0L until (n - 1).toLong).map(i => (i, i + 1))
+      .toDF("src", "dst")
+    var rounds = 0
+    val (sw, _) = measure {
+      val (labels, r) = graft.ops.Graph.ccStar(chain)
+      rounds = r
+      // one component rooted at 0 covering every node
+      assert(labels.agg(
+        org.apache.spark.sql.functions.countDistinct(
+          org.apache.spark.sql.functions.col("label")),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1))).as[(Long, Long)]
+        .head() == ((1L, n.toLong)))
+    }
+    // path contraction is O(log n) rounds (measured: 13 = log2(4096)+1
+    // including the fixpoint-confirm round), never the O(n) of label
+    // propagation — bound at log2(n)+3 so a contraction regression
+    // fails loudly while round-count jitter doesn't
+    val logBound = (math.log(n.toDouble) / math.log(2)).toInt + 3
+    assert(rounds <= logBound,
+      s"ccStar took $rounds rounds on a $n-chain (bound $logBound)")
+    // per-round shuffle must stay proportional to the edge list:
+    // ~8 exchanges per round x |E| fixed-width rows. 512 bytes/edge
+    // is an order of magnitude above measured (~60 B/edge/round) but
+    // far below the O(|E|^2)/lineage-replay regressions this guards
+    // against — includes the final label rollup and fingerprint aggs.
+    val perRound = sw / math.max(1, rounds)
+    assert(perRound < 512L * (n - 1),
+      s"ccStar shuffled $sw bytes over $rounds rounds " +
+        s"(${perRound / (n - 1)} B/edge/round)")
+  }
 }

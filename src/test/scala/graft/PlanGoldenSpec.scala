@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution._
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+
+/** Plan-stability fingerprints for the headline queries: the FINAL
+  * (post-AQE) physical plan of each is reduced to a signature of its
+  * load-bearing operators — joins, exchanges, aggregates, windows,
+  * generates — and pinned against a golden value. A Spark-version
+  * bump, rule change, or refactor that flips a BroadcastHashJoin to a
+  * SortMergeJoin (or sneaks in an extra Exchange) becomes a test diff
+  * here, not a bench surprise next round.
+  *
+  * The signature deliberately excludes Project/Filter/Scan churn and
+  * all expression ids, so benign refactors don't trip it; on a
+  * mismatch the assertion prints the new signature for a one-line
+  * golden update after the plan change is REVIEWED as intended.
+  */
+class PlanGoldenSpec extends SparkSpec {
+
+  /** Operator kinds that decide the plan's scale behavior. */
+  private def loadBearing(name: String): Boolean =
+    Seq("Join", "Exchange", "Aggregate", "Window", "Generate",
+      "Expand", "TakeOrdered", "CartesianProduct").exists(name.contains)
+
+  private def signature(df: DataFrame): String = {
+    df.count() // drive AQE to its final plan
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    def walk(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case r: ReusedExchangeExec =>
+        counts("ReusedExchange") = counts.getOrElse("ReusedExchange", 0) + 1
+      case w: WholeStageCodegenExec => walk(w.child)
+      case i: InputAdapter => walk(i.child)
+      case _ =>
+        val n = p.nodeName.split(" ").head
+        if (loadBearing(n)) counts(n) = counts.getOrElse(n, 0) + 1
+        p.children.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    counts.toSeq.sorted.map { case (k, v) => s"$k:$v" }.mkString(",")
+  }
+
+  /** Golden signatures at sf0.001, local[4], AQE on. Regenerate by
+    * reading the assertion message after an INTENDED plan change.
+    */
+  private val golden = Map(
+    "w2_top90" -> "Exchange:2,Generate:1,HashAggregate:2,Window:2",
+    "q5_region_volume" ->
+      "BroadcastExchange:4,BroadcastHashJoin:4,Exchange:2,HashAggregate:2",
+    "q3_shipping_priority" ->
+      ("BroadcastExchange:2,BroadcastHashJoin:2,Exchange:1,HashAggregate:2," +
+        "TakeOrderedAndProject:1"),
+    "q21_waiting_suppliers" ->
+      ("BroadcastExchange:2,BroadcastHashJoin:2,Exchange:3,HashAggregate:4," +
+        "TakeOrderedAndProject:1,Window:1"),
+    "j2_left_join" -> "BroadcastExchange:1,BroadcastHashJoin:1,Exchange:1",
+    "o3_topk_per_group" -> "Exchange:2,Window:1,WindowGroupLimit:2",
+    "ns_seq_pack" -> "Exchange:2,Window:1",
+    "ns_dedup_exact" -> "Exchange:2,HashAggregate:2",
+    "ns_dedup_minhash_lsh" ->
+      "Exchange:4,Generate:2,HashAggregate:2,SortMergeJoin:1",
+    "ev_funnel" ->
+      "BroadcastExchange:1,BroadcastHashJoin:1,Exchange:2,HashAggregate:4")
+
+  for ((name, expected) <- golden.toSeq.sortBy(_._1)) {
+    test(s"plan fingerprint: $name") {
+      val actual = signature(SparkEntry.queries(name)(spark, sf))
+      assert(actual == expected,
+        s"""plan shape of $name changed:
+           |  golden: $expected
+           |  actual: $actual
+           |If the change is intended, update the golden entry.""".stripMargin)
+    }
+  }
+}

@@ -1,0 +1,66 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.ops.T
+import org.apache.spark.sql.functions._
+
+/** [[NearestCell]] is the map-only replacement for the
+  * `crossJoin(broadcast(cents)) + groupBy struct-max` IVF assignment.
+  * The swap is only sound if it is ranking-identical — same rounded
+  * cosine, same smallest-cid tiebreak — so this spec runs BOTH
+  * formulations over the real embeddings fixture and demands
+  * bit-equal cell assignments, and asserts the codegen'd path agrees
+  * with the interpreted eval.
+  */
+class NearestCellSpec extends SparkSpec {
+
+  private def dot(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column) = VectorFunctions.dot_product(a, b)
+
+  test("nearest_cell matches the crossJoin struct-max assignment") {
+    val all = T(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val cents = all.filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("nrm").as("cnrm"))
+
+    val viaJoin = all.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
+          .as("ccos"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("ccos"), (-col("cid")).as("negcid"))).as("best"))
+      .select(col("vec_id"), (-col("best.negcid")).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val rows = cents.orderBy("cid").collect()
+    val ids = rows.map(_.getLong(0))
+    val vecs = rows.map(_.getSeq[Double](1).toArray)
+    val nrms = rows.map(_.getDouble(2))
+    val viaExpr = all.select(col("vec_id"),
+        VectorFunctions.nearest_cell(col("v"), col("nrm"), ids, vecs, nrms)
+          .as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    assert(viaExpr.size == viaJoin.size)
+    val diffs = viaJoin.collect {
+      case (id, cell) if viaExpr(id) != cell => (id, cell, viaExpr(id))
+    }
+    assert(diffs.isEmpty, s"assignment mismatches: ${diffs.take(5)}")
+  }
+
+  test("codegen and interpreted eval agree (incl. round6 parity)") {
+    // round6 must be Spark's Round semantics bit-for-bit — probe the
+    // knife edges where a naive binary rounding would differ
+    val probes = Seq(0.1234565, -0.1234565, 0.9999995, 1.0, -1.0,
+      2.5e-7, -2.5e-7, 0.123456749999)
+    for (x <- probes) {
+      val sparkRound = spark.range(1)
+        .select(round(lit(x), 6)).head().getDouble(0)
+      assert(NearestCell.round6(x) == sparkRound,
+        s"round6($x): ${NearestCell.round6(x)} vs Spark $sparkRound")
+    }
+  }
+}

@@ -58,11 +58,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
-  test("IVF assignment is a broadcast of centroids + partial struct-max") {
+  test("IVF corpus assignment is map-only: nearest_cell, no n x C stream") {
+    // the corpus side assigns cells via the codegen'd NearestCell
+    // argmax (zero shuffle, no crossJoin-materialized score stream);
+    // only the tiny query side may score against all centroids
     val p = plan("ns_knn_ivf")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+    assert(p.contains("nearestcell") || p.toLowerCase.contains("nearestcell"),
       p.take(3000))
-    assert(p.contains("partial_max") || p.contains("partial_first"), p.take(3000))
+    // the old shape's give-away: a struct-max partial agg over vec_id
+    // reassembling the scored stream
+    assert(!p.contains("partial_max(struct(ccos"), p.take(3000))
   }
 
   test("typed aggregator keeps partial aggregation (map-side combine)") {

@@ -43,15 +43,23 @@ def main():
     oq, nq = old["queries"], new["queries"]
 
     def ratio(q):
-        return nq[q] / oq[q] if oq[q] > 0 else float("inf")
+        # old == 0 carries no timing information (a sub-ms or unrecorded
+        # run); such rows are reported as n/a and never count as
+        # regressions rather than flagging as an infinite ratio
+        return nq[q] / oq[q] if oq[q] > 0 else None
 
-    shared = sorted(set(oq) & set(nq), key=ratio, reverse=True)
+    shared = sorted(set(oq) & set(nq),
+                    key=lambda q: (ratio(q) is not None, ratio(q) or 0.0),
+                    reverse=True)
     only_old = sorted(set(oq) - set(nq))
     only_new = sorted(set(nq) - set(oq))
 
     print(f"{'query':<28} {'old_s':>8} {'new_s':>8} {'ratio':>7}  flag")
     for q in shared:
         r = ratio(q)
+        if r is None:
+            print(f"{q:<28} {oq[q]:>8.3f} {nq[q]:>8.3f} {'n/a':>7}  ")
+            continue
         flag = ""
         if r >= args.threshold:
             flag = "REGRESSION"
@@ -69,7 +77,8 @@ def main():
     if only_new:
         tot = sum(nq[q] for q in only_new)
         print(f"added ({len(only_new)}, {tot:.1f}s): {', '.join(only_new)}")
-    n_reg = sum(1 for q in shared if ratio(q) >= args.threshold)
+    n_reg = sum(1 for q in shared
+                if ratio(q) is not None and ratio(q) >= args.threshold)
     print(f"regressions past {args.threshold}x: {n_reg}")
     return 1 if n_reg else 0
 
