@@ -1081,6 +1081,19 @@ object SparkEntry {
       (s, dir) => Pipeline.sourceSample(T(s, dir, "documents"))
     },
 
+    // Deterministic stratified train/val/test split (90/5/5 by salted
+    // doc hash), reported per (source, split) — map-side-combined, no
+    // doc-level shuffle.
+    q("ns_split_assign", Pipeline.splitAssignOracle) {
+      (s, dir) => Pipeline.splitAssign(T(s, dir, "documents"))
+    },
+
+    // Domain-mix plan toward uniform source shares: single-epoch-
+    // capped rates from exact integer token masses.
+    q("ns_domain_mix", Pipeline.domainMixOracle) {
+      (s, dir) => Pipeline.domainMix(T(s, dir, "documents"))
+    },
+
     // Sub-document (chunk-level) dedup: fixed-token chunks hashed,
     // first occurrence wins, dup chunks counted per doc.
     q("ns_chunk_dedup", Dedup.chunkDedupOracle(32)) {
@@ -1245,6 +1258,58 @@ object SparkEntry {
         Similarity.ivfQuery(T(s, dir, "embeddings")
           .filter(col("vec_id") < 50)
           .select(col("vec_id").as("query_id"), col("embedding")), idx, 3, 2)
+    },
+
+    // Incremental index maintenance: build the IVF index on 3/4 of
+    // the corpus, ivfAppend the remaining quarter against the
+    // persisted quantizer (O(batch) map-only assignment, no rebuild),
+    // then probe the combined index. The oracle trains its quantizer
+    // on the base subset only — the appended batch must land in
+    // base-trained cells, exactly like a daily-ingest batch.
+    q("ns_knn_ivf_append",
+      Similarity.knnIvfAppendOracle("vec_id % 4 <> 3", 50, 3, 2)) {
+      (s, dir) =>
+        val emb = T(s, dir, "embeddings")
+        val idx = ivfIndexDir("embapp", dir)
+        if (!new java.io.File(s"$idx/cells/_SUCCESS").exists()) {
+          Similarity.ivfBuild(emb.filter(col("vec_id") % 4 =!= 3), idx)
+          Similarity.ivfAppend(emb.filter(col("vec_id") % 4 === 3), idx)
+        }
+        Similarity.ivfQuery(emb.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("query_id"), col("embedding")), idx, 3, 2)
+    },
+
+    // Cell-bucketed semantic near-dup: candidates form inside shared
+    // quantizer cells (nprobe=2 multi-probe via the codegen'd
+    // NearestCells pass), the data-adaptive alternative to the
+    // hyperplane-bucketed ns_embed_neardup_lsh.
+    q("ns_embed_neardup_ivf", Similarity.embeddingNearDupIvfOracle(0.9, 2)) {
+      (s, dir) => Similarity.embeddingNearDupIvf(T(s, dir, "embeddings"), 0.9, 2)
+    },
+
+    // Product-quantization ANN (ADC): corpus as 8 codebook ids per
+    // vector (32x memory compression at serving scale), queries score
+    // candidates by integer sums of broadcast lookup-table entries —
+    // ranking is tie-free fixed-point, no float on the corpus side.
+    q("ns_knn_pq", Similarity.knnPqOracle(50, 3)) {
+      (s, dir) => Similarity.knnPq(T(s, dir, "embeddings"), 50, 3)
+    },
+
+    // PQ compression-loss measurement: recall@3 vs exact L2.
+    q("ns_knn_pq_recall", Similarity.knnPqRecallOracle(50, 3)) {
+      (s, dir) => Similarity.knnPqRecall(T(s, dir, "embeddings"), 50, 3)
+    },
+
+    // Two-stage PQ serving shape: ADC shortlist over compressed codes
+    // -> exact rerank of the shortlist only.
+    q("ns_knn_pq_rerank", Similarity.knnPqRerankOracle(50, 3, 32)) {
+      (s, dir) => Similarity.knnPqRerank(T(s, dir, "embeddings"), 50, 3, 32)
+    },
+
+    // What rerank buys back: recall@3 of the two-stage search.
+    q("ns_knn_pq_rerank_recall",
+      Similarity.knnPqRerankRecallOracle(50, 3, 32)) {
+      (s, dir) => Similarity.knnPqRerankRecall(T(s, dir, "embeddings"), 50, 3, 32)
     },
 
     // F10: map functions over parsed JSON props.

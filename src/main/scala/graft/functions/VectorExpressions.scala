@@ -256,6 +256,214 @@ object NearestCell {
   }
 }
 
+/** Squared L2 distance of two ArrayType(DoubleType) columns, as one
+  * codegen'd left-to-right loop: sum of (a_i - b_i)^2 in index order —
+  * the elementwise form (NOT the |a|^2 - 2ab + |b|^2 expansion, which
+  * is different IEEE arithmetic), mirrored exactly by the oracles'
+  * `list_sum(list_transform(..., i -> (a[i]-b[i]) * (a[i]-b[i])))`.
+  * The distance metric for the product-quantization path, where
+  * codebook training, encoding, and the ADC lookup tables must all
+  * derive from bit-identical distances in both engines.
+  */
+case class SqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    var s = 0.0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqDist =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Product-quantization encoder: one map-only pass turning a d-dim
+  * vector into `S` codebook ids (the 32x memory compression that makes
+  * a 100 TB vector store fit a serving tier). For each of the `S`
+  * contiguous subspaces of width `subDim`, the code is the codebook
+  * entry minimizing squared L2 distance over that slice (same
+  * left-to-right arithmetic as [[SqDist]]), ties to the smallest
+  * codebook id — mirroring the oracle's
+  * `row_number() OVER (ORDER BY d ASC, cid ASC) = 1`. The codebook
+  * (S x C x subDim, collected once) rides in as a reference object;
+  * no shuffle, no n x C scored stream, whole-stage codegen intact.
+  */
+case class PqEncode(child: Expression, codeIds: Array[Long],
+    codeVecs: Array[Array[Array[Double]]], subDim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    PqEncode.compute(input.asInstanceOf[ArrayData], codeIds, codeVecs, subDim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ids = ctx.addReferenceObj("pqIds", codeIds, "long[]")
+    val vecs = ctx.addReferenceObj("pqVecs", codeVecs, "double[][][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PqEncode.compute($c, $ids, $vecs, $subDim);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+object PqEncode {
+  /** codeVecs is subspace-major: codeVecs(s)(c) is codebook entry c's
+    * slice for subspace s, aligned with codeIds(c).
+    */
+  def compute(v: ArrayData, ids: Array[Long],
+      vecs: Array[Array[Array[Double]]], subDim: Int): ArrayData = {
+    val nSub = vecs.length
+    val codes = new Array[Long](nSub)
+    var s = 0
+    while (s < nSub) {
+      val off = s * subDim
+      val cands = vecs(s)
+      var best = Double.PositiveInfinity
+      var bestId = Long.MaxValue
+      var c = 0
+      while (c < cands.length) {
+        val cv = cands(c)
+        var d2 = 0.0
+        var i = 0
+        while (i < subDim) {
+          val d = v.getDouble(off + i) - cv(i)
+          d2 += d * d
+          i += 1
+        }
+        // Double.compare: NaN greatest, matching SQL ASC-last ordering
+        val cmp = java.lang.Double.compare(d2, best)
+        if (cmp < 0 || (cmp == 0 && ids(c) < bestId)) {
+          best = d2
+          bestId = ids(c)
+        }
+        c += 1
+      }
+      codes(s) = bestId
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(codes)
+  }
+}
+
+/** Top-`nprobe` nearest coarse centroids per vector — the multi-probe
+  * generalization of [[NearestCell]], returned as an array ordered by
+  * (rounded cosine desc, centroid id asc). Same collected-centroid
+  * reference object, same tight codegen'd loop, so probing a vector
+  * into its `nprobe` best cells is STILL one map-only pass with zero
+  * shuffle and no n x C intermediate rows — this is what lets
+  * cell-bucketed pair generation (semantic near-dup) probe both sides
+  * of a cell boundary without re-materializing a scored stream.
+  *
+  * Element 0 is always [[NearestCell]]'s answer (differential-tested
+  * in NearestCellSpec); the selection mirrors the
+  * `row_number() OVER (ORDER BY ccos DESC, cid ASC) <= nprobe` window
+  * form bit-for-bit (same round6, same Double.compare ordering).
+  */
+case class NearestCells(vec: Expression, nrm: Expression,
+    centIds: Array[Long], centVecs: Array[Array[Double]],
+    centNrms: Array[Double], nprobe: Int) extends BinaryExpression {
+
+  override def left: Expression = vec
+  override def right: Expression = nrm
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NearestCells.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[Double],
+      centIds, centVecs, centNrms, nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ids = ctx.addReferenceObj("ncIds", centIds, "long[]")
+    val vecs = ctx.addReferenceObj("ncVecs", centVecs, "double[][]")
+    val nrms = ctx.addReferenceObj("ncNrms", centNrms, "double[]")
+    nullSafeCodeGen(ctx, ev, (v, n) =>
+      s"${ev.value} = graft.functions.NearestCells.compute(" +
+        s"$v, $n, $ids, $vecs, $nrms, $nprobe);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCells =
+    copy(vec = newLeft, nrm = newRight)
+}
+
+object NearestCells {
+  /** Insertion-select the `nprobe` best (ccos desc, id asc) centroids.
+    * O(C * nprobe) with nprobe tiny (2-8) — the same work the window
+    * form pays, minus the n x C rows and the shuffle.
+    */
+  def compute(v: ArrayData, nrm: Double, ids: Array[Long],
+      vecs: Array[Array[Double]], nrms: Array[Double],
+      nprobe: Int): ArrayData = {
+    val m = math.min(nprobe, ids.length)
+    val topCos = new Array[Double](m)
+    val topId = new Array[Long](m)
+    var filled = 0
+    var c = 0
+    while (c < ids.length) {
+      val cv = vecs(c)
+      val n = math.min(v.numElements(), cv.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += v.getDouble(i) * cv(i); i += 1 }
+      val ccos = NearestCell.round6(s / (nrm * nrms(c)))
+      val id = ids(c)
+      // find insertion point among the current top-m (ccos desc, id asc)
+      var pos = filled
+      while (pos > 0 && {
+        val cmp = java.lang.Double.compare(ccos, topCos(pos - 1))
+        cmp > 0 || (cmp == 0 && id < topId(pos - 1))
+      }) pos -= 1
+      if (pos < m) {
+        val last = math.min(filled, m - 1)
+        var j = last
+        while (j > pos) { topCos(j) = topCos(j - 1); topId(j) = topId(j - 1); j -= 1 }
+        topCos(pos) = ccos
+        topId(pos) = id
+        if (filled < m) filled += 1
+      }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(topId, filled))
+  }
+}
+
 object VectorFunctions {
   /** Codegen'd dot product of two ArrayType(DoubleType) columns. */
   def dot_product(a: Column, b: Column): Column =
@@ -269,6 +477,29 @@ object VectorFunctions {
       vecs: Array[Array[Double]], nrms: Array[Double]): Column =
     graftShims.toColumn(NearestCell(graftShims.toExpression(v),
       graftShims.toExpression(nrm), ids, vecs, nrms))
+
+  /** Codegen'd top-`nprobe` nearest-centroid assignment (multi-probe),
+    * as an array ordered by (rounded cosine desc, centroid id asc).
+    */
+  def nearest_cells(v: Column, nrm: Column, ids: Array[Long],
+      vecs: Array[Array[Double]], nrms: Array[Double], nprobe: Int): Column =
+    graftShims.toColumn(NearestCells(graftShims.toExpression(v),
+      graftShims.toExpression(nrm), ids, vecs, nrms, nprobe))
+
+  /** Codegen'd squared-L2 distance of two ArrayType(DoubleType)
+    * columns (left-to-right elementwise sum).
+    */
+  def sq_dist(a: Column, b: Column): Column =
+    graftShims.toColumn(
+      SqDist(graftShims.toExpression(a), graftShims.toExpression(b)))
+
+  /** Codegen'd product-quantization encoder over a subspace-major
+    * codebook (ids aligned with the second index of vecs).
+    */
+  def pq_encode(v: Column, ids: Array[Long],
+      vecs: Array[Array[Array[Double]]], subDim: Int): Column =
+    graftShims.toColumn(
+      PqEncode(graftShims.toExpression(v), ids, vecs, subDim))
 
   /** Codegen'd MinHash signature over an ArrayType(LongType) hash
     * column — one array of per-permutation minima.

@@ -296,6 +296,86 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** Deterministic train/val/test split (90/5/5): each doc's split is
+    * pure salted-hash arithmetic on its id — stateless and
+    * coordination-free, so ANY worker (or engine, or rerun, or a
+    * different cluster) assigns the same doc to the same split, and
+    * an appended batch never reshuffles existing assignments. The
+    * report is per (source, split) so stratification is auditable:
+    * hash uniformity gives each source the same 90/5/5 in
+    * expectation. At 100 TB this is a map-side-combined count — no
+    * doc-level shuffle at all.
+    */
+  def splitAssign(docs: DataFrame): DataFrame = {
+    val bucket = H.hash60(concat(lit("sp_"), col("doc_id").cast("string"))) % 100
+    val split = when(bucket < 90, "train")
+      .when(bucket < 95, "val").otherwise("test")
+    docs.select(col("source"), split.as("split"), col("n_chars"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+      .orderBy("source", "split")
+  }
+
+  def splitAssignOracle: String = {
+    val bucket = s"(${H.duckHash60("'sp_' || doc_id::VARCHAR")} % 100)"
+    s"""SELECT source,
+       |  CASE WHEN $bucket < 90 THEN 'train'
+       |       WHEN $bucket < 95 THEN 'val' ELSE 'test' END AS split,
+       |  count(*) AS n_docs, sum(n_chars) AS n_chars
+       |FROM documents
+       |GROUP BY 1, 2 ORDER BY source, split""".stripMargin
+  }
+
+  /** Domain-mix plan toward a UNIFORM target share per source: the
+    * standard single-epoch-capped reweighting. With natural token
+    * mass t_s (n_chars proxy, exact integer sums), target share
+    * 1/K, and c = min_s(share_s / target), every source keeps
+    * rate_s = c * target / share_s of its tokens (<= 1 by
+    * construction, = 1 for the scarcest source), which lands the
+    * sampled corpus EXACTLY on the target mixture without repeating
+    * any document. Everything derives from two integer aggregates
+    * (per-source mass + source count), so the plan is one
+    * map-side-combined pass + an O(K) broadcast-size reduction; the
+    * keep/drop decisions themselves would reuse [[sourceSample]]'s
+    * hash arithmetic with these rates.
+    */
+  def domainMix(docs: DataFrame): DataFrame = {
+    val bySrc = docs.groupBy("source").agg(sum("n_chars").as("toks"))
+    val w = Window.partitionBy()
+    val withTot = bySrc
+      .withColumn("total", sum("toks").over(w))
+      .withColumn("target", lit(1.0) / count(lit(1)).over(w))
+      .withColumn("share", col("toks").cast("double") / col("total"))
+    val rated = withTot
+      .withColumn("c", min(col("share") / col("target")).over(w))
+      .withColumn("rate",
+        round(col("c") * col("target") / col("share"), 6))
+    rated.select(col("source"), col("toks"),
+        round(col("share"), 6).as("natural_share"),
+        round(col("target"), 6).as("target_share"),
+        col("rate"),
+        round(col("rate") * col("toks")).cast("long").as("sampled_toks"))
+      .orderBy("source")
+  }
+
+  def domainMixOracle: String =
+    s"""WITH by_src AS (SELECT source, sum(n_chars) AS toks
+       |    FROM documents GROUP BY source),
+       |wide AS (SELECT source, toks,
+       |    sum(toks) OVER () AS total,
+       |    1.0 / count(*) OVER () AS target,
+       |    toks::DOUBLE / sum(toks) OVER () AS share
+       |  FROM by_src),
+       |rated AS (SELECT source, toks, share, target,
+       |    round(min(share / target) OVER () * target / share, 6) AS rate
+       |  FROM wide)
+       |SELECT source, toks,
+       |  round(share, 6) AS natural_share,
+       |  round(target, 6) AS target_share,
+       |  rate,
+       |  round(rate * toks)::BIGINT AS sampled_toks
+       |FROM rated ORDER BY source""".stripMargin
+
   def sourceSampleOracle: String = {
     val rate = s"((${H.duckHash60("source")} % 9 + 1) / 10.0)"
     val keep = s"(${H.duckHash60("source || '|' || doc_id::VARCHAR")} % 10000) < $rate * 10000"

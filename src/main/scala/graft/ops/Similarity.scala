@@ -488,10 +488,15 @@ object Similarity {
   /** [[knnIvfOracle]] over any `allv(vec_id, v)` CTE — lets the same
     * IVF search oracle run over derived vectors (e.g. the multimodal
     * [[Multimodal.mediaEmbeddingCte]]), not just the embeddings table.
+    * `trainFrom` names the CTE the quantizer trains on (seed + Lloyd
+    * sample); assignment and queries always run over `allv` — the
+    * incremental-append oracle passes a base-only CTE here to model
+    * an index whose quantizer predates the appended batch.
     */
   def knnIvfOracleFrom(allvCte: String, nQueries: Int, k: Int,
-      nprobe: Int, trainSample: Int = TrainSample): String =
-    s"""WITH ${ivfRankedCtes(allvCte, nQueries, nprobe, trainSample)}
+      nprobe: Int, trainSample: Int = TrainSample,
+      trainFrom: String = "allv"): String =
+    s"""WITH ${ivfRankedCtes(allvCte, nQueries, nprobe, trainSample, trainFrom)}
        |SELECT query_id, rn, neighbor_id, cos_sim FROM ranked WHERE rn <= $k
        |ORDER BY query_id, rn""".stripMargin
 
@@ -503,8 +508,13 @@ object Similarity {
     * arithmetic order-independent, so the chain is
     * engine-reproducible.
     */
-  private def ivfRankedCtes(allvCte: String, nQueries: Int,
-      nprobe: Int, trainSample: Int = TrainSample): String = {
+  /** CTE chain (allv -> cents_L -> scored/assigned): quantizer
+    * training over `trainFrom` + full-corpus assignment. Shared by
+    * the ranked-search tail ([[ivfRankedCtes]]) and the cell-bucketed
+    * near-dup oracle, which appends its own pair-join tail.
+    */
+  private def ivfAssignCtes(allvCte: String,
+      trainSample: Int, trainFrom: String): String = {
     val lloyd = (1 to LloydRounds).map { r =>
       s"""scored_$r AS (SELECT vec_id, v, cid,
          |    round(
@@ -527,9 +537,9 @@ object Similarity {
          |  FROM upd_$r GROUP BY cell),""".stripMargin
     }.mkString("\n")
     s"""$allvCte,
-       |cents_0 AS (SELECT vec_id AS cid, v AS cv FROM allv
+       |cents_0 AS (SELECT vec_id AS cid, v AS cv FROM $trainFrom
        |          WHERE vec_id % $CentroidStride = 0),
-       |train AS (SELECT vec_id, v FROM allv
+       |train AS (SELECT vec_id, v FROM $trainFrom
        |          ORDER BY ${H.duckHash30("'tr_' || vec_id::VARCHAR")},
        |            vec_id LIMIT $trainSample),
        |$lloyd
@@ -544,7 +554,13 @@ object Similarity {
        |    SELECT vec_id, v, cid AS cell,
        |      row_number() OVER (PARTITION BY vec_id
        |        ORDER BY ccos DESC, cid ASC) AS rn
-       |    FROM scored) WHERE rn = 1),
+       |    FROM scored) WHERE rn = 1)""".stripMargin
+  }
+
+  private def ivfRankedCtes(allvCte: String, nQueries: Int,
+      nprobe: Int, trainSample: Int = TrainSample,
+      trainFrom: String = "allv"): String =
+    s"""${ivfAssignCtes(allvCte, trainSample, trainFrom)},
        |qprobes AS (SELECT query_id, qv, cell FROM (
        |    SELECT vec_id AS query_id, v AS qv, cid AS cell,
        |      row_number() OVER (PARTITION BY vec_id
@@ -562,7 +578,6 @@ object Similarity {
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
        |  FROM cand)""".stripMargin
-  }
 
   /** Recall@k of the IVF search against the exact brute-force
     * ranking, one row per query — the companion measurement to
@@ -679,6 +694,421 @@ object Similarity {
         col("cos_sim"))
       .orderBy("query_id", "rn")
   }
+
+  /** Append a new vector batch to a persisted IVF index WITHOUT
+    * rebuilding: the batch is assigned against the index's existing
+    * (persisted) quantizer — one map-only [[graft.functions.NearestCell]]
+    * pass over the batch, zero shuffle — and its cell files land next
+    * to the base corpus's. This is the daily-ingest shape at 100 TB:
+    * append cost is O(batch), independent of index size, and probes
+    * see old and new vectors identically (same cells, same DPP
+    * pruning). The quantizer deliberately does NOT retrain — cell
+    * geometry drifts only at the cadence of full rebuilds, exactly
+    * how production IVF stores (FAISS ondisk, Milvus segments) run.
+    */
+  def ivfAppend(embNew: DataFrame, dir: String): Unit = {
+    val spark = embNew.sparkSession
+    val centArr = collectCents(spark.read.parquet(s"$dir/centroids"))
+    val all = embNew.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    assignCells(all, centArr).write.mode("append").partitionBy("cell")
+      .parquet(s"$dir/cells")
+  }
+
+  /** Oracle for build-on-base + append-batch + query: the quantizer
+    * (seed + Lloyd sample) trains on the base subset only, assignment
+    * covers the full corpus — exactly what [[ivfBuild]] on base
+    * followed by [[ivfAppend]] of the rest produces.
+    */
+  def knnIvfAppendOracle(baseWhere: String, nQueries: Int = 50,
+      k: Int = 3, nprobe: Int = 2,
+      trainSample: Int = TrainSample): String = {
+    val allv =
+      s"""allv AS (SELECT vec_id,
+         |    list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings),
+         |base AS (SELECT vec_id, v FROM allv WHERE $baseWhere)""".stripMargin
+    knnIvfOracleFrom(allv, nQueries, k, nprobe, trainSample,
+      trainFrom = "base")
+  }
+
+  /** Cell-bucketed semantic near-dup — the IVF companion to
+    * [[embeddingNearDupLsh]]: candidate pairs form only inside a
+    * shared quantizer cell, with each vector probing its `nprobe`
+    * nearest cells (map-only [[graft.functions.NearestCells]], no
+    * n x C stream) so boundary pairs split by the Voronoi edge are
+    * still candidates. Data-adaptive cells track the corpus's actual
+    * density — where random hyperplanes cut uniformly, the trained
+    * quantizer puts bucket boundaries in low-density gaps, which is
+    * why IVF bucketing is the serving-grade semantic-dedup shape.
+    * Candidates stay O(n * nprobe / C) per cell average; never
+    * all-pairs. Pairs caught from either side's probe are
+    * canonicalized (least, greatest) and deduplicated.
+    */
+  def embeddingNearDupIvf(emb: DataFrame, minSim: Double = 0.9,
+      nprobe: Int = 2): DataFrame = {
+    val base = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val variants = base.select((col("vec_id") + VariantIdOffset).as("vec_id"),
+      concat(array(element_at(col("v"), 1) + lit(0.5)),
+        slice(col("v"), 2, 63)).as("v"))
+    val all = base.unionByName(variants)
+      .withColumn("nrm", norm(col("v")))
+    val centArr = collectCents(trainedCents(all))
+    val assigned = assignCells(all, centArr)
+    val probed = all.select(col("vec_id"), col("v"), col("nrm"),
+      explode(graft.functions.VectorFunctions.nearest_cells(
+        col("v"), col("nrm"),
+        centArr.map(_._1), centArr.map(_._2), centArr.map(_._3), nprobe))
+        .as("cell"))
+    probed.as("a")
+      .join(assigned.as("b").hint("merge"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("id_a"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("id_b"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
+          .as("cos_sim"))
+      .distinct()
+      .filter(col("cos_sim") >= minSim)
+      .orderBy("id_a", "id_b")
+  }
+
+  def embeddingNearDupIvfOracle(minSim: Double = 0.9,
+      nprobe: Int = 2): String = {
+    val allv =
+      s"""allv AS (SELECT vec_id, v FROM (
+         |  SELECT vec_id,
+         |      list_transform(embedding, x -> x::DOUBLE) AS v
+         |    FROM embeddings WHERE vec_id % 5 = 0
+         |  UNION ALL
+         |  SELECT vec_id + $VariantIdOffset,
+         |      [v[1] + 0.5] || v[2:] FROM (
+         |    SELECT vec_id,
+         |        list_transform(embedding, x -> x::DOUBLE) AS v
+         |      FROM embeddings WHERE vec_id % 5 = 0)))""".stripMargin
+    s"""WITH ${ivfAssignCtes(allv, TrainSample, "allv")},
+       |probes AS (SELECT vec_id, v, cell FROM (
+       |    SELECT vec_id, v, cid AS cell,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY ccos DESC, cid ASC) AS rn
+       |    FROM scored) WHERE rn <= $nprobe),
+       |pairs AS (SELECT DISTINCT
+       |    least(a.vec_id, b.vec_id) AS id_a,
+       |    greatest(a.vec_id, b.vec_id) AS id_b,
+       |    round(
+       |      list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
+       |      (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i]))) *
+       |       sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))),
+       |      6) AS cos_sim
+       |  FROM probes a JOIN assigned b
+       |    ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+       |SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= $minSim
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ------------------------------------------------------------ PQ ANN
+
+  /** Product-quantization geometry: 64 dims = [[PqSubspaces]] x
+    * [[PqSubDim]]; every [[PqStride]]-th vector seeds one codebook
+    * entry per subspace (deterministic, engine-reproducible). A coded
+    * vector is [[PqSubspaces]] small ids instead of 64 floats — with
+    * a 256-entry codebook that is 8 bytes/vector, 32x smaller than
+    * the raw floats, which is what lets a 100 TB vector corpus keep
+    * its SEARCHABLE form in serving-tier memory.
+    */
+  val PqSubspaces = 8
+  val PqSubDim = 8
+  val PqStride = 25L
+
+  /** Fixed-point scale for ADC lookup-table entries: per-subspace
+    * distances are quantized to `round(d * PqFix)` longs so the
+    * per-candidate score is a SUM OF INTEGERS — exactly associative,
+    * identical under Spark's partial aggregation and DuckDB's
+    * single-node sum, and the (score, id) ranking needs no double
+    * tiebreak at all. Same determinism device as [[FixPoint]].
+    */
+  val PqFix = 1000000000L
+
+  /** Collected PQ codebook: (ids, subspace-major vectors). */
+  private def pqCodebook(
+      all: DataFrame): (Array[Long], Array[Array[Array[Double]]]) = {
+    val seeds = all.filter(col("vec_id") % PqStride === 0)
+      .select(col("vec_id"), col("v")).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val ids = seeds.map(_._1)
+    val bySub = Array.tabulate(PqSubspaces) { s =>
+      seeds.map(_._2.slice(s * PqSubDim, (s + 1) * PqSubDim))
+    }
+    (ids, bySub)
+  }
+
+  /** PQ ANN via asymmetric distance computation (ADC): the corpus is
+    * one map-only [[graft.functions.PqEncode]] pass (vector -> 8
+    * codes, zero shuffle); each query precomputes a lookup table of
+    * fixed-point distances to every codebook entry per subspace
+    * (tiny: queries x S x C rows, broadcast); a candidate's score is
+    * then the INTEGER sum of 8 table lookups — no float arithmetic
+    * touches the corpus side at query time, and the ranking
+    * (score asc, id asc) is tie-free by construction. This is the
+    * brute-force-ADC baseline: it scans all n codes per query but
+    * pays 8 integer adds per candidate instead of 64 float
+    * multiplies, on 32x less data; composing it with the IVF cell
+    * index (scan only probed cells' codes) is the standard IVF-PQ
+    * serving stack.
+    */
+  def knnPq(emb: DataFrame, nQueries: Int = 50, k: Int = 3): DataFrame = {
+    val all = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val (ids, bySub) = pqCodebook(all)
+    val codes = all.select(col("vec_id"),
+      posexplode(graft.functions.VectorFunctions.pq_encode(
+        col("v"), ids, bySub, PqSubDim)).as(Seq("sub", "code")))
+    // (query, subspace, codebook-entry) fixed-point distance table
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centsSub = ids.indices.flatMap { c =>
+      (0 until PqSubspaces).map(s => (ids(c), s, bySub(s)(c).toSeq))
+    }.toDF("cid", "sub", "cv")
+    val lut = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .crossJoin(centsSub)
+      .select(col("query_id"), col("sub"), col("cid"),
+        round(graft.functions.VectorFunctions.sq_dist(
+          slice(col("qv"), col("sub") * PqSubDim + 1, lit(PqSubDim)), col("cv"))
+          * PqFix).cast("long").as("dfix"))
+    val scored = codes.join(broadcast(lut),
+        codes("sub") === lut("sub") && codes("code") === lut("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("dfix").as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").asc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        round(col("score").cast("double") / PqFix, 6).as("approx_l2"))
+      .orderBy("query_id", "rn")
+  }
+
+  def knnPqOracle(nQueries: Int = 50, k: Int = 3): String =
+    s"""WITH ${pqRankedCtes(nQueries)}
+       |SELECT query_id, rn, neighbor_id,
+       |  round(score / $PqFix.0, 6) AS approx_l2
+       |FROM ranked WHERE rn <= $k
+       |ORDER BY query_id, rn""".stripMargin
+
+  /** CTE chain (allv -> cents/codes/lut -> scored -> ranked) shared by
+    * the PQ oracles.
+    */
+  private def pqRankedCtes(nQueries: Int): String = {
+    def l2(a: String, b: String): String =
+      s"""list_sum(list_transform(range(1, ${PqSubDim + 1}),
+         |      i -> ($a[sub * $PqSubDim + i] - $b[i]) *
+         |           ($a[sub * $PqSubDim + i] - $b[i])))""".stripMargin
+    s"""allv AS (SELECT vec_id,
+       |    list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |subs AS (SELECT unnest(range(0, $PqSubspaces)) AS sub),
+       |cents AS (SELECT vec_id AS cid, sub,
+       |    v[sub * $PqSubDim + 1 : sub * $PqSubDim + $PqSubDim] AS cv
+       |  FROM allv, subs WHERE vec_id % $PqStride = 0),
+       |codes AS (SELECT vec_id, sub, cid AS code FROM (
+       |    SELECT a.vec_id, c.sub, c.cid,
+       |      row_number() OVER (PARTITION BY a.vec_id, c.sub
+       |        ORDER BY ${l2("a.v", "c.cv")} ASC, c.cid ASC) AS rn
+       |    FROM allv a CROSS JOIN cents c) WHERE rn = 1),
+       |lut AS (SELECT q.vec_id AS query_id, c.sub, c.cid,
+       |    round(${l2("q.v", "c.cv")} * $PqFix)::BIGINT AS dfix
+       |  FROM (SELECT vec_id, v FROM allv WHERE vec_id < $nQueries) q
+       |  CROSS JOIN cents c),
+       |scored AS (SELECT l.query_id, co.vec_id AS neighbor_id,
+       |    sum(l.dfix)::BIGINT AS score
+       |  FROM codes co JOIN lut l ON co.sub = l.sub AND co.code = l.cid
+       |  WHERE co.vec_id <> l.query_id
+       |  GROUP BY 1, 2),
+       |ranked AS (SELECT query_id, neighbor_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score ASC, neighbor_id ASC) AS rn
+       |  FROM scored)""".stripMargin
+  }
+
+  /** Two-stage PQ search — the serving shape: ADC over the compressed
+    * codes produces a `shortlist` of candidates per query (the only
+    * full-corpus work, all integer lookups on 8-byte codes), then the
+    * shortlist alone is re-scored with exact L2 over the raw vectors
+    * (O(queries x shortlist) float work — negligible). Rerank buys
+    * back most of the quantizer's ranking loss: the compressed scan
+    * only has to get the true neighbors into the top-`shortlist`, not
+    * into the top-k. Ranking key is the ROUNDED exact distance so
+    * ordering is engine-reproducible.
+    */
+  def knnPqRerank(emb: DataFrame, nQueries: Int = 50, k: Int = 3,
+      shortlist: Int = 16): DataFrame = {
+    val all = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val (ids, bySub) = pqCodebook(all)
+    val codes = all.select(col("vec_id"),
+      posexplode(graft.functions.VectorFunctions.pq_encode(
+        col("v"), ids, bySub, PqSubDim)).as(Seq("sub", "code")))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centsSub = ids.indices.flatMap { c =>
+      (0 until PqSubspaces).map(s => (ids(c), s, bySub(s)(c).toSeq))
+    }.toDF("cid", "sub", "cv")
+    val queries = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val lut = queries.crossJoin(centsSub)
+      .select(col("query_id"), col("sub"), col("cid"),
+        round(graft.functions.VectorFunctions.sq_dist(
+          slice(col("qv"), col("sub") * PqSubDim + 1, lit(PqSubDim)),
+          col("cv")) * PqFix).cast("long").as("dfix"))
+    val scored = codes.join(broadcast(lut),
+        codes("sub") === lut("sub") && codes("code") === lut("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("dfix").as("score"))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("score").asc, col("vec_id").asc)
+    val short = scored.withColumn("srn", row_number().over(wAdc))
+      .filter(col("srn") <= shortlist)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val rescored = short
+      .join(all.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(graft.functions.VectorFunctions.sq_dist(col("qv"), col("v")), 6)
+          .as("exact_l2"))
+    val wK = Window.partitionBy("query_id")
+      .orderBy(col("exact_l2").asc, col("neighbor_id").asc)
+    rescored.withColumn("rn", row_number().over(wK))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("neighbor_id"), col("exact_l2"))
+      .orderBy("query_id", "rn")
+  }
+
+  def knnPqRerankOracle(nQueries: Int = 50, k: Int = 3,
+      shortlist: Int = 16): String =
+    s"""WITH ${pqRankedCtes(nQueries)},
+       |short AS (SELECT query_id, neighbor_id FROM ranked
+       |  WHERE rn <= $shortlist),
+       |rescored AS (SELECT s.query_id, s.neighbor_id,
+       |    round(list_sum(list_transform(range(1, 65),
+       |      i -> (q.v[i] - a.v[i]) * (q.v[i] - a.v[i]))), 6) AS exact_l2
+       |  FROM short s
+       |  JOIN allv a ON a.vec_id = s.neighbor_id
+       |  JOIN allv q ON q.vec_id = s.query_id),
+       |rranked AS (SELECT query_id, neighbor_id, exact_l2,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY exact_l2 ASC, neighbor_id ASC) AS rn
+       |  FROM rescored)
+       |SELECT query_id, rn, neighbor_id, exact_l2
+       |FROM rranked WHERE rn <= $k
+       |ORDER BY query_id, rn""".stripMargin
+
+  /** Recall@k of PQ-ADC against exact L2 brute force — the
+    * compression-loss measurement that sizes the codebook.
+    */
+  def knnPqRecall(emb: DataFrame, nQueries: Int = 50, k: Int = 3): DataFrame = {
+    val all = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val queries = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scoredExact = broadcast(queries)
+      .join(all, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graft.functions.VectorFunctions.sq_dist(col("qv"), col("v"))
+          .as("d2"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("d2").asc, col("neighbor_id").asc)
+    val exact = scoredExact.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = knnPq(emb, nQueries, k)
+      .select(col("query_id").as("aq"), col("neighbor_id").as("hit_id"))
+    exact.join(approx,
+        col("query_id") === col("aq") && col("neighbor_id") === col("hit_id"),
+        "left")
+      .groupBy("query_id")
+      .agg(round(count(col("hit_id")) / lit(k.toDouble), 4).as("recall"))
+      .orderBy("query_id")
+  }
+
+  def knnPqRecallOracle(nQueries: Int = 50, k: Int = 3): String = {
+    def l2full(a: String, b: String): String =
+      s"""list_sum(list_transform(range(1, 65),
+         |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))""".stripMargin
+    s"""WITH allv AS (SELECT vec_id,
+       |    list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |exact_scored AS (SELECT q.vec_id AS query_id,
+       |    a.vec_id AS neighbor_id,
+       |    ${l2full("q.v", "a.v")} AS d2
+       |  FROM (SELECT vec_id, v FROM allv WHERE vec_id < $nQueries) q
+       |  JOIN allv a ON q.vec_id <> a.vec_id),
+       |exact_topk AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY d2 ASC, neighbor_id ASC) AS rn
+       |    FROM exact_scored) WHERE rn <= $k),
+       |pq AS (
+       |${knnPqOracle(nQueries, k)})
+       |SELECT e.query_id,
+       |  round(count(p.neighbor_id) / $k.0, 4) AS recall
+       |FROM exact_topk e LEFT JOIN pq p
+       |  ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+  }
+
+  /** Recall@k of the two-stage (ADC shortlist + exact rerank) search
+    * vs exact L2 — the number that justifies serving from compressed
+    * codes: compare with [[knnPqRecall]] to see what rerank buys back.
+    */
+  def knnPqRerankRecall(emb: DataFrame, nQueries: Int = 50, k: Int = 3,
+      shortlist: Int = 16): DataFrame = {
+    val all = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val queries = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scoredExact = broadcast(queries)
+      .join(all, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graft.functions.VectorFunctions.sq_dist(col("qv"), col("v"))
+          .as("d2"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("d2").asc, col("neighbor_id").asc)
+    val exact = scoredExact.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = knnPqRerank(emb, nQueries, k, shortlist)
+      .select(col("query_id").as("aq"), col("neighbor_id").as("hit_id"))
+    exact.join(approx,
+        col("query_id") === col("aq") && col("neighbor_id") === col("hit_id"),
+        "left")
+      .groupBy("query_id")
+      .agg(round(count(col("hit_id")) / lit(k.toDouble), 4).as("recall"))
+      .orderBy("query_id")
+  }
+
+  def knnPqRerankRecallOracle(nQueries: Int = 50, k: Int = 3,
+      shortlist: Int = 16): String =
+    s"""WITH exact_scored AS (SELECT q.vec_id AS query_id,
+       |    a.vec_id AS neighbor_id,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> (q.v[i] - a.v[i]) * (q.v[i] - a.v[i]))) AS d2
+       |  FROM (SELECT vec_id,
+       |      list_transform(embedding, x -> x::DOUBLE) AS v
+       |    FROM embeddings WHERE vec_id < $nQueries) q
+       |  JOIN (SELECT vec_id,
+       |      list_transform(embedding, x -> x::DOUBLE) AS v
+       |    FROM embeddings) a ON q.vec_id <> a.vec_id),
+       |exact_topk AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY d2 ASC, neighbor_id ASC) AS rn
+       |    FROM exact_scored) WHERE rn <= $k),
+       |pq AS (
+       |${knnPqRerankOracle(nQueries, k, shortlist)})
+       |SELECT e.query_id,
+       |  round(count(p.neighbor_id) / $k.0, 4) AS recall
+       |FROM exact_topk e LEFT JOIN pq p
+       |  ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
 
   def knnLshOracle(nQueries: Int = 50, k: Int = 3): String = {
     def dotPlane(p: Int): String =

@@ -51,6 +51,52 @@ class NearestCellSpec extends SparkSpec {
     assert(diffs.isEmpty, s"assignment mismatches: ${diffs.take(5)}")
   }
 
+  test("nearest_cells (multi-probe) matches the window rn<=nprobe form") {
+    val nprobe = 3
+    val all = T(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val cents = all.filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("nrm").as("cnrm"))
+
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val viaWindow = all.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
+          .as("ccos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nprobe)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+
+    val rows = cents.orderBy("cid").collect()
+    val ids = rows.map(_.getLong(0))
+    val vecs = rows.map(_.getSeq[Double](1).toArray)
+    val nrms = rows.map(_.getDouble(2))
+    val viaExpr = all.select(col("vec_id"),
+        posexplode(VectorFunctions.nearest_cells(
+          col("v"), col("nrm"), ids, vecs, nrms, nprobe))
+          .as(Seq("pos", "cell")))
+      .collect().map(r => (r.getLong(0), r.getInt(1) + 1) -> r.getLong(2)).toMap
+
+    assert(viaExpr.size == viaWindow.size,
+      s"probe-set sizes differ: ${viaExpr.size} vs ${viaWindow.size}")
+    val diffs = viaWindow.collect {
+      case (key, cell) if viaExpr(key) != cell => (key, cell, viaExpr(key))
+    }
+    assert(diffs.isEmpty, s"probe mismatches: ${diffs.take(5)}")
+    // element 0 is always the single-cell answer
+    val first = all.select(col("vec_id"),
+      element_at(VectorFunctions.nearest_cells(
+        col("v"), col("nrm"), ids, vecs, nrms, nprobe), 1).as("c0"),
+      VectorFunctions.nearest_cell(col("v"), col("nrm"), ids, vecs, nrms)
+        .as("c1"))
+      .filter(col("c0") =!= col("c1")).count()
+    assert(first == 0L, "nearest_cells[0] must equal nearest_cell")
+  }
+
   test("codegen and interpreted eval agree (incl. round6 parity)") {
     // round6 must be Spark's Round semantics bit-for-bit — probe the
     // knife edges where a naive binary rounding would differ
