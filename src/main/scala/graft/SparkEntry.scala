@@ -276,6 +276,26 @@ object SparkEntry {
       (s, dir) => Relational.topKPerGroup(T(s, dir, "part"), 3)
     },
 
+    // O3 via the custom physical operator: partial bounded heaps per
+    // map partition -> one pruned exchange -> final heaps
+    // (graft.plans.TopKPerKeyExec). Same rows as the window form, so
+    // the same oracle; the shuffle-volume claim is runtime-asserted
+    // in TopKPerKeySpec.
+    q("o3_topk_exec",
+      """SELECT p_brand, p_partkey, p_retailprice FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    row_number() OVER (PARTITION BY p_brand
+        |      ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+        |  FROM part)
+        |WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin) {
+      (s, dir) => graft.plans.TopKPerKey.topK(
+          T(s, dir, "part").select("p_brand", "p_partkey", "p_retailprice"),
+          Seq("p_brand"),
+          Seq(col("p_retailprice").desc, col("p_partkey").asc), 3)
+        .orderBy(col("p_brand").asc, col("p_retailprice").desc,
+          col("p_partkey").asc)
+    },
+
     // G3: misc aggregates (sorted listagg, bit ops, arg-min/max).
     q("g3_misc_aggs",
       """SELECT o_orderstatus,
@@ -1310,6 +1330,18 @@ object SparkEntry {
     q("ns_knn_pq_rerank_recall",
       Similarity.knnPqRerankRecallOracle(50, 3, 32)) {
       (s, dir) => Similarity.knnPqRerankRecall(T(s, dir, "embeddings"), 50, 3, 32)
+    },
+
+    // IVF-PQ: the composed serving stack — coarse cells prune the
+    // candidates, compressed codes price the scoring, exact rerank
+    // restores the ranking.
+    q("ns_knn_ivfpq", Similarity.knnIvfPqOracle(50, 3, 2, 32)) {
+      (s, dir) => Similarity.knnIvfPq(T(s, dir, "embeddings"), 50, 3, 2, 32)
+    },
+
+    // End-to-end IVF-PQ quality vs exact L2.
+    q("ns_knn_ivfpq_recall", Similarity.knnIvfPqRecallOracle(50, 3, 2, 32)) {
+      (s, dir) => Similarity.knnIvfPqRecall(T(s, dir, "embeddings"), 50, 3, 2, 32)
     },
 
     // F10: map functions over parsed JSON props.

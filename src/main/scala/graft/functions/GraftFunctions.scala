@@ -39,5 +39,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => Md5Prefix60(exprs(0))))
     // declarative HOF dot products rewrite to the codegen expression
     e.injectOptimizerRule(_ => DotProductRewrite)
+    // two-stage map-side-pruned top-k per key (graft.plans.TopKPerKey)
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

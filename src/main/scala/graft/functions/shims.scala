@@ -10,4 +10,12 @@ object graftShims {
     classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Wrap a logical plan as a DataFrame (Dataset.ofRows is
+    * private[sql]) — the construction path for graft's custom
+    * logical operators.
+    */
+  def ofRows(spark: SparkSession,
+      plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

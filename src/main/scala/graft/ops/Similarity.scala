@@ -1056,8 +1056,200 @@ object Similarity {
        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
   }
 
+  /** IVF-PQ: the composed serving stack (FAISS's IVFPQ shape). The
+    * coarse quantizer prunes WHICH vectors a query scores (only the
+    * `nprobe` nearest cells' members are candidates); PQ shrinks WHAT
+    * a score costs (candidates are scored from 8-byte codes by
+    * integer table lookups); exact rerank of the ADC `shortlist`
+    * restores ranking quality. Per query: O(C) cell probing + O(n *
+    * nprobe / C) integer candidate scoring over compressed codes +
+    * O(shortlist) exact float work — no stage touches the raw corpus
+    * except the final bounded rerank. Both quantizers are the
+    * deterministic fixture forms ([[trainedCents]], stride codebook),
+    * so the whole stack is oracle-checkable.
+    */
+  def knnIvfPq(emb: DataFrame, nQueries: Int = 50, k: Int = 3,
+      nprobe: Int = 2, shortlist: Int = 32): DataFrame = {
+    val all = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    // coarse quantizer: cell per vector (map-only)
+    val centArr = collectCents(trainedCents(all))
+    val assigned = assignCells(all, centArr)
+    // fine quantizer: 8 codes per vector (map-only), cell carried along
+    val (pqIds, pqBySub) = pqCodebook(all)
+    val assignedCodes = assigned.select(col("vec_id"), col("cell"),
+      posexplode(graft.functions.VectorFunctions.pq_encode(
+        col("v"), pqIds, pqBySub, PqSubDim)).as(Seq("sub", "code")))
+    // query side: nprobe nearest cells + the per-query ADC table
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = centsDf(spark, centArr)
+    val queries = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val qscored = queries.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("cid"),
+        round(dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")), 6)
+          .as("ccos"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val qprobes = qscored.withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("cid").as("cell"))
+    val centsSub = pqIds.indices.flatMap { c =>
+      (0 until PqSubspaces).map(s => (pqIds(c), s, pqBySub(s)(c).toSeq))
+    }.toDF("cid", "sub", "cv")
+    val lut = queries.crossJoin(centsSub)
+      .select(col("query_id"), col("sub"), col("cid"),
+        round(graft.functions.VectorFunctions.sq_dist(
+          slice(col("qv"), col("sub") * PqSubDim + 1, lit(PqSubDim)),
+          col("cv")) * PqFix).cast("long").as("dfix"))
+    // ADC over in-cell candidates only
+    val lutR = lut.select(col("query_id").as("lq"), col("sub").as("lsub"),
+      col("cid").as("lcid"), col("dfix"))
+    val adc = assignedCodes.join(broadcast(qprobes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(lutR), col("query_id") === col("lq") &&
+        col("sub") === col("lsub") && col("code") === col("lcid"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum("dfix").as("score"))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("score").asc, col("vec_id").asc)
+    val short = adc.withColumn("srn", row_number().over(wAdc))
+      .filter(col("srn") <= shortlist)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    // exact rerank of the bounded shortlist
+    val rescored = short
+      .join(all.select(col("vec_id").as("neighbor_id"), col("v")),
+        Seq("neighbor_id"))
+      .join(broadcast(queries.select(col("query_id"), col("qv"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(graft.functions.VectorFunctions.sq_dist(col("qv"), col("v")), 6)
+          .as("exact_l2"))
+    val wK = Window.partitionBy("query_id")
+      .orderBy(col("exact_l2").asc, col("neighbor_id").asc)
+    rescored.withColumn("rn", row_number().over(wK))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("neighbor_id"), col("exact_l2"))
+      .orderBy("query_id", "rn")
+  }
+
+  def knnIvfPqOracle(nQueries: Int = 50, k: Int = 3,
+      nprobe: Int = 2, shortlist: Int = 32): String = {
+    def l2sub(a: String, b: String): String =
+      s"""list_sum(list_transform(range(1, ${PqSubDim + 1}),
+         |      i -> ($a[sub * $PqSubDim + i] - $b[i]) *
+         |           ($a[sub * $PqSubDim + i] - $b[i])))""".stripMargin
+    val allv =
+      s"""allv AS (SELECT vec_id,
+         |    list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings)""".stripMargin
+    s"""WITH ${ivfAssignCtes(allv, TrainSample, "allv")},
+       |qprobes AS (SELECT query_id, cell FROM (
+       |    SELECT vec_id AS query_id, cid AS cell,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY ccos DESC, cid ASC) AS rn
+       |    FROM scored WHERE vec_id < $nQueries) WHERE rn <= $nprobe),
+       |subs AS (SELECT unnest(range(0, $PqSubspaces)) AS sub),
+       |pqcents AS (SELECT vec_id AS cid, sub,
+       |    v[sub * $PqSubDim + 1 : sub * $PqSubDim + $PqSubDim] AS cv
+       |  FROM allv, subs WHERE vec_id % $PqStride = 0),
+       |codes AS (SELECT vec_id, sub, cid AS code FROM (
+       |    SELECT a.vec_id, c.sub, c.cid,
+       |      row_number() OVER (PARTITION BY a.vec_id, c.sub
+       |        ORDER BY ${l2sub("a.v", "c.cv")} ASC, c.cid ASC) AS rn
+       |    FROM allv a CROSS JOIN pqcents c) WHERE rn = 1),
+       |lut AS (SELECT q.vec_id AS query_id, c.sub, c.cid,
+       |    round(${l2sub("q.v", "c.cv")} * $PqFix)::BIGINT AS dfix
+       |  FROM (SELECT vec_id, v FROM allv WHERE vec_id < $nQueries) q
+       |  CROSS JOIN pqcents c),
+       |cand AS (SELECT p.query_id, a.vec_id
+       |  FROM qprobes p JOIN assigned a USING (cell)
+       |  WHERE p.query_id <> a.vec_id),
+       |adc AS (SELECT c.query_id, c.vec_id AS neighbor_id,
+       |    sum(l.dfix)::BIGINT AS score
+       |  FROM cand c
+       |  JOIN codes co ON co.vec_id = c.vec_id
+       |  JOIN lut l ON l.query_id = c.query_id
+       |    AND l.sub = co.sub AND l.cid = co.code
+       |  GROUP BY 1, 2),
+       |short AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score ASC, neighbor_id ASC) AS rn
+       |    FROM adc) WHERE rn <= $shortlist),
+       |rescored AS (SELECT s.query_id, s.neighbor_id,
+       |    round(list_sum(list_transform(range(1, 65),
+       |      i -> (q.v[i] - a.v[i]) * (q.v[i] - a.v[i]))), 6) AS exact_l2
+       |  FROM short s
+       |  JOIN allv a ON a.vec_id = s.neighbor_id
+       |  JOIN allv q ON q.vec_id = s.query_id),
+       |rranked AS (SELECT query_id, neighbor_id, exact_l2,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY exact_l2 ASC, neighbor_id ASC) AS rn
+       |  FROM rescored)
+       |SELECT query_id, rn, neighbor_id, exact_l2
+       |FROM rranked WHERE rn <= $k
+       |ORDER BY query_id, rn""".stripMargin
+  }
+
+  /** Recall@k of the full IVF-PQ stack vs exact L2 — the end-to-end
+    * quality number for the composed serving path (cell pruning loss
+    * x compression loss x what rerank restores).
+    */
+  def knnIvfPqRecall(emb: DataFrame, nQueries: Int = 50, k: Int = 3,
+      nprobe: Int = 2, shortlist: Int = 32): DataFrame = {
+    val all = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val queries = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scoredExact = broadcast(queries)
+      .join(all, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graft.functions.VectorFunctions.sq_dist(col("qv"), col("v"))
+          .as("d2"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("d2").asc, col("neighbor_id").asc)
+    val exact = scoredExact.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = knnIvfPq(emb, nQueries, k, nprobe, shortlist)
+      .select(col("query_id").as("aq"), col("neighbor_id").as("hit_id"))
+    exact.join(approx,
+        col("query_id") === col("aq") && col("neighbor_id") === col("hit_id"),
+        "left")
+      .groupBy("query_id")
+      .agg(round(count(col("hit_id")) / lit(k.toDouble), 4).as("recall"))
+      .orderBy("query_id")
+  }
+
+  def knnIvfPqRecallOracle(nQueries: Int = 50, k: Int = 3,
+      nprobe: Int = 2, shortlist: Int = 32): String =
+    s"""WITH exact_scored AS (SELECT q.vec_id AS query_id,
+       |    a.vec_id AS neighbor_id,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> (q.v[i] - a.v[i]) * (q.v[i] - a.v[i]))) AS d2
+       |  FROM (SELECT vec_id,
+       |      list_transform(embedding, x -> x::DOUBLE) AS v
+       |    FROM embeddings WHERE vec_id < $nQueries) q
+       |  JOIN (SELECT vec_id,
+       |      list_transform(embedding, x -> x::DOUBLE) AS v
+       |    FROM embeddings) a ON q.vec_id <> a.vec_id),
+       |exact_topk AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY d2 ASC, neighbor_id ASC) AS rn
+       |    FROM exact_scored) WHERE rn <= $k),
+       |ivfpq AS (
+       |${knnIvfPqOracle(nQueries, k, nprobe, shortlist)})
+       |SELECT e.query_id,
+       |  round(count(p.neighbor_id) / $k.0, 4) AS recall
+       |FROM exact_topk e LEFT JOIN ivfpq p
+       |  ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+
   /** Recall@k of the two-stage (ADC shortlist + exact rerank) search
-    * vs exact L2 — the number that justifies serving from compressed
+    * vs exact L2 — the number that justifies shipping the compressed
     * codes: compare with [[knnPqRecall]] to see what rerank buys back.
     */
   def knnPqRerankRecall(emb: DataFrame, nQueries: Int = 50, k: Int = 3,

@@ -1,0 +1,147 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, graftShims}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
+  Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
+  Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.functions.col
+
+/** Top-k rows per key as a first-class operator: custom logical node +
+  * planner strategy + a TWO-STAGE physical operator, registered via
+  * `extraStrategies` / [[graft.functions.GraftExtensions]].
+  *
+  * Why a custom operator (preference (c) of the project guide): the
+  * declarative form — `row_number() OVER (PARTITION BY k ORDER BY o)
+  * <= k` — shuffles EVERY row to its key's reducer and sorts it
+  * there, because a window function cannot be partially evaluated.
+  * But top-k per key is decomposable exactly like a partial
+  * aggregate: a bounded heap per key on each input partition first
+  * prunes locally to <= k rows per (key, partition), and only those
+  * survivors shuffle. Shuffle volume drops from O(n) to
+  * O(k * keys * partitions) — on a heavy-hitter key distribution at
+  * 100 TB that is the difference between a full-corpus exchange and
+  * kilobytes — while the final stage runs the same bounded heaps on
+  * the clustered survivors for an exact answer.
+  *
+  * The caller's `ordering` must be a TOTAL order (include a tiebreak
+  * column) for engine-reproducible results — the same contract every
+  * window query in the repo already follows.
+  */
+case class TopKPerKey(keys: Seq[Expression], ordering: Seq[SortOrder],
+    k: Int, child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"top-k needs k > 0, got $k")
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
+    copy(child = newChild)
+}
+
+object TopKPerKey {
+  /** DataFrame-level entry point: top `k` rows per `keys` group in
+    * `order` (give a total order — include a tiebreak). Installs the
+    * strategy on the session if absent.
+    */
+  def topK(df: DataFrame, keys: Seq[String], order: Seq[Column],
+      k: Int): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.exists(_ eq TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    val childPlan = df.queryExecution.analyzed
+    // resolve key names to the child's attributes directly — generic
+    // analysis does not reach inside a custom node's ColumnNode wrappers
+    val resolver = spark.sessionState.analyzer.resolver
+    val keyExprs: Seq[Expression] = keys.map(n =>
+      childPlan.output.find(a => resolver(a.name, n)).getOrElse(
+        sys.error(s"topK key '$n' not in ${childPlan.output.map(_.name)}")))
+    // Column-level sort specs are sql.internal nodes (not serializable
+    // catalyst SortOrder); route them through an analyzed Sort so the
+    // converter+analyzer produce the resolved catalyst form
+    val sortOrders = df.sortWithinPartitions(order: _*)
+      .queryExecution.analyzed.collectFirst {
+        case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s.order
+      }.getOrElse(sys.error("sort order did not analyze to a Sort node"))
+    graftShims.ofRows(spark, TopKPerKey(keyExprs, sortOrders, k, childPlan))
+  }
+}
+
+/** Plans [[TopKPerKey]] as partial-then-final [[TopKPerKeyExec]] —
+  * the same shape Spark gives a decomposable aggregate.
+  */
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(keys, ord, k, child) =>
+      val partial = TopKPerKeyExec(keys, ord, k, partial = true,
+        planLater(child))
+      TopKPerKeyExec(keys, ord, k, partial = false, partial) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Bounded per-key heaps over each partition. `partial = true` runs
+  * on whatever partitioning arrives (the map-side prune);
+  * `partial = false` demands clustering on `keys`, so
+  * EnsureRequirements inserts the one (pruned) exchange between the
+  * two stages. Both stages run identical heap logic; idempotence on
+  * already-pruned input is what makes the decomposition exact.
+  */
+case class TopKPerKeyExec(keys: Seq[Expression], ordering: Seq[SortOrder],
+    k: Int, partial: Boolean, child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def outputPartitioning = child.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(keys) :: Nil
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "output rows"))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyExprs = keys
+    val ord = ordering
+    val kk = k
+    val childOutput = child.output
+    val numOutputRows = longMetric("numOutputRows")
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val cmp = GenerateOrdering.generate(ord, childOutput)
+      // head of each queue = WORST retained row (reverse ordering), so
+      // admission is one compare against the head
+      val worstFirst = cmp.reverse
+      val heaps = new java.util.LinkedHashMap[
+        UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj(row)
+        var q = heaps.get(key)
+        if (q == null) {
+          q = new java.util.PriorityQueue[InternalRow](kk + 1, worstFirst)
+          heaps.put(key.copy(), q)
+        }
+        if (q.size < kk) q.add(row.copy())
+        else if (cmp.compare(row, q.peek()) < 0) {
+          q.poll()
+          q.add(row.copy())
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values().asScala.iterator.flatMap { q =>
+        numOutputRows += q.size
+        q.iterator().asScala
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}

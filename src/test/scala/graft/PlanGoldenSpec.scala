@@ -23,7 +23,8 @@ class PlanGoldenSpec extends SparkSpec {
   /** Operator kinds that decide the plan's scale behavior. */
   private def loadBearing(name: String): Boolean =
     Seq("Join", "Exchange", "Aggregate", "Window", "Generate",
-      "Expand", "TakeOrdered", "CartesianProduct").exists(name.contains)
+      "Expand", "TakeOrdered", "CartesianProduct", "TopKPerKey")
+      .exists(name.contains)
 
   private def signature(df: DataFrame): String = {
     df.count() // drive AQE to its final plan
@@ -59,6 +60,9 @@ class PlanGoldenSpec extends SparkSpec {
         "TakeOrderedAndProject:1,Window:1"),
     "j2_left_join" -> "BroadcastExchange:1,BroadcastHashJoin:1,Exchange:1",
     "o3_topk_per_group" -> "Exchange:2,Window:1,WindowGroupLimit:2",
+    // custom operator: partial + final TopKPerKeyExec, ONE exchange
+    // between them (vs the window form's full-input exchange above)
+    "o3_topk_exec" -> "Exchange:2,TopKPerKey:2",
     "ns_seq_pack" -> "Exchange:2,Window:1",
     "ns_dedup_exact" -> "Exchange:2,HashAggregate:2",
     "ns_dedup_minhash_lsh" ->

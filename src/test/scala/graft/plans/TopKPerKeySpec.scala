@@ -1,0 +1,84 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** The custom top-k operator must be (1) exact — same rows as the
+  * window row_number form on a total order, (2) planned as
+  * partial -> one exchange -> final, and (3) actually pruning: the
+  * partial stage's output-row metric is bounded by
+  * k * keys * partitions and far under the input row count. (3) is
+  * the scale claim — the whole point of the operator — enforced as a
+  * runtime assertion, not prose.
+  */
+class TopKPerKeySpec extends SparkSpec {
+
+  private def withNoAqe[A](f: => A): A = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try f finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("matches the window row_number form exactly") {
+    val part = spark.read.parquet(s"$sf/part.parquet")
+      .select("p_brand", "p_partkey", "p_retailprice")
+    val viaExec = TopKPerKey.topK(part, Seq("p_brand"),
+        Seq(col("p_retailprice").desc, col("p_partkey").asc), 3)
+      .collect().map(_.toSeq).toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("p_brand")
+      .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+    val viaWindow = part
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+      .collect().map(_.toSeq).toSet
+    assert(viaExec == viaWindow,
+      s"row sets differ: only-exec=${(viaExec -- viaWindow).take(3)} " +
+        s"only-window=${(viaWindow -- viaExec).take(3)}")
+  }
+
+  test("plans as partial -> single exchange -> final, and prunes") {
+    withNoAqe {
+      val part = spark.read.parquet(s"$sf/part.parquet")
+        .select("p_brand", "p_partkey", "p_retailprice")
+        .repartition(4) // force multiple map partitions
+      val df = TopKPerKey.topK(part, Seq("p_brand"),
+        Seq(col("p_retailprice").desc, col("p_partkey").asc), 3)
+      df.collect()
+      val p = df.queryExecution.executedPlan
+      val execs = p.collect { case e: TopKPerKeyExec => e }
+      assert(execs.map(_.partial).sorted == Seq(false, true),
+        s"expected partial+final TopKPerKeyExec, got:\n$p")
+      def shuffles(n: org.apache.spark.sql.execution.SparkPlan) =
+        n.collect { case s: ShuffleExchangeExec => s }.size
+      val between = shuffles(execs.find(!_.partial).get) -
+        shuffles(execs.find(_.partial).get)
+      assert(between == 1,
+        s"expected exactly one exchange between the stages:\n$p")
+
+      val nInput = part.count()
+      val nKeys = part.select("p_brand").distinct().count()
+      val partialOut = execs.find(_.partial).get
+        .metrics("numOutputRows").value
+      assert(partialOut <= 3 * nKeys * 4,
+        s"partial emitted $partialOut > k*keys*partitions")
+      assert(partialOut < nInput,
+        s"partial must prune ($partialOut vs $nInput input rows)")
+    }
+  }
+
+  test("exact on skew: one heavy key, ties on the order column") {
+    import spark.implicits._
+    val rows = (1 to 1000).map(i => ("hot", i % 7, i)) ++
+      Seq(("cold", 99, 1), ("cold", 99, 2))
+    val df = rows.toDF("key", "score", "id")
+    val got = TopKPerKey.topK(df, Seq("key"),
+        Seq(col("score").desc, col("id").asc), 5)
+      .orderBy("key", "id").collect().map(_.toSeq)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("key")
+      .orderBy(col("score").desc, col("id").asc)
+    val want = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).drop("rn")
+      .orderBy("key", "id").collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq)
+  }
+}
