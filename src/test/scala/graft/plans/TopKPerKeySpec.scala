@@ -66,6 +66,34 @@ class TopKPerKeySpec extends SparkSpec {
     }
   }
 
+  test("property: equals the window form on random data, keys, and k") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val rowGen = Gen.zip(Gen.choose(0, 5), Gen.choose(-100, 100),
+      Gen.choose(0L, 1000L))
+    val caseGen = Gen.zip(Gen.listOfN(120, rowGen), Gen.choose(1, 6))
+    val prop = Prop.forAll(caseGen) { case (rows, k) =>
+      rows.isEmpty || {
+        val df = rows.toDF("key", "score", "id").repartition(3)
+        val got = TopKPerKey.topK(df, Seq("key"),
+            Seq(col("score").desc, col("id").asc, col("key").asc), k)
+          .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("key")
+          .orderBy(col("score").desc, col("id").asc, col("key").asc)
+        val want = df.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k).drop("rn")
+          .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length)
+        got.toMap == want.toMap
+      }
+    }
+    // duplicate input rows are legitimate here (the generator repeats
+    // (key, score, id) triples), so compare row MULTISETS; the order
+    // columns still totally order distinct rows
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("exact on skew: one heavy key, ties on the order column") {
     import spark.implicits._
     val rows = (1 to 1000).map(i => ("hot", i % 7, i)) ++
