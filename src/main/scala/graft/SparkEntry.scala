@@ -1144,6 +1144,12 @@ object SparkEntry {
       (s, dir) => Analysis.gopherFilter(T(s, dir, "documents"))
     },
 
+    // Per-key skew diagnostic: heavy-hitter shares + the integer salt
+    // factor that re-balances each (consumed by the salted join/agg).
+    q("ns_skew_report", Analysis.skewReportOracle("user_id", 5)) {
+      (s, dir) => Analysis.skewReport(T(s, dir, "events"), "user_id", 5)
+    },
+
     // Zipf slope over the top-1000 vocabulary (corpus-health check).
     q("ns_zipf_fit", Analysis.zipfFitOracle(1000)) {
       (s, dir) => Analysis.zipfFit(T(s, dir, "documents"), 1000)

@@ -779,6 +779,45 @@ object Analysis {
       .orderBy("doc_id")
   }
 
+  /** Per-key skew report — the measurement that decides WHEN to salt:
+    * for the heaviest `topN` keys, their share of the table, the skew
+    * ratio (count / mean count, i.e. how many "fair shares" the key
+    * occupies), and a salt factor (ceil of that ratio, in exact
+    * integer arithmetic) — the number of sub-splits that brings the
+    * key back to average partition weight. One map-side-combined
+    * count + an O(keys) window; at 100 TB this runs as a side
+    * diagnostic on the same pass that builds any per-key aggregate.
+    * `j4_salted_join` / `g3_salted_agg` are the consumers of the
+    * recommendation.
+    */
+  def skewReport(df: DataFrame, key: String, topN: Int = 5): DataFrame = {
+    val counts = df.groupBy(col(key).as("key")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    counts
+      .withColumn("total", sum("cnt").over(w))
+      .withColumn("nkeys", count(lit(1)).over(w))
+      .select(col("key"), col("cnt"),
+        round(col("cnt") / col("total"), 6).as("share"),
+        round(col("cnt") * col("nkeys") / col("total"), 4).as("skew_ratio"),
+        expr("(cnt * nkeys + total - 1) DIV total").cast("long")
+          .as("salt_factor"))
+      .orderBy(col("cnt").desc, col("key").asc)
+      .limit(topN)
+  }
+
+  def skewReportOracle(key: String = "user_id", topN: Int = 5): String =
+    s"""WITH counts AS (SELECT $key AS key, count(*) AS cnt
+       |    FROM events GROUP BY $key),
+       |wide AS (SELECT key, cnt,
+       |    sum(cnt) OVER () AS total,
+       |    count(*) OVER () AS nkeys
+       |  FROM counts)
+       |SELECT key, cnt,
+       |  round(cnt / total, 6) AS share,
+       |  round(cnt * nkeys / total, 4) AS skew_ratio,
+       |  ((cnt * nkeys + total - 1) // total)::BIGINT AS salt_factor
+       |FROM wide ORDER BY cnt DESC, key ASC LIMIT $topN""".stripMargin
+
   def boilerplateOracle(minDf: Double = 0.4): String =
     s"""WITH d AS (SELECT doc_id, source,
        |    CASE WHEN doc_id % 2 = 0 THEN '$BoilerHeader ' || text

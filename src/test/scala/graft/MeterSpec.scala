@@ -102,6 +102,50 @@ class MeterSpec extends SparkSpec {
     assert(sw < 64 * 1024, s"span_dedup shuffled $sw bytes (input $input)")
   }
 
+  test("custom top-k exec shuffles like WindowGroupLimit, 20x under naive") {
+    // Three plans for the same query on 200k rows / 10 keys:
+    //  - naive window (WindowGroupLimit disabled via its threshold
+    //    conf): shuffles the FULL input — what every pre-3.5 Spark and
+    //    any non-rank-pattern top-k still pays;
+    //  - Spark's WindowGroupLimit path (default): map-side rank-limit
+    //    prune before the exchange;
+    //  - TopKPerKeyExec: map-side bounded heaps.
+    // The custom exec must land in the optimized class (parity with
+    // WindowGroupLimit's shuffle, 20x under naive) — measured, so a
+    // planner regression that falls back to a full exchange fails
+    // here. Spark's rule only fires on the syntactic
+    // rank-filter pattern; the exec keeps the same prune available as
+    // a composable operator.
+    import org.apache.spark.sql.functions.{col, row_number}
+    val big = spark.range(0, 200000, 1, 8).select(
+      (col("id") % 10).as("key"),
+      (col("id") * 2654435761L % 1000003).as("score"),
+      col("id"))
+    def windowForm = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("key")
+        .orderBy(col("score").desc, col("id").asc)
+      big.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).drop("rn").count()
+    }
+    val limitKey = "spark.sql.optimizer.windowGroupLimitThreshold"
+    val prev = spark.conf.get(limitKey)
+    val (swNaive, _) =
+      try { spark.conf.set(limitKey, "-1"); measure(windowForm) }
+      finally spark.conf.set(limitKey, prev)
+    val (swWindow, _) = measure(windowForm)
+    val (swExec, _) = measure {
+      graft.plans.TopKPerKey.topK(big, Seq("key"),
+        Seq(col("score").desc, col("id").asc), 3).count()
+    }
+    assert(swExec > 0, "exec form should still pay its pruned exchange")
+    assert(swExec * 20 < swNaive,
+      s"exec shuffled $swExec bytes vs naive window's $swNaive — " +
+        "expected at least 20x less")
+    assert(swExec <= swWindow * 3 / 2,
+      s"exec ($swExec bytes) should match the WindowGroupLimit class " +
+        s"($swWindow bytes)")
+  }
+
   test("star-contraction CC: O(log n) rounds, per-round shuffle O(|E|)") {
     // adversarial diameter: one 4096-node path — the shape where
     // label propagation needs thousands of rounds and where a
