@@ -1350,6 +1350,22 @@ object SparkEntry {
       (s, dir) => Similarity.knnIvfPqRecall(T(s, dir, "embeddings"), 50, 3, 2, 32)
     },
 
+    // Persisted IVF-PQ: codes live in the cell files, the ADC scan
+    // reads ONLY (vec_id, codes) of the probed cells (column pruning
+    // on top of DPP — asserted in IvfPqIndexSpec); vectors are
+    // fetched just for the shortlist rerank. Ranking-identical to the
+    // inline form -> same oracle.
+    q("ns_knn_ivfpq_indexed", Similarity.knnIvfPqOracle(50, 3, 2, 32)) {
+      (s, dir) =>
+        val idx = ivfIndexDir("embpq", dir)
+        if (!new java.io.File(s"$idx/cells/_SUCCESS").exists())
+          Similarity.ivfBuildPq(T(s, dir, "embeddings"), idx)
+        Similarity.ivfPqQuery(T(s, dir, "embeddings")
+          .filter(col("vec_id") < 50)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+          idx, 3, 2, 32)
+    },
+
     // F10: map functions over parsed JSON props.
     q("f10_map_funcs",
       """SELECT event_id,

@@ -1194,6 +1194,100 @@ object Similarity {
        |ORDER BY query_id, rn""".stripMargin
   }
 
+  /** [[ivfBuild]] plus the fine quantizer: every vector's 8 PQ codes
+    * land IN the cell files (one extra array column — 8 longs next to
+    * the 64-double vector) and the codebook persists at
+    * `dir/pqcents`. The payoff at query time is COLUMN PRUNING on top
+    * of partition pruning: the ADC scan of [[ivfPqQuery]] reads only
+    * (vec_id, codes) from the probed cell directories — the raw
+    * vectors stay on disk until the bounded rerank touches the
+    * shortlist rows.
+    */
+  def ivfBuildPq(emb: DataFrame, dir: String,
+      stride: Long = CentroidStride,
+      trainSample: Int = TrainSample): Unit = {
+    val all = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val centArr = collectCents(trainedCents(all, stride, trainSample))
+    val (pqIds, pqBySub) = pqCodebook(all)
+    val assigned = assignCells(all, centArr)
+      .withColumn("codes", graft.functions.VectorFunctions.pq_encode(
+        col("v"), pqIds, pqBySub, PqSubDim))
+    centsDf(emb.sparkSession, centArr)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    pqIds.indices.flatMap { c =>
+      (0 until PqSubspaces).map(s => (pqIds(c), s, pqBySub(s)(c).toSeq))
+    }.toDF("cid", "sub", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/pqcents")
+    assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/cells")
+  }
+
+  /** IVF-PQ over a persisted index: probe cells from the broadcast
+    * coarse centroids (DPP drops unprobed cell DIRECTORIES), ADC-score
+    * candidates from the 8-byte codes column only (the 64-double
+    * vector column is never read in this stage — column pruning,
+    * asserted in IvfPqIndexSpec), exact-rerank the shortlist by
+    * fetching vectors from the probed cells. Ranking-identical to the
+    * inline [[knnIvfPq]], so the same oracle covers both.
+    */
+  def ivfPqQuery(queries: DataFrame, dir: String, k: Int = 3,
+      nprobe: Int = 2, shortlist: Int = 32): DataFrame = {
+    val spark = queries.sparkSession
+    val cells = spark.read.parquet(s"$dir/cells")
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val pqcents = spark.read.parquet(s"$dir/pqcents")
+    val q = queries.select(col("query_id"),
+        asDouble(col("embedding")).as("qv"))
+      .withColumn("qnrm", norm(col("qv")))
+    val qscored = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("cid"),
+        round(dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")), 6)
+          .as("ccos"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val qprobes = qscored.withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("cid").as("cell"))
+    val lut = q.crossJoin(broadcast(pqcents))
+      .select(col("query_id").as("lq"), col("sub").as("lsub"),
+        col("cid").as("lcid"),
+        round(graft.functions.VectorFunctions.sq_dist(
+          slice(col("qv"), col("sub") * PqSubDim + 1, lit(PqSubDim)),
+          col("cv")) * PqFix).cast("long").as("dfix"))
+    val adc = cells.select(col("vec_id"), col("cell"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(qprobes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(lut), col("query_id") === col("lq") &&
+        col("sub") === col("lsub") && col("code") === col("lcid"))
+      .groupBy(col("query_id"), col("cell"), col("vec_id"))
+      .agg(sum("dfix").as("score"))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("score").asc, col("vec_id").asc)
+    val short = adc.withColumn("srn", row_number().over(wAdc))
+      .filter(col("srn") <= shortlist)
+      .select(col("query_id"), col("cell"),
+        col("vec_id").as("neighbor_id"))
+    // rerank: vectors fetched from the probed cells only (cell join
+    // key keeps the scan partition-pruned)
+    val rescored = short
+      .join(cells.select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("v")), Seq("cell", "neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(graft.functions.VectorFunctions.sq_dist(col("qv"), col("v")), 6)
+          .as("exact_l2"))
+    val wK = Window.partitionBy("query_id")
+      .orderBy(col("exact_l2").asc, col("neighbor_id").asc)
+    rescored.withColumn("rn", row_number().over(wK))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("neighbor_id"), col("exact_l2"))
+      .orderBy("query_id", "rn")
+  }
+
   /** Recall@k of the full IVF-PQ stack vs exact L2 — the end-to-end
     * quality number for the composed serving path (cell pruning loss
     * x compression loss x what rerank restores).
