@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // headroom for the bench/verify mains: 171 queries x 3 reps of
+  // whole-stage-codegen classes age a single JVM (JIT queue + class
+  // churn show up as a uniform late-query slowdown, not a plan cost)
+  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:MaxMetaspaceSize=2g",
 )

@@ -115,6 +115,22 @@ object ScaleSmoke {
       .select(col("vec_id").as("query_id"), col("embedding"))
     val (nProbe, tIvfProbe) = time(
       ops.Similarity.ivfQuery(probeQueries, ivfDir, 3, 2).count())
+    // persisted IVF-PQ: same coarse cells, plus a FIXED ~256-entry
+    // codebook (pqStride = n/256 — codebook size is O(1) in corpus
+    // size, like any trained quantizer) and 8-byte codes in the cell
+    // files. Build adds one map-only encode to the assignment sweep
+    // (still ~linear); the probe's ADC stage scans only the codes
+    // column of probed cells, so ivfpq_probe_sec tracks ivf_probe_sec
+    // with an ~8x smaller scanned payload.
+    val ivfPqDir = java.nio.file.Files
+      .createTempDirectory("graft-smoke-ivfpq").toString
+    val pqStride = math.max(1L, nVecs / 256)
+    val (nPqBook, tPqBuild) = time {
+      ops.Similarity.ivfBuildPq(emb, ivfPqDir, stride, trainSample, pqStride)
+      spark.read.parquet(s"$ivfPqDir/pqcents").count()
+    }
+    val (nPqProbe, tPqProbe) = time(
+      ops.Similarity.ivfPqQuery(probeQueries, ivfPqDir, 3, 2, 32).count())
     // streaming incremental dedup: drain the synthetic corpus as an
     // AvailableNow file stream through the transformWithState bucket-
     // ownership processor (RocksDB state); rows/s and state size are
@@ -161,6 +177,8 @@ object ScaleSmoke {
       s""""ivf_vecs":$nVecs,"ivf_cells":$nCells,""" +
       s""""ivf_build_sec":$tIvfBuild,""" +
       s""""ivf_probe_rows":$nProbe,"ivf_probe_sec":$tIvfProbe,""" +
+      s""""ivfpq_book_rows":$nPqBook,"ivfpq_build_sec":$tPqBuild,""" +
+      s""""ivfpq_probe_rows":$nPqProbe,"ivfpq_probe_sec":$tPqProbe,""" +
       s""""stream_dedup_decisions":${decisions.sum},""" +
       s""""stream_state_rows":$stateRows,"stream_dedup_sec":$tStream}""")
     spark.stop()

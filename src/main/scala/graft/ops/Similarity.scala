@@ -829,10 +829,15 @@ object Similarity {
     */
   val PqFix = 1000000000L
 
-  /** Collected PQ codebook: (ids, subspace-major vectors). */
-  private def pqCodebook(
-      all: DataFrame): (Array[Long], Array[Array[Array[Double]]]) = {
-    val seeds = all.filter(col("vec_id") % PqStride === 0)
+  /** Collected PQ codebook: (ids, subspace-major vectors). The stride
+    * sets codebook SIZE — serving-scale callers pass corpus_size/256
+    * so the book stays O(1) (a fixed table, like any trained
+    * quantizer) while the fixture default keeps the oracle's exact
+    * geometry.
+    */
+  private def pqCodebook(all: DataFrame, stride: Long = PqStride)
+      : (Array[Long], Array[Array[Array[Double]]]) = {
+    val seeds = all.filter(col("vec_id") % stride === 0)
       .select(col("vec_id"), col("v")).orderBy("vec_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val ids = seeds.map(_._1)
@@ -1205,11 +1210,12 @@ object Similarity {
     */
   def ivfBuildPq(emb: DataFrame, dir: String,
       stride: Long = CentroidStride,
-      trainSample: Int = TrainSample): Unit = {
+      trainSample: Int = TrainSample,
+      pqStride: Long = PqStride): Unit = {
     val all = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
     val centArr = collectCents(trainedCents(all, stride, trainSample))
-    val (pqIds, pqBySub) = pqCodebook(all)
+    val (pqIds, pqBySub) = pqCodebook(all, pqStride)
     val assigned = assignCells(all, centArr)
       .withColumn("codes", graft.functions.VectorFunctions.pq_encode(
         col("v"), pqIds, pqBySub, PqSubDim))
