@@ -1085,6 +1085,13 @@ object SparkEntry {
       (s, dir) => Pipeline.contamination(T(s, dir, "documents"))
     },
 
+    // Contamination as a broadcast 4 KB Bloom filter: map-only probe
+    // of the train side, deterministic (oracle-identical) false
+    // positives quantified against the exact join's verdict.
+    q("ns_contamination_bloom", Pipeline.contaminationBloomOracle()) {
+      (s, dir) => Pipeline.contaminationBloom(T(s, dir, "documents"))
+    },
+
     // Sequence packing into 256-token bins, per source shard.
     q("ns_seq_pack", Pipeline.seqPackOracle(256)) {
       (s, dir) => Pipeline.seqPack(T(s, dir, "documents"), 256)

@@ -38,6 +38,20 @@ object Pipeline {
     * keys at scale.
     */
   def contamination(docs: DataFrame, maxDf: Int = MaxShingleDf): DataFrame = {
+    val (evalSh, trainSh) = contaminationShingles(docs, maxDf)
+    trainSh.join(evalSh, "sh")
+      .groupBy("train_id")
+      .agg(countDistinct(col("eval_id")).as("n_eval_docs"),
+        count(lit(1)).as("n_shared"))
+      .orderBy("train_id")
+  }
+
+  /** The df-capped (eval_id, sh) / (train_id, sh) shingle frames the
+    * contamination checks probe — shared so the exact join and the
+    * Bloom variant see identical sets.
+    */
+  private def contaminationShingles(docs: DataFrame,
+      maxDf: Int): (DataFrame, DataFrame) = {
     val base = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
     val eval_ = base.filter(col("doc_id") % 25 === 0)
@@ -55,12 +69,8 @@ object Pipeline {
       .unionAll(evalSh.select("sh"))
       .groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("sh")
-    trainSh.join(hot, Seq("sh"), "left_anti")
-      .join(evalSh.join(hot, Seq("sh"), "left_anti"), "sh")
-      .groupBy("train_id")
-      .agg(countDistinct(col("eval_id")).as("n_eval_docs"),
-        count(lit(1)).as("n_shared"))
-      .orderBy("train_id")
+    (evalSh.join(hot, Seq("sh"), "left_anti"),
+      trainSh.join(hot, Seq("sh"), "left_anti"))
   }
 
   def contaminationOracle(maxDf: Int = MaxShingleDf): String =
@@ -85,6 +95,118 @@ object Pipeline {
        |  count(*) AS n_shared
        |FROM t2 JOIN e2 USING (sh)
        |GROUP BY train_id ORDER BY train_id""".stripMargin
+
+  /** Bloom words for the contamination filter: 1024 x 32-bit words =
+    * a 4 KB filter (32 bits per word keeps every shifted bit inside a
+    * positive BIGINT — no sign-bit portability questions).
+    */
+  val BloomWords = 1024
+
+  /** Contamination check as a broadcast BLOOM FILTER instead of a
+    * shingle join — the 100 TB shape when the eval set is fixed and
+    * the train side is the corpus: the filter is built once from the
+    * eval shingles (two salted md5 bit positions each, bit_or-folded
+    * into [[BloomWords]] words — a 4 KB table), broadcast, and every
+    * train shingle tests membership MAP-ONLY. No shuffle of train
+    * shingles at all, vs the exact join's shuffle of both sides.
+    * The price is false positives — and because the bit positions are
+    * deterministic md5 arithmetic, the EXACT SAME false positives
+    * occur in both engines, so this is oracle-checkable, and the
+    * output quantifies the trade directly: per train doc, bloom hits
+    * vs the exact join's verdict plus a false-positive flag. (This is
+    * the explicit form of the pattern Spark injects implicitly as
+    * runtime bloom-filter joins — BloomJoinSpec pins that one.)
+    */
+  def contaminationBloom(docs: DataFrame,
+      maxDf: Int = MaxShingleDf, words: Int = BloomWords): DataFrame = {
+    val (evalSh, trainSh) = contaminationShingles(docs, maxDf)
+    val bits = words * 32L
+    def pos(tag: String) =
+      H.hash60(concat(lit(tag), col("sh"))) % bits
+    val bloom = evalSh
+      .select(explode(array(pos("b1_"), pos("b2_"))).as("p"))
+      .select(expr("p DIV 32").as("w"), (col("p") % 32).cast("int").as("b"))
+      .groupBy("w")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))").as("word"))
+    val probed = trainSh
+      .withColumn("p1", pos("b1_")).withColumn("p2", pos("b2_"))
+      .select(col("train_id"), col("sh"),
+        expr("p1 DIV 32").as("w1"), (col("p1") % 32).cast("int").as("b1"),
+        expr("p2 DIV 32").as("w2"), (col("p2") % 32).cast("int").as("b2"))
+    val j = probed
+      .join(broadcast(bloom.select(col("w").as("w1"), col("word").as("word1"))),
+        Seq("w1"), "left")
+      .join(broadcast(bloom.select(col("w").as("w2"), col("word").as("word2"))),
+        Seq("w2"), "left")
+      .withColumn("hit",
+        coalesce(expr("shiftright(word1, b1) & 1"), lit(0L)) === 1 &&
+          coalesce(expr("shiftright(word2, b2) & 1"), lit(0L)) === 1)
+    val perDoc = j.groupBy("train_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_hit"))
+    val exact = trainSh.join(evalSh, "sh")
+      .select("train_id").distinct()
+      .withColumn("is_true", lit(true))
+    perDoc.join(exact, Seq("train_id"), "left")
+      .select(col("train_id"), col("n_sh"), col("n_hit"),
+        (col("n_hit") > 0).as("bloom_flagged"),
+        coalesce(col("is_true"), lit(false)).as("exact_contaminated"),
+        (col("n_hit") > 0 && !coalesce(col("is_true"), lit(false)))
+          .as("false_positive"))
+      .orderBy("train_id")
+  }
+
+  def contaminationBloomOracle(maxDf: Int = MaxShingleDf,
+      words: Int = BloomWords): String = {
+    val bits = words * 32L
+    s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |ev AS (SELECT doc_id AS eval_id, toks FROM base
+       |       WHERE doc_id % 25 = 0 AND len(toks) >= 3),
+       |tr AS (SELECT doc_id + $VariantIdOffset AS train_id, toks[2:] AS toks
+       |       FROM base WHERE len(toks) > 3),
+       |evsh AS (SELECT eval_id, unnest(list_distinct(
+       |    list_transform(range(1, len(toks)-1),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+       |  FROM ev),
+       |trsh AS (SELECT train_id, unnest(list_distinct(
+       |    list_transform(range(1, len(toks)-1),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+       |  FROM tr),
+       |hot AS (SELECT sh FROM (SELECT sh FROM trsh UNION ALL SELECT sh FROM evsh)
+       |        GROUP BY sh HAVING count(*) > $maxDf),
+       |t2 AS (SELECT * FROM trsh WHERE sh NOT IN (SELECT sh FROM hot)),
+       |e2 AS (SELECT * FROM evsh WHERE sh NOT IN (SELECT sh FROM hot)),
+       |bloompos AS (SELECT unnest([
+       |    ${H.duckHash60("'b1_' || sh")} % $bits,
+       |    ${H.duckHash60("'b2_' || sh")} % $bits]) AS p FROM e2),
+       |bloom AS (SELECT p // 32 AS w,
+       |    bit_or((1::BIGINT) << ((p % 32)::INT)) AS word
+       |  FROM bloompos GROUP BY 1),
+       |probed AS (SELECT train_id,
+       |    p1 // 32 AS w1, (p1 % 32)::INT AS b1,
+       |    p2 // 32 AS w2, (p2 % 32)::INT AS b2
+       |  FROM (SELECT train_id,
+       |      ${H.duckHash60("'b1_' || sh")} % $bits AS p1,
+       |      ${H.duckHash60("'b2_' || sh")} % $bits AS p2
+       |    FROM t2)),
+       |j AS (SELECT train_id,
+       |    CASE WHEN coalesce((x1.word >> b1) & 1, 0) = 1
+       |          AND coalesce((x2.word >> b2) & 1, 0) = 1
+       |      THEN 1 ELSE 0 END AS hit
+       |  FROM probed
+       |  LEFT JOIN bloom x1 ON w1 = x1.w
+       |  LEFT JOIN bloom x2 ON w2 = x2.w),
+       |perdoc AS (SELECT train_id, count(*) AS n_sh,
+       |    sum(hit)::BIGINT AS n_hit
+       |  FROM j GROUP BY 1),
+       |exact AS (SELECT DISTINCT train_id FROM t2 JOIN e2 USING (sh))
+       |SELECT p.train_id, n_sh, n_hit,
+       |  n_hit > 0 AS bloom_flagged,
+       |  (e.train_id IS NOT NULL) AS exact_contaminated,
+       |  (n_hit > 0 AND e.train_id IS NULL) AS false_positive
+       |FROM perdoc p LEFT JOIN exact e USING (train_id)
+       |ORDER BY train_id""".stripMargin
+  }
 
   /** Sequence packing: assign each document to a fixed token-budget
     * bin, packing greedily in doc_id order WITHIN its source shard

@@ -63,6 +63,15 @@ class PlanGoldenSpec extends SparkSpec {
     // custom operator: partial + final TopKPerKeyExec, ONE exchange
     // between them (vs the window form's full-input exchange above)
     "o3_topk_exec" -> "Exchange:2,TopKPerKey:2",
+    // persisted IVF-PQ serving path: every join broadcast (centroid /
+    // LUT / probe sides are all tiny), zero SortMergeJoin — a flip to
+    // a shuffled join here means a broadcast threshold regressed
+    "ns_knn_ivfpq_indexed" ->
+      ("BroadcastExchange:6,BroadcastHashJoin:4,BroadcastNestedLoopJoin:2," +
+        "Exchange:4,Generate:1,HashAggregate:2,Window:3,WindowGroupLimit:5"),
+    "ns_knn_pq_rerank" ->
+      ("BroadcastExchange:4,BroadcastHashJoin:3,BroadcastNestedLoopJoin:1," +
+        "Exchange:3,Generate:1,HashAggregate:2,Window:2,WindowGroupLimit:3"),
     "ns_seq_pack" -> "Exchange:2,Window:1",
     "ns_dedup_exact" -> "Exchange:2,HashAggregate:2",
     "ns_dedup_minhash_lsh" ->
