@@ -1345,6 +1345,19 @@ object SparkEntry {
       (s, dir) => Similarity.knnPqRerankRecall(T(s, dir, "embeddings"), 50, 3, 32)
     },
 
+    // Trained PQ codebook: stride seeds refined with one per-subspace
+    // Lloyd round (hash-sampled, fixed-point means — the IVF
+    // quantizer's devices applied to each 8-dim subspace).
+    q("ns_knn_pq_trained", Similarity.knnPqTrainedOracle(50, 3, 32)) {
+      (s, dir) => Similarity.knnPqTrained(T(s, dir, "embeddings"), 50, 3, 32)
+    },
+
+    // What training the codebook buys: recall@3 vs exact L2.
+    q("ns_knn_pq_trained_recall",
+      Similarity.knnPqTrainedRecallOracle(50, 3, 32)) {
+      (s, dir) => Similarity.knnPqTrainedRecall(T(s, dir, "embeddings"), 50, 3, 32)
+    },
+
     // IVF-PQ: the composed serving stack — coarse cells prune the
     // candidates, compressed codes price the scoring, exact rerank
     // restores the ranking.

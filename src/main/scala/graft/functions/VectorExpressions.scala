@@ -317,7 +317,7 @@ case class SqDist(left: Expression, right: Expression)
   * (S x C x subDim, collected once) rides in as a reference object;
   * no shuffle, no n x C scored stream, whole-stage codegen intact.
   */
-case class PqEncode(child: Expression, codeIds: Array[Long],
+case class PqEncode(child: Expression, codeIds: Array[Array[Long]],
     codeVecs: Array[Array[Array[Double]]], subDim: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
@@ -329,7 +329,7 @@ case class PqEncode(child: Expression, codeIds: Array[Long],
     PqEncode.compute(input.asInstanceOf[ArrayData], codeIds, codeVecs, subDim)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ids = ctx.addReferenceObj("pqIds", codeIds, "long[]")
+    val ids = ctx.addReferenceObj("pqIds", codeIds, "long[][]")
     val vecs = ctx.addReferenceObj("pqVecs", codeVecs, "double[][][]")
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.PqEncode.compute($c, $ids, $vecs, $subDim);")
@@ -340,10 +340,13 @@ case class PqEncode(child: Expression, codeIds: Array[Long],
 }
 
 object PqEncode {
-  /** codeVecs is subspace-major: codeVecs(s)(c) is codebook entry c's
-    * slice for subspace s, aligned with codeIds(c).
+  /** Subspace-major codebook: codeVecs(s)(c) is entry c's slice for
+    * subspace s, aligned with codeIds(s)(c). Ids are per subspace
+    * because a TRAINED codebook drops memberless entries
+    * independently in each subspace (the stride codebook passes the
+    * same id row for every s).
     */
-  def compute(v: ArrayData, ids: Array[Long],
+  def compute(v: ArrayData, ids: Array[Array[Long]],
       vecs: Array[Array[Array[Double]]], subDim: Int): ArrayData = {
     val nSub = vecs.length
     val codes = new Array[Long](nSub)
@@ -351,6 +354,7 @@ object PqEncode {
     while (s < nSub) {
       val off = s * subDim
       val cands = vecs(s)
+      val candIds = ids(s)
       var best = Double.PositiveInfinity
       var bestId = Long.MaxValue
       var c = 0
@@ -365,9 +369,9 @@ object PqEncode {
         }
         // Double.compare: NaN greatest, matching SQL ASC-last ordering
         val cmp = java.lang.Double.compare(d2, best)
-        if (cmp < 0 || (cmp == 0 && ids(c) < bestId)) {
+        if (cmp < 0 || (cmp == 0 && candIds(c) < bestId)) {
           best = d2
-          bestId = ids(c)
+          bestId = candIds(c)
         }
         c += 1
       }
@@ -494,9 +498,9 @@ object VectorFunctions {
       SqDist(graftShims.toExpression(a), graftShims.toExpression(b)))
 
   /** Codegen'd product-quantization encoder over a subspace-major
-    * codebook (ids aligned with the second index of vecs).
+    * codebook (ids(s) aligned with vecs(s)).
     */
-  def pq_encode(v: Column, ids: Array[Long],
+  def pq_encode(v: Column, ids: Array[Array[Long]],
       vecs: Array[Array[Array[Double]]], subDim: Int): Column =
     graftShims.toColumn(
       PqEncode(graftShims.toExpression(v), ids, vecs, subDim))

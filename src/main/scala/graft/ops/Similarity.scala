@@ -836,14 +836,81 @@ object Similarity {
     * geometry.
     */
   private def pqCodebook(all: DataFrame, stride: Long = PqStride)
-      : (Array[Long], Array[Array[Array[Double]]]) = {
+      : (Array[Array[Long]], Array[Array[Array[Double]]]) = {
     val seeds = all.filter(col("vec_id") % stride === 0)
       .select(col("vec_id"), col("v")).orderBy("vec_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val ids = seeds.map(_._1)
+    val idRow = seeds.map(_._1)
+    val ids = Array.fill(PqSubspaces)(idRow)
     val bySub = Array.tabulate(PqSubspaces) { s =>
       seeds.map(_._2.slice(s * PqSubDim, (s + 1) * PqSubDim))
     }
+    (ids, bySub)
+  }
+
+  /** Lloyd refinement rounds for the trained PQ codebook. */
+  val PqLloydRounds = 1
+
+  /** Training-sample hash for the PQ codebook (salted independently
+    * of the IVF quantizer's `tr_` sample).
+    */
+  private def pqTrainHash(id: Column): Column =
+    H.hash30(concat(lit("ptr_"), id.cast("string")))
+
+  /** TRAINED PQ codebook: the stride seeds refined with
+    * [[PqLloydRounds]] Lloyd rounds PER SUBSPACE over the
+    * hash-smallest `trainSample` vectors — the same corpus-size-
+    * independent training and fixed-point integer-mean devices as the
+    * IVF coarse quantizer ([[trainedCents]]), applied to each 8-dim
+    * subspace independently with L2 assignment (squared distance,
+    * ties to smallest id — [[graft.functions.SqDist]] arithmetic). A
+    * seed with no training members in a subspace drops from THAT
+    * subspace only, which is why the codebook ids are per subspace.
+    */
+  private[ops] def pqTrainedCodebook(all: DataFrame,
+      stride: Long = PqStride, trainSample: Int = TrainSample)
+      : (Array[Array[Long]], Array[Array[Array[Double]]]) = {
+    val subvecs = transform(sequence(lit(0), lit(PqSubspaces - 1)),
+      s => slice(col("v"), s * PqSubDim + 1, lit(PqSubDim)))
+    var cents = all.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cid"),
+        posexplode(subvecs).as(Seq("sub", "cv")))
+    val train = all
+      .withColumn("trh", pqTrainHash(col("vec_id")))
+      .orderBy(col("trh"), col("vec_id"))
+      .limit(trainSample)
+      .select(col("vec_id"), posexplode(subvecs).as(Seq("sub", "sv")))
+    for (_ <- 1 to PqLloydRounds) {
+      val scored = train.join(broadcast(cents), Seq("sub"))
+        .select(col("vec_id"), col("sub"), col("sv"), col("cid"),
+          graft.functions.VectorFunctions.sq_dist(col("sv"), col("cv"))
+            .as("d2"))
+      val w = Window.partitionBy("vec_id", "sub")
+        .orderBy(col("d2").asc, col("cid").asc)
+      val asg = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("sub"), col("cid").as("cell"), col("sv"))
+      val perDim = asg
+        .select(col("sub"), col("cell"),
+          posexplode(col("sv")).as(Seq("dim", "x")))
+        .select(col("sub"), col("cell"), col("dim"),
+          round(col("x") * FixPoint).cast("long").as("q"))
+        .groupBy("sub", "cell", "dim")
+        .agg(sum("q").as("s"), count(lit(1)).as("n"))
+      cents = perDim
+        .groupBy("sub", "cell")
+        .agg(collect_list(struct(col("dim"),
+          (col("s").cast("double") / (col("n") * lit(FixPoint.toDouble)))
+            .as("x"))).as("parts"))
+        .select(col("cell").as("cid"), col("sub"),
+          transform(array_sort(col("parts")), p => p.getField("x")).as("cv"))
+    }
+    val rows = cents.orderBy("sub", "cid").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val ids = Array.tabulate(PqSubspaces)(s =>
+      rows.filter(_._2 == s).map(_._1))
+    val bySub = Array.tabulate(PqSubspaces)(s =>
+      rows.filter(_._2 == s).map(_._3))
     (ids, bySub)
   }
 
@@ -870,8 +937,8 @@ object Similarity {
     // (query, subspace, codebook-entry) fixed-point distance table
     val spark = emb.sparkSession
     import spark.implicits._
-    val centsSub = ids.indices.flatMap { c =>
-      (0 until PqSubspaces).map(s => (ids(c), s, bySub(s)(c).toSeq))
+    val centsSub = (0 until PqSubspaces).flatMap { s =>
+      ids(s).indices.map(c => (ids(s)(c), s, bySub(s)(c).toSeq))
     }.toDF("cid", "sub", "cv")
     val lut = all.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
@@ -901,21 +968,67 @@ object Similarity {
        |FROM ranked WHERE rn <= $k
        |ORDER BY query_id, rn""".stripMargin
 
-  /** CTE chain (allv -> cents/codes/lut -> scored -> ranked) shared by
-    * the PQ oracles.
+  private def pqL2(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, ${PqSubDim + 1}),
+       |      i -> ($a[sub * $PqSubDim + i] - $b[i]) *
+       |           ($a[sub * $PqSubDim + i] - $b[i])))""".stripMargin
+
+  /** Stride-seeded codebook CTE: defines `cents(cid, sub, cv)`. */
+  private def pqStrideCentsCte: String =
+    s"""cents AS (SELECT vec_id AS cid, sub,
+       |    v[sub * $PqSubDim + 1 : sub * $PqSubDim + $PqSubDim] AS cv
+       |  FROM allv, subs WHERE vec_id % $PqStride = 0)""".stripMargin
+
+  /** Trained-codebook CTE chain, mirroring [[pqTrainedCodebook]]:
+    * stride seeds, hash-smallest training sample, one per-subspace
+    * (pscored, pasg, pupd) Lloyd block per round with fixed-point
+    * integer means; ends defining `cents(cid, sub, cv)`.
     */
-  private def pqRankedCtes(nQueries: Int): String = {
-    def l2(a: String, b: String): String =
-      s"""list_sum(list_transform(range(1, ${PqSubDim + 1}),
-         |      i -> ($a[sub * $PqSubDim + i] - $b[i]) *
-         |           ($a[sub * $PqSubDim + i] - $b[i])))""".stripMargin
+  private def pqTrainedCentsCte(trainSample: Int): String = {
+    def svL2 = s"""list_sum(list_transform(range(1, ${PqSubDim + 1}),
+       |      i -> (t.sv[i] - c.cv[i]) * (t.sv[i] - c.cv[i])))""".stripMargin
+    val lloyd = (1 to PqLloydRounds).map { r =>
+      val prev = if (r == 1) "pcents_0" else s"pcents_${r - 1}"
+      val name = if (r == PqLloydRounds) "cents" else s"pcents_$r"
+      s"""pscored_$r AS (SELECT t.vec_id, t.sub, t.sv, c.cid,
+         |    $svL2 AS d2
+         |  FROM ptrain t JOIN $prev c ON t.sub = c.sub),
+         |pasg_$r AS (SELECT sub, cell, sv FROM (
+         |    SELECT sub, sv, cid AS cell,
+         |      row_number() OVER (PARTITION BY vec_id, sub
+         |        ORDER BY d2 ASC, cid ASC) AS rn
+         |    FROM pscored_$r) WHERE rn = 1),
+         |pupd_$r AS (SELECT sub, cell, dim, sum(q) AS s, count(*) AS n FROM (
+         |    SELECT sub, cell, dim, round(sv[dim] * $FixPoint)::BIGINT AS q
+         |    FROM pasg_$r CROSS JOIN
+         |      (SELECT unnest(range(1, ${PqSubDim + 1})) AS dim) d)
+         |  GROUP BY 1, 2, 3),
+         |$name AS (SELECT cell AS cid, sub,
+         |    list(s::DOUBLE / (n * $FixPoint.0) ORDER BY dim) AS cv
+         |  FROM pupd_$r GROUP BY cell, sub)""".stripMargin
+    }.mkString(",\n")
+    s"""pcents_0 AS (SELECT vec_id AS cid, sub,
+       |    v[sub * $PqSubDim + 1 : sub * $PqSubDim + $PqSubDim] AS cv
+       |  FROM allv, subs WHERE vec_id % $PqStride = 0),
+       |ptrain AS (SELECT vec_id, sub,
+       |    v[sub * $PqSubDim + 1 : sub * $PqSubDim + $PqSubDim] AS sv
+       |  FROM (SELECT vec_id, v FROM allv
+       |        ORDER BY ${H.duckHash30("'ptr_' || vec_id::VARCHAR")},
+       |          vec_id LIMIT $trainSample), subs),
+       |$lloyd""".stripMargin
+  }
+
+  /** CTE chain (allv -> cents/codes/lut -> scored -> ranked) shared by
+    * the PQ oracles; `centsCte` must define `cents(cid, sub, cv)`.
+    */
+  private def pqRankedCtes(nQueries: Int,
+      centsCte: String = pqStrideCentsCte): String = {
+    def l2(a: String, b: String): String = pqL2(a, b)
     s"""allv AS (SELECT vec_id,
        |    list_transform(embedding, x -> x::DOUBLE) AS v
        |  FROM embeddings),
        |subs AS (SELECT unnest(range(0, $PqSubspaces)) AS sub),
-       |cents AS (SELECT vec_id AS cid, sub,
-       |    v[sub * $PqSubDim + 1 : sub * $PqSubDim + $PqSubDim] AS cv
-       |  FROM allv, subs WHERE vec_id % $PqStride = 0),
+       |$centsCte,
        |codes AS (SELECT vec_id, sub, cid AS code FROM (
        |    SELECT a.vec_id, c.sub, c.cid,
        |      row_number() OVER (PARTITION BY a.vec_id, c.sub
@@ -949,14 +1062,34 @@ object Similarity {
   def knnPqRerank(emb: DataFrame, nQueries: Int = 50, k: Int = 3,
       shortlist: Int = 16): DataFrame = {
     val all = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val (ids, bySub) = pqCodebook(all)
+    pqRerankWith(all, pqCodebook(all), nQueries, k, shortlist)
+  }
+
+  /** [[knnPqRerank]] with the TRAINED codebook
+    * ([[pqTrainedCodebook]]) — what per-subspace Lloyd refinement
+    * buys over raw stride seeding, measured by
+    * [[knnPqTrainedRecall]] against the same exact ranking.
+    */
+  def knnPqTrained(emb: DataFrame, nQueries: Int = 50, k: Int = 3,
+      shortlist: Int = 16): DataFrame = {
+    val all = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    pqRerankWith(all, pqTrainedCodebook(all), nQueries, k, shortlist)
+  }
+
+  /** Shared two-stage (ADC shortlist -> exact rerank) pipeline over a
+    * collected codebook.
+    */
+  private def pqRerankWith(all: DataFrame,
+      codebook: (Array[Array[Long]], Array[Array[Array[Double]]]),
+      nQueries: Int, k: Int, shortlist: Int): DataFrame = {
+    val (ids, bySub) = codebook
     val codes = all.select(col("vec_id"),
       posexplode(graft.functions.VectorFunctions.pq_encode(
         col("v"), ids, bySub, PqSubDim)).as(Seq("sub", "code")))
-    val spark = emb.sparkSession
+    val spark = all.sparkSession
     import spark.implicits._
-    val centsSub = ids.indices.flatMap { c =>
-      (0 until PqSubspaces).map(s => (ids(c), s, bySub(s)(c).toSeq))
+    val centsSub = (0 until PqSubspaces).flatMap { s =>
+      ids(s).indices.map(c => (ids(s)(c), s, bySub(s)(c).toSeq))
     }.toDF("cid", "sub", "cv")
     val queries = all.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
@@ -989,9 +1122,22 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  def knnPqTrainedOracle(nQueries: Int = 50, k: Int = 3,
+      shortlist: Int = 16,
+      trainSample: Int = TrainSample): String =
+    knnPqRerankOracle(nQueries, k, shortlist,
+      pqTrainedCentsCte(trainSample))
+
+  def knnPqTrainedRecallOracle(nQueries: Int = 50, k: Int = 3,
+      shortlist: Int = 16,
+      trainSample: Int = TrainSample): String =
+    pqRecallOracleOver(
+      knnPqTrainedOracle(nQueries, k, shortlist, trainSample), nQueries, k)
+
   def knnPqRerankOracle(nQueries: Int = 50, k: Int = 3,
-      shortlist: Int = 16): String =
-    s"""WITH ${pqRankedCtes(nQueries)},
+      shortlist: Int = 16,
+      centsCte: String = pqStrideCentsCte): String =
+    s"""WITH ${pqRankedCtes(nQueries, centsCte)},
        |short AS (SELECT query_id, neighbor_id FROM ranked
        |  WHERE rn <= $shortlist),
        |rescored AS (SELECT s.query_id, s.neighbor_id,
@@ -1101,8 +1247,8 @@ object Similarity {
     val qprobes = qscored.withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("cid").as("cell"))
-    val centsSub = pqIds.indices.flatMap { c =>
-      (0 until PqSubspaces).map(s => (pqIds(c), s, pqBySub(s)(c).toSeq))
+    val centsSub = (0 until PqSubspaces).flatMap { s =>
+      pqIds(s).indices.map(c => (pqIds(s)(c), s, pqBySub(s)(c).toSeq))
     }.toDF("cid", "sub", "cv")
     val lut = queries.crossJoin(centsSub)
       .select(col("query_id"), col("sub"), col("cid"),
@@ -1223,8 +1369,8 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$dir/centroids")
     val spark = emb.sparkSession
     import spark.implicits._
-    pqIds.indices.flatMap { c =>
-      (0 until PqSubspaces).map(s => (pqIds(c), s, pqBySub(s)(c).toSeq))
+    (0 until PqSubspaces).flatMap { s =>
+      pqIds(s).indices.map(c => (pqIds(s)(c), s, pqBySub(s)(c).toSeq))
     }.toDF("cid", "sub", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/pqcents")
     assigned.write.mode("overwrite").partitionBy("cell")
@@ -1348,6 +1494,42 @@ object Similarity {
        |  ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
 
+  /** Recall@k of the trained-codebook two-stage search vs exact L2 —
+    * the measured value of per-subspace Lloyd refinement.
+    */
+  def knnPqTrainedRecall(emb: DataFrame, nQueries: Int = 50, k: Int = 3,
+      shortlist: Int = 16): DataFrame =
+    pqRecallAgainstExact(emb,
+      knnPqTrained(emb, nQueries, k, shortlist), nQueries, k)
+
+  /** recall@k of any approx (query_id, neighbor_id) result against
+    * the exact L2 top-k — shared tail of the PQ recall measurements.
+    */
+  private def pqRecallAgainstExact(emb: DataFrame, approxTopk: DataFrame,
+      nQueries: Int, k: Int): DataFrame = {
+    val all = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val queries = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scoredExact = broadcast(queries)
+      .join(all, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graft.functions.VectorFunctions.sq_dist(col("qv"), col("v"))
+          .as("d2"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("d2").asc, col("neighbor_id").asc)
+    val exact = scoredExact.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = approxTopk
+      .select(col("query_id").as("aq"), col("neighbor_id").as("hit_id"))
+    exact.join(approx,
+        col("query_id") === col("aq") && col("neighbor_id") === col("hit_id"),
+        "left")
+      .groupBy("query_id")
+      .agg(round(count(col("hit_id")) / lit(k.toDouble), 4).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** Recall@k of the two-stage (ADC shortlist + exact rerank) search
     * vs exact L2 — the number that justifies shipping the compressed
     * codes: compare with [[knnPqRecall]] to see what rerank buys back.
@@ -1379,6 +1561,14 @@ object Similarity {
 
   def knnPqRerankRecallOracle(nQueries: Int = 50, k: Int = 3,
       shortlist: Int = 16): String =
+    pqRecallOracleOver(knnPqRerankOracle(nQueries, k, shortlist),
+      nQueries, k)
+
+  /** recall@k of any nested PQ-search SQL against the exact L2
+    * ranking — the shared tail of the PQ recall oracles.
+    */
+  private def pqRecallOracleOver(innerSql: String,
+      nQueries: Int, k: Int): String =
     s"""WITH exact_scored AS (SELECT q.vec_id AS query_id,
        |    a.vec_id AS neighbor_id,
        |    list_sum(list_transform(range(1, 65),
@@ -1395,7 +1585,7 @@ object Similarity {
        |        ORDER BY d2 ASC, neighbor_id ASC) AS rn
        |    FROM exact_scored) WHERE rn <= $k),
        |pq AS (
-       |${knnPqRerankOracle(nQueries, k, shortlist)})
+       |$innerSql)
        |SELECT e.query_id,
        |  round(count(p.neighbor_id) / $k.0, 4) AS recall
        |FROM exact_topk e LEFT JOIN pq p
