@@ -1,0 +1,31 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.ops.T
+
+/** The Bloom contamination check's defining guarantee: NO FALSE
+  * NEGATIVES — every doc the exact shingle join flags must also be
+  * bloom-flagged (a Bloom filter can only err toward extra
+  * positives). Asserted on the real fixture, plus a sanity bound on
+  * the false-positive rate the 4 KB filter is sized for.
+  */
+class BloomContaminationSpec extends SparkSpec {
+
+  test("bloom flags are a superset of exact contamination; FP rate bounded") {
+    val rows = Pipeline.contaminationBloom(T(spark, sf, "documents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(3), r.getBoolean(4),
+        r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    val falseNegatives = rows.filter { case (_, bloom, exact, _) =>
+      exact && !bloom
+    }
+    assert(falseNegatives.isEmpty,
+      s"bloom missed contaminated docs: ${falseNegatives.take(5)}")
+    // flagged = exact + FP, never fewer
+    val clean = rows.count(!_._3)
+    val fps = rows.count(_._4)
+    assert(clean == 0 || fps.toDouble / clean < 0.25,
+      s"FP rate $fps/$clean above the filter's design range")
+  }
+}
