@@ -44,6 +44,15 @@ object SparkEntry {
       java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  /** Per-(tag, sfDir) scratch path for derived data layouts (Z-order
+    * clustered copies, shard trees, compacted trees) — built once,
+    * reused across reps, same lifecycle as the persisted IVF index.
+    */
+  private def layoutDir(tag: String, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-lay-$tag-" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   // ---------------------------------------------------------------- //
 
   private lazy val registry: Seq[Q] = Seq(
@@ -973,6 +982,16 @@ object SparkEntry {
     },
 
     // TF-IDF: top-3 scoring tokens per document.
+    // Count-min-sketch heavy hitters: frequency estimation whose
+    // sketch build shuffles a FIXED 4x4096 cell grid regardless of
+    // corpus/vocab size (SketchSpec measures it); deterministic
+    // salted-md5 buckets make Spark and DuckDB build the same sketch
+    // with the same collisions, and the output quantifies the error
+    // (overestimate >= 0 by the CMS one-sided guarantee).
+    q("ns_heavy_hitters", Sketch.heavyHittersOracle(20)) {
+      (s, dir) => Sketch.heavyHitters(T(s, dir, "documents"), 20)
+    },
+
     q("ns_tfidf", Analysis.tfidfTop3Oracle) {
       (s, dir) => Analysis.tfidfTop3(T(s, dir, "documents"))
     },
@@ -1119,6 +1138,65 @@ object SparkEntry {
     // capped rates from exact integer token masses.
     q("ns_domain_mix", Pipeline.domainMixOracle) {
       (s, dir) => Pipeline.domainMix(T(s, dir, "documents"))
+    },
+
+    // Z-order clustered layout: cluster lineitem along the Morton
+    // curve of (l_partkey, l_suppkey) once per sfDir, then answer a
+    // 2-d rectangle query from the clustered copy. Results are
+    // layout-independent (oracle runs on the raw table, Z-key
+    // recomputed by the identical shift/mask ladder); what the layout
+    // buys is footer-stat pruning on BOTH dimensions — ZOrderSpec
+    // measures rows-read clustered vs linear for this exact query.
+    q("ns_zorder_rect", ops.Layout.zorderRectOracle(100, 300, 10, 40)) {
+      (s, dir) =>
+        val lay = layoutDir("zorder-li", dir)
+        if (!new java.io.File(s"$lay/_SUCCESS").exists())
+          ops.Layout.zorderWrite(
+            T(s, dir, "lineitem").select("l_orderkey", "l_linenumber",
+              "l_partkey", "l_suppkey"),
+            "l_partkey", "l_suppkey", lay)
+        ops.Layout.zorderRect(s.read.parquet(lay), 100, 300, 10, 40)
+    },
+
+    // Small-file compaction: the shard-written documents tree (many
+    // small files per source partition) merged with coalesce — no
+    // shuffle, rows never cross the network — then content-
+    // fingerprinted per source; the oracle computes the same
+    // fingerprint from the raw table, so a lost/duplicated/corrupted
+    // row anywhere in shard-write or compaction breaks the hash.
+    q("ns_compact_parity", ops.Layout.contentFingerprintOracle()) {
+      (s, dir) =>
+        val comp = layoutDir("compact-docs", dir)
+        if (!new java.io.File(s"$comp/_SUCCESS").exists()) {
+          val shards = layoutDir("shards-docs", dir)
+          if (!new java.io.File(s"$shards/_SUCCESS").exists())
+            Pipeline.writeShards(T(s, dir, "documents"), shards, 50)
+          ops.Layout.compactShards(s, shards, comp)
+        }
+        ops.Layout.contentFingerprint(s.read.parquet(comp))
+    },
+
+    // Copy-on-write delete: a doc_id-range delete against a
+    // doc_id-clustered copy rewrites only the files whose footer
+    // range intersects the predicate (DeleteSpec measures the
+    // affected-file count); survivors are content-fingerprinted and
+    // must match the raw table minus the deleted range exactly.
+    q("ns_delete_rewrite",
+      ops.Layout.contentFingerprintOracle(
+        "NOT (doc_id BETWEEN 100 AND 140)")) {
+      (s, dir) =>
+        val out = layoutDir("cow-delete", dir)
+        if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+          val src = layoutDir("docs-byid", dir)
+          if (!new java.io.File(s"$src/_SUCCESS").exists())
+            T(s, dir, "documents")
+              .repartitionByRange(16, col("doc_id"))
+              .sortWithinPartitions("doc_id")
+              .write.mode("overwrite").parquet(src)
+          ops.Layout.deleteRewrite(s, src, out,
+            col("doc_id").between(100, 140))
+        }
+        ops.Layout.contentFingerprint(s.read.parquet(out))
     },
 
     // Sub-document (chunk-level) dedup: fixed-token chunks hashed,

@@ -1,0 +1,198 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-layout management: multi-dimensional clustering (Z-order) and
+  * small-file compaction. Neither changes query RESULTS — both change
+  * what a 100 TB scan has to READ, which is the difference between a
+  * pruned petabyte and a full one.
+  *
+  * Scale posture:
+  *  - Z-ordering pays ONE range-shuffle at write time (exactly like a
+  *    global sort) and buys row-group/file skipping on EVERY later
+  *    rectangle query over the clustered dimensions. A 1-d sort gives
+  *    tight min/max footer stats on one column only; the Morton curve
+  *    gives tight-ish stats on BOTH, so parquet predicate pushdown
+  *    prunes most files for 2-d selective predicates (ZOrderSpec
+  *    measures rows actually read, clustered vs linear, same query).
+  *  - The Z-key is pure bitwise arithmetic on the bucket-quantized
+  *    coordinates — a codegen'd Column expression here and the
+  *    identical `<< & |` chain in the DuckDB oracle, so clustering is
+  *    hash-checkable end to end.
+  *  - Compaction is coalesce-based: merging K small files into N big
+  *    ones moves NO rows over the network (no shuffle — coalesce only
+  *    unions input splits), reads each byte once and writes it once.
+  *    The driver loop is O(#partition-dirs), never O(#files); each
+  *    partition's merge is a distributed job. Small-file debt is the
+  *    classic failure mode of streaming/incremental sinks at scale —
+  *    a 100 TB table of 4 MB files spends more time opening footers
+  *    than scanning.
+  */
+object Layout {
+
+  /** Interleave steps: spread a 16-bit value so its bits occupy the
+    * even positions of a 32-bit word (the classic mask ladder).
+    */
+  private val SpreadSteps: Seq[(Int, Long)] = Seq(
+    8 -> 0x00FF00FFL, 4 -> 0x0F0F0F0FL, 2 -> 0x33333333L,
+    1 -> 0x55555555L)
+
+  private def spread16(c: Column): Column =
+    SpreadSteps.foldLeft(c) { case (v, (s, m)) =>
+      v.bitwiseOR(shiftleft(v, s)).bitwiseAND(lit(m))
+    }
+
+  /** 32-bit Morton (Z-order) key of two coordinates, each quantized to
+    * its low 16 bits. For domains wider than 2^16, quantize to a
+    * 65536-cell grid first (`pmod`/width-division) — footer-stat
+    * pruning only needs the curve locality, not full precision.
+    * BIGINT arithmetic throughout: ANSI-safe, no overflow possible.
+    */
+  def zkey(x: Column, y: Column): Column =
+    spread16(x.cast("bigint").bitwiseAND(lit(65535L)))
+      .bitwiseOR(shiftleft(
+        spread16(y.cast("bigint").bitwiseAND(lit(65535L))), 1))
+
+  private def spread16Sql(e: String): String = {
+    var v = s"((($e)::BIGINT) & 65535)"
+    for ((s, m) <- SpreadSteps) v = s"(($v | ($v << $s)) & $m)"
+    v
+  }
+
+  /** DuckDB twin of [[zkey]] — the same shift/mask ladder inline. */
+  def zkeySql(x: String, y: String): String =
+    s"(${spread16Sql(x)} | (${spread16Sql(y)} << 1))"
+
+  /** Write `df` clustered along the Morton curve of (xCol, yCol):
+    * range-partition by the Z-key into `nFiles` files, sort within
+    * each. The range shuffle is the one-time clustering cost (same
+    * O(n log n) as any global sort); every file then covers a compact
+    * curve segment, i.e. a small rectangle in (x, y) space, so its
+    * parquet footer min/max on BOTH columns is tight.
+    */
+  def zorderWrite(df: DataFrame, xCol: String, yCol: String,
+      outDir: String, nFiles: Int = 32): Unit =
+    df.withColumn("zkey", zkey(col(xCol), col(yCol)))
+      .repartitionByRange(nFiles, col("zkey"))
+      .sortWithinPartitions("zkey")
+      .write.mode("overwrite").parquet(outDir)
+
+  /** Rectangle query over a (possibly clustered) lineitem projection:
+    * both between-predicates reach the parquet scan as pushed filters,
+    * so on a Z-ordered layout most files prune by footer stats alone.
+    * Results are layout-independent — the oracle runs on the raw
+    * table.
+    */
+  def zorderRect(lay: DataFrame, xLo: Int, xHi: Int, yLo: Int,
+      yHi: Int): DataFrame =
+    lay.filter(col("l_partkey").between(xLo, xHi) &&
+        col("l_suppkey").between(yLo, yHi))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("zkey"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  def zorderRectOracle(xLo: Int, xHi: Int, yLo: Int, yHi: Int): String =
+    s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |  ${zkeySql("l_partkey", "l_suppkey")} AS zkey
+       |FROM lineitem
+       |WHERE l_partkey BETWEEN $xLo AND $xHi
+       |  AND l_suppkey BETWEEN $yLo AND $yHi
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Compact a `partition=value`-laid-out parquet directory: merge
+    * each partition dir's files into ceil(bytes / targetBytes) outputs
+    * via coalesce (no shuffle — rows never cross the network). Returns
+    * (filesBefore, filesAfter). The compacted tree keeps the
+    * `source=...` dir names, so a read of `outDir` recovers the
+    * partition column unchanged.
+    */
+  def compactShards(spark: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long = 128L << 20): (Int, Int) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val in = new Path(inDir)
+    val fs = in.getFileSystem(conf)
+    val parts = fs.listStatus(in).filter(s =>
+      s.isDirectory && s.getPath.getName.contains("=")).map(_.getPath)
+    var before = 0
+    var after = 0
+    for (part <- parts.sortBy(_.getName)) {
+      val files = fs.listStatus(part)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      val bytes = files.map(_.getLen).sum
+      val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      before += files.length
+      after += n
+      spark.read.parquet(part.toString).coalesce(n)
+        .write.mode("overwrite")
+        .parquet(s"$outDir/${part.getName}")
+    }
+    // one _SUCCESS marker for create-once callers
+    fs.create(new Path(s"$outDir/_SUCCESS"), true).close()
+    (before, after)
+  }
+
+  /** Copy-on-write delete: remove rows matching `pred` from a parquet
+    * directory by rewriting ONLY the files that contain a match.
+    *
+    * Phase 1 finds affected files with a filter + `input_file_name()`
+    * distinct — the same pushed-predicate footer pruning that
+    * accelerates reads means most files are skipped without being
+    * scanned, and the collect is bounded by #files, never rows.
+    * Phase 2 rewrites the affected files' survivors as one
+    * distributed job (no shuffle — filter + write). Untouched files
+    * are carried over byte-for-byte; a production table format
+    * (manifest-based) would RETAIN them as metadata-only no-ops — the
+    * scale claim is that rewritten bytes are proportional to AFFECTED
+    * files, not table size, and DeleteSpec measures exactly that.
+    * Returns (affectedFiles, totalFiles).
+    */
+  def deleteRewrite(spark: SparkSession, inDir: String, outDir: String,
+      pred: Column): (Int, Int) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(inDir).getFileSystem(conf)
+    val all = fs.listStatus(new Path(inDir))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).sortBy(_.getName)
+    // match by basename: part-file names are unique within a dir, and
+    // input_file_name()'s URI scheme rendering (file:/// vs file:/)
+    // need not match Path.toString
+    val affected = spark.read.parquet(inDir).filter(pred)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(r => r.getString(0).split('/').last).toSet
+    val (hit, kept) = all.partition(p => affected.contains(p.getName))
+    if (hit.nonEmpty)
+      spark.read.parquet(hit.map(_.toString).toIndexedSeq: _*)
+        .filter(!pred)
+        .write.mode("overwrite").parquet(outDir)
+    else
+      fs.mkdirs(new Path(outDir))
+    for (p <- kept)
+      org.apache.hadoop.fs.FileUtil.copy(fs, p, fs,
+        new Path(s"$outDir/carry-${p.getName}"), false, conf)
+    fs.create(new Path(s"$outDir/_SUCCESS"), true).close()
+    (hit.length, all.length)
+  }
+
+  /** Per-source content fingerprint of a documents directory — the
+    * parity probe for compaction: identical on the raw table, the
+    * sharded tree, and the compacted tree, because compaction must be
+    * byte-lossless. hash30 keeps the sum of 100B doc fingerprints
+    * inside int64.
+    */
+  def contentFingerprint(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source").cast("string").as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(H.hash30(concat_ws("|", col("doc_id"), col("text"))))
+          .as("content_fp"))
+      .orderBy("source")
+
+  def contentFingerprintOracle(where: String = "TRUE"): String =
+    s"""SELECT source::VARCHAR AS source, count(*) AS n_docs,
+       |  sum(${H.duckHash30("doc_id || '|' || text")}) AS content_fp
+       |FROM documents
+       |WHERE $where
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+}

@@ -1,0 +1,150 @@
+package graft.ops
+
+import java.util.concurrent.atomic.LongAdder
+
+import graft.SparkSpec
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.functions._
+
+/** Data-layout claims measured, not asserted in prose:
+  *
+  *  - Z-ordering: the SAME rectangle query over the SAME rows reads
+  *    far fewer records from a Morton-clustered layout than from a
+  *    1-d-sorted one, because parquet footer min/max stats are tight
+  *    on BOTH dimensions only under the curve. This is the file-
+  *    skipping mechanism that turns a 100 TB 2-d-selective scan into
+  *    a few-file read.
+  *  - Compaction: merging a many-small-files shard tree is byte-
+  *    lossless (content fingerprint unchanged) and actually reduces
+  *    the file count to the ceil(bytes/target) bound, with zero
+  *    shuffle (coalesce moves no rows over the network).
+  */
+class LayoutSpec extends SparkSpec {
+
+  private class ReadTally extends SparkListener {
+    val records = new LongAdder; val shuffle = new LongAdder
+    override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+      val m = e.stageInfo.taskMetrics
+      if (m != null) {
+        records.add(m.inputMetrics.recordsRead)
+        shuffle.add(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+  }
+
+  private def measureRead(run: => Unit): (Long, Long) = {
+    val t = new ReadTally
+    spark.sparkContext.addSparkListener(t)
+    try {
+      run
+      org.apache.spark.GraftListenerDrain.drain(spark.sparkContext, 30000)
+    } finally spark.sparkContext.removeSparkListener(t)
+    (t.records.sum, t.shuffle.sum)
+  }
+
+  test("z-order clustering prunes a 2-d rectangle scan; linear sort does not") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val zDir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val linDir = java.nio.file.Files.createTempDirectory("graft-linear").toString
+    Layout.zorderWrite(li, "l_partkey", "l_suppkey", zDir, nFiles = 16)
+    // the control: same file count, same sort effort, but 1-d order —
+    // every file spans the full l_suppkey range and a partkey slice
+    li.withColumn("zkey", Layout.zkey(col("l_partkey"), col("l_suppkey")))
+      .repartitionByRange(16, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(linDir)
+
+    def rect(dir: String) =
+      Layout.zorderRect(spark.read.parquet(dir), 10, 30, 1, 4)
+
+    val expected = li.filter(col("l_partkey").between(10, 30) &&
+      col("l_suppkey").between(1, 4)).count()
+    assert(expected > 0, "fixture rectangle must be non-empty")
+
+    val (zRead, _) = measureRead { assert(rect(zDir).count() == expected) }
+    val (linRead, _) = measureRead { assert(rect(linDir).count() == expected) }
+
+    // The linear layout reads essentially the whole table (row-group
+    // stats can't prune: partkey 10-30 rows appear in a slice of files
+    // but suppkey spans everywhere within it); the clustered layout
+    // reads only the curve segments crossing the rectangle. 2x is the
+    // conservative floor — measured is typically far better.
+    info(s"records read: z-ordered=$zRead linear=$linRead " +
+      s"(${math.round(linRead.toDouble / zRead * 10) / 10.0}x pruning win)")
+    assert(zRead * 2 < linRead,
+      s"z-order must out-prune linear: zRead=$zRead linRead=$linRead")
+  }
+
+  test("z-key matches its own SQL twin on the session engine") {
+    // the Morton ladder is engine-agnostic integer arithmetic: the
+    // Column form and the SQL-text form (what the DuckDB oracle runs)
+    // must agree bit-for-bit, including the low-16-bit quantization
+    val df = spark.range(-3, 70000, 997)
+      .selectExpr("id AS x", "(id * 31 + 7) % 70000 AS y")
+    val viaColumn = df.select(Layout.zkey(col("x"), col("y")).as("z"))
+    val viaSql = df.selectExpr(
+      Layout.zkeySql("x", "y").replace("::BIGINT", "") + " AS z")
+    assert(viaColumn.exceptAll(viaSql).isEmpty &&
+      viaSql.exceptAll(viaColumn).isEmpty)
+  }
+
+  test("copy-on-write delete rewrites only footer-intersecting files") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-cow-src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-cow-out").toString
+    docs.repartitionByRange(16, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(srcDir)
+
+    val pred = col("doc_id").between(100, 140)
+    val (hit, total) = Layout.deleteRewrite(spark, srcDir, outDir, pred)
+    info(s"rewrote $hit of $total files for a 41-id range delete")
+    // a range delete against range-clustered files touches the files
+    // covering the range, not the table: with 16 files over the id
+    // space, a 41-id window must land in a small minority of them
+    assert(hit > 0 && hit <= total / 4,
+      s"expected a pruned rewrite, got $hit of $total files")
+
+    // survivor parity: fingerprint(out) == fingerprint(raw minus range)
+    val expected = Layout.contentFingerprint(docs.filter(!pred))
+      .collect().toSeq
+    val got = Layout.contentFingerprint(spark.read.parquet(outDir))
+      .collect().toSeq
+    assert(got == expected)
+    // and the deleted rows are actually gone
+    assert(spark.read.parquet(outDir).filter(pred).count() == 0)
+  }
+
+  test("compaction is byte-lossless and hits the file-count bound, shuffle-free") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val shardDir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val compDir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    // tiny maxRecordsPerFile forces the small-file debt compaction fixes
+    Pipeline.writeShards(docs, shardDir, maxRecordsPerFile = 5)
+
+    val t = new ReadTally
+    spark.sparkContext.addSparkListener(t)
+    val (before, after) =
+      try {
+        val r = Layout.compactShards(spark, shardDir, compDir)
+        org.apache.spark.GraftListenerDrain.drain(spark.sparkContext, 30000)
+        r
+      } finally spark.sparkContext.removeSparkListener(t)
+    assert(t.shuffle.sum == 0,
+      s"compaction must not shuffle (moved ${t.shuffle.sum} bytes)")
+
+    // content parity: fingerprint of compacted tree == raw table
+    val rawFp = Layout.contentFingerprint(docs).collect().toSeq
+    val compFp =
+      Layout.contentFingerprint(spark.read.parquet(compDir)).collect().toSeq
+    assert(rawFp == compFp)
+
+    val nSources = docs.select("source").distinct.count().toInt
+    val nFiles = spark.read.parquet(compDir).inputFiles.length
+    assert(after == nSources && nFiles == nSources,
+      s"expected 1 compacted file per source ($nSources), " +
+        s"found after=$after files=$nFiles")
+    assert(before > after, s"compaction must reduce files: $before -> $after")
+  }
+}

@@ -1,0 +1,72 @@
+package graft.ops
+
+import java.util.concurrent.atomic.LongAdder
+
+import graft.SparkSpec
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch invariants, measured on real executions:
+  *
+  *  - the sketch build's shuffle is the fixed depth x width grid —
+  *    growing the corpus 8x must NOT grow the exchange (map-side
+  *    combine collapses the token stream into at most depth*width
+  *    partial cells per task before any row moves);
+  *  - the CMS error is one-sided over the ENTIRE vocabulary: a
+  *    sketch cell is a sum over colliding tokens, so an estimate can
+  *    never undercount. A single negative overestimate means the
+  *    bucket arithmetic diverged between build and probe.
+  */
+class SketchSpec extends SparkSpec {
+
+  private class Tally extends SparkListener {
+    val sw = new LongAdder
+    override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+      val m = e.stageInfo.taskMetrics
+      if (m != null) sw.add(m.shuffleWriteMetrics.bytesWritten)
+    }
+  }
+
+  private def shuffleOf(run: => Unit): Long = {
+    val t = new Tally
+    spark.sparkContext.addSparkListener(t)
+    try {
+      run
+      org.apache.spark.GraftListenerDrain.drain(spark.sparkContext, 30000)
+    } finally spark.sparkContext.removeSparkListener(t)
+    t.sw.sum
+  }
+
+  test("sketch-build shuffle is the fixed grid: 8x the corpus, same bytes") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    // 8x the rows INSIDE the same partitions (a union would add
+    // tasks, and partial grids are per-task — the claim is
+    // row-independence at a given task count)
+    val docs8 = docs
+      .withColumn("rep", explode(array((0 until 8).map(lit(_)): _*)))
+      .select((col("doc_id") * 8 + col("rep")).as("doc_id"), col("text"))
+
+    val base = shuffleOf { assert(Sketch.cmsCells(docs).count() > 0) }
+    val big = shuffleOf {
+      assert(Sketch.cmsCells(docs8).count() <= Sketch.Depth * Sketch.Width)
+    }
+    // per-task partials are capped by the grid: 8x the token stream
+    // through the same tasks must not grow the exchange materially
+    assert(big <= base * 3 / 2,
+      s"8x corpus grew the sketch shuffle $base -> $big bytes")
+    assert(base < 256 * 1024, s"sketch build shuffled $base bytes")
+  }
+
+  test("CMS never underestimates, across the whole vocabulary") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // the full-vocab variant of the query: every token probed
+    val toks = Tok.tokens(docs, "text").select("token")
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("exact"))
+    val full = Sketch.heavyHitters(docs, topK = Int.MaxValue)
+    val bad = full.filter(col("overestimate") < 0).count()
+    assert(bad == 0, s"$bad tokens under-counted — bucket arithmetic diverged")
+    // and the probe covered the entire vocabulary
+    assert(full.count() == exact.count())
+  }
+}
