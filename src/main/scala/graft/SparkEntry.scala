@@ -942,6 +942,13 @@ object SparkEntry {
     },
 
     // Brute-force cosine top-k (exact ANN baseline).
+    // Label-noise detection: per-label fixed-point centroids, then a
+    // broadcast L-row margin scan — O(n·L) map-only, the linear
+    // replacement for the unshippable O(n²) k-NN label vote.
+    q("ns_label_noise", Similarity.labelNoiseOracle) {
+      (s, dir) => Similarity.labelNoise(T(s, dir, "embeddings"))
+    },
+
     q("ns_knn_bruteforce", Similarity.knnBruteForceOracle(10, 5)) {
       (s, dir) => Similarity.knnBruteForce(T(s, dir, "embeddings"), 10, 5)
     },
@@ -1120,6 +1127,21 @@ object SparkEntry {
     // MinHash band collisions (incoming x reference, not self-join).
     q("ns_dedup_cross", Pipeline.crossDedupOracle(0.5)) {
       (s, dir) => Pipeline.crossDedup(T(s, dir, "documents"), 0.5)
+    },
+
+    // Materialized-view maintenance: base partials merged with a
+    // delta batch's partials (all statistics kept mergeable); the
+    // oracle recomputes directly over the full table, so the hash
+    // match proves merge(base, delta) = recompute(all).
+    q("ns_incr_agg", Pipeline.incrementalAggOracle) {
+      (s, dir) => Pipeline.incrementalAgg(T(s, dir, "documents"))
+    },
+
+    // Snapshot diff: v1 vs a deterministically-derived v2, one
+    // full-outer join on fixed-width content hashes — the 100 TB
+    // version-audit shape (shuffle carries 16-byte rows, not text).
+    q("ns_snapshot_diff", Pipeline.snapshotDiffOracle) {
+      (s, dir) => Pipeline.snapshotDiff(T(s, dir, "documents"))
     },
 
     // Deterministic per-source (domain-mix) sampling summary.

@@ -507,4 +507,94 @@ object Pipeline {
        |FROM documents
        |GROUP BY source ORDER BY source""".stripMargin
   }
+
+  /** Incremental (materialized-view) aggregation: the per-source
+    * corpus profile maintained as BASE-view partials merged with a
+    * DELTA batch's partials, instead of recomputed over everything.
+    * Every statistic is kept in its mergeable form — counts and sums,
+    * with the mean derived only at read time — which is the entire
+    * discipline of view maintenance: a 100 TB corpus's nightly batch
+    * costs O(delta + |view|), not O(corpus). The oracle computes the
+    * same profile DIRECTLY over the full table, so the hash match is
+    * the proof that merge(base, delta) = recompute(all).
+    */
+  def incrementalAgg(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("source"), col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_toks"))
+    def partials(df: DataFrame) = df.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
+        max("n_toks").as("max_toks"))
+    val base = partials(toks.filter(col("doc_id") % 10 =!= 0))
+    val delta = partials(toks.filter(col("doc_id") % 10 === 0))
+    base.unionByName(delta)
+      .groupBy("source")
+      .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
+        max("max_toks").as("max_toks"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("max_toks"),
+        round(col("n_tokens").cast("double") / col("n_docs"), 6)
+          .as("avg_toks"))
+      .orderBy("source")
+  }
+
+  def incrementalAggOracle: String =
+    """WITH t AS (SELECT source, len(string_split(text, ' '))::BIGINT
+      |    AS n_toks FROM documents)
+      |SELECT source, count(*) AS n_docs, sum(n_toks) AS n_tokens,
+      |  max(n_toks) AS max_toks,
+      |  round(sum(n_toks)::DOUBLE / count(*), 6) AS avg_toks
+      |FROM t GROUP BY source ORDER BY source""".stripMargin
+
+  /** Snapshot diff (data versioning): compare corpus v2 against v1 by
+    * content hash and report per-source added/removed/changed/
+    * unchanged counts. v2 is derived deterministically from v1 inside
+    * the query (every 17th doc dropped, every 13th rewritten, a block
+    * of new ids appended) so both engines see the same two snapshots.
+    * The diff itself is ONE full-outer join on doc_id comparing
+    * fixed-width hashes — O(n) shuffle of 16-byte rows, never text,
+    * which is what makes a 100 TB snapshot audit routine.
+    */
+  def snapshotDiff(docs: DataFrame): DataFrame = {
+    val fp = H.hash60(concat_ws("|", col("doc_id"), col("text")))
+    val v1 = docs.select(col("source"), col("doc_id"), fp.as("h1"))
+    val v2base = docs.filter(col("doc_id") % 17 =!= 0)
+      .select(col("source"), col("doc_id"),
+        when(col("doc_id") % 13 === 0,
+          H.hash60(concat_ws("|", col("doc_id"), upper(col("text")))))
+          .otherwise(fp).as("h2"))
+    val v2new = docs.filter(col("doc_id") % 25 === 0)
+      .select(col("source"), (col("doc_id") + lit(VariantIdOffset)).as("doc_id"),
+        fp.as("h2"))
+    val v2 = v2base.unionByName(v2new)
+    v1.join(v2, Seq("source", "doc_id"), "full_outer")
+      .select(col("source"),
+        when(col("h1").isNull, lit("added"))
+          .when(col("h2").isNull, lit("removed"))
+          .when(col("h1") === col("h2"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+      .groupBy("source", "status").agg(count(lit(1)).as("n"))
+      .orderBy("source", "status")
+  }
+
+  def snapshotDiffOracle: String = {
+    val fp = H.duckHash60("doc_id::VARCHAR || '|' || text")
+    val fpUp = H.duckHash60("doc_id::VARCHAR || '|' || upper(text)")
+    s"""WITH v1 AS (SELECT source, doc_id, $fp AS h1 FROM documents),
+       |v2 AS (
+       |  SELECT source, doc_id,
+       |    CASE WHEN doc_id % 13 = 0 THEN $fpUp ELSE $fp END AS h2
+       |  FROM documents WHERE doc_id % 17 <> 0
+       |  UNION ALL
+       |  SELECT source, doc_id + $VariantIdOffset, $fp
+       |  FROM documents WHERE doc_id % 25 = 0),
+       |joined AS (
+       |  SELECT coalesce(v1.source, v2.source) AS source,
+       |    CASE WHEN h1 IS NULL THEN 'added'
+       |         WHEN h2 IS NULL THEN 'removed'
+       |         WHEN h1 = h2 THEN 'unchanged'
+       |         ELSE 'changed' END AS status
+       |  FROM v1 FULL OUTER JOIN v2
+       |    ON v1.source = v2.source AND v1.doc_id = v2.doc_id)
+       |SELECT source, status, count(*) AS n
+       |FROM joined GROUP BY source, status ORDER BY source, status""".stripMargin
+  }
 }

@@ -1681,4 +1681,93 @@ object Similarity {
        |FROM exact_topk e LEFT JOIN probe_topk p
        |  ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+
+  /** Label-noise detection (data curation): a vector whose cosine to
+    * its OWN label's centroid is beaten by some OTHER label's centroid
+    * (margin < 0) is a mislabeling suspect. Reported per label:
+    * population, suspect count, fixed-point-exact mean margin.
+    *
+    * Scale posture: strictly linear — per-label centroids are one
+    * map-side-combined fixed-point aggregation (the [[trainedCents]]
+    * device: integer component sums, so the mean is order-independent
+    * and engine-identical), then scoring is a broadcast of L centroid
+    * rows against the corpus (O(n·L) FLOPs, map-only; L = #labels,
+    * never grows with data). No pairwise anything: the O(n²) k-NN
+    * label-vote formulation this replaces cannot ship at 100 TB, the
+    * centroid margin can.
+    */
+  def labelNoise(emb: DataFrame): DataFrame = {
+    val all = emb.select(col("vec_id"), col("label").cast("long").as("label"),
+        asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val perDim = all
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"),
+        round(col("x") * FixPoint).cast("long").as("q"))
+      .groupBy("label", "dim")
+      .agg(sum("q").as("s"), count(lit(1)).as("n"))
+    val cents = perDim
+      .groupBy("label")
+      .agg(collect_list(struct(col("dim"),
+        (col("s").cast("double") / (col("n") * lit(FixPoint.toDouble)))
+          .as("x"))).as("parts"))
+      .select(col("label").as("clabel"),
+        transform(array_sort(col("parts")), p => p.getField("x")).as("cv"))
+      .withColumn("cnrm", norm(col("cv")))
+    val scored = all.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
+          .as("ccos"))
+    val own = scored.filter(col("label") === col("clabel"))
+      .select(col("vec_id"), col("label"), col("ccos").as("own_cos"))
+    val other = scored.filter(col("label") =!= col("clabel"))
+      .groupBy("vec_id").agg(max(col("ccos")).as("best_other"))
+    own.join(other, "vec_id")
+      .withColumn("margin", round(col("own_cos") - col("best_other"), 6))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("margin") < 0, 1L).otherwise(0L)).as("n_suspect"),
+        // margins are exact 6dp values; sum them in fixed point so the
+        // mean is fold-order-independent (same device as the centroid)
+        round(sum(round(col("margin") * FixPoint).cast("long"))
+            .cast("double") / (count(lit(1)) * lit(FixPoint.toDouble)), 6)
+          .as("avg_margin"))
+      .orderBy("label")
+  }
+
+  def labelNoiseOracle: String =
+    s"""WITH allv AS (SELECT vec_id, label::BIGINT AS label,
+       |    list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |nrmv AS (SELECT vec_id, label, v,
+       |    sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))
+       |      AS nrm
+       |  FROM allv),
+       |perdim AS (SELECT label, i AS dim,
+       |    sum(round(v[i] * $FixPoint)::BIGINT) AS s, count(*) AS n
+       |  FROM allv, range(1, 65) AS r(i) GROUP BY label, i),
+       |cents AS (SELECT label AS clabel,
+       |    list(s::DOUBLE / (n * $FixPoint.0) ORDER BY dim) AS cv
+       |  FROM perdim GROUP BY label),
+       |cnorm AS (SELECT clabel, cv,
+       |    sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])))
+       |      AS cnrm
+       |  FROM cents),
+       |scored AS (SELECT vec_id, label, clabel,
+       |    round(
+       |      list_sum(list_transform(range(1, 65), i -> v[i] * cv[i])) /
+       |      (nrm * cnrm), 6) AS ccos
+       |  FROM nrmv CROSS JOIN cnorm),
+       |own AS (SELECT vec_id, label, ccos AS own_cos FROM scored
+       |  WHERE label = clabel),
+       |other AS (SELECT vec_id, max(ccos) AS best_other FROM scored
+       |  WHERE label <> clabel GROUP BY vec_id),
+       |margins AS (SELECT label,
+       |    round(own_cos - best_other, 6) AS margin
+       |  FROM own JOIN other USING (vec_id))
+       |SELECT label, count(*) AS n,
+       |  sum(CASE WHEN margin < 0 THEN 1 ELSE 0 END)::BIGINT AS n_suspect,
+       |  round(sum(round(margin * $FixPoint)::BIGINT)::DOUBLE /
+       |    (count(*) * $FixPoint.0), 6) AS avg_margin
+       |FROM margins GROUP BY label ORDER BY label""".stripMargin
 }
