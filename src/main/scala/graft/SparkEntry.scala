@@ -999,6 +999,15 @@ object SparkEntry {
       (s, dir) => Sketch.heavyHitters(T(s, dir, "documents"), 20)
     },
 
+    // HLL distinct tokens per source: registers built from a
+    // base/delta split and merged by MAX — the mergeable form of
+    // COUNT DISTINCT (the one profile statistic ns_incr_agg can't
+    // keep exactly); harmonic sum is exact integer arithmetic, and
+    // the output quantifies its own error against the exact count.
+    q("ns_hll_distinct", Sketch.hllDistinctOracle) {
+      (s, dir) => Sketch.hllDistinct(T(s, dir, "documents"))
+    },
+
     q("ns_tfidf", Analysis.tfidfTop3Oracle) {
       (s, dir) => Analysis.tfidfTop3(T(s, dir, "documents"))
     },

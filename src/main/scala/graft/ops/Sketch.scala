@@ -85,4 +85,130 @@ object Sketch {
         explode(array((0 until Depth).map(lit(_)): _*)).as("r"))
       .withColumn("bucket", bucket(col("r"), col("token")))
       .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+
+  // ------------------------------------------------------------ //
+  // HyperLogLog distinct counting — the mergeable COUNT DISTINCT.
+
+  /** Register count (2^8). Standard-error ~ 1.04/sqrt(m) ~ 6.5%. */
+  val HllM = 256
+
+  /** The hash window above the register index: hash60 gives 60 bits,
+    * 8 pick the register, the remaining 52 feed the rank. */
+  private val HllW = 52
+
+  /** Per-(source, register) max-rank table, built from a base/delta
+    * split and merged by MAX — the point of the exercise: HLL
+    * registers are the mergeable form of COUNT DISTINCT, so a 100 TB
+    * corpus's nightly batch updates 256 longs per source instead of
+    * re-shuffling the token universe. The rank uses the
+    * binary-string-length device (`conv(w,10,2)` here, `bin(w)` in
+    * DuckDB — both render without leading zeros) so it is exact
+    * integer arithmetic in both engines.
+    */
+  private def hllRegisters(toks: DataFrame) = {
+    val h = H.hash60(col("token"))
+    toks
+      .select(col("source"), (h % HllM).as("reg"),
+        (h.cast("long") / lit(HllM.toLong)).cast("long").as("w"))
+      .withColumn("rank",
+        when(col("w") === 0, lit(HllW + 1))
+          .otherwise(lit(HllW + 1) - length(conv(col("w"), 10, 2))))
+      .groupBy("source", "reg").agg(max("rank").as("m"))
+  }
+
+  /** Per-source distinct-token estimate: HLL harmonic mean over the
+    * merged base/delta registers, reported next to the exact count so
+    * the output quantifies its own error. The harmonic sum is exact:
+    * 2^(rank) terms are summed as integers scaled by 2^(HllW+1) (every
+    * term is a power of two <= 2^53, so the BIGINT sum is the exact
+    * value of sum(2^-M) * 2^(HllW+1) — no float fold order anywhere
+    * before the final division). Missing registers count as rank 0.
+    */
+  def hllDistinct(docs: DataFrame): DataFrame = {
+    val toks = Tok.tokens(docs, "text")
+      .select(col("source"), col("doc_id"), col("token"))
+    val base = hllRegisters(toks.filter(col("doc_id") % 10 =!= 0)
+      .select(col("source"), col("token")))
+    val delta = hllRegisters(toks.filter(col("doc_id") % 10 === 0)
+      .select(col("source"), col("token")))
+    val merged = base.unionByName(delta)
+      .groupBy("source", "reg").agg(max("m").as("m"))
+    // alpha_256 * m^2, the standard bias constant for m >= 128
+    val alphaM2 = lit(0.7213 / (1.0 + 1.079 / HllM) * HllM * HllM)
+    val scale = math.pow(2.0, HllW + 1)
+    val est = merged
+      .withColumn("term",
+        expr(s"shiftleft(CAST(1 AS BIGINT), ${HllW + 1} - m)"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_regs"), sum(col("term")).as("zsum_scaled"))
+      // registers never touched by any token contribute 2^0 = full weight
+      .withColumn("zsum_scaled",
+        col("zsum_scaled") +
+          (lit(HllM.toLong) - col("n_regs")) * lit(scale.toLong))
+      .withColumn("v", lit(HllM.toLong) - col("n_regs"))
+      .withColumn("harmonic",
+        alphaM2 / (col("zsum_scaled").cast("double") / lit(scale)))
+      // small-range correction: below 2.5m with empty registers the
+      // harmonic estimator is badly biased — linear counting
+      // (m * ln(m/V)) is the standard fix and both engines' ln feeds
+      // the same 4dp rounding
+      .select(col("source"),
+        round(when(col("harmonic") <= lit(2.5 * HllM) && col("v") > 0,
+            lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v")))
+          .otherwise(col("harmonic")), 4).as("hll_estimate"))
+    val exact = toks.groupBy("source")
+      .agg(countDistinct(col("token")).as("exact_distinct"))
+    exact.join(est, "source")
+      .select(col("source"), col("exact_distinct"), col("hll_estimate"),
+        round((col("hll_estimate") - col("exact_distinct")) /
+          col("exact_distinct"), 4).as("rel_err"))
+      .orderBy("source")
+  }
+
+  def hllDistinctOracle: String = {
+    val h = H.duckHash60("token")
+    val alphaM2 = 0.7213 / (1.0 + 1.079 / HllM) * HllM * HllM
+    s"""WITH toks AS (
+       |  SELECT source, doc_id, t.token
+       |  FROM documents, ${Tok.duckSplit} AS t(token)
+       |  WHERE length(t.token) > 1),
+       |ranked AS (
+       |  SELECT source, doc_id, $h % $HllM AS reg,
+       |    $h // $HllM AS w
+       |  FROM toks),
+       |regs AS (
+       |  SELECT source, reg,
+       |    CASE WHEN w = 0 THEN ${HllW + 1}
+       |         ELSE ${HllW + 1} - length(bin(w)) END AS rank,
+       |    doc_id % 10 = 0 AS is_delta
+       |  FROM ranked),
+       |halves AS (
+       |  SELECT source, reg, is_delta, max(rank) AS m
+       |  FROM regs GROUP BY source, reg, is_delta),
+       |merged AS (
+       |  SELECT source, reg, max(m) AS m FROM halves GROUP BY source, reg),
+       |sums AS (
+       |  SELECT source,
+       |    $alphaM2 / ((sum(1::BIGINT << (${HllW + 1} - m))
+       |        + ($HllM - count(*)) * (1::BIGINT << ${HllW + 1}))::DOUBLE
+       |      / ${scaleLit}) AS harmonic,
+       |    $HllM - count(*) AS v
+       |  FROM merged GROUP BY source),
+       |est AS (
+       |  SELECT source,
+       |    round(CASE WHEN harmonic <= ${2.5 * HllM} AND v > 0
+       |      THEN $HllM * ln($HllM.0 / v) ELSE harmonic END, 4)
+       |      AS hll_estimate
+       |  FROM sums),
+       |exact AS (
+       |  SELECT source, count(DISTINCT token) AS exact_distinct
+       |  FROM toks GROUP BY source)
+       |SELECT source, exact_distinct, hll_estimate,
+       |  round((hll_estimate - exact_distinct) / exact_distinct, 4)
+       |    AS rel_err
+       |FROM exact JOIN est USING (source)
+       |ORDER BY source""".stripMargin
+  }
+
+  private def scaleLit: String = s"${math.pow(2.0, HllW + 1).toLong}.0"
 }
