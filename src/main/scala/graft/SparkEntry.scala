@@ -550,6 +550,17 @@ object SparkEntry {
     },
 
     // Streaming, actually streamed: Trigger.AvailableNow drains the
+    // Streaming cardinality: HLL registers maintained in
+    // transformWithState over the drained event stream; the estimate
+    // from the final state equals the batch sketch bit-for-bit (the
+    // oracle recomputes it directly over the events table), with the
+    // exact distinct count alongside. State: one int per
+    // (event_type, register) — types x 256 entries total, regardless
+    // of stream volume.
+    q("st_hll_users", graft.streaming.HllStream.hllUsersOracle) {
+      (s, dir) => graft.streaming.HllStream.availableNowHllUsers(s, dir)
+    },
+
     // events parquet as a stream; result must equal the batch
     // aggregation (same oracle SQL as st_hourly_window).
     q("st_available_now",

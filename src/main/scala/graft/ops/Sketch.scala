@@ -94,26 +94,58 @@ object Sketch {
 
   /** The hash window above the register index: hash60 gives 60 bits,
     * 8 pick the register, the remaining 52 feed the rank. */
-  private val HllW = 52
+  val HllW = 52
+
+  /** Register index of a value: low 8 bits of its 60-bit hash. */
+  def hllReg(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    H.hash60(c) % HllM
+
+  /** Register rank: leading-zero count (+1) of the hash's upper-52-bit
+    * window, via the binary-string-length device (`conv(w,10,2)` here,
+    * `bin(w)` in DuckDB — both render without leading zeros), so it is
+    * exact integer arithmetic in both engines.
+    */
+  def hllRank(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val w = (H.hash60(c).cast("long") / lit(HllM.toLong)).cast("long")
+    when(w === 0, lit(HllW + 1))
+      .otherwise(lit(HllW + 1) - length(conv(w, 10, 2)))
+  }
 
   /** Per-(source, register) max-rank table, built from a base/delta
     * split and merged by MAX — the point of the exercise: HLL
     * registers are the mergeable form of COUNT DISTINCT, so a 100 TB
     * corpus's nightly batch updates 256 longs per source instead of
-    * re-shuffling the token universe. The rank uses the
-    * binary-string-length device (`conv(w,10,2)` here, `bin(w)` in
-    * DuckDB — both render without leading zeros) so it is exact
-    * integer arithmetic in both engines.
+    * re-shuffling the token universe.
     */
-  private def hllRegisters(toks: DataFrame) = {
-    val h = H.hash60(col("token"))
+  private def hllRegisters(toks: DataFrame) =
     toks
-      .select(col("source"), (h % HllM).as("reg"),
-        (h.cast("long") / lit(HllM.toLong)).cast("long").as("w"))
-      .withColumn("rank",
-        when(col("w") === 0, lit(HllW + 1))
-          .otherwise(lit(HllW + 1) - length(conv(col("w"), 10, 2))))
+      .select(col("source"), hllReg(col("token")).as("reg"),
+        hllRank(col("token")).as("rank"))
       .groupBy("source", "reg").agg(max("rank").as("m"))
+
+  /** Cardinality estimate from a (key, reg, m) max-rank register
+    * table: exact-integer harmonic sum (power-of-two terms summed as
+    * scaled BIGINTs — no float fold order), with the standard
+    * linear-counting branch below 2.5m. Returns (key, hll_estimate).
+    */
+  def hllEstimate(regs: DataFrame, key: String): DataFrame = {
+    val alphaM2 = lit(0.7213 / (1.0 + 1.079 / HllM) * HllM * HllM)
+    val scale = math.pow(2.0, HllW + 1)
+    regs
+      .withColumn("term",
+        expr(s"shiftleft(CAST(1 AS BIGINT), ${HllW + 1} - m)"))
+      .groupBy(key)
+      .agg(count(lit(1)).as("n_regs"), sum(col("term")).as("zsum_scaled"))
+      .withColumn("zsum_scaled",
+        col("zsum_scaled") +
+          (lit(HllM.toLong) - col("n_regs")) * lit(scale.toLong))
+      .withColumn("v", lit(HllM.toLong) - col("n_regs"))
+      .withColumn("harmonic",
+        alphaM2 / (col("zsum_scaled").cast("double") / lit(scale)))
+      .select(col(key),
+        round(when(col("harmonic") <= lit(2.5 * HllM) && col("v") > 0,
+            lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v")))
+          .otherwise(col("harmonic")), 4).as("hll_estimate"))
   }
 
   /** Per-source distinct-token estimate: HLL harmonic mean over the
@@ -133,29 +165,7 @@ object Sketch {
       .select(col("source"), col("token")))
     val merged = base.unionByName(delta)
       .groupBy("source", "reg").agg(max("m").as("m"))
-    // alpha_256 * m^2, the standard bias constant for m >= 128
-    val alphaM2 = lit(0.7213 / (1.0 + 1.079 / HllM) * HllM * HllM)
-    val scale = math.pow(2.0, HllW + 1)
-    val est = merged
-      .withColumn("term",
-        expr(s"shiftleft(CAST(1 AS BIGINT), ${HllW + 1} - m)"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_regs"), sum(col("term")).as("zsum_scaled"))
-      // registers never touched by any token contribute 2^0 = full weight
-      .withColumn("zsum_scaled",
-        col("zsum_scaled") +
-          (lit(HllM.toLong) - col("n_regs")) * lit(scale.toLong))
-      .withColumn("v", lit(HllM.toLong) - col("n_regs"))
-      .withColumn("harmonic",
-        alphaM2 / (col("zsum_scaled").cast("double") / lit(scale)))
-      // small-range correction: below 2.5m with empty registers the
-      // harmonic estimator is badly biased — linear counting
-      // (m * ln(m/V)) is the standard fix and both engines' ln feeds
-      // the same 4dp rounding
-      .select(col("source"),
-        round(when(col("harmonic") <= lit(2.5 * HllM) && col("v") > 0,
-            lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v")))
-          .otherwise(col("harmonic")), 4).as("hll_estimate"))
+    val est = hllEstimate(merged, "source")
     val exact = toks.groupBy("source")
       .agg(countDistinct(col("token")).as("exact_distinct"))
     exact.join(est, "source")
@@ -165,9 +175,29 @@ object Sketch {
       .orderBy("source")
   }
 
+  /** DuckDB CTE fragment: (key, hll_estimate) from a `regsCte` of
+    * (key, reg, m) — the SQL twin of [[hllEstimate]], shared by every
+    * HLL oracle so the arithmetic cannot drift between them.
+    */
+  def hllEstimateSqlCtes(key: String, regsCte: String): String = {
+    val alphaM2 = 0.7213 / (1.0 + 1.079 / HllM) * HllM * HllM
+    s"""sums AS (
+       |  SELECT $key,
+       |    $alphaM2 / ((sum(1::BIGINT << (${HllW + 1} - m))
+       |        + ($HllM - count(*)) * (1::BIGINT << ${HllW + 1}))::DOUBLE
+       |      / ${scaleLit}) AS harmonic,
+       |    $HllM - count(*) AS v
+       |  FROM $regsCte GROUP BY $key),
+       |est AS (
+       |  SELECT $key,
+       |    round(CASE WHEN harmonic <= ${2.5 * HllM} AND v > 0
+       |      THEN $HllM * ln($HllM.0 / v) ELSE harmonic END, 4)
+       |      AS hll_estimate
+       |  FROM sums)""".stripMargin
+  }
+
   def hllDistinctOracle: String = {
     val h = H.duckHash60("token")
-    val alphaM2 = 0.7213 / (1.0 + 1.079 / HllM) * HllM * HllM
     s"""WITH toks AS (
        |  SELECT source, doc_id, t.token
        |  FROM documents, ${Tok.duckSplit} AS t(token)
@@ -187,19 +217,7 @@ object Sketch {
        |  FROM regs GROUP BY source, reg, is_delta),
        |merged AS (
        |  SELECT source, reg, max(m) AS m FROM halves GROUP BY source, reg),
-       |sums AS (
-       |  SELECT source,
-       |    $alphaM2 / ((sum(1::BIGINT << (${HllW + 1} - m))
-       |        + ($HllM - count(*)) * (1::BIGINT << ${HllW + 1}))::DOUBLE
-       |      / ${scaleLit}) AS harmonic,
-       |    $HllM - count(*) AS v
-       |  FROM merged GROUP BY source),
-       |est AS (
-       |  SELECT source,
-       |    round(CASE WHEN harmonic <= ${2.5 * HllM} AND v > 0
-       |      THEN $HllM * ln($HllM.0 / v) ELSE harmonic END, 4)
-       |      AS hll_estimate
-       |  FROM sums),
+       |${hllEstimateSqlCtes("source", "merged")},
        |exact AS (
        |  SELECT source, count(DISTINCT token) AS exact_distinct
        |  FROM toks GROUP BY source)
