@@ -1718,11 +1718,15 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("clabel"),
         round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
           .as("ccos"))
-    val own = scored.filter(col("label") === col("clabel"))
-      .select(col("vec_id"), col("label"), col("ccos").as("own_cos"))
-    val other = scored.filter(col("label") =!= col("clabel"))
-      .groupBy("vec_id").agg(max(col("ccos")).as("best_other"))
-    own.join(other, "vec_id")
+    // one conditional aggregation instead of an own-side/other-side
+    // self-join: drops an n-row SortMergeJoin and its exchanges
+    // (label is constant per vec_id, so max() just carries it)
+    scored.groupBy("vec_id")
+      .agg(max(col("label")).as("label"),
+        max(when(col("label") === col("clabel"), col("ccos")))
+          .as("own_cos"),
+        max(when(col("label") =!= col("clabel"), col("ccos")))
+          .as("best_other"))
       .withColumn("margin", round(col("own_cos") - col("best_other"), 6))
       .groupBy("label")
       .agg(count(lit(1)).as("n"),

@@ -77,7 +77,24 @@ class PlanGoldenSpec extends SparkSpec {
     "ns_dedup_minhash_lsh" ->
       "Exchange:4,Generate:2,HashAggregate:2,SortMergeJoin:1",
     "ev_funnel" ->
-      "BroadcastExchange:1,BroadcastHashJoin:1,Exchange:2,HashAggregate:4")
+      "BroadcastExchange:1,BroadcastHashJoin:1,Exchange:2,HashAggregate:4",
+    // CMS: grid + exact sides, broadcast probe join, fixed-size top-k
+    "ns_heavy_hitters" ->
+      ("BroadcastExchange:1,BroadcastHashJoin:1,Exchange:2,Generate:4," +
+        "HashAggregate:6,TakeOrderedAndProject:1"),
+    // mergeable partials: two grouped halves + the merge, no joins
+    "ns_incr_agg" -> "Exchange:3,HashAggregate:6",
+    // one SMJ on (source, doc_id) over fixed-width hash rows — the
+    // only shuffle join this family needs
+    "ns_snapshot_diff" -> "Exchange:4,HashAggregate:2,SortMergeJoin:1",
+    // centroid broadcast + ONE conditional aggregation — no self-join
+    "ns_label_noise" ->
+      ("BroadcastExchange:1,BroadcastNestedLoopJoin:1,Exchange:5," +
+        "Generate:1,HashAggregate:6,ObjectHashAggregate:2"),
+    // register builds per half + merge + estimate + exact side
+    "ns_hll_distinct" ->
+      ("BroadcastExchange:1,BroadcastHashJoin:1,Exchange:6,Generate:3," +
+        "HashAggregate:12"))
 
   for ((name, expected) <- golden.toSeq.sortBy(_._1)) {
     test(s"plan fingerprint: $name") {
