@@ -162,6 +162,42 @@ object ScaleSmoke {
         .flatMap(p => p.stateOperators.headOption)
         .map(_.numRowsTotal).getOrElse(0L)
     }
+    // Z-order clustering: the one-time curve write is a range shuffle
+    // (~linear, like any sort); the 2-d rectangle probe must read only
+    // curve-intersecting files, so probe wall stays far below a scan.
+    val nPts = 100000L * mult
+    val pts = spark.range(nPts).select(col("id").as("pid"),
+      pmod(hash(col("id") * 7), lit(65536)).cast("long").as("x"),
+      pmod(hash(col("id") * 13), lit(65536)).cast("long").as("y"))
+    val zDir = java.nio.file.Files
+      .createTempDirectory("graft-smoke-zorder").toString
+    val (_, tZWrite) = time {
+      ops.Layout.zorderWrite(pts, "x", "y", zDir, nFiles = 64)
+    }
+    // 1/64 of each dimension: ~1/4096 of rows, a handful of files
+    val (nZRows, tZProbe) = time(spark.read.parquet(zDir)
+      .filter(col("x") < 1024 && col("y") < 1024).count())
+    // copy-on-write delete of the same rectangle: only the files
+    // whose footer (x, y) ranges intersect it get rewritten
+    val delDir = java.nio.file.Files
+      .createTempDirectory("graft-smoke-cow").toString
+    val ((cowHit, cowTotal), tCow) = time(
+      ops.Layout.deleteRewrite(spark, zDir, delDir,
+        col("x") < 1024 && col("y") < 1024))
+    // compaction over a deliberately small-file shard tree (the
+    // streaming-sink debt shape): driver O(#partition dirs), per-dir
+    // coalesce merges — wall scales with bytes moved
+    val smallShardDir = java.nio.file.Files
+      .createTempDirectory("graft-smoke-smallshards").toString
+    ops.Pipeline.writeShards(packDocs, smallShardDir, 100)
+    val compDir = java.nio.file.Files
+      .createTempDirectory("graft-smoke-compact").toString
+    val ((cFilesBefore, cFilesAfter), tCompact) = time(
+      ops.Layout.compactShards(spark, smallShardDir, compDir))
+    // sketches over the multiplied corpus: build cost linear in
+    // tokens, shuffle fixed (grid / registers) — wall is the proof
+    val (nCms, tCms) = time(ops.Sketch.cmsCells(big).count())
+    val (nHll, tHll) = time(ops.Sketch.hllDistinct(packDocs).count())
     println(s"""{"multiplier":$mult,"docs":${big.count()},""" +
       s""""tokens":$nTokens,"tokenize_sec":$tTok,""" +
       s""""top90_rows":$nTop,"top90_sec":$tTop,""" +
@@ -180,7 +216,15 @@ object ScaleSmoke {
       s""""ivfpq_book_rows":$nPqBook,"ivfpq_build_sec":$tPqBuild,""" +
       s""""ivfpq_probe_rows":$nPqProbe,"ivfpq_probe_sec":$tPqProbe,""" +
       s""""stream_dedup_decisions":${decisions.sum},""" +
-      s""""stream_state_rows":$stateRows,"stream_dedup_sec":$tStream}""")
+      s""""stream_state_rows":$stateRows,"stream_dedup_sec":$tStream,""" +
+      s""""zorder_pts":$nPts,"zorder_write_sec":$tZWrite,""" +
+      s""""zorder_probe_rows":$nZRows,"zorder_probe_sec":$tZProbe,""" +
+      s""""cow_hit_files":$cowHit,"cow_total_files":$cowTotal,""" +
+      s""""cow_sec":$tCow,""" +
+      s""""compact_files_before":$cFilesBefore,""" +
+      s""""compact_files_after":$cFilesAfter,"compact_sec":$tCompact,""" +
+      s""""cms_cells":$nCms,"cms_sec":$tCms,""" +
+      s""""hll_rows":$nHll,"hll_sec":$tHll}""")
     spark.stop()
   }
 }

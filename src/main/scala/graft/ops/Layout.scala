@@ -115,22 +115,34 @@ object Layout {
     val fs = in.getFileSystem(conf)
     val parts = fs.listStatus(in).filter(s =>
       s.isDirectory && s.getPath.getName.contains("=")).map(_.getPath)
-    var before = 0
-    var after = 0
-    for (part <- parts.sortBy(_.getName)) {
-      val files = fs.listStatus(part)
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      val bytes = files.map(_.getLen).sum
-      val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-      before += files.length
-      after += n
-      spark.read.parquet(part.toString).coalesce(n)
-        .write.mode("overwrite")
-        .parquet(s"$outDir/${part.getName}")
-    }
-    // one _SUCCESS marker for create-once callers
-    fs.create(new Path(s"$outDir/_SUCCESS"), true).close()
-    (before, after)
+    // per-partition merges are independent Spark jobs; submit them
+    // concurrently (bounded pool) — a serial driver loop pays
+    // per-job latency x #partitions, which dominates wall once the
+    // table has hundreds of partition dirs
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, math.max(1, parts.length)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val merges = parts.sortBy(_.getName).toSeq.map { part =>
+        scala.concurrent.Future {
+          val files = fs.listStatus(part)
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          val bytes = files.map(_.getLen).sum
+          val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+          spark.read.parquet(part.toString).coalesce(n)
+            .write.mode("overwrite")
+            .parquet(s"$outDir/${part.getName}")
+          (files.length, n)
+        }
+      }
+      val done = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(merges),
+        scala.concurrent.duration.Duration(30, "min"))
+      // one _SUCCESS marker for create-once callers
+      fs.create(new Path(s"$outDir/_SUCCESS"), true).close()
+      (done.map(_._1).sum, done.map(_._2).sum)
+    } finally pool.shutdown()
   }
 
   /** Copy-on-write delete: remove rows matching `pred` from a parquet
