@@ -50,6 +50,7 @@ object SparkEntry {
     */
   private def layoutDir(tag: String, dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft-lay-$tag-" +
+      s"v${ops.Layout.Version}-" +
       java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
 

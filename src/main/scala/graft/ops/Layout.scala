@@ -32,6 +32,13 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Bump when the Z-key formula, write shape, or compaction layout
+    * changes semantically: persisted derived layouts are cached by
+    * path (SparkEntry.layoutDir embeds this), and a stale cache built
+    * under old semantics must miss, not serve.
+    */
+  val Version = 1
+
   /** Interleave steps: spread a 16-bit value so its bits occupy the
     * even positions of a 32-bit word (the classic mask ladder).
     */

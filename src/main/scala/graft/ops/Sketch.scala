@@ -86,6 +86,26 @@ object Sketch {
       .withColumn("bucket", bucket(col("r"), col("token")))
       .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
 
+  /** Single-pass grid build via the typed
+    * [[graft.functions.CmsAggregator]]: no per-token row blowup —
+    * each partition folds tokens into one dense 128 KB buffer and
+    * only buffers merge. Cell-for-cell identical to [[cmsCells]]
+    * (differentially asserted in SketchSpec); sparse cells drop on
+    * output so the shapes compare directly.
+    */
+  def cmsCellsOnePass(docs: DataFrame): DataFrame = {
+    val buckets = array((0 until Depth).map(r =>
+      bucket(lit(r), col("token"))): _*)
+    val grid = udaf(graft.functions.CmsAggregator.cmsGrid)
+    Tok.tokens(docs, "text")
+      .select(buckets.as("b"))
+      .agg(grid(col("b")).as("grid"))
+      .select(posexplode(col("grid")).as(Seq("i", "cnt")))
+      .filter(col("cnt") > 0)
+      .select(expr(s"i div $Width").cast("int").as("r"),
+        pmod(col("i"), lit(Width)).cast("long").as("bucket"), col("cnt"))
+  }
+
   // ------------------------------------------------------------ //
   // HyperLogLog distinct counting — the mergeable COUNT DISTINCT.
 

@@ -58,6 +58,17 @@ class SketchSpec extends SparkSpec {
     assert(base < 256 * 1024, s"sketch build shuffled $base bytes")
   }
 
+  test("single-pass Aggregator grid is cell-for-cell the row-form grid") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val rows = asMap(Sketch.cmsCells(docs)
+      .select(col("r").cast("int"), col("bucket").cast("long"), col("cnt")))
+    val onePass = asMap(Sketch.cmsCellsOnePass(docs))
+    assert(onePass == rows,
+      s"grids differ: ${onePass.size} vs ${rows.size} cells")
+  }
+
   test("CMS never underestimates, across the whole vocabulary") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     // the full-vocab variant of the query: every token probed
