@@ -961,6 +961,14 @@ object SparkEntry {
       (s, dir) => Similarity.labelNoise(T(s, dir, "embeddings"))
     },
 
+    // SQ8 scalar quantization: per-dim 8-bit codes against corpus
+    // min/max, integer-dot candidate ranking, recall@k vs the exact
+    // float cosine — the third standard ANN compression next to PQ
+    // and sign-LSH.
+    q("ns_knn_sq8_recall", Similarity.knnSq8RecallOracle(50, 3)) {
+      (s, dir) => Similarity.knnSq8Recall(T(s, dir, "embeddings"), 50, 3)
+    },
+
     q("ns_knn_bruteforce", Similarity.knnBruteForceOracle(10, 5)) {
       (s, dir) => Similarity.knnBruteForce(T(s, dir, "embeddings"), 10, 5)
     },
@@ -1240,6 +1248,13 @@ object SparkEntry {
             col("doc_id").between(100, 140))
         }
         ops.Layout.contentFingerprint(s.read.parquet(out))
+    },
+
+    // Temperature-scaled (share^alpha) domain mixing — the standard
+    // multilingual upweighting of small sources, single-epoch-capped;
+    // integer-quantized shares keep the normalization exact.
+    q("ns_domain_mix_alpha", Pipeline.domainMixAlphaOracle(0.3)) {
+      (s, dir) => Pipeline.domainMixAlpha(T(s, dir, "documents"), 0.3)
     },
 
     // Sub-document (chunk-level) dedup: fixed-token chunks hashed,

@@ -508,6 +508,58 @@ object Pipeline {
        |GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** Temperature-scaled domain mixing: target shares proportional to
+    * share^alpha (alpha < 1 upweights small sources — the standard
+    * multilingual/multi-domain sampling scheme), single-epoch-capped
+    * exactly like [[domainMix]] (the binding source gets rate 1.0,
+    * everything else scales down). The pow() output is rounded to
+    * 6dp and quantized to integer micro-units before normalization,
+    * so the share sum is exact integer arithmetic — window-fold-order
+    * and engine independent — and only per-row double division
+    * remains, which is IEEE-identical in both engines.
+    */
+  def domainMixAlpha(docs: DataFrame, alpha: Double = 0.3): DataFrame = {
+    val bySrc = docs.groupBy("source").agg(sum("n_chars").as("toks"))
+    val w = Window.partitionBy()
+    val shares = bySrc
+      .withColumn("total", sum("toks").over(w))
+      .withColumn("share", col("toks").cast("double") / col("total"))
+      .withColumn("t_int",
+        round(round(pow(col("share"), lit(alpha)), 6) * 1e6).cast("long"))
+      .withColumn("t_norm",
+        col("t_int").cast("double") / sum("t_int").over(w))
+    shares
+      .withColumn("c", min(col("share") / col("t_norm")).over(w))
+      .withColumn("rate", round(col("c") * col("t_norm") / col("share"), 6))
+      .select(col("source"), col("toks"),
+        round(col("share"), 6).as("natural_share"),
+        round(col("t_norm"), 6).as("alpha_share"),
+        col("rate"),
+        round(col("rate") * col("toks")).cast("long").as("sampled_toks"))
+      .orderBy("source")
+  }
+
+  def domainMixAlphaOracle(alpha: Double = 0.3): String =
+    s"""WITH by_src AS (SELECT source, sum(n_chars) AS toks
+       |    FROM documents GROUP BY source),
+       |shares AS (SELECT source, toks,
+       |    toks::DOUBLE / sum(toks) OVER () AS share,
+       |    round(round(pow(toks::DOUBLE / sum(toks) OVER (), $alpha), 6)
+       |      * 1000000)::BIGINT AS t_int
+       |  FROM by_src),
+       |normed AS (SELECT source, toks, share,
+       |    t_int::DOUBLE / sum(t_int) OVER () AS t_norm
+       |  FROM shares),
+       |rated AS (SELECT source, toks, share, t_norm,
+       |    round(min(share / t_norm) OVER () * t_norm / share, 6) AS rate
+       |  FROM normed)
+       |SELECT source, toks,
+       |  round(share, 6) AS natural_share,
+       |  round(t_norm, 6) AS alpha_share,
+       |  rate,
+       |  round(rate * toks)::BIGINT AS sampled_toks
+       |FROM rated ORDER BY source""".stripMargin
+
   /** Incremental (materialized-view) aggregation: the per-source
     * corpus profile maintained as BASE-view partials merged with a
     * DELTA batch's partials, instead of recomputed over everything.

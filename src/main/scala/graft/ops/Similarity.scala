@@ -1682,6 +1682,124 @@ object Similarity {
        |  ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
 
+  /** SQ8 scalar quantization recall: each dimension linearly mapped
+    * to an 8-bit code against its corpus min/max (the third standard
+    * ANN compression next to PQ and sign-LSH — 4x smaller than
+    * float32, trivially SIMD-able), candidates ranked by cosine over
+    * the DEQUANTIZED vectors (x_hat = mn + code * rng / 255 — what an
+    * SQ8 index actually scans; raw shifted-code dot products are not
+    * rank-equivalent to cosine), reported as recall@k against the
+    * exact float ranking.
+    *
+    * Determinism devices: the per-dim min/max collect is O(d) driver
+    * rows (the collectCents precedent); reconstruction is the same
+    * IEEE expression in both engines, the cosine rounds to 6dp with a
+    * neighbor_id tiebreak. The quantize/dequantize map is the one
+    * interpreted HOF in the path — per-row O(d), production would
+    * mirror DotProduct's codegen.
+    */
+  def knnSq8Recall(emb: DataFrame, nQueries: Int = 50, k: Int = 3): DataFrame = {
+    val all = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val mm = all.select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
+      .orderBy("dim").collect()
+    val mins = array(mm.map(r => lit(r.getDouble(1))): _*)
+    val rngs = array(mm.map { r =>
+      val d = r.getDouble(2) - r.getDouble(1)
+      lit(if (d == 0.0) 1.0 else d)
+    }: _*)
+    // codes -> reconstructed values (x_hat = mn + c * rng / 255): the
+    // compressed-domain ranking runs on the DEQUANTIZED vectors (raw
+    // shifted-code dot products are not rank-equivalent to cosine),
+    // which is what an SQ8 index actually scans
+    val codes = all.select(col("vec_id"),
+      transform(col("v"), (x, i) =>
+        element_at(mins, i + 1) +
+          round((x - element_at(mins, i + 1)) * 255.0 /
+            element_at(rngs, i + 1)) *
+          element_at(rngs, i + 1) / 255.0).as("d"))
+      .withColumn("dnrm", norm(col("d")))
+    val qCodes = codes.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("d").as("qd"),
+        col("dnrm").as("qdnrm"))
+    val sq8Scored = broadcast(qCodes)
+      .join(codes, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qd"), col("d")) / (col("qdnrm") * col("dnrm")), 6)
+          .as("qcos"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("qcos").desc, col("neighbor_id").asc)
+    val sq8Top = sq8Scored.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= k).select("query_id", "neighbor_id")
+    val queries = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val exactScored = broadcast(queries)
+      .join(all, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6)
+          .as("cos_sim"))
+    val we = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    val exactTop = exactScored.withColumn("rn", row_number().over(we))
+      .filter(col("rn") <= k).select("query_id", "neighbor_id")
+    exactTop.as("e")
+      .join(sq8Top.as("p"),
+        col("e.query_id") === col("p.query_id") &&
+          col("e.neighbor_id") === col("p.neighbor_id"), "left")
+      .groupBy(col("e.query_id").as("query_id"))
+      .agg(round(count(col("p.neighbor_id")).cast("double") / k, 4)
+        .as("recall"))
+      .orderBy("query_id")
+  }
+
+  def knnSq8RecallOracle(nQueries: Int = 50, k: Int = 3): String =
+    s"""WITH allv AS (SELECT vec_id,
+       |    list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |dims AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+       |  FROM allv, range(1, 65) AS r(i) GROUP BY i),
+       |codes AS (SELECT vec_id,
+       |    list(mn + round((v[i] - mn) * 255.0 /
+       |        (CASE WHEN mx = mn THEN 1.0 ELSE mx - mn END)) *
+       |      (CASE WHEN mx = mn THEN 1.0 ELSE mx - mn END) / 255.0
+       |      ORDER BY i) AS d
+       |  FROM allv, dims GROUP BY vec_id),
+       |qcodes AS (SELECT vec_id AS query_id, d AS qd FROM codes
+       |  WHERE vec_id < $nQueries),
+       |sq8_scored AS (SELECT query_id, vec_id AS neighbor_id,
+       |    round(
+       |      list_sum(list_transform(range(1, 65), i -> qd[i] * d[i])) /
+       |      (sqrt(list_sum(list_transform(range(1, 65), i -> qd[i] * qd[i]))) *
+       |       sqrt(list_sum(list_transform(range(1, 65), i -> d[i] * d[i])))),
+       |      6) AS qcos
+       |  FROM qcodes JOIN codes ON query_id <> vec_id),
+       |sq8_topk AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY qcos DESC, neighbor_id ASC) AS rn
+       |    FROM sq8_scored) WHERE rn <= $k),
+       |exact_scored AS (SELECT a.query_id, vec_id AS neighbor_id,
+       |    round(
+       |      list_sum(list_transform(range(1, 65), i -> qv[i] * v[i])) /
+       |      (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i]))) *
+       |       sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))),
+       |      6) AS cos_sim
+       |  FROM (SELECT vec_id AS query_id, v AS qv FROM allv
+       |        WHERE vec_id < $nQueries) a
+       |  JOIN allv ON query_id <> vec_id),
+       |exact_topk AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+       |    FROM exact_scored) WHERE rn <= $k)
+       |SELECT e.query_id,
+       |  round(count(p.neighbor_id) / $k.0, 4) AS recall
+       |FROM exact_topk e LEFT JOIN sq8_topk p
+       |  ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+
   /** Label-noise detection (data curation): a vector whose cosine to
     * its OWN label's centroid is beaten by some OTHER label's centroid
     * (margin < 0) is a mislabeling suspect. Reported per label:
