@@ -550,7 +550,6 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
     },
 
-    // Streaming, actually streamed: Trigger.AvailableNow drains the
     // Streaming cardinality: HLL registers maintained in
     // transformWithState over the drained event stream; the estimate
     // from the final state equals the batch sketch bit-for-bit (the
@@ -562,6 +561,7 @@ object SparkEntry {
       (s, dir) => graft.streaming.HllStream.availableNowHllUsers(s, dir)
     },
 
+    // Streaming, actually streamed: Trigger.AvailableNow drains the
     // events parquet as a stream; result must equal the batch
     // aggregation (same oracle SQL as st_hourly_window).
     q("st_available_now",
@@ -1513,7 +1513,11 @@ object SparkEntry {
     // inline form -> same oracle.
     q("ns_knn_ivfpq_indexed", Similarity.knnIvfPqOracle(50, 3, 2, 32)) {
       (s, dir) =>
-        val idx = ivfIndexDir("embpq", dir)
+        // embed the PQ config too: a codebook change (stride/rounds/
+        // subspaces) must miss this cache, not probe stale codes
+        val idx = ivfIndexDir("embpq-" +
+          s"s${Similarity.PqStride}r${Similarity.PqLloydRounds}" +
+          s"m${Similarity.PqSubspaces}", dir)
         if (!new java.io.File(s"$idx/cells/_SUCCESS").exists())
           Similarity.ivfBuildPq(T(s, dir, "embeddings"), idx)
         Similarity.ivfPqQuery(T(s, dir, "embeddings")

@@ -228,7 +228,13 @@ object NearestCell {
     * binary rounding.
     */
   def round6(x: Double): Double =
-    java.math.BigDecimal.valueOf(x)
+    // NaN/Infinity pass through exactly as Spark's Round does
+    // (BigDecimal.valueOf throws on them — a zero-norm vector's NaN
+    // cosine must flow into the Double.compare ordering, not crash
+    // the task); Double.compare then orders it greatest, same as the
+    // struct-max formulation this expression replaces
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   def compute(v: ArrayData, nrm: Double, ids: Array[Long],

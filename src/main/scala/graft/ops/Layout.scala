@@ -148,7 +148,14 @@ object Layout {
         scala.concurrent.duration.Duration(30, "min"))
       // one _SUCCESS marker for create-once callers
       fs.create(new Path(s"$outDir/_SUCCESS"), true).close()
-      (done.map(_._1).sum, done.map(_._2).sum)
+      // report files actually WRITTEN, not the coalesce target:
+      // coalesce cannot increase partition count, so a dir with fewer
+      // input splits than ceil(bytes/target) writes fewer files
+      val written = fs.listStatus(new Path(outDir))
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .flatMap(d => fs.listStatus(d.getPath))
+        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      (done.map(_._1).sum, written)
     } finally pool.shutdown()
   }
 
@@ -182,8 +189,11 @@ object Layout {
       .collect().map(r => r.getString(0).split('/').last).toSet
     val (hit, kept) = all.partition(p => affected.contains(p.getName))
     if (hit.nonEmpty)
+      // survivors = rows NOT matching: a NULL predicate must RETAIN
+      // the row (bare !pred is NULL for it and filter would drop it,
+      // silently deleting rows phase 1 never matched)
       spark.read.parquet(hit.map(_.toString).toIndexedSeq: _*)
-        .filter(!pred)
+        .filter(!coalesce(pred, lit(false)))
         .write.mode("overwrite").parquet(outDir)
     else
       fs.mkdirs(new Path(outDir))

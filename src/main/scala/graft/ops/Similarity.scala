@@ -1157,55 +1157,11 @@ object Similarity {
   /** Recall@k of PQ-ADC against exact L2 brute force — the
     * compression-loss measurement that sizes the codebook.
     */
-  def knnPqRecall(emb: DataFrame, nQueries: Int = 50, k: Int = 3): DataFrame = {
-    val all = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val queries = all.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val scoredExact = broadcast(queries)
-      .join(all, col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        graft.functions.VectorFunctions.sq_dist(col("qv"), col("v"))
-          .as("d2"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("d2").asc, col("neighbor_id").asc)
-    val exact = scoredExact.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("neighbor_id"))
-    val approx = knnPq(emb, nQueries, k)
-      .select(col("query_id").as("aq"), col("neighbor_id").as("hit_id"))
-    exact.join(approx,
-        col("query_id") === col("aq") && col("neighbor_id") === col("hit_id"),
-        "left")
-      .groupBy("query_id")
-      .agg(round(count(col("hit_id")) / lit(k.toDouble), 4).as("recall"))
-      .orderBy("query_id")
-  }
+  def knnPqRecall(emb: DataFrame, nQueries: Int = 50, k: Int = 3): DataFrame =
+    pqRecallAgainstExact(emb, knnPq(emb, nQueries, k), nQueries, k)
 
-  def knnPqRecallOracle(nQueries: Int = 50, k: Int = 3): String = {
-    def l2full(a: String, b: String): String =
-      s"""list_sum(list_transform(range(1, 65),
-         |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))""".stripMargin
-    s"""WITH allv AS (SELECT vec_id,
-       |    list_transform(embedding, x -> x::DOUBLE) AS v
-       |  FROM embeddings),
-       |exact_scored AS (SELECT q.vec_id AS query_id,
-       |    a.vec_id AS neighbor_id,
-       |    ${l2full("q.v", "a.v")} AS d2
-       |  FROM (SELECT vec_id, v FROM allv WHERE vec_id < $nQueries) q
-       |  JOIN allv a ON q.vec_id <> a.vec_id),
-       |exact_topk AS (SELECT query_id, neighbor_id FROM (
-       |    SELECT query_id, neighbor_id,
-       |      row_number() OVER (PARTITION BY query_id
-       |        ORDER BY d2 ASC, neighbor_id ASC) AS rn
-       |    FROM exact_scored) WHERE rn <= $k),
-       |pq AS (
-       |${knnPqOracle(nQueries, k)})
-       |SELECT e.query_id,
-       |  round(count(p.neighbor_id) / $k.0, 4) AS recall
-       |FROM exact_topk e LEFT JOIN pq p
-       |  ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
-       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
-  }
+  def knnPqRecallOracle(nQueries: Int = 50, k: Int = 3): String =
+    pqRecallOracleOver(knnPqOracle(nQueries, k), nQueries, k)
 
   /** IVF-PQ: the composed serving stack (FAISS's IVFPQ shape). The
     * coarse quantizer prunes WHICH vectors a query scores (only the
@@ -1445,54 +1401,14 @@ object Similarity {
     * x compression loss x what rerank restores).
     */
   def knnIvfPqRecall(emb: DataFrame, nQueries: Int = 50, k: Int = 3,
-      nprobe: Int = 2, shortlist: Int = 32): DataFrame = {
-    val all = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val queries = all.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val scoredExact = broadcast(queries)
-      .join(all, col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        graft.functions.VectorFunctions.sq_dist(col("qv"), col("v"))
-          .as("d2"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("d2").asc, col("neighbor_id").asc)
-    val exact = scoredExact.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("neighbor_id"))
-    val approx = knnIvfPq(emb, nQueries, k, nprobe, shortlist)
-      .select(col("query_id").as("aq"), col("neighbor_id").as("hit_id"))
-    exact.join(approx,
-        col("query_id") === col("aq") && col("neighbor_id") === col("hit_id"),
-        "left")
-      .groupBy("query_id")
-      .agg(round(count(col("hit_id")) / lit(k.toDouble), 4).as("recall"))
-      .orderBy("query_id")
-  }
+      nprobe: Int = 2, shortlist: Int = 32): DataFrame =
+    pqRecallAgainstExact(emb,
+      knnIvfPq(emb, nQueries, k, nprobe, shortlist), nQueries, k)
 
   def knnIvfPqRecallOracle(nQueries: Int = 50, k: Int = 3,
       nprobe: Int = 2, shortlist: Int = 32): String =
-    s"""WITH exact_scored AS (SELECT q.vec_id AS query_id,
-       |    a.vec_id AS neighbor_id,
-       |    list_sum(list_transform(range(1, 65),
-       |      i -> (q.v[i] - a.v[i]) * (q.v[i] - a.v[i]))) AS d2
-       |  FROM (SELECT vec_id,
-       |      list_transform(embedding, x -> x::DOUBLE) AS v
-       |    FROM embeddings WHERE vec_id < $nQueries) q
-       |  JOIN (SELECT vec_id,
-       |      list_transform(embedding, x -> x::DOUBLE) AS v
-       |    FROM embeddings) a ON q.vec_id <> a.vec_id),
-       |exact_topk AS (SELECT query_id, neighbor_id FROM (
-       |    SELECT query_id, neighbor_id,
-       |      row_number() OVER (PARTITION BY query_id
-       |        ORDER BY d2 ASC, neighbor_id ASC) AS rn
-       |    FROM exact_scored) WHERE rn <= $k),
-       |ivfpq AS (
-       |${knnIvfPqOracle(nQueries, k, nprobe, shortlist)})
-       |SELECT e.query_id,
-       |  round(count(p.neighbor_id) / $k.0, 4) AS recall
-       |FROM exact_topk e LEFT JOIN ivfpq p
-       |  ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
-       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+    pqRecallOracleOver(knnIvfPqOracle(nQueries, k, nprobe, shortlist),
+      nQueries, k)
 
   /** Recall@k of the trained-codebook two-stage search vs exact L2 —
     * the measured value of per-subspace Lloyd refinement.
@@ -1535,29 +1451,9 @@ object Similarity {
     * codes: compare with [[knnPqRecall]] to see what rerank buys back.
     */
   def knnPqRerankRecall(emb: DataFrame, nQueries: Int = 50, k: Int = 3,
-      shortlist: Int = 16): DataFrame = {
-    val all = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val queries = all.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val scoredExact = broadcast(queries)
-      .join(all, col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        graft.functions.VectorFunctions.sq_dist(col("qv"), col("v"))
-          .as("d2"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("d2").asc, col("neighbor_id").asc)
-    val exact = scoredExact.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("neighbor_id"))
-    val approx = knnPqRerank(emb, nQueries, k, shortlist)
-      .select(col("query_id").as("aq"), col("neighbor_id").as("hit_id"))
-    exact.join(approx,
-        col("query_id") === col("aq") && col("neighbor_id") === col("hit_id"),
-        "left")
-      .groupBy("query_id")
-      .agg(round(count(col("hit_id")) / lit(k.toDouble), 4).as("recall"))
-      .orderBy("query_id")
-  }
+      shortlist: Int = 16): DataFrame =
+    pqRecallAgainstExact(emb,
+      knnPqRerank(emb, nQueries, k, shortlist), nQueries, k)
 
   def knnPqRerankRecallOracle(nQueries: Int = 50, k: Int = 3,
       shortlist: Int = 16): String =
@@ -1845,6 +1741,10 @@ object Similarity {
           .as("own_cos"),
         max(when(col("label") =!= col("clabel"), col("ccos")))
           .as("best_other"))
+      // no other-label competitor (single distinct label) => no margin
+      // row, matching the oracle's inner own-join-other; without this
+      // the NULL margins would skew n vs the null-skipping sum
+      .filter(col("best_other").isNotNull)
       .withColumn("margin", round(col("own_cos") - col("best_other"), 6))
       .groupBy("label")
       .agg(count(lit(1)).as("n"),

@@ -109,8 +109,10 @@ object Sketch {
   // ------------------------------------------------------------ //
   // HyperLogLog distinct counting — the mergeable COUNT DISTINCT.
 
-  /** Register count (2^8). Standard-error ~ 1.04/sqrt(m) ~ 6.5%. */
+  /** Register count (2^RegBits). Standard-error ~ 1.04/sqrt(m) ~ 6.5%. */
   val HllM = 256
+  private val RegBits = 8
+  require(HllM == (1 << RegBits), "HllM must stay 2^RegBits")
 
   /** The hash window above the register index: hash60 gives 60 bits,
     * 8 pick the register, the remaining 52 feed the rank. */
@@ -126,7 +128,10 @@ object Sketch {
     * exact integer arithmetic in both engines.
     */
   def hllRank(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val w = (H.hash60(c).cast("long") / lit(HllM.toLong)).cast("long")
+    // shiftright, NOT `/ 256`: Column `/` is double division, which
+    // rounds hashes >= 2^53 before the cast and can disagree with the
+    // oracle's integer `//` by one register rank
+    val w = shiftright(H.hash60(c), RegBits)
     when(w === 0, lit(HllW + 1))
       .otherwise(lit(HllW + 1) - length(conv(w, 10, 2)))
   }

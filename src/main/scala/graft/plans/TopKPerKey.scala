@@ -91,6 +91,16 @@ object TopKStrategy extends SparkStrategy {
   * EnsureRequirements inserts the one (pruned) exchange between the
   * two stages. Both stages run identical heap logic; idempotence on
   * already-pruned input is what makes the decomposition exact.
+  *
+  * Memory bound — read before reaching for this on a new query: the
+  * per-partition state is O(distinct keys in partition x k) rows in
+  * an UNSPILLABLE hash map (unlike Spark's window/aggregate, which
+  * spill). That is the right trade for the grouped-dimension keys it
+  * serves (`o3_topk_exec`: suppliers, categories — key counts in the
+  * thousands); for near-unique keys (top-k per user over billions)
+  * use the WindowGroupLimit form, whose sort spills. The partial
+  * stage bounds the exchange either way; the cardinality question is
+  * only about executor heap.
   */
 case class TopKPerKeyExec(keys: Seq[Expression], ordering: Seq[SortOrder],
     k: Int, partial: Boolean, child: SparkPlan) extends UnaryExecNode {

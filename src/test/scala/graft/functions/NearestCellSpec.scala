@@ -108,5 +108,23 @@ class NearestCellSpec extends SparkSpec {
       assert(NearestCell.round6(x) == sparkRound,
         s"round6($x): ${NearestCell.round6(x)} vs Spark $sparkRound")
     }
+    // non-finite inputs pass through like Spark's Round instead of
+    // throwing (BigDecimal.valueOf rejects them)
+    assert(NearestCell.round6(Double.NaN).isNaN)
+    assert(NearestCell.round6(Double.PositiveInfinity).isPosInfinity)
+  }
+
+  test("a zero-norm vector assigns to the smallest cell, not a crash") {
+    // nrm = 0 makes every cosine NaN; Double.compare orders NaN
+    // greatest (like the struct-max form), ties break to the first =
+    // smallest cid — the assignment sweep must survive it
+    val ids = Array(3L, 7L)
+    val vecs = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val nrms = Array(1.0, 1.0)
+    val out = spark.range(1)
+      .select(VectorFunctions.nearest_cell(
+        array(lit(0.0), lit(0.0)), lit(0.0), ids, vecs, nrms).as("cell"))
+      .head().getLong(0)
+    assert(out == 3L, s"zero-norm vector assigned to cell $out")
   }
 }

@@ -21,9 +21,9 @@ sbt -batch test 2>&1 | grep -E "Tests: |All tests|TEST FAILED"
 echo "== 2/3 oracle sweep (sf0.01) =="
 out=$(mktemp -d)
 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $out" > /dev/null 2>&1
-python3 tools/oracle_check.py /root/testdata/sf0.01 "$out" | tail -1
-python3 tools/oracle_check.py /root/testdata/sf0.01 "$out" | tail -1 \
-  | grep -q " 0 failed"
+summary=$(python3 tools/oracle_check.py /root/testdata/sf0.01 "$out" | tail -1)
+echo "$summary"
+grep -q " 0 failed" <<< "$summary"
 
 echo "== 3/3 bench + gate (sf0.1, median of 3) =="
 cp BENCH_FULL.json /tmp/bench_prev_gate.json
