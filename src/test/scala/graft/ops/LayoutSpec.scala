@@ -116,6 +116,23 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(outDir).filter(pred).count() == 0)
   }
 
+  test("copy-on-write delete retains rows where the predicate is NULL") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-cow-null").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-cow-nullout").toString
+    // status: one deletable value, one keeper, one NULL — the NULL row
+    // must survive (SQL three-valued logic: NOT NULL is NULL, and a
+    // bare filter(!pred) would silently drop it)
+    Seq((1L, Some("bad")), (2L, Some("ok")), (3L, Option.empty[String]))
+      .toDF("id", "status")
+      .repartition(1).write.mode("overwrite").parquet(srcDir)
+    Layout.deleteRewrite(spark, srcDir, outDir, col("status") === "bad")
+    val kept = spark.read.parquet(outDir).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(2L, 3L),
+      s"NULL-predicate row must survive the rewrite, kept: $kept")
+  }
+
   test("compaction is byte-lossless and hits the file-count bound, shuffle-free") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val shardDir = java.nio.file.Files.createTempDirectory("graft-shards").toString
