@@ -76,6 +76,31 @@ class LayoutSpec extends SparkSpec {
       s"z-order must out-prune linear: zRead=$zRead linRead=$linRead")
   }
 
+  test("property: the z-key is a bijection on the 16-bit grid") {
+    // deinterleave the Morton code in plain Scala and demand the
+    // original coordinates back — proves no bit is lost or aliased,
+    // i.e. curve locality claims rest on a true space-filling curve
+    def unspread(z: Long): Long = {
+      var v = z & 0x5555555555555555L
+      v = (v | (v >> 1)) & 0x3333333333333333L
+      v = (v | (v >> 2)) & 0x0F0F0F0F0F0F0F0FL
+      v = (v | (v >> 4)) & 0x00FF00FF00FF00FFL
+      v = (v | (v >> 8)) & 0x0000FFFF0000FFFFL
+      v
+    }
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.tabulate(256)(i =>
+      if (i < 4) (Seq(0L, 65535L)(i % 2), Seq(0L, 65535L)(i / 2))
+      else (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val df = spark.createDataFrame(pts).toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zkey(col("x"), col("y")).as("z"))
+    val bad = df.collect().filter { r =>
+      unspread(r.getLong(2)) != r.getLong(0) ||
+        unspread(r.getLong(2) >> 1) != r.getLong(1)
+    }
+    assert(bad.isEmpty, s"non-bijective z-keys: ${bad.take(3).toSeq}")
+  }
+
   test("z-key matches its own SQL twin on the session engine") {
     // the Morton ladder is engine-agnostic integer arithmetic: the
     // Column form and the SQL-text form (what the DuckDB oracle runs)

@@ -69,6 +69,34 @@ class SketchSpec extends SparkSpec {
       s"grids differ: ${onePass.size} vs ${rows.size} cells")
   }
 
+  test("property: HLL registers merge by max — split-invariant") {
+    // THE mergeability law the incremental/streaming forms rest on:
+    // registers(A union B) == max-merge(registers(A), registers(B))
+    // for ANY partition of the rows. One Spark evaluation per sample,
+    // so the sample count stays modest.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val words = (0 until 40).map(i => s"tok$i")
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      df.select(Sketch.hllReg(col("w")).as("reg"),
+          Sketch.hllRank(col("w")).as("rank"))
+        .groupBy("reg").agg(max("rank").as("m"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val splitGen = Gen.listOfN(words.size, Gen.oneOf(true, false))
+    val prop = Prop.forAll(splitGen) { mask =>
+      val (a, b) = words.zip(mask).partition(_._2)
+      val whole = regs(words.toDF("w"))
+      val left = regs(a.map(_._1).toDF("w"))
+      val right = regs(b.map(_._1).toDF("w"))
+      val merged = (left.keySet ++ right.keySet).map(k =>
+        k -> math.max(left.getOrElse(k, 0), right.getOrElse(k, 0))).toMap
+      merged == whole
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("CMS never underestimates, across the whole vocabulary") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     // the full-vocab variant of the query: every token probed
