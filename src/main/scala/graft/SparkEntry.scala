@@ -1071,6 +1071,18 @@ object SparkEntry {
     },
 
     // Multimodal: binary payload + typed metadata projection.
+    // Real file ingest: every 50th doc written as an individual .bin
+    // asset (executor-side), read back through the built-in
+    // binaryFile source; size + md5 must match the table the bytes
+    // came from — the write -> file -> ingest loop is byte-faithful.
+    q("ns_media_ingest", Multimodal.ingestOracle) {
+      (s, dir) =>
+        val mdir = layoutDir("media-files", dir)
+        if (!new java.io.File(s"$mdir/_SUCCESS").exists())
+          Multimodal.writeMediaFiles(T(s, dir, "documents"), mdir)
+        Multimodal.ingestBinaryFiles(s, mdir)
+    },
+
     q("ns_media_meta",
       """SELECT doc_id, octet_length(text::BLOB) AS byte_len,
         |  (16 + doc_id % 64)::INT AS width,

@@ -179,4 +179,49 @@ object Multimodal {
        |          p -> (p - 1) % $EmbeddingDim = d),
        |        p -> ascii(substr(text, p::INT, 1)))), 0.0)) AS v
        |  FROM documents)""".stripMargin
+
+  /** Write every 50th document's payload as an individual `.bin` file
+    * — the on-disk shape a real media corpus arrives in (one object
+    * per asset). Executor-side writes (foreachPartition), never the
+    * driver; a _SUCCESS marker supports create-once callers.
+    */
+  def writeMediaFiles(docs: DataFrame, dir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), col("text"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir/doc_${r.getLong(0)}.bin"),
+            r.getString(1).getBytes("UTF-8"))
+        }
+      }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_SUCCESS"), Array.empty[Byte])
+  }
+
+  /** Ingest a directory of binary assets with the built-in
+    * `binaryFile` source: id parsed from the file name, size from the
+    * source's metadata column, digest from the payload bytes. The
+    * oracle recomputes all three from the documents table, so the
+    * hash match proves the write -> file -> ingest loop is
+    * byte-faithful. At scale this is the pattern that moves a media
+    * corpus into the engine: a distributed listing + streamed file
+    * reads, no driver involvement per asset.
+    */
+  def ingestBinaryFiles(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read.format("binaryFile").load(s"$dir/*.bin")
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+          .cast("long").as("doc_id"),
+        col("length").as("n_bytes"),
+        md5(col("content")).as("content_md5"))
+      .orderBy("doc_id")
+
+  val ingestOracle: String =
+    """SELECT doc_id, length(text)::BIGINT AS n_bytes,
+      |  md5(text) AS content_md5
+      |FROM documents WHERE doc_id % 50 = 0
+      |ORDER BY doc_id""".stripMargin
 }
