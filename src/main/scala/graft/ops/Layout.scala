@@ -197,9 +197,24 @@ object Layout {
         .write.mode("overwrite").parquet(outDir)
     else
       fs.mkdirs(new Path(outDir))
-    for (p <- kept)
-      org.apache.hadoop.fs.FileUtil.copy(fs, p, fs,
-        new Path(s"$outDir/carry-${p.getName}"), false, conf)
+    // carried (untouched) files are byte-for-byte copies submitted from
+    // a bounded pool — a serial driver loop pays per-copy latency ×
+    // #files, the same O(#jobs) failure mode compactShards avoids; a
+    // mostly-non-matching delete on a 100× table carries thousands
+    if (kept.nonEmpty) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, kept.length))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.traverse(kept.toSeq) { p =>
+          scala.concurrent.Future {
+            org.apache.hadoop.fs.FileUtil.copy(fs, p, fs,
+              new Path(s"$outDir/carry-${p.getName}"), false, conf)
+          }
+        }, scala.concurrent.duration.Duration(30, "min"))
+      finally pool.shutdown()
+    }
     fs.create(new Path(s"$outDir/_SUCCESS"), true).close()
     (hit.length, all.length)
   }
@@ -219,7 +234,7 @@ object Layout {
 
   def contentFingerprintOracle(where: String = "TRUE"): String =
     s"""SELECT source::VARCHAR AS source, count(*) AS n_docs,
-       |  sum(${H.duckHash30("doc_id || '|' || text")}) AS content_fp
+       |  sum(${H.duckHash30("doc_id || '|' || text")})::BIGINT AS content_fp
        |FROM documents
        |WHERE $where
        |GROUP BY source

@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One tracked data file in a [[Manifest]]: path relative to the table
+  * root, row/byte counts, and per-column min/max for the stat columns.
+  */
+case class ColRange(col: String, min: Long, max: Long)
+case class ManifestEntry(name: String, rows: Long, bytes: Long,
+    stats: Seq[ColRange])
+
+/** A minimal versioned file manifest for the layout-managed tables
+  * (Z-ordered copies, compacted trees, copy-on-write deletes).
+  *
+  * Why: parquet footer stats give per-file min/max too, but READING
+  * them is O(#files) footer opens on every query — at 100 TB that is
+  * tens of thousands of round trips before the first byte of data.
+  * A manifest is the table-format answer (Iceberg/Delta-style, reduced
+  * to its essence): ONE small metadata read yields the file list plus
+  * per-column ranges, so planning prunes files without touching them,
+  * and a delete/compact commit is a metadata swap, not a tree walk.
+  *
+  * Layout on disk, under `<table>/_manifest/`:
+  *   - `v<K>/` — a Spark-written JSONL snapshot of [[ManifestEntry]]s
+  *   - `CURRENT` — a one-line pointer file naming the live version
+  *
+  * Commits write the new snapshot FIRST, then atomically overwrite
+  * `CURRENT`; a crash between the two leaves the previous complete
+  * version live (readers never observe a partial manifest).
+  *
+  * Scale posture: building stats is ONE distributed pass
+  * (`groupBy(input_file_name())` — map-side combined, no row leaves
+  * its executor pre-agg); the collect is O(#files), the same bound as
+  * any planner's file listing. Incremental commits (copy-on-write
+  * delete) reuse carried files' entries verbatim — metadata-only, the
+  * property that makes a 100 TB delete proportional to AFFECTED files.
+  */
+object Manifest {
+
+  val DirName = "_manifest"
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Normalized filesystem path of `dir` (no scheme), for relativizing
+    * `input_file_name()` URIs against the table root.
+    */
+  private def rootPath(spark: SparkSession, dir: String): String = {
+    val fs = fsOf(spark, dir)
+    fs.makeQualified(new Path(dir)).toUri.getPath
+  }
+
+  private def relName(root: String, fileUri: String): String =
+    new Path(fileUri).toUri.getPath.stripPrefix(root).stripPrefix("/")
+
+  def currentVersion(spark: SparkSession, dir: String): Option[Int] = {
+    val fs = fsOf(spark, dir)
+    val p = new Path(s"$dir/$DirName/CURRENT")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim.stripPrefix("v").toInt)
+      finally in.close()
+    }
+  }
+
+  def read(spark: SparkSession, dir: String): Option[Seq[ManifestEntry]] =
+    currentVersion(spark, dir).map { v =>
+      spark.read.schema(Encoders.product[ManifestEntry].schema)
+        .json(s"$dir/$DirName/v$v")
+        .as(Encoders.product[ManifestEntry])
+        .collect().toSeq.sortBy(_.name)
+    }
+
+  /** Commit `entries` as version `version`: snapshot first, CURRENT
+    * pointer second (the crash-safe order).
+    */
+  def write(spark: SparkSession, dir: String, entries: Seq[ManifestEntry],
+      version: Int): Unit = {
+    val ds: Dataset[ManifestEntry] =
+      spark.createDataset(entries)(Encoders.product[ManifestEntry])
+    ds.coalesce(1).write.mode("overwrite")
+      .json(s"$dir/$DirName/v$version")
+    val fs = fsOf(spark, dir)
+    val out = fs.create(new Path(s"$dir/$DirName/CURRENT"), true)
+    try out.write(s"v$version\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Per-file stats in one distributed pass. `onlyNames` restricts the
+    * scan to specific relative paths (incremental commits stat ONLY
+    * the files they rewrote). Stat columns must be integral-typed —
+    * layout pruning ranges are BIGINT end to end.
+    */
+  def scanStats(spark: SparkSession, dir: String, statCols: Seq[String],
+      onlyNames: Option[Seq[String]] = None): Seq[ManifestEntry] = {
+    val fs = fsOf(spark, dir)
+    val root = rootPath(spark, dir)
+    val src = onlyNames match {
+      case Some(names) =>
+        if (names.isEmpty) return Seq.empty
+        spark.read.option("basePath", dir)
+          .parquet(names.map(n => s"$dir/$n"): _*)
+      case None => spark.read.parquet(dir)
+    }
+    val aggs = count(lit(1)).as("n") +: statCols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"mn_$c"),
+      max(col(c).cast("long")).as(s"mx_$c")))
+    src.groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().toSeq.map { r =>
+        val name = relName(root, r.getString(0))
+        val bytes = fs.getFileStatus(new Path(s"$dir/$name")).getLen
+        ManifestEntry(name, r.getLong(1), bytes,
+          statCols.zipWithIndex.map { case (c, i) =>
+            ColRange(c, r.getLong(2 + 2 * i), r.getLong(3 + 2 * i))
+          })
+      }.sortBy(_.name)
+  }
+
+  /** Build and commit a fresh manifest (next version, or v1). */
+  def create(spark: SparkSession, dir: String,
+      statCols: Seq[String]): Seq[ManifestEntry] = {
+    val entries = scanStats(spark, dir, statCols)
+    write(spark, dir, entries, currentVersion(spark, dir).getOrElse(0) + 1)
+    entries
+  }
+
+  /** Create-if-absent (idempotent reader-side repair). */
+  def ensure(spark: SparkSession, dir: String,
+      statCols: Seq[String]): Seq[ManifestEntry] =
+    read(spark, dir).getOrElse(create(spark, dir, statCols))
+
+  /** Absolute paths of the files whose stat ranges intersect EVERY
+    * requested `(col, lo, hi)` rectangle side; `None` when the table
+    * has no manifest (caller falls back to a full-directory read).
+    * A file with no recorded stats for a column is kept — pruning may
+    * only ever SKIP files it can prove non-matching.
+    */
+  def prunedPaths(spark: SparkSession, dir: String,
+      ranges: Seq[(String, Long, Long)]): Option[Seq[String]] =
+    read(spark, dir).map(_.filter { e =>
+      ranges.forall { case (c, lo, hi) =>
+        e.stats.find(_.col == c).forall(s => s.max >= lo && s.min <= hi)
+      }
+    }.map(e => s"$dir/${e.name}"))
+
+  /** Read the table THROUGH its manifest: the file list comes from the
+    * current snapshot, not a directory walk, and `basePath` keeps
+    * partition-directory columns intact. Falls back to a plain read
+    * when no manifest exists.
+    */
+  def readTable(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir) match {
+      case Some(entries) if entries.nonEmpty =>
+        spark.read.option("basePath", dir)
+          .parquet(entries.map(e => s"$dir/${e.name}"): _*)
+      case _ => spark.read.parquet(dir)
+    }
+}

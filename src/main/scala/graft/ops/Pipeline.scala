@@ -443,7 +443,7 @@ object Pipeline {
     s"""SELECT source,
        |  CASE WHEN $bucket < 90 THEN 'train'
        |       WHEN $bucket < 95 THEN 'val' ELSE 'test' END AS split,
-       |  count(*) AS n_docs, sum(n_chars) AS n_chars
+       |  count(*) AS n_docs, sum(n_chars)::BIGINT AS n_chars
        |FROM documents
        |GROUP BY 1, 2 ORDER BY source, split""".stripMargin
   }
@@ -481,7 +481,7 @@ object Pipeline {
   }
 
   def domainMixOracle: String =
-    s"""WITH by_src AS (SELECT source, sum(n_chars) AS toks
+    s"""WITH by_src AS (SELECT source, sum(n_chars)::BIGINT AS toks
        |    FROM documents GROUP BY source),
        |wide AS (SELECT source, toks,
        |    sum(toks) OVER () AS total,
@@ -540,7 +540,7 @@ object Pipeline {
   }
 
   def domainMixAlphaOracle(alpha: Double = 0.3): String =
-    s"""WITH by_src AS (SELECT source, sum(n_chars) AS toks
+    s"""WITH by_src AS (SELECT source, sum(n_chars)::BIGINT AS toks
        |    FROM documents GROUP BY source),
        |shares AS (SELECT source, toks,
        |    toks::DOUBLE / sum(toks) OVER () AS share,
@@ -591,7 +591,7 @@ object Pipeline {
   def incrementalAggOracle: String =
     """WITH t AS (SELECT source, len(string_split(text, ' '))::BIGINT
       |    AS n_toks FROM documents)
-      |SELECT source, count(*) AS n_docs, sum(n_toks) AS n_tokens,
+      |SELECT source, count(*) AS n_docs, sum(n_toks)::BIGINT AS n_tokens,
       |  max(n_toks) AS max_toks,
       |  round(sum(n_toks)::DOUBLE / count(*), 6) AS avg_toks
       |FROM t GROUP BY source ORDER BY source""".stripMargin

@@ -34,6 +34,27 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # Static pre-pass: the driver hashes DuckDB output via pandas, where
+    # HUGEINT/DECIMAL render as float64/object and diverge from Spark's
+    # int64 even when values are numerically equal (round-6 lesson: six
+    # uncast sum(BIGINT) oracles shipped green locally, failed the
+    # driver). Reject such oracles before comparing any results.
+    bad_types = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            desc = con.execute(
+                f"DESCRIBE SELECT * FROM ({sql}) LIMIT 0").fetchall()
+            for col, tn in [(r[0], r[1]) for r in desc]:
+                if tn in ("HUGEINT", "UHUGEINT") or tn.startswith("DECIMAL"):
+                    print(f"TYPEFAIL {name}: oracle column {col} is {tn} "
+                          f"(cast to ::BIGINT/::DOUBLE — driver hash will diverge)")
+                    bad_types += 1
+        except Exception as e:
+            print(f"TYPEFAIL {name}: probe error: {type(e).__name__}: {e}")
+            bad_types += 1
+    if bad_types:
+        print(f"\n{bad_types} oracle type probe failure(s) — fix before comparing")
+        sys.exit(1)
     for name, sql in sorted(oracle.items()):
         res_dir = f"{out_dir}/{name}"
         files = glob.glob(f"{res_dir}/*.parquet")
@@ -54,6 +75,17 @@ def main():
             continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            n_fail += 1
+            continue
+        # The driver's value hash is dtype-sensitive between integer and
+        # float kinds (7949 vs 7949.0 hash differently) — mirror that
+        # here instead of letting check_dtype=False mask it.
+        kind_bad = [c for c in got.columns
+                    if {got[c].dtype.kind, want[c].dtype.kind} == {"i", "f"}]
+        if kind_bad:
+            print(f"FAIL {name}: int-vs-float dtype kind on {kind_bad} "
+                  f"(spark {[str(got[c].dtype) for c in kind_bad]} vs "
+                  f"oracle {[str(want[c].dtype) for c in kind_bad]})")
             n_fail += 1
             continue
         try:
