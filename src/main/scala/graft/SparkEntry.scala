@@ -1218,7 +1218,9 @@ object SparkEntry {
             T(s, dir, "lineitem").select("l_orderkey", "l_linenumber",
               "l_partkey", "l_suppkey"),
             "l_partkey", "l_suppkey", lay)
-        ops.Layout.zorderRect(s.read.parquet(lay), 100, 300, 10, 40)
+        // plan the file list from the layout's manifest: one metadata
+        // read replaces #files footer opens before the scan starts
+        ops.Layout.zorderRectManifest(s, lay, 100, 300, 10, 40)
     },
 
     // Small-file compaction: the shard-written documents tree (many
@@ -1234,9 +1236,10 @@ object SparkEntry {
           val shards = layoutDir("shards-docs", dir)
           if (!new java.io.File(s"$shards/_SUCCESS").exists())
             Pipeline.writeShards(T(s, dir, "documents"), shards, 50)
-          ops.Layout.compactShards(s, shards, comp)
+          ops.Layout.compactShards(s, shards, comp,
+            statCols = Seq("doc_id"))
         }
-        ops.Layout.contentFingerprint(s.read.parquet(comp))
+        ops.Layout.contentFingerprint(ops.Manifest.readTable(s, comp))
     },
 
     // Copy-on-write delete: a doc_id-range delete against a
@@ -1257,9 +1260,9 @@ object SparkEntry {
               .sortWithinPartitions("doc_id")
               .write.mode("overwrite").parquet(src)
           ops.Layout.deleteRewrite(s, src, out,
-            col("doc_id").between(100, 140))
+            col("doc_id").between(100, 140), statCols = Seq("doc_id"))
         }
-        ops.Layout.contentFingerprint(s.read.parquet(out))
+        ops.Layout.contentFingerprint(ops.Manifest.readTable(s, out))
     },
 
     // Temperature-scaled (share^alpha) domain mixing — the standard

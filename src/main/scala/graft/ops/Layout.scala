@@ -36,8 +36,10 @@ object Layout {
     * changes semantically: persisted derived layouts are cached by
     * path (SparkEntry.layoutDir embeds this), and a stale cache built
     * under old semantics must miss, not serve.
+    * v2: layouts carry a versioned `_manifest` (file list + per-column
+    * min/max) and reads plan from it instead of listing footers.
     */
-  val Version = 1
+  val Version = 2
 
   /** Interleave steps: spread a 16-bit value so its bits occupy the
     * even positions of a 32-bit word (the classic mask ladder).
@@ -80,11 +82,15 @@ object Layout {
     * parquet footer min/max on BOTH columns is tight.
     */
   def zorderWrite(df: DataFrame, xCol: String, yCol: String,
-      outDir: String, nFiles: Int = 32): Unit =
+      outDir: String, nFiles: Int = 32): Unit = {
     df.withColumn("zkey", zkey(col(xCol), col(yCol)))
       .repartitionByRange(nFiles, col("zkey"))
       .sortWithinPartitions("zkey")
       .write.mode("overwrite").parquet(outDir)
+    // commit the manifest with it: later rectangle queries plan their
+    // file list from ONE metadata read instead of #files footer opens
+    Manifest.create(df.sparkSession, outDir, Seq(xCol, yCol, "zkey"))
+  }
 
   /** Rectangle query over a (possibly clustered) lineitem projection:
     * both between-predicates reach the parquet scan as pushed filters,
@@ -99,6 +105,27 @@ object Layout {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_suppkey"), col("zkey"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** [[zorderRect]] planned THROUGH the layout's manifest: files whose
+    * recorded (x, y) ranges miss the rectangle are never opened — at
+    * 100 TB that is the difference between one small metadata read and
+    * tens of thousands of parquet footer round trips before the scan
+    * even starts. Row-group pruning inside the surviving files still
+    * applies (the predicates stay pushed). Falls back to the plain
+    * directory read when the layout has no manifest.
+    */
+  def zorderRectManifest(spark: SparkSession, dir: String, xLo: Int,
+      xHi: Int, yLo: Int, yHi: Int): DataFrame = {
+    val src = Manifest.prunedPaths(spark, dir, Seq(
+        ("l_partkey", xLo.toLong, xHi.toLong),
+        ("l_suppkey", yLo.toLong, yHi.toLong))) match {
+      case Some(paths) if paths.nonEmpty =>
+        spark.read.option("basePath", dir).parquet(paths: _*)
+      case Some(_) => spark.read.parquet(dir).filter(lit(false))
+      case None => spark.read.parquet(dir)
+    }
+    zorderRect(src, xLo, xHi, yLo, yHi)
+  }
 
   def zorderRectOracle(xLo: Int, xHi: Int, yLo: Int, yHi: Int): String =
     s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
@@ -116,7 +143,8 @@ object Layout {
     * partition column unchanged.
     */
   def compactShards(spark: SparkSession, inDir: String, outDir: String,
-      targetBytes: Long = 128L << 20): (Int, Int) = {
+      targetBytes: Long = 128L << 20,
+      statCols: Seq[String] = Nil): (Int, Int) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val in = new Path(inDir)
     val fs = in.getFileSystem(conf)
@@ -146,7 +174,9 @@ object Layout {
       val done = scala.concurrent.Await.result(
         scala.concurrent.Future.sequence(merges),
         scala.concurrent.duration.Duration(30, "min"))
-      // one _SUCCESS marker for create-once callers
+      // commit the manifest BEFORE the _SUCCESS marker: a create-once
+      // caller that sees _SUCCESS must also see a complete manifest
+      Manifest.create(spark, outDir, statCols)
       fs.create(new Path(s"$outDir/_SUCCESS"), true).close()
       // report files actually WRITTEN, not the coalesce target:
       // coalesce cannot increase partition count, so a dir with fewer
@@ -175,9 +205,13 @@ object Layout {
     * Returns (affectedFiles, totalFiles).
     */
   def deleteRewrite(spark: SparkSession, inDir: String, outDir: String,
-      pred: Column): (Int, Int) = {
+      pred: Column, statCols: Seq[String] = Nil): (Int, Int) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(inDir).getFileSystem(conf)
+    // the source manifest makes the commit incremental: carried files'
+    // entries transfer verbatim (metadata-only), only rewritten output
+    // files are re-statted
+    val srcEntries = Manifest.ensure(spark, inDir, statCols)
     val all = fs.listStatus(new Path(inDir))
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map(_.getPath).sortBy(_.getName)
@@ -215,6 +249,23 @@ object Layout {
         }, scala.concurrent.duration.Duration(30, "min"))
       finally pool.shutdown()
     }
+    // incremental manifest commit: carried entries are copied forward
+    // with their stats untouched (no data read); only the survivor
+    // files Spark just wrote get a stats pass. Version bumps over the
+    // source's — the versioned-snapshot + CURRENT-swap protocol.
+    val keptNames = kept.map(_.getName).toSet
+    val carriedEntries = srcEntries
+      .filter(e => keptNames.contains(e.name))
+      .map(e => e.copy(name = s"carry-${e.name}"))
+    val rewrittenNames = fs.listStatus(new Path(outDir))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet") &&
+        !f.getPath.getName.startsWith("carry-"))
+      .map(_.getPath.getName).toSeq
+    val rewrittenEntries =
+      Manifest.scanStats(spark, outDir, statCols, Some(rewrittenNames))
+    Manifest.write(spark, outDir,
+      (carriedEntries ++ rewrittenEntries).sortBy(_.name),
+      Manifest.currentVersion(spark, inDir).getOrElse(0) + 1)
     fs.create(new Path(s"$outDir/_SUCCESS"), true).close()
     (hit.length, all.length)
   }

@@ -1,0 +1,148 @@
+package graft.ops
+
+import scala.jdk.CollectionConverters._
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.functions._
+
+/** The versioned layout manifest, cross-checked against ground truth:
+  *
+  *  - FAITHFUL: the manifest's per-file min/max must equal what the
+  *    parquet footers themselves record, so manifest pruning selects
+  *    EXACTLY the candidate set footer-based planning would — same
+  *    skipping power, one metadata read instead of #files footer opens.
+  *  - CORRECT: a manifest-pruned rectangle query returns the same rows
+  *    as the full-directory scan (pruning may only skip provably
+  *    non-matching files).
+  *  - INCREMENTAL: a copy-on-write delete carries untouched files'
+  *    entries forward verbatim (metadata-only, no data read) and bumps
+  *    the version — the property that keeps a 100 TB delete commit
+  *    proportional to affected files.
+  */
+class ManifestSpec extends SparkSpec {
+
+  /** Per-file (min, max) of `column` straight from the parquet footer —
+    * the independent ground truth the manifest must reproduce.
+    */
+  private def footerRange(p: Path, column: String): (Long, Long) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rd = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+    try {
+      val ranges = rd.getFooter.getBlocks.asScala.toSeq.flatMap { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == column).map { c =>
+          val st = c.getStatistics
+          (st.genericGetMin.toString.toLong, st.genericGetMax.toString.toLong)
+        }
+      }
+      (ranges.map(_._1).min, ranges.map(_._2).max)
+    } finally rd.close()
+  }
+
+  private def parquetFiles(dir: String): Seq[Path] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(conf)
+    fs.listStatus(new Path(dir))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).toSeq.sortBy(_.getName)
+  }
+
+  test("manifest pruning selects exactly the footer-stats candidate set") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val zDir = java.nio.file.Files.createTempDirectory("graft-mf-z").toString
+    Layout.zorderWrite(li, "l_partkey", "l_suppkey", zDir, nFiles = 16)
+
+    val (xLo, xHi, yLo, yHi) = (10L, 30L, 1L, 4L)
+    val pruned = Manifest.prunedPaths(spark, zDir, Seq(
+        ("l_partkey", xLo, xHi), ("l_suppkey", yLo, yHi)))
+      .get.map(p => new Path(p).getName).toSet
+
+    val footerSet = parquetFiles(zDir).filter { p =>
+      val (pxMin, pxMax) = footerRange(p, "l_partkey")
+      val (syMin, syMax) = footerRange(p, "l_suppkey")
+      pxMax >= xLo && pxMin <= xHi && syMax >= yLo && syMin <= yHi
+    }.map(_.getName).toSet
+
+    assert(pruned == footerSet,
+      s"manifest selected $pruned but footers say $footerSet")
+    val total = parquetFiles(zDir).size
+    assert(pruned.size < total,
+      s"rectangle must prune something: kept ${pruned.size} of $total")
+    info(s"manifest kept ${pruned.size} of $total files, " +
+      s"identical to footer-stat planning")
+  }
+
+  test("manifest-pruned rectangle query equals the full scan") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val zDir = java.nio.file.Files.createTempDirectory("graft-mf-eq").toString
+    Layout.zorderWrite(li, "l_partkey", "l_suppkey", zDir, nFiles = 16)
+
+    val viaManifest =
+      Layout.zorderRectManifest(spark, zDir, 10, 30, 1, 4).collect().toSeq
+    val fullScan =
+      Layout.zorderRect(spark.read.parquet(zDir), 10, 30, 1, 4)
+        .collect().toSeq
+    assert(viaManifest == fullScan)
+    assert(fullScan.nonEmpty, "fixture rectangle must be non-empty")
+  }
+
+  test("copy-on-write delete commits an incremental, versioned manifest") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-mf-src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-mf-out").toString
+    docs.repartitionByRange(16, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(srcDir)
+
+    val (hit, total) = Layout.deleteRewrite(spark, srcDir, outDir,
+      col("doc_id").between(100, 140), statCols = Seq("doc_id"))
+    assert(hit > 0 && hit < total)
+
+    val srcByName = Manifest.read(spark, srcDir).get.map(e => e.name -> e).toMap
+    val outEntries = Manifest.read(spark, outDir).get
+    // every carried entry is its source entry verbatim (stats, rows,
+    // bytes) under the carry- name: the commit read no carried data
+    val carried = outEntries.filter(_.name.startsWith("carry-"))
+    assert(carried.size == total - hit)
+    carried.foreach { e =>
+      val src = srcByName(e.name.stripPrefix("carry-"))
+      assert(e.copy(name = src.name) == src,
+        s"carried entry must be metadata-only: $e vs $src")
+    }
+    // rewritten files are present with fresh stats covering no deleted id
+    val rewritten = outEntries.filterNot(_.name.startsWith("carry-"))
+    assert(rewritten.nonEmpty)
+    // version bumped over the source's
+    assert(Manifest.currentVersion(spark, outDir).get ==
+      Manifest.currentVersion(spark, srcDir).get + 1)
+    // the manifest IS the table: reading through it matches the oracle set
+    val got = Layout.contentFingerprint(Manifest.readTable(spark, outDir))
+      .collect().toSeq
+    val expected = Layout.contentFingerprint(
+      docs.filter(!col("doc_id").between(100, 140))).collect().toSeq
+    assert(got == expected)
+  }
+
+  test("readTable keeps partition-directory columns on a compacted tree") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val shardDir = java.nio.file.Files.createTempDirectory("graft-mf-sh").toString
+    val compDir = java.nio.file.Files.createTempDirectory("graft-mf-cp").toString
+    Pipeline.writeShards(docs, shardDir, maxRecordsPerFile = 50)
+    Layout.compactShards(spark, shardDir, compDir, statCols = Seq("doc_id"))
+
+    val viaManifest = Manifest.readTable(spark, compDir)
+    assert(viaManifest.columns.contains("source"),
+      "basePath read must recover the partition column")
+    val got = Layout.contentFingerprint(viaManifest).collect().toSeq
+    val expected = Layout.contentFingerprint(docs).collect().toSeq
+    assert(got == expected)
+    // the manifest lists every data file with its partition subpath
+    val entries = Manifest.read(spark, compDir).get
+    assert(entries.nonEmpty && entries.forall(_.name.contains("=")),
+      s"entries must be partition-relative paths: ${entries.map(_.name)}")
+  }
+}
