@@ -1,0 +1,125 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Statistical-sanity gate for the approximate paths.
+  *
+  * A green oracle hash proves ENGINE PARITY (Spark computed the same
+  * numbers DuckDB would), not that the numbers are any good: an
+  * untrained codebook, a rank bug in a quantizer, or a missing HLL
+  * branch can all hash-match perfectly while the estimator is junk
+  * (round-6 lesson: SQ8 ranked by raw code dots hash-matched at 0.03
+  * recall). This suite pins FLOORS on every measured recall and ERROR
+  * BANDS on every sketch estimate, at sf0.01 — the same scale the
+  * driver measures — so a quality regression fails CI even when the
+  * hashes stay green.
+  *
+  * Floors are round-7 measured values minus a safety margin (the
+  * computations are deterministic: hash-seeded, fixed data), so any
+  * future drop past the margin is a real regression, not noise.
+  */
+class QualitySpec extends SparkSpec {
+
+  // the driver's measurement scale — floors below correspond 1:1 to
+  // the per-query results the correctness gate dumps
+  override val sf = "/root/testdata/sf0.01"
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  private def meanRecall(df: DataFrame): Double =
+    df.agg(avg("recall")).head().getDouble(0)
+
+  // measured at round 7 (mean recall@3 over 50 queries, sf0.01):
+  //   lsh_probe 0.4933  ivf 0.4267  ivfpq 0.3800  pq_trained 0.6067
+  //   pq_rerank 0.5600  sq8 0.9600
+  test("ANN recall floors: every shipped approximate search clears its bar") {
+    val measured = Seq(
+      ("lsh_probe", meanRecall(Similarity.knnLshRecall(emb, 50, 3)), 0.40),
+      ("ivf", meanRecall(Similarity.knnIvfRecall(emb, 50, 3, 2)), 0.35),
+      ("ivfpq", meanRecall(Similarity.knnIvfPqRecall(emb, 50, 3, 2, 32)), 0.30),
+      ("pq_trained",
+        meanRecall(Similarity.knnPqTrainedRecall(emb, 50, 3, 32)), 0.50),
+      ("pq_rerank",
+        meanRecall(Similarity.knnPqRerankRecall(emb, 50, 3, 32)), 0.46),
+      ("sq8", meanRecall(Similarity.knnSq8Recall(emb, 50, 3)), 0.88))
+    measured.foreach { case (name, got, floor) =>
+      info(f"$name%-11s recall@3 = $got%.4f (floor $floor)")
+      assert(got >= floor,
+        f"$name recall@3 regressed: $got%.4f < floor $floor")
+    }
+  }
+
+  test("the untrained codebook is the negative control the floors catch") {
+    // knnPqRecall quantizes against an UNTRAINED (data-split) codebook —
+    // exactly the recall-killing mutation this suite exists to catch.
+    // Its oracle is hash-green (ns_knn_pq_recall passes the driver), yet
+    // it lands far below the trained floor: proof the gate discriminates
+    // quality, not just parity.
+    val untrained = meanRecall(Similarity.knnPqRecall(emb, 50, 3))
+    info(f"untrained-codebook recall@3 = $untrained%.4f")
+    assert(untrained < 0.50,
+      "negative control unexpectedly cleared the trained floor — " +
+        "either the floor is too low or the control is no longer broken")
+    // and training must genuinely buy recall over not training
+    val trained = meanRecall(Similarity.knnPqTrainedRecall(emb, 50, 3, 32))
+    assert(trained > untrained + 0.2,
+      f"training bought only ${trained - untrained}%.4f recall")
+  }
+
+  test("simhash64 block-split recall: exhaustive below the block bound") {
+    // 64 bits in 4 blocks: any pair within hamming <= 3 shares an
+    // intact block (pigeonhole), so candidate generation is EXHAUSTIVE
+    // there — recall must be exactly 1.0, not approximately
+    val byHamming = Dedup.simhashWideRecall(docs)
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    (0 to 3).foreach { h =>
+      byHamming.get(h).foreach { rec =>
+        assert(rec == 1.0, s"hamming=$h must be exhaustive, got $rec")
+      }
+    }
+    // beyond the bound the multi-probe keeps recall high, not perfect
+    // (round-7 measured: h=4 0.9524, h=5 0.7214)
+    byHamming.get(4).foreach(rec => assert(rec >= 0.85, s"h=4: $rec"))
+    byHamming.get(5).foreach(rec => assert(rec >= 0.60, s"h=5: $rec"))
+    info(byHamming.toSeq.sorted.map { case (h, r) => s"h=$h:$r" }
+      .mkString(" "))
+  }
+
+  test("HLL estimates sit inside the 1.04/sqrt(m) error band per source") {
+    // m=256 registers: standard error 1.04/16 = 6.5%. The estimate is
+    // deterministic (hash-seeded), so the band is a hard gate, not a
+    // probabilistic one; 2 SE of headroom absorbs future fixture drift.
+    val se = 1.04 / math.sqrt(Sketch.HllM)
+    val rows = Sketch.hllDistinct(docs)
+      .select(col("source"), col("rel_err")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val err = math.abs(r.getDouble(1))
+      assert(err <= 2 * se,
+        f"HLL rel_err for ${r.getString(0)}: $err%.4f > ${2 * se}%.4f")
+    }
+    val worst = rows.map(r => math.abs(r.getDouble(1))).max
+    info(f"worst |rel_err| = $worst%.4f (band ${2 * se}%.4f, 1 SE = $se%.4f)")
+  }
+
+  test("CMS estimates only ever overestimate, and are exact for heavy keys") {
+    val hh = Sketch.heavyHitters(docs, 20).collect()
+    assert(hh.nonEmpty)
+    hh.foreach { r =>
+      val over = r.getLong(3)
+      assert(over >= 0,
+        s"CMS must never underestimate: token ${r.getString(0)} off by $over")
+    }
+    // with 4x16384 cells over this corpus the top-20 collide with
+    // nothing material: the estimates are exact today — pin a loose
+    // relative ceiling so real collision regressions surface
+    hh.foreach { r =>
+      assert(r.getLong(3) <= math.max(2L, r.getLong(2) / 100),
+        s"heavy-hitter estimate drifted: ${r.getString(0)} " +
+          s"est=${r.getLong(1)} exact=${r.getLong(2)}")
+    }
+  }
+}
