@@ -1223,6 +1223,40 @@ object SparkEntry {
         ops.Layout.zorderRectManifest(s, lay, 100, 300, 10, 40)
     },
 
+    // 3-d Morton clustering: lineitem clustered along the curve of
+    // (partkey, suppkey, orderkey>>4), answering a 3-d box query with
+    // manifest pruning on ALL THREE dimensions — LayoutSpec measures
+    // that the 3-d layout out-prunes both the 1-d sort and the 2-d
+    // curve on this exact query. The key is the generic per-bit
+    // interleave, textually mirrored in the oracle.
+    q("ns_zcurve3_rect",
+      ops.Layout.zcurve3RectOracle(100, 300, 10, 40, 5000, 25000)) {
+      (s, dir) =>
+        val lay = layoutDir("zcurve3-li", dir)
+        if (!new java.io.File(s"$lay/_SUCCESS").exists())
+          ops.Layout.zcurve3Write(
+            T(s, dir, "lineitem").select("l_orderkey", "l_linenumber",
+              "l_partkey", "l_suppkey"), lay)
+        ops.Layout.zcurve3RectManifest(s, lay, 100, 300, 10, 40,
+          5000, 25000)
+    },
+
+    // Hilbert-curve clustering option: same one-time range shuffle as
+    // Morton, no seam discontinuities — the curve key is a codegen'd
+    // custom Expression (the rotate/reflect fold cannot be a bounded
+    // Column tree) and stays OUT of the stored schema, so the oracle
+    // is the plain raw-table rectangle.
+    q("ns_hilbert_rect", ops.Layout.hilbertRectOracle(100, 300, 10, 40)) {
+      (s, dir) =>
+        val lay = layoutDir("hilbert-li", dir)
+        if (!new java.io.File(s"$lay/_SUCCESS").exists())
+          ops.Layout.hilbertWrite(
+            T(s, dir, "lineitem").select("l_orderkey", "l_linenumber",
+              "l_partkey", "l_suppkey"),
+            "l_partkey", "l_suppkey", lay)
+        ops.Layout.hilbertRect(s, lay, 100, 300, 10, 40)
+    },
+
     // Small-file compaction: the shard-written documents tree (many
     // small files per source partition) merged with coalesce — no
     // shuffle, rows never cross the network — then content-

@@ -521,4 +521,12 @@ object VectorFunctions {
   /** Codegen'd 60-bit md5 prefix of a string column. */
   def md5_prefix60(c: Column): Column =
     graftShims.toColumn(Md5Prefix60(graftShims.toExpression(c)))
+
+  /** Codegen'd Hilbert-curve index of two coordinates on the 16-bit
+    * grid (see [[HilbertCurve]]).
+    */
+  def hilbert_key(x: Column, y: Column): Column =
+    graftShims.toColumn(HilbertKey(
+      graftShims.toExpression(x.cast("bigint")),
+      graftShims.toExpression(y.cast("bigint"))))
 }

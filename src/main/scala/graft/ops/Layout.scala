@@ -74,6 +74,37 @@ object Layout {
   def zkeySql(x: String, y: String): String =
     s"(${spread16Sql(x)} | (${spread16Sql(y)} << 1))"
 
+  /** Generic d-dimensional Morton key: bit `i` of coordinate `j` lands
+    * at position `i*d + j`; `bits*d` must stay under 63 (BIGINT, no
+    * sign bit). The per-bit select-shift form trades the 2-d mask
+    * ladder's O(log b) ops for O(b) — still pure codegen'd integer
+    * arithmetic, and textually mirrorable in any SQL engine, which is
+    * what makes d-dim clustering hash-checkable end to end. Quantize
+    * coordinates wider than `bits` first (shift/divide, NOT modulo —
+    * modulo destroys curve locality).
+    */
+  def zkeyN(cols: Seq[Column], bits: Int = 16): Column = {
+    val d = cols.size
+    require(d >= 1 && bits * d <= 63, s"$bits bits x $d dims > 63")
+    cols.zipWithIndex.map { case (c, j) =>
+      val v = c.cast("bigint").bitwiseAND(lit((1L << bits) - 1))
+      (0 until bits).map { i =>
+        shiftleft(shiftright(v, i).bitwiseAND(lit(1L)), i * d + j)
+      }.reduce(_.bitwiseOR(_))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** DuckDB twin of [[zkeyN]] — the identical per-bit select-shifts. */
+  def zkeyNSql(exprs: Seq[String], bits: Int = 16): String = {
+    val d = exprs.size
+    exprs.zipWithIndex.map { case (e, j) =>
+      val v = s"((($e)::BIGINT) & ${(1L << bits) - 1})"
+      "(" + (0 until bits)
+        .map(i => s"((($v >> $i) & 1) << ${i * d + j})")
+        .mkString(" | ") + ")"
+    }.mkString("(", " | ", ")")
+  }
+
   /** Write `df` clustered along the Morton curve of (xCol, yCol):
     * range-partition by the Z-key into `nFiles` files, sort within
     * each. The range shuffle is the one-time clustering cost (same
@@ -130,6 +161,149 @@ object Layout {
   def zorderRectOracle(xLo: Int, xHi: Int, yLo: Int, yHi: Int): String =
     s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
        |  ${zkeySql("l_partkey", "l_suppkey")} AS zkey
+       |FROM lineitem
+       |WHERE l_partkey BETWEEN $xLo AND $xHi
+       |  AND l_suppkey BETWEEN $yLo AND $yHi
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ------------------------------------------------------------- //
+  // 3-d clustering: (l_partkey, l_suppkey, l_orderkey >> shift).
+
+  /** Orderkey quantization for the 3-d curve: a right-shift keeps
+    * curve locality (unlike modulo) and holds the quantized domain
+    * within 16 bits through sf0.1; at larger scales the shift grows
+    * with the table's max — the manifest records true ranges either
+    * way, so pruning never depends on the quantization being tight.
+    */
+  val ZcurveOrderShift = 4
+
+  def zkey3: Column = zkeyN(Seq(col("l_partkey"), col("l_suppkey"),
+    shiftright(col("l_orderkey"), ZcurveOrderShift)))
+
+  def zkey3Sql: String = zkeyNSql(Seq("l_partkey", "l_suppkey",
+    s"l_orderkey >> $ZcurveOrderShift"))
+
+  /** Shift a coordinate so its most significant bit lands at bit 15:
+    * an interleave over dims of very different magnitudes otherwise
+    * degenerates (the wide dim's high bits dominate the key and the
+    * narrow dim varies only inside tiny cells — no locality for it).
+    * Pure power-of-two shifts: monotone, so per-file min/max ranges
+    * on the RAW columns stay exactly as tight.
+    */
+  private def normalize16(c: Column, maxVal: Long): Column = {
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxVal))
+    if (bits >= 16) shiftright(c.cast("bigint"), bits - 16)
+    else shiftleft(c.cast("bigint"), 16 - bits)
+  }
+
+  /** Write `df` clustered along the 3-d Morton curve — one range
+    * shuffle, after which every file covers a small BOX in
+    * (partkey, suppkey, orderkey) space and the manifest's per-file
+    * ranges are tight on ALL THREE dimensions.
+    *
+    * The CLUSTERING key normalizes each dim to the full 16-bit grid
+    * (one O(1)-row max() job supplies the widths — the collected-
+    * scalar pattern); the STORED `zkey3` stays the fixed formula the
+    * oracle mirrors textually, so parity never depends on data-derived
+    * scale factors.
+    */
+  def zcurve3Write(df: DataFrame, outDir: String, nFiles: Int = 32): Unit = {
+    val mx = df.agg(max(col("l_partkey")).cast("long"),
+      max(col("l_suppkey")).cast("long"),
+      max(col("l_orderkey")).cast("long")).head()
+    val clusterKey = zkeyN(Seq(
+      normalize16(col("l_partkey"), mx.getLong(0)),
+      normalize16(col("l_suppkey"), mx.getLong(1)),
+      normalize16(col("l_orderkey"), mx.getLong(2))))
+    df.withColumn("zkey3", zkey3)
+      .withColumn("_ck", clusterKey)
+      .repartitionByRange(nFiles, col("_ck"))
+      .sortWithinPartitions("_ck")
+      .drop("_ck")
+      .write.mode("overwrite").parquet(outDir)
+    Manifest.create(df.sparkSession, outDir,
+      Seq("l_partkey", "l_suppkey", "l_orderkey"))
+  }
+
+  /** 3-d box query; results layout-independent (oracle on raw table). */
+  def zcurve3Rect(lay: DataFrame, xLo: Int, xHi: Int, yLo: Int, yHi: Int,
+      oLo: Int, oHi: Int): DataFrame =
+    lay.filter(col("l_partkey").between(xLo, xHi) &&
+        col("l_suppkey").between(yLo, yHi) &&
+        col("l_orderkey").between(oLo, oHi))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("zkey3"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** [[zcurve3Rect]] planned through the manifest: one metadata read
+    * prunes on all three range predicates before any file opens.
+    */
+  def zcurve3RectManifest(spark: SparkSession, dir: String, xLo: Int,
+      xHi: Int, yLo: Int, yHi: Int, oLo: Int, oHi: Int): DataFrame = {
+    val src = Manifest.prunedPaths(spark, dir, Seq(
+        ("l_partkey", xLo.toLong, xHi.toLong),
+        ("l_suppkey", yLo.toLong, yHi.toLong),
+        ("l_orderkey", oLo.toLong, oHi.toLong))) match {
+      case Some(paths) if paths.nonEmpty =>
+        spark.read.option("basePath", dir).parquet(paths: _*)
+      case Some(_) => spark.read.parquet(dir).filter(lit(false))
+      case None => spark.read.parquet(dir)
+    }
+    zcurve3Rect(src, xLo, xHi, yLo, yHi, oLo, oHi)
+  }
+
+  def zcurve3RectOracle(xLo: Int, xHi: Int, yLo: Int, yHi: Int,
+      oLo: Int, oHi: Int): String =
+    s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |  $zkey3Sql AS zkey3
+       |FROM lineitem
+       |WHERE l_partkey BETWEEN $xLo AND $xHi
+       |  AND l_suppkey BETWEEN $yLo AND $yHi
+       |  AND l_orderkey BETWEEN $oLo AND $oHi
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Write `df` clustered along the 2-d HILBERT curve of (xCol, yCol)
+    * — same one-time range shuffle as [[zorderWrite]], better worst-
+    * case locality: Hilbert has no Morton "seam" jumps, so file boxes
+    * are slightly tighter on adversarial rectangles. The key itself is
+    * a codegen'd custom expression (the per-level rotate/reflect fold
+    * is not expressible as a bounded Column tree); it stays OUT of the
+    * stored schema so query results remain layout-independent.
+    */
+  def hilbertWrite(df: DataFrame, xCol: String, yCol: String,
+      outDir: String, nFiles: Int = 32): Unit = {
+    df.withColumn("hkey",
+        graft.functions.VectorFunctions.hilbert_key(col(xCol), col(yCol)))
+      .repartitionByRange(nFiles, col("hkey"))
+      .sortWithinPartitions("hkey")
+      .drop("hkey")
+      .write.mode("overwrite").parquet(outDir)
+    Manifest.create(df.sparkSession, outDir, Seq(xCol, yCol))
+  }
+
+  /** Rectangle over a Hilbert-clustered lineitem copy, manifest-
+    * planned; no curve key in the output, so the oracle is the plain
+    * raw-table rectangle.
+    */
+  def hilbertRect(spark: SparkSession, dir: String, xLo: Int, xHi: Int,
+      yLo: Int, yHi: Int): DataFrame = {
+    val src = Manifest.prunedPaths(spark, dir, Seq(
+        ("l_partkey", xLo.toLong, xHi.toLong),
+        ("l_suppkey", yLo.toLong, yHi.toLong))) match {
+      case Some(paths) if paths.nonEmpty =>
+        spark.read.option("basePath", dir).parquet(paths: _*)
+      case Some(_) => spark.read.parquet(dir).filter(lit(false))
+      case None => spark.read.parquet(dir)
+    }
+    src.filter(col("l_partkey").between(xLo, xHi) &&
+        col("l_suppkey").between(yLo, yHi))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  def hilbertRectOracle(xLo: Int, xHi: Int, yLo: Int, yHi: Int): String =
+    s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
        |FROM lineitem
        |WHERE l_partkey BETWEEN $xLo AND $xHi
        |  AND l_suppkey BETWEEN $yLo AND $yHi

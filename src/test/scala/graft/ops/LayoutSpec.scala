@@ -76,6 +76,154 @@ class LayoutSpec extends SparkSpec {
       s"z-order must out-prune linear: zRead=$zRead linRead=$linRead")
   }
 
+  test("3-d curve out-prunes both the 1-d sort and the 2-d curve on a 3-d box") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val d1 = java.nio.file.Files.createTempDirectory("graft-c1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft-c2").toString
+    val d3 = java.nio.file.Files.createTempDirectory("graft-c3").toString
+    // same row count, same file count, three clustering strategies
+    li.repartitionByRange(32, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(d1)
+    Manifest.create(spark, d1, Seq("l_partkey", "l_suppkey", "l_orderkey"))
+    li.withColumn("zkey", Layout.zkey(col("l_partkey"), col("l_suppkey")))
+      .repartitionByRange(32, col("zkey"))
+      .sortWithinPartitions("zkey").drop("zkey")
+      .write.mode("overwrite").parquet(d2)
+    Manifest.create(spark, d2, Seq("l_partkey", "l_suppkey", "l_orderkey"))
+    Layout.zcurve3Write(li, d3, nFiles = 32)
+
+    // the 3-d box: moderately selective in EVERY dimension — the
+    // workload where one sorted column can't carry the scan (a tight
+    // single-column band is 1-d sort's best case by construction;
+    // multi-dim clustering earns its shuffle on multi-dim predicates)
+    val (xLo, xHi, yLo, yHi, oLo, oHi) = (10, 100, 1, 3, 500, 2000)
+    val expected = li.filter(col("l_partkey").between(xLo, xHi) &&
+      col("l_suppkey").between(yLo, yHi) &&
+      col("l_orderkey").between(oLo, oHi)).count()
+    assert(expected > 0, "fixture box must be non-empty")
+
+    def boxRead(dir: String): Long = {
+      val pruned = Manifest.prunedPaths(spark, dir, Seq(
+          ("l_partkey", xLo.toLong, xHi.toLong),
+          ("l_suppkey", yLo.toLong, yHi.toLong),
+          ("l_orderkey", oLo.toLong, oHi.toLong))).get
+      val (n, _) = measureRead {
+        val got =
+          if (pruned.isEmpty) 0L
+          else spark.read.option("basePath", dir).parquet(pruned: _*)
+            .filter(col("l_partkey").between(xLo, xHi) &&
+              col("l_suppkey").between(yLo, yHi) &&
+              col("l_orderkey").between(oLo, oHi)).count()
+        assert(got == expected, s"$dir returned $got != $expected")
+      }
+      n
+    }
+
+    val (r1, r2, r3) = (boxRead(d1), boxRead(d2), boxRead(d3))
+    info(s"records read for the 3-d box: 1-d-sort=$r1 2-d-morton=$r2 " +
+      s"3-d-morton=$r3")
+    assert(r3 < r2, s"3-d must out-prune 2-d on a 3-d box: $r3 vs $r2")
+    assert(r3 < r1, s"3-d must out-prune 1-d on a 3-d box: $r3 vs $r1")
+  }
+
+  test("hilbert clustering prunes the 2-d rectangle like morton, no seams") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val hDir = java.nio.file.Files.createTempDirectory("graft-hil").toString
+    val linDir = java.nio.file.Files.createTempDirectory("graft-hlin").toString
+    Layout.hilbertWrite(li, "l_partkey", "l_suppkey", hDir, nFiles = 16)
+    li.repartitionByRange(16, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(linDir)
+    Manifest.create(spark, linDir, Seq("l_partkey", "l_suppkey"))
+
+    val expected = li.filter(col("l_partkey").between(10, 30) &&
+      col("l_suppkey").between(1, 4)).count()
+    val (hRead, _) = measureRead {
+      assert(Layout.hilbertRect(spark, hDir, 10, 30, 1, 4).count() == expected)
+    }
+    val (linRead, _) = measureRead {
+      assert(Layout.hilbertRect(spark, linDir, 10, 30, 1, 4).count() == expected)
+    }
+    info(s"records read: hilbert=$hRead unclustered=$linRead")
+    assert(hRead * 2 < linRead,
+      s"hilbert clustering must prune the rectangle: $hRead vs $linRead")
+  }
+
+  test("property: hilbert key is a bijection and consecutive cells touch") {
+    import graft.functions.HilbertCurve
+    // inverse walk (d -> xy), the standard recurrence
+    def d2xy(dIn: Long): (Long, Long) = {
+      var (x, y, t) = (0L, 0L, dIn)
+      var s = 1L
+      while (s < (1L << HilbertCurve.Bits)) {
+        val rx = (t / 2) & 1
+        val ry = (t ^ rx) & 1
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val tmp = x; x = y; y = tmp
+        }
+        x += s * rx
+        y += s * ry
+        t /= 4
+        s *= 2
+      }
+      (x, y)
+    }
+    val rnd = new scala.util.Random(11)
+    // round-trip: xy2d(d2xy(d)) == d on random curve positions
+    (0 until 512).foreach { _ =>
+      val d = math.abs(rnd.nextLong()) % (1L << (2 * HilbertCurve.Bits))
+      val (x, y) = d2xy(d)
+      assert(HilbertCurve.xy2d(x, y) == d, s"round trip broke at d=$d")
+    }
+    // continuity: consecutive curve positions are grid NEIGHBORS —
+    // the no-seam property Morton lacks (its quadrant jumps), and the
+    // reason Hilbert file boxes are tighter in the worst case
+    (0 until 512).foreach { _ =>
+      val d = math.abs(rnd.nextLong()) % ((1L << (2 * HilbertCurve.Bits)) - 1)
+      val (x1, y1) = d2xy(d)
+      val (x2, y2) = d2xy(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve jumped at d=$d: ($x1,$y1) -> ($x2,$y2)")
+    }
+  }
+
+  test("property: the 3-d z-key is a bijection on the 16-bit grid") {
+    // deinterleave every 3rd bit back out and demand the original
+    // coordinates — no bit lost or aliased across the three dims
+    def unspread3(z: Long, j: Int): Long =
+      (0 until 16).map(i => ((z >> (3 * i + j)) & 1L) << i).reduce(_ | _)
+    val rnd = new scala.util.Random(13)
+    val pts = Seq.tabulate(256)(i =>
+      if (i < 8) (Seq(0L, 65535L)(i % 2), Seq(0L, 65535L)((i / 2) % 2),
+        Seq(0L, 65535L)(i / 4))
+      else (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong,
+        rnd.nextInt(65536).toLong))
+    val df = spark.createDataFrame(pts).toDF("x", "y", "o")
+      .select(col("x"), col("y"), col("o"),
+        Layout.zkeyN(Seq(col("x"), col("y"), col("o"))).as("z"))
+    val bad = df.collect().filter { r =>
+      unspread3(r.getLong(3), 0) != r.getLong(0) ||
+        unspread3(r.getLong(3), 1) != r.getLong(1) ||
+        unspread3(r.getLong(3), 2) != r.getLong(2)
+    }
+    assert(bad.isEmpty, s"non-bijective 3-d z-keys: ${bad.take(3).toSeq}")
+  }
+
+  test("3-d z-key matches its own SQL twin on the session engine") {
+    val df = spark.range(-3, 70000, 997)
+      .selectExpr("id AS l_partkey", "(id * 31 + 7) % 70000 AS l_suppkey",
+        "(id * 17 + 3) % 70000 AS l_orderkey")
+    val viaColumn = df.select(Layout.zkey3.as("z"))
+    val viaSql = df.selectExpr(
+      Layout.zkey3Sql.replace("::BIGINT", "") + " AS z")
+    assert(viaColumn.exceptAll(viaSql).isEmpty &&
+      viaSql.exceptAll(viaColumn).isEmpty)
+  }
+
   test("property: the z-key is a bijection on the 16-bit grid") {
     // deinterleave the Morton code in plain Scala and demand the
     // original coordinates back — proves no bit is lost or aliased,
