@@ -185,6 +185,44 @@ class PlannerSearchSpec extends AnyFunSuite {
       Vector(Vector("unreachable.goal"))).isEmpty)
   }
 
+  test("A* (the default) returns BFS's exact plan with no more expansions") {
+    // findPath == A* since round 7; these pins are the license for the
+    // default: on every fixture the driver's oracle queries run
+    // through (test2, top90-dedup registry goals, deep chain), the
+    // action sequence is IDENTICAL to exhaustive BFS — not merely
+    // equal length — and A* never expands more states.
+    val fixtures: Seq[(String, TaskRegistry, Vector[Vector[String]],
+        Vector[Vector[String]])] = {
+      val chain = (1 to 8).map { i =>
+        val from = if (i == 1) raw"(src)$$" else raw"(.+)\.s${i - 1}$$"
+        Task(s"step$i", Vector(Req("x", Vector(Pat(from)))),
+          Vector(Vector(s"{x}.s$i")))(noop(1))
+      }
+      Seq(
+        ("test2", reg, Vector(Vector("index", "name")),
+          Vector(Vector("name.split.alpha"))),
+        ("top90", Library.registry, Vector(Vector("doc_id", "text")),
+          Vector(Vector("text.tokens.top90"))),
+        ("dedup", Library.registry, Vector(Vector("doc_id", "text")),
+          Vector(Vector("text.canonical_id", "text.n_copies"))),
+        ("chain8", TaskRegistry(chain.toVector), Vector(Vector("src")),
+          Vector(Vector("src" + (1 to 8).map(i => s".s$i").mkString))))
+    }
+    fixtures.foreach { case (name, registry, sources, goal) =>
+      val (bfs, bfsExp) = Planner.findPathBfsCounted(registry, sources, goal)
+      val (astar, aExp) = Planner.findPathAStarCounted(registry, sources, goal)
+      val viaDefault = Planner.findPath(registry, sources, goal)
+      assert(astar.map(_.map(_.task.name)) == bfs.map(_.map(_.task.name)),
+        s"$name: A* plan diverged from BFS")
+      assert(viaDefault.map(_.map(_.task.name)) ==
+        astar.map(_.map(_.task.name)), s"$name: findPath is not A*")
+      assert(aExp <= bfsExp,
+        s"$name: A* expanded $aExp states vs BFS $bfsExp")
+      info(s"$name: plan=${astar.get.map(_.task.name).mkString("->")} " +
+        s"expansions A*=$aExp BFS=$bfsExp")
+    }
+  }
+
   test("planner stays in milliseconds on the demo registry") {
     val t0 = System.nanoTime()
     val path = Planner.findPath(Library.registry,
