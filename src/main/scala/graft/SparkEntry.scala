@@ -1489,9 +1489,14 @@ object SparkEntry {
       (s, dir) =>
         val emb = T(s, dir, "embeddings")
         val idx = ivfIndexDir("embapp", dir)
-        if (!new java.io.File(s"$idx/cells/_SUCCESS").exists()) {
+        // gate on a marker written AFTER the append: cells/_SUCCESS
+        // exists as soon as the base build lands, so a crash between
+        // build and append would otherwise cache an index permanently
+        // missing the appended quarter
+        if (!new java.io.File(s"$idx/_APPENDED").exists()) {
           Similarity.ivfBuild(emb.filter(col("vec_id") % 4 =!= 3), idx)
           Similarity.ivfAppend(emb.filter(col("vec_id") % 4 === 3), idx)
+          new java.io.File(s"$idx/_APPENDED").createNewFile()
         }
         Similarity.ivfQuery(emb.filter(col("vec_id") < 50)
           .select(col("vec_id").as("query_id"), col("embedding")), idx, 3, 2)

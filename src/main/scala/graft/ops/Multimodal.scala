@@ -183,21 +183,30 @@ object Multimodal {
   /** Write every 50th document's payload as an individual `.bin` file
     * — the on-disk shape a real media corpus arrives in (one object
     * per asset). Executor-side writes (foreachPartition), never the
-    * driver; a _SUCCESS marker supports create-once callers.
+    * driver — and through the Hadoop FileSystem API, so the target
+    * resolves to the SHARED filesystem on a real cluster (java.nio
+    * would scatter files across executor-local disks and the _SUCCESS
+    * guard would make the partial corpus permanent).
     */
   def writeMediaFiles(docs: DataFrame, dir: String): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    import org.apache.hadoop.fs.Path
+    val spark = docs.sparkSession
+    val driverFs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    driverFs.mkdirs(new Path(dir))
     docs.filter(col("doc_id") % 50 === 0)
       .select(col("doc_id"), col("text"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        // a fresh Configuration on the executor picks up the cluster's
+        // core-site defaults, so `dir` resolves to the same shared FS
+        val fs = new Path(dir)
+          .getFileSystem(new org.apache.hadoop.conf.Configuration())
         rows.foreach { r =>
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(s"$dir/doc_${r.getLong(0)}.bin"),
-            r.getString(1).getBytes("UTF-8"))
+          val out = fs.create(new Path(s"$dir/doc_${r.getLong(0)}.bin"), true)
+          try out.write(r.getString(1).getBytes("UTF-8")) finally out.close()
         }
       }
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$dir/_SUCCESS"), Array.empty[Byte])
+    driverFs.create(new Path(s"$dir/_SUCCESS"), true).close()
   }
 
   /** Ingest a directory of binary assets with the built-in
@@ -220,7 +229,7 @@ object Multimodal {
       .orderBy("doc_id")
 
   val ingestOracle: String =
-    """SELECT doc_id, length(text)::BIGINT AS n_bytes,
+    """SELECT doc_id, octet_length(text::BLOB)::BIGINT AS n_bytes,
       |  md5(text) AS content_md5
       |FROM documents WHERE doc_id % 50 = 0
       |ORDER BY doc_id""".stripMargin

@@ -711,7 +711,26 @@ object Similarity {
     val centArr = collectCents(spark.read.parquet(s"$dir/centroids"))
     val all = embNew.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    assignCells(all, centArr).write.mode("append").partitionBy("cell")
+    val assigned = assignCells(all, centArr)
+    // a PQ index stores codes in its cell files: encode the batch with
+    // the PERSISTED codebook, or appended rows would carry NULL codes
+    // and silently vanish from ivfPqQuery's ADC scan (posexplode
+    // drops them). Same O(batch) map-only cost as cell assignment.
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val withCodes =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/pqcents"))) {
+        val rows = spark.read.parquet(s"$dir/pqcents")
+          .orderBy("sub", "cid").collect()
+        val bySub = rows.groupBy(_.getAs[Int]("sub")).toSeq.sortBy(_._1)
+        val ids = bySub.map(_._2.map(_.getAs[Long]("cid")).toArray).toArray
+        val vecs = bySub
+          .map(_._2.map(_.getSeq[Double](2).toArray).toArray).toArray
+        assigned.withColumn("codes",
+          graft.functions.VectorFunctions.pq_encode(
+            col("v"), ids, vecs, PqSubDim))
+      } else assigned
+    withCodes.write.mode("append").partitionBy("cell")
       .parquet(s"$dir/cells")
   }
 

@@ -38,4 +38,31 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(scanSchemas.exists(s => s.contains("codes") && !s.contains("v:")),
       s"no codes-only cells scan found in:\n${scanSchemas.mkString("\n")}")
   }
+
+  test("append to a PQ index encodes the batch with the persisted codebook") {
+    val emb = graft.ops.T(spark, sf, "embeddings")
+    val dir = Files.createTempDirectory("graft-ivfpq-app").toString
+    // build on 3/4, append the held-out quarter
+    Similarity.ivfBuildPq(emb.filter(col("vec_id") % 4 =!= 3), dir)
+    Similarity.ivfAppend(emb.filter(col("vec_id") % 4 === 3), dir)
+
+    val cells = spark.read.parquet(s"$dir/cells")
+    // every appended row must carry non-null codes — NULL codes would
+    // silently vanish from the ADC posexplode, shrinking the corpus
+    val appended = cells.filter(col("vec_id") % 4 === 3)
+    val total = emb.filter(col("vec_id") % 4 === 3).count()
+    assert(appended.count() == total)
+    assert(appended.filter(col("codes").isNull).count() == 0,
+      "appended vectors carry NULL codes")
+    // and the codes are the SAME encoding the builder would produce:
+    // rebuild on the full corpus with the same (base-subset) codebook
+    // is not reproducible here, but an ADC query must at least be able
+    // to RETURN an appended vector as a neighbor
+    val queries = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val hits = Similarity.ivfPqQuery(queries, dir, k = 3, nprobe = 2,
+      shortlist = 16)
+    assert(hits.filter(col("neighbor_id") % 4 === 3).count() > 0,
+      "no appended vector ever surfaces in PQ query results")
+  }
 }
