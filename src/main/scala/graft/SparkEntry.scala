@@ -54,6 +54,27 @@ object SparkEntry {
       java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  /** Build-once fixture for the in-place delete pair: a doc_id-
+    * clustered documents copy whose manifest is committed to v2 by an
+    * in-place delete of doc_id 200-260. Both queries (post-delete
+    * current read, v1 time travel) are self-contained through this —
+    * idempotent guards, any subset order works. A crash mid-delete
+    * re-runs it: `ensure` re-reads v1 and the delta overwrite is
+    * idempotent, CURRENT only ever flips after a complete snapshot.
+    */
+  private def inPlaceDeleteDir(s: SparkSession, dir: String): String = {
+    val src = layoutDir("docs-byid-ip", dir)
+    if (!new java.io.File(s"$src/_SUCCESS").exists())
+      T(s, dir, "documents")
+        .repartitionByRange(16, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(src)
+    if (ops.Manifest.currentVersion(s, src).forall(_ < 2))
+      ops.Layout.deleteInPlace(s, src,
+        col("doc_id").between(200, 260), statCols = Seq("doc_id"))
+    src
+  }
+
   // ---------------------------------------------------------------- //
 
   private lazy val registry: Seq[Q] = Seq(
@@ -1297,6 +1318,30 @@ object SparkEntry {
             col("doc_id").between(100, 140), statCols = Seq("doc_id"))
         }
         ops.Layout.contentFingerprint(ops.Manifest.readTable(s, out))
+    },
+
+    // IN-PLACE copy-on-write delete: survivors land in a versioned
+    // delta subdir and the commit is a manifest swap — untouched files
+    // are never copied or opened (the 100 TB delete shape; the carried
+    // copies of ns_delete_rewrite exist only for the export-to-new-dir
+    // form). The v2 snapshot is the post-delete table.
+    q("ns_delete_inplace",
+      ops.Layout.contentFingerprintOracle(
+        "NOT (doc_id BETWEEN 200 AND 260)")) {
+      (s, dir) =>
+        val src = inPlaceDeleteDir(s, dir)
+        ops.Layout.contentFingerprint(ops.Manifest.readTable(s, src))
+    },
+
+    // Time travel: version 1 of the SAME directory still reads as the
+    // full pre-delete table — in-place commits only add files and flip
+    // the CURRENT pointer, so history stays byte-readable until a
+    // vacuum reclaims it. The oracle is the unfiltered table.
+    q("ns_time_travel", ops.Layout.contentFingerprintOracle()) {
+      (s, dir) =>
+        val src = inPlaceDeleteDir(s, dir)
+        ops.Layout.contentFingerprint(
+          ops.Manifest.readTable(s, src, version = Some(1)))
     },
 
     // Temperature-scaled (share^alpha) domain mixing — the standard

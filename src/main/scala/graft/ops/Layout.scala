@@ -444,6 +444,51 @@ object Layout {
     (hit.length, all.length)
   }
 
+  /** IN-PLACE copy-on-write delete — the manifest-native form that
+    * retires [[deleteRewrite]]'s carried-file copies entirely: the
+    * survivors of the affected files are written into a versioned
+    * delta subdirectory, and the commit is a METADATA swap (new
+    * snapshot = untouched entries verbatim + fresh delta entries,
+    * CURRENT pointer flips last). Untouched files are not copied, not
+    * moved, not even opened: a 100 TB delete costs exactly the
+    * affected-file rewrite plus one small manifest write. Superseded
+    * files stay on disk, so every prior version remains time-
+    * travel-readable until [[Manifest.vacuum]] reclaims them.
+    * Returns (affectedFiles, totalFiles).
+    */
+  def deleteInPlace(spark: SparkSession, dir: String, pred: Column,
+      statCols: Seq[String] = Nil): (Int, Int) = {
+    val entries = Manifest.ensure(spark, dir, statCols)
+    val paths = entries.map(e => s"$dir/${e.name}")
+    // phase 1: affected files via pushed-predicate scan over the
+    // manifest's file list; collect bounded by #files, never rows
+    val affected = spark.read.option("basePath", dir)
+      .parquet(paths: _*).filter(pred)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(r => Manifest.relativize(spark, dir, r.getString(0)))
+      .toSet
+    val (hit, kept) = entries.partition(e => affected.contains(e.name))
+    val newVersion = Manifest.currentVersion(spark, dir).getOrElse(0) + 1
+    val deltaEntries =
+      if (hit.isEmpty) Seq.empty
+      else {
+        val deltaDir = s"delta-v$newVersion"
+        // survivors = rows NOT matching; NULL predicate RETAINS the row
+        spark.read.parquet(hit.map(e => s"$dir/${e.name}"): _*)
+          .filter(!coalesce(pred, lit(false)))
+          .write.mode("overwrite").parquet(s"$dir/$deltaDir")
+        val fs = new Path(dir).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val names = fs.listStatus(new Path(s"$dir/$deltaDir"))
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(f => s"$deltaDir/${f.getPath.getName}").toSeq
+        Manifest.scanStats(spark, dir, statCols, Some(names))
+      }
+    Manifest.write(spark, dir, (kept ++ deltaEntries).sortBy(_.name),
+      newVersion)
+    (hit.size, entries.size)
+  }
+
   /** Per-source content fingerprint of a documents directory — the
     * parity probe for compaction: identical on the raw table, the
     * sharded tree, and the compacted tree, because compaction must be

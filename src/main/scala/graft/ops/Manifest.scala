@@ -68,12 +68,22 @@ object Manifest {
   }
 
   def read(spark: SparkSession, dir: String): Option[Seq[ManifestEntry]] =
-    currentVersion(spark, dir).map { v =>
+    currentVersion(spark, dir).flatMap(v => readVersion(spark, dir, v))
+
+  /** Read a SPECIFIC snapshot — time travel. Any version whose data
+    * files have not been [[vacuum]]ed is fully readable: in-place
+    * commits only ADD files and swap the pointer, they never delete.
+    */
+  def readVersion(spark: SparkSession, dir: String,
+      version: Int): Option[Seq[ManifestEntry]] = {
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(new Path(s"$dir/$DirName/v$version"))) None
+    else Some(
       spark.read.schema(Encoders.product[ManifestEntry].schema)
-        .json(s"$dir/$DirName/v$v")
+        .json(s"$dir/$DirName/v$version")
         .as(Encoders.product[ManifestEntry])
-        .collect().toSeq.sortBy(_.name)
-    }
+        .collect().toSeq.sortBy(_.name))
+  }
 
   /** Commit `entries` as version `version`: snapshot first, CURRENT
     * pointer second (the crash-safe order).
@@ -148,15 +158,54 @@ object Manifest {
     }.map(e => s"$dir/${e.name}"))
 
   /** Read the table THROUGH its manifest: the file list comes from the
-    * current snapshot, not a directory walk, and `basePath` keeps
-    * partition-directory columns intact. Falls back to a plain read
-    * when no manifest exists.
+    * current snapshot (or the `version` snapshot — time travel), not a
+    * directory walk, and `basePath` keeps partition-directory columns
+    * intact. Falls back to a plain read when no manifest exists.
+    * NOTE: once a table has in-place commits, a plain directory read
+    * is WRONG (it would see superseded files) — the manifest is the
+    * table, exactly as in any manifest-based format.
     */
-  def readTable(spark: SparkSession, dir: String): DataFrame =
-    read(spark, dir) match {
-      case Some(entries) if entries.nonEmpty =>
-        spark.read.option("basePath", dir)
-          .parquet(entries.map(e => s"$dir/${e.name}"): _*)
-      case _ => spark.read.parquet(dir)
+  def readTable(spark: SparkSession, dir: String,
+      version: Option[Int] = None): DataFrame = {
+    val entries = version match {
+      case Some(v) => readVersion(spark, dir, v).getOrElse(
+        throw new IllegalArgumentException(
+          s"no manifest version $v under $dir"))
+      case None => read(spark, dir).getOrElse(Seq.empty)
     }
+    if (entries.nonEmpty)
+      spark.read.option("basePath", dir)
+        .parquet(entries.map(e => s"$dir/${e.name}"): _*)
+    else spark.read.parquet(dir)
+  }
+
+  /** Table-root-relative name of a data-file URI (the inverse of the
+    * `$dir/$name` path construction used everywhere above).
+    */
+  def relativize(spark: SparkSession, dir: String, fileUri: String): String =
+    relName(rootPath(spark, dir), fileUri)
+
+  /** Delete every data file the CURRENT snapshot does not reference —
+    * the storage-reclaim step that retires time travel to superseded
+    * versions. Never touches `_manifest` itself (old snapshots remain
+    * as metadata history). Returns the number of files removed.
+    */
+  def vacuum(spark: SparkSession, dir: String): Int = {
+    val entries = read(spark, dir).getOrElse(return 0)
+    val live = entries.map(_.name).toSet
+    val fs = fsOf(spark, dir)
+    val root = rootPath(spark, dir)
+    val it = fs.listFiles(new Path(dir), true)
+    var removed = 0
+    val doomed = scala.collection.mutable.ArrayBuffer.empty[Path]
+    while (it.hasNext) {
+      val f = it.next()
+      val rel = relName(root, f.getPath.toString)
+      if (f.getPath.getName.endsWith(".parquet") &&
+          !rel.startsWith(DirName + "/") && !live.contains(rel))
+        doomed += f.getPath
+    }
+    doomed.foreach { p => if (fs.delete(p, false)) removed += 1 }
+    removed
+  }
 }

@@ -127,6 +127,51 @@ class ManifestSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("in-place delete is a metadata swap; history time-travels; vacuum reclaims") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mf-ip").toString
+    docs.repartitionByRange(16, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(dir)
+
+    val pred = col("doc_id").between(100, 140)
+    val (hit, total) = Layout.deleteInPlace(spark, dir, pred,
+      statCols = Seq("doc_id"))
+    assert(hit > 0 && hit < total)
+
+    // untouched entries transferred VERBATIM into v2 — same name, same
+    // stats, no data read, no copy on disk
+    val v1 = Manifest.readVersion(spark, dir, 1).get.map(e => e.name -> e).toMap
+    val v2 = Manifest.readVersion(spark, dir, 2).get
+    val carried = v2.filterNot(_.name.startsWith("delta-"))
+    assert(carried.size == total - hit)
+    carried.foreach(e => assert(v1(e.name) == e,
+      s"in-place carry must be metadata-only: $e"))
+    assert(v2.exists(_.name.startsWith("delta-v2/")))
+
+    // current read = post-delete; v1 read = the full pre-delete table
+    val expectedAfter = Layout.contentFingerprint(docs.filter(!pred))
+      .collect().toSeq
+    val expectedBefore = Layout.contentFingerprint(docs).collect().toSeq
+    assert(Layout.contentFingerprint(Manifest.readTable(spark, dir))
+      .collect().toSeq == expectedAfter)
+    assert(Layout.contentFingerprint(
+      Manifest.readTable(spark, dir, version = Some(1)))
+      .collect().toSeq == expectedBefore)
+
+    // vacuum drops exactly the superseded files; current stays intact,
+    // time travel to v1 is retired
+    val removed = Manifest.vacuum(spark, dir)
+    assert(removed == hit, s"vacuum removed $removed, expected $hit")
+    assert(Layout.contentFingerprint(Manifest.readTable(spark, dir))
+      .collect().toSeq == expectedAfter)
+    intercept[Exception] {
+      Manifest.readTable(spark, dir, version = Some(1)).collect()
+    }
+    // and a second vacuum is a no-op
+    assert(Manifest.vacuum(spark, dir) == 0)
+  }
+
   test("readTable keeps partition-directory columns on a compacted tree") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val shardDir = java.nio.file.Files.createTempDirectory("graft-mf-sh").toString
