@@ -459,6 +459,14 @@ object Layout {
   def deleteInPlace(spark: SparkSession, dir: String, pred: Column,
       statCols: Seq[String] = Nil): (Int, Int) = {
     val entries = Manifest.ensure(spark, dir, statCols)
+    // a Hive-partitioned tree would lose its partition column in the
+    // delta rewrite (the survivor read flattens it, and re-reading
+    // would find it both as a data column and a directory column):
+    // refuse loudly rather than corrupt — partitioned tables keep the
+    // export-form deleteRewrite until delta writes are partition-aware
+    require(entries.forall(e => !e.name.contains("=")),
+      s"deleteInPlace supports flat tables only; $dir has " +
+        "partition-directory entries")
     val paths = entries.map(e => s"$dir/${e.name}")
     // phase 1: affected files via pushed-predicate scan over the
     // manifest's file list; collect bounded by #files, never rows

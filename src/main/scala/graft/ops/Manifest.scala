@@ -124,8 +124,12 @@ object Manifest {
         val name = relName(root, r.getString(0))
         val bytes = fs.getFileStatus(new Path(s"$dir/$name")).getLen
         ManifestEntry(name, r.getLong(1), bytes,
-          statCols.zipWithIndex.map { case (c, i) =>
-            ColRange(c, r.getLong(2 + 2 * i), r.getLong(3 + 2 * i))
+          statCols.zipWithIndex.flatMap { case (c, i) =>
+            // an all-NULL column in a file has no range: record no
+            // stats for it (pruning keeps the file — never wrong,
+            // just unpruned), matching parquet's own missing-stats rule
+            if (r.isNullAt(2 + 2 * i)) None
+            else Some(ColRange(c, r.getLong(2 + 2 * i), r.getLong(3 + 2 * i)))
           })
       }.sortBy(_.name)
   }
