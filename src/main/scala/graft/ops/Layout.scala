@@ -459,17 +459,10 @@ object Layout {
   def deleteInPlace(spark: SparkSession, dir: String, pred: Column,
       statCols: Seq[String] = Nil): (Int, Int) = {
     val entries = Manifest.ensure(spark, dir, statCols)
-    // a Hive-partitioned tree would lose its partition column in the
-    // delta rewrite (the survivor read flattens it, and re-reading
-    // would find it both as a data column and a directory column):
-    // refuse loudly rather than corrupt — partitioned tables keep the
-    // export-form deleteRewrite until delta writes are partition-aware
-    require(entries.forall(e => !e.name.contains("=")),
-      s"deleteInPlace supports flat tables only; $dir has " +
-        "partition-directory entries")
     val paths = entries.map(e => s"$dir/${e.name}")
     // phase 1: affected files via pushed-predicate scan over the
-    // manifest's file list; collect bounded by #files, never rows
+    // manifest's file list; collect bounded by #files, never rows.
+    // basePath keeps partition-directory columns usable in `pred`.
     val affected = spark.read.option("basePath", dir)
       .parquet(paths: _*).filter(pred)
       .select(input_file_name().as("f")).distinct()
@@ -480,17 +473,41 @@ object Layout {
     val deltaEntries =
       if (hit.isEmpty) Seq.empty
       else {
-        val deltaDir = s"delta-v$newVersion"
+        // partition columns, recovered from the affected entries' own
+        // k=v path segments — survivors are rewritten with the SAME
+        // partitioning, so every data file stays at a consistent depth
+        val partCols = hit.head.name.split('/').dropRight(1)
+          .filter(_.contains("=")).map(_.split("=")(0)).toSeq
         // survivors = rows NOT matching; NULL predicate RETAINS the row
-        spark.read.parquet(hit.map(e => s"$dir/${e.name}"): _*)
+        val survivors = spark.read.option("basePath", dir)
+          .parquet(hit.map(e => s"$dir/${e.name}"): _*)
           .filter(!coalesce(pred, lit(false)))
-          .write.mode("overwrite").parquet(s"$dir/$deltaDir")
+        // stage into a dot-dir (invisible to any listing), then RENAME
+        // each file next to the originals under a delta-v{K}- prefix:
+        // renames are metadata ops, and visibility is governed by the
+        // manifest commit below anyway — readers never see a torn state
+        val tmp = s"$dir/.tmp-delta-v$newVersion"
+        val staged = survivors.write.mode("overwrite")
+        (if (partCols.nonEmpty) staged.partitionBy(partCols: _*) else staged)
+          .parquet(tmp)
         val fs = new Path(dir).getFileSystem(
           spark.sparkContext.hadoopConfiguration)
-        val names = fs.listStatus(new Path(s"$dir/$deltaDir"))
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .map(f => s"$deltaDir/${f.getPath.getName}").toSeq
-        Manifest.scanStats(spark, dir, statCols, Some(names))
+        val names = scala.collection.mutable.ArrayBuffer.empty[String]
+        val it = fs.listFiles(new Path(tmp), true)
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet")) {
+            val rel = Manifest.relativize(spark, tmp, f.getPath.toString)
+            val segs = rel.split('/')
+            val target = (segs.dropRight(1) :+
+              s"delta-v$newVersion-${segs.last}").mkString("/")
+            fs.mkdirs(new Path(s"$dir/$target").getParent)
+            fs.rename(f.getPath, new Path(s"$dir/$target"))
+            names += target
+          }
+        }
+        fs.delete(new Path(tmp), true)
+        Manifest.scanStats(spark, dir, statCols, Some(names.toSeq))
       }
     Manifest.write(spark, dir, (kept ++ deltaEntries).sortBy(_.name),
       newVersion)

@@ -147,7 +147,7 @@ class ManifestSpec extends SparkSpec {
     assert(carried.size == total - hit)
     carried.foreach(e => assert(v1(e.name) == e,
       s"in-place carry must be metadata-only: $e"))
-    assert(v2.exists(_.name.startsWith("delta-v2/")))
+    assert(v2.exists(_.name.contains("delta-v2-")))
 
     // current read = post-delete; v1 read = the full pre-delete table
     val expectedAfter = Layout.contentFingerprint(docs.filter(!pred))
@@ -170,6 +170,43 @@ class ManifestSpec extends SparkSpec {
     }
     // and a second vacuum is a no-op
     assert(Manifest.vacuum(spark, dir) == 0)
+  }
+
+  test("in-place delete preserves Hive partitioning: deltas land beside originals") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mf-ipp").toString
+    docs.write.mode("overwrite").partitionBy("source").parquet(dir)
+
+    val pred = col("doc_id").between(50, 200)
+    val (hit, total) = Layout.deleteInPlace(spark, dir, pred,
+      statCols = Seq("doc_id"))
+    assert(hit > 0)
+
+    val v2 = Manifest.read(spark, dir).get
+    // delta files live INSIDE the partition directories at the same
+    // depth as the originals (source=a/delta-v2-part-*), so the
+    // partition column survives and the tree never mixes depths
+    val deltas = v2.filter(_.name.contains("delta-v2-"))
+    assert(deltas.nonEmpty)
+    assert(deltas.forall(e => e.name.split('/').dropRight(1)
+        .exists(_.startsWith("source="))),
+      s"delta entries must sit under partition dirs: ${deltas.map(_.name)}")
+
+    val got = Manifest.readTable(spark, dir)
+    assert(got.columns.contains("source"),
+      "partition column must survive an in-place delete")
+    assert(got.filter(pred).count() == 0)
+    val expected = Layout.contentFingerprint(docs.filter(!pred))
+      .collect().toSeq
+    assert(Layout.contentFingerprint(got).collect().toSeq == expected)
+    // time travel still sees the pre-delete partitioned table
+    val v1 = Manifest.readTable(spark, dir, version = Some(1))
+    assert(Layout.contentFingerprint(v1).collect().toSeq ==
+      Layout.contentFingerprint(docs).collect().toSeq)
+    // vacuum reclaims the superseded originals inside partition dirs
+    assert(Manifest.vacuum(spark, dir) == hit)
+    assert(Layout.contentFingerprint(Manifest.readTable(spark, dir))
+      .collect().toSeq == expected)
   }
 
   test("readTable keeps partition-directory columns on a compacted tree") {
