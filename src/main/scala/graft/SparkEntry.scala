@@ -1297,6 +1297,22 @@ object SparkEntry {
         ops.Layout.contentFingerprint(ops.Manifest.readTable(s, comp))
     },
 
+    // IN-PLACE compaction (OPTIMIZE): the small-file shard tree's
+    // files are merged and renamed in beside the originals, and the
+    // manifest swap retires the small files — same coalesce merge as
+    // ns_compact_parity but against the SAME table, composing with
+    // time travel and vacuum. Fingerprint parity with the raw table
+    // proves the swap is byte-lossless.
+    q("ns_compact_inplace", ops.Layout.contentFingerprintOracle()) {
+      (s, dir) =>
+        val tree = layoutDir("shards-docs-ip", dir)
+        if (!new java.io.File(s"$tree/_SUCCESS").exists())
+          Pipeline.writeShards(T(s, dir, "documents"), tree, 50)
+        if (ops.Manifest.currentVersion(s, tree).forall(_ < 2))
+          ops.Layout.compactInPlace(s, tree, statCols = Seq("doc_id"))
+        ops.Layout.contentFingerprint(ops.Manifest.readTable(s, tree))
+    },
+
     // Copy-on-write delete: a doc_id-range delete against a
     // doc_id-clustered copy rewrites only the files whose footer
     // range intersects the predicate (DeleteSpec measures the

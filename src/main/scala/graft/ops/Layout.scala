@@ -444,6 +444,77 @@ object Layout {
     (hit.length, all.length)
   }
 
+  /** IN-PLACE compaction — OPTIMIZE for a manifest-managed table: each
+    * directory whose file count exceeds its ceil(bytes/target) bound
+    * gets its files merged into staged outputs that are RENAMED in
+    * beside the originals (`compact-v{K}-` prefix), and the new
+    * snapshot swaps the small files for the merged ones. Rows never
+    * cross the network (coalesce), untouched directories transfer
+    * their entries verbatim, superseded small files stay readable for
+    * time travel until [[Manifest.vacuum]]. Merges are independent
+    * Spark jobs submitted from a bounded pool (the compactShards
+    * lesson: serial driver loops pay per-job latency x #dirs).
+    * Returns (filesBefore, filesAfter).
+    */
+  def compactInPlace(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L << 20,
+      statCols: Seq[String] = Nil): (Int, Int) = {
+    val entries = Manifest.ensure(spark, dir, statCols)
+    val newVersion = Manifest.currentVersion(spark, dir).getOrElse(0) + 1
+    val byDir = entries.groupBy(e =>
+      e.name.split('/').dropRight(1).mkString("/"))
+    def bound(es: Seq[ManifestEntry]): Int =
+      math.max(1, math.ceil(es.map(_.bytes).sum.toDouble / targetBytes).toInt)
+    val (toMerge, untouched) = byDir.partition {
+      case (_, es) => es.size > bound(es)
+    }
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val mergedNames =
+      if (toMerge.isEmpty) Seq.empty[String]
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(8, toMerge.size))
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        try {
+          val jobs = toMerge.toSeq.sortBy(_._1).map { case (sub, es) =>
+            scala.concurrent.Future {
+              // read the FILES (no basePath): contents match the
+              // originals exactly — partition values stay directory-
+              // encoded, so the merged file drops in as a sibling
+              val tmp = s"$dir/.tmp-compact-v$newVersion-${sub.hashCode}"
+              spark.read.parquet(es.map(e => s"$dir/${e.name}"): _*)
+                .coalesce(bound(es))
+                .write.mode("overwrite").parquet(tmp)
+              val prefix = if (sub.isEmpty) "" else s"$sub/"
+              val names = fs.listStatus(new Path(tmp))
+                .filter(f => f.isFile &&
+                  f.getPath.getName.endsWith(".parquet"))
+                .map { f =>
+                  val target =
+                    s"${prefix}compact-v$newVersion-${f.getPath.getName}"
+                  fs.mkdirs(new Path(s"$dir/$target").getParent)
+                  fs.rename(f.getPath, new Path(s"$dir/$target"))
+                  target
+                }.toSeq
+              fs.delete(new Path(tmp), true)
+              names
+            }
+          }
+          scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(jobs),
+            scala.concurrent.duration.Duration(30, "min")).flatten
+        } finally pool.shutdown()
+      }
+    val mergedEntries =
+      Manifest.scanStats(spark, dir, statCols, Some(mergedNames))
+    Manifest.write(spark, dir,
+      (untouched.values.flatten.toSeq ++ mergedEntries).sortBy(_.name),
+      newVersion)
+    (entries.size, untouched.values.map(_.size).sum + mergedEntries.size)
+  }
+
   /** IN-PLACE copy-on-write delete — the manifest-native form that
     * retires [[deleteRewrite]]'s carried-file copies entirely: the
     * survivors of the affected files are written into a versioned

@@ -209,6 +209,38 @@ class ManifestSpec extends SparkSpec {
       .collect().toSeq == expected)
   }
 
+  test("in-place compaction swaps small files for merged ones, history intact") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mf-opt").toString
+    // tiny cap forces the small-file debt OPTIMIZE exists to fix
+    Pipeline.writeShards(docs, dir, maxRecordsPerFile = 5)
+
+    val (before, after) = Layout.compactInPlace(spark, dir,
+      statCols = Seq("doc_id"))
+    assert(after < before, s"compaction must shrink: $before -> $after")
+    val nSources = docs.select("source").distinct.count().toInt
+    assert(after == nSources, s"expected 1 merged file per source")
+
+    val v2 = Manifest.read(spark, dir).get
+    val merged = v2.count(_.name.contains("compact-v2-"))
+    assert(merged == after)
+    assert(v2.forall(e => e.name.split('/').dropRight(1)
+      .exists(_.startsWith("source="))), "merged files stay partitioned")
+
+    // byte-lossless swap, partition column intact
+    val expected = Layout.contentFingerprint(docs).collect().toSeq
+    assert(Layout.contentFingerprint(Manifest.readTable(spark, dir))
+      .collect().toSeq == expected)
+    // v1 still reads the pre-compaction small files
+    assert(Layout.contentFingerprint(
+      Manifest.readTable(spark, dir, version = Some(1)))
+      .collect().toSeq == expected)
+    // vacuum reclaims every superseded small file, current still reads
+    assert(Manifest.vacuum(spark, dir) == before - (after - merged))
+    assert(Layout.contentFingerprint(Manifest.readTable(spark, dir))
+      .collect().toSeq == expected)
+  }
+
   test("readTable keeps partition-directory columns on a compacted tree") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val shardDir = java.nio.file.Files.createTempDirectory("graft-mf-sh").toString

@@ -91,10 +91,15 @@ class PlanJsonSpec extends SparkSpec {
           Vector(Vector(s"never$i")))(_ => Seq(null)))
       val reg = TaskRegistry((chain ++ dead).toVector)
       val goal = Vector(Vector("src" + (1 to depth).map(i => s".s$i").mkString))
-      val bfs = Planner.findPath(reg, Vector(Vector("src")), goal)
-      val astar = Planner.findPathAStar(reg, Vector(Vector("src")), goal)
+      // findPath delegates to A* since round 7 — the exhaustive
+      // baseline must be the explicit BFS, or this compares A* to A*
+      val (bfs, bfsExp) =
+        Planner.findPathBfsCounted(reg, Vector(Vector("src")), goal)
+      val (astar, aExp) =
+        Planner.findPathAStarCounted(reg, Vector(Vector("src")), goal)
       bfs.isDefined == astar.isDefined &&
         bfs.map(_.length) == astar.map(_.length) &&
+        aExp <= bfsExp &&
         astar.forall { path =>
           Planner.goalReached(
             path.foldLeft(Planner.initial(Vector(Vector("src"))))(Planner.apply),
