@@ -1349,6 +1349,32 @@ object SparkEntry {
         ops.Layout.contentFingerprint(ops.Manifest.readTable(s, src))
     },
 
+    // IN-PLACE upsert (MERGE INTO by key, last-writer-wins): updated
+    // keys replace their rows, new keys insert — affected files found
+    // manifest-pruned (stats planning the WRITE), survivors drop
+    // updated keys via broadcast anti-join, the batch lands as delta
+    // files. Cost O(affected + batch), independent of table size.
+    q("ns_upsert", ops.Layout.upsertOracle()) {
+      (s, dir) =>
+        val src = layoutDir("docs-byid-up", dir)
+        if (!new java.io.File(s"$src/_SUCCESS").exists())
+          T(s, dir, "documents")
+            .repartitionByRange(16, col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite").parquet(src)
+        if (ops.Manifest.currentVersion(s, src).forall(_ < 2)) {
+          val docs = T(s, dir, "documents")
+          val updates = docs.filter(col("doc_id") % 97 === 0)
+            .withColumn("text", concat(lit("u:"), col("text")))
+            .unionByName(docs.filter(col("doc_id") % 193 === 0)
+              .withColumn("doc_id", col("doc_id") + 500000L)
+              .withColumn("text", concat(lit("n:"), col("text"))))
+          ops.Layout.upsertInPlace(s, src, updates, "doc_id",
+            statCols = Seq("doc_id"))
+        }
+        ops.Layout.contentFingerprint(ops.Manifest.readTable(s, src))
+    },
+
     // Time travel: version 1 of the SAME directory still reads as the
     // full pre-delete table — in-place commits only add files and flip
     // the CURRENT pointer, so history stays byte-readable until a

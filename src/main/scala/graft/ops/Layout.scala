@@ -444,6 +444,124 @@ object Layout {
     (hit.length, all.length)
   }
 
+  /** Stage `df` into a hidden dot-directory (partitioned like the
+    * table when `partCols` is non-empty), then RENAME every staged
+    * file in beside the originals under `<prefix>-` — the shared
+    * mutation step of the in-place verbs. Renames are metadata ops;
+    * visibility is governed solely by the caller's manifest commit.
+    * Returns the new files' table-relative names.
+    */
+  private def stageAndRename(spark: SparkSession, dir: String,
+      df: DataFrame, partCols: Seq[String], prefix: String): Seq[String] = {
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val tmp = s"$dir/.tmp-$prefix"
+    val w = df.write.mode("overwrite")
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(tmp)
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(new Path(tmp), true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val rel = Manifest.relativize(spark, tmp, f.getPath.toString)
+        val segs = rel.split('/')
+        val target =
+          (segs.dropRight(1) :+ s"$prefix-${segs.last}").mkString("/")
+        fs.mkdirs(new Path(s"$dir/$target").getParent)
+        fs.rename(f.getPath, new Path(s"$dir/$target"))
+        names += target
+      }
+    }
+    fs.delete(new Path(tmp), true)
+    names.toSeq
+  }
+
+  /** Partition columns of a file set, recovered from the entries' own
+    * k=v path segments.
+    */
+  private def partColsOf(entries: Seq[ManifestEntry]): Seq[String] =
+    entries.headOption.toSeq.flatMap(_.name.split('/').dropRight(1)
+      .filter(_.contains("=")).map(_.split("=")(0)).toSeq)
+
+  /** Stats for freshly staged files, dropping zero-row ones on the
+    * spot: an empty parquet file gets no stats entry (scanStats sees
+    * no rows), would never be referenced by the snapshot, and only
+    * lingers as dead weight for vacuum to misattribute.
+    */
+  private def statStaged(spark: SparkSession, dir: String,
+      statCols: Seq[String], staged: Seq[String]): Seq[ManifestEntry] = {
+    val entries = Manifest.scanStats(spark, dir, statCols, Some(staged))
+    val live = entries.map(_.name).toSet
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    staged.filterNot(live.contains)
+      .foreach(n => fs.delete(new Path(s"$dir/$n"), false))
+    entries
+  }
+
+  /** IN-PLACE upsert (MERGE INTO by key, last-writer-wins): rows of
+    * `updates` REPLACE table rows sharing their `keyCol` and brand-new
+    * keys are inserted — the third manifest-native verb next to delete
+    * and compact. The affected-file search runs manifest-pruned (only
+    * files whose recorded key range intersects the batch's are even
+    * scanned — the stats doing WRITE planning, not just read planning),
+    * survivors drop updated keys via a broadcast anti-join, and the
+    * whole batch lands as delta files beside the originals. Cost is
+    * O(affected files + batch), independent of table size; history
+    * time-travels until vacuum.
+    * Returns (affectedFiles, totalFiles).
+    */
+  def upsertInPlace(spark: SparkSession, dir: String, updates: DataFrame,
+      keyCol: String, statCols: Seq[String] = Nil): (Int, Int) = {
+    val entries = Manifest.ensure(spark, dir, statCols)
+    val newVersion = Manifest.currentVersion(spark, dir).getOrElse(0) + 1
+    // manifest pruning first: the batch's key range bounds which files
+    // can possibly contain a matching key
+    val rng = updates.agg(min(col(keyCol)).cast("long"),
+      max(col(keyCol)).cast("long")).head()
+    val candidates =
+      if (rng.isNullAt(0)) Seq.empty[ManifestEntry]
+      else {
+        val (lo, hi) = (rng.getLong(0), rng.getLong(1))
+        entries.filter(e => e.stats.find(_.col == keyCol)
+          .forall(s => s.max >= lo && s.min <= hi))
+      }
+    val updKeys = updates.select(col(keyCol)).distinct()
+    val affected =
+      if (candidates.isEmpty) Set.empty[String]
+      else spark.read.option("basePath", dir)
+        .parquet(candidates.map(e => s"$dir/${e.name}"): _*)
+        // capture the file BEFORE the join — input_file_name() is
+        // single-source and the semi join introduces a second one
+        .select(col(keyCol), input_file_name().as("f"))
+        .join(broadcast(updKeys), Seq(keyCol), "left_semi")
+        .select("f").distinct()
+        .collect().map(r => Manifest.relativize(spark, dir, r.getString(0)))
+        .toSet
+    val (hit, kept) = entries.partition(e => affected.contains(e.name))
+    val prefix = s"upsert-v$newVersion"
+    val partCols = partColsOf(entries)
+    val survivorNames =
+      if (hit.isEmpty) Seq.empty[String]
+      else stageAndRename(spark, dir,
+        spark.read.option("basePath", dir)
+          .parquet(hit.map(e => s"$dir/${e.name}"): _*)
+          .join(broadcast(updKeys), Seq(keyCol), "left_anti"),
+        partCols, s"$prefix-keep")
+    // align the batch to the table's schema: a data file's columns
+    // plus the directory-encoded partition columns
+    val fileCols = spark.read.parquet(s"$dir/${entries.head.name}")
+      .columns.toSeq
+    val batchNames = stageAndRename(spark, dir,
+      updates.select((fileCols ++ partCols).map(col): _*),
+      partCols, s"$prefix-new")
+    val newEntries =
+      statStaged(spark, dir, statCols, survivorNames ++ batchNames)
+    Manifest.write(spark, dir, (kept ++ newEntries).sortBy(_.name),
+      newVersion)
+    (hit.size, entries.size)
+  }
+
   /** IN-PLACE compaction — OPTIMIZE for a manifest-managed table: each
     * directory whose file count exceeds its ceil(bytes/target) bound
     * gets its files merged into staged outputs that are RENAMED in
@@ -507,8 +625,7 @@ object Layout {
             scala.concurrent.duration.Duration(30, "min")).flatten
         } finally pool.shutdown()
       }
-    val mergedEntries =
-      Manifest.scanStats(spark, dir, statCols, Some(mergedNames))
+    val mergedEntries = statStaged(spark, dir, statCols, mergedNames)
     Manifest.write(spark, dir,
       (untouched.values.flatten.toSeq ++ mergedEntries).sortBy(_.name),
       newVersion)
@@ -544,41 +661,15 @@ object Layout {
     val deltaEntries =
       if (hit.isEmpty) Seq.empty
       else {
-        // partition columns, recovered from the affected entries' own
-        // k=v path segments — survivors are rewritten with the SAME
-        // partitioning, so every data file stays at a consistent depth
-        val partCols = hit.head.name.split('/').dropRight(1)
-          .filter(_.contains("=")).map(_.split("=")(0)).toSeq
-        // survivors = rows NOT matching; NULL predicate RETAINS the row
-        val survivors = spark.read.option("basePath", dir)
-          .parquet(hit.map(e => s"$dir/${e.name}"): _*)
-          .filter(!coalesce(pred, lit(false)))
-        // stage into a dot-dir (invisible to any listing), then RENAME
-        // each file next to the originals under a delta-v{K}- prefix:
-        // renames are metadata ops, and visibility is governed by the
-        // manifest commit below anyway — readers never see a torn state
-        val tmp = s"$dir/.tmp-delta-v$newVersion"
-        val staged = survivors.write.mode("overwrite")
-        (if (partCols.nonEmpty) staged.partitionBy(partCols: _*) else staged)
-          .parquet(tmp)
-        val fs = new Path(dir).getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
-        val names = scala.collection.mutable.ArrayBuffer.empty[String]
-        val it = fs.listFiles(new Path(tmp), true)
-        while (it.hasNext) {
-          val f = it.next()
-          if (f.getPath.getName.endsWith(".parquet")) {
-            val rel = Manifest.relativize(spark, tmp, f.getPath.toString)
-            val segs = rel.split('/')
-            val target = (segs.dropRight(1) :+
-              s"delta-v$newVersion-${segs.last}").mkString("/")
-            fs.mkdirs(new Path(s"$dir/$target").getParent)
-            fs.rename(f.getPath, new Path(s"$dir/$target"))
-            names += target
-          }
-        }
-        fs.delete(new Path(tmp), true)
-        Manifest.scanStats(spark, dir, statCols, Some(names.toSeq))
+        // survivors = rows NOT matching (NULL predicate RETAINS the
+        // row), rewritten with the table's own partitioning so every
+        // data file stays at a consistent depth
+        val names = stageAndRename(spark, dir,
+          spark.read.option("basePath", dir)
+            .parquet(hit.map(e => s"$dir/${e.name}"): _*)
+            .filter(!coalesce(pred, lit(false))),
+          partColsOf(hit), s"delta-v$newVersion")
+        statStaged(spark, dir, statCols, names)
       }
     Manifest.write(spark, dir, (kept ++ deltaEntries).sortBy(_.name),
       newVersion)
@@ -597,6 +688,30 @@ object Layout {
         sum(H.hash30(concat_ws("|", col("doc_id"), col("text"))))
           .as("content_fp"))
       .orderBy("source")
+
+  /** Oracle for [[upsertInPlace]] applied to the documents fixture:
+    * keys divisible by `updMod` get their text rewritten, keys
+    * divisible by `newMod` insert as brand-new ids at `newOffset` —
+    * the merged table fingerprinted per source, same shape as
+    * [[contentFingerprintOracle]].
+    */
+  def upsertOracle(updMod: Int = 97, newMod: Int = 193,
+      newOffset: Long = 500000L): String =
+    s"""WITH merged AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  WHERE doc_id % $updMod <> 0
+       |  UNION ALL
+       |  SELECT doc_id, source, 'u:' || text AS text FROM documents
+       |  WHERE doc_id % $updMod = 0
+       |  UNION ALL
+       |  SELECT doc_id + $newOffset AS doc_id, source,
+       |    'n:' || text AS text FROM documents
+       |  WHERE doc_id % $newMod = 0)
+       |SELECT source::VARCHAR AS source, count(*) AS n_docs,
+       |  sum(${H.duckHash30("doc_id || '|' || text")})::BIGINT AS content_fp
+       |FROM merged
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
 
   def contentFingerprintOracle(where: String = "TRUE"): String =
     s"""SELECT source::VARCHAR AS source, count(*) AS n_docs,

@@ -209,6 +209,50 @@ class ManifestSpec extends SparkSpec {
       .collect().toSeq == expected)
   }
 
+  test("in-place upsert replaces keys, inserts new ones, prunes via stats") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mf-up").toString
+    docs.repartitionByRange(16, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(dir)
+
+    // a key-LOCAL batch: updates confined to one narrow id band, so
+    // manifest range pruning must keep the affected-file count small
+    val updates = docs.filter(col("doc_id").between(120, 160))
+      .withColumn("text", concat(lit("u:"), col("text")))
+      .unionByName(docs.filter(col("doc_id").between(120, 125))
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("text", concat(lit("n:"), col("text"))))
+    val (hit, total) = Layout.upsertInPlace(spark, dir, updates, "doc_id",
+      statCols = Seq("doc_id"))
+    assert(hit > 0 && hit <= total / 4,
+      s"a 41-id update band must hit few of $total files, hit $hit")
+
+    val now = Manifest.readTable(spark, dir)
+    // updated keys carry the new text, exactly once
+    val upd = now.filter(col("doc_id").between(120, 160))
+    assert(upd.count() ==
+      docs.filter(col("doc_id").between(120, 160)).count())
+    assert(upd.filter(!col("text").startsWith("u:")).count() == 0,
+      "every key in the band must carry the updated text")
+    // new keys inserted
+    assert(now.filter(col("doc_id") >= 1000000L).count() ==
+      docs.filter(col("doc_id").between(120, 125)).count())
+    // untouched rows untouched (fingerprint over the complement)
+    val untouchedIds = !col("doc_id").between(120, 160) &&
+      col("doc_id") < 1000000L
+    assert(Layout.contentFingerprint(now.filter(untouchedIds))
+      .collect().toSeq ==
+      Layout.contentFingerprint(docs.filter(untouchedIds)).collect().toSeq)
+    // history: v1 is the pre-upsert table; vacuum retires it
+    assert(Layout.contentFingerprint(
+      Manifest.readTable(spark, dir, version = Some(1)))
+      .collect().toSeq ==
+      Layout.contentFingerprint(docs).collect().toSeq)
+    assert(Manifest.vacuum(spark, dir) == hit)
+  }
+
   test("in-place compaction swaps small files for merged ones, history intact") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft-mf-opt").toString
