@@ -562,6 +562,35 @@ object Layout {
     (hit.size, entries.size)
   }
 
+  /** IN-PLACE append — the insert-only verb: the batch lands as delta
+    * files beside the existing ones and every prior entry transfers
+    * verbatim. O(batch) cost, no file of the table is read or touched.
+    *
+    * `txn` makes the append EXACTLY-ONCE for streaming: the batch id
+    * commits in the same atomic CURRENT write as the snapshot flip, so
+    * a replayed micro-batch (foreachBatch re-delivery after a crash)
+    * sees `lastTxn >= batchId` and becomes a no-op — there is no
+    * window where data is visible but its txn is not.
+    * Returns the number of files added (0 for a replay).
+    */
+  def appendInPlace(spark: SparkSession, dir: String, batch: DataFrame,
+      statCols: Seq[String] = Nil, txn: Option[Long] = None): Int = {
+    if (txn.exists(t => Manifest.lastTxn(spark, dir).exists(_ >= t)))
+      return 0
+    val entries = Manifest.ensure(spark, dir, statCols)
+    val newVersion = Manifest.currentVersion(spark, dir).getOrElse(0) + 1
+    val partCols = partColsOf(entries)
+    val fileCols = spark.read.parquet(s"$dir/${entries.head.name}")
+      .columns.toSeq
+    val names = stageAndRename(spark, dir,
+      batch.select((fileCols ++ partCols).map(col): _*),
+      partCols, s"append-v$newVersion")
+    val newEntries = statStaged(spark, dir, statCols, names)
+    Manifest.write(spark, dir, (entries ++ newEntries).sortBy(_.name),
+      newVersion, txn)
+    newEntries.size
+  }
+
   /** IN-PLACE compaction — OPTIMIZE for a manifest-managed table: each
     * directory whose file count exceeds its ceil(bytes/target) bound
     * gets its files merged into staged outputs that are RENAMED in

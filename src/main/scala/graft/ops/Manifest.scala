@@ -55,17 +55,30 @@ object Manifest {
   private def relName(root: String, fileUri: String): String =
     new Path(fileUri).toUri.getPath.stripPrefix(root).stripPrefix("/")
 
-  def currentVersion(spark: SparkSession, dir: String): Option[Int] = {
+  private def currentLine(spark: SparkSession, dir: String): Option[String] = {
     val fs = fsOf(spark, dir)
     val p = new Path(s"$dir/$DirName/CURRENT")
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
-        .mkString.trim.stripPrefix("v").toInt)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
       finally in.close()
     }
   }
+
+  def currentVersion(spark: SparkSession, dir: String): Option[Int] =
+    currentLine(spark, dir)
+      .map(_.split("\\s+").head.stripPrefix("v").toInt)
+
+  /** The streaming-transaction id carried by the CURRENT pointer (the
+    * Delta txn pattern): a committing micro-batch records its batchId
+    * IN the same atomic pointer write as the snapshot flip, so a
+    * replayed batch after a crash can see it was already applied —
+    * there is no window where the data is visible but the txn is not.
+    */
+  def lastTxn(spark: SparkSession, dir: String): Option[Long] =
+    currentLine(spark, dir).flatMap(_.split("\\s+")
+      .find(_.startsWith("txn=")).map(_.stripPrefix("txn=").toLong))
 
   def read(spark: SparkSession, dir: String): Option[Seq[ManifestEntry]] =
     currentVersion(spark, dir).flatMap(v => readVersion(spark, dir, v))
@@ -89,14 +102,19 @@ object Manifest {
     * pointer second (the crash-safe order).
     */
   def write(spark: SparkSession, dir: String, entries: Seq[ManifestEntry],
-      version: Int): Unit = {
+      version: Int, txn: Option[Long] = None): Unit = {
     val ds: Dataset[ManifestEntry] =
       spark.createDataset(entries)(Encoders.product[ManifestEntry])
     ds.coalesce(1).write.mode("overwrite")
       .json(s"$dir/$DirName/v$version")
     val fs = fsOf(spark, dir)
+    // a maintenance commit (delete/compact) must not erase the last
+    // streaming txn, or a post-crash batch replay would re-append:
+    // carry it forward unless this commit sets its own
+    val effTxn = txn.orElse(lastTxn(spark, dir))
     val out = fs.create(new Path(s"$dir/$DirName/CURRENT"), true)
-    try out.write(s"v$version\n".getBytes("UTF-8")) finally out.close()
+    val tag = effTxn.map(t => s" txn=$t").getOrElse("")
+    try out.write(s"v$version$tag\n".getBytes("UTF-8")) finally out.close()
   }
 
   /** Per-file stats in one distributed pass. `onlyNames` restricts the
