@@ -601,19 +601,27 @@ object Layout {
     * time travel until [[Manifest.vacuum]]. Merges are independent
     * Spark jobs submitted from a bounded pool (the compactShards
     * lesson: serial driver loops pay per-job latency x #dirs).
+    * `zorderBy` (>= 2 columns) additionally clusters every rewritten
+    * group along the Morton curve of those columns — OPTIMIZE ZORDER
+    * BY: one range shuffle per group in exchange for tight multi-dim
+    * min/max on every merged file, recorded in the manifest and used
+    * by every later rectangle query.
     * Returns (filesBefore, filesAfter).
     */
   def compactInPlace(spark: SparkSession, dir: String,
       targetBytes: Long = 128L << 20,
-      statCols: Seq[String] = Nil): (Int, Int) = {
+      statCols: Seq[String] = Nil,
+      zorderBy: Seq[String] = Nil): (Int, Int) = {
     val entries = Manifest.ensure(spark, dir, statCols)
     val newVersion = Manifest.currentVersion(spark, dir).getOrElse(0) + 1
     val byDir = entries.groupBy(e =>
       e.name.split('/').dropRight(1).mkString("/"))
     def bound(es: Seq[ManifestEntry]): Int =
       math.max(1, math.ceil(es.map(_.bytes).sum.toDouble / targetBytes).toInt)
+    // OPTIMIZE ZORDER BY: when clustering is requested, every group
+    // rewrites (the point is tightening stats, not just file counts)
     val (toMerge, untouched) = byDir.partition {
-      case (_, es) => es.size > bound(es)
+      case (_, es) => zorderBy.nonEmpty || es.size > bound(es)
     }
     val fs = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
@@ -631,9 +639,20 @@ object Layout {
               // originals exactly — partition values stay directory-
               // encoded, so the merged file drops in as a sibling
               val tmp = s"$dir/.tmp-compact-v$newVersion-${sub.hashCode}"
-              spark.read.parquet(es.map(e => s"$dir/${e.name}"): _*)
-                .coalesce(bound(es))
-                .write.mode("overwrite").parquet(tmp)
+              val base = spark.read.parquet(
+                es.map(e => s"$dir/${e.name}"): _*)
+              // plain compaction coalesces (no shuffle); ZORDER BY
+              // pays the one range shuffle that buys multi-dim
+              // min/max tightness on every merged file — Delta's
+              // OPTIMIZE ZORDER, expressed over the same manifest
+              val merged =
+                if (zorderBy.size >= 2)
+                  base.withColumn("_zk", zkeyN(zorderBy.map(col)))
+                    .repartitionByRange(bound(es), col("_zk"))
+                    .sortWithinPartitions("_zk")
+                    .drop("_zk")
+                else base.coalesce(bound(es))
+              merged.write.mode("overwrite").parquet(tmp)
               val prefix = if (sub.isEmpty) "" else s"$sub/"
               val names = fs.listStatus(new Path(tmp))
                 .filter(f => f.isFile &&

@@ -285,6 +285,47 @@ class ManifestSpec extends SparkSpec {
       .collect().toSeq == expected)
   }
 
+  test("OPTIMIZE ZORDER BY: compaction with clustering out-prunes plain") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val plainDir = java.nio.file.Files.createTempDirectory("graft-oz-p").toString
+    val zDir = java.nio.file.Files.createTempDirectory("graft-oz-z").toString
+    // same unclustered 16-file start for both tables
+    Seq(plainDir, zDir).foreach { d =>
+      li.repartition(16).write.mode("overwrite").parquet(d)
+    }
+    val totalBytes = new java.io.File(plainDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val target = math.max(1L, totalBytes / 8)
+
+    val (_, afterPlain) = Layout.compactInPlace(spark, plainDir, target,
+      statCols = Seq("l_partkey", "l_suppkey"))
+    val (_, afterZ) = Layout.compactInPlace(spark, zDir, target,
+      statCols = Seq("l_partkey", "l_suppkey"),
+      zorderBy = Seq("l_partkey", "l_suppkey"))
+    assert(afterPlain > 1 && afterZ > 1,
+      s"need multiple merged files to measure pruning: $afterPlain, $afterZ")
+
+    def kept(d: String): Int = Manifest.prunedPaths(spark, d,
+      Seq(("l_partkey", 10L, 30L), ("l_suppkey", 1L, 4L))).get.size
+    info(s"rectangle keeps ${kept(zDir)} of $afterZ zordered files vs " +
+      s"${kept(plainDir)} of $afterPlain plain-compacted")
+    // plain compaction of an unclustered table cannot prune the 2-d
+    // rectangle (every merged file spans both dims); the zordered
+    // rewrite must
+    assert(kept(zDir) < kept(plainDir),
+      s"zorder compaction must out-prune: ${kept(zDir)} vs ${kept(plainDir)}")
+    // and both tables still hold identical data
+    // (orderkey, linenumber) is not unique in the synthetic data:
+    // order by the full tuple for a total order
+    val cols = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val a = Manifest.readTable(spark, plainDir)
+      .orderBy(cols.map(col): _*).collect().toSeq
+    val b = Manifest.readTable(spark, zDir)
+      .orderBy(cols.map(col): _*).collect().toSeq
+    assert(a == b)
+  }
+
   test("readTable keeps partition-directory columns on a compacted tree") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val shardDir = java.nio.file.Files.createTempDirectory("graft-mf-sh").toString
