@@ -1349,6 +1349,28 @@ object SparkEntry {
         ops.Layout.contentFingerprint(ops.Manifest.readTable(s, src))
     },
 
+    // MERGE-ON-READ delete via deletion vectors: matching rows are
+    // MARKED ((file, row position) pairs in the manifest) and readers
+    // subtract them with a broadcast anti-join — no data file is
+    // written, so a targeted 100 TB delete commits in O(matches)
+    // metadata. The oracle is the same fingerprint minus the range:
+    // proof the read-path subtraction is exact.
+    q("ns_delete_dv",
+      ops.Layout.contentFingerprintOracle(
+        "NOT (doc_id BETWEEN 300 AND 340)")) {
+      (s, dir) =>
+        val src = layoutDir("docs-byid-dv", dir)
+        if (!new java.io.File(s"$src/_SUCCESS").exists())
+          T(s, dir, "documents")
+            .repartitionByRange(16, col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite").parquet(src)
+        if (ops.Manifest.currentVersion(s, src).forall(_ < 2))
+          ops.Layout.deleteMergeOnRead(s, src,
+            col("doc_id").between(300, 340), statCols = Seq("doc_id"))
+        ops.Layout.contentFingerprint(ops.Manifest.readTable(s, src))
+    },
+
     // IN-PLACE upsert (MERGE INTO by key, last-writer-wins): updated
     // keys replace their rows, new keys insert — affected files found
     // manifest-pruned (stats planning the WRITE), survivors drop

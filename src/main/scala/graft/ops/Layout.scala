@@ -513,6 +513,7 @@ object Layout {
     */
   def upsertInPlace(spark: SparkSession, dir: String, updates: DataFrame,
       keyCol: String, statCols: Seq[String] = Nil): (Int, Int) = {
+    requireNoDvs(spark, dir)
     val entries = Manifest.ensure(spark, dir, statCols)
     val newVersion = Manifest.currentVersion(spark, dir).getOrElse(0) + 1
     // manifest pruning first: the batch's key range bounds which files
@@ -562,6 +563,93 @@ object Layout {
     (hit.size, entries.size)
   }
 
+  /** MERGE-ON-READ delete — the write-cheap path: matching rows are
+    * MARKED in a deletion vector ((file, row position) pairs under
+    * `_manifest/dv-v{K}`) and subtracted by [[Manifest.readTable]]'s
+    * broadcast anti-join; no data file is opened for writing. Marking
+    * costs O(matches) metadata — at 100 TB this is how a targeted
+    * delete commits in seconds instead of rewriting terabytes, paying
+    * instead a small per-read join until [[flushDeleteVectors]]
+    * materializes the marks. Vectors accumulate across deletes and are
+    * versioned with the snapshot, so time travel sees each version's
+    * own view. Returns (rowsMarked, totalFiles).
+    */
+  def deleteMergeOnRead(spark: SparkSession, dir: String, pred: Column,
+      statCols: Seq[String] = Nil): (Long, Int) = {
+    val entries = Manifest.ensure(spark, dir, statCols)
+    val v = Manifest.currentVersion(spark, dir).getOrElse(0)
+    val newVersion = v + 1
+    val raw = spark.read.option("basePath", dir)
+      .parquet(entries.map(e => s"$dir/${e.name}"): _*)
+    // re-marking an already-deleted row is harmless (set union), so
+    // the scan can run raw — no need to subtract existing vectors
+    val marks = raw.filter(pred).select(
+      element_at(split(col("_metadata.file_path"), "/"), -1).as("file"),
+      col("_metadata.row_index").as("pos"))
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val old =
+      if (fs.exists(new Path(Manifest.dvDir(dir, v))))
+        spark.read.parquet(Manifest.dvDir(dir, v))
+      else spark.emptyDataFrame
+        .withColumn("file", lit("")).withColumn("pos", lit(0L))
+        .filter(lit(false))
+    val all = old.unionByName(marks).distinct()
+    all.coalesce(1).write.mode("overwrite")
+      .parquet(Manifest.dvDir(dir, newVersion))
+    val marked = spark.read.parquet(Manifest.dvDir(dir, newVersion)).count()
+    // entries transfer VERBATIM: the delete is pure metadata
+    Manifest.write(spark, dir, entries, newVersion)
+    (marked, entries.size)
+  }
+
+  /** Materialize a table's deletion vectors: rewrite ONLY the files
+    * that carry marks (dropping the marked positions) and commit a
+    * snapshot with no vector — the read-path join disappears, the
+    * rewriting verbs become legal again, and vacuum can reclaim the
+    * originals. This is the deferred half of merge-on-read: mark
+    * cheaply online, flush in the maintenance window.
+    * Returns the number of files rewritten.
+    */
+  def flushDeleteVectors(spark: SparkSession, dir: String,
+      statCols: Seq[String] = Nil): Int = {
+    val v = Manifest.currentVersion(spark, dir).getOrElse(return 0)
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(Manifest.dvDir(dir, v)))) return 0
+    val entries = Manifest.read(spark, dir).get
+    val dv = spark.read.parquet(Manifest.dvDir(dir, v))
+    val markedFiles = dv.select("file").distinct()
+      .collect().map(_.getString(0)).toSet
+    val (hit, kept) = entries.partition(e =>
+      markedFiles.contains(e.name.split('/').last))
+    val newVersion = v + 1
+    val survivors = spark.read.option("basePath", dir)
+      .parquet(hit.map(e => s"$dir/${e.name}"): _*)
+      .withColumn("_dv_f", element_at(
+        split(col("_metadata.file_path"), "/"), -1))
+      .withColumn("_dv_p", col("_metadata.row_index"))
+      .join(broadcast(dv), col("_dv_f") === dv("file") &&
+        col("_dv_p") === dv("pos"), "left_anti")
+      .drop("_dv_f", "_dv_p")
+    val names = stageAndRename(spark, dir, survivors, partColsOf(hit),
+      s"flush-v$newVersion")
+    val newEntries = statStaged(spark, dir, statCols, names)
+    // the new snapshot carries NO dv-v{newVersion}: vectors are spent
+    Manifest.write(spark, dir, (kept ++ newEntries).sortBy(_.name),
+      newVersion)
+    hit.size
+  }
+
+  /** The rewriting verbs read data files RAW (they restate file
+    * contents); running one over live deletion vectors would resurrect
+    * marked rows. Flush first.
+    */
+  private def requireNoDvs(spark: SparkSession, dir: String): Unit =
+    require(!Manifest.hasDeletionVectors(spark, dir),
+      s"$dir has live deletion vectors: run flushDeleteVectors before " +
+        "rewriting operations")
+
   /** IN-PLACE append — the insert-only verb: the batch lands as delta
     * files beside the existing ones and every prior entry transfers
     * verbatim. O(batch) cost, no file of the table is read or touched.
@@ -577,6 +665,7 @@ object Layout {
       statCols: Seq[String] = Nil, txn: Option[Long] = None): Int = {
     if (txn.exists(t => Manifest.lastTxn(spark, dir).exists(_ >= t)))
       return 0
+    requireNoDvs(spark, dir)
     val entries = Manifest.ensure(spark, dir, statCols)
     val newVersion = Manifest.currentVersion(spark, dir).getOrElse(0) + 1
     val partCols = partColsOf(entries)
@@ -612,6 +701,7 @@ object Layout {
       targetBytes: Long = 128L << 20,
       statCols: Seq[String] = Nil,
       zorderBy: Seq[String] = Nil): (Int, Int) = {
+    requireNoDvs(spark, dir)
     val entries = Manifest.ensure(spark, dir, statCols)
     val newVersion = Manifest.currentVersion(spark, dir).getOrElse(0) + 1
     val byDir = entries.groupBy(e =>
@@ -694,6 +784,7 @@ object Layout {
     */
   def deleteInPlace(spark: SparkSession, dir: String, pred: Column,
       statCols: Seq[String] = Nil): (Int, Int) = {
+    requireNoDvs(spark, dir)
     val entries = Manifest.ensure(spark, dir, statCols)
     val paths = entries.map(e => s"$dir/${e.name}")
     // phase 1: affected files via pushed-predicate scan over the

@@ -179,26 +179,57 @@ object Manifest {
       }
     }.map(e => s"$dir/${e.name}"))
 
+  /** Deletion-vector directory of a snapshot version: a tiny parquet
+    * set of (file basename, row position) pairs marking rows deleted
+    * MERGE-ON-READ — the write-cheap delete path (Delta DVs / Iceberg
+    * position deletes): marking costs O(matches) metadata, no data
+    * file is rewritten, and readers subtract the positions. Basenames
+    * suffice as file keys: every writer in this layer names files with
+    * UUID part-names (plus unique verb prefixes).
+    */
+  def dvDir(dir: String, version: Int): String =
+    s"$dir/$DirName/dv-v$version"
+
+  def hasDeletionVectors(spark: SparkSession, dir: String): Boolean =
+    currentVersion(spark, dir).exists(v =>
+      fsOf(spark, dir).exists(new Path(dvDir(dir, v))))
+
   /** Read the table THROUGH its manifest: the file list comes from the
     * current snapshot (or the `version` snapshot — time travel), not a
     * directory walk, and `basePath` keeps partition-directory columns
-    * intact. Falls back to a plain read when no manifest exists.
+    * intact. A snapshot's deletion vector, when present, is subtracted
+    * with a broadcast anti-join on (file, row position). Falls back to
+    * a plain read when no manifest exists.
     * NOTE: once a table has in-place commits, a plain directory read
     * is WRONG (it would see superseded files) — the manifest is the
     * table, exactly as in any manifest-based format.
     */
   def readTable(spark: SparkSession, dir: String,
       version: Option[Int] = None): DataFrame = {
+    val v = version.orElse(currentVersion(spark, dir))
     val entries = version match {
-      case Some(v) => readVersion(spark, dir, v).getOrElse(
+      case Some(vv) => readVersion(spark, dir, vv).getOrElse(
         throw new IllegalArgumentException(
-          s"no manifest version $v under $dir"))
+          s"no manifest version $vv under $dir"))
       case None => read(spark, dir).getOrElse(Seq.empty)
     }
-    if (entries.nonEmpty)
-      spark.read.option("basePath", dir)
-        .parquet(entries.map(e => s"$dir/${e.name}"): _*)
-    else spark.read.parquet(dir)
+    if (entries.isEmpty) return spark.read.parquet(dir)
+    val base = spark.read.option("basePath", dir)
+      .parquet(entries.map(e => s"$dir/${e.name}"): _*)
+    val dv = v.map(dvDir(dir, _))
+      .filter(p => fsOf(spark, dir).exists(new Path(p)))
+    dv match {
+      case Some(p) =>
+        val marks = spark.read.parquet(p)
+        base
+          .withColumn("_dv_f", element_at(
+            split(col("_metadata.file_path"), "/"), -1))
+          .withColumn("_dv_p", col("_metadata.row_index"))
+          .join(broadcast(marks), col("_dv_f") === marks("file") &&
+            col("_dv_p") === marks("pos"), "left_anti")
+          .drop("_dv_f", "_dv_p")
+      case None => base
+    }
   }
 
   /** Table-root-relative name of a data-file URI (the inverse of the

@@ -285,6 +285,64 @@ class ManifestSpec extends SparkSpec {
       .collect().toSeq == expected)
   }
 
+  test("merge-on-read delete: marks cheaply, reads subtract, flush materializes") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mf-dv").toString
+    docs.repartitionByRange(16, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(dir)
+
+    def diskFiles() = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.length).toMap
+
+    val before = diskFiles()
+    val pred1 = col("doc_id").between(100, 140)
+    val (marked, total) = Layout.deleteMergeOnRead(spark, dir, pred1,
+      statCols = Seq("doc_id"))
+    assert(marked == docs.filter(pred1).count())
+    // the delete is pure metadata: entry list verbatim, data files
+    // untouched on disk
+    assert(Manifest.readVersion(spark, dir, 2).get ==
+      Manifest.readVersion(spark, dir, 1).get)
+    assert(diskFiles() == before, "no data file may be written")
+    // readers subtract the vector; v1 time-travels to the full table
+    val expect1 = Layout.contentFingerprint(docs.filter(!pred1))
+      .collect().toSeq
+    assert(Layout.contentFingerprint(Manifest.readTable(spark, dir))
+      .collect().toSeq == expect1)
+    assert(Layout.contentFingerprint(
+      Manifest.readTable(spark, dir, version = Some(1)))
+      .collect().toSeq ==
+      Layout.contentFingerprint(docs).collect().toSeq)
+
+    // vectors accumulate across deletes
+    val pred2 = col("doc_id").between(300, 310)
+    Layout.deleteMergeOnRead(spark, dir, pred2, Seq("doc_id"))
+    val both = !pred1 && !pred2
+    val expect2 = Layout.contentFingerprint(docs.filter(both))
+      .collect().toSeq
+    assert(Layout.contentFingerprint(Manifest.readTable(spark, dir))
+      .collect().toSeq == expect2)
+
+    // rewriting verbs must refuse while vectors are live
+    intercept[IllegalArgumentException] {
+      Layout.compactInPlace(spark, dir, statCols = Seq("doc_id"))
+    }
+
+    // flush: only marked files rewrite, vectors are spent, parity holds
+    val rewritten = Layout.flushDeleteVectors(spark, dir, Seq("doc_id"))
+    assert(rewritten > 0 && rewritten < total,
+      s"flush must rewrite only marked files: $rewritten of $total")
+    assert(!Manifest.hasDeletionVectors(spark, dir))
+    assert(Layout.contentFingerprint(Manifest.readTable(spark, dir))
+      .collect().toSeq == expect2)
+    // and the rewriting verbs are legal again
+    Layout.compactInPlace(spark, dir, statCols = Seq("doc_id"))
+    assert(Layout.contentFingerprint(Manifest.readTable(spark, dir))
+      .collect().toSeq == expect2)
+  }
+
   test("OPTIMIZE ZORDER BY: compaction with clustering out-prunes plain") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
