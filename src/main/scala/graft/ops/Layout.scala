@@ -594,12 +594,16 @@ object Layout {
       else spark.emptyDataFrame
         .withColumn("file", lit("")).withColumn("pos", lit(0L))
         .filter(lit(false))
+    // claim the version BEFORE writing its vector: a lost commit race
+    // must not leave an orphan dv-v{K} that the winner's snapshot
+    // would appear to own
+    Manifest.claimVersion(spark, dir, newVersion)
     val all = old.unionByName(marks).distinct()
     all.coalesce(1).write.mode("overwrite")
       .parquet(Manifest.dvDir(dir, newVersion))
     val marked = spark.read.parquet(Manifest.dvDir(dir, newVersion)).count()
     // entries transfer VERBATIM: the delete is pure metadata
-    Manifest.write(spark, dir, entries, newVersion)
+    Manifest.write(spark, dir, entries, newVersion, alreadyClaimed = true)
     (marked, entries.size)
   }
 

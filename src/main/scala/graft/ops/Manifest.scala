@@ -98,11 +98,44 @@ object Manifest {
         .collect().toSeq.sortBy(_.name))
   }
 
-  /** Commit `entries` as version `version`: snapshot first, CURRENT
-    * pointer second (the crash-safe order).
+  /** Claim exclusive right to commit `version` — first-writer-wins:
+    * `fs.create(path, overwrite = false)` succeeds exactly once per
+    * token, so of two racing committers that both computed the same
+    * next version, one proceeds and the other gets a
+    * ConcurrentModificationException to retry from a fresh read (the
+    * optimistic-concurrency protocol of every manifest-based format).
+    */
+  def claimVersion(spark: SparkSession, dir: String, version: Int): Unit = {
+    val fs = fsOf(spark, dir)
+    val token = new Path(s"$dir/$DirName/commit-v$version")
+    fs.mkdirs(token.getParent)
+    val ok =
+      try { fs.create(token, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!ok) {
+      // token taken: a real conflict if the claimer's snapshot landed
+      // (or CURRENT already moved past); otherwise the claimer died
+      // pre-snapshot and the claim is stale — take it over so a
+      // crashed commit stays retryable. Live-writer takeover in that
+      // narrow window would need leases; this layer documents the
+      // single-maintainer assumption instead.
+      val done = fs.exists(new Path(s"$dir/$DirName/v$version/_SUCCESS")) ||
+        currentVersion(spark, dir).exists(_ >= version)
+      if (done) throw new java.util.ConcurrentModificationException(
+        s"version v$version of $dir was already committed by another " +
+          "writer — re-read the current version and retry")
+    }
+  }
+
+  /** Commit `entries` as version `version`: claim token first (unless
+    * the caller already claimed), snapshot second, CURRENT pointer
+    * last (the crash-safe order — readers only ever see complete
+    * snapshots, and racing committers are serialized by the claim).
     */
   def write(spark: SparkSession, dir: String, entries: Seq[ManifestEntry],
-      version: Int, txn: Option[Long] = None): Unit = {
+      version: Int, txn: Option[Long] = None,
+      alreadyClaimed: Boolean = false): Unit = {
+    if (!alreadyClaimed) claimVersion(spark, dir, version)
     val ds: Dataset[ManifestEntry] =
       spark.createDataset(entries)(Encoders.product[ManifestEntry])
     ds.coalesce(1).write.mode("overwrite")

@@ -285,6 +285,31 @@ class ManifestSpec extends SparkSpec {
       .collect().toSeq == expected)
   }
 
+  test("commits are first-writer-wins; crashed claims stay retryable") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mf-occ").toString
+    docs.limit(50).coalesce(1).write.mode("overwrite").parquet(dir)
+    val entries = Manifest.create(spark, dir, Seq("doc_id"))
+
+    // two committers race to v2: the winner lands, the loser must get
+    // a conflict instead of silently clobbering the pointer
+    Manifest.write(spark, dir, entries, 2)
+    intercept[java.util.ConcurrentModificationException] {
+      Manifest.write(spark, dir, entries, 2)
+    }
+    assert(Manifest.currentVersion(spark, dir).contains(2))
+
+    // a claim whose snapshot never landed (committer died) is stale:
+    // the next attempt takes it over rather than wedging forever
+    Manifest.claimVersion(spark, dir, 3)
+    Manifest.write(spark, dir, entries, 3) // succeeds via takeover
+    assert(Manifest.currentVersion(spark, dir).contains(3))
+    // but once v3 is committed, another v3 attempt is a real conflict
+    intercept[java.util.ConcurrentModificationException] {
+      Manifest.write(spark, dir, entries, 3)
+    }
+  }
+
   test("merge-on-read delete: marks cheaply, reads subtract, flush materializes") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft-mf-dv").toString
