@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table-format smoke: build a manifest-managed table at N x the
+  * documents corpus and measure the three delete paths head to head —
+  * the write-amplification story that motivates the verb set:
+  *
+  *  - export copy-on-write ([[ops.Layout.deleteRewrite]]): rewrites
+  *    survivors AND copies every untouched byte to the new directory
+  *    — write cost O(table).
+  *  - in-place copy-on-write ([[ops.Layout.deleteInPlace]]): rewrites
+  *    survivors of the affected files only; untouched files are
+  *    metadata-carried — write cost O(affected files).
+  *  - merge-on-read ([[ops.Layout.deleteMergeOnRead]]): marks (file,
+  *    position) pairs — write cost O(matching rows), kilobytes.
+  *
+  * At 100 TB these are the difference between a multi-hour rewrite, a
+  * minutes-long affected-file pass, and a seconds-long metadata
+  * commit. Reports one JSON line of rows, seconds, and bytes written.
+  *
+  * Usage: runMain graft.TableSmoke [sfDir] [multiplier]
+  */
+object TableSmoke {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mult = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = ops.T(spark, sfDir, "documents")
+    val copies = spark.range(mult).select(col("id").as("copy"))
+    val big = docs.crossJoin(copies)
+      .select((col("doc_id") * mult + col("copy")).as("doc_id"),
+        col("source"), col("text"))
+
+    def freshTable(tag: String): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-tsmoke-$tag").toString
+      big.repartitionByRange(64, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }
+
+    def dirBytes(d: String): Long = {
+      val f = new java.io.File(d)
+      if (!f.exists()) 0L
+      else if (f.isFile) f.length
+      else f.listFiles().map(x => dirBytes(x.getPath)).sum
+    }
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val nRows = big.count()
+    // a targeted band: ~0.1% of ids, hitting a couple of files
+    val lo = 100L * mult
+    val hi = lo + math.max(50L, nRows / 1000)
+    val pred = col("doc_id").between(lo, hi)
+
+    // export copy-on-write: survivors + every untouched byte copied
+    val srcA = freshTable("rewrite")
+    val outA = java.nio.file.Files
+      .createTempDirectory("graft-tsmoke-out").toString
+    val ((hitA, totA), tRewrite) =
+      time(ops.Layout.deleteRewrite(spark, srcA, outA, pred,
+        statCols = Seq("doc_id")))
+    val bytesRewrite = dirBytes(outA)
+
+    // in-place copy-on-write: survivors of affected files only
+    val srcB = freshTable("inplace")
+    val baseB = dirBytes(srcB)
+    val ((hitB, _), tInPlace) =
+      time(ops.Layout.deleteInPlace(spark, srcB, pred,
+        statCols = Seq("doc_id")))
+    val bytesInPlace = dirBytes(srcB) - baseB
+
+    // merge-on-read: a deletion vector, kilobytes
+    val srcC = freshTable("dv")
+    val baseC = dirBytes(srcC)
+    val ((marked, _), tDv) =
+      time(ops.Layout.deleteMergeOnRead(spark, srcC, pred,
+        statCols = Seq("doc_id")))
+    val bytesDv = dirBytes(srcC) - baseC
+    // and the read path still answers exactly
+    val remain = ops.Manifest.readTable(spark, srcC).count()
+    assert(remain == nRows - marked, s"$remain != $nRows - $marked")
+
+    println(s"""{"metric":"table_smoke","rows":$nRows,"mult":$mult,""" +
+      s""""table_bytes":${dirBytes(srcA)},""" +
+      s""""delete_band_rows":$marked,"files_hit":$hitA,"files":$totA,""" +
+      s""""rewrite_sec":$tRewrite,"rewrite_bytes":$bytesRewrite,""" +
+      s""""inplace_sec":$tInPlace,"inplace_bytes":$bytesInPlace,""" +
+      s""""dv_sec":$tDv,"dv_bytes":$bytesDv}""")
+    spark.stop()
+  }
+}
