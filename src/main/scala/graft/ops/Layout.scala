@@ -598,10 +598,14 @@ object Layout {
     // must not leave an orphan dv-v{K} that the winner's snapshot
     // would appear to own
     Manifest.claimVersion(spark, dir, newVersion)
-    val all = old.unionByName(marks).distinct()
-    all.coalesce(1).write.mode("overwrite")
-      .parquet(Manifest.dvDir(dir, newVersion))
-    val marked = spark.read.parquet(Manifest.dvDir(dir, newVersion)).count()
+    val all = old.unionByName(marks).distinct().cache()
+    val marked = all.count()
+    // nothing marked (and nothing carried): don't install an empty
+    // vector — it would cost every future read a useless anti-join
+    if (marked > 0)
+      all.coalesce(1).write.mode("overwrite")
+        .parquet(Manifest.dvDir(dir, newVersion))
+    all.unpersist()
     // entries transfer VERBATIM: the delete is pure metadata
     Manifest.write(spark, dir, entries, newVersion, alreadyClaimed = true)
     (marked, entries.size)

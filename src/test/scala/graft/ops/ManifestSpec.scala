@@ -285,6 +285,31 @@ class ManifestSpec extends SparkSpec {
       .collect().toSeq == expected)
   }
 
+  test("edge cases: no-match DV delete installs no vector; all-new upsert inserts") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mf-edge").toString
+    docs.repartitionByRange(8, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(dir)
+
+    // delete matching nothing: version bumps (the commit happened) but
+    // no vector is installed, so reads stay join-free
+    val (marked, _) = Layout.deleteMergeOnRead(spark, dir,
+      col("doc_id") === -1L, Seq("doc_id"))
+    assert(marked == 0)
+    assert(!Manifest.hasDeletionVectors(spark, dir))
+    assert(Manifest.readTable(spark, dir).count() == docs.count())
+
+    // upsert whose keys are ALL new: no file is affected, the batch
+    // simply inserts
+    val batch = docs.limit(7)
+      .withColumn("doc_id", col("doc_id") + 900000L)
+    val (hit, _) = Layout.upsertInPlace(spark, dir, batch, "doc_id",
+      Seq("doc_id"))
+    assert(hit == 0, s"no existing file may be affected, hit $hit")
+    assert(Manifest.readTable(spark, dir).count() == docs.count() + 7)
+  }
+
   test("commits are first-writer-wins; crashed claims stay retryable") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft-mf-occ").toString
