@@ -265,6 +265,34 @@ object Manifest {
     }
   }
 
+  /** Rows ADDED between two snapshots: the files present in
+    * `toVersion` but not in `fromVersion`, read as one DataFrame —
+    * incremental consumption of an append-only table (each streaming
+    * or batch append lands as new files, so the entry-name diff IS the
+    * change set, and a downstream pipeline processes O(delta) per
+    * cycle instead of rescanning the table). On tables that also
+    * rewrite (delete/compact/upsert), rewritten survivors appear as
+    * "added" files — restating rows the consumer has seen — so the
+    * incremental contract is append-only windows between maintenance,
+    * exactly as with file-listing-based streaming sources.
+    */
+  def readChanges(spark: SparkSession, dir: String, fromVersion: Int,
+      toVersion: Int): DataFrame = {
+    val fromNames = readVersion(spark, dir, fromVersion)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no manifest version $fromVersion under $dir"))
+      .map(_.name).toSet
+    val added = readVersion(spark, dir, toVersion)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no manifest version $toVersion under $dir"))
+      .filterNot(e => fromNames.contains(e.name))
+    if (added.isEmpty)
+      readTable(spark, dir, Some(toVersion)).filter(lit(false))
+    else
+      spark.read.option("basePath", dir)
+        .parquet(added.map(e => s"$dir/${e.name}"): _*)
+  }
+
   /** Table-root-relative name of a data-file URI (the inverse of the
     * `$dir/$name` path construction used everywhere above).
     */

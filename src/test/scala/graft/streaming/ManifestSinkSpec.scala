@@ -62,5 +62,14 @@ class ManifestSinkSpec extends SparkSpec {
     assert(Layout.appendInPlace(spark, dir, b3, Seq("doc_id"),
       txn = Some(2L)) > 0)
     assert(Manifest.readTable(spark, dir).count() == 45)
+
+    // incremental consumption: the change set between snapshots is
+    // exactly the appended rows — a downstream pipeline reads O(delta)
+    val v = Manifest.currentVersion(spark, dir).get
+    val delta = Manifest.readChanges(spark, dir, v - 1, v)
+    assert(delta.count() == 5)
+    assert(delta.agg(min("doc_id")).head().getLong(0) == 40L)
+    // and a same-version window is empty
+    assert(Manifest.readChanges(spark, dir, v, v).count() == 0)
   }
 }
