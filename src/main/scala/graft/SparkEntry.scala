@@ -1408,6 +1408,160 @@ object SparkEntry {
           ops.Manifest.readTable(s, src, version = Some(1)))
     },
 
+    // ADD-COLUMN schema evolution: an appended batch carrying a brand-
+    // new column evolves the table — the manifest records the schema
+    // per version, new files carry the column, and every pre-evolution
+    // file NULL-backfills it at read (Delta/Iceberg add-column, over
+    // the same snapshot mechanism). The fingerprint folds the new
+    // column in, so a wrong backfill or a silently dropped column
+    // breaks the hash.
+    q("ns_schema_evolve",
+      s"""WITH merged AS (
+         |  SELECT doc_id, source, text, NULL AS rev_tag FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 700000, source, text, 'e1' AS rev_tag
+         |  FROM documents WHERE doc_id % 101 = 0)
+         |SELECT source::VARCHAR AS source, count(*) AS n_docs,
+         |  sum(${ops.H.duckHash30(
+               "doc_id || '|' || text || '|' || coalesce(rev_tag, '-')")}
+         |  )::BIGINT AS content_fp
+         |FROM merged GROUP BY source ORDER BY source""".stripMargin) {
+      (s, dir) =>
+        val src = layoutDir("docs-byid-ev", dir)
+        if (!new java.io.File(s"$src/_SUCCESS").exists())
+          T(s, dir, "documents")
+            .repartitionByRange(16, col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite").parquet(src)
+        if (ops.Manifest.currentVersion(s, src).forall(_ < 2))
+          ops.Layout.appendInPlace(s, src,
+            T(s, dir, "documents").filter(col("doc_id") % 101 === 0)
+              .withColumn("doc_id", col("doc_id") + 700000L)
+              .withColumn("rev_tag", lit("e1")),
+            statCols = Seq("doc_id"))
+        ops.Manifest.readTable(s, src)
+          .groupBy(col("source").cast("string").as("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(ops.H.hash30(concat_ws("|", col("doc_id"), col("text"),
+              coalesce(col("rev_tag"), lit("-"))))).as("content_fp"))
+          .orderBy("source")
+    },
+
+    // CHANGE DATA FEED: every logical row change between two versions
+    // as _change_type-tagged rows, with maintenance restatement
+    // cancelled multiset-wise — a delete + upsert + append sequence
+    // emits exactly its deletes (old images included) and inserts
+    // (new images included), NOT the terabytes of rewritten survivors.
+    // The oracle derives the same feed symbolically (v4 EXCEPT ALL v1
+    // both ways), so the file-diff + DV-diff algebra is hash-checked
+    // end to end.
+    q("ns_cdf",
+      s"""WITH v1 AS (SELECT doc_id, source, text FROM documents),
+         |v4 AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN doc_id % 97 = 0 THEN 'u:' || text ELSE text END AS text
+         |  FROM documents
+         |  WHERE NOT (doc_id BETWEEN 100 AND 140) OR doc_id % 97 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 800000, source, 'n:' || text FROM documents
+         |  WHERE doc_id % 193 = 0),
+         |chg AS (
+         |  SELECT 'insert' AS change_type, *
+         |  FROM (SELECT * FROM v4 EXCEPT ALL SELECT * FROM v1)
+         |  UNION ALL
+         |  SELECT 'delete' AS change_type, *
+         |  FROM (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v4))
+         |SELECT change_type, count(*) AS n_rows,
+         |  sum(${ops.H.duckHash30("doc_id || '|' || text")}
+         |  )::BIGINT AS content_fp
+         |FROM chg GROUP BY change_type ORDER BY change_type""".stripMargin) {
+      (s, dir) =>
+        val src = layoutDir("docs-byid-cdf", dir)
+        if (!new java.io.File(s"$src/_SUCCESS").exists())
+          T(s, dir, "documents")
+            .repartitionByRange(16, col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite").parquet(src)
+        val docs = T(s, dir, "documents")
+        if (ops.Manifest.currentVersion(s, src).forall(_ < 2))
+          ops.Layout.deleteInPlace(s, src,
+            col("doc_id").between(100, 140), statCols = Seq("doc_id"))
+        if (ops.Manifest.currentVersion(s, src).forall(_ < 3))
+          ops.Layout.upsertInPlace(s, src,
+            docs.filter(col("doc_id") % 97 === 0)
+              .withColumn("text", concat(lit("u:"), col("text"))),
+            "doc_id", statCols = Seq("doc_id"))
+        if (ops.Manifest.currentVersion(s, src).forall(_ < 4))
+          ops.Layout.appendInPlace(s, src,
+            docs.filter(col("doc_id") % 193 === 0)
+              .withColumn("doc_id", col("doc_id") + 800000L)
+              .withColumn("text", concat(lit("n:"), col("text"))),
+            statCols = Seq("doc_id"))
+        ops.Manifest.readCdc(s, src, 1, 4)
+          .groupBy(col("_change_type").as("change_type"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(ops.H.hash30(concat_ws("|", col("doc_id"), col("text"))))
+              .as("content_fp"))
+          .orderBy("change_type")
+    },
+
+    // STREAMED manifest-table consumption: the DSv2 source whose
+    // offsets are manifest versions replays a three-commit table
+    // (initial write + two appends) through a genuine Structured
+    // Streaming query (AvailableNow, memory sink) — the oracle is the
+    // whole documents table, so a dropped or double-delivered version
+    // window breaks the fingerprint. Completes the exactly-once loop
+    // whose ingestion half is ManifestSink (st_* family device:
+    // batch-equivalence through a real stream).
+    q("ns_manifest_source", ops.Layout.contentFingerprintOracle()) {
+      (s, dir) =>
+        val src = layoutDir("docs-mfsrc", dir)
+        val docs = T(s, dir, "documents")
+        if (ops.Manifest.currentVersion(s, src).isEmpty) {
+          docs.filter(col("doc_id") % 3 === 0)
+            .repartition(4).write.mode("overwrite").parquet(src)
+          ops.Manifest.create(s, src, Seq("doc_id"))
+        }
+        if (ops.Manifest.currentVersion(s, src).forall(_ < 2))
+          ops.Layout.appendInPlace(s, src,
+            docs.filter(col("doc_id") % 3 === 1), Seq("doc_id"))
+        if (ops.Manifest.currentVersion(s, src).forall(_ < 3))
+          ops.Layout.appendInPlace(s, src,
+            docs.filter(col("doc_id") % 3 === 2), Seq("doc_id"))
+        val sink = "ns_manifest_source_sink"
+        val query = s.readStream.format("graft.sources.ManifestSource")
+          .option("path", src).load()
+          .writeStream.format("memory").queryName(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", layoutDir("docs-mfsrc-ck", dir) +
+            s"/${java.util.UUID.randomUUID()}")
+          .start()
+        query.awaitTermination()
+        ops.Layout.contentFingerprint(s.table(sink))
+    },
+
+    // STRING stat ranges in the manifest: a source-clustered layout
+    // prunes files on a lexicographic BETWEEN before any file opens —
+    // URL/domain/date-string predicates get the same one-metadata-read
+    // planning as numeric rectangles (ManifestSpec asserts the pruned
+    // read opens strictly fewer files).
+    q("ns_prune_string",
+      ops.Layout.contentFingerprintOracle(
+        "source::VARCHAR BETWEEN 'src12' AND 'src16'")) {
+      (s, dir) =>
+        val src = layoutDir("docs-bysrc-str", dir)
+        if (!new java.io.File(s"$src/_SUCCESS").exists())
+          T(s, dir, "documents")
+            .repartitionByRange(8, col("source"), col("doc_id"))
+            .sortWithinPartitions("source", "doc_id")
+            .write.mode("overwrite").parquet(src)
+        ops.Manifest.ensure(s, src, Seq("doc_id", "source"))
+        ops.Layout.contentFingerprint(
+          ops.Manifest.readPruned(s, src, Nil,
+              strRanges = Seq(("source", "src12", "src16")))
+            .filter(col("source").between("src12", "src16")))
+    },
+
     // Temperature-scaled (share^alpha) domain mixing — the standard
     // multilingual upweighting of small sources, single-epoch-capped;
     // integer-quantized shares keep the normalization exact.

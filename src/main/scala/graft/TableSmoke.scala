@@ -98,12 +98,29 @@ object TableSmoke {
     val remain = ops.Manifest.readTable(spark, srcC).count()
     assert(remain == nRows - marked, s"$remain != $nRows - $marked")
 
+    // metadata scaling: a 10k-file manifest — commit latency (stage +
+    // rename + pointer flip) and rectangle-planning latency (ONE
+    // snapshot read + in-memory range filter). This is the cost that
+    // must stay flat as the table grows to 100 TB: planning never
+    // opens a data file, so it scales with #entries, not bytes.
+    val mDir = java.nio.file.Files
+      .createTempDirectory("graft-tsmoke-meta").toString
+    val entries10k = (0 until 10000).map { i =>
+      ops.ManifestEntry(f"part-$i%05d.parquet", 1000L, 1L << 20,
+        Seq(ops.ColRange("doc_id", i * 1000L, i * 1000L + 999)))
+    }
+    val (_, tCommit) = time(ops.Manifest.write(spark, mDir, entries10k, 1))
+    val (keptMeta, tPlan) = time(ops.Manifest.prunedPaths(spark, mDir,
+      Seq(("doc_id", 5000000L, 5050000L))).get.size)
+
     println(s"""{"metric":"table_smoke","rows":$nRows,"mult":$mult,""" +
       s""""table_bytes":${dirBytes(srcA)},""" +
       s""""delete_band_rows":$marked,"files_hit":$hitA,"files":$totA,""" +
       s""""rewrite_sec":$tRewrite,"rewrite_bytes":$bytesRewrite,""" +
       s""""inplace_sec":$tInPlace,"inplace_bytes":$bytesInPlace,""" +
-      s""""dv_sec":$tDv,"dv_bytes":$bytesDv}""")
+      s""""dv_sec":$tDv,"dv_bytes":$bytesDv,""" +
+      s""""manifest_files":10000,"manifest_commit_sec":$tCommit,""" +
+      s""""manifest_plan_sec":$tPlan,"manifest_kept":$keptMeta}""")
     spark.stop()
   }
 }

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Data-layout management: multi-dimensional clustering (Z-order) and
   * small-file compaction. Neither changes query RESULTS — both change
@@ -146,17 +147,10 @@ object Layout {
     * directory read when the layout has no manifest.
     */
   def zorderRectManifest(spark: SparkSession, dir: String, xLo: Int,
-      xHi: Int, yLo: Int, yHi: Int): DataFrame = {
-    val src = Manifest.prunedPaths(spark, dir, Seq(
-        ("l_partkey", xLo.toLong, xHi.toLong),
-        ("l_suppkey", yLo.toLong, yHi.toLong))) match {
-      case Some(paths) if paths.nonEmpty =>
-        spark.read.option("basePath", dir).parquet(paths: _*)
-      case Some(_) => spark.read.parquet(dir).filter(lit(false))
-      case None => spark.read.parquet(dir)
-    }
-    zorderRect(src, xLo, xHi, yLo, yHi)
-  }
+      xHi: Int, yLo: Int, yHi: Int): DataFrame =
+    zorderRect(Manifest.readPruned(spark, dir, Seq(
+      ("l_partkey", xLo.toLong, xHi.toLong),
+      ("l_suppkey", yLo.toLong, yHi.toLong))), xLo, xHi, yLo, yHi)
 
   def zorderRectOracle(xLo: Int, xHi: Int, yLo: Int, yHi: Int): String =
     s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
@@ -190,11 +184,14 @@ object Layout {
     * Pure power-of-two shifts: monotone, so per-file min/max ranges
     * on the RAW columns stay exactly as tight.
     */
-  private def normalize16(c: Column, maxVal: Long): Column = {
-    val bits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxVal))
-    if (bits >= 16) shiftright(c.cast("bigint"), bits - 16)
-    else shiftleft(c.cast("bigint"), 16 - bits)
+  private def normalizeBits(c: Column, maxVal: Long, bits: Int): Column = {
+    val width = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxVal))
+    if (width >= bits) shiftright(c.cast("bigint"), width - bits)
+    else shiftleft(c.cast("bigint"), bits - width)
   }
+
+  private def normalize16(c: Column, maxVal: Long): Column =
+    normalizeBits(c, maxVal, 16)
 
   /** Write `df` clustered along the 3-d Morton curve — one range
     * shuffle, after which every file covers a small BOX in
@@ -239,18 +236,12 @@ object Layout {
     * prunes on all three range predicates before any file opens.
     */
   def zcurve3RectManifest(spark: SparkSession, dir: String, xLo: Int,
-      xHi: Int, yLo: Int, yHi: Int, oLo: Int, oHi: Int): DataFrame = {
-    val src = Manifest.prunedPaths(spark, dir, Seq(
-        ("l_partkey", xLo.toLong, xHi.toLong),
-        ("l_suppkey", yLo.toLong, yHi.toLong),
-        ("l_orderkey", oLo.toLong, oHi.toLong))) match {
-      case Some(paths) if paths.nonEmpty =>
-        spark.read.option("basePath", dir).parquet(paths: _*)
-      case Some(_) => spark.read.parquet(dir).filter(lit(false))
-      case None => spark.read.parquet(dir)
-    }
-    zcurve3Rect(src, xLo, xHi, yLo, yHi, oLo, oHi)
-  }
+      xHi: Int, yLo: Int, yHi: Int, oLo: Int, oHi: Int): DataFrame =
+    zcurve3Rect(Manifest.readPruned(spark, dir, Seq(
+      ("l_partkey", xLo.toLong, xHi.toLong),
+      ("l_suppkey", yLo.toLong, yHi.toLong),
+      ("l_orderkey", oLo.toLong, oHi.toLong))),
+      xLo, xHi, yLo, yHi, oLo, oHi)
 
   def zcurve3RectOracle(xLo: Int, xHi: Int, yLo: Int, yHi: Int,
       oLo: Int, oHi: Int): String =
@@ -287,14 +278,9 @@ object Layout {
     */
   def hilbertRect(spark: SparkSession, dir: String, xLo: Int, xHi: Int,
       yLo: Int, yHi: Int): DataFrame = {
-    val src = Manifest.prunedPaths(spark, dir, Seq(
-        ("l_partkey", xLo.toLong, xHi.toLong),
-        ("l_suppkey", yLo.toLong, yHi.toLong))) match {
-      case Some(paths) if paths.nonEmpty =>
-        spark.read.option("basePath", dir).parquet(paths: _*)
-      case Some(_) => spark.read.parquet(dir).filter(lit(false))
-      case None => spark.read.parquet(dir)
-    }
+    val src = Manifest.readPruned(spark, dir, Seq(
+      ("l_partkey", xLo.toLong, xHi.toLong),
+      ("l_suppkey", yLo.toLong, yHi.toLong)))
     src.filter(col("l_partkey").between(xLo, xHi) &&
         col("l_suppkey").between(yLo, yHi))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
@@ -405,23 +391,27 @@ object Layout {
         .write.mode("overwrite").parquet(outDir)
     else
       fs.mkdirs(new Path(outDir))
-    // carried (untouched) files are byte-for-byte copies submitted from
-    // a bounded pool — a serial driver loop pays per-copy latency ×
-    // #files, the same O(#jobs) failure mode compactShards avoids; a
-    // mostly-non-matching delete on a 100× table carries thousands
+    // carried (untouched) files are byte-for-byte copies executed as a
+    // DISTRIBUTED job over the file list: each executor copies its
+    // slice through the shared FileSystem, so no table byte ever flows
+    // through the driver JVM — a 1%-selective export delete at 100 TB
+    // would otherwise funnel ~99% of the table through one NIC. (The
+    // in-place and merge-on-read verbs remain the metadata-only forms;
+    // this export verb inherently pays O(table) bytes, but pays them
+    // cluster-wide.)
     if (kept.nonEmpty) {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(16, kept.length))
-      implicit val ec: scala.concurrent.ExecutionContext =
-        scala.concurrent.ExecutionContext.fromExecutor(pool)
-      try scala.concurrent.Await.result(
-        scala.concurrent.Future.traverse(kept.toSeq) { p =>
-          scala.concurrent.Future {
-            org.apache.hadoop.fs.FileUtil.copy(fs, p, fs,
-              new Path(s"$outDir/carry-${p.getName}"), false, conf)
-          }
-        }, scala.concurrent.duration.Duration(30, "min"))
-      finally pool.shutdown()
+      val bcConf = spark.sparkContext.broadcast(
+        new graft.util.SerializableHadoopConf(conf))
+      val pairs = kept.toSeq.map(p =>
+        (p.toString, s"$outDir/carry-${p.getName}"))
+      spark.sparkContext
+        .parallelize(pairs, math.min(pairs.size, 64))
+        .foreach { case (src, dst) =>
+          val c = bcConf.value.value
+          val sp = new Path(src)
+          org.apache.hadoop.fs.FileUtil.copy(sp.getFileSystem(c), sp,
+            new Path(dst).getFileSystem(c), new Path(dst), false, c)
+        }
     }
     // incremental manifest commit: carried entries are copied forward
     // with their stats untouched (no data read); only the survivor
@@ -482,6 +472,40 @@ object Layout {
   private def partColsOf(entries: Seq[ManifestEntry]): Seq[String] =
     entries.headOption.toSeq.flatMap(_.name.split('/').dropRight(1)
       .filter(_.contains("=")).map(_.split("=")(0)).toSeq)
+
+  /** Align `batch` to the table for a write verb, with ADD-COLUMN
+    * schema evolution: every existing table column must be present in
+    * the batch (a missing one is a HARD error — a silent column drop
+    * on the write path is the one bug class the read-side oracle can
+    * never see), and extra batch columns EVOLVE the schema. New data
+    * files carry the extra columns; old files NULL-backfill them at
+    * read through the snapshot's recorded schema
+    * ([[Manifest.tableSchema]]), exactly as Delta/Iceberg add-column.
+    * Returns (aligned batch, evolved schema to record — `None` when
+    * the batch matches the table, letting the commit carry the prior
+    * schema forward).
+    */
+  private def alignForWrite(spark: SparkSession, dir: String,
+      entries: Seq[ManifestEntry], batch: DataFrame,
+      partCols: Seq[String]): (DataFrame, Option[StructType]) = {
+    val fileCols =
+      if (entries.nonEmpty)
+        spark.read.parquet(s"$dir/${entries.head.name}").columns.toSeq
+      else Manifest.currentVersion(spark, dir)
+        .flatMap(Manifest.tableSchema(spark, dir, _))
+        .map(_.fieldNames.toSeq.filterNot(partCols.contains))
+        .getOrElse(throw new IllegalStateException(
+          s"table $dir is empty and has no recorded schema — cannot " +
+            "align a write batch"))
+    val tableCols = fileCols ++ partCols
+    val missing = tableCols.filterNot(batch.columns.contains)
+    require(missing.isEmpty,
+      s"schema mismatch: batch is missing table column(s) " +
+        s"${missing.mkString(", ")} of $dir")
+    val extras = batch.columns.toSeq.filterNot(tableCols.contains)
+    val aligned = batch.select((fileCols ++ extras ++ partCols).map(col): _*)
+    (aligned, if (extras.isEmpty) None else Some(aligned.schema))
+  }
 
   /** Stats for freshly staged files, dropping zero-row ones on the
     * spot: an empty parquet file gets no stats entry (scanStats sees
@@ -549,17 +573,16 @@ object Layout {
           .parquet(hit.map(e => s"$dir/${e.name}"): _*)
           .join(broadcast(updKeys), Seq(keyCol), "left_anti"),
         partCols, s"$prefix-keep")
-    // align the batch to the table's schema: a data file's columns
-    // plus the directory-encoded partition columns
-    val fileCols = spark.read.parquet(s"$dir/${entries.head.name}")
-      .columns.toSeq
-    val batchNames = stageAndRename(spark, dir,
-      updates.select((fileCols ++ partCols).map(col): _*),
+    // align the batch to the table (hard error on MISSING columns,
+    // add-column evolution on extra ones)
+    val (aligned, evolved) =
+      alignForWrite(spark, dir, entries, updates, partCols)
+    val batchNames = stageAndRename(spark, dir, aligned,
       partCols, s"$prefix-new")
     val newEntries =
       statStaged(spark, dir, statCols, survivorNames ++ batchNames)
     Manifest.write(spark, dir, (kept ++ newEntries).sortBy(_.name),
-      newVersion)
+      newVersion, schema = evolved)
     (hit.size, entries.size)
   }
 
@@ -586,18 +609,11 @@ object Layout {
     val marks = raw.filter(pred).select(
       element_at(split(col("_metadata.file_path"), "/"), -1).as("file"),
       col("_metadata.row_index").as("pos"))
-    val fs = new Path(dir).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val old =
-      if (fs.exists(new Path(Manifest.dvDir(dir, v))))
-        spark.read.parquet(Manifest.dvDir(dir, v))
-      else spark.emptyDataFrame
-        .withColumn("file", lit("")).withColumn("pos", lit(0L))
-        .filter(lit(false))
+    val old = Manifest.dvMarks(spark, dir, v)
     // claim the version BEFORE writing its vector: a lost commit race
     // must not leave an orphan dv-v{K} that the winner's snapshot
     // would appear to own
-    Manifest.claimVersion(spark, dir, newVersion)
+    val claim = Manifest.claimVersion(spark, dir, newVersion)
     val all = old.unionByName(marks).distinct().cache()
     val marked = all.count()
     // nothing marked (and nothing carried): don't install an empty
@@ -607,7 +623,7 @@ object Layout {
         .parquet(Manifest.dvDir(dir, newVersion))
     all.unpersist()
     // entries transfer VERBATIM: the delete is pure metadata
-    Manifest.write(spark, dir, entries, newVersion, alreadyClaimed = true)
+    Manifest.write(spark, dir, entries, newVersion, claim = Some(claim))
     (marked, entries.size)
   }
 
@@ -677,14 +693,13 @@ object Layout {
     val entries = Manifest.ensure(spark, dir, statCols)
     val newVersion = Manifest.currentVersion(spark, dir).getOrElse(0) + 1
     val partCols = partColsOf(entries)
-    val fileCols = spark.read.parquet(s"$dir/${entries.head.name}")
-      .columns.toSeq
-    val names = stageAndRename(spark, dir,
-      batch.select((fileCols ++ partCols).map(col): _*),
+    val (aligned, evolved) =
+      alignForWrite(spark, dir, entries, batch, partCols)
+    val names = stageAndRename(spark, dir, aligned,
       partCols, s"append-v$newVersion")
     val newEntries = statStaged(spark, dir, statCols, names)
     Manifest.write(spark, dir, (entries ++ newEntries).sortBy(_.name),
-      newVersion, txn)
+      newVersion, txn, schema = evolved)
     newEntries.size
   }
 
@@ -698,28 +713,48 @@ object Layout {
     * time travel until [[Manifest.vacuum]]. Merges are independent
     * Spark jobs submitted from a bounded pool (the compactShards
     * lesson: serial driver loops pay per-job latency x #dirs).
-    * `zorderBy` (>= 2 columns) additionally clusters every rewritten
-    * group along the Morton curve of those columns — OPTIMIZE ZORDER
-    * BY: one range shuffle per group in exchange for tight multi-dim
-    * min/max on every merged file, recorded in the manifest and used
-    * by every later rectangle query.
+    * `zorderBy` (>= 2 columns — enforced; a 1-column "zorder" is just
+    * a sort and must be asked for as one) additionally clusters every
+    * rewritten group along the Morton curve of those columns —
+    * OPTIMIZE ZORDER BY: one range shuffle per group in exchange for
+    * tight multi-dim min/max on every merged file, recorded in the
+    * manifest and used by every later rectangle query. Curve bits are
+    * derived as 63/d and every column is quantized to that grid by
+    * pure shifts against its group max (shift, never modulo — modulo
+    * destroys curve locality), so wide columns neither overflow the
+    * 63-bit key nor wrap.
+    * LIVE DELETION VECTORS ARE APPLIED INLINE: compact = flush + merge
+    * in one rewrite — every group containing a marked file rewrites
+    * with the marks subtracted, and the new snapshot carries no
+    * vector, saving the separate flush rewrite a maintenance window
+    * would otherwise pay.
     * Returns (filesBefore, filesAfter).
     */
   def compactInPlace(spark: SparkSession, dir: String,
       targetBytes: Long = 128L << 20,
       statCols: Seq[String] = Nil,
       zorderBy: Seq[String] = Nil): (Int, Int) = {
-    requireNoDvs(spark, dir)
+    require(zorderBy.isEmpty || zorderBy.size >= 2,
+      s"ZORDER BY needs >= 2 columns, got $zorderBy — a single-column " +
+        "cluster is a plain sort, not a curve")
+    val zBits = if (zorderBy.isEmpty) 16 else math.min(16, 63 / zorderBy.size)
     val entries = Manifest.ensure(spark, dir, statCols)
-    val newVersion = Manifest.currentVersion(spark, dir).getOrElse(0) + 1
+    val curVersion = Manifest.currentVersion(spark, dir).getOrElse(0)
+    val newVersion = curVersion + 1
+    val dv = Manifest.dvMarks(spark, dir, curVersion)
+    val markedFiles = dv.select("file").distinct()
+      .collect().map(_.getString(0)).toSet
     val byDir = entries.groupBy(e =>
       e.name.split('/').dropRight(1).mkString("/"))
     def bound(es: Seq[ManifestEntry]): Int =
       math.max(1, math.ceil(es.map(_.bytes).sum.toDouble / targetBytes).toInt)
     // OPTIMIZE ZORDER BY: when clustering is requested, every group
-    // rewrites (the point is tightening stats, not just file counts)
+    // rewrites (the point is tightening stats, not just file counts);
+    // a group holding DV-marked files always rewrites (the marks are
+    // consumed by this commit)
     val (toMerge, untouched) = byDir.partition {
-      case (_, es) => zorderBy.nonEmpty || es.size > bound(es)
+      case (_, es) => zorderBy.nonEmpty || es.size > bound(es) ||
+        es.exists(e => markedFiles.contains(e.name.split('/').last))
     }
     val fs = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
@@ -737,19 +772,43 @@ object Layout {
               // originals exactly — partition values stay directory-
               // encoded, so the merged file drops in as a sibling
               val tmp = s"$dir/.tmp-compact-v$newVersion-${sub.hashCode}"
-              val base = spark.read.parquet(
+              val raw = spark.read.parquet(
                 es.map(e => s"$dir/${e.name}"): _*)
+              // subtract live deletion marks inline (broadcast
+              // anti-join — no shuffle) so this rewrite doubles as
+              // the flush for its group's vectors
+              val base =
+                if (es.exists(e => markedFiles.contains(
+                    e.name.split('/').last)))
+                  raw.withColumn("_dv_f", element_at(
+                      split(col("_metadata.file_path"), "/"), -1))
+                    .withColumn("_dv_p", col("_metadata.row_index"))
+                    .join(broadcast(dv), col("_dv_f") === dv("file") &&
+                      col("_dv_p") === dv("pos"), "left_anti")
+                    .drop("_dv_f", "_dv_p")
+                else raw
               // plain compaction coalesces (no shuffle); ZORDER BY
               // pays the one range shuffle that buys multi-dim
               // min/max tightness on every merged file — Delta's
-              // OPTIMIZE ZORDER, expressed over the same manifest
+              // OPTIMIZE ZORDER, expressed over the same manifest.
+              // Each column normalizes to the zBits grid against its
+              // group max, so the interleave never degenerates on
+              // wide or mismatched domains
               val merged =
-                if (zorderBy.size >= 2)
-                  base.withColumn("_zk", zkeyN(zorderBy.map(col)))
+                if (zorderBy.size >= 2) {
+                  val mx = base.agg(
+                    max(col(zorderBy.head).cast("long")),
+                    zorderBy.tail.map(c =>
+                      max(col(c).cast("long"))): _*).head()
+                  val ck = zkeyN(zorderBy.zipWithIndex.map {
+                    case (c, i) => normalizeBits(col(c),
+                      if (mx.isNullAt(i)) 1L else mx.getLong(i), zBits)
+                  }, zBits)
+                  base.withColumn("_zk", ck)
                     .repartitionByRange(bound(es), col("_zk"))
                     .sortWithinPartitions("_zk")
                     .drop("_zk")
-                else base.coalesce(bound(es))
+                } else base.coalesce(bound(es))
               merged.write.mode("overwrite").parquet(tmp)
               val prefix = if (sub.isEmpty) "" else s"$sub/"
               val names = fs.listStatus(new Path(tmp))

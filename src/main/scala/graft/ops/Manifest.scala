@@ -1,15 +1,22 @@
 package graft.ops
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
 
 /** One tracked data file in a [[Manifest]]: path relative to the table
   * root, row/byte counts, and per-column min/max for the stat columns.
+  * Integral columns record [[ColRange]] (BIGINT ranges); string
+  * columns record [[ColRangeS]] — so URL/domain/date-string predicates
+  * prune files exactly like numeric ones. `sstats` is optional for
+  * wire-compat: snapshots written before string stats existed decode
+  * with `None` and simply never prune on strings.
   */
 case class ColRange(col: String, min: Long, max: Long)
+case class ColRangeS(col: String, min: String, max: String)
 case class ManifestEntry(name: String, rows: Long, bytes: Long,
-    stats: Seq[ColRange])
+    stats: Seq[ColRange], sstats: Option[Seq[ColRangeS]] = None)
 
 /** A minimal versioned file manifest for the layout-managed tables
   * (Z-ordered copies, compacted trees, copy-on-write deletes).
@@ -23,12 +30,24 @@ case class ManifestEntry(name: String, rows: Long, bytes: Long,
   * and a delete/compact commit is a metadata swap, not a tree walk.
   *
   * Layout on disk, under `<table>/_manifest/`:
-  *   - `v<K>/` — a Spark-written JSONL snapshot of [[ManifestEntry]]s
+  *   - `v<K>/` — a Spark-written JSONL snapshot of [[ManifestEntry]]s,
+  *     plus `_schema.json` (the table schema AS OF that version — the
+  *     add-column evolution record) and Spark's `_SUCCESS` marker
   *   - `CURRENT` — a one-line pointer file naming the live version
   *
-  * Commits write the new snapshot FIRST, then atomically overwrite
-  * `CURRENT`; a crash between the two leaves the previous complete
-  * version live (readers never observe a partial manifest).
+  * Commit protocol (crash-safe AND race-safe):
+  *   1. claim a lease token (`commit-v<K>`, create-exclusive) — a
+  *      work-avoidance lock; a token older than its lease with no
+  *      landed snapshot is a crashed writer's and may be taken over
+  *   2. write the snapshot into a hidden staging dir
+  *   3. RENAME the staging dir to `v<K>` — the atomic arbiter: exactly
+  *      one writer's rename can succeed, so even if a slow writer's
+  *      claim was taken over mid-job (the lease-expiry edge), at most
+  *      one `v<K>` ever lands and the loser aborts with a conflict
+  *      BEFORE touching the pointer — no lost update, ever
+  *   4. atomically overwrite `CURRENT`
+  * A crash between 3 and 4 leaves the previous version live; readers
+  * never observe a partial manifest.
   *
   * Scale posture: building stats is ONE distributed pass
   * (`groupBy(input_file_name())` — map-side combined, no row leaves
@@ -40,6 +59,16 @@ case class ManifestEntry(name: String, rows: Long, bytes: Long,
 object Manifest {
 
   val DirName = "_manifest"
+  val SchemaFile = "_schema.json"
+
+  /** How long a claim token protects a live writer before a retrying
+    * committer may treat it as crashed and take it over. Ten minutes
+    * bounds wedge time after a real crash while making live takeover
+    * (the double-claim window) require a pathologically slow snapshot
+    * write — and even then the rename arbiter prevents a double
+    * commit; the usurped writer just wastes its staged work.
+    */
+  val DefaultLeaseMs: Long = 10 * 60 * 1000L
 
   private def fsOf(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -55,9 +84,9 @@ object Manifest {
   private def relName(root: String, fileUri: String): String =
     new Path(fileUri).toUri.getPath.stripPrefix(root).stripPrefix("/")
 
-  private def currentLine(spark: SparkSession, dir: String): Option[String] = {
+  private def readSmallFile(spark: SparkSession, dir: String,
+      p: Path): Option[String] = {
     val fs = fsOf(spark, dir)
-    val p = new Path(s"$dir/$DirName/CURRENT")
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
@@ -65,6 +94,9 @@ object Manifest {
       finally in.close()
     }
   }
+
+  private def currentLine(spark: SparkSession, dir: String): Option[String] =
+    readSmallFile(spark, dir, new Path(s"$dir/$DirName/CURRENT"))
 
   def currentVersion(spark: SparkSession, dir: String): Option[Int] =
     currentLine(spark, dir)
@@ -98,53 +130,101 @@ object Manifest {
         .collect().toSeq.sortBy(_.name))
   }
 
-  /** Claim exclusive right to commit `version` — first-writer-wins:
-    * `fs.create(path, overwrite = false)` succeeds exactly once per
-    * token, so of two racing committers that both computed the same
-    * next version, one proceeds and the other gets a
-    * ConcurrentModificationException to retry from a fresh read (the
-    * optimistic-concurrency protocol of every manifest-based format).
+  /** The table schema AS OF `version` — recorded by every commit since
+    * schema tracking landed ([[write]] stages `_schema.json` inside
+    * the snapshot dir, so schema and file list are atomic). `None` for
+    * pre-tracking snapshots.
     */
-  def claimVersion(spark: SparkSession, dir: String, version: Int): Unit = {
+  def tableSchema(spark: SparkSession, dir: String,
+      version: Int): Option[StructType] =
+    readSmallFile(spark, dir,
+      new Path(s"$dir/$DirName/v$version/$SchemaFile"))
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+
+  /** Claim the lease token for committing `version`; returns the claim
+    * id. First-writer-wins: `fs.create(path, overwrite = false)`
+    * succeeds exactly once per token, so of two racing committers that
+    * both computed the same next version, one proceeds and the other
+    * gets a ConcurrentModificationException to retry from a fresh read
+    * (the optimistic-concurrency protocol of every manifest-based
+    * format). A token whose snapshot never landed and whose age
+    * exceeds `leaseMs` belongs to a crashed writer and is taken over —
+    * a LIVE slow writer is protected by the lease window, and even
+    * past it the rename arbiter in [[write]] still prevents a double
+    * commit (the usurped writer aborts pre-pointer-flip).
+    */
+  def claimVersion(spark: SparkSession, dir: String, version: Int,
+      leaseMs: Long = DefaultLeaseMs): String = {
     val fs = fsOf(spark, dir)
     val token = new Path(s"$dir/$DirName/commit-v$version")
     fs.mkdirs(token.getParent)
-    val ok =
-      try { fs.create(token, false).close(); true }
-      catch { case _: java.io.IOException => false }
-    if (!ok) {
-      // token taken: a real conflict if the claimer's snapshot landed
-      // (or CURRENT already moved past); otherwise the claimer died
-      // pre-snapshot and the claim is stale — take it over so a
-      // crashed commit stays retryable. Live-writer takeover in that
-      // narrow window would need leases; this layer documents the
-      // single-maintainer assumption instead.
+    val id = java.util.UUID.randomUUID().toString
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(token, false)
+        try out.write(id.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryCreate()) {
       val done = fs.exists(new Path(s"$dir/$DirName/v$version/_SUCCESS")) ||
         currentVersion(spark, dir).exists(_ >= version)
       if (done) throw new java.util.ConcurrentModificationException(
         s"version v$version of $dir was already committed by another " +
           "writer — re-read the current version and retry")
+      val age = System.currentTimeMillis() -
+        fs.getFileStatus(token).getModificationTime
+      if (age < leaseMs) throw new java.util.ConcurrentModificationException(
+        s"version v$version of $dir is being committed by a live writer " +
+          s"(claim age ${age}ms < lease ${leaseMs}ms) — retry later")
+      fs.delete(token, false)
+      if (!tryCreate()) throw new java.util.ConcurrentModificationException(
+        s"lost the takeover race for version v$version of $dir — retry")
     }
+    id
   }
 
-  /** Commit `entries` as version `version`: claim token first (unless
-    * the caller already claimed), snapshot second, CURRENT pointer
-    * last (the crash-safe order — readers only ever see complete
-    * snapshots, and racing committers are serialized by the claim).
+  /** Commit `entries` as version `version`: claim lease (unless the
+    * caller passes its own `claim` id), stage the snapshot (with
+    * `schema`, or the previous version's schema carried forward) into
+    * a hidden dir, rename it to `v<K>` — the atomic arbiter that makes
+    * lost updates impossible even across lease takeovers — and flip
+    * the CURRENT pointer last (readers only ever see complete
+    * snapshots).
     */
   def write(spark: SparkSession, dir: String, entries: Seq[ManifestEntry],
       version: Int, txn: Option[Long] = None,
-      alreadyClaimed: Boolean = false): Unit = {
-    if (!alreadyClaimed) claimVersion(spark, dir, version)
+      claim: Option[String] = None,
+      schema: Option[StructType] = None,
+      leaseMs: Long = DefaultLeaseMs): Unit = {
+    val id = claim.getOrElse(claimVersion(spark, dir, version, leaseMs))
+    // a maintenance commit must not erase the last streaming txn (a
+    // post-crash batch replay would re-append) nor the schema record:
+    // carry both forward unless this commit sets its own
+    val effTxn = txn.orElse(lastTxn(spark, dir))
+    // schemas are stored all-nullable: files written BEFORE an
+    // add-column evolution backfill NULL, so a non-nullable field
+    // recorded from a literal-valued batch would make codegen read
+    // garbage (NPE) off those files
+    val effSchema = schema.orElse(
+        currentVersion(spark, dir).flatMap(tableSchema(spark, dir, _)))
+      .map(s => StructType(s.fields.map(_.copy(nullable = true))))
+    val fs = fsOf(spark, dir)
+    val stage = s"$dir/$DirName/.stage-v$version-$id"
     val ds: Dataset[ManifestEntry] =
       spark.createDataset(entries)(Encoders.product[ManifestEntry])
-    ds.coalesce(1).write.mode("overwrite")
-      .json(s"$dir/$DirName/v$version")
-    val fs = fsOf(spark, dir)
-    // a maintenance commit (delete/compact) must not erase the last
-    // streaming txn, or a post-crash batch replay would re-append:
-    // carry it forward unless this commit sets its own
-    val effTxn = txn.orElse(lastTxn(spark, dir))
+    ds.coalesce(1).write.mode("overwrite").json(stage)
+    effSchema.foreach { s =>
+      val out = fs.create(new Path(s"$stage/$SchemaFile"), true)
+      try out.write(s.json.getBytes("UTF-8")) finally out.close()
+    }
+    val vPath = new Path(s"$dir/$DirName/v$version")
+    val landed = !fs.exists(vPath) && fs.rename(new Path(stage), vPath)
+    if (!landed) {
+      fs.delete(new Path(stage), true)
+      throw new java.util.ConcurrentModificationException(
+        s"another writer's v$version snapshot landed first under $dir — " +
+          "re-read the current version and retry")
+    }
     val out = fs.create(new Path(s"$dir/$DirName/CURRENT"), true)
     val tag = effTxn.map(t => s" txn=$t").getOrElse("")
     try out.write(s"v$version$tag\n".getBytes("UTF-8")) finally out.close()
@@ -152,8 +232,9 @@ object Manifest {
 
   /** Per-file stats in one distributed pass. `onlyNames` restricts the
     * scan to specific relative paths (incremental commits stat ONLY
-    * the files they rewrote). Stat columns must be integral-typed —
-    * layout pruning ranges are BIGINT end to end.
+    * the files they rewrote). Integral stat columns record BIGINT
+    * ranges; string stat columns record string ranges — both feed
+    * [[prunedPaths]].
     */
   def scanStats(spark: SparkSession, dir: String, statCols: Seq[String],
       onlyNames: Option[Seq[String]] = None): Seq[ManifestEntry] = {
@@ -166,30 +247,48 @@ object Manifest {
           .parquet(names.map(n => s"$dir/$n"): _*)
       case None => spark.read.parquet(dir)
     }
-    val aggs = count(lit(1)).as("n") +: statCols.flatMap(c => Seq(
-      min(col(c).cast("long")).as(s"mn_$c"),
-      max(col(c).cast("long")).as(s"mx_$c")))
+    val types = src.schema.fields.map(f => f.name -> f.dataType).toMap
+    val (strCols, numCols) =
+      statCols.partition(c => types.get(c).contains(StringType))
+    val aggs = count(lit(1)).as("n") +:
+      (numCols.flatMap(c => Seq(
+        min(col(c).cast("long")).as(s"mn_$c"),
+        max(col(c).cast("long")).as(s"mx_$c"))) ++
+       strCols.flatMap(c => Seq(
+         min(col(c).cast("string")).as(s"smn_$c"),
+         max(col(c).cast("string")).as(s"smx_$c"))))
+    // result row layout: [f, n, <num mins/maxes>, <str mins/maxes>]
+    val sBase = 2 + 2 * numCols.size
     src.groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect().toSeq.map { r =>
         val name = relName(root, r.getString(0))
         val bytes = fs.getFileStatus(new Path(s"$dir/$name")).getLen
+        val sstats = strCols.zipWithIndex.flatMap { case (c, i) =>
+          if (r.isNullAt(sBase + 2 * i)) None
+          else Some(ColRangeS(c, r.getString(sBase + 2 * i),
+            r.getString(sBase + 2 * i + 1)))
+        }
         ManifestEntry(name, r.getLong(1), bytes,
-          statCols.zipWithIndex.flatMap { case (c, i) =>
+          numCols.zipWithIndex.flatMap { case (c, i) =>
             // an all-NULL column in a file has no range: record no
             // stats for it (pruning keeps the file — never wrong,
             // just unpruned), matching parquet's own missing-stats rule
             if (r.isNullAt(2 + 2 * i)) None
             else Some(ColRange(c, r.getLong(2 + 2 * i), r.getLong(3 + 2 * i)))
-          })
+          },
+          if (sstats.isEmpty) None else Some(sstats))
       }.sortBy(_.name)
   }
 
-  /** Build and commit a fresh manifest (next version, or v1). */
+  /** Build and commit a fresh manifest (next version, or v1), recording
+    * the table's schema with it.
+    */
   def create(spark: SparkSession, dir: String,
       statCols: Seq[String]): Seq[ManifestEntry] = {
     val entries = scanStats(spark, dir, statCols)
-    write(spark, dir, entries, currentVersion(spark, dir).getOrElse(0) + 1)
+    write(spark, dir, entries, currentVersion(spark, dir).getOrElse(0) + 1,
+      schema = Some(spark.read.parquet(dir).schema))
     entries
   }
 
@@ -199,16 +298,21 @@ object Manifest {
     read(spark, dir).getOrElse(create(spark, dir, statCols))
 
   /** Absolute paths of the files whose stat ranges intersect EVERY
-    * requested `(col, lo, hi)` rectangle side; `None` when the table
-    * has no manifest (caller falls back to a full-directory read).
-    * A file with no recorded stats for a column is kept — pruning may
-    * only ever SKIP files it can prove non-matching.
+    * requested `(col, lo, hi)` rectangle side — numeric sides in
+    * `ranges`, lexicographic string sides in `strRanges`; `None` when
+    * the table has no manifest (caller falls back to a full-directory
+    * read). A file with no recorded stats for a column is kept —
+    * pruning may only ever SKIP files it can prove non-matching.
     */
   def prunedPaths(spark: SparkSession, dir: String,
-      ranges: Seq[(String, Long, Long)]): Option[Seq[String]] =
+      ranges: Seq[(String, Long, Long)],
+      strRanges: Seq[(String, String, String)] = Nil): Option[Seq[String]] =
     read(spark, dir).map(_.filter { e =>
       ranges.forall { case (c, lo, hi) =>
         e.stats.find(_.col == c).forall(s => s.max >= lo && s.min <= hi)
+      } && strRanges.forall { case (c, lo, hi) =>
+        e.sstats.getOrElse(Nil).find(_.col == c)
+          .forall(s => s.max >= lo && s.min <= hi)
       }
     }.map(e => s"$dir/${e.name}"))
 
@@ -227,33 +331,27 @@ object Manifest {
     currentVersion(spark, dir).exists(v =>
       fsOf(spark, dir).exists(new Path(dvDir(dir, v))))
 
-  /** Read the table THROUGH its manifest: the file list comes from the
-    * current snapshot (or the `version` snapshot — time travel), not a
-    * directory walk, and `basePath` keeps partition-directory columns
-    * intact. A snapshot's deletion vector, when present, is subtracted
-    * with a broadcast anti-join on (file, row position). Falls back to
-    * a plain read when no manifest exists.
-    * NOTE: once a table has in-place commits, a plain directory read
-    * is WRONG (it would see superseded files) — the manifest is the
-    * table, exactly as in any manifest-based format.
+  /** The deletion-vector marks of `version` as a (file, pos) DataFrame
+    * — empty (not missing) when the version has no vector.
     */
-  def readTable(spark: SparkSession, dir: String,
-      version: Option[Int] = None): DataFrame = {
-    val v = version.orElse(currentVersion(spark, dir))
-    val entries = version match {
-      case Some(vv) => readVersion(spark, dir, vv).getOrElse(
-        throw new IllegalArgumentException(
-          s"no manifest version $vv under $dir"))
-      case None => read(spark, dir).getOrElse(Seq.empty)
-    }
-    if (entries.isEmpty) return spark.read.parquet(dir)
-    val base = spark.read.option("basePath", dir)
-      .parquet(entries.map(e => s"$dir/${e.name}"): _*)
-    val dv = v.map(dvDir(dir, _))
-      .filter(p => fsOf(spark, dir).exists(new Path(p)))
-    dv match {
-      case Some(p) =>
-        val marks = spark.read.parquet(p)
+  def dvMarks(spark: SparkSession, dir: String, version: Int): DataFrame =
+    if (fsOf(spark, dir).exists(new Path(dvDir(dir, version))))
+      spark.read.parquet(dvDir(dir, version))
+    else spark.emptyDataFrame
+      .withColumn("file", lit("")).withColumn("pos", lit(0L))
+      .filter(lit(false))
+
+  /** Subtract `version`'s deletion vector (if any) from a read over
+    * this table's files — the broadcast anti-join every read path that
+    * bypasses [[readTable]] (pruned rectangles, incremental diffs)
+    * must also apply, or marked rows would silently reappear there.
+    */
+  private def subtractDv(spark: SparkSession, dir: String, base: DataFrame,
+      version: Option[Int]): DataFrame =
+    version.filter(v =>
+        fsOf(spark, dir).exists(new Path(dvDir(dir, v)))) match {
+      case Some(v) =>
+        val marks = spark.read.parquet(dvDir(dir, v))
         base
           .withColumn("_dv_f", element_at(
             split(col("_metadata.file_path"), "/"), -1))
@@ -263,18 +361,98 @@ object Manifest {
           .drop("_dv_f", "_dv_p")
       case None => base
     }
+
+  /** An empty DataFrame with the table's schema as of `version` —
+    * what a read of a legitimately EMPTY snapshot (a committed
+    * delete-all) must return. Falls back through older versions' still-
+    * present files when the snapshot predates schema tracking.
+    */
+  private def emptyTable(spark: SparkSession, dir: String,
+      version: Int): DataFrame = {
+    val sch = tableSchema(spark, dir, version).orElse {
+      // pre-tracking snapshot: recover the schema from the newest
+      // older version that still has a readable file
+      val fs = fsOf(spark, dir)
+      (version - 1 to 1 by -1).iterator.flatMap { v =>
+        readVersion(spark, dir, v).toSeq.flatten.headOption
+          .filter(e => fs.exists(new Path(s"$dir/${e.name}")))
+          .map(e => spark.read.parquet(s"$dir/${e.name}").schema)
+      }.nextOption()
+    }.getOrElse(throw new IllegalStateException(
+      s"table $dir at v$version is empty and no schema was recorded — " +
+        "cannot synthesize an empty read"))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch)
   }
 
+  /** Read the table THROUGH its manifest: the file list comes from the
+    * current snapshot (or the `version` snapshot — time travel), not a
+    * directory walk, and `basePath` keeps partition-directory columns
+    * intact. The version's recorded schema, when present, drives the
+    * read — files written before an add-column evolution NULL-backfill
+    * the new columns. A snapshot's deletion vector, when present, is
+    * subtracted with a broadcast anti-join on (file, row position).
+    *
+    * An EMPTY snapshot (all rows deleted) reads as an empty table with
+    * the recorded schema — NOT as a directory fallback, which would
+    * resurrect every superseded file still on disk. The plain-read
+    * fallback applies only when the directory has no manifest at all.
+    * NOTE: once a table has in-place commits, a plain directory read
+    * is WRONG (it would see superseded files) — the manifest is the
+    * table, exactly as in any manifest-based format.
+    */
+  def readTable(spark: SparkSession, dir: String,
+      version: Option[Int] = None): DataFrame = {
+    val v = version.orElse(currentVersion(spark, dir))
+    val entriesOpt: Option[Seq[ManifestEntry]] = version match {
+      case Some(vv) => Some(readVersion(spark, dir, vv).getOrElse(
+        throw new IllegalArgumentException(
+          s"no manifest version $vv under $dir")))
+      case None => read(spark, dir)
+    }
+    entriesOpt match {
+      case None => spark.read.parquet(dir)
+      case Some(entries) if entries.isEmpty => emptyTable(spark, dir, v.get)
+      case Some(entries) =>
+        val rd = spark.read.option("basePath", dir)
+        val withSchema = v.flatMap(tableSchema(spark, dir, _))
+          .map(rd.schema).getOrElse(rd)
+        subtractDv(spark, dir,
+          withSchema.parquet(entries.map(e => s"$dir/${e.name}"): _*), v)
+    }
+  }
+
+  /** Manifest-pruned read with the deletion-vector subtraction applied
+    * — the correct form of "read only the files whose ranges intersect
+    * my predicate" for a table that may carry merge-on-read deletes.
+    * Falls back to a plain directory read when no manifest exists.
+    */
+  def readPruned(spark: SparkSession, dir: String,
+      ranges: Seq[(String, Long, Long)],
+      strRanges: Seq[(String, String, String)] = Nil): DataFrame =
+    prunedPaths(spark, dir, ranges, strRanges) match {
+      case Some(paths) if paths.nonEmpty =>
+        subtractDv(spark, dir,
+          spark.read.option("basePath", dir).parquet(paths: _*),
+          currentVersion(spark, dir))
+      case Some(_) => read(spark, dir) match {
+        case Some(entries) if entries.isEmpty =>
+          emptyTable(spark, dir, currentVersion(spark, dir).get)
+        case _ => readTable(spark, dir).filter(lit(false))
+      }
+      case None => spark.read.parquet(dir)
+    }
+
   /** Rows ADDED between two snapshots: the files present in
-    * `toVersion` but not in `fromVersion`, read as one DataFrame —
+    * `toVersion` but not in `fromVersion`, read as one DataFrame with
+    * `toVersion`'s deletion marks on those files subtracted —
     * incremental consumption of an append-only table (each streaming
     * or batch append lands as new files, so the entry-name diff IS the
     * change set, and a downstream pipeline processes O(delta) per
     * cycle instead of rescanning the table). On tables that also
     * rewrite (delete/compact/upsert), rewritten survivors appear as
     * "added" files — restating rows the consumer has seen — so the
-    * incremental contract is append-only windows between maintenance,
-    * exactly as with file-listing-based streaming sources.
+    * incremental contract is append-only windows between maintenance;
+    * [[readCdc]] is the restatement-free change feed for those.
     */
   def readChanges(spark: SparkSession, dir: String, fromVersion: Int,
       toVersion: Int): DataFrame = {
@@ -289,8 +467,104 @@ object Manifest {
     if (added.isEmpty)
       readTable(spark, dir, Some(toVersion)).filter(lit(false))
     else
-      spark.read.option("basePath", dir)
-        .parquet(added.map(e => s"$dir/${e.name}"): _*)
+      subtractDv(spark, dir,
+        spark.read.option("basePath", dir)
+          .parquet(added.map(e => s"$dir/${e.name}"): _*),
+        Some(toVersion))
+  }
+
+  /** CHANGE DATA FEED between two versions: every logical row change,
+    * tagged `_change_type` = 'insert' | 'delete' (an update is a
+    * delete + insert pair, as in Delta's CDF without the pre/post
+    * distinction). Unlike [[readChanges]], maintenance rewrites do NOT
+    * restate surviving rows: rows of removed files and rows of added
+    * files cancel multiset-wise (`exceptAll`), so a compaction that
+    * rewrites a terabyte of survivors emits ZERO change rows, and
+    * deletion-vector marks added between the versions emit the marked
+    * rows as deletes. Cost is O(changed files + marked rows), never
+    * O(table): files common to both snapshots with unchanged vectors
+    * are never opened.
+    *
+    * Invariant (ManifestSpec pins it): v_from rows + inserts − deletes
+    * == v_to rows, hash-exactly, across any delete/upsert/append/
+    * compact sequence.
+    */
+  def readCdc(spark: SparkSession, dir: String, fromVersion: Int,
+      toVersion: Int): DataFrame = {
+    val from = readVersion(spark, dir, fromVersion).getOrElse(
+      throw new IllegalArgumentException(
+        s"no manifest version $fromVersion under $dir"))
+    val to = readVersion(spark, dir, toVersion).getOrElse(
+      throw new IllegalArgumentException(
+        s"no manifest version $toVersion under $dir"))
+    val fromNames = from.map(_.name).toSet
+    val toNames = to.map(_.name).toSet
+    val added = to.filterNot(e => fromNames.contains(e.name))
+    val removed = from.filterNot(e => toNames.contains(e.name))
+    val common = from.filter(e => toNames.contains(e.name)).map(_.name)
+    // read every side under the TO-version schema so an add-column
+    // evolution inside the window NULL-backfills the older side and
+    // the multiset subtraction stays well-typed
+    val schema = tableSchema(spark, dir, toVersion)
+    def readNames(names: Seq[String]): DataFrame = {
+      if (names.isEmpty) {
+        val base = readTable(spark, dir, Some(toVersion)).filter(lit(false))
+        return base.withColumn("_dv_f", lit("")).withColumn("_dv_p", lit(0L))
+      }
+      val rd = spark.read.option("basePath", dir)
+      schema.map(rd.schema).getOrElse(rd)
+        .parquet(names.map(n => s"$dir/$n"): _*)
+        .withColumn("_dv_f", element_at(
+          split(col("_metadata.file_path"), "/"), -1))
+        .withColumn("_dv_p", col("_metadata.row_index"))
+    }
+    def minusMarks(df: DataFrame, marks: DataFrame): DataFrame =
+      df.join(broadcast(marks), df("_dv_f") === marks("file") &&
+        df("_dv_p") === marks("pos"), "left_anti")
+    val dvF = dvMarks(spark, dir, fromVersion)
+    val dvT = dvMarks(spark, dir, toVersion)
+    // live rows of files that exist on only one side
+    val addedRows = minusMarks(readNames(added.map(_.name)), dvT)
+      .drop("_dv_f", "_dv_p")
+    val removedRows = minusMarks(readNames(removed.map(_.name)), dvF)
+      .drop("_dv_f", "_dv_p")
+    // vector DIFF on files present in both snapshots: newly marked
+    // positions are deletes; un-marked positions (a vector shrank —
+    // not produced by this layer's verbs, handled for symmetry) are
+    // inserts. Only the files the diff names are opened.
+    val commonSet = common.toSet
+    def markedRows(marks: DataFrame): DataFrame = {
+      val diff = marks.collect().map(r => (r.getString(0), r.getLong(1)))
+        .filter { case (f, _) =>
+          commonSet.exists(_.split('/').last == f) }
+      if (diff.isEmpty) {
+        val base = readTable(spark, dir, Some(toVersion)).filter(lit(false))
+        return base
+      }
+      val files = diff.map(_._1).toSet
+      val names = common.filter(n => files.contains(n.split('/').last))
+      import spark.implicits._
+      val markDf = diff.toSeq.toDF("file", "pos")
+      val base = readNames(names)
+      base.join(broadcast(markDf), base("_dv_f") === markDf("file") &&
+          base("_dv_p") === markDf("pos"), "left_semi")
+        .drop("_dv_f", "_dv_p")
+    }
+    // exceptAll is POSITIONAL: pin one canonical column order on every
+    // frame before any multiset algebra
+    val cols = addedRows.columns.toSeq
+    def canon(df: DataFrame): DataFrame = df.select(cols.map(col): _*)
+    val newlyMarked = canon(markedRows(dvT.exceptAll(dvF)))
+    val unMarked = canon(markedRows(dvF.exceptAll(dvT)))
+    val add = canon(addedRows)
+    val rem = canon(removedRows)
+    // rewrite restatement cancels multiset-wise; DV-diff rows are on
+    // common files, disjoint from the added/removed sets by definition
+    val inserts = add.exceptAll(rem).unionByName(unMarked)
+      .withColumn("_change_type", lit("insert"))
+    val deletes = rem.exceptAll(add).unionByName(newlyMarked)
+      .withColumn("_change_type", lit("delete"))
+    inserts.unionByName(deletes)
   }
 
   /** Table-root-relative name of a data-file URI (the inverse of the
@@ -299,14 +573,24 @@ object Manifest {
   def relativize(spark: SparkSession, dir: String, fileUri: String): String =
     relName(rootPath(spark, dir), fileUri)
 
-  /** Delete every data file the CURRENT snapshot does not reference —
-    * the storage-reclaim step that retires time travel to superseded
-    * versions. Never touches `_manifest` itself (old snapshots remain
-    * as metadata history). Returns the number of files removed.
+  /** Delete every data file not referenced by the last `keepVersions`
+    * snapshots — the storage-reclaim step that retires time travel to
+    * older versions. The default keeps ONE superseded version readable
+    * as a grace window, so a reader that planned against the previous
+    * snapshot (or a time traveler pinned to it) does not hit
+    * FileNotFound mid-scan the instant maintenance commits — the
+    * retention discipline every production table format enforces.
+    * Pass `keepVersions = 1` for an immediate, current-only reclaim.
+    * Never touches `_manifest` itself (old snapshots remain as
+    * metadata history). Returns the number of files removed.
     */
-  def vacuum(spark: SparkSession, dir: String): Int = {
-    val entries = read(spark, dir).getOrElse(return 0)
-    val live = entries.map(_.name).toSet
+  def vacuum(spark: SparkSession, dir: String,
+      keepVersions: Int = 2): Int = {
+    require(keepVersions >= 1, "vacuum must keep at least CURRENT")
+    val cur = currentVersion(spark, dir).getOrElse(return 0)
+    val live = (math.max(1, cur - keepVersions + 1) to cur)
+      .flatMap(v => readVersion(spark, dir, v).toSeq.flatten)
+      .map(_.name).toSet
     val fs = fsOf(spark, dir)
     val root = rootPath(spark, dir)
     val it = fs.listFiles(new Path(dir), true)

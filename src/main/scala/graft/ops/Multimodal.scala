@@ -194,13 +194,17 @@ object Multimodal {
     val driverFs = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     driverFs.mkdirs(new Path(dir))
+    // ship the DRIVER's Hadoop conf: a bare new Configuration() on the
+    // executor would drop spark.hadoop.* session overrides
+    // (credentials, fs.defaultFS) and could resolve a different
+    // filesystem than the driver
+    val bcConf = spark.sparkContext.broadcast(
+      new graft.util.SerializableHadoopConf(
+        spark.sparkContext.hadoopConfiguration))
     docs.filter(col("doc_id") % 50 === 0)
       .select(col("doc_id"), col("text"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-        // a fresh Configuration on the executor picks up the cluster's
-        // core-site defaults, so `dir` resolves to the same shared FS
-        val fs = new Path(dir)
-          .getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = new Path(dir).getFileSystem(bcConf.value.value)
         rows.foreach { r =>
           val out = fs.create(new Path(s"$dir/doc_${r.getLong(0)}.bin"), true)
           try out.write(r.getString(1).getBytes("UTF-8")) finally out.close()

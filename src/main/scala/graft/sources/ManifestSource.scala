@@ -1,0 +1,247 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
+  TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition,
+  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream,
+  Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.ops.Manifest
+import graft.util.SerializableHadoopConf
+
+/** DataSource V2 STREAMING source over a manifest-managed table — the
+  * consumption half of the exactly-once loop whose ingestion half is
+  * [[graft.streaming.ManifestSink]]:
+  *
+  * {{{
+  * spark.readStream.format("graft.sources.ManifestSource")
+  *   .option("path", tableDir).load()
+  * }}}
+  *
+  * OFFSETS ARE MANIFEST VERSIONS. Each micro-batch covers a version
+  * window `(from, to]` and its rows are exactly the files ADDED in
+  * that window (the [[Manifest.readChanges]] diff), minus `to`'s
+  * deletion-vector marks on those files — so a committed append is
+  * consumed exactly once: Structured Streaming checkpoints the version
+  * offset, a restart resumes from it, and replays re-plan the
+  * identical file list because snapshots are immutable. Offset 0 means
+  * "before v1", so a fresh stream first consumes the whole table, then
+  * follows the commit log — the Delta-source contract, over this
+  * layer's own manifest.
+  *
+  * Scale posture: planning a batch is ONE metadata read (two snapshot
+  * lists diffed by name) — never a directory walk; each added file
+  * becomes one input partition read executor-side through the
+  * DRIVER'S broadcast Hadoop conf (credentials/fs overrides intact).
+  * The incremental contract is append-only windows between
+  * maintenance, exactly as documented on [[Manifest.readChanges]]:
+  * a rewriting commit restates its surviving rows (use
+  * [[Manifest.readCdc]] for the restatement-free feed).
+  */
+class ManifestSource extends TableProvider {
+
+  private def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null, "ManifestSource requires option 'path'")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ManifestSource.tableSchema(SparkSession.active, pathOf(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ManifestSource.MfTable(properties.get("path"), schema)
+}
+
+object ManifestSource {
+
+  /** The table's read schema: the recorded per-version schema when the
+    * manifest tracks one, else the first data file's. Partition-dir
+    * tables are rejected up front — their columns live in path
+    * segments this row-reader does not reconstruct.
+    */
+  def tableSchema(spark: SparkSession, dir: String): StructType = {
+    val entries = Manifest.read(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"$dir has no manifest — ManifestSource streams manifest-" +
+          "managed tables; write one with Manifest.create"))
+    require(entries.forall(!_.name.contains("=")),
+      s"$dir is Hive-partitioned — ManifestSource supports flat tables")
+    Manifest.currentVersion(spark, dir)
+      .flatMap(Manifest.tableSchema(spark, dir, _))
+      .orElse(entries.headOption.map(e =>
+        spark.read.parquet(s"$dir/${e.name}").schema))
+      .getOrElse(throw new IllegalStateException(
+        s"$dir is empty and records no schema"))
+  }
+
+  private[sources] class MfTable(dir: String, schema0: StructType)
+      extends Table with SupportsRead {
+    override def name(): String = s"manifest_table($dir)"
+    override def schema(): StructType = schema0
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+    override def newScanBuilder(
+        options: CaseInsensitiveStringMap): ScanBuilder =
+      new ScanBuilder {
+        override def build(): Scan = new Scan {
+          override def readSchema(): StructType = schema0
+          override def toMicroBatchStream(
+              checkpointLocation: String): MicroBatchStream =
+            new MfStream(dir, schema0)
+        }
+      }
+  }
+
+  private[sources] case class VersionOffset(v: Int) extends Offset {
+    override def json(): String = s"""{"version":$v}"""
+  }
+
+  private[sources] class MfStream(dir: String, schema: StructType)
+      extends MicroBatchStream with SupportsTriggerAvailableNow {
+    private def spark = SparkSession.active
+
+    // Trigger.AvailableNow contract: pin the version visible when the
+    // trigger fires; the run drains up to exactly that snapshot and
+    // stops, even if writers keep committing underneath
+    @volatile private var pinned: Option[Int] = None
+
+    override def prepareForTriggerAvailableNow(): Unit =
+      pinned = Some(Manifest.currentVersion(spark, dir).getOrElse(0))
+
+    override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+    override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+      pinned.map(VersionOffset(_): Offset).getOrElse(latestOffset())
+
+    override def reportLatestOffset(): Offset =
+      VersionOffset(Manifest.currentVersion(spark, dir).getOrElse(0))
+
+    override def initialOffset(): Offset = VersionOffset(0)
+
+    override def latestOffset(): Offset =
+      VersionOffset(Manifest.currentVersion(spark, dir).getOrElse(0))
+
+    override def deserializeOffset(json: String): Offset =
+      VersionOffset("\"version\"\\s*:\\s*(\\d+)".r
+        .findFirstMatchIn(json)
+        .map(_.group(1).toInt)
+        .getOrElse(throw new IllegalArgumentException(
+          s"bad ManifestSource offset: $json")))
+
+    override def planInputPartitions(start: Offset,
+        end: Offset): Array[InputPartition] = {
+      val s = start.asInstanceOf[VersionOffset].v
+      val e = end.asInstanceOf[VersionOffset].v
+      if (e <= s) return Array.empty
+      val before =
+        if (s == 0) Set.empty[String]
+        else Manifest.readVersion(spark, dir, s).getOrElse(
+          throw new IllegalStateException(
+            s"manifest version $s of $dir was vacuumed mid-stream"))
+          .map(_.name).toSet
+      val added = Manifest.readVersion(spark, dir, e).getOrElse(
+        throw new IllegalStateException(
+          s"manifest version $e of $dir disappeared"))
+        .filterNot(en => before.contains(en.name))
+      // the end-version deletion marks on the added files (rare for a
+      // streaming table, exact for correctness): shipped per file so
+      // the reader can skip positions without a join
+      val marks = Manifest.dvMarks(spark, dir, e)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1)
+      val conf = new SerializableHadoopConf(
+        spark.sparkContext.hadoopConfiguration)
+      added.map { en =>
+        val base = en.name.split('/').last
+        MfPartition(s"$dir/${en.name}", schema.json,
+          marks.getOrElse(base, Array.empty).map(_._2).sorted,
+          conf): InputPartition
+      }.toArray
+    }
+
+    override def createReaderFactory(): PartitionReaderFactory =
+      new MfReaderFactory
+
+    override def commit(end: Offset): Unit = ()
+    override def stop(): Unit = ()
+  }
+
+  private[sources] case class MfPartition(file: String, schemaJson: String,
+      skipPositions: Array[Long],
+      conf: SerializableHadoopConf) extends InputPartition
+
+  /** Executor-side parquet row reader (parquet-hadoop's Group model —
+    * Spark's own vectorized reader is not reachable from a connector),
+    * matching requested fields to the file's by NAME so files written
+    * before an add-column evolution NULL-backfill the new columns,
+    * exactly like the batch read path.
+    */
+  private[sources] class MfReaderFactory extends PartitionReaderFactory {
+    override def createReader(
+        p: InputPartition): PartitionReader[InternalRow] = {
+      val mp = p.asInstanceOf[MfPartition]
+      val schema = DataType.fromJson(mp.schemaJson).asInstanceOf[StructType]
+      val skip = mp.skipPositions.toSet
+      new PartitionReader[InternalRow] {
+        private val reader: ParquetReader[Group] =
+          ParquetReader.builder(new GroupReadSupport(),
+            new Path(mp.file)).withConf(mp.conf.value).build()
+        private var cur: Group = _
+        private var pos = -1L
+
+        override def next(): Boolean = {
+          cur = reader.read()
+          pos += 1
+          while (cur != null && skip.contains(pos)) {
+            cur = reader.read()
+            pos += 1
+          }
+          cur != null
+        }
+
+        override def get(): InternalRow = {
+          val g = cur
+          val fileType = g.getType
+          InternalRow.fromSeq(schema.fields.toSeq.map { f =>
+            if (!fileType.containsField(f.name)) null
+            else {
+              val i = fileType.getFieldIndex(f.name)
+              if (g.getFieldRepetitionCount(i) == 0) null
+              else f.dataType match {
+                case LongType => g.getLong(i, 0)
+                case IntegerType => g.getInteger(i, 0)
+                case DoubleType => g.getDouble(i, 0)
+                case FloatType => g.getFloat(i, 0)
+                case BooleanType => g.getBoolean(i, 0)
+                case StringType =>
+                  UTF8String.fromString(g.getString(i, 0))
+                case BinaryType => g.getBinary(i, 0).getBytes
+                case dt => throw new UnsupportedOperationException(
+                  s"ManifestSource: unsupported column type $dt " +
+                    s"for ${f.name}")
+              }
+            }
+          })
+        }
+
+        override def close(): Unit = reader.close()
+      }
+    }
+  }
+}

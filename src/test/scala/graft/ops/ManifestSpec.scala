@@ -161,7 +161,7 @@ class ManifestSpec extends SparkSpec {
 
     // vacuum drops exactly the superseded files; current stays intact,
     // time travel to v1 is retired
-    val removed = Manifest.vacuum(spark, dir)
+    val removed = Manifest.vacuum(spark, dir, keepVersions = 1)
     assert(removed == hit, s"vacuum removed $removed, expected $hit")
     assert(Layout.contentFingerprint(Manifest.readTable(spark, dir))
       .collect().toSeq == expectedAfter)
@@ -169,7 +169,7 @@ class ManifestSpec extends SparkSpec {
       Manifest.readTable(spark, dir, version = Some(1)).collect()
     }
     // and a second vacuum is a no-op
-    assert(Manifest.vacuum(spark, dir) == 0)
+    assert(Manifest.vacuum(spark, dir, keepVersions = 1) == 0)
   }
 
   test("in-place delete preserves Hive partitioning: deltas land beside originals") {
@@ -204,7 +204,7 @@ class ManifestSpec extends SparkSpec {
     assert(Layout.contentFingerprint(v1).collect().toSeq ==
       Layout.contentFingerprint(docs).collect().toSeq)
     // vacuum reclaims the superseded originals inside partition dirs
-    assert(Manifest.vacuum(spark, dir) == hit)
+    assert(Manifest.vacuum(spark, dir, keepVersions = 1) == hit)
     assert(Layout.contentFingerprint(Manifest.readTable(spark, dir))
       .collect().toSeq == expected)
   }
@@ -250,7 +250,7 @@ class ManifestSpec extends SparkSpec {
       Manifest.readTable(spark, dir, version = Some(1)))
       .collect().toSeq ==
       Layout.contentFingerprint(docs).collect().toSeq)
-    assert(Manifest.vacuum(spark, dir) == hit)
+    assert(Manifest.vacuum(spark, dir, keepVersions = 1) == hit)
   }
 
   test("in-place compaction swaps small files for merged ones, history intact") {
@@ -280,7 +280,7 @@ class ManifestSpec extends SparkSpec {
       Manifest.readTable(spark, dir, version = Some(1)))
       .collect().toSeq == expected)
     // vacuum reclaims every superseded small file, current still reads
-    assert(Manifest.vacuum(spark, dir) == before - (after - merged))
+    assert(Manifest.vacuum(spark, dir, keepVersions = 1) == before - (after - merged))
     assert(Layout.contentFingerprint(Manifest.readTable(spark, dir))
       .collect().toSeq == expected)
   }
@@ -324,15 +324,92 @@ class ManifestSpec extends SparkSpec {
     }
     assert(Manifest.currentVersion(spark, dir).contains(2))
 
-    // a claim whose snapshot never landed (committer died) is stale:
-    // the next attempt takes it over rather than wedging forever
+    // a claim whose snapshot never landed is protected by its LEASE
+    // while fresh (a live slow writer must not be usurped)...
     Manifest.claimVersion(spark, dir, 3)
-    Manifest.write(spark, dir, entries, 3) // succeeds via takeover
-    assert(Manifest.currentVersion(spark, dir).contains(3))
-    // but once v3 is committed, another v3 attempt is a real conflict
     intercept[java.util.ConcurrentModificationException] {
       Manifest.write(spark, dir, entries, 3)
     }
+    // ...but once the lease expires (committer died) the claim is
+    // stale and the next attempt takes it over rather than wedging
+    Manifest.write(spark, dir, entries, 3, leaseMs = 0L)
+    assert(Manifest.currentVersion(spark, dir).contains(3))
+    // but once v3 is committed, another v3 attempt is a real conflict
+    intercept[java.util.ConcurrentModificationException] {
+      Manifest.write(spark, dir, entries, 3, leaseMs = 0L)
+    }
+  }
+
+  test("a usurped slow writer cannot double-commit: the rename is the arbiter") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mf-arb").toString
+    docs.limit(50).coalesce(1).write.mode("overwrite").parquet(dir)
+    val entries = Manifest.create(spark, dir, Seq("doc_id"))
+
+    // slow writer W1 claims v2 and stalls mid-job; W2's retry takes
+    // the expired lease over and commits v2
+    val w1 = Manifest.claimVersion(spark, dir, 2)
+    Manifest.write(spark, dir, entries, 2, leaseMs = 0L)
+    assert(Manifest.currentVersion(spark, dir).contains(2))
+    // W1 wakes up and tries to land its own v2 snapshot with its old
+    // claim: the rename arbiter rejects it — no lost update, the
+    // winner's snapshot stays exactly as committed
+    intercept[java.util.ConcurrentModificationException] {
+      Manifest.write(spark, dir, entries.take(1), 2, claim = Some(w1))
+    }
+    assert(Manifest.readVersion(spark, dir, 2).get == entries)
+  }
+
+  test("vacuum retention: a pinned previous version survives the default grace") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mf-ret").toString
+    docs.repartitionByRange(8, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(dir)
+    val pred = col("doc_id").between(100, 140)
+    Layout.deleteInPlace(spark, dir, pred, statCols = Seq("doc_id"))
+
+    // default vacuum keeps the last TWO snapshots' files: a reader
+    // pinned to v1 (planned before the delete committed) still reads
+    assert(Manifest.vacuum(spark, dir) == 0,
+      "files referenced by the previous snapshot must survive")
+    assert(Layout.contentFingerprint(
+        Manifest.readTable(spark, dir, version = Some(1)))
+      .collect().toSeq ==
+      Layout.contentFingerprint(docs).collect().toSeq)
+    // a later maintenance commit pushes v1 out of the window
+    Layout.compactInPlace(spark, dir, statCols = Seq("doc_id"))
+    assert(Manifest.vacuum(spark, dir) > 0)
+    intercept[Exception] {
+      Manifest.readTable(spark, dir, version = Some(1)).collect()
+    }
+    // current stays intact throughout
+    assert(Layout.contentFingerprint(Manifest.readTable(spark, dir))
+      .collect().toSeq ==
+      Layout.contentFingerprint(docs.filter(!pred)).collect().toSeq)
+  }
+
+  test("a committed delete-all reads as an EMPTY table, not a directory fallback") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mf-da").toString
+    docs.limit(100).repartitionByRange(4, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(dir)
+    Layout.deleteInPlace(spark, dir, lit(true), statCols = Seq("doc_id"))
+
+    // the superseded files are still on disk — a directory fallback
+    // would resurrect all 100 rows
+    val cur = Manifest.readTable(spark, dir)
+    assert(cur.count() == 0, "delete-all must read as empty")
+    assert(cur.columns.toSeq == docs.columns.toSeq,
+      "the empty read must carry the table's recorded schema")
+    // time travel to v1 still sees the data; the pruned reader agrees
+    assert(Manifest.readTable(spark, dir, version = Some(1)).count() == 100)
+    assert(Manifest.readPruned(spark, dir,
+      Seq(("doc_id", 0L, Long.MaxValue))).count() == 0)
+    // and appending to the emptied table works via the recorded schema
+    Layout.appendInPlace(spark, dir, docs.limit(7), Seq("doc_id"))
+    assert(Manifest.readTable(spark, dir).count() == 7)
   }
 
   test("merge-on-read delete: marks cheaply, reads subtract, flush materializes") {
@@ -375,9 +452,11 @@ class ManifestSpec extends SparkSpec {
     assert(Layout.contentFingerprint(Manifest.readTable(spark, dir))
       .collect().toSeq == expect2)
 
-    // rewriting verbs must refuse while vectors are live
+    // raw-restating rewriting verbs must refuse while vectors are live
+    // (compaction is the exception: it applies them inline)
     intercept[IllegalArgumentException] {
-      Layout.compactInPlace(spark, dir, statCols = Seq("doc_id"))
+      Layout.deleteInPlace(spark, dir, col("doc_id") === 1L,
+        statCols = Seq("doc_id"))
     }
 
     // flush: only marked files rewrite, vectors are spent, parity holds
@@ -391,6 +470,57 @@ class ManifestSpec extends SparkSpec {
     Layout.compactInPlace(spark, dir, statCols = Seq("doc_id"))
     assert(Layout.contentFingerprint(Manifest.readTable(spark, dir))
       .collect().toSeq == expect2)
+  }
+
+  test("compaction over live deletion vectors applies the marks inline") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mf-cdv").toString
+    docs.repartitionByRange(16, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(dir)
+
+    val pred = col("doc_id").between(100, 140)
+    Layout.deleteMergeOnRead(spark, dir, pred, Seq("doc_id"))
+    assert(Manifest.hasDeletionVectors(spark, dir))
+
+    // OPTIMIZE consumes the vectors: compact = flush + merge in ONE
+    // rewrite — no separate flush pass, and the read-path join is gone
+    val (before, after) = Layout.compactInPlace(spark, dir,
+      statCols = Seq("doc_id"))
+    assert(after < before)
+    assert(!Manifest.hasDeletionVectors(spark, dir),
+      "compaction must spend the vectors")
+    val expected = Layout.contentFingerprint(docs.filter(!pred))
+      .collect().toSeq
+    assert(Layout.contentFingerprint(Manifest.readTable(spark, dir))
+      .collect().toSeq == expected)
+    // and the rewriting verbs are legal again without any flush
+    Layout.deleteInPlace(spark, dir, col("doc_id") === 150L,
+      Seq("doc_id"))
+  }
+
+  test("zorder compaction guards: 1 column rejected, 4 columns keep inside 63 bits") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mf-zg").toString
+    li.repartition(8).write.mode("overwrite").parquet(dir)
+
+    intercept[IllegalArgumentException] {
+      Layout.compactInPlace(spark, dir, statCols = Seq("l_partkey"),
+        zorderBy = Seq("l_partkey"))
+    }
+    // 4 dims: bits derive as 63/4 = 15 per dim and every column is
+    // shift-normalized, so wide values (l_orderkey beyond 2^16)
+    // neither overflow nor wrap — this used to throw at runtime
+    val (_, after) = Layout.compactInPlace(spark, dir,
+      statCols = Seq("l_partkey", "l_suppkey"),
+      zorderBy = Seq("l_orderkey", "l_linenumber", "l_partkey",
+        "l_suppkey"))
+    assert(after >= 1)
+    val cols = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    assert(Manifest.readTable(spark, dir)
+        .orderBy(cols.map(col): _*).collect().toSeq ==
+      li.orderBy(cols.map(col): _*).collect().toSeq)
   }
 
   test("OPTIMIZE ZORDER BY: compaction with clustering out-prunes plain") {
@@ -421,8 +551,11 @@ class ManifestSpec extends SparkSpec {
     // plain compaction of an unclustered table cannot prune the 2-d
     // rectangle (every merged file spans both dims); the zordered
     // rewrite must
-    assert(kept(zDir) < kept(plainDir),
-      s"zorder compaction must out-prune: ${kept(zDir)} vs ${kept(plainDir)}")
+    // compare prune FRACTIONS: the two tables may compact to different
+    // file counts (coalesce is capped by input splits)
+    assert(kept(zDir).toDouble / afterZ < kept(plainDir).toDouble / afterPlain,
+      s"zorder compaction must out-prune: ${kept(zDir)}/$afterZ vs " +
+        s"${kept(plainDir)}/$afterPlain")
     // and both tables still hold identical data
     // (orderkey, linenumber) is not unique in the synthetic data:
     // order by the full tuple for a total order
@@ -451,5 +584,150 @@ class ManifestSpec extends SparkSpec {
     val entries = Manifest.read(spark, compDir).get
     assert(entries.nonEmpty && entries.forall(_.name.contains("=")),
       s"entries must be partition-relative paths: ${entries.map(_.name)}")
+  }
+
+  test("add-column schema evolution: superset batch evolves, missing column errors") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mf-ev").toString
+    docs.repartitionByRange(8, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(dir)
+    Manifest.create(spark, dir, Seq("doc_id"))
+
+    // a batch MISSING a table column is a hard error — the silent
+    // column drop is the write-path bug the read oracle can't see
+    intercept[IllegalArgumentException] {
+      Layout.appendInPlace(spark, dir, docs.limit(3).drop("text"),
+        Seq("doc_id"))
+    }
+
+    // a batch with an EXTRA column evolves the schema: new files carry
+    // it, old files NULL-backfill it at read
+    val batch = docs.filter(col("doc_id") % 101 === 0)
+      .withColumn("doc_id", col("doc_id") + 700000L)
+      .withColumn("rev_tag", lit("xx"))
+    Layout.appendInPlace(spark, dir, batch, Seq("doc_id"))
+    val now = Manifest.readTable(spark, dir)
+    assert(now.columns.contains("rev_tag"),
+      "evolved column must appear in the table read")
+    assert(now.filter(col("doc_id") >= 700000L)
+      .filter(col("rev_tag") =!= "xx").count() == 0)
+    assert(now.filter(col("doc_id") < 700000L)
+      .filter(col("rev_tag").isNotNull).count() == 0,
+      "pre-evolution rows must NULL-backfill the new column")
+    assert(now.count() == docs.count() + batch.count())
+
+    // an upsert against the evolved table keeps the evolved schema;
+    // its survivors (old-schema rewrites) still backfill
+    val upd = docs.filter(col("doc_id").between(50, 60))
+      .withColumn("text", concat(lit("u:"), col("text")))
+      .withColumn("rev_tag", lit("yy"))
+    Layout.upsertInPlace(spark, dir, upd, "doc_id", Seq("doc_id"))
+    val after = Manifest.readTable(spark, dir)
+    assert(after.filter(col("rev_tag") === "yy").count() == upd.count())
+    assert(after.count() == now.count())
+    // time travel BEFORE the evolution reads the original schema
+    assert(!Manifest.readTable(spark, dir, version = Some(1))
+      .columns.contains("rev_tag"))
+  }
+
+  test("CDC: v_from + inserts - deletes == v_to across delete/upsert/append/compact") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mf-cdc").toString
+    docs.repartitionByRange(8, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(dir)
+    Manifest.create(spark, dir, Seq("doc_id"))                       // v1
+    Layout.deleteInPlace(spark, dir,
+      col("doc_id").between(100, 140), Seq("doc_id"))                // v2
+    val upd = docs.filter(col("doc_id") % 97 === 0)
+      .withColumn("text", concat(lit("u:"), col("text")))
+    Layout.upsertInPlace(spark, dir, upd, "doc_id", Seq("doc_id"))   // v3
+    Layout.appendInPlace(spark, dir,
+      docs.limit(11).withColumn("doc_id", col("doc_id") + 800000L),
+      Seq("doc_id"))                                                 // v4
+    Layout.deleteMergeOnRead(spark, dir,
+      col("doc_id").between(300, 310), Seq("doc_id"))                // v5
+
+    val cdc = Manifest.readCdc(spark, dir, 1, 5).cache()
+    val ins = cdc.filter(col("_change_type") === "insert")
+      .drop("_change_type")
+    val del = cdc.filter(col("_change_type") === "delete")
+      .drop("_change_type")
+    // the feed must NOT restate rewrite survivors: deletes are exactly
+    // the deleted + updated(old image) + dv-marked rows
+    val delCount = del.count()
+    val expDel = docs.filter(col("doc_id").between(100, 140)).count() +
+      docs.filter(col("doc_id") % 97 === 0 &&
+        !col("doc_id").between(100, 140)).count() +
+      docs.filter(col("doc_id").between(300, 310) &&
+        !col("doc_id").between(100, 140) &&
+        !(col("doc_id") % 97 === 0)).count()
+    assert(delCount == expDel, s"deletes $delCount, expected $expDel")
+    // the invariant: v1 + inserts - deletes == v5, hash-exactly
+    val v1 = Manifest.readTable(spark, dir, version = Some(1))
+    val v5 = Manifest.readTable(spark, dir, version = Some(5))
+    val rebuilt = v1.select(v5.columns.map(col): _*)
+      .unionByName(ins.select(v5.columns.map(col): _*))
+      .exceptAll(del.select(v5.columns.map(col): _*))
+    assert(Layout.contentFingerprint(rebuilt).collect().toSeq ==
+      Layout.contentFingerprint(v5).collect().toSeq)
+
+    // a pure maintenance window (compaction only) emits ZERO changes
+    Layout.compactInPlace(spark, dir, statCols = Seq("doc_id"))      // v6
+    assert(Manifest.readCdc(spark, dir, 5, 6).count() == 0,
+      "compaction must not restate survivors in the change feed")
+    cdc.unpersist()
+  }
+
+  test("string stat ranges prune files on lexicographic predicates") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mf-str").toString
+    docs.repartitionByRange(8, col("source"), col("doc_id"))
+      .sortWithinPartitions("source", "doc_id")
+      .write.mode("overwrite").parquet(dir)
+    val entries = Manifest.create(spark, dir, Seq("doc_id", "source"))
+    assert(entries.forall(_.sstats.exists(_.exists(_.col == "source"))),
+      "string column must record string ranges")
+    assert(entries.forall(_.stats.exists(_.col == "doc_id")),
+      "integral column must still record BIGINT ranges")
+
+    val (lo, hi) = ("c", "f")
+    val kept = Manifest.prunedPaths(spark, dir, Nil,
+      strRanges = Seq(("source", lo, hi))).get
+    assert(kept.size < entries.size,
+      s"a narrow source band must prune: kept ${kept.size} of ${entries.size}")
+    // pruning is exact: the pruned read equals the full filter
+    val got = Manifest.readPruned(spark, dir, Nil,
+        Seq(("source", lo, hi)))
+      .filter(col("source").between(lo, hi))
+    assert(Layout.contentFingerprint(got).collect().toSeq ==
+      Layout.contentFingerprint(
+        docs.filter(col("source").between(lo, hi))).collect().toSeq)
+  }
+
+  test("pruned reads subtract deletion vectors like readTable does") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val zDir = java.nio.file.Files.createTempDirectory("graft-mf-pdv").toString
+    Layout.zorderWrite(li, "l_partkey", "l_suppkey", zDir, nFiles = 16)
+    // mark a slice of the rectangle deleted, merge-on-read
+    Layout.deleteMergeOnRead(spark, zDir,
+      col("l_partkey").between(10, 15) && col("l_suppkey") === 2,
+      Seq("l_partkey", "l_suppkey"))
+
+    val viaPruned = Layout.zorderRectManifest(spark, zDir, 10, 30, 1, 4)
+      .collect().toSeq
+    val viaTable = Layout.zorderRect(Manifest.readTable(spark, zDir),
+      10, 30, 1, 4).collect().toSeq
+    assert(viaPruned == viaTable,
+      "the pruned rectangle must not resurrect DV-marked rows")
+    assert(viaTable.nonEmpty)
+    // and readChanges over a window that adds marked files subtracts too
+    val before = li.filter(col("l_partkey").between(10, 15) &&
+      col("l_suppkey") === 2).count()
+    assert(before > 0)
+    assert(viaPruned.count(r => r.getLong(2) >= 10 && r.getLong(2) <= 15 &&
+      r.getLong(3) == 2) == 0)
   }
 }
