@@ -64,7 +64,8 @@ class ManifestSource extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new ManifestSource.MfTable(properties.get("path"), schema)
+    new ManifestSource.MfTable(properties.get("path"), schema,
+      Option(properties.get("maxVersionsPerBatch")).map(_.toInt))
 }
 
 object ManifestSource {
@@ -89,8 +90,8 @@ object ManifestSource {
         s"$dir is empty and records no schema"))
   }
 
-  private[sources] class MfTable(dir: String, schema0: StructType)
-      extends Table with SupportsRead {
+  private[sources] class MfTable(dir: String, schema0: StructType,
+      maxVersions: Option[Int]) extends Table with SupportsRead {
     override def name(): String = s"manifest_table($dir)"
     override def schema(): StructType = schema0
     override def capabilities(): util.Set[TableCapability] =
@@ -103,7 +104,7 @@ object ManifestSource {
           override def readSchema(): StructType = schema0
           override def toMicroBatchStream(
               checkpointLocation: String): MicroBatchStream =
-            new MfStream(dir, schema0)
+            new MfStream(dir, schema0, maxVersions)
         }
       }
   }
@@ -112,7 +113,8 @@ object ManifestSource {
     override def json(): String = s"""{"version":$v}"""
   }
 
-  private[sources] class MfStream(dir: String, schema: StructType)
+  private[sources] class MfStream(dir: String, schema: StructType,
+      maxVersions: Option[Int])
       extends MicroBatchStream with SupportsTriggerAvailableNow {
     private def spark = SparkSession.active
 
@@ -126,8 +128,22 @@ object ManifestSource {
 
     override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
-    override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-      pinned.map(VersionOffset(_): Offset).getOrElse(latestOffset())
+    /** Admission control: a stream that resumes far behind the table
+      * (or one draining a long history under AvailableNow) caps each
+      * micro-batch at `maxVersionsPerBatch` commit windows instead of
+      * swallowing the whole backlog in one giant batch — bounded batch
+      * memory/latency at any backlog depth, the Delta
+      * maxFilesPerTrigger idea keyed by version.
+      */
+    override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+      val target = pinned
+        .getOrElse(Manifest.currentVersion(spark, dir).getOrElse(0))
+      val s = start.asInstanceOf[VersionOffset].v
+      VersionOffset(maxVersions match {
+        case Some(m) => math.min(target, s + m)
+        case None => target
+      })
+    }
 
     override def reportLatestOffset(): Offset =
       VersionOffset(Manifest.currentVersion(spark, dir).getOrElse(0))

@@ -133,6 +133,39 @@ class ManifestSourceSpec extends SparkSpec {
     assert(Manifest.lastTxn(spark, dir).nonEmpty)
   }
 
+  test("maxVersionsPerBatch bounds catch-up: one commit window per micro-batch") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text")
+    val dir = tmp("rate")
+    docs.filter(col("doc_id") % 3 === 0)
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    Manifest.create(spark, dir, Seq("doc_id"))
+    Layout.appendInPlace(spark, dir,
+      docs.filter(col("doc_id") % 3 === 1), Seq("doc_id"))
+    Layout.appendInPlace(spark, dir,
+      docs.filter(col("doc_id") % 3 === 2), Seq("doc_id"))
+
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft.sources.ManifestSource")
+      .option("path", dir).option("maxVersionsPerBatch", "1").load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = df.count()
+        batchSizes.synchronized { batchSizes += n }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmp("ckpt-rate"))
+      .start()
+    q.awaitTermination()
+    val sizes = batchSizes.synchronized(batchSizes.toSeq).filter(_ > 0)
+    // three committed versions -> three bounded batches, no giant read
+    assert(sizes.size == 3,
+      s"expected one batch per commit window, got $sizes")
+    assert(sizes.sum == docs.count(),
+      "bounded catch-up must still deliver every row exactly once")
+  }
+
   test("evolution inside the stream window NULL-backfills; DV marks are skipped") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "source", "text")
