@@ -207,6 +207,13 @@ object ManifestSource {
     * matching requested fields to the file's by NAME so files written
     * before an add-column evolution NULL-backfill the new columns,
     * exactly like the batch read path.
+    *
+    * Throughput note: record-at-a-time Group decoding is slower per
+    * byte than the vectorized batch scan. That is the right trade for
+    * a STREAMING source, whose batches are O(delta) commit windows —
+    * and a consumer that needs to backfill the whole table bulk-reads
+    * it once with [[Manifest.readTable]] (vectorized) and starts the
+    * stream from the version it snapshotted.
     */
   private[sources] class MfReaderFactory extends PartitionReaderFactory {
     override def createReader(
