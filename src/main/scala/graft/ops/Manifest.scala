@@ -604,6 +604,23 @@ object Manifest {
         doomed += f.getPath
     }
     doomed.foreach { p => if (fs.delete(p, false)) removed += 1 }
+    // metadata debris, same retention discipline: staging dirs whose
+    // commit crashed (past the claim lease — a live writer's stage is
+    // still protected) and deletion-vector dirs of versions no time
+    // traveler can reach any more. Not counted in the data-file tally.
+    val mfPath = new Path(s"$dir/$DirName")
+    val keepFloor = math.max(1, cur - keepVersions + 1)
+    val now = System.currentTimeMillis()
+    fs.listStatus(mfPath).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(".stage-") &&
+          now - st.getModificationTime > DefaultLeaseMs)
+        fs.delete(st.getPath, true)
+      else if (n.startsWith("dv-v") &&
+          n.stripPrefix("dv-v").forall(_.isDigit) &&
+          n.stripPrefix("dv-v").toInt < keepFloor)
+        fs.delete(st.getPath, true)
+    }
     removed
   }
 }

@@ -71,19 +71,23 @@ class ManifestSource extends TableProvider {
 object ManifestSource {
 
   /** The table's read schema: the recorded per-version schema when the
-    * manifest tracks one, else the first data file's. Partition-dir
-    * tables are rejected up front — their columns live in path
-    * segments this row-reader does not reconstruct.
+    * manifest tracks one, else the first data file's. A
+    * Hive-partitioned tree needs the recorded schema (it alone knows
+    * the partition columns' types); flat tables can fall back to a
+    * file footer.
     */
   def tableSchema(spark: SparkSession, dir: String): StructType = {
     val entries = Manifest.read(spark, dir).getOrElse(
       throw new IllegalArgumentException(
         s"$dir has no manifest — ManifestSource streams manifest-" +
           "managed tables; write one with Manifest.create"))
-    require(entries.forall(!_.name.contains("=")),
-      s"$dir is Hive-partitioned — ManifestSource supports flat tables")
-    Manifest.currentVersion(spark, dir)
+    val recorded = Manifest.currentVersion(spark, dir)
       .flatMap(Manifest.tableSchema(spark, dir, _))
+    if (entries.exists(_.name.contains("=")))
+      recorded.getOrElse(throw new IllegalArgumentException(
+        s"$dir is Hive-partitioned and records no schema — re-commit " +
+          "with Manifest.create so partition column types are known"))
+    else recorded
       .orElse(entries.headOption.map(e =>
         spark.read.parquet(s"$dir/${e.name}").schema))
       .getOrElse(throw new IllegalStateException(
@@ -185,9 +189,18 @@ object ManifestSource {
         spark.sparkContext.hadoopConfiguration)
       added.map { en =>
         val base = en.name.split('/').last
+        // Hive-partitioned trees: the k=v path segments carry the
+        // partition columns — reconstructed per file on the driver,
+        // injected as constants by the reader
+        val partVals = en.name.split('/').dropRight(1)
+          .filter(_.contains("="))
+          .map { seg =>
+            val Array(k, v) = seg.split("=", 2)
+            k -> v
+          }.toMap
         MfPartition(s"$dir/${en.name}", schema.json,
           marks.getOrElse(base, Array.empty).map(_._2).sorted,
-          conf): InputPartition
+          partVals, conf): InputPartition
       }.toArray
     }
 
@@ -199,7 +212,7 @@ object ManifestSource {
   }
 
   private[sources] case class MfPartition(file: String, schemaJson: String,
-      skipPositions: Array[Long],
+      skipPositions: Array[Long], partVals: Map[String, String],
       conf: SerializableHadoopConf) extends InputPartition
 
   /** Executor-side parquet row reader (parquet-hadoop's Group model —
@@ -238,11 +251,24 @@ object ManifestSource {
           cur != null
         }
 
+        /** A directory-encoded partition value, cast per schema. */
+        private def partValue(raw: String, dt: DataType): Any = dt match {
+          case StringType => UTF8String.fromString(raw)
+          case LongType => raw.toLong
+          case IntegerType => raw.toInt
+          case DoubleType => raw.toDouble
+          case BooleanType => raw.toBoolean
+          case other => throw new UnsupportedOperationException(
+            s"ManifestSource: unsupported partition column type $other")
+        }
+
         override def get(): InternalRow = {
           val g = cur
           val fileType = g.getType
           InternalRow.fromSeq(schema.fields.toSeq.map { f =>
-            if (!fileType.containsField(f.name)) null
+            if (mp.partVals.contains(f.name))
+              partValue(mp.partVals(f.name), f.dataType)
+            else if (!fileType.containsField(f.name)) null
             else {
               val i = fileType.getFieldIndex(f.name)
               if (g.getFieldRepetitionCount(i) == 0) null

@@ -340,6 +340,60 @@ class ManifestSpec extends SparkSpec {
     }
   }
 
+  test("two concurrent committers: one wins, the loser retries to success, nothing lost") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mf-race").toString
+    docs.limit(50).coalesce(1).write.mode("overwrite").parquet(dir)
+    val entries = Manifest.create(spark, dir, Seq("doc_id"))
+
+    // both writers read v1 and race to commit v2 with DISTINCT
+    // payloads, retrying from a fresh read on every conflict — the
+    // optimistic-concurrency loop every manifest format prescribes
+    def committer(tag: String): (String, Int) = {
+      val payload = entries.map(e => e.copy(name = s"$tag/${e.name}"))
+      var attempt = Manifest.currentVersion(spark, dir).get + 1
+      var conflicts = 0
+      while (true) {
+        try {
+          Manifest.write(spark, dir, payload, attempt)
+          return (tag, attempt)
+        } catch {
+          case _: java.util.ConcurrentModificationException =>
+            conflicts += 1
+            assert(conflicts < 300, s"$tag wedged after $conflicts conflicts")
+            Thread.sleep(100)
+            attempt = math.max(attempt,
+              Manifest.currentVersion(spark, dir).get + 1)
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutor(pool)
+    val results =
+      try Await.result(
+        Future.sequence(Seq(Future(committer("wa")), Future(committer("wb")))),
+        Duration(5, "min"))
+      finally pool.shutdown()
+
+    // exactly one claimed v2 and one claimed v3 — no version was
+    // double-committed, no payload was lost or mixed
+    assert(results.map(_._2).sorted == Seq(2, 3),
+      s"expected versions 2 and 3, got $results")
+    assert(Manifest.currentVersion(spark, dir).contains(3))
+    val byTag = results.toMap.map(_.swap)
+    Seq(2, 3).foreach { v =>
+      val names = Manifest.readVersion(spark, dir, v).get.map(_.name)
+      val tag = byTag(v)
+      assert(names.nonEmpty && names.forall(_.startsWith(s"$tag/")),
+        s"v$v must be exactly $tag's payload, saw $names")
+    }
+  }
+
   test("a usurped slow writer cannot double-commit: the rename is the arbiter") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft-mf-arb").toString
@@ -387,6 +441,44 @@ class ManifestSpec extends SparkSpec {
     assert(Layout.contentFingerprint(Manifest.readTable(spark, dir))
       .collect().toSeq ==
       Layout.contentFingerprint(docs.filter(!pred)).collect().toSeq)
+  }
+
+  test("vacuum retires metadata debris: crashed stage dirs and unreachable DV dirs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mf-deb").toString
+    docs.filter(col("doc_id") < 200)
+      .repartitionByRange(4, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(dir)
+    Manifest.create(spark, dir, Seq("doc_id"))                       // v1
+    Layout.deleteMergeOnRead(spark, dir,
+      col("doc_id") < 10, Seq("doc_id"))                             // v2 + dv-v2
+    Layout.deleteMergeOnRead(spark, dir,
+      col("doc_id") < 20, Seq("doc_id"))                             // v3 + dv-v3
+    Layout.compactInPlace(spark, dir, statCols = Seq("doc_id"))      // v4, spends DVs
+    Layout.deleteInPlace(spark, dir,
+      col("doc_id") === 25L, Seq("doc_id"))                          // v5
+
+    // plant a crashed commit's stage dir, aged past the lease
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val stale = new org.apache.hadoop.fs.Path(
+      s"$dir/${Manifest.DirName}/.stage-v9-deadbeef")
+    fs.mkdirs(stale)
+    fs.setTimes(stale, System.currentTimeMillis() -
+      Manifest.DefaultLeaseMs - 1000, -1)
+
+    Manifest.vacuum(spark, dir) // default keep = v4, v5
+    val left = fs.listStatus(new org.apache.hadoop.fs.Path(
+      s"$dir/${Manifest.DirName}")).map(_.getPath.getName).toSet
+    assert(!left.contains(".stage-v9-deadbeef"),
+      "a crashed commit's stage dir past its lease must be reclaimed")
+    assert(!left.contains("dv-v2") && !left.contains("dv-v3"),
+      s"DV dirs of unreachable versions must be reclaimed, left $left")
+    // the live table is untouched
+    assert(Manifest.readTable(spark, dir).count() ==
+      docs.filter(col("doc_id") >= 20 && col("doc_id") < 200 &&
+        col("doc_id") =!= 25L).count())
   }
 
   test("a committed delete-all reads as an EMPTY table, not a directory fallback") {

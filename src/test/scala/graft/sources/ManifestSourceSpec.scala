@@ -166,6 +166,32 @@ class ManifestSourceSpec extends SparkSpec {
       "bounded catch-up must still deliver every row exactly once")
   }
 
+  test("Hive-partitioned tables stream with partition columns reconstructed") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text")
+    val dir = tmp("part")
+    docs.filter(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").partitionBy("source").parquet(dir)
+    Manifest.create(spark, dir, Seq("doc_id"))
+    Layout.appendInPlace(spark, dir,
+      docs.filter(col("doc_id") % 2 === 1), Seq("doc_id"))
+
+    val q = spark.readStream.format("graft.sources.ManifestSource")
+      .option("path", dir).load()
+      .writeStream.format("memory").queryName("mfsrc_part")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmp("ckpt-part"))
+      .start()
+    q.awaitTermination()
+    val got = spark.table("mfsrc_part")
+    assert(got.columns.contains("source"),
+      "the partition column must be reconstructed from the path")
+    assert(Layout.contentFingerprint(got).collect().toSeq ==
+      Layout.contentFingerprint(docs).collect().toSeq,
+      "partitioned streaming must deliver every row with its " +
+        "partition value intact")
+  }
+
   test("evolution inside the stream window NULL-backfills; DV marks are skipped") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "source", "text")
