@@ -75,6 +75,36 @@ object SparkEntry {
     src
   }
 
+  /** Build-once fixture for the change-feed pair (ns_cdf /
+    * ns_change_feed): a doc_id-clustered documents copy taken through
+    * delete (v2) → upsert (v3) → append (v4), each commit recording
+    * its change set. Idempotent via version guards.
+    */
+  private def cdfFixtureDir(s: SparkSession, dir: String): String = {
+    val src = layoutDir("docs-byid-cdf", dir)
+    if (!new java.io.File(s"$src/_SUCCESS").exists())
+      T(s, dir, "documents")
+        .repartitionByRange(16, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(src)
+    val docs = T(s, dir, "documents")
+    if (ops.Manifest.currentVersion(s, src).forall(_ < 2))
+      ops.Layout.deleteInPlace(s, src,
+        col("doc_id").between(100, 140), statCols = Seq("doc_id"))
+    if (ops.Manifest.currentVersion(s, src).forall(_ < 3))
+      ops.Layout.upsertInPlace(s, src,
+        docs.filter(col("doc_id") % 97 === 0)
+          .withColumn("text", concat(lit("u:"), col("text"))),
+        "doc_id", statCols = Seq("doc_id"))
+    if (ops.Manifest.currentVersion(s, src).forall(_ < 4))
+      ops.Layout.appendInPlace(s, src,
+        docs.filter(col("doc_id") % 193 === 0)
+          .withColumn("doc_id", col("doc_id") + 800000L)
+          .withColumn("text", concat(lit("n:"), col("text"))),
+        statCols = Seq("doc_id"))
+    src
+  }
+
   // ---------------------------------------------------------------- //
 
   private lazy val registry: Seq[Q] = Seq(
@@ -1476,33 +1506,50 @@ object SparkEntry {
          |  )::BIGINT AS content_fp
          |FROM chg GROUP BY change_type ORDER BY change_type""".stripMargin) {
       (s, dir) =>
-        val src = layoutDir("docs-byid-cdf", dir)
-        if (!new java.io.File(s"$src/_SUCCESS").exists())
-          T(s, dir, "documents")
-            .repartitionByRange(16, col("doc_id"))
-            .sortWithinPartitions("doc_id")
-            .write.mode("overwrite").parquet(src)
-        val docs = T(s, dir, "documents")
-        if (ops.Manifest.currentVersion(s, src).forall(_ < 2))
-          ops.Layout.deleteInPlace(s, src,
-            col("doc_id").between(100, 140), statCols = Seq("doc_id"))
-        if (ops.Manifest.currentVersion(s, src).forall(_ < 3))
-          ops.Layout.upsertInPlace(s, src,
-            docs.filter(col("doc_id") % 97 === 0)
-              .withColumn("text", concat(lit("u:"), col("text"))),
-            "doc_id", statCols = Seq("doc_id"))
-        if (ops.Manifest.currentVersion(s, src).forall(_ < 4))
-          ops.Layout.appendInPlace(s, src,
-            docs.filter(col("doc_id") % 193 === 0)
-              .withColumn("doc_id", col("doc_id") + 800000L)
-              .withColumn("text", concat(lit("n:"), col("text"))),
-            statCols = Seq("doc_id"))
+        val src = cdfFixtureDir(s, dir)
         ops.Manifest.readCdc(s, src, 1, 4)
           .groupBy(col("_change_type").as("change_type"))
           .agg(count(lit(1)).as("n_rows"),
             sum(ops.H.hash30(concat_ws("|", col("doc_id"), col("text"))))
               .as("content_fp"))
           .orderBy("change_type")
+    },
+
+    // PER-VERSION change feed (Delta's table_changes): every commit's
+    // logical changes read from its COMMIT-TIME record (`cdc-v{K}` —
+    // written by the verb that already held the rows) or, for
+    // append-only commits, the added files — pure file reads, no
+    // content diffing, which is what a streaming CDC consumer needs at
+    // scale. Unlike ns_cdf's net endpoint diff, the upsert's
+    // reinserted keys show per commit: delete at v3 only where the
+    // old image survived v2, insert at v3 for the whole batch.
+    q("ns_change_feed",
+      s"""WITH chg AS (
+         |  SELECT 2 AS commit_version, 'delete' AS change_type,
+         |    doc_id, text FROM documents WHERE doc_id BETWEEN 100 AND 140
+         |  UNION ALL
+         |  SELECT 3, 'delete', doc_id, text FROM documents
+         |  WHERE doc_id % 97 = 0 AND NOT (doc_id BETWEEN 100 AND 140)
+         |  UNION ALL
+         |  SELECT 3, 'insert', doc_id, 'u:' || text FROM documents
+         |  WHERE doc_id % 97 = 0
+         |  UNION ALL
+         |  SELECT 4, 'insert', doc_id + 800000, 'n:' || text
+         |  FROM documents WHERE doc_id % 193 = 0)
+         |SELECT commit_version::BIGINT AS commit_version, change_type,
+         |  count(*) AS n_rows,
+         |  sum(${ops.H.duckHash30("doc_id || '|' || text")}
+         |  )::BIGINT AS content_fp
+         |FROM chg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) {
+      (s, dir) =>
+        val src = cdfFixtureDir(s, dir)
+        ops.Manifest.readChangeFeed(s, src, 1, 4)
+          .groupBy(col("_commit_version").as("commit_version"),
+            col("_change_type").as("change_type"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(ops.H.hash30(concat_ws("|", col("doc_id"), col("text"))))
+              .as("content_fp"))
+          .orderBy("commit_version", "change_type")
     },
 
     // STREAMED manifest-table consumption: the DSv2 source whose

@@ -39,8 +39,11 @@ object Layout {
     * under old semantics must miss, not serve.
     * v2: layouts carry a versioned `_manifest` (file list + per-column
     * min/max) and reads plan from it instead of listing footers.
+    * v3: commits record per-version schemas and change sets
+    * (`_schema.json`, `cdc-v{K}`) — caches built before recording
+    * existed must rebuild, or the change feed would see gaps.
     */
-  val Version = 2
+  val Version = 3
 
   /** Interleave steps: spread a 16-bit value so its bits occupy the
     * even positions of a 32-bit word (the classic mask ladder).
@@ -566,12 +569,14 @@ object Layout {
     val (hit, kept) = entries.partition(e => affected.contains(e.name))
     val prefix = s"upsert-v$newVersion"
     val partCols = partColsOf(entries)
+    val claim = Manifest.claimVersion(spark, dir, newVersion)
+    val hitRead = if (hit.isEmpty) null
+      else spark.read.option("basePath", dir)
+        .parquet(hit.map(e => s"$dir/${e.name}"): _*)
     val survivorNames =
       if (hit.isEmpty) Seq.empty[String]
       else stageAndRename(spark, dir,
-        spark.read.option("basePath", dir)
-          .parquet(hit.map(e => s"$dir/${e.name}"): _*)
-          .join(broadcast(updKeys), Seq(keyCol), "left_anti"),
+        hitRead.join(broadcast(updKeys), Seq(keyCol), "left_anti"),
         partCols, s"$prefix-keep")
     // align the batch to the table (hard error on MISSING columns,
     // add-column evolution on extra ones)
@@ -581,8 +586,20 @@ object Layout {
       partCols, s"$prefix-new")
     val newEntries =
       statStaged(spark, dir, statCols, survivorNames ++ batchNames)
+    // change record: old images of replaced keys as deletes, the batch
+    // as inserts (MERGE = delete + insert pairs in the feed) — both
+    // already materialized by this commit's own plans
+    val oldImages =
+      (if (hit.isEmpty)
+        Manifest.readTable(spark, dir).filter(lit(false))
+      else hitRead.join(broadcast(updKeys), Seq(keyCol), "left_semi"))
+        .withColumn("_change_type", lit("delete"))
+    Manifest.recordCdc(spark, dir, newVersion,
+      oldImages.unionByName(
+        aligned.withColumn("_change_type", lit("insert")),
+        allowMissingColumns = true))
     Manifest.write(spark, dir, (kept ++ newEntries).sortBy(_.name),
-      newVersion, schema = evolved)
+      newVersion, claim = Some(claim), schema = evolved)
     (hit.size, entries.size)
   }
 
@@ -621,6 +638,19 @@ object Layout {
     if (marked > 0)
       all.coalesce(1).write.mode("overwrite")
         .parquet(Manifest.dvDir(dir, newVersion))
+    // change record: the NEWLY marked rows (marks already present in
+    // the previous vector were deleted by an earlier commit and must
+    // not restate) — read back by position from the raw scan
+    val newMarks = marks.exceptAll(old)
+    val cdcRows = raw
+      .withColumn("_dv_f", element_at(
+        split(col("_metadata.file_path"), "/"), -1))
+      .withColumn("_dv_p", col("_metadata.row_index"))
+      .join(broadcast(newMarks), col("_dv_f") === newMarks("file") &&
+        col("_dv_p") === newMarks("pos"), "left_semi")
+      .drop("_dv_f", "_dv_p")
+      .withColumn("_change_type", lit("delete"))
+    Manifest.recordCdc(spark, dir, newVersion, cdcRows)
     all.unpersist()
     // entries transfer VERBATIM: the delete is pure metadata
     Manifest.write(spark, dir, entries, newVersion, claim = Some(claim))
@@ -659,6 +689,11 @@ object Layout {
     val names = stageAndRename(spark, dir, survivors, partColsOf(hit),
       s"flush-v$newVersion")
     val newEntries = statStaged(spark, dir, statCols, names)
+    // flushing materializes deletes that were already logical at the
+    // marking commit: zero change rows, recorded explicitly
+    Manifest.recordCdc(spark, dir, newVersion,
+      Manifest.readTable(spark, dir).filter(lit(false))
+        .withColumn("_change_type", lit("insert")))
     // the new snapshot carries NO dv-v{newVersion}: vectors are spent
     Manifest.write(spark, dir, (kept ++ newEntries).sortBy(_.name),
       newVersion)
@@ -831,6 +866,13 @@ object Layout {
         } finally pool.shutdown()
       }
     val mergedEntries = statStaged(spark, dir, statCols, mergedNames)
+    // an explicit EMPTY change record: compaction (even one spending
+    // deletion vectors — their rows were already logically deleted at
+    // the marking commit) changes no logical row, and the feed must
+    // know that without diffing
+    Manifest.recordCdc(spark, dir, newVersion,
+      Manifest.readTable(spark, dir).filter(lit(false))
+        .withColumn("_change_type", lit("insert")))
     Manifest.write(spark, dir,
       (untouched.values.flatten.toSeq ++ mergedEntries).sortBy(_.name),
       newVersion)
@@ -864,6 +906,13 @@ object Layout {
       .toSet
     val (hit, kept) = entries.partition(e => affected.contains(e.name))
     val newVersion = Manifest.currentVersion(spark, dir).getOrElse(0) + 1
+    // claim BEFORE side writes (change record, staged deltas) so a
+    // lost commit race cannot leave another writer's version number
+    // pointing at this writer's artifacts
+    val claim = Manifest.claimVersion(spark, dir, newVersion)
+    val hitRead = if (hit.isEmpty) null
+      else spark.read.option("basePath", dir)
+        .parquet(hit.map(e => s"$dir/${e.name}"): _*)
     val deltaEntries =
       if (hit.isEmpty) Seq.empty
       else {
@@ -871,14 +920,20 @@ object Layout {
         // row), rewritten with the table's own partitioning so every
         // data file stays at a consistent depth
         val names = stageAndRename(spark, dir,
-          spark.read.option("basePath", dir)
-            .parquet(hit.map(e => s"$dir/${e.name}"): _*)
-            .filter(!coalesce(pred, lit(false))),
+          hitRead.filter(!coalesce(pred, lit(false))),
           partColsOf(hit), s"delta-v$newVersion")
         statStaged(spark, dir, statCols, names)
       }
+    // record the commit's change set (the deleted rows — one extra
+    // O(affected) pass over the same pruned file list): consumption
+    // becomes a file read, never a re-diff
+    Manifest.recordCdc(spark, dir, newVersion,
+      (if (hit.isEmpty)
+        Manifest.readTable(spark, dir).filter(lit(false))
+      else hitRead.filter(coalesce(pred, lit(false))))
+        .withColumn("_change_type", lit("delete")))
     Manifest.write(spark, dir, (kept ++ deltaEntries).sortBy(_.name),
-      newVersion)
+      newVersion, claim = Some(claim))
     (hit.size, entries.size)
   }
 

@@ -567,6 +567,78 @@ object Manifest {
     inserts.unionByName(deletes)
   }
 
+  /** Change-record directory of a snapshot version: the rows a
+    * REWRITING commit logically deleted/inserted, materialized AT
+    * COMMIT TIME (the Delta CDF design). The writing verb already
+    * holds these rows in its plan, so recording costs one extra
+    * O(changes) write — and consumption becomes a pure file read
+    * instead of re-scanning changed files and shuffling an exceptAll
+    * per consumer, which is what makes a STREAMING change feed viable
+    * at 100 TB. Append-only commits record nothing: their file diff
+    * IS the change set.
+    */
+  def cdcDir(dir: String, version: Int): String =
+    s"$dir/$DirName/cdc-v$version"
+
+  /** Materialize a commit's change rows (table columns +
+    * `_change_type`). An empty `df` still writes the directory — an
+    * explicit "this commit changed nothing" record (compaction,
+    * vector flush) that spares the feed a diff fallback.
+    */
+  private[ops] def recordCdc(spark: SparkSession, dir: String,
+      version: Int, df: DataFrame): Unit =
+    df.write.mode("overwrite").parquet(cdcDir(dir, version))
+
+  /** The PER-VERSION change feed between two snapshots: every logical
+    * change tagged `_change_type` ('insert' | 'delete'; an update is
+    * the delete+insert pair) and `_commit_version` — Delta's
+    * table_changes, over this layer's commit records. Each version in
+    * `(from, to]` contributes either its recorded `cdc-v{K}` rows
+    * (rewriting commits record them at commit time) or, for an
+    * append-only commit (entry superset, no vector change), the added
+    * files' rows as inserts — metadata-only classification, no
+    * content diffing anywhere. Unlike [[readCdc]] (the NET endpoint
+    * diff), a row inserted then deleted inside the window appears
+    * TWICE, once per commit — feed semantics.
+    * Throws when a rewriting version in the window predates change
+    * recording — fall back to [[readCdc]] for those.
+    */
+  def readChangeFeed(spark: SparkSession, dir: String, fromVersion: Int,
+      toVersion: Int): DataFrame = {
+    val fs = fsOf(spark, dir)
+    val perVersion = (fromVersion + 1 to toVersion).map { v =>
+      val withVersion = (df: DataFrame) =>
+        df.withColumn("_commit_version", lit(v.toLong))
+      if (fs.exists(new Path(cdcDir(dir, v))))
+        withVersion(spark.read.parquet(cdcDir(dir, v)))
+      else {
+        val prev =
+          if (v == 1) Set.empty[String]
+          else readVersion(spark, dir, v - 1).getOrElse(
+            throw new IllegalArgumentException(
+              s"no manifest version ${v - 1} under $dir")).map(_.name).toSet
+        val cur = readVersion(spark, dir, v).getOrElse(
+          throw new IllegalArgumentException(
+            s"no manifest version $v under $dir"))
+        val isAppendOnly = prev.subsetOf(cur.map(_.name).toSet) &&
+          !fs.exists(new Path(dvDir(dir, v)))
+        if (!isAppendOnly) throw new IllegalStateException(
+          s"version v$v of $dir rewrote files but recorded no change " +
+            "set (pre-recording commit) — use readCdc for this window")
+        val added = cur.filterNot(e => prev.contains(e.name))
+        if (added.isEmpty)
+          withVersion(readTable(spark, dir, Some(v)).filter(lit(false))
+            .withColumn("_change_type", lit("insert")))
+        else
+          withVersion(spark.read.option("basePath", dir)
+            .parquet(added.map(e => s"$dir/${e.name}"): _*)
+            .withColumn("_change_type", lit("insert")))
+      }
+    }
+    perVersion.reduce((a, b) =>
+      a.unionByName(b, allowMissingColumns = true))
+  }
+
   /** Table-root-relative name of a data-file URI (the inverse of the
     * `$dir/$name` path construction used everywhere above).
     */
@@ -580,7 +652,10 @@ object Manifest {
     * snapshot (or a time traveler pinned to it) does not hit
     * FileNotFound mid-scan the instant maintenance commits — the
     * retention discipline every production table format enforces.
-    * Pass `keepVersions = 1` for an immediate, current-only reclaim.
+    * Pass `keepVersions = 1` for an immediate, current-only reclaim;
+    * size it to cover the deepest consumer lag when streaming /
+    * change-feed readers follow the table (their windows need the
+    * retained versions' files, vectors, and change records).
     * Never touches `_manifest` itself (old snapshots remain as
     * metadata history). Returns the number of files removed.
     */
@@ -619,6 +694,10 @@ object Manifest {
       else if (n.startsWith("dv-v") &&
           n.stripPrefix("dv-v").forall(_.isDigit) &&
           n.stripPrefix("dv-v").toInt < keepFloor)
+        fs.delete(st.getPath, true)
+      else if (n.startsWith("cdc-v") &&
+          n.stripPrefix("cdc-v").forall(_.isDigit) &&
+          n.stripPrefix("cdc-v").toInt < keepFloor)
         fs.delete(st.getPath, true)
     }
     removed

@@ -59,13 +59,21 @@ class ManifestSource extends TableProvider {
     p
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ManifestSource.tableSchema(SparkSession.active, pathOf(options))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base = ManifestSource.tableSchema(SparkSession.active,
+      pathOf(options))
+    if (options.getBoolean("changeFeed", false))
+      StructType(base.fields.toSeq :+
+        StructField("_change_type", StringType) :+
+        StructField("_commit_version", LongType))
+    else base
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new ManifestSource.MfTable(properties.get("path"), schema,
-      Option(properties.get("maxVersionsPerBatch")).map(_.toInt))
+      Option(properties.get("maxVersionsPerBatch")).map(_.toInt),
+      Option(properties.get("changeFeed")).exists(_.toBoolean))
 }
 
 object ManifestSource {
@@ -95,7 +103,8 @@ object ManifestSource {
   }
 
   private[sources] class MfTable(dir: String, schema0: StructType,
-      maxVersions: Option[Int]) extends Table with SupportsRead {
+      maxVersions: Option[Int], changeFeed: Boolean)
+      extends Table with SupportsRead {
     override def name(): String = s"manifest_table($dir)"
     override def schema(): StructType = schema0
     override def capabilities(): util.Set[TableCapability] =
@@ -108,7 +117,7 @@ object ManifestSource {
           override def readSchema(): StructType = schema0
           override def toMicroBatchStream(
               checkpointLocation: String): MicroBatchStream =
-            new MfStream(dir, schema0, maxVersions)
+            new MfStream(dir, schema0, maxVersions, changeFeed)
         }
       }
   }
@@ -118,7 +127,7 @@ object ManifestSource {
   }
 
   private[sources] class MfStream(dir: String, schema: StructType,
-      maxVersions: Option[Int])
+      maxVersions: Option[Int], changeFeed: Boolean)
       extends MicroBatchStream with SupportsTriggerAvailableNow {
     private def spark = SparkSession.active
 
@@ -169,6 +178,7 @@ object ManifestSource {
       val s = start.asInstanceOf[VersionOffset].v
       val e = end.asInstanceOf[VersionOffset].v
       if (e <= s) return Array.empty
+      if (changeFeed) return planChangeFeed(s, e)
       val before =
         if (s == 0) Set.empty[String]
         else Manifest.readVersion(spark, dir, s).getOrElse(
@@ -201,6 +211,56 @@ object ManifestSource {
         MfPartition(s"$dir/${en.name}", schema.json,
           marks.getOrElse(base, Array.empty).map(_._2).sorted,
           partVals, conf): InputPartition
+      }.toArray
+    }
+
+    /** STREAMED CHANGE FEED: each version in the window contributes
+      * its commit-time change record (`cdc-v{K}` parquet — the rows
+      * carry `_change_type` themselves) or, for an append-only
+      * commit, its added files with `_change_type` injected as
+      * 'insert'; `_commit_version` is injected per file. Pure file
+      * reads — no diffing anywhere, which is what makes the feed a
+      * sustainable streaming workload.
+      */
+    private def planChangeFeed(s: Int, e: Int): Array[InputPartition] = {
+      val fs = new Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val conf = new SerializableHadoopConf(
+        spark.sparkContext.hadoopConfiguration)
+      (s + 1 to e).flatMap { v =>
+        val inject = Map("_commit_version" -> v.toString)
+        val cdc = new Path(Manifest.cdcDir(dir, v))
+        if (fs.exists(cdc)) {
+          fs.listStatus(cdc)
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            .map(f => MfPartition(f.getPath.toString, schema.json,
+              Array.empty, inject, conf): InputPartition).toSeq
+        } else {
+          val prev =
+            if (v == 1) Set.empty[String]
+            else Manifest.readVersion(spark, dir, v - 1).getOrElse(
+              throw new IllegalStateException(
+                s"manifest version ${v - 1} of $dir was vacuumed " +
+                  "mid-stream")).map(_.name).toSet
+          val cur = Manifest.readVersion(spark, dir, v).getOrElse(
+            throw new IllegalStateException(
+              s"manifest version $v of $dir disappeared"))
+          require(prev.subsetOf(cur.map(_.name).toSet) &&
+            !fs.exists(new Path(Manifest.dvDir(dir, v))),
+            s"version v$v of $dir rewrote files but recorded no " +
+              "change set — rebuilt with a pre-recording writer?")
+          cur.filterNot(en => prev.contains(en.name)).map { en =>
+            val partVals = en.name.split('/').dropRight(1)
+              .filter(_.contains("="))
+              .map { seg =>
+                val Array(k, vv) = seg.split("=", 2)
+                k -> vv
+              }.toMap
+            MfPartition(s"$dir/${en.name}", schema.json, Array.empty,
+              partVals ++ inject + ("_change_type" -> "insert"),
+              conf): InputPartition
+          }
+        }
       }.toArray
     }
 

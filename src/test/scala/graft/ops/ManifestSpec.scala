@@ -772,6 +772,52 @@ class ManifestSpec extends SparkSpec {
     cdc.unpersist()
   }
 
+  test("change feed: per-commit records, newly-marked-only DV rows, silent compaction") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mf-feed").toString
+    docs.filter(col("doc_id") < 300)
+      .repartitionByRange(8, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(dir)
+    Manifest.create(spark, dir, Seq("doc_id"))                       // v1
+    Layout.deleteMergeOnRead(spark, dir,
+      col("doc_id") < 10, Seq("doc_id"))                             // v2
+    Layout.deleteMergeOnRead(spark, dir,
+      col("doc_id") < 20, Seq("doc_id"))                             // v3 (10..19 new)
+    Layout.compactInPlace(spark, dir, statCols = Seq("doc_id"))      // v4: no change
+    Layout.appendInPlace(spark, dir,
+      docs.filter(col("doc_id").between(300, 320)), Seq("doc_id"))   // v5
+
+    val feed = Manifest.readChangeFeed(spark, dir, 1, 5).cache()
+    def at(v: Int, t: String): Seq[Long] =
+      feed.filter(col("_commit_version") === v &&
+        col("_change_type") === t)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // v2 deletes exactly 0..9; v3 deletes ONLY the newly marked
+    // 10..19 (re-matched rows from v2's vector must not restate)
+    assert(at(2, "delete") == (0L to 9L) &&
+      at(3, "delete") == (10L to 19L),
+      "DV commits must record exactly their newly marked rows")
+    // compaction (which spent the vectors) contributes nothing
+    assert(feed.filter(col("_commit_version") === 4).count() == 0,
+      "a maintenance commit must be silent in the feed")
+    // the append shows as inserts with its own version
+    assert(at(5, "insert") == (300L to 320L))
+    // and the feed REPLAYS the table: v1 + feed folded in version
+    // order == v5 (insert adds, delete removes)
+    val ins = feed.filter(col("_change_type") === "insert")
+      .select(docs.columns.map(col): _*)
+    val del = feed.filter(col("_change_type") === "delete")
+      .select(docs.columns.map(col): _*)
+    val rebuilt = Manifest.readTable(spark, dir, Some(1))
+      .select(docs.columns.map(col): _*)
+      .unionByName(ins).exceptAll(del)
+    assert(Layout.contentFingerprint(rebuilt).collect().toSeq ==
+      Layout.contentFingerprint(
+        Manifest.readTable(spark, dir, Some(5))).collect().toSeq)
+    feed.unpersist()
+  }
+
   test("string stat ranges prune files on lexicographic predicates") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft-mf-str").toString

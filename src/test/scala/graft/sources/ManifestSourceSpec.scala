@@ -192,6 +192,43 @@ class ManifestSourceSpec extends SparkSpec {
         "partition value intact")
   }
 
+  test("changeFeed option streams per-commit change records, not snapshots") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text")
+    val dir = tmp("cf")
+    docs.filter(col("doc_id") < 100)
+      .repartitionByRange(4, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(dir)
+    Manifest.create(spark, dir, Seq("doc_id"))                       // v1
+    Layout.deleteInPlace(spark, dir,
+      col("doc_id").between(10, 19), Seq("doc_id"))                  // v2
+    Layout.appendInPlace(spark, dir,
+      docs.filter(col("doc_id").between(100, 110)), Seq("doc_id"))   // v3
+
+    val q = spark.readStream.format("graft.sources.ManifestSource")
+      .option("path", dir).option("changeFeed", "true").load()
+      .writeStream.format("memory").queryName("mfsrc_cf")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmp("ckpt-cf"))
+      .start()
+    q.awaitTermination()
+    val got = spark.table("mfsrc_cf").cache()
+    assert(got.columns.takeRight(2).toSeq ==
+      Seq("_change_type", "_commit_version"))
+    // v1: the initial table as inserts; v2: ten deletes (the change
+    // record, NOT the rewritten survivors); v3: the appended inserts
+    assert(got.filter(col("_commit_version") === 1 &&
+      col("_change_type") === "insert").count() == 100)
+    val v2 = got.filter(col("_commit_version") === 2)
+    assert(v2.count() == 10 &&
+      v2.filter(col("_change_type") =!= "delete").count() == 0,
+      "the rewrite window must stream its change record only")
+    assert(got.filter(col("_commit_version") === 3 &&
+      col("_change_type") === "insert").count() == 11)
+    got.unpersist()
+  }
+
   test("evolution inside the stream window NULL-backfills; DV marks are skipped") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "source", "text")
