@@ -738,11 +738,13 @@ object Layout {
     newEntries.size
   }
 
-  /** IN-PLACE compaction — OPTIMIZE for a manifest-managed table: each
-    * directory whose file count exceeds its ceil(bytes/target) bound
-    * gets its files merged into staged outputs that are RENAMED in
-    * beside the originals (`compact-v{K}-` prefix), and the new
-    * snapshot swaps the small files for the merged ones. Rows never
+  /** IN-PLACE compaction — OPTIMIZE for a manifest-managed table,
+    * BIN-PACKED: within each directory only the small-file tail
+    * (below half the target size) merges into staged outputs that are
+    * RENAMED in beside the originals (`compact-v{K}-` prefix);
+    * right-sized files transfer their entries verbatim, so a mature
+    * table pays only for what its latest increment fragmented — never
+    * a re-copy of data that was already laid out right. Rows never
     * cross the network (coalesce), untouched directories transfer
     * their entries verbatim, superseded small files stay readable for
     * time travel until [[Manifest.vacuum]]. Merges are independent
@@ -783,14 +785,33 @@ object Layout {
       e.name.split('/').dropRight(1).mkString("/"))
     def bound(es: Seq[ManifestEntry]): Int =
       math.max(1, math.ceil(es.map(_.bytes).sum.toDouble / targetBytes).toInt)
-    // OPTIMIZE ZORDER BY: when clustering is requested, every group
-    // rewrites (the point is tightening stats, not just file counts);
-    // a group holding DV-marked files always rewrites (the marks are
-    // consumed by this commit)
-    val (toMerge, untouched) = byDir.partition {
-      case (_, es) => zorderBy.nonEmpty || es.size > bound(es) ||
-        es.exists(e => markedFiles.contains(e.name.split('/').last))
+    // BIN-PACK, don't blanket-rewrite: within a directory, files
+    // already at (or above) half the target are right-sized — only
+    // the small-file tail merges, and right-sized files carry their
+    // entries verbatim. A day-one streaming table is all tail; a
+    // mature table pays only for what its last increment fragmented.
+    // Exceptions that force a file into the rewrite set anyway:
+    // ZORDER (stats tightening wants every row re-clustered) and
+    // DV-marked files (their marks are consumed by this commit).
+    def splitGroup(es: Seq[ManifestEntry]) = es.partition { e =>
+      zorderBy.nonEmpty || e.bytes < targetBytes / 2 ||
+        markedFiles.contains(e.name.split('/').last)
     }
+    // a group rewrites when its rewriteable tail actually shrinks
+    // (>= 2 files merge into fewer) or carries marks to consume
+    val (toMergeFull, untouchedFull) = byDir.partition { case (_, es) =>
+      val (tail, _) = splitGroup(es)
+      (tail.size > bound(tail) && tail.size >= 2) ||
+        zorderBy.nonEmpty ||
+        tail.exists(e => markedFiles.contains(e.name.split('/').last))
+    }
+    val toMerge = toMergeFull.map { case (sub, es) =>
+      sub -> splitGroup(es)._1
+    }
+    val rightSized = toMergeFull.toSeq.flatMap { case (_, es) =>
+      splitGroup(es)._2
+    }
+    val untouched = untouchedFull
     val fs = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val mergedNames =
@@ -873,10 +894,15 @@ object Layout {
     Manifest.recordCdc(spark, dir, newVersion,
       Manifest.readTable(spark, dir).filter(lit(false))
         .withColumn("_change_type", lit("insert")))
+    // right-sized files of rewriting groups carry their entries
+    // verbatim, exactly like untouched groups — metadata only
     Manifest.write(spark, dir,
-      (untouched.values.flatten.toSeq ++ mergedEntries).sortBy(_.name),
+      (untouched.values.flatten.toSeq ++ rightSized ++ mergedEntries)
+        .sortBy(_.name),
       newVersion)
-    (entries.size, untouched.values.map(_.size).sum + mergedEntries.size)
+    (entries.size,
+      untouched.values.map(_.size).sum + rightSized.size +
+        mergedEntries.size)
   }
 
   /** IN-PLACE copy-on-write delete — the manifest-native form that

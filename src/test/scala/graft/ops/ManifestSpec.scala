@@ -564,6 +564,37 @@ class ManifestSpec extends SparkSpec {
       .collect().toSeq == expect2)
   }
 
+  test("OPTIMIZE bin-packs: right-sized files carry verbatim, only the tail merges") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mf-bp").toString
+    // one right-sized file (90% of rows) plus a fragmented tail
+    docs.filter(col("doc_id") % 10 =!= 0).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    Manifest.create(spark, dir, Seq("doc_id"))
+    val frag = docs.filter(col("doc_id") % 10 === 0).repartition(12)
+    Layout.appendInPlace(spark, dir, frag, Seq("doc_id"))
+
+    val bigBytes = Manifest.read(spark, dir).get.map(_.bytes).max
+    // target sized so the initial file counts as right-sized and the
+    // 12 appended fragments are tail
+    val (before, after) = Layout.compactInPlace(spark, dir,
+      targetBytes = bigBytes * 2, statCols = Seq("doc_id"))
+    assert(before == 13 && after < before,
+      s"expected the 12-file tail to merge: $before -> $after")
+    val v3 = Manifest.read(spark, dir).get
+    val v2 = Manifest.readVersion(spark, dir, 2).get
+    val bigV2 = v2.maxBy(_.bytes)
+    // the right-sized file's entry is carried VERBATIM — no rewrite,
+    // no data read, no new name
+    assert(v3.contains(bigV2),
+      "the right-sized file must transfer metadata-only")
+    assert(v3.count(_.name.contains("compact-v3-")) == after - 1)
+    // content is intact
+    assert(Layout.contentFingerprint(Manifest.readTable(spark, dir))
+      .collect().toSeq ==
+      Layout.contentFingerprint(docs).collect().toSeq)
+  }
+
   test("compaction over live deletion vectors applies the marks inline") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft-mf-cdv").toString
