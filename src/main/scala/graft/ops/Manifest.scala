@@ -639,6 +639,62 @@ object Manifest {
       a.unionByName(b, allowMissingColumns = true))
   }
 
+  /** One line of [[history]] — DESCRIBE HISTORY for a manifest table.
+    * `operation` is classified from the commit's own artifacts (the
+    * verbs' file-name prefixes, vector/change-record presence), so no
+    * extra metadata write is needed.
+    */
+  case class CommitInfo(version: Int, timestampMs: Long,
+      operation: String, nFiles: Int, rows: Long, bytes: Long)
+
+  /** The table's commit history, oldest first — version, commit time
+    * (the snapshot directory's own mtime), operation, and size
+    * totals. One small metadata read per version, no data file opens.
+    */
+  def history(spark: SparkSession, dir: String): Seq[CommitInfo] = {
+    val fs = fsOf(spark, dir)
+    val cur = currentVersion(spark, dir).getOrElse(return Seq.empty)
+    (1 to cur).flatMap { v =>
+      readVersion(spark, dir, v).map { entries =>
+        val names = entries.map(_.name.split('/').last)
+        val prevNames = if (v == 1) Set.empty[String]
+          else readVersion(spark, dir, v - 1)
+            .map(_.map(_.name).toSet).getOrElse(Set.empty)
+        val added = entries.map(_.name).filterNot(prevNames.contains)
+        def anyAdded(p: String) =
+          added.exists(_.split('/').last.startsWith(p))
+        val op =
+          if (v == 1) "CREATE"
+          else if (names.exists(_.startsWith(s"flush-v$v")) ||
+            anyAdded(s"flush-v$v")) "FLUSH DELETES"
+          else if (anyAdded(s"compact-v$v")) "OPTIMIZE"
+          else if (anyAdded(s"upsert-v$v")) "MERGE"
+          else if (anyAdded(s"delta-v$v")) "DELETE"
+          else if (fs.exists(new Path(dvDir(dir, v)))) "DELETE (DV)"
+          else if (anyAdded(s"append-v$v")) "APPEND"
+          else if (entries.map(_.name).toSet == prevNames &&
+            entries.isEmpty && prevNames.isEmpty) "EMPTY"
+          else if (added.nonEmpty) "APPEND"
+          else if (entries.size < prevNames.size) "DELETE"
+          else "COMMIT"
+        CommitInfo(v,
+          fs.getFileStatus(new Path(s"$dir/$DirName/v$v"))
+            .getModificationTime,
+          op, entries.size, entries.map(_.rows).sum,
+          entries.map(_.bytes).sum)
+      }
+    }
+  }
+
+  /** Time-BASED time travel: the newest version committed at or
+    * before `tsMillis` — pass it to [[readTable]]'s `version`. `None`
+    * when the table has no version that old.
+    */
+  def versionAt(spark: SparkSession, dir: String,
+      tsMillis: Long): Option[Int] =
+    history(spark, dir).filter(_.timestampMs <= tsMillis)
+      .lastOption.map(_.version)
+
   /** Table-root-relative name of a data-file URI (the inverse of the
     * `$dir/$name` path construction used everywhere above).
     */

@@ -849,6 +849,48 @@ class ManifestSpec extends SparkSpec {
     feed.unpersist()
   }
 
+  test("history labels every commit; timestamp time travel resolves versions") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mf-his").toString
+    docs.repartitionByRange(8, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(dir)
+    Manifest.create(spark, dir, Seq("doc_id"))                       // v1
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(20)
+    Layout.appendInPlace(spark, dir,
+      docs.limit(5).withColumn("doc_id", col("doc_id") + 900000L),
+      Seq("doc_id"))                                                 // v2
+    Layout.deleteInPlace(spark, dir,
+      col("doc_id").between(100, 120), Seq("doc_id"))                // v3
+    Layout.upsertInPlace(spark, dir,
+      docs.filter(col("doc_id") === 5L)
+        .withColumn("text", lit("u")), "doc_id", Seq("doc_id"))      // v4
+    Layout.deleteMergeOnRead(spark, dir,
+      col("doc_id") === 7L, Seq("doc_id"))                           // v5
+    Layout.compactInPlace(spark, dir, statCols = Seq("doc_id"))      // v6
+
+    val h = Manifest.history(spark, dir)
+    assert(h.map(_.version) == (1 to 6))
+    assert(h.map(_.operation) == Seq("CREATE", "APPEND", "DELETE",
+      "MERGE", "DELETE (DV)", "OPTIMIZE"),
+      s"operations misclassified: ${h.map(_.operation)}")
+    assert(h.forall(_.nFiles > 0) && h.forall(_.rows > 0))
+    // timestamps are non-decreasing and timestamp travel resolves to
+    // the version live at that instant
+    assert(h.sliding(2).forall(p => p(0).timestampMs <= p(1).timestampMs))
+    assert(Manifest.versionAt(spark, dir, afterV1).contains(1))
+    assert(Manifest.versionAt(spark, dir,
+      System.currentTimeMillis()).contains(6))
+    assert(Manifest.versionAt(spark, dir,
+      h.head.timestampMs - 60000).isEmpty)
+    // and the resolved version reads exactly as the numeric one
+    val v = Manifest.versionAt(spark, dir, afterV1).get
+    assert(Layout.contentFingerprint(
+      Manifest.readTable(spark, dir, Some(v))).collect().toSeq ==
+      Layout.contentFingerprint(docs).collect().toSeq)
+  }
+
   test("string stat ranges prune files on lexicographic predicates") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft-mf-str").toString
