@@ -531,23 +531,24 @@ object Manifest {
     // vector DIFF on files present in both snapshots: newly marked
     // positions are deletes; un-marked positions (a vector shrank —
     // not produced by this layer's verbs, handled for symmetry) are
-    // inserts. Only the files the diff names are opened.
-    val commonSet = common.toSet
+    // inserts. Only the FILE LIST is ever collected (bounded by
+    // #files, like all planning here); the positions themselves stay
+    // distributed — a 100 TB delete's million-row diff must not
+    // funnel through the driver.
+    import spark.implicits._
+    val commonBase = common.map(n => n.split('/').last).toDF("file")
     def markedRows(marks: DataFrame): DataFrame = {
-      val diff = marks.collect().map(r => (r.getString(0), r.getLong(1)))
-        .filter { case (f, _) =>
-          commonSet.exists(_.split('/').last == f) }
-      if (diff.isEmpty) {
+      val diff = marks.join(broadcast(commonBase), Seq("file"), "left_semi")
+      val files = diff.select("file").distinct()
+        .collect().map(_.getString(0)).toSet
+      if (files.isEmpty) {
         val base = readTable(spark, dir, Some(toVersion)).filter(lit(false))
         return base
       }
-      val files = diff.map(_._1).toSet
       val names = common.filter(n => files.contains(n.split('/').last))
-      import spark.implicits._
-      val markDf = diff.toSeq.toDF("file", "pos")
       val base = readNames(names)
-      base.join(broadcast(markDf), base("_dv_f") === markDf("file") &&
-          base("_dv_p") === markDf("pos"), "left_semi")
+      base.join(diff, base("_dv_f") === diff("file") &&
+          base("_dv_p") === diff("pos"), "left_semi")
         .drop("_dv_f", "_dv_p")
     }
     // exceptAll is POSITIONAL: pin one canonical column order on every
@@ -587,7 +588,9 @@ object Manifest {
     */
   private[ops] def recordCdc(spark: SparkSession, dir: String,
       version: Int, df: DataFrame): Unit =
-    df.write.mode("overwrite").parquet(cdcDir(dir, version))
+    // cap fragmentation without a shuffle: a targeted delete's record
+    // is small and should not land as one tiny file per scan task
+    df.coalesce(32).write.mode("overwrite").parquet(cdcDir(dir, version))
 
   /** The PER-VERSION change feed between two snapshots: every logical
     * change tagged `_change_type` ('insert' | 'delete'; an update is

@@ -191,9 +191,22 @@ object ManifestSource {
         .filterNot(en => before.contains(en.name))
       // the end-version deletion marks on the added files (rare for a
       // streaming table, exact for correctness): shipped per file so
-      // the reader can skip positions without a join
-      val marks = Manifest.dvMarks(spark, dir, e)
-        .collect().map(r => (r.getString(0), r.getLong(1)))
+      // the reader can skip positions without a join. The collect is
+      // restricted to the WINDOW'S files first — never the whole
+      // table's vector through the driver
+      val addedBase = added.map(_.name.split('/').last)
+      val allMarks = Manifest.dvMarks(spark, dir, e)
+      val marks =
+        (if (addedBase.isEmpty) Array.empty[org.apache.spark.sql.Row]
+         else {
+           val ss = spark
+           import ss.implicits._
+           allMarks.join(
+             org.apache.spark.sql.functions.broadcast(
+               addedBase.toDF("file")), Seq("file"), "left_semi")
+             .collect()
+         })
+        .map(r => (r.getString(0), r.getLong(1)))
         .groupBy(_._1)
       val conf = new SerializableHadoopConf(
         spark.sparkContext.hadoopConfiguration)
