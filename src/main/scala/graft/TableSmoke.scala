@@ -98,6 +98,29 @@ object TableSmoke {
     val remain = ops.Manifest.readTable(spark, srcC).count()
     assert(remain == nRows - marked, s"$remain != $nRows - $marked")
 
+    // streaming-source throughput over the DV table: every committed
+    // row through ManifestSource (record-at-a-time Group decode, the
+    // documented trade for O(delta) streaming batches) with the
+    // deletion marks skipped — rows/sec is the number that says
+    // whether a commit-window consumer keeps up
+    val (streamed, tStream) = time {
+      var n = 0L
+      val q = spark.readStream.format("graft.sources.ManifestSource")
+        .option("path", srcC).load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          n += df.count(); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("graft-tsmoke-ck").toString)
+        .start()
+      q.awaitTermination()
+      n
+    }
+    assert(streamed == nRows - marked,
+      s"stream delivered $streamed, expected ${nRows - marked}")
+
     // metadata scaling: a 10k-file manifest — commit latency (stage +
     // rename + pointer flip) and rectangle-planning latency (ONE
     // snapshot read + in-memory range filter). This is the cost that
@@ -119,6 +142,8 @@ object TableSmoke {
       s""""rewrite_sec":$tRewrite,"rewrite_bytes":$bytesRewrite,""" +
       s""""inplace_sec":$tInPlace,"inplace_bytes":$bytesInPlace,""" +
       s""""dv_sec":$tDv,"dv_bytes":$bytesDv,""" +
+      s""""stream_rows":$streamed,"stream_sec":$tStream,""" +
+      s""""stream_rows_per_sec":${(streamed / tStream).toLong},""" +
       s""""manifest_files":10000,"manifest_commit_sec":$tCommit,""" +
       s""""manifest_plan_sec":$tPlan,"manifest_kept":$keptMeta}""")
     spark.stop()
