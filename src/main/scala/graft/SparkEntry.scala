@@ -1587,6 +1587,47 @@ object SparkEntry {
         ops.Layout.contentFingerprint(s.table(sink))
     },
 
+    // Incremental MATERIALIZED-VIEW maintenance over the change feed —
+    // the workload CDC exists for: a per-source aggregate (count +
+    // content fingerprint) is maintained from its v1 state by folding
+    // ONLY the feed's deltas (insert = +row, delete = -row), never
+    // rescanning the table. O(changes) per refresh at any table size.
+    // The oracle aggregates the symbolic final state directly, so a
+    // single missed/doubled/restated change row breaks the hash.
+    q("ns_cdf_incr",
+      s"""WITH v4 AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN doc_id % 97 = 0 THEN 'u:' || text ELSE text END AS text
+         |  FROM documents
+         |  WHERE NOT (doc_id BETWEEN 100 AND 140) OR doc_id % 97 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 800000, source, 'n:' || text FROM documents
+         |  WHERE doc_id % 193 = 0)
+         |SELECT source::VARCHAR AS source, count(*) AS n_docs,
+         |  sum(${ops.H.duckHash30("doc_id || '|' || text")}
+         |  )::BIGINT AS content_fp
+         |FROM v4 GROUP BY source ORDER BY source""".stripMargin) {
+      (s, dir) =>
+        val src = cdfFixtureDir(s, dir)
+        val h = ops.H.hash30(concat_ws("|", col("doc_id"), col("text")))
+        val base = ops.Manifest.readTable(s, src, version = Some(1))
+          .groupBy(col("source").cast("string").as("source"))
+          .agg(count(lit(1)).as("n0"), sum(h).as("fp0"))
+        val sign = when(col("_change_type") === "insert", lit(1L))
+          .otherwise(lit(-1L))
+        val deltas = ops.Manifest.readChangeFeed(s, src, 1, 4)
+          .groupBy(col("source").cast("string").as("source"))
+          .agg(sum(sign).as("dn"), sum(sign * h).as("dfp"))
+        base.join(deltas, Seq("source"), "full_outer")
+          .select(col("source"),
+            (coalesce(col("n0"), lit(0L)) +
+              coalesce(col("dn"), lit(0L))).as("n_docs"),
+            (coalesce(col("fp0"), lit(0L)) +
+              coalesce(col("dfp"), lit(0L))).as("content_fp"))
+          .filter(col("n_docs") > 0)
+          .orderBy("source")
+    },
+
     // STRING stat ranges in the manifest: a source-clustered layout
     // prunes files on a lexicographic BETWEEN before any file opens —
     // URL/domain/date-string predicates get the same one-metadata-read
