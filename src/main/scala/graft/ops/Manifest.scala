@@ -248,6 +248,22 @@ object Manifest {
       case None => spark.read.parquet(dir)
     }
     val types = src.schema.fields.map(f => f.name -> f.dataType).toMap
+    statCols.foreach { c =>
+      val dt = types.getOrElse(c, throw new IllegalArgumentException(
+        s"stat column $c does not exist in $dir " +
+          s"(have ${types.keys.mkString(", ")})"))
+      val ok = dt match {
+        case StringType | org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+      require(ok,
+        s"stat column $c has unsupported type $dt — manifest ranges " +
+          "cover integral and string columns (convert dates/timestamps " +
+          "to epoch days/micros in a derived column)")
+    }
     val (strCols, numCols) =
       statCols.partition(c => types.get(c).contains(StringType))
     val aggs = count(lit(1)).as("n") +:

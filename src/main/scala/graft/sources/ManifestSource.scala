@@ -73,7 +73,8 @@ class ManifestSource extends TableProvider {
       properties: util.Map[String, String]): Table =
     new ManifestSource.MfTable(properties.get("path"), schema,
       Option(properties.get("maxVersionsPerBatch")).map(_.toInt),
-      Option(properties.get("changeFeed")).exists(_.toBoolean))
+      Option(properties.get("changeFeed")).exists(_.toBoolean),
+      Option(properties.get("startingVersion")).map(_.toInt))
 }
 
 object ManifestSource {
@@ -103,7 +104,8 @@ object ManifestSource {
   }
 
   private[sources] class MfTable(dir: String, schema0: StructType,
-      maxVersions: Option[Int], changeFeed: Boolean)
+      maxVersions: Option[Int], changeFeed: Boolean,
+      startingVersion: Option[Int])
       extends Table with SupportsRead {
     override def name(): String = s"manifest_table($dir)"
     override def schema(): StructType = schema0
@@ -117,7 +119,8 @@ object ManifestSource {
           override def readSchema(): StructType = schema0
           override def toMicroBatchStream(
               checkpointLocation: String): MicroBatchStream =
-            new MfStream(dir, schema0, maxVersions, changeFeed)
+            new MfStream(dir, schema0, maxVersions, changeFeed,
+              startingVersion)
         }
       }
   }
@@ -127,7 +130,8 @@ object ManifestSource {
   }
 
   private[sources] class MfStream(dir: String, schema: StructType,
-      maxVersions: Option[Int], changeFeed: Boolean)
+      maxVersions: Option[Int], changeFeed: Boolean,
+      startingVersion: Option[Int])
       extends MicroBatchStream with SupportsTriggerAvailableNow {
     private def spark = SparkSession.active
 
@@ -161,7 +165,13 @@ object ManifestSource {
     override def reportLatestOffset(): Offset =
       VersionOffset(Manifest.currentVersion(spark, dir).getOrElse(0))
 
-    override def initialOffset(): Offset = VersionOffset(0)
+    /** `startingVersion` skips history: a consumer that bulk-read the
+      * table at version K with [[graft.ops.Manifest.readTable]]
+      * (vectorized) starts the stream at K and receives only later
+      * commits — the backfill-then-follow pattern.
+      */
+    override def initialOffset(): Offset =
+      VersionOffset(startingVersion.getOrElse(0))
 
     override def latestOffset(): Offset =
       VersionOffset(Manifest.currentVersion(spark, dir).getOrElse(0))

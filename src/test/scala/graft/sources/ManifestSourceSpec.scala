@@ -192,6 +192,33 @@ class ManifestSourceSpec extends SparkSpec {
         "partition value intact")
   }
 
+  test("startingVersion skips history: backfill-then-follow consumes later commits only") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text")
+    val dir = tmp("sv")
+    docs.filter(col("doc_id") < 100)
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    Manifest.create(spark, dir, Seq("doc_id"))                       // v1
+    Layout.appendInPlace(spark, dir,
+      docs.filter(col("doc_id").between(100, 120)), Seq("doc_id"))   // v2
+    Layout.appendInPlace(spark, dir,
+      docs.filter(col("doc_id").between(121, 140)), Seq("doc_id"))   // v3
+
+    // a consumer that bulk-read v1 follows from there: only v2+v3 flow
+    val q = spark.readStream.format("graft.sources.ManifestSource")
+      .option("path", dir).option("startingVersion", "1").load()
+      .writeStream.format("memory").queryName("mfsrc_sv")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmp("ckpt-sv"))
+      .start()
+    q.awaitTermination()
+    val got = spark.table("mfsrc_sv")
+    assert(got.count() ==
+      docs.filter(col("doc_id").between(100, 140)).count())
+    assert(got.agg(min("doc_id")).head().getLong(0) >= 100,
+      "the backfilled history must not restream")
+  }
+
   test("changeFeed option streams per-commit change records, not snapshots") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "source", "text")
