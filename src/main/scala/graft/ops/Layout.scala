@@ -491,22 +491,32 @@ object Layout {
   private def alignForWrite(spark: SparkSession, dir: String,
       entries: Seq[ManifestEntry], batch: DataFrame,
       partCols: Seq[String]): (DataFrame, Option[StructType]) = {
-    val fileCols =
+    val fileSchema: Option[StructType] =
       if (entries.nonEmpty)
-        spark.read.parquet(s"$dir/${entries.head.name}").columns.toSeq
+        Some(spark.read.parquet(s"$dir/${entries.head.name}").schema)
       else Manifest.currentVersion(spark, dir)
         .flatMap(Manifest.tableSchema(spark, dir, _))
-        .map(_.fieldNames.toSeq.filterNot(partCols.contains))
-        .getOrElse(throw new IllegalStateException(
-          s"table $dir is empty and has no recorded schema — cannot " +
-            "align a write batch"))
+        .map(s => StructType(s.fields.filterNot(f =>
+          partCols.contains(f.name))))
+    val fileFields = fileSchema.getOrElse(
+      throw new IllegalStateException(
+        s"table $dir is empty and has no recorded schema — cannot " +
+          "align a write batch")).fields.toSeq
+    val fileCols = fileFields.map(_.name)
     val tableCols = fileCols ++ partCols
     val missing = tableCols.filterNot(batch.columns.contains)
     require(missing.isEmpty,
       s"schema mismatch: batch is missing table column(s) " +
         s"${missing.mkString(", ")} of $dir")
     val extras = batch.columns.toSeq.filterNot(tableCols.contains)
-    val aligned = batch.select((fileCols ++ extras ++ partCols).map(col): _*)
+    // EXISTING columns are cast to the table's own types: a batch
+    // carrying a narrower type (INT ids into a BIGINT table) would
+    // otherwise stage files whose physical type silently drifts from
+    // the recorded schema and poison later schema-driven reads
+    val existing = fileFields.map(f => col(f.name).cast(f.dataType)
+      .as(f.name))
+    val aligned = batch.select(
+      (existing ++ extras.map(col) ++ partCols.map(col)): _*)
     (aligned, if (extras.isEmpty) None else Some(aligned.schema))
   }
 

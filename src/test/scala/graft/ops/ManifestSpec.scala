@@ -752,6 +752,18 @@ class ManifestSpec extends SparkSpec {
     // time travel BEFORE the evolution reads the original schema
     assert(!Manifest.readTable(spark, dir, version = Some(1))
       .columns.contains("rev_tag"))
+
+    // a batch with a NARROWER type for an existing column is cast to
+    // the table's type on write — physical types never drift from the
+    // recorded schema
+    val narrow = docs.limit(3)
+      .withColumn("doc_id", (col("doc_id") + 950000L).cast("int"))
+      .withColumn("rev_tag", lit("zz"))
+    Layout.appendInPlace(spark, dir, narrow, Seq("doc_id"))
+    val fin = Manifest.readTable(spark, dir)
+    assert(fin.schema("doc_id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(fin.filter(col("doc_id") >= 950000L).count() == 3)
   }
 
   test("CDC: v_from + inserts - deletes == v_to across delete/upsert/append/compact") {
