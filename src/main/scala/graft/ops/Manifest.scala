@@ -447,8 +447,13 @@ object Manifest {
       strRanges: Seq[(String, String, String)] = Nil): DataFrame =
     prunedPaths(spark, dir, ranges, strRanges) match {
       case Some(paths) if paths.nonEmpty =>
-        subtractDv(spark, dir,
-          spark.read.option("basePath", dir).parquet(paths: _*),
+        // same recorded-schema read as readTable: pre-evolution files
+        // in the pruned set NULL-backfill instead of misreading
+        val rd = spark.read.option("basePath", dir)
+        val withSchema = currentVersion(spark, dir)
+          .flatMap(tableSchema(spark, dir, _))
+          .map(rd.schema).getOrElse(rd)
+        subtractDv(spark, dir, withSchema.parquet(paths: _*),
           currentVersion(spark, dir))
       case Some(_) => read(spark, dir) match {
         case Some(entries) if entries.isEmpty =>
@@ -482,11 +487,14 @@ object Manifest {
       .filterNot(e => fromNames.contains(e.name))
     if (added.isEmpty)
       readTable(spark, dir, Some(toVersion)).filter(lit(false))
-    else
+    else {
+      val rd = spark.read.option("basePath", dir)
+      val withSchema = tableSchema(spark, dir, toVersion)
+        .map(rd.schema).getOrElse(rd)
       subtractDv(spark, dir,
-        spark.read.option("basePath", dir)
-          .parquet(added.map(e => s"$dir/${e.name}"): _*),
+        withSchema.parquet(added.map(e => s"$dir/${e.name}"): _*),
         Some(toVersion))
+    }
   }
 
   /** CHANGE DATA FEED between two versions: every logical row change,
@@ -774,6 +782,11 @@ object Manifest {
           n.stripPrefix("cdc-v").forall(_.isDigit) &&
           n.stripPrefix("cdc-v").toInt < keepFloor)
         fs.delete(st.getPath, true)
+      else if (n.startsWith("commit-v") &&
+          n.stripPrefix("commit-v").forall(_.isDigit) &&
+          n.stripPrefix("commit-v").toInt <= cur)
+        // spent claim tokens: their version landed, the lock is done
+        fs.delete(st.getPath, false)
     }
     removed
   }

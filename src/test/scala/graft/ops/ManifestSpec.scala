@@ -475,6 +475,8 @@ class ManifestSpec extends SparkSpec {
       "a crashed commit's stage dir past its lease must be reclaimed")
     assert(!left.contains("dv-v2") && !left.contains("dv-v3"),
       s"DV dirs of unreachable versions must be reclaimed, left $left")
+    assert(!left.exists(_.startsWith("commit-v")),
+      s"spent claim tokens must be reclaimed, left $left")
     // the live table is untouched
     assert(Manifest.readTable(spark, dir).count() ==
       docs.filter(col("doc_id") >= 20 && col("doc_id") < 200 &&
@@ -752,6 +754,14 @@ class ManifestSpec extends SparkSpec {
     // time travel BEFORE the evolution reads the original schema
     assert(!Manifest.readTable(spark, dir, version = Some(1))
       .columns.contains("rev_tag"))
+
+    // pruned reads apply the recorded schema too: old pruned files
+    // NULL-backfill the evolved column exactly like readTable
+    val pruned = Manifest.readPruned(spark, dir,
+      Seq(("doc_id", 0L, 10L)))
+    assert(pruned.columns.contains("rev_tag") &&
+      pruned.filter(col("doc_id") <= 10 &&
+        col("rev_tag").isNotNull).count() == 0)
 
     // a batch with a NARROWER type for an existing column is cast to
     // the table's type on write — physical types never drift from the
