@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
   TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition,
+import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream,
   Offset, ReadLimit, SupportsTriggerAvailableNow}
@@ -60,8 +60,15 @@ class ManifestSource extends TableProvider {
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val base = ManifestSource.tableSchema(SparkSession.active,
-      pathOf(options))
+    val spark = SparkSession.active
+    val dir = pathOf(options)
+    // an as-of read carries the schema AS OF that version — a
+    // pre-evolution snapshot reads with its own narrower columns
+    val asOf = Option(options.get("versionAsOf")).map(_.toInt)
+      .orElse(Option(options.get("timestampAsOf"))
+        .flatMap(ts => graft.ops.Manifest.versionAt(spark, dir, ts.toLong)))
+    val base = asOf.flatMap(graft.ops.Manifest.tableSchema(spark, dir, _))
+      .getOrElse(ManifestSource.tableSchema(spark, dir))
     if (options.getBoolean("changeFeed", false))
       StructType(base.fields.toSeq :+
         StructField("_change_type", StringType) :+
@@ -74,7 +81,9 @@ class ManifestSource extends TableProvider {
     new ManifestSource.MfTable(properties.get("path"), schema,
       Option(properties.get("maxVersionsPerBatch")).map(_.toInt),
       Option(properties.get("changeFeed")).exists(_.toBoolean),
-      Option(properties.get("startingVersion")).map(_.toInt))
+      Option(properties.get("startingVersion")).map(_.toInt),
+      Option(properties.get("versionAsOf")).map(_.toInt),
+      Option(properties.get("timestampAsOf")).map(_.toLong))
 }
 
 object ManifestSource {
@@ -105,12 +114,14 @@ object ManifestSource {
 
   private[sources] class MfTable(dir: String, schema0: StructType,
       maxVersions: Option[Int], changeFeed: Boolean,
-      startingVersion: Option[Int])
+      startingVersion: Option[Int], versionAsOf: Option[Int],
+      timestampAsOf: Option[Long])
       extends Table with SupportsRead {
     override def name(): String = s"manifest_table($dir)"
     override def schema(): StructType = schema0
     override def capabilities(): util.Set[TableCapability] =
-      util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+      util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+        TableCapability.BATCH_READ)
 
     override def newScanBuilder(
         options: CaseInsensitiveStringMap): ScanBuilder =
@@ -121,6 +132,48 @@ object ManifestSource {
               checkpointLocation: String): MicroBatchStream =
             new MfStream(dir, schema0, maxVersions, changeFeed,
               startingVersion)
+          /** Batch form of the connector — snapshot read with time
+            * travel via `versionAsOf` / `timestampAsOf` (epoch ms).
+            * Uses the same per-file reader as streaming (DV skip,
+            * partition-value injection, evolution backfill); prefer
+            * [[graft.ops.Manifest.readTable]] for bulk scans — this
+            * surface exists so ONE format string covers batch and
+            * stream, Delta-style.
+            */
+          override def toBatch: Batch = new Batch {
+            private val spark = SparkSession.active
+            private val version: Int = versionAsOf
+              .orElse(timestampAsOf.flatMap(ts =>
+                Manifest.versionAt(spark, dir, ts)))
+              .orElse(Manifest.currentVersion(spark, dir))
+              .getOrElse(throw new IllegalArgumentException(
+                s"$dir has no readable version for the asOf options"))
+
+            override def planInputPartitions(): Array[InputPartition] = {
+              val entries = Manifest.readVersion(spark, dir, version)
+                .getOrElse(throw new IllegalArgumentException(
+                  s"no manifest version $version under $dir"))
+              val marks = Manifest.dvMarks(spark, dir, version)
+                .collect().map(r => (r.getString(0), r.getLong(1)))
+                .groupBy(_._1)
+              val conf = new SerializableHadoopConf(
+                spark.sparkContext.hadoopConfiguration)
+              entries.map { en =>
+                val partVals = en.name.split('/').dropRight(1)
+                  .filter(_.contains("="))
+                  .map { seg =>
+                    val Array(k, v) = seg.split("=", 2)
+                    k -> v
+                  }.toMap
+                MfPartition(s"$dir/${en.name}", schema0.json,
+                  marks.getOrElse(en.name.split('/').last, Array.empty)
+                    .map(_._2).sorted,
+                  partVals, conf): InputPartition
+              }.toArray
+            }
+            override def createReaderFactory(): PartitionReaderFactory =
+              new MfReaderFactory
+          }
         }
       }
   }

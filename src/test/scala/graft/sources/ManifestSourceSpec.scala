@@ -192,6 +192,39 @@ class ManifestSourceSpec extends SparkSpec {
         "partition value intact")
   }
 
+  test("batch read through the connector: snapshot, versionAsOf, timestampAsOf") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text")
+    val dir = tmp("batch")
+    docs.repartitionByRange(4, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(dir)
+    Manifest.create(spark, dir, Seq("doc_id"))                       // v1
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(20)
+    Layout.deleteMergeOnRead(spark, dir,
+      col("doc_id").between(10, 30), Seq("doc_id"))                  // v2
+
+    def readFmt(opts: (String, String)*) = {
+      val r = spark.read.format("graft.sources.ManifestSource")
+        .option("path", dir)
+      opts.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }
+        .load()
+    }
+    // current snapshot: DV subtracted, equals readTable
+    assert(Layout.contentFingerprint(readFmt()).collect().toSeq ==
+      Layout.contentFingerprint(Manifest.readTable(spark, dir))
+        .collect().toSeq)
+    // version time travel: the pre-delete table
+    assert(Layout.contentFingerprint(readFmt("versionAsOf" -> "1"))
+      .collect().toSeq ==
+      Layout.contentFingerprint(docs).collect().toSeq)
+    // timestamp time travel resolves to the version live then
+    assert(Layout.contentFingerprint(
+        readFmt("timestampAsOf" -> afterV1.toString)).collect().toSeq ==
+      Layout.contentFingerprint(docs).collect().toSeq)
+  }
+
   test("startingVersion skips history: backfill-then-follow consumes later commits only") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "source", "text")
