@@ -491,13 +491,17 @@ object Layout {
   private def alignForWrite(spark: SparkSession, dir: String,
       entries: Seq[ManifestEntry], batch: DataFrame,
       partCols: Seq[String]): (DataFrame, Option[StructType]) = {
+    // the RECORDED schema is authoritative when present: after an
+    // add-column it carries columns old files lack, and after a
+    // drop-column the files still carry columns the table no longer
+    // has — the physical file schema is right in neither case
     val fileSchema: Option[StructType] =
-      if (entries.nonEmpty)
-        Some(spark.read.parquet(s"$dir/${entries.head.name}").schema)
-      else Manifest.currentVersion(spark, dir)
+      Manifest.currentVersion(spark, dir)
         .flatMap(Manifest.tableSchema(spark, dir, _))
         .map(s => StructType(s.fields.filterNot(f =>
           partCols.contains(f.name))))
+        .orElse(entries.headOption.map(e =>
+          spark.read.parquet(s"$dir/${e.name}").schema))
     val fileFields = fileSchema.getOrElse(
       throw new IllegalStateException(
         s"table $dir is empty and has no recorded schema — cannot " +
@@ -611,6 +615,33 @@ object Layout {
     Manifest.write(spark, dir, (kept ++ newEntries).sortBy(_.name),
       newVersion, claim = Some(claim), schema = evolved)
     (hit.size, entries.size)
+  }
+
+  /** DROP COLUMN — the all-metadata evolution verb: the new snapshot
+    * carries the same file entries verbatim and a schema WITHOUT the
+    * column; every read under the recorded schema simply stops
+    * selecting it (parquet reads any subset of a file's columns), and
+    * write batches stop having to supply it. No data file is touched;
+    * time travel to earlier versions still sees the column. Errors on
+    * partition columns (they are directory structure, not file
+    * payload) and on the last remaining column.
+    */
+  def dropColumn(spark: SparkSession, dir: String, column: String,
+      statCols: Seq[String] = Nil): Unit = {
+    val entries = Manifest.ensure(spark, dir, statCols)
+    val newVersion = Manifest.currentVersion(spark, dir).getOrElse(0) + 1
+    require(!partColsOf(entries).contains(column),
+      s"$column is a partition column of $dir — repartition instead")
+    val schema = Manifest.currentVersion(spark, dir)
+      .flatMap(Manifest.tableSchema(spark, dir, _))
+      .getOrElse(Manifest.readTable(spark, dir).schema)
+    require(schema.fieldNames.contains(column),
+      s"$column does not exist in $dir " +
+        s"(have ${schema.fieldNames.mkString(", ")})")
+    val dropped = StructType(schema.fields.filterNot(_.name == column))
+    require(dropped.nonEmpty, s"cannot drop the last column of $dir")
+    Manifest.write(spark, dir, entries, newVersion,
+      schema = Some(dropped))
   }
 
   /** MERGE-ON-READ delete — the write-cheap path: matching rows are

@@ -699,8 +699,10 @@ object Manifest {
           else if (anyAdded(s"delta-v$v")) "DELETE"
           else if (fs.exists(new Path(dvDir(dir, v)))) "DELETE (DV)"
           else if (anyAdded(s"append-v$v")) "APPEND"
-          else if (entries.map(_.name).toSet == prevNames &&
-            entries.isEmpty && prevNames.isEmpty) "EMPTY"
+          else if (added.isEmpty &&
+            entries.map(_.name).toSet == prevNames &&
+            tableSchema(spark, dir, v) !=
+              tableSchema(spark, dir, v - 1)) "ALTER"
           else if (added.nonEmpty) "APPEND"
           else if (entries.size < prevNames.size) "DELETE"
           else "COMMIT"

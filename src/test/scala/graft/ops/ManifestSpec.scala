@@ -825,6 +825,43 @@ class ManifestSpec extends SparkSpec {
     cdc.unpersist()
   }
 
+  test("DROP COLUMN is a metadata-only commit; history and writes follow") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mf-drop").toString
+    docs.repartitionByRange(4, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(dir)
+    Manifest.create(spark, dir, Seq("doc_id"))                       // v1
+
+    def diskFiles() = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val before = diskFiles()
+    Layout.dropColumn(spark, dir, "lang", Seq("doc_id"))             // v2
+    assert(diskFiles() == before, "a drop must touch no data file")
+    assert(Manifest.readVersion(spark, dir, 2).get ==
+      Manifest.readVersion(spark, dir, 1).get,
+      "entries must transfer verbatim")
+
+    val now = Manifest.readTable(spark, dir)
+    assert(!now.columns.contains("lang"))
+    assert(now.count() == docs.count())
+    // time travel BEFORE the drop still reads the column
+    assert(Manifest.readTable(spark, dir, version = Some(1))
+      .columns.contains("lang"))
+    // a write batch no longer needs (or keeps) the dropped column
+    Layout.appendInPlace(spark, dir,
+      docs.limit(3).drop("lang")
+        .withColumn("doc_id", col("doc_id") + 970000L), Seq("doc_id"))
+    assert(Manifest.readTable(spark, dir).count() == docs.count() + 3)
+    // guards: partition columns and unknown columns refuse
+    intercept[IllegalArgumentException] {
+      Layout.dropColumn(spark, dir, "nope", Seq("doc_id"))
+    }
+    // history labels the schema-only commit
+    assert(Manifest.history(spark, dir).map(_.operation) ==
+      Seq("CREATE", "ALTER", "APPEND"))
+  }
+
   test("change feed: per-commit records, newly-marked-only DV rows, silent compaction") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft-mf-feed").toString
