@@ -1587,6 +1587,50 @@ object SparkEntry {
         ops.Layout.contentFingerprint(s.table(sink))
     },
 
+    // STREAMING CDC REPLICATION capstone: a replica seeded from the
+    // origin's v1 follows the change feed through a real Structured
+    // Streaming query (CdcReplicator: net-per-key batch apply with the
+    // keyed verbs) across a delete + upsert + append history. The
+    // oracle is the origin's symbolic final state — the replica must
+    // converge to it hash-exactly, proving feed contents, ordering,
+    // and keyed application end to end. Idempotent across reps: the
+    // checkpoint remembers the drained windows.
+    q("ns_cdc_replica",
+      s"""WITH v4 AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN doc_id % 97 = 0 THEN 'u:' || text ELSE text END AS text
+         |  FROM documents
+         |  WHERE NOT (doc_id BETWEEN 100 AND 140) OR doc_id % 97 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 800000, source, 'n:' || text FROM documents
+         |  WHERE doc_id % 193 = 0)
+         |SELECT source::VARCHAR AS source, count(*) AS n_docs,
+         |  sum(${ops.H.duckHash30("doc_id || '|' || text")}
+         |  )::BIGINT AS content_fp
+         |FROM v4 GROUP BY source ORDER BY source""".stripMargin) {
+      (s, dir) =>
+        val origin = cdfFixtureDir(s, dir)
+        val replica = layoutDir("docs-cdf-replica", dir)
+        if (ops.Manifest.currentVersion(s, replica).isEmpty) {
+          ops.Manifest.readTable(s, origin, version = Some(1))
+            .repartitionByRange(8, col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite").parquet(replica)
+          ops.Manifest.create(s, replica, Seq("doc_id"))
+        }
+        val q = graft.streaming.CdcReplicator.start(s, origin, replica,
+          "doc_id", layoutDir("docs-cdf-replica-ck", dir),
+          startingVersion = 1, statCols = Seq("doc_id"))
+        q.processAllAvailable()
+        q.stop()
+        ops.Manifest.readTable(s, replica)
+          .groupBy(col("source").cast("string").as("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(ops.H.hash30(concat_ws("|", col("doc_id"), col("text"))))
+              .as("content_fp"))
+          .orderBy("source")
+    },
+
     // Incremental MATERIALIZED-VIEW maintenance over the change feed —
     // the workload CDC exists for: a per-source aggregate (count +
     // content fingerprint) is maintained from its v1 state by folding

@@ -617,6 +617,63 @@ object Layout {
     (hit.size, entries.size)
   }
 
+  /** Keyed IN-PLACE delete — the delete half of [[upsertInPlace]]:
+    * every row whose `keyCol` appears in `keys` is removed, with the
+    * same manifest-pruned affected-file search (only files whose
+    * recorded key range intersects the key set's are scanned),
+    * broadcast anti-join survivors, delta staging, and commit-time
+    * change record. Cost O(affected files + keys); idempotent —
+    * re-deleting absent keys is a metadata-only version bump, which
+    * is what makes a replayed CDC batch safe.
+    * Returns (affectedFiles, totalFiles).
+    */
+  def deleteByKeys(spark: SparkSession, dir: String, keys: DataFrame,
+      keyCol: String, statCols: Seq[String] = Nil): (Int, Int) = {
+    requireNoDvs(spark, dir)
+    val entries = Manifest.ensure(spark, dir, statCols)
+    val newVersion = Manifest.currentVersion(spark, dir).getOrElse(0) + 1
+    val delKeys = keys.select(col(keyCol)).distinct()
+    val rng = delKeys.agg(min(col(keyCol)).cast("long"),
+      max(col(keyCol)).cast("long")).head()
+    val candidates =
+      if (rng.isNullAt(0)) Seq.empty[ManifestEntry]
+      else {
+        val (lo, hi) = (rng.getLong(0), rng.getLong(1))
+        entries.filter(e => e.stats.find(_.col == keyCol)
+          .forall(s => s.max >= lo && s.min <= hi))
+      }
+    val affected =
+      if (candidates.isEmpty) Set.empty[String]
+      else spark.read.option("basePath", dir)
+        .parquet(candidates.map(e => s"$dir/${e.name}"): _*)
+        .select(col(keyCol), input_file_name().as("f"))
+        .join(broadcast(delKeys), Seq(keyCol), "left_semi")
+        .select("f").distinct()
+        .collect().map(r => Manifest.relativize(spark, dir, r.getString(0)))
+        .toSet
+    val (hit, kept) = entries.partition(e => affected.contains(e.name))
+    val claim = Manifest.claimVersion(spark, dir, newVersion)
+    val hitRead = if (hit.isEmpty) null
+      else spark.read.option("basePath", dir)
+        .parquet(hit.map(e => s"$dir/${e.name}"): _*)
+    val deltaEntries =
+      if (hit.isEmpty) Seq.empty
+      else {
+        val names = stageAndRename(spark, dir,
+          hitRead.join(broadcast(delKeys), Seq(keyCol), "left_anti"),
+          partColsOf(hit), s"delta-v$newVersion")
+        statStaged(spark, dir, statCols, names)
+      }
+    Manifest.recordCdc(spark, dir, newVersion,
+      (if (hit.isEmpty)
+        Manifest.readTable(spark, dir).filter(lit(false))
+      else hitRead.join(broadcast(delKeys), Seq(keyCol), "left_semi"))
+        .withColumn("_change_type", lit("delete")))
+    Manifest.write(spark, dir, (kept ++ deltaEntries).sortBy(_.name),
+      newVersion, claim = Some(claim))
+    (hit.size, entries.size)
+  }
+
   /** DROP COLUMN — the all-metadata evolution verb: the new snapshot
     * carries the same file entries verbatim and a schema WITHOUT the
     * column; every read under the recorded schema simply stops
