@@ -125,6 +125,31 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("manifest reads keep parquet pushdown under the recorded schema; DV join broadcasts") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ps-mf").toString
+    docs.repartitionByRange(4, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(dir)
+    Manifest.create(spark, dir, Seq("doc_id"))
+    Layout.deleteMergeOnRead(spark, dir, col("doc_id") === 5L,
+      Seq("doc_id"))
+
+    val p = Manifest.readTable(spark, dir)
+      .filter(col("doc_id").between(10, 20))
+      .queryExecution.executedPlan.toString
+    // the recorded-schema read must NOT cost the scan its pushed
+    // filters — a user-specified schema done wrong would
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(doc_id,10)"), p.take(3000))
+    // and the deletion-vector subtraction stays a broadcast anti-join
+    // (a shuffle here would tax every read of the table)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("every registered query plans cleanly with zero CartesianProducts") {
     // blanket guard: all pair generation must stay broadcast or
     // bucketed — an unconstrained cross product anywhere is the 100 TB
