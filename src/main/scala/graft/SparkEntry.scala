@@ -54,6 +54,60 @@ object SparkEntry {
       java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  /** Register the SQL catalog (graft.sources.GraftCatalog) on the
+    * session under the name `gsql`, idempotently, with a warehouse
+    * keyed to the sf dir. Spark instantiates the catalog lazily on
+    * first reference and caches it per session, so setting the conf
+    * before first use is all the registration there is.
+    */
+  private def sqlCatalogWh(s: SparkSession, dir: String): String = {
+    val wh = layoutDir("sqlcat-wh", dir)
+    if (s.conf.getOption("spark.sql.catalog.gsql").isEmpty) {
+      s.conf.set("spark.sql.catalog.gsql", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gsql.warehouse", wh)
+    }
+    wh
+  }
+
+  /** Build-once fixture: `gsql.nat` CREATEd through SQL and filled by
+    * two INSERT INTO ... SELECT batches (v2: n_nationkey < 13, v3:
+    * the rest) — current state is all of nation; VERSION AS OF 2 is
+    * the first batch. Idempotent via version guards; each step's
+    * commit is atomic, so a crash mid-build re-runs cleanly.
+    */
+  private def sqlCatalogNation(s: SparkSession, dir: String): String = {
+    val t = s"${sqlCatalogWh(s, dir)}/nat"
+    T(s, dir, "nation").createOrReplaceTempView("graft_nation_src")
+    if (ops.Manifest.currentVersion(s, t).isEmpty)
+      s.sql(s"CREATE TABLE gsql.nat (${T(s, dir, "nation").schema.toDDL})")
+    if (ops.Manifest.currentVersion(s, t).contains(1))
+      s.sql("""INSERT INTO gsql.nat
+              |SELECT * FROM graft_nation_src
+              |WHERE n_nationkey < 13""".stripMargin)
+    if (ops.Manifest.currentVersion(s, t).contains(2))
+      s.sql("""INSERT INTO gsql.nat
+              |SELECT * FROM graft_nation_src
+              |WHERE n_nationkey >= 13""".stripMargin)
+    t
+  }
+
+  /** Build-once fixture: `gsql.natov` — full nation at v2, then SQL
+    * INSERT OVERWRITE with only region 2's rows at v3.
+    */
+  private def sqlCatalogNationOv(s: SparkSession, dir: String): String = {
+    val t = s"${sqlCatalogWh(s, dir)}/natov"
+    T(s, dir, "nation").createOrReplaceTempView("graft_nation_src")
+    if (ops.Manifest.currentVersion(s, t).isEmpty)
+      s.sql(s"CREATE TABLE gsql.natov (${T(s, dir, "nation").schema.toDDL})")
+    if (ops.Manifest.currentVersion(s, t).contains(1))
+      s.sql("INSERT INTO gsql.natov SELECT * FROM graft_nation_src")
+    if (ops.Manifest.currentVersion(s, t).contains(2))
+      s.sql("""INSERT OVERWRITE gsql.natov
+              |SELECT n_nationkey, n_name, n_regionkey
+              |FROM graft_nation_src WHERE n_regionkey = 2""".stripMargin)
+    t
+  }
+
   /** Build-once fixture for the in-place delete pair: a doc_id-
     * clustered documents copy whose manifest is committed to v2 by an
     * in-place delete of doc_id 200-260. Both queries (post-delete
@@ -2265,6 +2319,53 @@ object SparkEntry {
         |  json_extract_string(props, '$.k') AS k_str
         |FROM events ORDER BY event_id""".stripMargin) {
       (s, dir) => Functions.variantExtract(T(s, dir, "events"))
+    },
+
+    // SQL CATALOG front door (GraftCatalog): the table was CREATEd and
+    // filled with two SQL INSERT INTO ... SELECT batches through
+    // Spark's CatalogManager; this SELECT resolves the identifier
+    // through the catalog into a manifest-planned scan. The oracle is
+    // the same aggregate over the source table — any row lost or
+    // duplicated across CREATE/INSERT/resolution breaks the compare.
+    q("ns_sql_catalog",
+      """SELECT n_regionkey, count(*) AS n_nations,
+        |  min(n_name) AS first_name, max(n_name) AS last_name
+        |FROM nation GROUP BY n_regionkey
+        |ORDER BY n_regionkey""".stripMargin) {
+      (s, dir) =>
+        sqlCatalogNation(s, dir)
+        s.sql(
+          """SELECT n_regionkey, count(*) AS n_nations,
+            |  min(n_name) AS first_name, max(n_name) AS last_name
+            |FROM gsql.nat GROUP BY n_regionkey
+            |ORDER BY n_regionkey""".stripMargin)
+    },
+
+    // SQL time travel through the catalog: VERSION AS OF pins the
+    // manifest snapshot after the FIRST insert batch — the oracle
+    // re-derives that state symbolically from the source.
+    q("ns_sql_time_travel",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_nationkey < 13 ORDER BY n_nationkey""".stripMargin) {
+      (s, dir) =>
+        sqlCatalogNation(s, dir)
+        s.sql(
+          """SELECT n_nationkey, n_name, n_regionkey
+            |FROM gsql.nat VERSION AS OF 2
+            |ORDER BY n_nationkey""".stripMargin)
+    },
+
+    // SQL INSERT OVERWRITE: the replacement snapshot references only
+    // the new batch's files (old ones stay for time travel); the
+    // current read must see exactly the overwrite batch.
+    q("ns_sql_overwrite",
+      """SELECT n_nationkey, n_name FROM nation
+        |WHERE n_regionkey = 2 ORDER BY n_nationkey""".stripMargin) {
+      (s, dir) =>
+        sqlCatalogNationOv(s, dir)
+        s.sql(
+          """SELECT n_nationkey, n_name FROM gsql.natov
+            |ORDER BY n_nationkey""".stripMargin)
     },
   )
 

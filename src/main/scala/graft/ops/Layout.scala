@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Data-layout management: multi-dimensional clustering (Z-order) and
   * small-file compaction. Neither changes query RESULTS — both change
@@ -834,6 +834,54 @@ object Layout {
     Manifest.write(spark, dir, (entries ++ newEntries).sortBy(_.name),
       newVersion, txn, schema = evolved)
     newEntries.size
+  }
+
+  /** IN-PLACE overwrite — INSERT OVERWRITE for a manifest-managed
+    * table: the batch lands as fresh delta files and the new snapshot
+    * references ONLY them, superseding every prior file (and any live
+    * deletion vector — vectors are per-version, and the new version
+    * has none). Prior files stay on disk for time travel until
+    * [[Manifest.vacuum]]; cost is O(batch), nothing is read. The
+    * batch aligns to the table's recorded schema exactly as
+    * [[appendInPlace]] (missing column = hard error, extra column =
+    * add-column evolution), so a replacement cannot silently drop or
+    * re-type a column. Returns the number of files written.
+    */
+  def overwriteInPlace(spark: SparkSession, dir: String, batch: DataFrame,
+      statCols: Seq[String] = Nil, txn: Option[Long] = None): Int = {
+    if (txn.exists(t => Manifest.lastTxn(spark, dir).exists(_ >= t)))
+      return 0
+    val entries = Manifest.ensure(spark, dir, statCols)
+    val newVersion = Manifest.currentVersion(spark, dir).getOrElse(0) + 1
+    val partCols = partColsOf(entries)
+    val (aligned, evolved) =
+      alignForWrite(spark, dir, entries, batch, partCols)
+    val names = stageAndRename(spark, dir, aligned,
+      partCols, s"overwrite-v$newVersion")
+    val newEntries = statStaged(spark, dir, statCols, names)
+    Manifest.write(spark, dir, newEntries.sortBy(_.name),
+      newVersion, txn, schema = evolved)
+    newEntries.size
+  }
+
+  /** ADD COLUMN as a METADATA-ONLY commit — the mirror of
+    * [[dropColumn]]: the recorded schema gains `field` (stored
+    * nullable, as all recorded fields are), no data file is touched,
+    * and every existing file NULL-backfills the column at read through
+    * the snapshot's schema. Later write batches may supply it (they
+    * align by name). Errors if the column already exists.
+    */
+  def addColumn(spark: SparkSession, dir: String,
+      field: StructField, statCols: Seq[String] = Nil): Unit = {
+    val entries = Manifest.ensure(spark, dir, statCols)
+    val newVersion = Manifest.currentVersion(spark, dir).getOrElse(0) + 1
+    val schema = Manifest.currentVersion(spark, dir)
+      .flatMap(Manifest.tableSchema(spark, dir, _))
+      .getOrElse(Manifest.readTable(spark, dir).schema)
+    require(!schema.fieldNames.contains(field.name),
+      s"column ${field.name} already exists in $dir")
+    Manifest.write(spark, dir, entries, newVersion,
+      schema = Some(StructType(schema.fields :+ field.copy(nullable = true))))
   }
 
   /** IN-PLACE compaction — OPTIMIZE for a manifest-managed table,

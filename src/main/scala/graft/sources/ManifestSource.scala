@@ -8,8 +8,11 @@ import org.apache.parquet.hadoop.ParquetReader
 import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
-  TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite,
+  Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo,
+  SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
@@ -116,12 +119,41 @@ object ManifestSource {
       maxVersions: Option[Int], changeFeed: Boolean,
       startingVersion: Option[Int], versionAsOf: Option[Int],
       timestampAsOf: Option[Long])
-      extends Table with SupportsRead {
+      extends Table with SupportsRead with SupportsWrite {
     override def name(): String = s"manifest_table($dir)"
     override def schema(): StructType = schema0
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
-        TableCapability.BATCH_READ)
+        TableCapability.BATCH_READ,
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+    /** SQL `INSERT INTO` / `INSERT OVERWRITE` through the catalog.
+      * The V1 write bridge hands over the batch as ONE DataFrame whose
+      * write runs as a normal distributed job inside the layout verbs
+      * — [[graft.ops.Layout.appendInPlace]] stages delta files and
+      * commits O(batch); truncate-mode routes to
+      * [[graft.ops.Layout.overwriteInPlace]], whose new snapshot
+      * supersedes every prior file without reading any. Both inherit
+      * the manifest's first-writer-wins commit protocol, so concurrent
+      * SQL inserts serialize exactly like programmatic ones.
+      */
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      new WriteBuilder with SupportsTruncate {
+        private var overwrite = false
+        override def truncate(): WriteBuilder = { overwrite = true; this }
+        override def build(): Write = new V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: org.apache.spark.sql.Dataset[
+                  org.apache.spark.sql.Row], ignored: Boolean): Unit = {
+                val s = data.sparkSession
+                if (overwrite) graft.ops.Layout.overwriteInPlace(
+                  s, dir, data.toDF())
+                else graft.ops.Layout.appendInPlace(s, dir, data.toDF())
+              }
+            }
+        }
+      }
 
     override def newScanBuilder(
         options: CaseInsensitiveStringMap): ScanBuilder =

@@ -1,0 +1,126 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+
+import graft.SparkSpec
+import graft.ops.Manifest
+
+/** The SQL front door: full lifecycle through [[GraftCatalog]] —
+  * CREATE / INSERT INTO / INSERT OVERWRITE / SELECT / time travel /
+  * ALTER ADD+DROP COLUMN / RENAME / SHOW / DROP — every verb resolved
+  * by Spark's CatalogManager into the manifest layer's own commits.
+  */
+class CatalogSpec extends SparkSpec {
+
+  private lazy val wh = {
+    val d = Files.createTempDirectory("graft-cat-spec").toString
+    spark.conf.set("spark.sql.catalog.gtest",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gtest.warehouse", d)
+    d
+  }
+
+  private def rows(sqlText: String): Seq[Row] =
+    spark.sql(sqlText).collect().toSeq
+
+  test("create, insert, select, overwrite, drop — full SQL lifecycle") {
+    wh
+    spark.sql("CREATE NAMESPACE gtest.db")
+    spark.sql("CREATE TABLE gtest.db.t (id BIGINT, name STRING)")
+    // CREATE commits an empty v1 snapshot carrying the schema
+    assert(rows("SELECT * FROM gtest.db.t").isEmpty)
+    assert(Manifest.currentVersion(spark, s"$wh/db/t").contains(1))
+
+    spark.sql("INSERT INTO gtest.db.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO gtest.db.t VALUES (3, 'c')")
+    assert(rows("SELECT id, name FROM gtest.db.t ORDER BY id") ==
+      Seq(Row(1L, "a"), Row(2L, "b"), Row(3L, "c")))
+    assert(Manifest.currentVersion(spark, s"$wh/db/t").contains(3))
+
+    // time travel: v2 is the state after the first insert
+    assert(rows("SELECT id FROM gtest.db.t VERSION AS OF 2 ORDER BY id")
+      .map(_.getLong(0)) == Seq(1L, 2L))
+
+    spark.sql("INSERT OVERWRITE gtest.db.t VALUES (9, 'z')")
+    assert(rows("SELECT id, name FROM gtest.db.t") == Seq(Row(9L, "z")))
+    // overwrite superseded the old files but kept them for time travel
+    assert(rows("SELECT count(*) FROM gtest.db.t VERSION AS OF 3")
+      .head.getLong(0) == 3L)
+
+    assert(spark.sql("SHOW TABLES IN gtest.db").collect()
+      .map(_.getString(1)).toSeq == Seq("t"))
+    spark.sql("DROP TABLE gtest.db.t")
+    assert(spark.sql("SHOW TABLES IN gtest.db").collect().isEmpty)
+  }
+
+  test("insert casts to table types and rejects missing columns") {
+    wh
+    spark.sql("CREATE TABLE gtest.db.cast_t (id BIGINT, v DOUBLE)")
+    // INT/DECIMAL literals arrive narrower than the table's types —
+    // the write path casts to the recorded schema
+    spark.sql("INSERT INTO gtest.db.cast_t VALUES (CAST(1 AS INT), 2)")
+    val sch = spark.table("gtest.db.cast_t").schema
+    assert(sch.fields.map(f => f.name -> f.dataType.simpleString).toSeq ==
+      Seq("id" -> "bigint", "v" -> "double"))
+    assert(rows("SELECT id, v FROM gtest.db.cast_t") == Seq(Row(1L, 2.0)))
+    spark.sql("DROP TABLE gtest.db.cast_t")
+  }
+
+  test("ALTER TABLE ADD/DROP COLUMN are metadata-only commits") {
+    wh
+    spark.sql("CREATE TABLE gtest.db.alter_t (id BIGINT, tag STRING)")
+    spark.sql("INSERT INTO gtest.db.alter_t VALUES (1, 'x')")
+    val vBefore = Manifest.currentVersion(spark, s"$wh/db/alter_t").get
+
+    spark.sql("ALTER TABLE gtest.db.alter_t ADD COLUMN score DOUBLE")
+    // pre-evolution file NULL-backfills the new column
+    assert(rows("SELECT id, tag, score FROM gtest.db.alter_t") ==
+      Seq(Row(1L, "x", null)))
+    spark.sql("INSERT INTO gtest.db.alter_t VALUES (2, 'y', 0.5)")
+    assert(rows(
+      "SELECT score FROM gtest.db.alter_t WHERE id = 2") ==
+      Seq(Row(0.5)))
+
+    spark.sql("ALTER TABLE gtest.db.alter_t DROP COLUMN tag")
+    assert(spark.table("gtest.db.alter_t").columns.toSeq ==
+      Seq("id", "score"))
+    // both ALTERs commit snapshots that reference the same data files
+    val entriesNow = Manifest.read(spark, s"$wh/db/alter_t").get
+    val entriesThen =
+      Manifest.readVersion(spark, s"$wh/db/alter_t", vBefore).get
+    assert(entriesThen.map(_.name).toSet.subsetOf(
+      entriesNow.map(_.name).toSet))
+    // time travel still sees the dropped column
+    assert(rows(
+      s"SELECT tag FROM gtest.db.alter_t VERSION AS OF $vBefore") ==
+      Seq(Row("x")))
+    spark.sql("DROP TABLE gtest.db.alter_t")
+  }
+
+  test("rename and namespace listing") {
+    wh
+    spark.sql("CREATE TABLE gtest.db.r1 (id BIGINT)")
+    spark.sql("INSERT INTO gtest.db.r1 VALUES (7)")
+    spark.sql("ALTER TABLE gtest.db.r1 RENAME TO db.r2")
+    assert(rows("SELECT id FROM gtest.db.r2") == Seq(Row(7L)))
+    assert(!spark.catalog.tableExists("gtest.db.r1"))
+    spark.sql("DROP TABLE gtest.db.r2")
+  }
+
+  test("timestamp time travel resolves through commit history") {
+    wh
+    spark.sql("CREATE TABLE gtest.db.ts_t (id BIGINT)")
+    spark.sql("INSERT INTO gtest.db.ts_t VALUES (1)")
+    val afterV2 = Manifest.history(spark, s"$wh/db/ts_t")
+      .find(_.version == 2).get.timestampMs
+    Thread.sleep(1100)
+    spark.sql("INSERT INTO gtest.db.ts_t VALUES (2)")
+    val ts = new java.sql.Timestamp(afterV2 + 500).toString
+    assert(rows(
+      s"SELECT id FROM gtest.db.ts_t TIMESTAMP AS OF '$ts'")
+      .map(_.getLong(0)) == Seq(1L))
+    spark.sql("DROP TABLE gtest.db.ts_t")
+  }
+}
