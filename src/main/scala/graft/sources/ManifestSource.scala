@@ -4,18 +4,23 @@ import java.util
 
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.example.data.Group
-import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.api.ReadSupport
 import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.MessageType
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite,
   Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo,
   SupportsTruncate, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
+  GreaterThanOrEqual, In, InsertableRelation, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
-  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
+  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream,
   Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
@@ -147,19 +152,57 @@ object ManifestSource {
               override def insert(data: org.apache.spark.sql.Dataset[
                   org.apache.spark.sql.Row], ignored: Boolean): Unit = {
                 val s = data.sparkSession
+                // record ranges for every integral/string column of
+                // the batch (the Delta/Iceberg default of stats-on-
+                // write) — they are what the scan's file pruning and
+                // the keyed maintenance verbs plan with; cost is one
+                // pass over the freshly staged files only
+                val statCols = data.schema.fields.collect {
+                  case f if f.dataType == IntegerType ||
+                      f.dataType == LongType || f.dataType == ShortType ||
+                      f.dataType == ByteType ||
+                      f.dataType == StringType => f.name
+                }.toSeq
                 if (overwrite) graft.ops.Layout.overwriteInPlace(
-                  s, dir, data.toDF())
-                else graft.ops.Layout.appendInPlace(s, dir, data.toDF())
+                  s, dir, data.toDF(), statCols)
+                else graft.ops.Layout.appendInPlace(
+                  s, dir, data.toDF(), statCols)
               }
             }
         }
       }
 
+    /** The batch scan prunes twice before any file opens, both from
+      * metadata the driver already holds:
+      *  - FILES: pushed filters on stat columns intersect each entry's
+      *    recorded min/max ranges — a file provably outside every
+      *    conjunct is skipped ([[Manifest.prunedPaths]] semantics,
+      *    pinned to the scanned version). All filters are also kept
+      *    post-scan (Spark re-evaluates them), so pruning is pure
+      *    skipping, never a correctness dependency.
+      *  - COLUMNS: the required schema narrows the parquet projection
+      *    per file (intersected with the file's own footer schema, so
+      *    pre-evolution files project only what they have) — a
+      *    2-column SELECT over a 30-column table decodes 2 columns.
+      */
     override def newScanBuilder(
         options: CaseInsensitiveStringMap): ScanBuilder =
-      new ScanBuilder {
+      new ScanBuilder with SupportsPushDownFilters
+          with SupportsPushDownRequiredColumns {
+        private var pushed: Array[Filter] = Array.empty
+        private var required: StructType = schema0
+
+        override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+          pushed = filters.filter(usableForPruning)
+          filters // every filter is re-evaluated post-scan
+        }
+        override def pushedFilters(): Array[Filter] = pushed
+
+        override def pruneColumns(requiredSchema: StructType): Unit =
+          required = requiredSchema
+
         override def build(): Scan = new Scan {
-          override def readSchema(): StructType = schema0
+          override def readSchema(): StructType = required
           override def toMicroBatchStream(
               checkpointLocation: String): MicroBatchStream =
             new MfStream(dir, schema0, maxVersions, changeFeed,
@@ -185,6 +228,7 @@ object ManifestSource {
               val entries = Manifest.readVersion(spark, dir, version)
                 .getOrElse(throw new IllegalArgumentException(
                   s"no manifest version $version under $dir"))
+                .filter(entrySurvives(_, pushed))
               val marks = Manifest.dvMarks(spark, dir, version)
                 .collect().map(r => (r.getString(0), r.getLong(1)))
                 .groupBy(_._1)
@@ -197,7 +241,7 @@ object ManifestSource {
                     val Array(k, v) = seg.split("=", 2)
                     k -> v
                   }.toMap
-                MfPartition(s"$dir/${en.name}", schema0.json,
+                MfPartition(s"$dir/${en.name}", required.json,
                   marks.getOrElse(en.name.split('/').last, Array.empty)
                     .map(_._2).sorted,
                   partVals, conf): InputPartition
@@ -208,6 +252,83 @@ object ManifestSource {
           }
         }
       }
+  }
+
+  /** Filters this source can turn into per-file range prunes: simple
+    * comparisons and IN on a top-level column. (Translation happens in
+    * [[entrySurvives]]; anything else is left to post-scan eval.)
+    */
+  private def usableForPruning(f: Filter): Boolean = f match {
+    case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
+         _: LessThan | _: LessThanOrEqual | _: In => true
+    case _ => false
+  }
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case _ => None
+  }
+
+  /** Can `entry` contain rows matching every pushed filter? Mirrors
+    * [[Manifest.prunedPaths]]: a file with no recorded stats for a
+    * column is KEPT — pruning only ever skips provably-empty files.
+    */
+  private[sources] def entrySurvives(entry: graft.ops.ManifestEntry,
+      filters: Array[Filter]): Boolean = filters.forall { f =>
+    def num(col: String)(keep: (Long, Long) => Boolean): Boolean =
+      entry.stats.find(_.col == col).forall(s => keep(s.min, s.max))
+    def str(col: String)(keep: (String, String) => Boolean): Boolean =
+      entry.sstats.getOrElse(Nil).find(_.col == col)
+        .forall(s => keep(s.min, s.max))
+    f match {
+      case EqualTo(c, v) => asLong(v) match {
+        case Some(l) => num(c)((lo, hi) => lo <= l && l <= hi)
+        case None => v match {
+          case s: String => str(c)((lo, hi) => lo <= s && s <= hi)
+          case _ => true
+        }
+      }
+      case GreaterThan(c, v) => asLong(v) match {
+        case Some(l) => num(c)((_, hi) => hi > l)
+        case None => v match {
+          case s: String => str(c)((_, hi) => hi > s)
+          case _ => true
+        }
+      }
+      case GreaterThanOrEqual(c, v) => asLong(v) match {
+        case Some(l) => num(c)((_, hi) => hi >= l)
+        case None => v match {
+          case s: String => str(c)((_, hi) => hi >= s)
+          case _ => true
+        }
+      }
+      case LessThan(c, v) => asLong(v) match {
+        case Some(l) => num(c)((lo, _) => lo < l)
+        case None => v match {
+          case s: String => str(c)((lo, _) => lo < s)
+          case _ => true
+        }
+      }
+      case LessThanOrEqual(c, v) => asLong(v) match {
+        case Some(l) => num(c)((lo, _) => lo <= l)
+        case None => v match {
+          case s: String => str(c)((lo, _) => lo <= s)
+          case _ => true
+        }
+      }
+      case In(c, vs) =>
+        val longs = vs.flatMap(asLong(_))
+        if (longs.length == vs.length && vs.nonEmpty)
+          num(c)((lo, hi) => longs.exists(l => lo <= l && l <= hi))
+        else if (vs.nonEmpty && vs.forall(_.isInstanceOf[String]))
+          str(c)((lo, hi) =>
+            vs.exists(v => lo <= v.toString && v.toString <= hi))
+        else true
+      case _ => true
+    }
   }
 
   private[sources] case class VersionOffset(v: Int) extends Offset {
@@ -403,9 +524,32 @@ object ManifestSource {
       val schema = DataType.fromJson(mp.schemaJson).asInstanceOf[StructType]
       val skip = mp.skipPositions.toSet
       new PartitionReader[InternalRow] {
+        /** Parquet-level column projection: decode only the requested
+          * columns, intersected with THIS file's footer schema (a
+          * pre-evolution file projects only the fields it has; its
+          * missing ones NULL-backfill in [[get]]). An empty
+          * intersection (count(*), or partition columns only) keeps
+          * one physical column so rows still iterate.
+          */
+        private val conf = {
+          val c = new org.apache.hadoop.conf.Configuration(mp.conf.value)
+          val footer = ParquetFileReader.open(
+            HadoopInputFile.fromPath(new Path(mp.file), c))
+          val fileSchema = try footer.getFileMetaData.getSchema
+            finally footer.close()
+          import scala.jdk.CollectionConverters._
+          val want = schema.fields.map(_.name).toSet -- mp.partVals.keySet
+          val kept = fileSchema.getFields.asScala.filter(f =>
+            want.contains(f.getName))
+          val proj = if (kept.isEmpty) fileSchema.getFields.asScala.take(1)
+            else kept
+          c.set(ReadSupport.PARQUET_READ_SCHEMA,
+            new MessageType(fileSchema.getName, proj.asJava).toString)
+          c
+        }
         private val reader: ParquetReader[Group] =
           ParquetReader.builder(new GroupReadSupport(),
-            new Path(mp.file)).withConf(mp.conf.value).build()
+            new Path(mp.file)).withConf(conf).build()
         private var cur: Group = _
         private var pos = -1L
 

@@ -109,6 +109,42 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE gtest.db.r2")
   }
 
+  test("pushed filters prune files; projection narrows the scan schema") {
+    wh
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    spark.sql("CREATE TABLE gtest.db.prune_t (id BIGINT, v STRING)")
+    spark.sql("""INSERT INTO gtest.db.prune_t
+                |SELECT id, concat('x', id) FROM range(0, 1000)""".stripMargin)
+    spark.sql("""INSERT INTO gtest.db.prune_t
+                |SELECT id, concat('x', id) FROM range(5000, 6000)""".stripMargin)
+
+    def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec =
+      df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case b: BatchScanExec => b }.get
+    def nFiles(df: org.apache.spark.sql.DataFrame): Int =
+      scanOf(df).partitions.flatten.size
+
+    val all = spark.sql("SELECT * FROM gtest.db.prune_t")
+    val hit = spark.sql("SELECT * FROM gtest.db.prune_t WHERE id = 5500")
+    // the equality prunes every first-batch file (ids 0..999) from
+    // manifest ranges alone — strictly fewer files planned
+    assert(nFiles(hit) < nFiles(all),
+      s"pruned scan plans ${nFiles(hit)} of ${nFiles(all)} files")
+    assert(hit.collect().map(_.getLong(0)).toSeq == Seq(5500L))
+    // and a pruned-to-empty scan still answers correctly
+    assert(spark.sql(
+      "SELECT * FROM gtest.db.prune_t WHERE id = 99999").count() == 0)
+
+    // column pruning reaches the scan's read schema
+    val narrow = spark.sql("SELECT v FROM gtest.db.prune_t")
+    assert(scanOf(narrow).scan.readSchema().fieldNames.toSeq == Seq("v"))
+    assert(narrow.count() == 2000)
+    // count(*) pushes an EMPTY projection and rows still iterate
+    assert(spark.sql("SELECT count(*) FROM gtest.db.prune_t")
+      .head.getLong(0) == 2000L)
+    spark.sql("DROP TABLE gtest.db.prune_t")
+  }
+
   test("timestamp time travel resolves through commit history") {
     wh
     spark.sql("CREATE TABLE gtest.db.ts_t (id BIGINT)")
