@@ -108,6 +108,20 @@ object SparkEntry {
     t
   }
 
+  /** Build-once fixture: orders + lineitem as BUCKETED tables (8
+    * buckets on the order key, sorted within buckets), registered in
+    * the session catalog with external data under layoutDir. The
+    * co-located join query reads them shuffle-free; see
+    * [[ops.Bucketing]] for the 100 TB rationale.
+    */
+  private def bucketedPair(s: SparkSession, dir: String): Unit =
+    if (!s.catalog.tableExists("g_orders_b")) {
+      ops.Bucketing.writeBucketed(T(s, dir, "orders"), "g_orders_b",
+        layoutDir("orders-bucketed", dir), 8, "o_orderkey")
+      ops.Bucketing.writeBucketed(T(s, dir, "lineitem"), "g_lineitem_b",
+        layoutDir("lineitem-bucketed", dir), 8, "l_orderkey")
+    }
+
   /** Build-once fixture for the in-place delete pair: a doc_id-
     * clustered documents copy whose manifest is committed to v2 by an
     * in-place delete of doc_id 200-260. Both queries (post-delete
@@ -2319,6 +2333,26 @@ object SparkEntry {
         |  json_extract_string(props, '$.k') AS k_str
         |FROM events ORDER BY event_id""".stripMargin) {
       (s, dir) => Functions.variantExtract(T(s, dir, "events"))
+    },
+
+    // CO-LOCATED JOIN over bucketed tables: both facts are hash-
+    // clustered on the order key (8 buckets, sorted), so the join and
+    // the keyed aggregate plan with ZERO Exchange nodes
+    // (BucketedJoinSpec pins the plan) — the shuffle the oracle's
+    // plain join pays on both sides every run is pre-paid once at
+    // layout time. The result is identical; only the plan differs.
+    q("ns_bucketed_join",
+      """SELECT o.o_orderkey, o.o_orderpriority,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+        |    AS revenue,
+        |  count(*) AS n_lines
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey % 100 = 0
+        |GROUP BY o.o_orderkey, o.o_orderpriority
+        |ORDER BY o.o_orderkey""".stripMargin) {
+      (s, dir) =>
+        bucketedPair(s, dir)
+        ops.Bucketing.revenuePerOrder(s, "g_orders_b", "g_lineitem_b")
     },
 
     // SQL CATALOG front door (GraftCatalog): the table was CREATEd and

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bucketed (hash-clustered) tables and the shuffle-free co-located
+  * join they buy — THE layout decision for repeated big-to-big joins
+  * at 100 TB.
+  *
+  * A `groupBy`/`join` on un-clustered tables shuffles BOTH sides on
+  * the key every time it runs: at 100 TB that is the dominant cost of
+  * a fact-to-fact join, re-paid per query. Bucketing pays one
+  * hash-partitioned write (`bucketBy(n, key).sortBy(key)`) and records
+  * the clustering in the catalog; every later equi-join or aggregation
+  * on the key reads both sides already co-partitioned — Catalyst plans
+  * a SortMergeJoin with ZERO Exchange nodes (BucketedJoinSpec pins
+  * this), and with `sortBy` the per-bucket sort is pre-paid too, so
+  * the join degenerates to a streaming merge of co-located files.
+  *
+  * Sizing rule at scale: buckets ≈ table size / target partition size
+  * (e.g. 100 TB / 256 MB ≈ 400k — cap by directory-entry budget and
+  * use bucket-pruning-friendly key spaces); both sides of a recurring
+  * join MUST agree on bucket count and key, which is a data-contract
+  * decision, not a per-query one.
+  *
+  * Reference parity: the reference engine has no persistent clustered
+  * layout — every join re-partitions in memory
+  * (`frame_tasks/frames.py` merge path); this module is the
+  * Spark-native upgrade that makes the Nth join free instead of the
+  * first one cheap.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed+sorted table registered under `table`
+    * with its files at `path` (external, so data survives the
+    * session's in-memory catalog). Overwrites any prior layout.
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      buckets: Int, key: String): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Revenue per order over two bucketed fact tables — the co-located
+    * join shape. Both sides are read through their bucket metadata:
+    * no Exchange on either input, aggregation reuses the join's
+    * clustering (o_orderkey is a superset of the bucket key), so the
+    * whole plan runs shuffle-free end to end.
+    */
+  def revenuePerOrder(spark: SparkSession, ordersTable: String,
+      lineitemTable: String): DataFrame = {
+    val o = spark.table(ordersTable)
+    val l = spark.table(lineitemTable)
+    o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .filter(col("o_orderkey") % 100 === 0)
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+        2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderkey"))
+  }
+}
