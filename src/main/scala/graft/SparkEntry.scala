@@ -91,6 +91,29 @@ object SparkEntry {
     t
   }
 
+  /** Build-once fixture: `gsql.docsdel` — documents at v2, then a SQL
+    * merge-on-read DELETE (v3: every doc_id divisible by 7 marked in
+    * the deletion vector, no file rewritten).
+    */
+  private def sqlCatalogDocsDel(s: SparkSession, dir: String): String = {
+    val t = s"${sqlCatalogWh(s, dir)}/docsdel"
+    if (ops.Manifest.currentVersion(s, t).isEmpty) {
+      val src = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      src.createOrReplaceTempView("graft_docs_src")
+      s.sql(s"CREATE TABLE gsql.docsdel (${src.schema.toDDL})")
+    }
+    if (ops.Manifest.currentVersion(s, t).contains(1)) {
+      T(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .createOrReplaceTempView("graft_docs_src")
+      s.sql("INSERT INTO gsql.docsdel SELECT * FROM graft_docs_src")
+    }
+    if (ops.Manifest.currentVersion(s, t).contains(2))
+      s.sql("DELETE FROM gsql.docsdel WHERE doc_id % 7 = 0")
+    t
+  }
+
   /** Build-once fixture: `gsql.natov` — full nation at v2, then SQL
     * INSERT OVERWRITE with only region 2's rows at v3.
     */
@@ -2387,6 +2410,27 @@ object SparkEntry {
           """SELECT n_nationkey, n_name, n_regionkey
             |FROM gsql.nat VERSION AS OF 2
             |ORDER BY n_nationkey""".stripMargin)
+    },
+
+    // SQL DELETE FROM (merge-on-read): the WHERE was translated into
+    // deletion-vector marks — O(matches) metadata, zero files
+    // rewritten — and every later read subtracts them. The oracle
+    // derives the post-delete state symbolically; a mark lost,
+    // doubled, or mis-positioned breaks the per-source fingerprint.
+    q("ns_sql_delete",
+      s"""SELECT source::VARCHAR AS source, count(*) AS n_docs,
+         |  sum(${ops.H.duckHash30("doc_id || '|' || text")}
+         |  )::BIGINT AS content_fp
+         |FROM documents WHERE doc_id % 7 <> 0
+         |GROUP BY source ORDER BY source""".stripMargin) {
+      (s, dir) =>
+        sqlCatalogDocsDel(s, dir)
+        s.sql("SELECT source, doc_id, text FROM gsql.docsdel")
+          .groupBy(col("source").cast("string").as("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(ops.H.hash30(concat_ws("|", col("doc_id"), col("text"))))
+              .as("content_fp"))
+          .orderBy("source")
     },
 
     // SQL INSERT OVERWRITE: the replacement snapshot references only

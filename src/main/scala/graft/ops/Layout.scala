@@ -816,23 +816,40 @@ object Layout {
     * a replayed micro-batch (foreachBatch re-delivery after a crash)
     * sees `lastTxn >= batchId` and becomes a no-op — there is no
     * window where data is visible but its txn is not.
+    *
+    * Live deletion vectors CARRY FORWARD: an append doesn't touch
+    * existing files, so the previous version's marks stay exactly
+    * valid — they are copied to the new version's vector under the
+    * commit claim (a DELETE-then-INSERT SQL sequence composes without
+    * a flush in between; only the REWRITING verbs require one).
     * Returns the number of files added (0 for a replay).
     */
   def appendInPlace(spark: SparkSession, dir: String, batch: DataFrame,
       statCols: Seq[String] = Nil, txn: Option[Long] = None): Int = {
     if (txn.exists(t => Manifest.lastTxn(spark, dir).exists(_ >= t)))
       return 0
-    requireNoDvs(spark, dir)
     val entries = Manifest.ensure(spark, dir, statCols)
-    val newVersion = Manifest.currentVersion(spark, dir).getOrElse(0) + 1
+    val v = Manifest.currentVersion(spark, dir).getOrElse(0)
+    val newVersion = v + 1
     val partCols = partColsOf(entries)
     val (aligned, evolved) =
       alignForWrite(spark, dir, entries, batch, partCols)
     val names = stageAndRename(spark, dir, aligned,
       partCols, s"append-v$newVersion")
     val newEntries = statStaged(spark, dir, statCols, names)
+    val claim =
+      if (!Manifest.hasDeletionVectors(spark, dir)) None
+      else {
+        // claim BEFORE writing dv-v{K+1}: a lost commit race must not
+        // leave an orphan vector the winner's snapshot appears to own
+        val c = Manifest.claimVersion(spark, dir, newVersion)
+        Manifest.dvMarks(spark, dir, v).coalesce(1)
+          .write.mode("overwrite")
+          .parquet(Manifest.dvDir(dir, newVersion))
+        Some(c)
+      }
     Manifest.write(spark, dir, (entries ++ newEntries).sortBy(_.name),
-      newVersion, txn, schema = evolved)
+      newVersion, txn, claim = claim, schema = evolved)
     newEntries.size
   }
 

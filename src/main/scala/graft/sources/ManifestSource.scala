@@ -11,13 +11,17 @@ import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.schema.MessageType
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite,
-  Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead,
+  SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo,
   SupportsTruncate, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
-  GreaterThanOrEqual, In, InsertableRelation, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, And, EqualNullSafe,
+  EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, InsertableRelation,
+  IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or, StringContains,
+  StringEndsWith, StringStartsWith}
+import org.apache.spark.sql.connector.expressions.{GeneralScalarExpression,
+  Literal => V2Literal, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
   SupportsPushDownFilters, SupportsPushDownRequiredColumns}
@@ -124,8 +128,44 @@ object ManifestSource {
       maxVersions: Option[Int], changeFeed: Boolean,
       startingVersion: Option[Int], versionAsOf: Option[Int],
       timestampAsOf: Option[Long])
-      extends Table with SupportsRead with SupportsWrite {
+      extends Table with SupportsRead with SupportsWrite
+      with SupportsDelete {
     override def name(): String = s"manifest_table($dir)"
+
+    /** SQL `DELETE FROM ... WHERE ...` — MERGE-ON-READ: matching rows
+      * are marked in the snapshot's deletion vector
+      * ([[graft.ops.Layout.deleteMergeOnRead]]), O(matches) metadata
+      * with no file rewritten — the write-cheap delete a 100 TB table
+      * needs. Accepted only when every conjunct translates to a
+      * Column predicate ([[ManifestSource.filterToColumn]]); Spark
+      * falls back to an analysis error otherwise, never to a silent
+      * partial delete.
+      */
+    override def canDeleteWhere(filters: Array[Filter]): Boolean =
+      filters.forall(ManifestSource.filterToColumn(_).isDefined)
+
+    override def deleteWhere(filters: Array[Filter]): Unit = {
+      val spark = SparkSession.active
+      val pred = filters.flatMap(ManifestSource.filterToColumn)
+        .reduceOption(_ && _)
+        .getOrElse(org.apache.spark.sql.functions.lit(true))
+      graft.ops.Layout.deleteMergeOnRead(spark, dir, pred)
+    }
+
+    // Spark hands modern DELETEs over as V2 Predicates, which carry
+    // arithmetic/function shapes the V1 Filter API cannot (e.g.
+    // `doc_id % 7 = 0`) — translate the general expression tree
+    override def canDeleteWhere(
+        predicates: Array[V2Predicate]): Boolean =
+      predicates.forall(ManifestSource.v2ExprToColumn(_).isDefined)
+
+    override def deleteWhere(predicates: Array[V2Predicate]): Unit = {
+      val spark = SparkSession.active
+      val pred = predicates.toSeq.flatMap(ManifestSource.v2ExprToColumn)
+        .reduceOption(_ && _)
+        .getOrElse(org.apache.spark.sql.functions.lit(true))
+      graft.ops.Layout.deleteMergeOnRead(spark, dir, pred)
+    }
     override def schema(): StructType = schema0
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
@@ -252,6 +292,100 @@ object ManifestSource {
           }
         }
       }
+  }
+
+  /** Translate a connector V2 expression tree (the form SQL DELETE
+    * conditions arrive in) into a Column. Covers references, literals,
+    * boolean connectives, comparisons, arithmetic, and the common
+    * string predicates; `None` on anything else — the caller rejects
+    * the whole operation rather than run a weaker predicate.
+    */
+  private[sources] def v2ExprToColumn(
+      e: org.apache.spark.sql.connector.expressions.Expression):
+      Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    e match {
+      case n: NamedReference if n.fieldNames.length == 1 =>
+        Some(col(n.fieldNames.head))
+      case l: V2Literal[_] =>
+        val v = l.value match {
+          case u: UTF8String => u.toString
+          case d: org.apache.spark.sql.types.Decimal => d.toBigDecimal
+          case other => other
+        }
+        Some(lit(v))
+      case g: GeneralScalarExpression =>
+        val kids = g.children.toSeq.map(v2ExprToColumn)
+        if (kids.exists(_.isEmpty)) None
+        else {
+          val c = kids.flatten
+          (g.name, c) match {
+            case ("AND", Seq(a, b)) => Some(a && b)
+            case ("OR", Seq(a, b)) => Some(a || b)
+            case ("NOT", Seq(a)) => Some(!a)
+            case ("=", Seq(a, b)) => Some(a === b)
+            case ("<=>", Seq(a, b)) => Some(a <=> b)
+            case ("<>", Seq(a, b)) => Some(a =!= b)
+            case (">", Seq(a, b)) => Some(a > b)
+            case (">=", Seq(a, b)) => Some(a >= b)
+            case ("<", Seq(a, b)) => Some(a < b)
+            case ("<=", Seq(a, b)) => Some(a <= b)
+            case ("+", Seq(a, b)) => Some(a + b)
+            case ("-", Seq(a, b)) => Some(a - b)
+            case ("-", Seq(a)) => Some(-a)
+            case ("*", Seq(a, b)) => Some(a * b)
+            case ("/", Seq(a, b)) => Some(a / b)
+            case ("%", Seq(a, b)) => Some(a % b)
+            case ("ABS", Seq(a)) => Some(org.apache.spark.sql.functions.abs(a))
+            case ("IS_NULL", Seq(a)) => Some(a.isNull)
+            case ("IS_NOT_NULL", Seq(a)) => Some(a.isNotNull)
+            case ("STARTS_WITH", Seq(a, b)) => Some(a.startsWith(b))
+            case ("ENDS_WITH", Seq(a, b)) => Some(a.endsWith(b))
+            case ("CONTAINS", Seq(a, b)) => Some(a.contains(b))
+            case ("IN", a +: rest) if rest.nonEmpty =>
+              Some(rest.map(a === _).reduce(_ || _))
+            case ("ALWAYS_TRUE", _) => Some(lit(true))
+            case ("ALWAYS_FALSE", _) => Some(lit(false))
+            case _ => None
+          }
+        }
+      case _ => None
+    }
+  }
+
+  /** Translate a DSv2 source Filter into a Column predicate — the
+    * bridge that lets SQL DELETE's WHERE drive the layout verbs.
+    * `None` marks a shape we can't express; the caller must then
+    * REJECT the whole operation (never drop a conjunct: a partial
+    * predicate would delete more rows than asked).
+    */
+  private[sources] def filterToColumn(f: Filter):
+      Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    f match {
+      case EqualTo(a, v) => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v) => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v) => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case In(a, vs) => Some(col(a).isInCollection(vs.toSeq))
+      case IsNull(a) => Some(col(a).isNull)
+      case IsNotNull(a) => Some(col(a).isNotNull)
+      case And(l, r) => for {
+        lc <- filterToColumn(l); rc <- filterToColumn(r)
+      } yield lc && rc
+      case Or(l, r) => for {
+        lc <- filterToColumn(l); rc <- filterToColumn(r)
+      } yield lc || rc
+      case Not(c) => filterToColumn(c).map(!_)
+      case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case StringContains(a, v) => Some(col(a).contains(v))
+      case _: AlwaysTrue => Some(lit(true))
+      case _: AlwaysFalse => Some(lit(false))
+      case _ => None
+    }
   }
 
   /** Filters this source can turn into per-file range prunes: simple

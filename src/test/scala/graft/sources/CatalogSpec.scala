@@ -145,6 +145,34 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE gtest.db.prune_t")
   }
 
+  test("SQL DELETE is merge-on-read and composes with later INSERTs") {
+    wh
+    spark.sql("CREATE TABLE gtest.db.del_t (id BIGINT, v STRING)")
+    spark.sql("""INSERT INTO gtest.db.del_t
+                |SELECT id, concat('x', id) FROM range(0, 10)""".stripMargin)
+    spark.sql("DELETE FROM gtest.db.del_t WHERE id < 3")
+    assert(rows("SELECT id FROM gtest.db.del_t ORDER BY id")
+      .map(_.getLong(0)) == (3L to 9L))
+    // the delete marked rows, it did not rewrite: v2's files survive
+    val t = s"$wh/db/del_t"
+    assert(Manifest.hasDeletionVectors(spark, t))
+    assert(Manifest.read(spark, t).get.map(_.name).toSet ==
+      Manifest.readVersion(spark, t, 2).get.map(_.name).toSet)
+
+    // an INSERT over live vectors carries the marks forward
+    spark.sql("INSERT INTO gtest.db.del_t VALUES (100, 'new')")
+    assert(rows("SELECT id FROM gtest.db.del_t ORDER BY id")
+      .map(_.getLong(0)) == (3L to 9L) :+ 100L)
+    // and a second delete unions with the carried vector
+    spark.sql("DELETE FROM gtest.db.del_t WHERE v = 'x5'")
+    assert(rows("SELECT id FROM gtest.db.del_t ORDER BY id")
+      .map(_.getLong(0)) == Seq(3L, 4L, 6L, 7L, 8L, 9L, 100L))
+    // time travel before the first delete still sees everything
+    assert(rows("SELECT count(*) FROM gtest.db.del_t VERSION AS OF 2")
+      .head.getLong(0) == 10L)
+    spark.sql("DROP TABLE gtest.db.del_t")
+  }
+
   test("timestamp time travel resolves through commit history") {
     wh
     spark.sql("CREATE TABLE gtest.db.ts_t (id BIGINT)")
