@@ -114,6 +114,26 @@ object SparkEntry {
     t
   }
 
+  /** Build-once fixture: `gsql.docspart` — a PARTITIONED BY (source)
+    * catalog table filled from documents; the first INSERT lands
+    * Hive-partitioned directories from the schema's partition
+    * metadata alone.
+    */
+  private def sqlCatalogDocsPart(s: SparkSession, dir: String): String = {
+    val t = s"${sqlCatalogWh(s, dir)}/docspart"
+    if (ops.Manifest.currentVersion(s, t).isEmpty)
+      s.sql("""CREATE TABLE gsql.docspart
+              |(doc_id BIGINT, source STRING, text STRING)
+              |PARTITIONED BY (source)""".stripMargin)
+    if (ops.Manifest.currentVersion(s, t).contains(1)) {
+      T(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .createOrReplaceTempView("graft_docs_src")
+      s.sql("INSERT INTO gsql.docspart SELECT * FROM graft_docs_src")
+    }
+    t
+  }
+
   /** Build-once fixture: `gsql.natov` — full nation at v2, then SQL
     * INSERT OVERWRITE with only region 2's rows at v3.
     */
@@ -2410,6 +2430,28 @@ object SparkEntry {
           """SELECT n_nationkey, n_name, n_regionkey
             |FROM gsql.nat VERSION AS OF 2
             |ORDER BY n_nationkey""".stripMargin)
+    },
+
+    // SQL PARTITIONED BY through the catalog: the CREATE declared the
+    // partition column in schema metadata, the INSERT landed Hive
+    // directories, and this equality prunes to one partition's files
+    // from entry paths alone (CatalogSpec pins the file count). The
+    // fingerprint proves partition values re-read exactly.
+    q("ns_sql_partitioned",
+      s"""SELECT source::VARCHAR AS source, count(*) AS n_docs,
+         |  sum(${ops.H.duckHash30("doc_id || '|' || text")}
+         |  )::BIGINT AS content_fp
+         |FROM documents WHERE source IN ('src3', 'src7')
+         |GROUP BY source ORDER BY source""".stripMargin) {
+      (s, dir) =>
+        sqlCatalogDocsPart(s, dir)
+        s.sql("""SELECT source, doc_id, text FROM gsql.docspart
+                |WHERE source IN ('src3', 'src7')""".stripMargin)
+          .groupBy(col("source").cast("string").as("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(ops.H.hash30(concat_ws("|", col("doc_id"), col("text"))))
+              .as("content_fp"))
+          .orderBy("source")
     },
 
     // SQL DELETE FROM (merge-on-read): the WHERE was translated into

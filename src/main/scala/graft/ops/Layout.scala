@@ -476,6 +476,28 @@ object Layout {
     entries.headOption.toSeq.flatMap(_.name.split('/').dropRight(1)
       .filter(_.contains("=")).map(_.split("=")(0)).toSeq)
 
+  /** Field-metadata key marking a recorded-schema column as a
+    * PARTITION column — how a `CREATE TABLE ... PARTITIONED BY`
+    * through the SQL catalog declares layout before any file exists.
+    */
+  val PartitionMetaKey = "graft.partition"
+
+  /** Partition columns for a write: recovered from existing file paths
+    * when the table has files, else from the recorded schema's
+    * partition metadata (an EMPTY declared-partitioned table must
+    * still write its first batch Hive-partitioned).
+    */
+  private def partColsFor(spark: SparkSession, dir: String,
+      entries: Seq[ManifestEntry]): Seq[String] = {
+    val fromPaths = partColsOf(entries)
+    if (fromPaths.nonEmpty) fromPaths
+    else Manifest.currentVersion(spark, dir)
+      .flatMap(Manifest.tableSchema(spark, dir, _))
+      .map(_.fields.filter(f => f.metadata.contains(PartitionMetaKey))
+        .map(_.name).toSeq)
+      .getOrElse(Nil)
+  }
+
   /** Align `batch` to the table for a write verb, with ADD-COLUMN
     * schema evolution: every existing table column must be present in
     * the batch (a missing one is a HARD error — a silent column drop
@@ -831,7 +853,7 @@ object Layout {
     val entries = Manifest.ensure(spark, dir, statCols)
     val v = Manifest.currentVersion(spark, dir).getOrElse(0)
     val newVersion = v + 1
-    val partCols = partColsOf(entries)
+    val partCols = partColsFor(spark, dir, entries)
     val (aligned, evolved) =
       alignForWrite(spark, dir, entries, batch, partCols)
     val names = stageAndRename(spark, dir, aligned,
@@ -870,7 +892,7 @@ object Layout {
       return 0
     val entries = Manifest.ensure(spark, dir, statCols)
     val newVersion = Manifest.currentVersion(spark, dir).getOrElse(0) + 1
-    val partCols = partColsOf(entries)
+    val partCols = partColsFor(spark, dir, entries)
     val (aligned, evolved) =
       alignForWrite(spark, dir, entries, batch, partCols)
     val names = stageAndRename(spark, dir, aligned,

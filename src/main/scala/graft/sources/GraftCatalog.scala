@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException,
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange,
   SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.ops.{Layout, Manifest}
@@ -140,16 +140,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft catalog CREATE TABLE does not take PARTITIONED BY — " +
-        "write partitioned layouts with Layout verbs; the catalog " +
-        "reads them (partition columns are recovered from file paths)")
+    // PARTITIONED BY (col, ...): identity transforms only (time-bucket
+    // transforms belong in a derived column); the partition columns
+    // are recorded as field METADATA in the versioned schema, so the
+    // first INSERT already writes Hive-partitioned directories and
+    // the scan prunes on partition equality from entry paths alone
+    val partCols = partitions.map { t =>
+      require(t.name == "identity",
+        s"graft catalog supports only identity PARTITIONED BY, got $t")
+      val refs = t.references
+      require(refs.length == 1 && refs(0).fieldNames.length == 1,
+        s"unsupported partition reference in $t")
+      refs(0).fieldNames.head
+    }.toSeq
+    partCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c is not in the table schema"))
     val dir = dirOf(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     fs.mkdirs(new Path(dir))
+    val marked = StructType(schema.fields.map { f =>
+      if (partCols.contains(f.name))
+        f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putBoolean(Layout.PartitionMetaKey, true).build())
+      else f
+    })
     // v1 is an EMPTY snapshot carrying only the schema: readable as an
     // empty table at once, and the first INSERT aligns against it
-    Manifest.write(spark, dir, Seq.empty, 1, schema = Some(schema))
+    Manifest.write(spark, dir, Seq.empty, 1, schema = Some(marked))
     loadTable(ident)
   }
 

@@ -411,13 +411,23 @@ object ManifestSource {
     * column is KEPT — pruning only ever skips provably-empty files.
     */
   private[sources] def entrySurvives(entry: graft.ops.ManifestEntry,
-      filters: Array[Filter]): Boolean = filters.forall { f =>
+      filters: Array[Filter]): Boolean = {
+    // partition-directory values from the entry's own path: equality
+    // and IN on a partition column prune without stats at all
+    val partVals: Map[String, String] = entry.name.split('/')
+      .dropRight(1).filter(_.contains("="))
+      .map { seg => val Array(k, v) = seg.split("=", 2); k -> v }.toMap
+    filters.forall { f =>
     def num(col: String)(keep: (Long, Long) => Boolean): Boolean =
       entry.stats.find(_.col == col).forall(s => keep(s.min, s.max))
     def str(col: String)(keep: (String, String) => Boolean): Boolean =
       entry.sstats.getOrElse(Nil).find(_.col == col)
         .forall(s => keep(s.min, s.max))
     f match {
+      case EqualTo(c, v) if partVals.contains(c) =>
+        v != null && partVals(c) == v.toString
+      case In(c, vs) if partVals.contains(c) =>
+        vs.exists(v => v != null && v.toString == partVals(c))
       case EqualTo(c, v) => asLong(v) match {
         case Some(l) => num(c)((lo, hi) => lo <= l && l <= hi)
         case None => v match {
@@ -462,6 +472,7 @@ object ManifestSource {
             vs.exists(v => lo <= v.toString && v.toString <= hi))
         else true
       case _ => true
+    }
     }
   }
 

@@ -9,7 +9,7 @@ class RegistrySpec extends SparkSpec {
   test("every registered query has an oracle and a unique name") {
     val qs = SparkEntry.queries
     val os = SparkEntry.oracleSql
-    assert(qs.size == 205, s"expected 205 queries, found ${qs.size}")
+    assert(qs.size == 206, s"expected 206 queries, found ${qs.size}")
     assert(os.keySet == qs.keySet,
       s"oracle-less queries: ${qs.keySet -- os.keySet}")
   }

@@ -145,6 +145,33 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE gtest.db.prune_t")
   }
 
+  test("PARTITIONED BY writes Hive dirs and prunes on partition equality") {
+    wh
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    spark.sql("""CREATE TABLE gtest.db.part_t (id BIGINT, src STRING)
+                |PARTITIONED BY (src)""".stripMargin)
+    spark.sql("""INSERT INTO gtest.db.part_t
+                |SELECT id, CASE WHEN id % 2 = 0 THEN 'web' ELSE 'book' END
+                |FROM range(0, 100)""".stripMargin)
+    // the first batch already landed Hive-partitioned
+    val names = Manifest.read(spark, s"$wh/db/part_t").get.map(_.name)
+    assert(names.nonEmpty && names.forall(_.matches("src=(web|book)/.*")),
+      names.mkString(", "))
+
+    def nFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case b: BatchScanExec => b }.get
+        .partitions.flatten.size
+    val all = spark.sql("SELECT * FROM gtest.db.part_t")
+    val one = spark.sql("SELECT * FROM gtest.db.part_t WHERE src = 'web'")
+    assert(nFiles(one) < nFiles(all),
+      s"partition pruning planned ${nFiles(one)} of ${nFiles(all)}")
+    assert(one.count() == 50)
+    assert(rows("SELECT count(*) FROM gtest.db.part_t").head.getLong(0)
+      == 100L)
+    spark.sql("DROP TABLE gtest.db.part_t")
+  }
+
   test("SQL DELETE is merge-on-read and composes with later INSERTs") {
     wh
     spark.sql("CREATE TABLE gtest.db.del_t (id BIGINT, v STRING)")
