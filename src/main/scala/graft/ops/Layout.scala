@@ -109,6 +109,23 @@ object Layout {
     }.mkString("(", " | ", ")")
   }
 
+  /** Parquet writer options enabling NATIVE bloom filters on `cols`
+    * (split-block blooms in the file footer, sized for `ndv` distinct
+    * values ≈ 1% fpp). The layering at 100 TB: manifest min/max
+    * ranges prune FILES at plan time from one metadata read; footer
+    * blooms then prune ROW GROUPS inside surviving files on `=` / `IN`
+    * point predicates — exactly the lookups range stats are weakest
+    * on (high-cardinality keys scattered across the range). Spark's
+    * vectorized reader consumes them automatically for pushed
+    * equality filters; no read-side code is needed
+    * (BloomFilterSpec probes the footers directly to pin the write).
+    */
+  def bloomOptions(cols: Seq[String],
+      ndv: Long = 100000L): Map[String, String] =
+    cols.flatMap(c => Seq(
+      s"parquet.bloom.filter.enabled#$c" -> "true",
+      s"parquet.bloom.filter.expected.ndv#$c" -> ndv.toString)).toMap
+
   /** Write `df` clustered along the Morton curve of (xCol, yCol):
     * range-partition by the Z-key into `nFiles` files, sort within
     * each. The range shuffle is the one-time clustering cost (same
