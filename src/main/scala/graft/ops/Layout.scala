@@ -1165,6 +1165,74 @@ object Layout {
     (hit.size, entries.size)
   }
 
+  /** IN-PLACE UPDATE — copy-on-write `UPDATE ... SET ... WHERE` for a
+    * manifest-managed table, completing the mutation verb set
+    * (delete / upsert / update): only files that actually CONTAIN a
+    * matching row rewrite (found by the same pushed-predicate scan as
+    * [[deleteInPlace]], collect bounded by #files); matching rows are
+    * rewritten with every assignment evaluated against the ORIGINAL
+    * row (SQL UPDATE semantics — assignments never see each other),
+    * cast to the column's existing type so a batch cannot drift the
+    * physical schema; non-matching rows of those files carry verbatim;
+    * untouched files transfer their manifest entries. The commit
+    * records its change set as delete(pre-image) + insert(post-image)
+    * pairs, the same algebra every CDC consumer here already applies.
+    * Cost O(affected files); superseded files stay for time travel.
+    * Returns (affectedFiles, totalFiles).
+    */
+  def updateInPlace(spark: SparkSession, dir: String, pred: Column,
+      set: Map[String, Column], statCols: Seq[String] = Nil): (Int, Int) = {
+    requireNoDvs(spark, dir)
+    val entries = Manifest.ensure(spark, dir, statCols)
+    val paths = entries.map(e => s"$dir/${e.name}")
+    val schema = Manifest.readTable(spark, dir).schema
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    set.keys.foreach(c => require(types.contains(c),
+      s"UPDATE target column $c does not exist in $dir " +
+        s"(have ${types.keys.mkString(", ")})"))
+    val safePred = coalesce(pred, lit(false))
+    val affected = spark.read.option("basePath", dir)
+      .parquet(paths: _*).filter(safePred)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(r => Manifest.relativize(spark, dir, r.getString(0)))
+      .toSet
+    val (hit, kept) = entries.partition(e => affected.contains(e.name))
+    val newVersion = Manifest.currentVersion(spark, dir).getOrElse(0) + 1
+    val claim = Manifest.claimVersion(spark, dir, newVersion)
+    val hitRead = if (hit.isEmpty) null
+      else spark.read.option("basePath", dir)
+        .parquet(hit.map(e => s"$dir/${e.name}"): _*)
+    def assigned(c: String) = set(c).cast(types(c)).as(c)
+    val deltaEntries =
+      if (hit.isEmpty) Seq.empty
+      else {
+        val cols = hitRead.columns.map { c =>
+          if (set.contains(c))
+            when(safePred, assigned(c)).otherwise(col(c)).as(c)
+          else col(c)
+        }
+        val names = stageAndRename(spark, dir, hitRead.select(cols.toSeq: _*),
+          partColsOf(hit), s"delta-v$newVersion")
+        statStaged(spark, dir, statCols, names)
+      }
+    val changes =
+      if (hit.isEmpty)
+        Manifest.readTable(spark, dir).filter(lit(false))
+          .withColumn("_change_type", lit("insert"))
+      else {
+        val matched = hitRead.filter(safePred)
+        val postCols = hitRead.columns.map(c =>
+          if (set.contains(c)) assigned(c) else col(c))
+        matched.withColumn("_change_type", lit("delete"))
+          .unionByName(matched.select(postCols.toSeq: _*)
+            .withColumn("_change_type", lit("insert")))
+      }
+    Manifest.recordCdc(spark, dir, newVersion, changes)
+    Manifest.write(spark, dir, (kept ++ deltaEntries).sortBy(_.name),
+      newVersion, claim = Some(claim))
+    (hit.size, entries.size)
+  }
+
   /** Per-source content fingerprint of a documents directory — the
     * parity probe for compaction: identical on the raw table, the
     * sharded tree, and the compacted tree, because compaction must be

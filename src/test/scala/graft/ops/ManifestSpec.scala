@@ -776,6 +776,63 @@ class ManifestSpec extends SparkSpec {
     assert(fin.filter(col("doc_id") >= 950000L).count() == 3)
   }
 
+  test("updateInPlace rewrites only affected files with original-row semantics") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-upd").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text")
+    docs.repartitionByRange(8, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(dir)
+    Manifest.create(spark, dir, Seq("doc_id"))
+    val before = Manifest.readTable(spark, dir)
+    val nBefore = before.count()
+    val matchedBefore = before
+      .filter(col("doc_id").between(100, 160)).collect()
+
+    // swap-style assignments prove original-row evaluation: text gets
+    // a prefix computed FROM source, source gets one FROM doc_id
+    val (hitFiles, totalFiles) = Layout.updateInPlace(spark, dir,
+      col("doc_id").between(100, 160),
+      Map("text" -> concat(col("source"), lit(":"), col("text")),
+        "source" -> concat(lit("s"), (col("doc_id") % 2).cast("string"))),
+      Seq("doc_id"))
+    assert(hitFiles > 0 && hitFiles < totalFiles,
+      s"expected a proper subset of files rewritten: $hitFiles/$totalFiles")
+
+    val after = Manifest.readTable(spark, dir)
+    assert(after.count() == nBefore)
+    val changed = after.filter(col("doc_id").between(100, 160))
+      .orderBy("doc_id").collect()
+    val expect = matchedBefore.sortBy(_.getLong(0)).map { r =>
+      (r.getLong(0), s"s${r.getLong(0) % 2}",
+        s"${r.getString(1)}:${r.getString(2)}")
+    }
+    assert(changed.map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2))).toSeq ==
+      expect.toSeq)
+    // untouched rows are byte-identical
+    assert(after.filter(!col("doc_id").between(100, 160))
+      .exceptAll(before.filter(!col("doc_id").between(100, 160)))
+      .isEmpty)
+    // time travel still sees the pre-update state
+    assert(Manifest.readTable(spark, dir, version = Some(1))
+      .filter(col("doc_id").between(100, 160) &&
+        col("text").startsWith("src")).count() == 0)
+    // the change record balances: delete pre-images + insert post-images
+    val feed = Manifest.readChangeFeed(spark, dir, 1, 2)
+    assert(feed.filter(col("_change_type") === "delete").count() ==
+      matchedBefore.length)
+    assert(feed.filter(col("_change_type") === "insert").count() ==
+      matchedBefore.length)
+
+    // an update matching NOTHING is a metadata-only version bump
+    val (h2, _) = Layout.updateInPlace(spark, dir,
+      col("doc_id") === -1, Map("text" -> lit("x")), Seq("doc_id"))
+    assert(h2 == 0)
+    assert(Manifest.currentVersion(spark, dir).contains(3))
+    assert(Manifest.readTable(spark, dir).count() == nBefore)
+  }
+
   test("CDC: v_from + inserts - deletes == v_to across delete/upsert/append/compact") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft-mf-cdc").toString
