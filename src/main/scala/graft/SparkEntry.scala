@@ -151,6 +151,108 @@ object SparkEntry {
     t
   }
 
+  /** Registers the documents projection as `graft_docs_src` and
+    * build-onces a 3-column docs table `gsql.<name>` at v2 — the
+    * shared setup of every row-level-DML fixture below.
+    */
+  private def sqlCatalogDocsBase(s: SparkSession, dir: String,
+      name: String): String = {
+    val t = s"${sqlCatalogWh(s, dir)}/$name"
+    T(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .createOrReplaceTempView("graft_docs_src")
+    if (ops.Manifest.currentVersion(s, t).isEmpty)
+      s.sql(s"CREATE TABLE gsql.$name " +
+        "(doc_id BIGINT, source STRING, text STRING)")
+    if (ops.Manifest.currentVersion(s, t).contains(1))
+      s.sql(s"INSERT INTO gsql.$name SELECT * FROM graft_docs_src")
+    t
+  }
+
+  /** Build-once fixture: `gsql.docsupd` — documents at v2, then a SQL
+    * UPDATE (v3) through Spark's group-based row-level rewrite
+    * ([[sources.RowLevelOps]]): runtime group filtering narrows the
+    * copy-on-write rewrite to files that provably contain a match.
+    */
+  private def sqlCatalogDocsUpd(s: SparkSession, dir: String): String = {
+    val t = sqlCatalogDocsBase(s, dir, "docsupd")
+    if (ops.Manifest.currentVersion(s, t).contains(2))
+      s.sql("""UPDATE gsql.docsupd SET text = concat('u:', text)
+              |WHERE doc_id % 11 = 3""".stripMargin)
+    t
+  }
+
+  /** Build-once fixture: `gsql.docsmrg` — documents at v2, then one
+    * MERGE INTO (v3) exercising all three branches: matched-delete
+    * (doc_id ≡ 5 mod 13), matched-update ('m:' prefix on ≡ 0 mod 13),
+    * and not-matched-insert (id-shifted 'new:' rows).
+    */
+  private def sqlCatalogDocsMerge(s: SparkSession, dir: String): String = {
+    val t = sqlCatalogDocsBase(s, dir, "docsmrg")
+    if (ops.Manifest.currentVersion(s, t).contains(2)) {
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW graft_merge_src AS
+              |SELECT doc_id, source, concat('m:', text) AS text
+              |FROM graft_docs_src WHERE doc_id % 13 IN (0, 5)
+              |UNION ALL
+              |SELECT doc_id + 20000000 AS doc_id, source,
+              |  concat('new:', text) AS text
+              |FROM graft_docs_src WHERE doc_id % 997 = 0""".stripMargin)
+      s.sql("""MERGE INTO gsql.docsmrg t USING graft_merge_src s
+              |ON t.doc_id = s.doc_id
+              |WHEN MATCHED AND s.doc_id % 13 = 5 THEN DELETE
+              |WHEN MATCHED THEN UPDATE SET text = s.text
+              |WHEN NOT MATCHED THEN
+              |  INSERT (doc_id, source, text)
+              |  VALUES (s.doc_id, s.source, s.text)""".stripMargin)
+    }
+    t
+  }
+
+  /** Build-once fixture: `gsql.docscow` — documents at v2, then a
+    * DELETE with an IN-subquery predicate (v3): untranslatable to
+    * data-source filters, so it takes the copy-on-write group rewrite
+    * (files rewritten, no deletion vector) instead of the DV path.
+    */
+  private def sqlCatalogDocsCow(s: SparkSession, dir: String): String = {
+    val t = sqlCatalogDocsBase(s, dir, "docscow")
+    if (ops.Manifest.currentVersion(s, t).contains(2))
+      s.sql("""DELETE FROM gsql.docscow WHERE doc_id IN
+              |(SELECT doc_id FROM graft_docs_src WHERE doc_id % 5 = 1)
+              |""".stripMargin)
+    t
+  }
+
+  /** Build-once fixture: `gsql.ordd` — an orders projection with real
+    * DATE and TIMESTAMP columns, INSERTed date-SORTED (so files carry
+    * tight epoch-day/micros manifest ranges), then a SQL UPDATE whose
+    * date predicate group-prunes to the tail files. Exercises the
+    * date/timestamp lane end-to-end: typed CREATE, stats-on-write in
+    * the date domain, the manifest reader's INT96/INT64 timestamp
+    * decode, filter translation to epoch days, and the COW writer's
+    * annotated re-encode.
+    */
+  private def sqlCatalogOrdersDt(s: SparkSession, dir: String): String = {
+    val t = s"${sqlCatalogWh(s, dir)}/ordd"
+    T(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .createOrReplaceTempView("graft_orders_src")
+    if (ops.Manifest.currentVersion(s, t).isEmpty)
+      s.sql("""CREATE TABLE gsql.ordd
+              |(o_orderkey BIGINT, o_odate DATE, o_ts TIMESTAMP,
+              | o_totalprice DOUBLE, o_orderpriority STRING)""".stripMargin)
+    if (ops.Manifest.currentVersion(s, t).contains(1))
+      s.sql("""INSERT INTO gsql.ordd
+              |SELECT o_orderkey, CAST(o_orderdate AS DATE),
+              |  CAST(o_orderdate AS TIMESTAMP), o_totalprice,
+              |  o_orderpriority
+              |FROM graft_orders_src ORDER BY o_orderdate""".stripMargin)
+    if (ops.Manifest.currentVersion(s, t).contains(2))
+      s.sql("""UPDATE gsql.ordd SET o_orderpriority = 'X-LATE'
+              |WHERE o_odate >= DATE'2001-06-01'""".stripMargin)
+    t
+  }
+
   /** Build-once fixture: orders + lineitem as BUCKETED tables (8
     * buckets on the order key, sorted within buckets), registered in
     * the session catalog with external data under layoutDir. The
@@ -2486,6 +2588,103 @@ object SparkEntry {
         s.sql(
           """SELECT n_nationkey, n_name FROM gsql.natov
             |ORDER BY n_nationkey""".stripMargin)
+    },
+
+    // SQL UPDATE through Spark's group-based row-level rewrite
+    // (SupportsRowLevelOperations): runtime group filtering fed the
+    // matching-file set back into the scan, so only files whose rows
+    // matched were rewritten; untouched files carried verbatim. The
+    // oracle applies the SET symbolically — a lost carry, doubled
+    // rewrite, or misplaced match breaks the per-source fingerprint.
+    q("ns_sql_update",
+      s"""SELECT source::VARCHAR AS source, count(*) AS n_docs,
+         |  sum(${ops.H.duckHash30("doc_id || '|' || CASE WHEN " +
+             "doc_id % 11 = 3 THEN 'u:' || text ELSE text END")}
+         |  )::BIGINT AS content_fp
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin) {
+      (s, dir) =>
+        sqlCatalogDocsUpd(s, dir)
+        s.sql("SELECT source, doc_id, text FROM gsql.docsupd")
+          .groupBy(col("source").cast("string").as("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(ops.H.hash30(concat_ws("|", col("doc_id"), col("text"))))
+              .as("content_fp"))
+          .orderBy("source")
+    },
+
+    // SQL MERGE INTO, all three branches in one statement: matched
+    // rows delete or take the source's text, unmatched source rows
+    // insert. The oracle restates the merge algebra as a filtered
+    // CASE projection plus the insert batch.
+    q("ns_sql_merge",
+      s"""WITH final AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN doc_id % 13 = 0 THEN 'm:' || text ELSE text END
+         |      AS text
+         |  FROM documents WHERE doc_id % 13 <> 5
+         |  UNION ALL
+         |  SELECT doc_id + 20000000, source, 'new:' || text
+         |  FROM documents WHERE doc_id % 997 = 0)
+         |SELECT source::VARCHAR AS source, count(*) AS n_docs,
+         |  sum(${ops.H.duckHash30("doc_id || '|' || text")}
+         |  )::BIGINT AS content_fp
+         |FROM final GROUP BY source ORDER BY source""".stripMargin) {
+      (s, dir) =>
+        sqlCatalogDocsMerge(s, dir)
+        s.sql("SELECT source, doc_id, text FROM gsql.docsmrg")
+          .groupBy(col("source").cast("string").as("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(ops.H.hash30(concat_ws("|", col("doc_id"), col("text"))))
+              .as("content_fp"))
+          .orderBy("source")
+    },
+
+    // SQL DELETE with an IN-subquery: untranslatable to source
+    // filters, so RewriteDeleteFromTable plans the copy-on-write
+    // group rewrite — the complement of ns_sql_delete's
+    // deletion-vector fast path; same table verb, opposite physical
+    // strategy, both fingerprint-checked.
+    q("ns_sql_delete_cow",
+      s"""SELECT source::VARCHAR AS source, count(*) AS n_docs,
+         |  sum(${ops.H.duckHash30("doc_id || '|' || text")}
+         |  )::BIGINT AS content_fp
+         |FROM documents WHERE doc_id % 5 <> 1
+         |GROUP BY source ORDER BY source""".stripMargin) {
+      (s, dir) =>
+        sqlCatalogDocsCow(s, dir)
+        s.sql("SELECT source, doc_id, text FROM gsql.docscow")
+          .groupBy(col("source").cast("string").as("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(ops.H.hash30(concat_ws("|", col("doc_id"), col("text"))))
+              .as("content_fp"))
+          .orderBy("source")
+    },
+
+    // DATE/TIMESTAMP columns as first-class manifest citizens: typed
+    // CREATE + INSERT (date-sorted, so stats-on-write records tight
+    // epoch-day ranges per file), a date-predicate SQL UPDATE that
+    // group-prunes on those ranges, and a read back through the
+    // manifest reader's timestamp decode. The oracle recomputes every
+    // yearly aggregate — including max epoch-micros, which breaks if
+    // any timestamp shifts by even one microsecond in either the
+    // insert or the rewrite lane.
+    q("ns_sql_dates",
+      """SELECT extract(year FROM o_orderdate::DATE)::BIGINT AS yr,
+        |  count(*) AS n_orders,
+        |  sum(CASE WHEN o_orderdate::DATE >= DATE '2001-06-01'
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_late,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  max(epoch_us(o_orderdate))::BIGINT AS max_ts_us
+        |FROM orders GROUP BY yr ORDER BY yr""".stripMargin) {
+      (s, dir) =>
+        sqlCatalogOrdersDt(s, dir)
+        s.sql("""SELECT CAST(year(o_odate) AS BIGINT) AS yr,
+                |  count(*) AS n_orders,
+                |  CAST(sum(CASE WHEN o_orderpriority = 'X-LATE'
+                |      THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+                |  round(sum(o_totalprice), 2) AS total,
+                |  max(unix_micros(o_ts)) AS max_ts_us
+                |FROM gsql.ordd GROUP BY yr ORDER BY yr""".stripMargin)
     },
   )
 

@@ -1233,6 +1233,95 @@ object Layout {
     (hit.size, entries.size)
   }
 
+  /** GROUP-REPLACEMENT COMMIT — the commit half of the DSv2 row-level
+    * operation (SQL `UPDATE` / `MERGE INTO` / copy-on-write `DELETE`
+    * through [[graft.sources.GraftCatalog]]): Spark's group-based
+    * rewrite has already read the affected files (`replaced`, relative
+    * names) and its distributed write staged their replacement rows as
+    * dot-files (`stagedAbs`, absolute paths, one per non-empty write
+    * task). This verb makes that exchange a manifest commit:
+    *
+    *  - OCC gate: the table must still be at `expectedVersion` (the
+    *    version the scan pinned) — a concurrent commit aborts this one
+    *    (staged files removed) rather than silently dropping its rows.
+    *  - Staged files rename to `rlo-v{K}-i.parquet` entries with
+    *    stats-on-write; `replaced` entries leave the snapshot (files
+    *    stay on disk for time travel until vacuum).
+    *  - Deletion vectors COMPOSE: marks on replaced files are spent
+    *    (their live rows were rewritten from a DV-subtracted scan);
+    *    marks on untouched files carry to the new version — so SQL
+    *    UPDATE works over live merge-on-read deletes, no flush needed.
+    *  - The change record restates replaced files' live rows as
+    *    deletes and staged rows as inserts — the exact group algebra
+    *    of the commit, consumable by every CDC reader here.
+    *
+    * Driver cost is O(#files) names; all row movement happened in the
+    * caller's distributed jobs. Returns the number of files added.
+    */
+  def commitReplace(spark: SparkSession, dir: String,
+      replaced: Seq[String], stagedAbs: Seq[String],
+      expectedVersion: Int, statCols: Seq[String]): Int = {
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val cur = Manifest.currentVersion(spark, dir).getOrElse(0)
+    if (cur != expectedVersion) {
+      stagedAbs.foreach(p => fs.delete(new Path(p), false))
+      throw new java.util.ConcurrentModificationException(
+        s"table $dir moved from v$expectedVersion to v$cur during the " +
+          "row-level operation — re-run the statement")
+    }
+    val newVersion = cur + 1
+    val claim = Manifest.claimVersion(spark, dir, newVersion)
+    val names = stagedAbs.sorted.zipWithIndex.map { case (p, i) =>
+      val tgt = s"rlo-v$newVersion-$i.parquet"
+      require(fs.rename(new Path(p), new Path(s"$dir/$tgt")),
+        s"staged file $p failed to land as $tgt")
+      tgt
+    }
+    val newEntries = statStaged(spark, dir, statCols, names)
+    val entries = Manifest.readVersion(spark, dir, cur).getOrElse(Seq.empty)
+    val replacedSet = replaced.toSet
+    val (hit, kept) = entries.partition(e => replacedSet.contains(e.name))
+    val recorded = Manifest.tableSchema(spark, dir, cur)
+    def readNames(ns: Seq[ManifestEntry]): DataFrame = {
+      val rd = spark.read.option("basePath", dir)
+      recorded.map(rd.schema).getOrElse(rd)
+        .parquet(ns.map(e => s"$dir/${e.name}"): _*)
+    }
+    val dvOld = Manifest.dvMarks(spark, dir, cur)
+    val empty = Manifest.readTable(spark, dir).filter(lit(false))
+    // pre-images: replaced files' rows minus their DV marks (a row
+    // already deleted by an earlier commit must not restate as a
+    // second delete)
+    val pre =
+      if (hit.isEmpty) empty
+      else readNames(hit)
+        .withColumn("_dv_f", element_at(
+          split(col("_metadata.file_path"), "/"), -1))
+        .withColumn("_dv_p", col("_metadata.row_index"))
+        .join(broadcast(dvOld), col("_dv_f") === dvOld("file") &&
+          col("_dv_p") === dvOld("pos"), "left_anti")
+        .drop("_dv_f", "_dv_p")
+    val post = if (newEntries.isEmpty) empty else readNames(newEntries)
+    Manifest.recordCdc(spark, dir, newVersion,
+      pre.withColumn("_change_type", lit("delete"))
+        .unionByName(post.withColumn("_change_type", lit("insert"))))
+    // DV carry: marks on kept files stay valid; marks on replaced
+    // files were consumed by the DV-subtracted scan. Keyed on the
+    // REPLACED set — bounded by the operation's touch count, not the
+    // table's file count
+    val replacedBase = hit.map(_.name.split('/').last)
+    val carried = (if (replacedBase.isEmpty) dvOld
+      else dvOld.where(!col("file").isin(replacedBase: _*))).cache()
+    if (carried.count() > 0)
+      carried.coalesce(1).write.mode("overwrite")
+        .parquet(Manifest.dvDir(dir, newVersion))
+    carried.unpersist()
+    Manifest.write(spark, dir, (kept ++ newEntries).sortBy(_.name),
+      newVersion, claim = Some(claim))
+    newEntries.size
+  }
+
   /** Per-source content fingerprint of a documents directory — the
     * parity probe for compaction: identical on the raw table, the
     * sharded tree, and the compacted tree, because compaction must be

@@ -1,7 +1,8 @@
 package graft.ops
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row,
+  SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StringType, StructType}
 
@@ -256,20 +257,31 @@ object Manifest {
         case StringType | org.apache.spark.sql.types.ByteType |
              org.apache.spark.sql.types.ShortType |
              org.apache.spark.sql.types.IntegerType |
-             org.apache.spark.sql.types.LongType => true
+             org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.DateType |
+             org.apache.spark.sql.types.TimestampType => true
         case _ => false
       }
       require(ok,
         s"stat column $c has unsupported type $dt — manifest ranges " +
-          "cover integral and string columns (convert dates/timestamps " +
-          "to epoch days/micros in a derived column)")
+          "cover integral, date/timestamp, and string columns")
     }
     val (strCols, numCols) =
       statCols.partition(c => types.get(c).contains(StringType))
+    // the long stat domain per type: integrals as-is, dates as epoch
+    // DAYS, timestamps as epoch MICROS — the scan-side filter
+    // translation (ManifestSource.asLong) normalizes predicate
+    // constants to the same domain, so pruning compares like to like
+    def numExpr(c: String): Column = types(c) match {
+      case org.apache.spark.sql.types.DateType =>
+        unix_date(col(c)).cast("long")
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+      case _ => col(c).cast("long")
+    }
     val aggs = count(lit(1)).as("n") +:
       (numCols.flatMap(c => Seq(
-        min(col(c).cast("long")).as(s"mn_$c"),
-        max(col(c).cast("long")).as(s"mx_$c"))) ++
+        min(numExpr(c)).as(s"mn_$c"),
+        max(numExpr(c)).as(s"mx_$c"))) ++
        strCols.flatMap(c => Seq(
          min(col(c).cast("string")).as(s"smn_$c"),
          max(col(c).cast("string")).as(s"smx_$c"))))

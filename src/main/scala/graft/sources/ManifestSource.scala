@@ -8,13 +8,17 @@ import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
 import org.apache.parquet.hadoop.api.ReadSupport
 import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.parquet.schema.MessageType
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType,
+  PrimitiveType}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead,
-  SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn,
+  SupportsDelete, SupportsMetadataColumns, SupportsRead,
+  SupportsRowLevelOperations, SupportsWrite, Table, TableCapability,
+  TableProvider}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo,
-  SupportsTruncate, V1Write, Write, WriteBuilder}
+  RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate,
+  V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, And, EqualNullSafe,
   EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, InsertableRelation,
   IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or, StringContains,
@@ -129,8 +133,37 @@ object ManifestSource {
       startingVersion: Option[Int], versionAsOf: Option[Int],
       timestampAsOf: Option[Long])
       extends Table with SupportsRead with SupportsWrite
-      with SupportsDelete {
+      with SupportsDelete with SupportsRowLevelOperations
+      with SupportsMetadataColumns {
     override def name(): String = s"manifest_table($dir)"
+
+    /** `_file` — the metadata column group-based row-level operations
+      * key on (and a user-visible provenance column, Delta/Iceberg
+      * style): the absolute path of the data file a row came from.
+      */
+    override def metadataColumns(): Array[MetadataColumn] = Array(
+      new MetadataColumn {
+        override def name(): String = RowLevelOps.FileColumn
+        override def dataType(): DataType = StringType
+        override def isNullable: Boolean = true
+        override def comment(): String =
+          "absolute path of the data file this row belongs to"
+      })
+
+    /** SQL `UPDATE` / `MERGE INTO` / copy-on-write `DELETE` — the
+      * group-based row-level operation ([[RowLevelOps]]): Spark's own
+      * rewrite rules plan the statement, runtime group filtering
+      * narrows it to files that contain a matching row, and the commit
+      * replaces exactly those. Rejected on time-travel reads (a
+      * pinned old snapshot must not mutate the table underneath).
+      */
+    override def newRowLevelOperationBuilder(
+        info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+      require(versionAsOf.isEmpty && timestampAsOf.isEmpty,
+        s"cannot run a row-level operation against a time-travel read " +
+          s"of $dir")
+      RowLevelOps.operationBuilder(dir, info)
+    }
 
     /** SQL `DELETE FROM ... WHERE ...` — MERGE-ON-READ: matching rows
       * are marked in the snapshot's deletion vector
@@ -200,7 +233,8 @@ object ManifestSource {
                 val statCols = data.schema.fields.collect {
                   case f if f.dataType == IntegerType ||
                       f.dataType == LongType || f.dataType == ShortType ||
-                      f.dataType == ByteType ||
+                      f.dataType == ByteType || f.dataType == DateType ||
+                      f.dataType == TimestampType ||
                       f.dataType == StringType => f.name
                 }.toSeq
                 if (overwrite) graft.ops.Layout.overwriteInPlace(
@@ -281,10 +315,15 @@ object ManifestSource {
                     val Array(k, v) = seg.split("=", 2)
                     k -> v
                   }.toMap
+                // `_file` rides the constant-injection channel: it is
+                // only materialized when the required schema asks for
+                // the metadata column (runtime group filtering,
+                // provenance selects)
                 MfPartition(s"$dir/${en.name}", required.json,
                   marks.getOrElse(en.name.split('/').last, Array.empty)
                     .map(_._2).sorted,
-                  partVals, conf): InputPartition
+                  partVals + (RowLevelOps.FileColumn ->
+                    s"$dir/${en.name}"), conf): InputPartition
               }.toArray
             }
             override def createReaderFactory(): PartitionReaderFactory =
@@ -398,11 +437,23 @@ object ManifestSource {
     case _ => false
   }
 
+  /** Filter values normalized to the manifest's long stat domain —
+    * integrals as-is, dates as epoch DAYS, timestamps as epoch MICROS
+    * (the exact encodings [[graft.ops.Manifest.scanStats]] records),
+    * so date/timestamp predicates prune files like any integral.
+    */
   private def asLong(v: Any): Option[Long] = v match {
     case i: Int => Some(i.toLong)
     case l: Long => Some(l)
     case s: Short => Some(s.toLong)
     case b: Byte => Some(b.toLong)
+    case d: java.sql.Date => Some(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case t: java.sql.Timestamp => Some(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+    case i: java.time.Instant => Some(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
     case _ => None
   }
 
@@ -715,6 +766,8 @@ object ManifestSource {
           case IntegerType => raw.toInt
           case DoubleType => raw.toDouble
           case BooleanType => raw.toBoolean
+          case DateType => // Hive dirs encode dates as yyyy-MM-dd
+            java.time.LocalDate.parse(raw).toEpochDay.toInt
           case other => throw new UnsupportedOperationException(
             s"ManifestSource: unsupported partition column type $other")
         }
@@ -738,6 +791,34 @@ object ManifestSource {
                 case StringType =>
                   UTF8String.fromString(g.getString(i, 0))
                 case BinaryType => g.getBinary(i, 0).getBytes
+                case DateType => g.getInteger(i, 0) // epoch days, INT32
+                case ShortType => g.getInteger(i, 0).toShort
+                case ByteType => g.getInteger(i, 0).toByte
+                case TimestampType =>
+                  // Spark's internal form is epoch MICROS; files may
+                  // carry INT96 (Spark's legacy default writer
+                  // encoding), INT64 MICROS, or INT64 MILLIS
+                  val pt = fileType.getType(i).asPrimitiveType()
+                  pt.getPrimitiveTypeName match {
+                    case PrimitiveType.PrimitiveTypeName.INT96 =>
+                      val buf = java.nio.ByteBuffer
+                        .wrap(g.getInt96(i, 0).getBytes)
+                        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+                      val nanosOfDay = buf.getLong
+                      val julianDay = buf.getInt
+                      (julianDay - 2440588L) * 86400000000L +
+                        nanosOfDay / 1000L
+                    case _ =>
+                      val millis = pt.getLogicalTypeAnnotation match {
+                        case ts: LogicalTypeAnnotation.
+                            TimestampLogicalTypeAnnotation =>
+                          ts.getUnit ==
+                            LogicalTypeAnnotation.TimeUnit.MILLIS
+                        case _ => false
+                      }
+                      if (millis) g.getLong(i, 0) * 1000L
+                      else g.getLong(i, 0)
+                  }
                 case dt => throw new UnsupportedOperationException(
                   s"ManifestSource: unsupported column type $dt " +
                     s"for ${f.name}")

@@ -27,8 +27,11 @@ class BloomFilterSpec extends SparkSpec {
       .foldLeft(w) { case (ww, (k, v)) => ww.option(k, v) }
       .parquet(dir)
 
+    // part-00000 (ids 0..9999) specifically: listFiles order is
+    // filesystem-arbitrary, and part-00001 holds none of the probed
+    // keys — .head here is how this test once flaked
     val file = new java.io.File(dir).listFiles()
-      .filter(_.getName.endsWith(".parquet")).head
+      .filter(_.getName.endsWith(".parquet")).minBy(_.getName)
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
       new HPath(file.getPath),
       spark.sparkContext.hadoopConfiguration))
