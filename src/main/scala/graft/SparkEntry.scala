@@ -253,6 +253,29 @@ object SparkEntry {
     t
   }
 
+  /** Build-once fixture: `gsql.docsopt` — documents fragmented across
+    * FIVE small insert commits (v2..v6), then maintenance SQL
+    * `OPTIMIZE` (v7) bin-packs the tail. Each step is version-gated,
+    * so a crash mid-build resumes exactly where it stopped.
+    */
+  private def sqlCatalogDocsOpt(s: SparkSession, dir: String): String = {
+    val t = s"${sqlCatalogWh(s, dir)}/docsopt"
+    T(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .createOrReplaceTempView("graft_docs_src")
+    if (ops.Manifest.currentVersion(s, t).isEmpty)
+      s.sql("CREATE TABLE gsql.docsopt " +
+        "(doc_id BIGINT, source STRING, text STRING)")
+    (0 until 5).foreach { k =>
+      if (ops.Manifest.currentVersion(s, t).contains(k + 1))
+        s.sql("INSERT INTO gsql.docsopt SELECT * FROM graft_docs_src " +
+          s"WHERE doc_id % 5 = $k")
+    }
+    if (ops.Manifest.currentVersion(s, t).contains(6))
+      sources.GraftSql.exec(s, "OPTIMIZE gsql.docsopt")
+    t
+  }
+
   /** Build-once fixture: orders + lineitem as BUCKETED tables (8
     * buckets on the order key, sorted within buckets), registered in
     * the session catalog with external data under layoutDir. The
@@ -2685,6 +2708,26 @@ object SparkEntry {
                 |  round(sum(o_totalprice), 2) AS total,
                 |  max(unix_micros(o_ts)) AS max_ts_us
                 |FROM gsql.ordd GROUP BY yr ORDER BY yr""".stripMargin)
+    },
+
+    // Maintenance SQL: OPTIMIZE bin-packed a table fragmented over
+    // five insert commits (GraftSqlSpec pins files-after < files-
+    // before); the fingerprint proves compaction moved every row
+    // exactly once — the same parity contract as ns_compact_parity,
+    // reached through the SQL front door.
+    q("ns_sql_optimize",
+      s"""SELECT source::VARCHAR AS source, count(*) AS n_docs,
+         |  sum(${ops.H.duckHash30("doc_id || '|' || text")}
+         |  )::BIGINT AS content_fp
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin) {
+      (s, dir) =>
+        sqlCatalogDocsOpt(s, dir)
+        s.sql("SELECT source, doc_id, text FROM gsql.docsopt")
+          .groupBy(col("source").cast("string").as("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(ops.H.hash30(concat_ws("|", col("doc_id"), col("text"))))
+              .as("content_fp"))
+          .orderBy("source")
     },
   )
 

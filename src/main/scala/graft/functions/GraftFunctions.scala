@@ -41,5 +41,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => DotProductRewrite)
     // two-stage map-side-pruned top-k per key (graft.plans.TopKPerKey)
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // maintenance SQL for manifest tables: OPTIMIZE [ZORDER BY] /
+    // VACUUM [RETAIN n VERSIONS] / DESCRIBE HISTORY
+    e.injectParser((_, delegate) =>
+      new graft.sources.GraftSqlParser(delegate))
   }
 }

@@ -504,7 +504,7 @@ object Layout {
     * partition metadata (an EMPTY declared-partitioned table must
     * still write its first batch Hive-partitioned).
     */
-  private def partColsFor(spark: SparkSession, dir: String,
+  private[graft] def partColsFor(spark: SparkSession, dir: String,
       entries: Seq[ManifestEntry]): Seq[String] = {
     val fromPaths = partColsOf(entries)
     if (fromPaths.nonEmpty) fromPaths
@@ -1272,8 +1272,15 @@ object Layout {
     }
     val newVersion = cur + 1
     val claim = Manifest.claimVersion(spark, dir, newVersion)
+    // staged dot-files land beside their partition's originals: the
+    // relative subdirectory (Hive k=v segments, when the table is
+    // partitioned) carries into the committed name, so partition-
+    // equality pruning treats rewritten files like any other
     val names = stagedAbs.sorted.zipWithIndex.map { case (p, i) =>
-      val tgt = s"rlo-v$newVersion-$i.parquet"
+      val sub = Manifest.relativize(spark, dir, p)
+        .split('/').dropRight(1).mkString("/")
+      val tgt = (if (sub.isEmpty) "" else s"$sub/") +
+        s"rlo-v$newVersion-$i.parquet"
       require(fs.rename(new Path(p), new Path(s"$dir/$tgt")),
         s"staged file $p failed to land as $tgt")
       tgt

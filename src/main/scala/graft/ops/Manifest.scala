@@ -708,6 +708,7 @@ object Manifest {
             anyAdded(s"flush-v$v")) "FLUSH DELETES"
           else if (anyAdded(s"compact-v$v")) "OPTIMIZE"
           else if (anyAdded(s"upsert-v$v")) "MERGE"
+          else if (anyAdded(s"rlo-v$v")) "UPDATE" // SQL row-level DML
           else if (anyAdded(s"delta-v$v")) "DELETE"
           else if (fs.exists(new Path(dvDir(dir, v)))) "DELETE (DV)"
           else if (anyAdded(s"append-v$v")) "APPEND"

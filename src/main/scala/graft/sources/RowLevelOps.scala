@@ -72,9 +72,10 @@ import graft.util.SerializableHadoopConf
   * another writer landed in between (first-writer-wins, same as every
   * other verb of the format).
   *
-  * Partitioned (Hive-layout) tables are rejected — route bulk
-  * partition rewrites through [[Layout.updateInPlace]], which stages
-  * per-partition. Reference for the operation surface: the engine's
+  * Partitioned (Hive-layout) tables route replacement rows back into
+  * their partition's directory executor-side, and committed names
+  * keep their k=v segments — partition-equality pruning survives
+  * every rewrite. Reference for the operation surface: the engine's
   * mutation verbs mirror `frame_tasks`' frame-replacement semantics
   * (reference `solve.py:131` appends; mutation is this engine's
   * extension for table maintenance).
@@ -95,17 +96,19 @@ object RowLevelOps {
         s"$dir has no manifest — row-level SQL needs a committed table"))
     val entries = Manifest.readVersion(spark, dir, version)
       .getOrElse(Seq.empty)
-    require(!entries.exists(_.name.contains("=")),
-      s"row-level SQL on the Hive-partitioned table $dir is not " +
-        "supported — use graft.ops.Layout.updateInPlace / deleteInPlace")
     val schema = Manifest.tableSchema(spark, dir, version)
       .getOrElse(ManifestSource.tableSchema(spark, dir))
     schema.fields.foreach(f => require(writableType(f.dataType),
       s"row-level SQL cannot rewrite column ${f.name} of type " +
         s"${f.dataType} in $dir"))
+    // Hive-partitioned tables: replacement rows route back into their
+    // partition's directory executor-side; the commit keeps k=v path
+    // segments so partition-equality pruning survives the rewrite
+    val partCols = Layout.partColsFor(spark, dir, entries)
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation =
-        new CowOperation(dir, info.command, version, entries, schema)
+        new CowOperation(dir, info.command, version, entries, schema,
+          partCols)
     }
   }
 
@@ -122,7 +125,8 @@ object RowLevelOps {
     */
   private[sources] class CowOperation(dir: String, cmd: Command,
       val version: Int, allEntries: Seq[ManifestEntry],
-      tableSchema: StructType) extends RowLevelOperation {
+      tableSchema: StructType, val partCols: Seq[String])
+      extends RowLevelOperation {
 
     // the groups the write must replace — exactly what the scan reads.
     // Starts at the full snapshot; the runtime filter narrows it.
@@ -149,7 +153,7 @@ object RowLevelOps {
         override def build(): Write = new Write {
           override def toBatch: BatchWrite =
             new CowBatchWrite(CowOperation.this, dir, info.schema(),
-              info.queryId())
+              partCols, info.queryId())
         }
       }
   }
@@ -223,10 +227,19 @@ object RowLevelOps {
         spark.sparkContext.hadoopConfiguration)
       entries.map { en =>
         val file = s"$dir/${en.name}"
+        // partition-directory values inject as constants, exactly
+        // like the batch scan — a partitioned file does not store
+        // its partition columns
+        val partVals = en.name.split('/').dropRight(1)
+          .filter(_.contains("="))
+          .map { seg =>
+            val Array(k, v) = seg.split("=", 2)
+            k -> v
+          }.toMap
         ManifestSource.MfPartition(file, required.json,
           marks.getOrElse(en.name.split('/').last, Array.empty)
             .map(_._2).sorted,
-          Map(FileColumn -> file), conf): InputPartition
+          partVals + (FileColumn -> file), conf): InputPartition
       }.toArray
     }
 
@@ -234,26 +247,27 @@ object RowLevelOps {
       new ManifestSource.MfReaderFactory
   }
 
-  private[sources] case class CowCommitMessage(stagedName: String,
-      rows: Long) extends WriterCommitMessage
+  private[sources] case class CowCommitMessage(stagedNames: Seq[String])
+      extends WriterCommitMessage
 
   /** The replacement write: tasks stage dot-files executor-side; the
     * driver-side commit is [[Layout.commitReplace]] (OCC gate, stats,
     * DV carry, change record).
     */
   private[sources] class CowBatchWrite(op: CowOperation, dir: String,
-      schema: StructType, queryId: String) extends BatchWrite {
+      schema: StructType, partCols: Seq[String], queryId: String)
+      extends BatchWrite {
 
     override def createBatchWriterFactory(
         info: PhysicalWriteInfo): DataWriterFactory =
-      CowWriterFactory(dir, schema.json, queryId,
+      CowWriterFactory(dir, schema.json, partCols, queryId,
         new SerializableHadoopConf(
           SparkSession.active.sparkContext.hadoopConfiguration))
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val spark = SparkSession.active
-      val staged = messages.collect {
-        case CowCommitMessage(name, rows) if rows > 0 => s"$dir/$name"
+      val staged = messages.flatMap {
+        case CowCommitMessage(names) => names.map(n => s"$dir/$n")
       }
       val statCols = schema.fields.collect {
         case f if f.dataType == IntegerType || f.dataType == LongType ||
@@ -269,20 +283,20 @@ object RowLevelOps {
       val fs = new Path(dir).getFileSystem(
         SparkSession.active.sparkContext.hadoopConfiguration)
       messages.foreach {
-        case CowCommitMessage(name, _) if name != null =>
-          fs.delete(new Path(s"$dir/$name"), false)
+        case CowCommitMessage(names) =>
+          names.foreach(n => fs.delete(new Path(s"$dir/$n"), false))
         case _ => ()
       }
     }
   }
 
   private[sources] case class CowWriterFactory(dir: String,
-      schemaJson: String, queryId: String, conf: SerializableHadoopConf)
-      extends DataWriterFactory {
+      schemaJson: String, partCols: Seq[String], queryId: String,
+      conf: SerializableHadoopConf) extends DataWriterFactory {
     override def createWriter(partitionId: Int,
         taskId: Long): DataWriter[InternalRow] =
       new CowDataWriter(dir,
-        DataType.fromJson(schemaJson).asInstanceOf[StructType],
+        DataType.fromJson(schemaJson).asInstanceOf[StructType], partCols,
         s".rlo-$queryId-p$partitionId-t$taskId.parquet", conf)
   }
 
@@ -295,12 +309,23 @@ object RowLevelOps {
     * full-table rewrites belong to the vectorized layout verbs.
     */
   private[sources] class CowDataWriter(dir: String, schema: StructType,
-      name: String, conf: SerializableHadoopConf)
+      partCols: Seq[String], name: String, conf: SerializableHadoopConf)
       extends DataWriter[InternalRow] {
+
+    /** Data fields with their row ordinals — partition columns are
+      * DIRECTORY-encoded (Hive layout), never stored in the file, so
+      * the parquet schema excludes them.
+      */
+    private val dataFields: Array[(StructField, Int)] =
+      schema.fields.zipWithIndex.filterNot {
+        case (f, _) => partCols.contains(f.name)
+      }
+    private val partIdx: Array[Int] =
+      partCols.map(schema.fieldIndex).toArray
 
     private val messageType: MessageType = {
       val b = Types.buildMessage()
-      schema.fields.foreach { f =>
+      dataFields.map(_._1).foreach { f =>
         val prim: PrimitiveType = f.dataType match {
           case LongType => Types.optional(INT64).named(f.name)
           case IntegerType => Types.optional(INT32).named(f.name)
@@ -327,54 +352,93 @@ object RowLevelOps {
       b.named("graft_rlo")
     }
     private val factory = new SimpleGroupFactory(messageType)
-    private var writer: ParquetWriter[org.apache.parquet.example.data.Group] =
-      _
-    private var count = 0L
+    // one lazily-opened staged file per partition directory this task
+    // sees ("" for an unpartitioned table): LinkedHashMap keeps
+    // deterministic close order; a task that sees no rows stages
+    // nothing at all
+    private val writers = scala.collection.mutable.LinkedHashMap.empty[
+      String, (ParquetWriter[org.apache.parquet.example.data.Group],
+        String)]
+
+    /** The Hive directory for a row's partition values ("" when
+      * unpartitioned). Values must be directly path-encodable — the
+      * scan side ([[ManifestSource]]) reads k=v segments verbatim, so
+      * a value that would need Hive escaping is rejected rather than
+      * silently mangled.
+      */
+    private def partDirOf(row: InternalRow): String =
+      partCols.indices.map { k =>
+        val i = partIdx(k)
+        val f = schema.fields(i)
+        require(!row.isNullAt(i), s"null value for partition column " +
+          s"${f.name} — unsupported in row-level SQL")
+        val v = f.dataType match {
+          case StringType => row.getUTF8String(i).toString
+          case LongType => row.getLong(i).toString
+          case IntegerType => row.getInt(i).toString
+          case ShortType => row.getShort(i).toString
+          case ByteType => row.getByte(i).toString
+          case BooleanType => row.getBoolean(i).toString
+          case DateType =>
+            java.time.LocalDate.ofEpochDay(row.getInt(i).toLong).toString
+          case dt => throw new UnsupportedOperationException(
+            s"row-level write: unsupported partition column type $dt " +
+              s"for ${f.name}")
+        }
+        require(v.matches("[A-Za-z0-9._+:-]+"),
+          s"partition value '$v' for ${f.name} needs Hive path " +
+            "escaping — unsupported in row-level SQL")
+        s"${f.name}=$v"
+      }.mkString("/")
 
     override def write(row: InternalRow): Unit = {
-      if (writer == null)
-        writer = ExampleParquetWriter.builder(new Path(s"$dir/$name"))
+      val pdir = partDirOf(row)
+      val (writer, _) = writers.getOrElseUpdate(pdir, {
+        val rel = (if (pdir.isEmpty) "" else s"$pdir/") + name
+        (ExampleParquetWriter.builder(new Path(s"$dir/$rel"))
           .withConf(conf.value)
           .withType(messageType)
           .withCompressionCodec(CompressionCodecName.SNAPPY)
-          .build()
+          .build(), rel)
+      })
       val g = factory.newGroup()
-      var i = 0
-      while (i < schema.fields.length) {
+      var j = 0
+      while (j < dataFields.length) {
+        val (f, i) = dataFields(j)
         if (!row.isNullAt(i)) {
-          val f = schema.fields(i)
           f.dataType match {
-            case LongType | TimestampType => g.add(i, row.getLong(i))
-            case IntegerType | DateType => g.add(i, row.getInt(i))
-            case DoubleType => g.add(i, row.getDouble(i))
-            case FloatType => g.add(i, row.getFloat(i))
-            case BooleanType => g.add(i, row.getBoolean(i))
+            case LongType | TimestampType => g.add(j, row.getLong(i))
+            case IntegerType | DateType => g.add(j, row.getInt(i))
+            case DoubleType => g.add(j, row.getDouble(i))
+            case FloatType => g.add(j, row.getFloat(i))
+            case BooleanType => g.add(j, row.getBoolean(i))
             case StringType =>
-              g.add(i, Binary.fromString(row.getUTF8String(i).toString))
+              g.add(j, Binary.fromString(row.getUTF8String(i).toString))
             case BinaryType =>
-              g.add(i, Binary.fromConstantByteArray(row.getBinary(i)))
-            case ShortType => g.add(i, row.getShort(i).toInt)
-            case ByteType => g.add(i, row.getByte(i).toInt)
+              g.add(j, Binary.fromConstantByteArray(row.getBinary(i)))
+            case ShortType => g.add(j, row.getShort(i).toInt)
+            case ByteType => g.add(j, row.getByte(i).toInt)
             case dt => throw new UnsupportedOperationException(
               s"row-level write: unsupported column type $dt for ${f.name}")
           }
         }
-        i += 1
+        j += 1
       }
       writer.write(g)
-      count += 1
     }
 
     override def commit(): WriterCommitMessage = {
-      if (writer != null) writer.close()
-      CowCommitMessage(if (count > 0) name else null, count)
+      writers.values.foreach(_._1.close())
+      CowCommitMessage(writers.values.map(_._2).toSeq)
     }
 
     override def abort(): Unit = {
-      if (writer != null) writer.close()
-      val p = new Path(s"$dir/$name")
-      val fs = p.getFileSystem(conf.value)
-      if (fs.exists(p)) fs.delete(p, false)
+      writers.values.foreach { case (w, rel) =>
+        w.close()
+        val p = new Path(s"$dir/$rel")
+        val fs = p.getFileSystem(conf.value)
+        if (fs.exists(p)) fs.delete(p, false)
+      }
     }
 
     override def close(): Unit = ()

@@ -1,0 +1,115 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.ops.Manifest
+
+/** Maintenance SQL over manifest tables ([[GraftSql]] /
+  * [[GraftSqlParser]]): OPTIMIZE [ZORDER BY], VACUUM [RETAIN n
+  * VERSIONS], DESCRIBE HISTORY — parsed ahead of Spark's grammar,
+  * executed as driver commands over the layout verbs, everything else
+  * delegated verbatim.
+  */
+class GraftSqlSpec extends SparkSpec {
+
+  private lazy val wh = {
+    val d = Files.createTempDirectory("graft-sqlcmd-spec").toString
+    spark.conf.set("spark.sql.catalog.gm", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gm.warehouse", d)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gm.db")
+    d
+  }
+
+  test("OPTIMIZE bin-packs a fragmented table; data survives exactly") {
+    wh
+    spark.sql("CREATE TABLE gm.db.frag (id BIGINT, v STRING)")
+    // five tiny appends = five commits' worth of small files
+    (0 until 5).foreach { k =>
+      spark.sql(s"""INSERT INTO gm.db.frag
+                   |SELECT id, concat('v', id)
+                   |FROM range(${k * 100}, ${k * 100 + 100})""".stripMargin)
+    }
+    val dir = s"$wh/db/frag"
+    val filesBefore = Manifest.read(spark, dir).get.size
+
+    val res = GraftSql.exec(spark, "OPTIMIZE gm.db.frag").collect()
+    assert(res.length == 1)
+    assert(res.head.getInt(0) == filesBefore)
+    assert(res.head.getInt(1) < filesBefore,
+      s"no compaction: ${res.head.getInt(0)} -> ${res.head.getInt(1)}")
+
+    val all = spark.sql("SELECT count(*), sum(id) FROM gm.db.frag").head()
+    assert(all.getLong(0) == 500L && all.getLong(1) == (0L until 500L).sum)
+    spark.sql("DROP TABLE gm.db.frag")
+  }
+
+  test("VACUUM RETAIN 1 VERSIONS reclaims superseded files") {
+    wh
+    spark.sql("CREATE TABLE gm.db.vac (id BIGINT)")
+    spark.sql("INSERT INTO gm.db.vac SELECT id FROM range(0, 100)")
+    spark.sql("INSERT OVERWRITE gm.db.vac SELECT id FROM range(100, 150)")
+    val removed = GraftSql.exec(spark,
+      "VACUUM gm.db.vac RETAIN 1 VERSIONS").head().getInt(0)
+    assert(removed > 0, "the overwritten batch's files must be reclaimed")
+    assert(spark.sql("SELECT count(*) FROM gm.db.vac").head().getLong(0)
+      == 50L)
+    spark.sql("DROP TABLE gm.db.vac")
+  }
+
+  test("DESCRIBE HISTORY lists commits newest-first with operations") {
+    wh
+    spark.sql("CREATE TABLE gm.db.hist (id BIGINT)")
+    spark.sql("INSERT INTO gm.db.hist SELECT id FROM range(0, 10)")
+    spark.sql("DELETE FROM gm.db.hist WHERE id < 3")
+    val h = GraftSql.exec(spark, "DESCRIBE HISTORY gm.db.hist").collect()
+    assert(h.length >= 3)
+    assert(h.map(_.getInt(0)).toSeq == h.map(_.getInt(0)).toSeq
+      .sorted(Ordering.Int.reverse), "history must be newest-first")
+    // entry rows are physical (DV marks not subtracted); the delete
+    // commit is classified from its vector
+    assert(h.head.getLong(4) == 10L)
+    assert(h.head.getString(2) == "DELETE (DV)",
+      s"operation: ${h.head.getString(2)}")
+    assert(h.map(_.getString(2)).contains("APPEND"))
+    spark.sql("DROP TABLE gm.db.hist")
+  }
+
+  test("ZORDER BY parses into clustering columns") {
+    GraftSqlParser.intercept(
+      "OPTIMIZE gm.db.t ZORDER BY (a, `b`, c)") match {
+      case Some(OptimizeGraftTable(tbl, z)) =>
+        assert(tbl == Seq("gm", "db", "t") && z == Seq("a", "b", "c"))
+      case other => fail(s"parsed to $other")
+    }
+    GraftSqlParser.intercept("VACUUM gm.db.t RETAIN 7 VERSIONS") match {
+      case Some(VacuumGraftTable(tbl, keep)) =>
+        assert(tbl == Seq("gm", "db", "t") && keep == 7)
+      case other => fail(s"parsed to $other")
+    }
+  }
+
+  test("ordinary SQL and near-miss statements delegate untouched") {
+    assert(GraftSqlParser.intercept("SELECT 1").isEmpty)
+    assert(GraftSqlParser.intercept(
+      "DESCRIBE TABLE gm.db.whatever").isEmpty)
+    assert(GraftSqlParser.intercept(
+      "SELECT * FROM optimize_results").isEmpty)
+    // and through exec, plain SQL just runs
+    assert(GraftSql.exec(spark, "SELECT 40 + 2 AS x").head().getInt(0)
+      == 42)
+    // the injected parser delegates non-maintenance statements
+    val p = new GraftSqlParser(spark.sessionState.sqlParser)
+    assert(p.parsePlan("SELECT 1") != null)
+    assert(p.parseExpression("1 + 1") != null)
+  }
+
+  test("a non-graft catalog is refused") {
+    wh
+    val e = intercept[Exception] {
+      GraftSql.exec(spark, "VACUUM spark_catalog.default.t")
+    }
+    assert(e.getMessage.contains("not a graft catalog") ||
+      e.getMessage.contains("not a registered catalog"))
+  }
+}

@@ -203,6 +203,56 @@ class RowLevelOpsSpec extends SparkSpec {
     spark.sql("DROP TABLE grlo.db.dt")
   }
 
+  test("row-level SQL on partitioned tables keeps Hive layout") {
+    wh
+    spark.sql("""CREATE TABLE grlo.db.pu (id BIGINT, src STRING, v STRING)
+                |PARTITIONED BY (src)""".stripMargin)
+    spark.sql("""INSERT INTO grlo.db.pu
+                |SELECT id, concat('s', id % 3), concat('a', id)
+                |FROM range(0, 300)""".stripMargin)
+    val dir = s"$wh/db/pu"
+    val before = Manifest.read(spark, dir).get.map(_.name)
+    assert(before.forall(_.contains("src=")), s"not Hive-laid-out: $before")
+
+    // src='s0' means id % 3 = 0, so with id % 10 = 0 exactly the 10
+    // multiples of 30 match
+    spark.sql("""UPDATE grlo.db.pu SET v = 'upd'
+                |WHERE id % 10 = 0 AND src = 's0'""".stripMargin)
+    assert(rows("SELECT count(*) FROM grlo.db.pu WHERE v = 'upd'")
+      .head.getLong(0) == 10L)
+    assert(rows("SELECT count(*) FROM grlo.db.pu").head.getLong(0) == 300L)
+    assert(rows("SELECT v FROM grlo.db.pu WHERE id = 30").head.getString(0)
+      == "upd")
+    assert(rows("SELECT v FROM grlo.db.pu WHERE id = 1").head.getString(0)
+      == "a1")
+
+    // rewritten files landed back INSIDE the matched partition's
+    // directory; other partitions' files carried verbatim
+    val after = Manifest.read(spark, dir).get.map(_.name)
+    assert(after.forall(_.contains("src=")))
+    val newFiles = after.toSet -- before.toSet
+    assert(newFiles.nonEmpty && newFiles.forall(_.startsWith("src=s0/")),
+      s"rewrites escaped their partition: $newFiles")
+    assert((before.toSet & after.toSet).exists(_.startsWith("src=s1")),
+      "untouched partition was rewritten")
+
+    // MERGE with an insert into a partition that did not exist yet
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW pu_src AS
+                |SELECT * FROM VALUES (1000, 's9', 'brand-new'),
+                |  (30, 's0', 'merged') AS t(id, src, v)""".stripMargin)
+    spark.sql("""MERGE INTO grlo.db.pu t USING pu_src s
+                |ON t.id = s.id AND t.src = s.src
+                |WHEN MATCHED THEN UPDATE SET v = s.v
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(rows("SELECT v FROM grlo.db.pu WHERE id = 1000")
+      .head.getString(0) == "brand-new")
+    assert(rows("SELECT v FROM grlo.db.pu WHERE id = 30")
+      .head.getString(0) == "merged")
+    assert(Manifest.read(spark, dir).get.map(_.name)
+      .exists(_.startsWith("src=s9/")), "insert did not create its partition")
+    spark.sql("DROP TABLE grlo.db.pu")
+  }
+
   test("UPDATE on a time-travel read is rejected") {
     wh
     spark.sql("CREATE TABLE grlo.db.tt (id BIGINT)")
