@@ -1329,6 +1329,62 @@ object Layout {
     newEntries.size
   }
 
+  /** CLONE — an independent copy of `srcDir`'s CURRENT snapshot at
+    * `dstDir`, committed as the clone's v1:
+    *
+    *  - data files copy BYTE-FOR-BYTE in one distributed job (no
+    *    decode/re-encode: file boundaries, sort/cluster order, footer
+    *    stats, and parquet blooms all carry verbatim — what a
+    *    re-CTAS would destroy);
+    *  - manifest entries carry verbatim too (same relative names ⇒
+    *    same partition segments; recorded stats stay exact);
+    *  - live deletion vectors copy into the clone's v1 vector (marks
+    *    key on file base names, which the copy preserves);
+    *  - the recorded schema carries, so evolution state survives.
+    *
+    * The clone shares NOTHING after the copy: writes to either side
+    * are invisible to the other, history restarts at v1. Driver cost
+    * is O(#files) names; bytes move executor-side under the driver's
+    * broadcast Hadoop conf. Returns (files, bytes) copied.
+    */
+  def cloneTable(spark: SparkSession, srcDir: String,
+      dstDir: String): (Int, Long) = {
+    val version = Manifest.currentVersion(spark, srcDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"$srcDir has no manifest — CLONE needs a committed table"))
+    require(Manifest.currentVersion(spark, dstDir).isEmpty,
+      s"$dstDir already holds a table — CLONE will not overwrite")
+    val entries = Manifest.readVersion(spark, srcDir, version)
+      .getOrElse(Seq.empty)
+    val conf = new graft.util.SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    val (srcRoot, dstRoot) = (srcDir, dstDir)
+    if (entries.nonEmpty)
+      spark.sparkContext
+        .parallelize(entries.map(_.name), math.min(entries.size, 64))
+        .foreach { name =>
+          val from = new Path(s"$srcRoot/$name")
+          val to = new Path(s"$dstRoot/$name")
+          val fs = to.getFileSystem(conf.value)
+          org.apache.hadoop.fs.FileUtil.copy(
+            from.getFileSystem(conf.value), from, fs, to,
+            false, true, conf.value)
+        }
+    // live merge-on-read marks become the clone's v1 vector
+    val fs = new Path(dstDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val srcDv = new Path(Manifest.dvDir(srcDir, version))
+    val srcFs = srcDv.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (srcFs.exists(srcDv))
+      org.apache.hadoop.fs.FileUtil.copy(srcFs, srcDv, fs,
+        new Path(Manifest.dvDir(dstDir, 1)), false, true,
+        spark.sparkContext.hadoopConfiguration)
+    Manifest.write(spark, dstDir, entries, 1,
+      schema = Manifest.tableSchema(spark, srcDir, version))
+    (entries.size, entries.map(_.bytes).sum)
+  }
+
   /** Per-source content fingerprint of a documents directory — the
     * parity probe for compaction: identical on the raw table, the
     * sharded tree, and the compacted tree, because compaction must be

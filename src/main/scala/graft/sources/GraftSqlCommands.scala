@@ -23,6 +23,7 @@ import graft.ops.{Layout, Manifest}
   * VACUUM gsql.db.t                        -- reclaim, keep 2 versions
   * VACUUM gsql.db.t RETAIN 5 VERSIONS
   * DESCRIBE HISTORY gsql.db.t              -- the commit log as rows
+  * CLONE gsql.db.t TO gsql.db.t2           -- byte-copy snapshot clone
   * }}}
   *
   * Two ways in, same statements:
@@ -132,6 +133,23 @@ case class DescribeGraftHistory(table: Seq[String])
   }
 }
 
+/** `CLONE <src> TO <dst>` — [[Layout.cloneTable]]: an independent
+  * byte-for-byte copy of the source's current snapshot (layout,
+  * stats, blooms, deletion vectors all carry), committed as the
+  * destination's v1.
+  */
+case class CloneGraftTable(src: Seq[String], dst: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files", IntegerType, nullable = false)(),
+    AttributeReference("bytes", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (files, bytes) = Layout.cloneTable(spark,
+      GraftSql.resolveDir(spark, src), GraftSql.resolveDir(spark, dst))
+    Seq(Row(files, bytes))
+  }
+}
+
 /** The delegating parser [[graft.functions.GraftExtensions]] injects:
   * three anchored regex productions ahead of the Spark grammar,
   * everything else verbatim to `delegate`.
@@ -169,6 +187,8 @@ object GraftSqlParser {
     """(?is)\s*VACUUM\s+([\w.`]+)\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?;?\s*""".r
   private val History =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*""".r
+  private val Clone =
+    """(?is)\s*CLONE\s+([\w.`]+)\s+TO\s+([\w.`]+)\s*;?\s*""".r
 
   private def parts(ident: String): Seq[String] =
     ident.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
@@ -183,6 +203,8 @@ object GraftSqlParser {
       case Vacuum(tbl, keep) => Some(VacuumGraftTable(parts(tbl),
         Option(keep).map(_.toInt).getOrElse(2)))
       case History(tbl) => Some(DescribeGraftHistory(parts(tbl)))
+      case Clone(src, dst) =>
+        Some(CloneGraftTable(parts(src), parts(dst)))
       case _ => None
     }
 }

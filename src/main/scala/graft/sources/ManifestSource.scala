@@ -28,7 +28,8 @@ import org.apache.spark.sql.connector.expressions.{GeneralScalarExpression,
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+  SupportsPushDownFilters, SupportsPushDownRequiredColumns,
+  SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream,
   Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
@@ -275,12 +276,42 @@ object ManifestSource {
         override def pruneColumns(requiredSchema: StructType): Unit =
           required = requiredSchema
 
-        override def build(): Scan = new Scan {
+        override def build(): Scan = new Scan
+            with SupportsReportStatistics {
           override def readSchema(): StructType = required
           override def toMicroBatchStream(
               checkpointLocation: String): MicroBatchStream =
             new MfStream(dir, schema0, maxVersions, changeFeed,
               startingVersion)
+
+          /** Manifest-exact size/row totals of the files SURVIVING
+            * pushdown pruning — what Spark's join planning sizes the
+            * relation with (a dimension read that prunes to one
+            * partition reports that partition's bytes, so it
+            * broadcasts even when the whole table would not). Rows
+            * are physical (deletion-vector marks not subtracted — an
+            * upper bound, safe for planning); cost is one snapshot
+            * read the driver already holds cached.
+            */
+          override def estimateStatistics()
+              : org.apache.spark.sql.connector.read.Statistics = {
+            val spark = SparkSession.active
+            val entries = versionAsOf
+              .orElse(timestampAsOf.flatMap(ts =>
+                Manifest.versionAt(spark, dir, ts)))
+              .orElse(Manifest.currentVersion(spark, dir))
+              .flatMap(v => Manifest.readVersion(spark, dir, v))
+              .getOrElse(Seq.empty)
+              .filter(entrySurvives(_, pushed))
+            val bytes = entries.map(_.bytes).sum
+            val rows = entries.map(_.rows).sum
+            new org.apache.spark.sql.connector.read.Statistics {
+              override def sizeInBytes(): java.util.OptionalLong =
+                java.util.OptionalLong.of(bytes)
+              override def numRows(): java.util.OptionalLong =
+                java.util.OptionalLong.of(rows)
+            }
+          }
           /** Batch form of the connector — snapshot read with time
             * travel via `versionAsOf` / `timestampAsOf` (epoch ms).
             * Uses the same per-file reader as streaming (DV skip,

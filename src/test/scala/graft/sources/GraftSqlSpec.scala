@@ -104,6 +104,59 @@ class GraftSqlSpec extends SparkSpec {
     assert(p.parseExpression("1 + 1") != null)
   }
 
+  test("CLONE copies snapshot, stats, and deletion vectors verbatim") {
+    wh
+    spark.sql("CREATE TABLE gm.db.csrc (id BIGINT, v STRING)")
+    spark.sql("""INSERT INTO gm.db.csrc
+                |SELECT id, concat('v', id) FROM range(0, 200)""".stripMargin)
+    spark.sql("DELETE FROM gm.db.csrc WHERE id < 20") // live DV marks
+    assert(Manifest.hasDeletionVectors(spark, s"$wh/db/csrc"))
+
+    val res = GraftSql.exec(spark,
+      "CLONE gm.db.csrc TO gm.db.cdst").head()
+    assert(res.getInt(0) > 0 && res.getLong(1) > 0L)
+
+    // identical logical content, including the subtracted marks
+    assert(spark.sql("SELECT count(*), min(id) FROM gm.db.cdst").head()
+      == spark.sql("SELECT count(*), min(id) FROM gm.db.csrc").head())
+    // entries carried verbatim: same relative names, same stats
+    val se = Manifest.read(spark, s"$wh/db/csrc").get
+    val de = Manifest.read(spark, s"$wh/db/cdst").get
+    assert(se.map(e => (e.name, e.rows, e.bytes, e.stats)) ==
+      de.map(e => (e.name, e.rows, e.bytes, e.stats)))
+    // and the clone is INDEPENDENT: divergent writes stay divergent
+    spark.sql("INSERT INTO gm.db.cdst VALUES (9999, 'clone-only')")
+    assert(spark.sql("SELECT count(*) FROM gm.db.cdst").head().getLong(0)
+      == spark.sql("SELECT count(*) FROM gm.db.csrc").head().getLong(0) + 1)
+    // re-clone onto an existing table is refused
+    val e = intercept[Exception] {
+      GraftSql.exec(spark, "CLONE gm.db.csrc TO gm.db.cdst")
+    }
+    assert(e.getMessage.contains("will not overwrite"))
+    spark.sql("DROP TABLE gm.db.csrc")
+    spark.sql("DROP TABLE gm.db.cdst")
+  }
+
+  test("scan statistics come from the manifest and shrink under pruning") {
+    wh
+    spark.sql("""CREATE TABLE gm.db.stat (id BIGINT, grp STRING)
+                |PARTITIONED BY (grp)""".stripMargin)
+    spark.sql("""INSERT INTO gm.db.stat
+                |SELECT id, concat('g', id % 4) FROM range(0, 4000)""".stripMargin)
+    val total = Manifest.read(spark, s"$wh/db/stat").get.map(_.bytes).sum
+    val full = spark.table("gm.db.stat")
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(full == BigInt(total),
+      s"full-scan stats $full != manifest bytes $total")
+    // partition-equality pushdown: the reported size drops to the
+    // surviving partition's files — the broadcast-planning payoff
+    val pruned = spark.table("gm.db.stat").where("grp = 'g1'")
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(pruned < full,
+      s"pruned stats $pruned did not shrink from $full")
+    spark.sql("DROP TABLE gm.db.stat")
+  }
+
   test("a non-graft catalog is refused") {
     wh
     val e = intercept[Exception] {

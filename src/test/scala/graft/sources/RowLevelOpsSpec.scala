@@ -253,6 +253,29 @@ class RowLevelOpsSpec extends SparkSpec {
     spark.sql("DROP TABLE grlo.db.pu")
   }
 
+  test("UPDATE of a partition column moves rows across partitions") {
+    wh
+    spark.sql("""CREATE TABLE grlo.db.pm (id BIGINT, src STRING)
+                |PARTITIONED BY (src)""".stripMargin)
+    spark.sql("""INSERT INTO grlo.db.pm
+                |SELECT id, concat('s', id % 2) FROM range(0, 100)""".stripMargin)
+
+    // the writer routes each replacement row by its POST-update
+    // partition value, so this physically migrates files
+    spark.sql("UPDATE grlo.db.pm SET src = 'moved' WHERE id < 10")
+    assert(rows("SELECT count(*) FROM grlo.db.pm WHERE src = 'moved'")
+      .head.getLong(0) == 10L)
+    assert(rows("SELECT count(*) FROM grlo.db.pm").head.getLong(0) == 100L)
+    val names = Manifest.read(spark, s"$wh/db/pm").get.map(_.name)
+    assert(names.exists(_.startsWith("src=moved/")),
+      s"no file landed in the new partition: $names")
+    // moved rows are gone from their old partitions
+    assert(rows(
+      "SELECT count(*) FROM grlo.db.pm WHERE src IN ('s0','s1') AND id < 10")
+      .head.getLong(0) == 0L)
+    spark.sql("DROP TABLE grlo.db.pm")
+  }
+
   test("UPDATE on a time-travel read is rejected") {
     wh
     spark.sql("CREATE TABLE grlo.db.tt (id BIGINT)")
