@@ -276,6 +276,18 @@ object SparkEntry {
     t
   }
 
+  /** Build-once fixture: `gsql.docsclone` — a CLONE of the optimized
+    * docs table: byte-for-byte snapshot copy (layout, stats, blooms
+    * carry), fully independent history from v1.
+    */
+  private def sqlCatalogDocsClone(s: SparkSession, dir: String): String = {
+    sqlCatalogDocsOpt(s, dir) // the clone source must exist first
+    val t = s"${sqlCatalogWh(s, dir)}/docsclone"
+    if (ops.Manifest.currentVersion(s, t).isEmpty)
+      sources.GraftSql.exec(s, "CLONE gsql.docsopt TO gsql.docsclone")
+    t
+  }
+
   /** Build-once fixture: orders + lineitem as BUCKETED tables (8
     * buckets on the order key, sorted within buckets), registered in
     * the session catalog with external data under layoutDir. The
@@ -2723,6 +2735,26 @@ object SparkEntry {
       (s, dir) =>
         sqlCatalogDocsOpt(s, dir)
         s.sql("SELECT source, doc_id, text FROM gsql.docsopt")
+          .groupBy(col("source").cast("string").as("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(ops.H.hash30(concat_ws("|", col("doc_id"), col("text"))))
+              .as("content_fp"))
+          .orderBy("source")
+    },
+
+    // CLONE: the byte-copied table must fingerprint identically to
+    // the source's logical content — any file dropped, doubled, or
+    // altered by the copy (or a stats/schema mismatch in the cloned
+    // manifest) breaks the compare. The clone then evolves
+    // independently (GraftSqlSpec pins divergence).
+    q("ns_sql_clone",
+      s"""SELECT source::VARCHAR AS source, count(*) AS n_docs,
+         |  sum(${ops.H.duckHash30("doc_id || '|' || text")}
+         |  )::BIGINT AS content_fp
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin) {
+      (s, dir) =>
+        sqlCatalogDocsClone(s, dir)
+        s.sql("SELECT source, doc_id, text FROM gsql.docsclone")
           .groupBy(col("source").cast("string").as("source"))
           .agg(count(lit(1)).as("n_docs"),
             sum(ops.H.hash30(concat_ws("|", col("doc_id"), col("text"))))

@@ -23,6 +23,7 @@ import graft.ops.{Layout, Manifest}
   * VACUUM gsql.db.t                        -- reclaim, keep 2 versions
   * VACUUM gsql.db.t RETAIN 5 VERSIONS
   * DESCRIBE HISTORY gsql.db.t              -- the commit log as rows
+  * DESCRIBE DETAIL gsql.db.t               -- table facts, one row
   * CLONE gsql.db.t TO gsql.db.t2           -- byte-copy snapshot clone
   * }}}
   *
@@ -133,6 +134,37 @@ case class DescribeGraftHistory(table: Seq[String])
   }
 }
 
+/** `DESCRIBE DETAIL <table>` — one row of table-level facts, all from
+  * snapshot metadata (no data file opens): location, current version,
+  * file/row/byte totals, partition columns, live-deletion-vector
+  * presence.
+  */
+case class DescribeGraftDetail(table: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("num_files", IntegerType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("rows", LongType, nullable = false)(),
+    AttributeReference("partition_columns", StringType,
+      nullable = false)(),
+    AttributeReference("has_deletion_vectors", BooleanType,
+      nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftSql.resolveDir(spark, table)
+    val v = Manifest.currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir has no manifest"))
+    val entries = Manifest.readVersion(spark, dir, v).getOrElse(Seq.empty)
+    val partCols = entries.headOption.toSeq.flatMap(
+      _.name.split('/').dropRight(1).filter(_.contains("="))
+        .map(_.split("=")(0)).toSeq)
+    Seq(Row(dir, v, entries.size, entries.map(_.bytes).sum,
+      entries.map(_.rows).sum, partCols.mkString(","),
+      Manifest.hasDeletionVectors(spark, dir)))
+  }
+}
+
 /** `CLONE <src> TO <dst>` — [[Layout.cloneTable]]: an independent
   * byte-for-byte copy of the source's current snapshot (layout,
   * stats, blooms, deletion vectors all carry), committed as the
@@ -189,6 +221,8 @@ object GraftSqlParser {
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*""".r
   private val Clone =
     """(?is)\s*CLONE\s+([\w.`]+)\s+TO\s+([\w.`]+)\s*;?\s*""".r
+  private val Detail =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+([\w.`]+)\s*;?\s*""".r
 
   private def parts(ident: String): Seq[String] =
     ident.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
@@ -205,6 +239,7 @@ object GraftSqlParser {
       case History(tbl) => Some(DescribeGraftHistory(parts(tbl)))
       case Clone(src, dst) =>
         Some(CloneGraftTable(parts(src), parts(dst)))
+      case Detail(tbl) => Some(DescribeGraftDetail(parts(tbl)))
       case _ => None
     }
 }

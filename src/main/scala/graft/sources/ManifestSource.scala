@@ -200,6 +200,19 @@ object ManifestSource {
         .getOrElse(org.apache.spark.sql.functions.lit(true))
       graft.ops.Layout.deleteMergeOnRead(spark, dir, pred)
     }
+    /** SQL `TRUNCATE TABLE` — an EMPTY overwrite snapshot: O(1)
+      * metadata instead of the default delete-everything path's
+      * O(rows) deletion marks; prior files stay readable via time
+      * travel until vacuum.
+      */
+    override def truncateTable(): Boolean = {
+      val spark = SparkSession.active
+      graft.ops.Layout.overwriteInPlace(spark, dir,
+        Manifest.readTable(spark, dir)
+          .filter(org.apache.spark.sql.functions.lit(false)))
+      true
+    }
+
     override def schema(): StructType = schema0
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
@@ -464,7 +477,8 @@ object ManifestSource {
     */
   private def usableForPruning(f: Filter): Boolean = f match {
     case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
-         _: LessThan | _: LessThanOrEqual | _: In => true
+         _: LessThan | _: LessThanOrEqual | _: In |
+         _: StringStartsWith => true
     case _ => false
   }
 
@@ -553,6 +567,13 @@ object ManifestSource {
           str(c)((lo, hi) =>
             vs.exists(v => lo <= v.toString && v.toString <= hi))
         else true
+      case StringStartsWith(c, p) if partVals.contains(c) =>
+        partVals(c).startsWith(p)
+      case StringStartsWith(c, p) =>
+        // a p-prefixed string s satisfies s >= p, and s.take(|p|) = p;
+        // so a file provably holds none when hi < p, or when even its
+        // min truncates past p — never-wrong, only skips proven-empty
+        str(c)((lo, hi) => hi >= p && lo.take(p.length) <= p)
       case _ => true
     }
     }

@@ -157,6 +157,44 @@ class GraftSqlSpec extends SparkSpec {
     spark.sql("DROP TABLE gm.db.stat")
   }
 
+  test("TRUNCATE TABLE commits an empty snapshot, not per-row marks") {
+    wh
+    spark.sql("CREATE TABLE gm.db.tr (id BIGINT)")
+    spark.sql("INSERT INTO gm.db.tr SELECT id FROM range(0, 1000)")
+    val vBefore = Manifest.currentVersion(spark, s"$wh/db/tr").get
+    spark.sql("TRUNCATE TABLE gm.db.tr")
+    assert(spark.sql("SELECT count(*) FROM gm.db.tr").head().getLong(0)
+      == 0L)
+    // O(1) metadata: an empty snapshot, no deletion vector installed
+    assert(Manifest.read(spark, s"$wh/db/tr").get.isEmpty)
+    assert(!Manifest.hasDeletionVectors(spark, s"$wh/db/tr"))
+    // history intact: time travel still reads the pre-truncate rows
+    assert(spark.sql(
+      s"SELECT count(*) FROM gm.db.tr VERSION AS OF $vBefore")
+      .head().getLong(0) == 1000L)
+    // and the table keeps working after
+    spark.sql("INSERT INTO gm.db.tr VALUES (7)")
+    assert(spark.sql("SELECT sum(id) FROM gm.db.tr").head().getLong(0)
+      == 7L)
+    spark.sql("DROP TABLE gm.db.tr")
+  }
+
+  test("DESCRIBE DETAIL reports snapshot facts from metadata alone") {
+    wh
+    spark.sql("""CREATE TABLE gm.db.det (id BIGINT, g STRING)
+                |PARTITIONED BY (g)""".stripMargin)
+    spark.sql("""INSERT INTO gm.db.det
+                |SELECT id, concat('g', id % 2) FROM range(0, 100)""".stripMargin)
+    spark.sql("DELETE FROM gm.db.det WHERE id = 5")
+    val d = GraftSql.exec(spark, "DESCRIBE DETAIL gm.db.det").head()
+    assert(d.getString(0).endsWith("db/det"))
+    assert(d.getInt(2) > 0 && d.getLong(3) > 0L)
+    assert(d.getLong(4) == 100L) // physical rows (marks not subtracted)
+    assert(d.getString(5) == "g")
+    assert(d.getBoolean(6))
+    spark.sql("DROP TABLE gm.db.det")
+  }
+
   test("a non-graft catalog is refused") {
     wh
     val e = intercept[Exception] {

@@ -24,6 +24,35 @@ class ManifestSourceSpec extends SparkSpec {
   private def tmp(tag: String): String =
     java.nio.file.Files.createTempDirectory(s"graft-mfsrc-$tag").toString
 
+  test("StringStartsWith prunes on string ranges, never wrongly") {
+    import graft.ops.{ColRangeS, ManifestEntry}
+    import org.apache.spark.sql.sources.StringStartsWith
+    def entry(lo: String, hi: String) =
+      ManifestEntry("f.parquet", 10, 100,
+        Seq.empty, Some(Seq(ColRangeS("u", lo, hi))))
+    def survives(lo: String, hi: String, p: String) =
+      ManifestSource.entrySurvives(entry(lo, hi),
+        Array(StringStartsWith("u", p)))
+    assert(survives("alpha", "beta", "al"))    // prefix inside range
+    assert(survives("alpha", "beta", "b"))     // hi starts with p
+    assert(!survives("alpha", "beta", "z"))    // hi < p: provably none
+    assert(!survives("mango", "peach", "al"))  // lo truncates past p
+    assert(survives("mango", "peach", "ma"))
+    // boundary: min itself is exactly the prefix
+    assert(survives("al", "beta", "al"))
+    // a file with no stats for the column is always kept
+    assert(ManifestSource.entrySurvives(
+      ManifestEntry("f.parquet", 10, 100, Seq.empty, None),
+      Array(StringStartsWith("u", "z"))))
+    // partition-directory equality on the prefix
+    assert(ManifestSource.entrySurvives(
+      ManifestEntry("u=alpha/f.parquet", 10, 100, Seq.empty, None),
+      Array(StringStartsWith("u", "al"))))
+    assert(!ManifestSource.entrySurvives(
+      ManifestEntry("u=alpha/f.parquet", 10, 100, Seq.empty, None),
+      Array(StringStartsWith("u", "be"))))
+  }
+
   test("a fresh stream consumes the whole table, then follows appends exactly once") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sf/documents.parquet")
