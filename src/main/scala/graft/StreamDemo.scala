@@ -27,8 +27,7 @@ object StreamDemo {
     spark.sparkContext.setLogLevel("WARN")
 
     val stage = java.nio.file.Files.createTempDirectory("graft_stream").toString
-    val events = ops.T(spark, sfDir, "events")
-      .withColumn("ts", col("ts").cast("timestamp"))
+    val events = ops.T.normalizeEventTime(ops.T(spark, sfDir, "events"), ntz = false)
     events.repartitionByRange(8, col("ts"))
       .write.mode("overwrite").parquet(stage)
     // stamp mtimes in partition order: part-00000 holds the earliest

@@ -30,14 +30,41 @@ object T {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    memo.computeIfAbsent((spark, sfDir, name), { _ =>
-      val df = spark.read.parquet(s"$sfDir/$name.parquet")
-      df.schema.fields.find(f =>
-          f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
-        .map(_ => df.withColumn("ts",
-          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")))
-        .getOrElse(df)
-    })
+    memo.computeIfAbsent((spark, sfDir, name),
+      _ => normalizeEventTime(spark.read.parquet(s"$sfDir/$name.parquet")))
+
+  /** Normalize an events-shaped frame's `ts` column to ONE canonical
+    * type regardless of how the parquet writer encoded it. Three
+    * physical encodings exist in the wild (and the driver's testdata
+    * has shipped two of them across regenerations):
+    *
+    *  - parquet TIMESTAMP(NANOS) read under
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` → `LongType` nanos
+    *  - parquet timestamp[us] adjusted-to-UTC → `TimestampType`
+    *  - parquet timestamp[us] naive → `TimestampNTZType`
+    *
+    * With the session TZ pinned to UTC the three carry identical
+    * wall-clock values, so converting between them is lossless.
+    * `ntz=true` (the batch default) yields `timestamp_ntz` to match
+    * DuckDB's naive read of the same file; `ntz=false` yields plain
+    * `timestamp`, which is what `withWatermark` requires — every
+    * streaming reader must use that form or fail analysis with
+    * EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE.
+    *
+    * Works on batch and streaming frames alike (pure column rewrite).
+    * Frames without a `ts` column pass through untouched.
+    */
+  def normalizeEventTime(df: DataFrame, ntz: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val target = if (ntz) "timestamp_ntz" else "timestamp"
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(target))
+      case Some(TimestampNTZType) | Some(TimestampType) =>
+        df.withColumn("ts", col("ts").cast(target))
+      case _ => df
+    }
+  }
 }
 
 object H {

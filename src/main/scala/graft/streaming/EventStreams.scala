@@ -143,14 +143,10 @@ object EventStreams {
     // keep basePath inference on the parent directory
     val stream = spark.readStream.schema(raw.schema)
       .parquet(s"$sfDir/events.parque[t]")
-    // same TIMESTAMP(NANOS) normalization as the batch loader
-    // graft.ops.T, except plain TIMESTAMP (not ntz): watermarks
-    // require it, and with the session TZ pinned to UTC the formatted
-    // wall-clock values are identical
-    val events =
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else stream
+    // shared ts normalization (nanos-long / TIMESTAMP / TIMESTAMP_NTZ),
+    // to plain TIMESTAMP: watermarks require it, and with the session
+    // TZ pinned to UTC the wall-clock values are identical
+    val events = graft.ops.T.normalizeEventTime(stream, ntz = false)
     val sink = "st_available_now_sink"
     val query = hourlyTypeCounts(events).writeStream
       .format("memory").queryName(sink)

@@ -67,9 +67,12 @@ object HllStream {
   def availableNowHllUsers(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    // glob-address the single parquet file (see availableNowHourly)
-    val stream = spark.readStream.schema(raw.schema)
-      .parquet(s"$sfDir/events.parque[t]")
+    // glob-address the single parquet file (see availableNowHourly);
+    // normalize ts to plain TIMESTAMP so any future watermark on this
+    // path analyzes under every testdata encoding
+    val stream = graft.ops.T.normalizeEventTime(
+      spark.readStream.schema(raw.schema).parquet(s"$sfDir/events.parque[t]"),
+      ntz = false)
     val regs = regRows(stream).as[RegRow]
       .groupByKey(r => (r.event_type, r.reg))
       .transformWithState(new RegMaxProcessor,

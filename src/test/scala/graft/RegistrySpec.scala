@@ -9,9 +9,15 @@ class RegistrySpec extends SparkSpec {
   test("every registered query has an oracle and a unique name") {
     val qs = SparkEntry.queries
     val os = SparkEntry.oracleSql
-    assert(qs.size == 206, s"expected 206 queries, found ${qs.size}")
+    // structural invariants, not a magic count: a new query landing
+    // without its oracle (or vice versa) is the failure mode worth
+    // pinning — the exact size grows every round
+    assert(qs.nonEmpty)
     assert(os.keySet == qs.keySet,
-      s"oracle-less queries: ${qs.keySet -- os.keySet}")
+      s"oracle-less queries: ${qs.keySet -- os.keySet}; " +
+        s"query-less oracles: ${os.keySet -- qs.keySet}")
+    val badNames = qs.keySet.filterNot(_.matches("[a-z0-9_]+"))
+    assert(badNames.isEmpty, s"non-slug query names: $badNames")
   }
 
   test("the flagship entry returns rows") {
