@@ -34,8 +34,13 @@ object Bench {
         .mkString("{", ",", "}")
     val qs = fmt { case (k, med, _) => (k, med) }
     val mins = fmt { case (k, _, mn) => (k, mn) }
-    val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$mins,"sf":"$sfDir"}"""
+    // a query that throws records -1.0 — list it explicitly and keep
+    // the sentinel OUT of the total so the headline never understates
+    // (or silently absorbs) a failure
+    val errors = results.filter(_._2 < 0).map(_._1)
+    val errsJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"n_errors":${errors.size},"errors":$errsJson,"queries":$qs,"queries_min":$mins,"sf":"$sfDir"}"""
     println(line)
     // The stdout line gets truncated by log tooling past ~50 queries; persist the
     // full per-query breakdown so cross-round comparisons cover every query.

@@ -134,6 +134,30 @@ object SparkEntry {
     t
   }
 
+  /** Build-once fixture: `gsql.docswt` — the DataFrame-writer
+    * symmetry table: CREATEd partitioned via SQL, filled by
+    * `df.writeTo(...).append()` (v2), then src3's partition replaced
+    * whole by `overwritePartitions()` (v3, the connector's V2 staged
+    * dynamic overwrite).
+    */
+  private def sqlCatalogDocsWriteTo(s: SparkSession, dir: String): String = {
+    val t = s"${sqlCatalogWh(s, dir)}/docswt"
+    if (ops.Manifest.currentVersion(s, t).isEmpty)
+      s.sql("""CREATE TABLE gsql.docswt
+              |(doc_id BIGINT, source STRING, text STRING)
+              |PARTITIONED BY (source)""".stripMargin)
+    if (ops.Manifest.currentVersion(s, t).contains(1))
+      T(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .writeTo("gsql.docswt").append()
+    if (ops.Manifest.currentVersion(s, t).contains(2))
+      T(s, dir, "documents").filter(col("source") === "src3")
+        .select(col("doc_id"), col("source"),
+          concat(lit("w:"), col("text")).as("text"))
+        .writeTo("gsql.docswt").overwritePartitions()
+    t
+  }
+
   /** Build-once fixture: `gsql.natov` — full nation at v2, then SQL
     * INSERT OVERWRITE with only region 2's rows at v3.
     */
@@ -1725,6 +1749,93 @@ object SparkEntry {
           .orderBy("source")
     },
 
+    // RENAME COLUMN — metadata-only, Delta-column-mapping style: the
+    // column keeps its original PHYSICAL name in every file; the
+    // recorded schema carries the logical name plus the mapping. The
+    // fixture renames text→body, then APPENDS under the new name (the
+    // batch stages under the physical name), so the fingerprint
+    // breaks if either the read projection or the write mapping is
+    // wrong. Time travel to v1 still sees `text` (EvolutionSpec).
+    q("ns_schema_rename",
+      s"""WITH t AS (
+         |  SELECT doc_id, source, text AS body FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 900000, source, 'r:' || text AS body
+         |  FROM documents WHERE doc_id % 89 = 0)
+         |SELECT source::VARCHAR AS source, count(*) AS n_docs,
+         |  sum(${ops.H.duckHash30("doc_id || '|' || body")}
+         |  )::BIGINT AS content_fp
+         |FROM t GROUP BY source ORDER BY source""".stripMargin) {
+      (s, dir) =>
+        val src = layoutDir("docs-byid-ren", dir)
+        if (!new java.io.File(s"$src/_SUCCESS").exists())
+          T(s, dir, "documents")
+            .repartitionByRange(16, col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite").parquet(src)
+        if (ops.Manifest.currentVersion(s, src).forall(_ < 2))
+          ops.Layout.renameColumn(s, src, "text", "body",
+            statCols = Seq("doc_id"))
+        if (ops.Manifest.currentVersion(s, src).forall(_ < 3))
+          ops.Layout.appendInPlace(s, src,
+            T(s, dir, "documents").filter(col("doc_id") % 89 === 0)
+              .withColumn("doc_id", col("doc_id") + 900000L)
+              .withColumn("text", concat(lit("r:"), col("text")))
+              .withColumnRenamed("text", "body"),
+            statCols = Seq("doc_id"))
+        ops.Manifest.readTable(s, src)
+          .groupBy(col("source").cast("string").as("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(ops.H.hash30(concat_ws("|", col("doc_id"), col("body"))))
+              .as("content_fp"))
+          .orderBy("source")
+    },
+
+    // WIDEN COLUMN TYPE — metadata-only INT→BIGINT: the fixture
+    // materializes doc_id as INT32, widens to BIGINT, then appends ids
+    // beyond 2^31 — values an un-widened table could not hold. Old
+    // files upcast at read (the vectorized reader's type widening);
+    // new files stage wide. ANSI mode makes a silent wrap impossible:
+    // a wrong path throws rather than corrupts.
+    q("ns_schema_widen",
+      s"""WITH t AS (
+         |  SELECT doc_id, source, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 3000000000, source, text
+         |  FROM documents WHERE doc_id % 113 = 0)
+         |SELECT source::VARCHAR AS source, count(*) AS n_docs,
+         |  sum(doc_id)::BIGINT AS id_sum,
+         |  sum(${ops.H.duckHash30("doc_id || '|' || text")}
+         |  )::BIGINT AS content_fp
+         |FROM t GROUP BY source ORDER BY source""".stripMargin) {
+      (s, dir) =>
+        val src = layoutDir("docs-widen", dir)
+        if (!new java.io.File(s"$src/_SUCCESS").exists())
+          T(s, dir, "documents")
+            .select(col("doc_id").cast("int").as("doc_id"),
+              col("source"), col("text"))
+            .repartitionByRange(16, col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite").parquet(src)
+        if (ops.Manifest.currentVersion(s, src).forall(_ < 2))
+          ops.Layout.widenColumn(s, src, "doc_id",
+            org.apache.spark.sql.types.LongType,
+            statCols = Seq("doc_id"))
+        if (ops.Manifest.currentVersion(s, src).forall(_ < 3))
+          ops.Layout.appendInPlace(s, src,
+            T(s, dir, "documents").filter(col("doc_id") % 113 === 0)
+              .select((col("doc_id") + 3000000000L).as("doc_id"),
+                col("source"), col("text")),
+            statCols = Seq("doc_id"))
+        ops.Manifest.readTable(s, src)
+          .groupBy(col("source").cast("string").as("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("id_sum"),
+            sum(ops.H.hash30(concat_ws("|", col("doc_id"), col("text"))))
+              .as("content_fp"))
+          .orderBy("source")
+    },
+
     // CHANGE DATA FEED: every logical row change between two versions
     // as _change_type-tagged rows, with maintenance restatement
     // cancelled multiset-wise — a delete + upsert + append sequence
@@ -2553,6 +2664,32 @@ object SparkEntry {
             |  min(n_name) AS first_name, max(n_name) AS last_name
             |FROM gsql.nat GROUP BY n_regionkey
             |ORDER BY n_regionkey""".stripMargin)
+    },
+
+    // DataFrame-writer symmetry into the catalog: the table is
+    // CREATEd via SQL, filled by df.writeTo(...).append(), and src3's
+    // partition is replaced whole by overwritePartitions() — the V2
+    // staged dynamic overwrite (no V1 bridge exists for it). The
+    // fingerprint breaks if the append missed rows, the overwrite
+    // leaked into other partitions, or src3 kept an untagged row.
+    q("ns_sql_writeto",
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN source = 'src3' THEN 'w:' || text ELSE text END
+         |    AS text
+         |  FROM documents)
+         |SELECT source::VARCHAR AS source, count(*) AS n_docs,
+         |  sum(${ops.H.duckHash30("doc_id || '|' || text")}
+         |  )::BIGINT AS content_fp
+         |FROM t GROUP BY source ORDER BY source""".stripMargin) {
+      (s, dir) =>
+        sqlCatalogDocsWriteTo(s, dir)
+        s.table("gsql.docswt")
+          .groupBy(col("source").cast("string").as("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(ops.H.hash30(concat_ws("|", col("doc_id"), col("text"))))
+              .as("content_fp"))
+          .orderBy("source")
     },
 
     // SQL time travel through the catalog: VERSION AS OF pins the

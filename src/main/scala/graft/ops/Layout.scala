@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Data-layout management: multi-dimensional clustering (Z-order) and
   * small-file compaction. Neither changes query RESULTS — both change
@@ -555,12 +555,20 @@ object Layout {
     // EXISTING columns are cast to the table's own types: a batch
     // carrying a narrower type (INT ids into a BIGINT table) would
     // otherwise stage files whose physical type silently drifts from
-    // the recorded schema and poison later schema-driven reads
-    val existing = fileFields.map(f => col(f.name).cast(f.dataType)
-      .as(f.name))
+    // the recorded schema and poison later schema-driven reads.
+    // Metadata rides along so an evolved schema keeps its column
+    // mapping; staged files carry PHYSICAL names (a renamed column
+    // writes under its original name, like every file before it).
+    val logical = fileFields.map(f => col(f.name).cast(f.dataType)
+      .as(f.name, f.metadata))
     val aligned = batch.select(
-      (existing ++ extras.map(col) ++ partCols.map(col)): _*)
-    (aligned, if (extras.isEmpty) None else Some(aligned.schema))
+      (logical ++ extras.map(col) ++ partCols.map(col)): _*)
+    val staged =
+      if (fileFields.forall(f => Manifest.physNameOf(f) == f.name)) aligned
+      else aligned.select(
+        (fileFields.map(f => col(f.name).as(Manifest.physNameOf(f))) ++
+          extras.map(col) ++ partCols.map(col)): _*)
+    (staged, if (extras.isEmpty) None else Some(aligned.schema))
   }
 
   /** Stats for freshly staged files, dropping zero-row ones on the
@@ -594,8 +602,11 @@ object Layout {
   def upsertInPlace(spark: SparkSession, dir: String, updates: DataFrame,
       keyCol: String, statCols: Seq[String] = Nil): (Int, Int) = {
     requireNoDvs(spark, dir)
-    val entries = Manifest.ensure(spark, dir, statCols)
-    val newVersion = Manifest.currentVersion(spark, dir).getOrElse(0) + 1
+    val (curV, entries) = Manifest.ensureVersioned(spark, dir, statCols)
+    val newVersion = curV + 1
+    // file-side scans run under PHYSICAL names (readPhysical); the
+    // batch's logical key joins against the physical one
+    val physKey = physKeyOf(spark, dir, keyCol)
     // manifest pruning first: the batch's key range bounds which files
     // can possibly contain a matching key
     val rng = updates.agg(min(col(keyCol)).cast("long"),
@@ -604,18 +615,18 @@ object Layout {
       if (rng.isNullAt(0)) Seq.empty[ManifestEntry]
       else {
         val (lo, hi) = (rng.getLong(0), rng.getLong(1))
-        entries.filter(e => e.stats.find(_.col == keyCol)
+        entries.filter(e => e.stats.find(_.col == physKey)
           .forall(s => s.max >= lo && s.min <= hi))
       }
-    val updKeys = updates.select(col(keyCol)).distinct()
+    val updKeys = updates.select(col(keyCol).as(physKey)).distinct()
     val affected =
       if (candidates.isEmpty) Set.empty[String]
-      else spark.read.option("basePath", dir)
-        .parquet(candidates.map(e => s"$dir/${e.name}"): _*)
+      else Manifest.readPhysical(spark, dir,
+          candidates.map(e => s"$dir/${e.name}"))
         // capture the file BEFORE the join — input_file_name() is
         // single-source and the semi join introduces a second one
-        .select(col(keyCol), input_file_name().as("f"))
-        .join(broadcast(updKeys), Seq(keyCol), "left_semi")
+        .select(col(physKey), input_file_name().as("f"))
+        .join(broadcast(updKeys), Seq(physKey), "left_semi")
         .select("f").distinct()
         .collect().map(r => Manifest.relativize(spark, dir, r.getString(0)))
         .toSet
@@ -624,12 +635,12 @@ object Layout {
     val partCols = partColsOf(entries)
     val claim = Manifest.claimVersion(spark, dir, newVersion)
     val hitRead = if (hit.isEmpty) null
-      else spark.read.option("basePath", dir)
-        .parquet(hit.map(e => s"$dir/${e.name}"): _*)
+      else Manifest.readPhysical(spark, dir,
+        hit.map(e => s"$dir/${e.name}"))
     val survivorNames =
       if (hit.isEmpty) Seq.empty[String]
       else stageAndRename(spark, dir,
-        hitRead.join(broadcast(updKeys), Seq(keyCol), "left_anti"),
+        hitRead.join(broadcast(updKeys), Seq(physKey), "left_anti"),
         partCols, s"$prefix-keep")
     // align the batch to the table (hard error on MISSING columns,
     // add-column evolution on extra ones)
@@ -645,7 +656,7 @@ object Layout {
     val oldImages =
       (if (hit.isEmpty)
         Manifest.readTable(spark, dir).filter(lit(false))
-      else hitRead.join(broadcast(updKeys), Seq(keyCol), "left_semi"))
+      else hitRead.join(broadcast(updKeys), Seq(physKey), "left_semi"))
         .withColumn("_change_type", lit("delete"))
     Manifest.recordCdc(spark, dir, newVersion,
       oldImages.unionByName(
@@ -669,44 +680,45 @@ object Layout {
   def deleteByKeys(spark: SparkSession, dir: String, keys: DataFrame,
       keyCol: String, statCols: Seq[String] = Nil): (Int, Int) = {
     requireNoDvs(spark, dir)
-    val entries = Manifest.ensure(spark, dir, statCols)
-    val newVersion = Manifest.currentVersion(spark, dir).getOrElse(0) + 1
-    val delKeys = keys.select(col(keyCol)).distinct()
-    val rng = delKeys.agg(min(col(keyCol)).cast("long"),
-      max(col(keyCol)).cast("long")).head()
+    val (curV, entries) = Manifest.ensureVersioned(spark, dir, statCols)
+    val newVersion = curV + 1
+    val physKey = physKeyOf(spark, dir, keyCol)
+    val delKeys = keys.select(col(keyCol).as(physKey)).distinct()
+    val rng = delKeys.agg(min(col(physKey)).cast("long"),
+      max(col(physKey)).cast("long")).head()
     val candidates =
       if (rng.isNullAt(0)) Seq.empty[ManifestEntry]
       else {
         val (lo, hi) = (rng.getLong(0), rng.getLong(1))
-        entries.filter(e => e.stats.find(_.col == keyCol)
+        entries.filter(e => e.stats.find(_.col == physKey)
           .forall(s => s.max >= lo && s.min <= hi))
       }
     val affected =
       if (candidates.isEmpty) Set.empty[String]
-      else spark.read.option("basePath", dir)
-        .parquet(candidates.map(e => s"$dir/${e.name}"): _*)
-        .select(col(keyCol), input_file_name().as("f"))
-        .join(broadcast(delKeys), Seq(keyCol), "left_semi")
+      else Manifest.readPhysical(spark, dir,
+          candidates.map(e => s"$dir/${e.name}"))
+        .select(col(physKey), input_file_name().as("f"))
+        .join(broadcast(delKeys), Seq(physKey), "left_semi")
         .select("f").distinct()
         .collect().map(r => Manifest.relativize(spark, dir, r.getString(0)))
         .toSet
     val (hit, kept) = entries.partition(e => affected.contains(e.name))
     val claim = Manifest.claimVersion(spark, dir, newVersion)
     val hitRead = if (hit.isEmpty) null
-      else spark.read.option("basePath", dir)
-        .parquet(hit.map(e => s"$dir/${e.name}"): _*)
+      else Manifest.readPhysical(spark, dir,
+        hit.map(e => s"$dir/${e.name}"))
     val deltaEntries =
       if (hit.isEmpty) Seq.empty
       else {
         val names = stageAndRename(spark, dir,
-          hitRead.join(broadcast(delKeys), Seq(keyCol), "left_anti"),
+          hitRead.join(broadcast(delKeys), Seq(physKey), "left_anti"),
           partColsOf(hit), s"delta-v$newVersion")
         statStaged(spark, dir, statCols, names)
       }
     Manifest.recordCdc(spark, dir, newVersion,
       (if (hit.isEmpty)
         Manifest.readTable(spark, dir).filter(lit(false))
-      else hitRead.join(broadcast(delKeys), Seq(keyCol), "left_semi"))
+      else hitRead.join(broadcast(delKeys), Seq(physKey), "left_semi"))
         .withColumn("_change_type", lit("delete")))
     Manifest.write(spark, dir, (kept ++ deltaEntries).sortBy(_.name),
       newVersion, claim = Some(claim))
@@ -724,8 +736,8 @@ object Layout {
     */
   def dropColumn(spark: SparkSession, dir: String, column: String,
       statCols: Seq[String] = Nil): Unit = {
-    val entries = Manifest.ensure(spark, dir, statCols)
-    val newVersion = Manifest.currentVersion(spark, dir).getOrElse(0) + 1
+    val (curV, entries) = Manifest.ensureVersioned(spark, dir, statCols)
+    val newVersion = curV + 1
     require(!partColsOf(entries).contains(column),
       s"$column is a partition column of $dir — repartition instead")
     val schema = Manifest.currentVersion(spark, dir)
@@ -738,6 +750,86 @@ object Layout {
     require(dropped.nonEmpty, s"cannot drop the last column of $dir")
     Manifest.write(spark, dir, entries, newVersion,
       schema = Some(dropped))
+  }
+
+  /** RENAME COLUMN — metadata-only, Delta-column-mapping style: every
+    * already-written file keeps the column under its ORIGINAL physical
+    * name; the new snapshot's schema carries the logical name plus
+    * `graft.physName` metadata pointing at the physical one. Reads
+    * fetch physical and project to logical ([[Manifest.toLogical]]);
+    * writes stage under physical ([[alignForWrite]]); time travel to
+    * an older version still sees the old name (its `_schema.json`
+    * predates the mapping). Chained renames keep pointing at the one
+    * original physical name. No data file is touched.
+    */
+  def renameColumn(spark: SparkSession, dir: String, from: String,
+      to: String, statCols: Seq[String] = Nil): Unit = {
+    val (curV, entries) = Manifest.ensureVersioned(spark, dir, statCols)
+    val newVersion = curV + 1
+    require(!partColsOf(entries).contains(from),
+      s"$from is a partition column of $dir — partition names are " +
+        "directory structure, not file payload")
+    val schema = Manifest.currentVersion(spark, dir)
+      .flatMap(Manifest.tableSchema(spark, dir, _))
+      .getOrElse(Manifest.readTable(spark, dir).schema)
+    require(schema.fieldNames.contains(from),
+      s"$from does not exist in $dir " +
+        s"(have ${schema.fieldNames.mkString(", ")})")
+    require(!schema.fieldNames.contains(to),
+      s"$to already exists in $dir")
+    val renamed = StructType(schema.fields.map { f =>
+      if (f.name != from) f
+      else f.copy(name = to, metadata =
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString(Manifest.PhysNameKey, Manifest.physNameOf(f))
+          .build())
+    })
+    Manifest.write(spark, dir, entries, newVersion,
+      schema = Some(renamed))
+  }
+
+  /** The lossless widenings the vectorized parquet reader upcasts
+    * natively (verified by WidenProbeSpec): files written before the
+    * widening read under the wider schema with zero rewrite.
+    */
+  private val WidenOk: Set[(DataType, DataType)] = {
+    import org.apache.spark.sql.types._
+    val ints = Seq(ByteType, ShortType, IntegerType, LongType)
+    val chain = for {
+      (n, i) <- ints.zipWithIndex; w <- ints.drop(i + 1)
+    } yield (n: DataType, w: DataType)
+    chain.toSet + ((FloatType: DataType, DoubleType: DataType))
+  }
+
+  /** WIDEN COLUMN TYPE — metadata-only evolution for the lossless
+    * promotions (INT→BIGINT and friends, FLOAT→DOUBLE): the recorded
+    * schema's field changes type, existing files keep their narrower
+    * physical encoding and upcast at read, and [[alignForWrite]]'s
+    * cast discipline makes every future write stage the wide type.
+    */
+  def widenColumn(spark: SparkSession, dir: String, column: String,
+      to: DataType, statCols: Seq[String] = Nil): Unit = {
+    val (curV, entries) = Manifest.ensureVersioned(spark, dir, statCols)
+    val newVersion = curV + 1
+    require(!partColsOf(entries).contains(column),
+      s"$column is a partition column of $dir — repartition instead")
+    val schema = Manifest.currentVersion(spark, dir)
+      .flatMap(Manifest.tableSchema(spark, dir, _))
+      .getOrElse(Manifest.readTable(spark, dir).schema)
+    val field = schema.fields.find(_.name == column).getOrElse(
+      throw new IllegalArgumentException(
+        s"$column does not exist in $dir " +
+          s"(have ${schema.fieldNames.mkString(", ")})"))
+    if (field.dataType == to) return // idempotent
+    require(WidenOk.contains((field.dataType, to)),
+      s"cannot widen $column from ${field.dataType.simpleString} to " +
+        s"${to.simpleString} — only lossless promotions " +
+        "(integral up-chain, float→double) are metadata-only")
+    val widened = StructType(schema.fields.map(f =>
+      if (f.name == column) f.copy(dataType = to) else f))
+    Manifest.write(spark, dir, entries, newVersion,
+      schema = Some(widened))
   }
 
   /** MERGE-ON-READ delete — the write-cheap path: matching rows are
@@ -753,16 +845,22 @@ object Layout {
     */
   def deleteMergeOnRead(spark: SparkSession, dir: String, pred: Column,
       statCols: Seq[String] = Nil): (Long, Int) = {
-    val entries = Manifest.ensure(spark, dir, statCols)
-    val v = Manifest.currentVersion(spark, dir).getOrElse(0)
+    val (v, entries) = Manifest.ensureVersioned(spark, dir, statCols)
     val newVersion = v + 1
-    val raw = spark.read.option("basePath", dir)
-      .parquet(entries.map(e => s"$dir/${e.name}"): _*)
+    val raw = Manifest.readPhysical(spark, dir,
+        entries.map(e => s"$dir/${e.name}"))
+      // materialize position metadata BEFORE any projection, then
+      // present logical names so `pred` resolves on a renamed table
+      .withColumn("_mk_f", element_at(
+        split(col("_metadata.file_path"), "/"), -1))
+      .withColumn("_mk_p", col("_metadata.row_index"))
+    val logical = Manifest.currentVersion(spark, dir)
+      .flatMap(Manifest.tableSchema(spark, dir, _))
+      .map(Manifest.toLogicalKeeping(raw, _)).getOrElse(raw)
     // re-marking an already-deleted row is harmless (set union), so
     // the scan can run raw — no need to subtract existing vectors
-    val marks = raw.filter(pred).select(
-      element_at(split(col("_metadata.file_path"), "/"), -1).as("file"),
-      col("_metadata.row_index").as("pos"))
+    val marks = logical.filter(pred).select(
+      col("_mk_f").as("file"), col("_mk_p").as("pos"))
     val old = Manifest.dvMarks(spark, dir, v)
     // claim the version BEFORE writing its vector: a lost commit race
     // must not leave an orphan dv-v{K} that the winner's snapshot
@@ -772,25 +870,38 @@ object Layout {
     val marked = all.count()
     // nothing marked (and nothing carried): don't install an empty
     // vector — it would cost every future read a useless anti-join
+    // the vector is KEYED BY DATA FILE (Hive partitionBy) so a scan
+    // task can load exactly its own file's positions — O(own marks)
+    // per reader, never the whole table's vector through the driver
+    // (Delta-style per-file DV keying)
     if (marked > 0)
-      all.coalesce(1).write.mode("overwrite")
-        .parquet(Manifest.dvDir(dir, newVersion))
+      all.repartition(col("file")).write.mode("overwrite")
+        .partitionBy("file").parquet(Manifest.dvDir(dir, newVersion))
     // change record: the NEWLY marked rows (marks already present in
     // the previous vector were deleted by an earlier commit and must
     // not restate) — read back by position from the raw scan
     val newMarks = marks.exceptAll(old)
     val cdcRows = raw
-      .withColumn("_dv_f", element_at(
-        split(col("_metadata.file_path"), "/"), -1))
-      .withColumn("_dv_p", col("_metadata.row_index"))
-      .join(broadcast(newMarks), col("_dv_f") === newMarks("file") &&
-        col("_dv_p") === newMarks("pos"), "left_semi")
-      .drop("_dv_f", "_dv_p")
+      .join(broadcast(newMarks), raw("_mk_f") === newMarks("file") &&
+        raw("_mk_p") === newMarks("pos"), "left_semi")
+      .drop("_mk_f", "_mk_p")
       .withColumn("_change_type", lit("delete"))
     Manifest.recordCdc(spark, dir, newVersion, cdcRows)
     all.unpersist()
     // entries transfer VERBATIM: the delete is pure metadata
     Manifest.write(spark, dir, entries, newVersion, claim = Some(claim))
+    // AUTO-FLUSH policy: past a marks-to-rows ratio the per-read
+    // skip/anti-join work outweighs rewriting the marked files, and
+    // an unbounded vector is exactly what makes any DV read path
+    // dangerous at scale — flush immediately (its own commit), so
+    // sustained delete workloads keep mark counts bounded without
+    // manual maintenance. 0 disables; OPTIMIZE also consumes marks
+    // inline for files it rewrites.
+    val flushRatio = spark.conf.getOption("spark.graft.dv.autoFlushRatio")
+      .map(_.toDouble).getOrElse(0.10)
+    val totalRows = entries.map(_.rows).sum
+    if (flushRatio > 0 && totalRows > 0 && marked > flushRatio * totalRows)
+      flushDeleteVectors(spark, dir, statCols)
     (marked, entries.size)
   }
 
@@ -815,8 +926,8 @@ object Layout {
     val (hit, kept) = entries.partition(e =>
       markedFiles.contains(e.name.split('/').last))
     val newVersion = v + 1
-    val survivors = spark.read.option("basePath", dir)
-      .parquet(hit.map(e => s"$dir/${e.name}"): _*)
+    val survivors = Manifest.readPhysical(spark, dir,
+        hit.map(e => s"$dir/${e.name}"))
       .withColumn("_dv_f", element_at(
         split(col("_metadata.file_path"), "/"), -1))
       .withColumn("_dv_p", col("_metadata.row_index"))
@@ -836,6 +947,16 @@ object Layout {
       newVersion)
     hit.size
   }
+
+  /** A caller-facing (logical) column's PHYSICAL name in this table's
+    * files — identity unless the column was renamed.
+    */
+  private def physKeyOf(spark: SparkSession, dir: String,
+      logical: String): String =
+    Manifest.currentVersion(spark, dir)
+      .flatMap(Manifest.tableSchema(spark, dir, _))
+      .flatMap(_.fields.find(_.name == logical).map(Manifest.physNameOf))
+      .getOrElse(logical)
 
   /** The rewriting verbs read data files RAW (they restate file
     * contents); running one over live deletion vectors would resurrect
@@ -867,8 +988,7 @@ object Layout {
       statCols: Seq[String] = Nil, txn: Option[Long] = None): Int = {
     if (txn.exists(t => Manifest.lastTxn(spark, dir).exists(_ >= t)))
       return 0
-    val entries = Manifest.ensure(spark, dir, statCols)
-    val v = Manifest.currentVersion(spark, dir).getOrElse(0)
+    val (v, entries) = Manifest.ensureVersioned(spark, dir, statCols)
     val newVersion = v + 1
     val partCols = partColsFor(spark, dir, entries)
     val (aligned, evolved) =
@@ -882,14 +1002,139 @@ object Layout {
         // claim BEFORE writing dv-v{K+1}: a lost commit race must not
         // leave an orphan vector the winner's snapshot appears to own
         val c = Manifest.claimVersion(spark, dir, newVersion)
-        Manifest.dvMarks(spark, dir, v).coalesce(1)
+        Manifest.dvMarks(spark, dir, v).repartition(col("file"))
           .write.mode("overwrite")
-          .parquet(Manifest.dvDir(dir, newVersion))
+          .partitionBy("file").parquet(Manifest.dvDir(dir, newVersion))
         Some(c)
       }
     Manifest.write(spark, dir, (entries ++ newEntries).sortBy(_.name),
       newVersion, txn, claim = claim, schema = evolved)
     newEntries.size
+  }
+
+  /** Commit executor-staged parquet dot-files as an APPEND snapshot —
+    * the driver half of the connector's STREAMING write
+    * (`writeStream.toTable`): tasks stage via the row-level writer,
+    * this renames them in, stats them, carries live deletion vectors,
+    * and commits with the epoch as `txn` — so a replayed epoch
+    * (restart re-delivery) deletes its re-staged files and no-ops,
+    * the same exactly-once guard as [[graft.streaming.ManifestSink]].
+    * Returns files committed (0 for a replay).
+    */
+  def commitStagedAppend(spark: SparkSession, dir: String,
+      stagedAbs: Seq[String], txn: Option[Long],
+      statCols: Seq[String] = Nil): Int = {
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (txn.exists(t => Manifest.lastTxn(spark, dir).exists(_ >= t))) {
+      stagedAbs.foreach(p => fs.delete(new Path(p), false))
+      return 0
+    }
+    val (curV, entries) = Manifest.ensureVersioned(spark, dir, statCols)
+    val newVersion = curV + 1
+    val names = stagedAbs.sorted.zipWithIndex.map { case (p, i) =>
+      val sub = Manifest.relativize(spark, dir, p)
+        .split('/').dropRight(1).mkString("/")
+      val tgt = (if (sub.isEmpty) "" else s"$sub/") +
+        s"append-v$newVersion-$i.parquet"
+      require(fs.rename(new Path(p), new Path(s"$dir/$tgt")),
+        s"staged file $p failed to land as $tgt")
+      tgt
+    }
+    val newEntries = statStaged(spark, dir, statCols, names)
+    val claim =
+      if (!Manifest.hasDeletionVectors(spark, dir)) None
+      else {
+        val c = Manifest.claimVersion(spark, dir, newVersion)
+        Manifest.dvMarks(spark, dir, newVersion - 1).repartition(col("file"))
+          .write.mode("overwrite")
+          .partitionBy("file").parquet(Manifest.dvDir(dir, newVersion))
+        Some(c)
+      }
+    Manifest.write(spark, dir, (entries ++ newEntries).sortBy(_.name),
+      newVersion, txn, claim = claim)
+    newEntries.size
+  }
+
+  /** DYNAMIC partition overwrite — `df.writeTo(t).overwritePartitions()`:
+    * the batch lands as fresh files and every partition directory it
+    * TOUCHES is superseded whole; untouched partitions carry their
+    * entries verbatim (Spark's dynamic-overwrite contract, as a pure
+    * metadata swap over staged files). Requires a partitioned table
+    * and flushed vectors (the replaced partitions' marks would die
+    * with their files). Returns (replacedFiles, addedFiles).
+    */
+  def overwritePartitionsInPlace(spark: SparkSession, dir: String,
+      batch: DataFrame, statCols: Seq[String] = Nil): (Int, Int) = {
+    requireNoDvs(spark, dir)
+    val (curV, entries) = Manifest.ensureVersioned(spark, dir, statCols)
+    val newVersion = curV + 1
+    val partCols = partColsFor(spark, dir, entries)
+    require(partCols.nonEmpty,
+      s"$dir is unpartitioned — dynamic partition overwrite needs " +
+        "partition directories; use overwriteInPlace for whole-table")
+    val (aligned, evolved) =
+      alignForWrite(spark, dir, entries, batch, partCols)
+    val claim = Manifest.claimVersion(spark, dir, newVersion)
+    val names = stageAndRename(spark, dir, aligned, partCols,
+      s"dynover-v$newVersion")
+    commitDynamicCore(spark, dir, entries, names, newVersion,
+      claim, statCols, evolved)
+  }
+
+  /** Commit executor-staged dot-files as a DYNAMIC partition
+    * overwrite — the driver half of the connector's V2 batch write
+    * (`df.writeTo(t).overwritePartitions()` has no V1 bridge).
+    */
+  def commitStagedDynamicOverwrite(spark: SparkSession, dir: String,
+      stagedAbs: Seq[String], statCols: Seq[String] = Nil): (Int, Int) = {
+    requireNoDvs(spark, dir)
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val (curV, entries) = Manifest.ensureVersioned(spark, dir, statCols)
+    val newVersion = curV + 1
+    val claim = Manifest.claimVersion(spark, dir, newVersion)
+    val names = stagedAbs.sorted.zipWithIndex.map { case (p, i) =>
+      val sub = Manifest.relativize(spark, dir, p)
+        .split('/').dropRight(1).mkString("/")
+      val tgt = (if (sub.isEmpty) "" else s"$sub/") +
+        s"dynover-v$newVersion-$i.parquet"
+      require(fs.rename(new Path(p), new Path(s"$dir/$tgt")),
+        s"staged file $p failed to land as $tgt")
+      tgt
+    }
+    commitDynamicCore(spark, dir, entries, names, newVersion,
+      claim, statCols, None)
+  }
+
+  /** Shared tail of the two dynamic-overwrite entry points: every
+    * partition directory the staged files TOUCH is superseded whole,
+    * untouched partitions carry verbatim; pre/post images recorded.
+    */
+  private def commitDynamicCore(spark: SparkSession, dir: String,
+      entries: Seq[ManifestEntry], names: Seq[String], newVersion: Int,
+      claim: String, statCols: Seq[String],
+      evolved: Option[StructType]): (Int, Int) = {
+    val newEntries = statStaged(spark, dir, statCols, names)
+    val touched = names.map(_.split('/').dropRight(1).mkString("/")).toSet
+    val (hit, kept) = entries.partition(e =>
+      touched.contains(e.name.split('/').dropRight(1).mkString("/")))
+    // change record: replaced partitions' rows out, the batch in
+    val pre =
+      if (hit.isEmpty)
+        Manifest.readTable(spark, dir).filter(lit(false))
+      else Manifest.readPhysical(spark, dir,
+        hit.map(e => s"$dir/${e.name}"))
+    Manifest.recordCdc(spark, dir, newVersion,
+      pre.withColumn("_change_type", lit("delete"))
+        .unionByName(
+          Manifest.readPhysical(spark, dir,
+            newEntries.map(e => s"$dir/${e.name}"))
+            .withColumn("_change_type", lit("insert")),
+          allowMissingColumns = true))
+    Manifest.write(spark, dir, (kept ++ newEntries).sortBy(_.name),
+      newVersion, claim = Some(claim), schema = evolved)
+    (hit.size, newEntries.size)
   }
 
   /** IN-PLACE overwrite — INSERT OVERWRITE for a manifest-managed
@@ -907,8 +1152,8 @@ object Layout {
       statCols: Seq[String] = Nil, txn: Option[Long] = None): Int = {
     if (txn.exists(t => Manifest.lastTxn(spark, dir).exists(_ >= t)))
       return 0
-    val entries = Manifest.ensure(spark, dir, statCols)
-    val newVersion = Manifest.currentVersion(spark, dir).getOrElse(0) + 1
+    val (curV, entries) = Manifest.ensureVersioned(spark, dir, statCols)
+    val newVersion = curV + 1
     val partCols = partColsFor(spark, dir, entries)
     val (aligned, evolved) =
       alignForWrite(spark, dir, entries, batch, partCols)
@@ -929,8 +1174,8 @@ object Layout {
     */
   def addColumn(spark: SparkSession, dir: String,
       field: StructField, statCols: Seq[String] = Nil): Unit = {
-    val entries = Manifest.ensure(spark, dir, statCols)
-    val newVersion = Manifest.currentVersion(spark, dir).getOrElse(0) + 1
+    val (curV, entries) = Manifest.ensureVersioned(spark, dir, statCols)
+    val newVersion = curV + 1
     val schema = Manifest.currentVersion(spark, dir)
       .flatMap(Manifest.tableSchema(spark, dir, _))
       .getOrElse(Manifest.readTable(spark, dir).schema)
@@ -977,8 +1222,7 @@ object Layout {
       s"ZORDER BY needs >= 2 columns, got $zorderBy — a single-column " +
         "cluster is a plain sort, not a curve")
     val zBits = if (zorderBy.isEmpty) 16 else math.min(16, 63 / zorderBy.size)
-    val entries = Manifest.ensure(spark, dir, statCols)
-    val curVersion = Manifest.currentVersion(spark, dir).getOrElse(0)
+    val (curVersion, entries) = Manifest.ensureVersioned(spark, dir, statCols)
     val newVersion = curVersion + 1
     val dv = Manifest.dvMarks(spark, dir, curVersion)
     val markedFiles = dv.select("file").distinct()
@@ -1016,6 +1260,14 @@ object Layout {
     val untouched = untouchedFull
     val fs = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    // merge groups read FILES under the recorded physical schema
+    // (minus directory-encoded partition columns): a widened table
+    // mixes physical widths on disk, and bare inference would pin one
+    val partSet = partColsOf(entries).toSet
+    val mergeSchema: Option[StructType] =
+      Manifest.tableSchema(spark, dir, curVersion)
+        .map(s => StructType(Manifest.physicalSchema(s)
+          .fields.filterNot(f => partSet.contains(f.name))))
     val mergedNames =
       if (toMerge.isEmpty) Seq.empty[String]
       else {
@@ -1030,8 +1282,10 @@ object Layout {
               // originals exactly — partition values stay directory-
               // encoded, so the merged file drops in as a sibling
               val tmp = s"$dir/.tmp-compact-v$newVersion-${sub.hashCode}"
-              val raw = spark.read.parquet(
-                es.map(e => s"$dir/${e.name}"): _*)
+              val paths = es.map(e => s"$dir/${e.name}")
+              val raw = mergeSchema
+                .map(spark.read.schema(_).parquet(paths: _*))
+                .getOrElse(spark.read.parquet(paths: _*))
               // subtract live deletion marks inline (broadcast
               // anti-join — no shuffle) so this rewrite doubles as
               // the flush for its group's vectors
@@ -1122,25 +1376,31 @@ object Layout {
   def deleteInPlace(spark: SparkSession, dir: String, pred: Column,
       statCols: Seq[String] = Nil): (Int, Int) = {
     requireNoDvs(spark, dir)
-    val entries = Manifest.ensure(spark, dir, statCols)
+    val (curV, entries) = Manifest.ensureVersioned(spark, dir, statCols)
     val paths = entries.map(e => s"$dir/${e.name}")
     // phase 1: affected files via pushed-predicate scan over the
     // manifest's file list; collect bounded by #files, never rows.
     // basePath keeps partition-directory columns usable in `pred`.
-    val affected = spark.read.option("basePath", dir)
-      .parquet(paths: _*).filter(pred)
+    val curSchema = Manifest.currentVersion(spark, dir)
+      .flatMap(Manifest.tableSchema(spark, dir, _))
+    def logicalView(df: DataFrame): DataFrame =
+      curSchema.map(Manifest.toLogicalKeeping(df, _)).getOrElse(df)
+    def physicalStage(df: DataFrame): DataFrame =
+      curSchema.map(Manifest.toPhysicalKeeping(df, _)).getOrElse(df)
+    val affected = logicalView(Manifest.readPhysical(spark, dir, paths))
+      .filter(pred)
       .select(input_file_name().as("f")).distinct()
       .collect().map(r => Manifest.relativize(spark, dir, r.getString(0)))
       .toSet
     val (hit, kept) = entries.partition(e => affected.contains(e.name))
-    val newVersion = Manifest.currentVersion(spark, dir).getOrElse(0) + 1
+    val newVersion = curV + 1
     // claim BEFORE side writes (change record, staged deltas) so a
     // lost commit race cannot leave another writer's version number
     // pointing at this writer's artifacts
     val claim = Manifest.claimVersion(spark, dir, newVersion)
     val hitRead = if (hit.isEmpty) null
-      else spark.read.option("basePath", dir)
-        .parquet(hit.map(e => s"$dir/${e.name}"): _*)
+      else logicalView(Manifest.readPhysical(spark, dir,
+        hit.map(e => s"$dir/${e.name}")))
     val deltaEntries =
       if (hit.isEmpty) Seq.empty
       else {
@@ -1148,7 +1408,7 @@ object Layout {
         // row), rewritten with the table's own partitioning so every
         // data file stays at a consistent depth
         val names = stageAndRename(spark, dir,
-          hitRead.filter(!coalesce(pred, lit(false))),
+          physicalStage(hitRead.filter(!coalesce(pred, lit(false)))),
           partColsOf(hit), s"delta-v$newVersion")
         statStaged(spark, dir, statCols, names)
       }
@@ -1183,7 +1443,7 @@ object Layout {
   def updateInPlace(spark: SparkSession, dir: String, pred: Column,
       set: Map[String, Column], statCols: Seq[String] = Nil): (Int, Int) = {
     requireNoDvs(spark, dir)
-    val entries = Manifest.ensure(spark, dir, statCols)
+    val (curV, entries) = Manifest.ensureVersioned(spark, dir, statCols)
     val paths = entries.map(e => s"$dir/${e.name}")
     val schema = Manifest.readTable(spark, dir).schema
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
@@ -1191,17 +1451,23 @@ object Layout {
       s"UPDATE target column $c does not exist in $dir " +
         s"(have ${types.keys.mkString(", ")})"))
     val safePred = coalesce(pred, lit(false))
-    val affected = spark.read.option("basePath", dir)
-      .parquet(paths: _*).filter(safePred)
+    val curSchema = Manifest.currentVersion(spark, dir)
+      .flatMap(Manifest.tableSchema(spark, dir, _))
+    def logicalView(df: DataFrame): DataFrame =
+      curSchema.map(Manifest.toLogicalKeeping(df, _)).getOrElse(df)
+    def physicalStage(df: DataFrame): DataFrame =
+      curSchema.map(Manifest.toPhysicalKeeping(df, _)).getOrElse(df)
+    val affected = logicalView(Manifest.readPhysical(spark, dir, paths))
+      .filter(safePred)
       .select(input_file_name().as("f")).distinct()
       .collect().map(r => Manifest.relativize(spark, dir, r.getString(0)))
       .toSet
     val (hit, kept) = entries.partition(e => affected.contains(e.name))
-    val newVersion = Manifest.currentVersion(spark, dir).getOrElse(0) + 1
+    val newVersion = curV + 1
     val claim = Manifest.claimVersion(spark, dir, newVersion)
     val hitRead = if (hit.isEmpty) null
-      else spark.read.option("basePath", dir)
-        .parquet(hit.map(e => s"$dir/${e.name}"): _*)
+      else logicalView(Manifest.readPhysical(spark, dir,
+        hit.map(e => s"$dir/${e.name}")))
     def assigned(c: String) = set(c).cast(types(c)).as(c)
     val deltaEntries =
       if (hit.isEmpty) Seq.empty
@@ -1211,7 +1477,8 @@ object Layout {
             when(safePred, assigned(c)).otherwise(col(c)).as(c)
           else col(c)
         }
-        val names = stageAndRename(spark, dir, hitRead.select(cols.toSeq: _*),
+        val names = stageAndRename(spark, dir,
+          physicalStage(hitRead.select(cols.toSeq: _*)),
           partColsOf(hit), s"delta-v$newVersion")
         statStaged(spark, dir, statCols, names)
       }
@@ -1290,13 +1557,17 @@ object Layout {
     val replacedSet = replaced.toSet
     val (hit, kept) = entries.partition(e => replacedSet.contains(e.name))
     val recorded = Manifest.tableSchema(spark, dir, cur)
-    def readNames(ns: Seq[ManifestEntry]): DataFrame = {
-      val rd = spark.read.option("basePath", dir)
-      recorded.map(rd.schema).getOrElse(rd)
-        .parquet(ns.map(e => s"$dir/${e.name}"): _*)
-    }
+    // PHYSICAL reads: renamed columns live in files under their
+    // original names, and a widened table has files of both widths
+    def readNames(ns: Seq[ManifestEntry]): DataFrame =
+      Manifest.readPhysical(spark, dir,
+        ns.map(e => s"$dir/${e.name}"), Some(cur))
     val dvOld = Manifest.dvMarks(spark, dir, cur)
-    val empty = Manifest.readTable(spark, dir).filter(lit(false))
+    val empty = {
+      val logical = Manifest.readTable(spark, dir).filter(lit(false))
+      recorded.map(Manifest.toPhysicalKeeping(logical, _))
+        .getOrElse(logical)
+    }
     // pre-images: replaced files' rows minus their DV marks (a row
     // already deleted by an earlier commit must not restate as a
     // second delete)
@@ -1321,8 +1592,8 @@ object Layout {
     val carried = (if (replacedBase.isEmpty) dvOld
       else dvOld.where(!col("file").isin(replacedBase: _*))).cache()
     if (carried.count() > 0)
-      carried.coalesce(1).write.mode("overwrite")
-        .parquet(Manifest.dvDir(dir, newVersion))
+      carried.repartition(col("file")).write.mode("overwrite")
+        .partitionBy("file").parquet(Manifest.dvDir(dir, newVersion))
     carried.unpersist()
     Manifest.write(spark, dir, (kept ++ newEntries).sortBy(_.name),
       newVersion, claim = Some(claim))

@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row,
   SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 
 /** One tracked data file in a [[Manifest]]: path relative to the table
   * root, row/byte counts, and per-column min/max for the stat columns.
@@ -181,6 +181,21 @@ object Manifest {
       if (!tryCreate()) throw new java.util.ConcurrentModificationException(
         s"lost the takeover race for version v$version of $dir — retry")
     }
+    // BASIS CHECK: on a table WITH history, the claim is only valid
+    // if it still sits at version-1. A commit that landed between the
+    // caller's snapshot read and this claim means the caller planned
+    // against a STALE entry list — committing it would silently drop
+    // that writer's files (lost update). Release and make the caller
+    // re-read. Fresh dirs (out-of-place rewrites, clones, creates)
+    // have no basis to check — the rename arbiter still gates them.
+    currentVersion(spark, dir) match {
+      case Some(v0) if v0 != version - 1 =>
+        fs.delete(token, false)
+        throw new java.util.ConcurrentModificationException(
+          s"table $dir moved to v$v0 while claiming v$version " +
+            s"(expected basis v${version - 1}) — re-read and retry")
+      case _ => ()
+    }
     id
   }
 
@@ -237,15 +252,35 @@ object Manifest {
     * ranges; string stat columns record string ranges — both feed
     * [[prunedPaths]].
     */
-  def scanStats(spark: SparkSession, dir: String, statCols: Seq[String],
+  def scanStats(spark: SparkSession, dir: String, statColsIn: Seq[String],
       onlyNames: Option[Seq[String]] = None): Seq[ManifestEntry] = {
     val fs = fsOf(spark, dir)
     val root = rootPath(spark, dir)
+    // stats scan raw files, so key ranges on PHYSICAL names: a caller
+    // naming a renamed column still stats the underlying one
+    val statCols = currentVersion(spark, dir)
+      .flatMap(tableSchema(spark, dir, _)) match {
+      case Some(s) => statColsIn.map(c =>
+        s.fields.find(_.name == c).map(physNameOf).getOrElse(c))
+      case None => statColsIn
+    }
     val src = onlyNames match {
       case Some(names) =>
         if (names.isEmpty) return Seq.empty
-        spark.read.option("basePath", dir)
-          .parquet(names.map(n => s"$dir/$n"): _*)
+        val paths = names.map(n => s"$dir/$n")
+        val rd = spark.read.option("basePath", dir)
+        // widened tables mix physical widths: read under the recorded
+        // physical schema, extended with any columns the staged files
+        // carry beyond it (an in-flight add-column evolution)
+        currentVersion(spark, dir).flatMap(tableSchema(spark, dir, _)) match {
+          case Some(s) =>
+            val phys = physicalSchema(s)
+            val have = phys.fieldNames.toSet
+            val extras = rd.parquet(paths: _*).schema.fields
+              .filterNot(f => have.contains(f.name))
+            rd.schema(StructType(phys.fields ++ extras)).parquet(paths: _*)
+          case None => rd.parquet(paths: _*)
+        }
       case None => spark.read.parquet(dir)
     }
     val types = src.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -325,6 +360,27 @@ object Manifest {
       statCols: Seq[String]): Seq[ManifestEntry] =
     read(spark, dir).getOrElse(create(spark, dir, statCols))
 
+  /** A COHERENT (version, entries) snapshot for a write verb: the
+    * version is pinned FIRST and the entry list read for exactly that
+    * version (a committed snapshot's file list is immutable). The
+    * naive `ensure(); currentVersion()` pair races — another commit
+    * landing between the two reads hands the verb a stale entry list
+    * under a fresh version number, and its commit then silently DROPS
+    * the other writer's files (a lost update). Pair this with
+    * [[claimVersion]]'s basis check: the claim only holds if the
+    * table is still at `version` when the token lands.
+    */
+  def ensureVersioned(spark: SparkSession, dir: String,
+      statCols: Seq[String]): (Int, Seq[ManifestEntry]) =
+    currentVersion(spark, dir) match {
+      case Some(v) => (v, readVersion(spark, dir, v).getOrElse(
+        throw new IllegalStateException(
+          s"CURRENT of $dir points at missing snapshot v$v")))
+      case None =>
+        val entries = create(spark, dir, statCols)
+        (currentVersion(spark, dir).getOrElse(1), entries)
+    }
+
   /** Absolute paths of the files whose stat ranges intersect EVERY
     * requested `(col, lo, hi)` rectangle side — numeric sides in
     * `ranges`, lexicographic string sides in `strRanges`; `None` when
@@ -343,6 +399,53 @@ object Manifest {
           .forall(s => s.max >= lo && s.min <= hi)
       }
     }.map(e => s"$dir/${e.name}"))
+
+  /** Column-mapping metadata key (Delta-style): a renamed column keeps
+    * its ORIGINAL physical name in every already-written file; the
+    * recorded schema carries the logical name plus this metadata entry
+    * pointing at the physical one. Reads fetch physical and project to
+    * logical; writes stage under physical — so RENAME COLUMN is a
+    * pure metadata commit and time travel still sees the old name
+    * (older `_schema.json`s simply lack the mapping).
+    */
+  val PhysNameKey = "graft.physName"
+
+  def physNameOf(f: StructField): String =
+    if (f.metadata.contains(PhysNameKey)) f.metadata.getString(PhysNameKey)
+    else f.name
+
+  /** The recorded schema re-expressed in PHYSICAL column names — the
+    * form parquet files actually carry, hence the read schema.
+    */
+  private[graft] def physicalSchema(s: StructType): StructType =
+    StructType(s.fields.map(f => f.copy(name = physNameOf(f))))
+
+  /** Multi-file read of manifest-tracked files under the recorded
+    * PHYSICAL schema when one exists. A table that widened a type has
+    * files of BOTH widths on disk, and plain schema inference pins one
+    * random footer's width then fails reading the rest; the recorded
+    * wide type upcasts every file uniformly. Physical names keep
+    * renamed columns resolving. Untracked dirs fall back to inference.
+    * Output columns are PHYSICAL — callers project to logical when
+    * user-facing.
+    */
+  private[graft] def readPhysical(spark: SparkSession, dir: String,
+      paths: Seq[String], version: Option[Int] = None): DataFrame = {
+    val rd = spark.read.option("basePath", dir)
+    version.orElse(currentVersion(spark, dir))
+      .flatMap(tableSchema(spark, dir, _)) match {
+      case Some(s) => rd.schema(physicalSchema(s)).parquet(paths: _*)
+      case None => rd.parquet(paths: _*)
+    }
+  }
+
+  /** Project a physically-named frame back to logical names (no-op
+    * select when the schema has no renames).
+    */
+  private[graft] def toLogical(df: DataFrame, s: StructType): DataFrame =
+    if (s.fields.forall(f => physNameOf(f) == f.name)) df
+    else df.select(s.fields.toIndexedSeq.map(f =>
+      col(physNameOf(f)).as(f.name, f.metadata)): _*)
 
   /** Deletion-vector directory of a snapshot version: a tiny parquet
     * set of (file basename, row position) pairs marking rows deleted
@@ -364,7 +467,11 @@ object Manifest {
     */
   def dvMarks(spark: SparkSession, dir: String, version: Int): DataFrame =
     if (fsOf(spark, dir).exists(new Path(dvDir(dir, version))))
+      // the store is Hive-keyed by `file` (per-file reader loads), so
+      // a discovery read yields (pos, file); pin the canonical
+      // (file, pos) order — consumers run POSITIONAL algebra on this
       spark.read.parquet(dvDir(dir, version))
+        .select(col("file").cast("string"), col("pos"))
     else spark.emptyDataFrame
       .withColumn("file", lit("")).withColumn("pos", lit(0L))
       .filter(lit(false))
@@ -442,10 +549,15 @@ object Manifest {
       case Some(entries) if entries.isEmpty => emptyTable(spark, dir, v.get)
       case Some(entries) =>
         val rd = spark.read.option("basePath", dir)
-        val withSchema = v.flatMap(tableSchema(spark, dir, _))
-          .map(rd.schema).getOrElse(rd)
-        subtractDv(spark, dir,
-          withSchema.parquet(entries.map(e => s"$dir/${e.name}"): _*), v)
+        val sch = v.flatMap(tableSchema(spark, dir, _))
+        // read under the PHYSICAL form of the recorded schema (renamed
+        // columns live in files under their original names), subtract
+        // the vector, then project to logical names
+        val base = sch.map(s => rd.schema(physicalSchema(s)))
+          .getOrElse(rd)
+          .parquet(entries.map(e => s"$dir/${e.name}"): _*)
+        val live = subtractDv(spark, dir, base, v)
+        sch.map(toLogical(live, _)).getOrElse(live)
     }
   }
 
@@ -462,11 +574,13 @@ object Manifest {
         // same recorded-schema read as readTable: pre-evolution files
         // in the pruned set NULL-backfill instead of misreading
         val rd = spark.read.option("basePath", dir)
-        val withSchema = currentVersion(spark, dir)
+        val sch = currentVersion(spark, dir)
           .flatMap(tableSchema(spark, dir, _))
-          .map(rd.schema).getOrElse(rd)
-        subtractDv(spark, dir, withSchema.parquet(paths: _*),
+        val base = sch.map(s => rd.schema(physicalSchema(s)))
+          .getOrElse(rd).parquet(paths: _*)
+        val live = subtractDv(spark, dir, base,
           currentVersion(spark, dir))
+        sch.map(toLogical(live, _)).getOrElse(live)
       case Some(_) => read(spark, dir) match {
         case Some(entries) if entries.isEmpty =>
           emptyTable(spark, dir, currentVersion(spark, dir).get)
@@ -501,11 +615,12 @@ object Manifest {
       readTable(spark, dir, Some(toVersion)).filter(lit(false))
     else {
       val rd = spark.read.option("basePath", dir)
-      val withSchema = tableSchema(spark, dir, toVersion)
-        .map(rd.schema).getOrElse(rd)
-      subtractDv(spark, dir,
-        withSchema.parquet(added.map(e => s"$dir/${e.name}"): _*),
-        Some(toVersion))
+      val sch = tableSchema(spark, dir, toVersion)
+      val base = sch.map(s => rd.schema(physicalSchema(s)))
+        .getOrElse(rd)
+        .parquet(added.map(e => s"$dir/${e.name}"): _*)
+      val live = subtractDv(spark, dir, base, Some(toVersion))
+      sch.map(toLogical(live, _)).getOrElse(live)
     }
   }
 
@@ -548,11 +663,18 @@ object Manifest {
         return base.withColumn("_dv_f", lit("")).withColumn("_dv_p", lit(0L))
       }
       val rd = spark.read.option("basePath", dir)
-      schema.map(rd.schema).getOrElse(rd)
+      val withDv = schema.map(s => rd.schema(physicalSchema(s)))
+        .getOrElse(rd)
         .parquet(names.map(n => s"$dir/$n"): _*)
         .withColumn("_dv_f", element_at(
           split(col("_metadata.file_path"), "/"), -1))
         .withColumn("_dv_p", col("_metadata.row_index"))
+      // logical projection AFTER the metadata columns materialize
+      // (`_metadata` resolves only on the scan's own output)
+      schema.map(s => withDv.select(s.fields.toIndexedSeq.map(f =>
+          col(physNameOf(f)).as(f.name, f.metadata)) ++
+          Seq(col("_dv_f"), col("_dv_p")): _*))
+        .getOrElse(withDv)
     }
     def minusMarks(df: DataFrame, marks: DataFrame): DataFrame =
       df.join(broadcast(marks), df("_dv_f") === marks("file") &&
@@ -623,10 +745,46 @@ object Manifest {
     * vector flush) that spares the feed a diff fallback.
     */
   private[ops] def recordCdc(spark: SparkSession, dir: String,
-      version: Int, df: DataFrame): Unit =
+      version: Int, df: DataFrame): Unit = {
+    // normalize to PHYSICAL column names: some verbs build the record
+    // from raw file reads (already physical), others from readTable
+    // output (logical) — the stored record must be one form, and
+    // physical keeps cdc files consistent with data files so every
+    // consumer applies the same physical→logical projection
+    val phys = currentVersion(spark, dir)
+      .flatMap(tableSchema(spark, dir, _))
+      .map(s => s.fields.filter(f => physNameOf(f) != f.name)
+        .foldLeft(df)((acc, f) =>
+          if (acc.columns.contains(f.name)) acc.withColumnRenamed(f.name, physNameOf(f))
+          else acc))
+      .getOrElse(df)
     // cap fragmentation without a shuffle: a targeted delete's record
     // is small and should not land as one tiny file per scan task
-    df.coalesce(32).write.mode("overwrite").parquet(cdcDir(dir, version))
+    phys.coalesce(32).write.mode("overwrite").parquet(cdcDir(dir, version))
+  }
+
+  /** Physical→logical rename on a frame that may carry EXTRA columns
+    * (`_change_type`, `_commit_version`) — positionless form of
+    * [[toLogical]] for change-feed frames.
+    */
+  private[graft] def toLogicalKeeping(df: DataFrame, s: StructType): DataFrame =
+    s.fields.filter(f => physNameOf(f) != f.name)
+      .foldLeft(df)((acc, f) =>
+        if (acc.columns.contains(physNameOf(f)) &&
+            !acc.columns.contains(f.name))
+          acc.withColumnRenamed(physNameOf(f), f.name)
+        else acc)
+
+  /** Inverse of [[toLogicalKeeping]]: logical→physical rename for a
+    * frame about to be STAGED as data files.
+    */
+  private[graft] def toPhysicalKeeping(df: DataFrame, s: StructType): DataFrame =
+    s.fields.filter(f => physNameOf(f) != f.name)
+      .foldLeft(df)((acc, f) =>
+        if (acc.columns.contains(f.name) &&
+            !acc.columns.contains(physNameOf(f)))
+          acc.withColumnRenamed(f.name, physNameOf(f))
+        else acc)
 
   /** The PER-VERSION change feed between two snapshots: every logical
     * change tagged `_change_type` ('insert' | 'delete'; an update is
@@ -647,7 +805,9 @@ object Manifest {
     val fs = fsOf(spark, dir)
     val perVersion = (fromVersion + 1 to toVersion).map { v =>
       val withVersion = (df: DataFrame) =>
-        df.withColumn("_commit_version", lit(v.toLong))
+        tableSchema(spark, dir, v)
+          .map(toLogicalKeeping(df, _)).getOrElse(df)
+          .withColumn("_commit_version", lit(v.toLong))
       if (fs.exists(new Path(cdcDir(dir, v))))
         withVersion(spark.read.parquet(cdcDir(dir, v)))
       else {

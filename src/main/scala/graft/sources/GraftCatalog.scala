@@ -188,9 +188,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(del.fieldNames.length == 1,
           "nested DROP COLUMN is not supported")
         Layout.dropColumn(spark, dir, del.fieldNames.head)
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames.length == 1,
+          "nested RENAME COLUMN is not supported")
+        Layout.renameColumn(spark, dir, ren.fieldNames.head, ren.newName)
+      case upd: TableChange.UpdateColumnType =>
+        require(upd.fieldNames.length == 1,
+          "nested ALTER COLUMN TYPE is not supported")
+        Layout.widenColumn(spark, dir, upd.fieldNames.head,
+          upd.newDataType)
       case other => throw new UnsupportedOperationException(
         s"graft catalog cannot apply $other — supported: ADD COLUMN, " +
-          "DROP COLUMN")
+          "DROP COLUMN, RENAME COLUMN, ALTER COLUMN TYPE")
     }
     loadTable(ident)
   }

@@ -16,9 +16,12 @@ import org.apache.spark.sql.connector.catalog.{MetadataColumn,
   SupportsDelete, SupportsMetadataColumns, SupportsRead,
   SupportsRowLevelOperations, SupportsWrite, Table, TableCapability,
   TableProvider}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo,
-  RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate,
-  V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{DataWriter,
+  LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperationBuilder,
+  RowLevelOperationInfo, SupportsDynamicOverwrite, SupportsTruncate,
+  V1Write, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{
+  StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, And, EqualNullSafe,
   EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, InsertableRelation,
   IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or, StringContains,
@@ -217,7 +220,15 @@ object ManifestSource {
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
         TableCapability.BATCH_READ,
-        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+        // append/truncate run through the V1 bridge (one DataFrame
+        // into the layout verbs); BATCH_WRITE is also declared for
+        // dynamic overwrite, which has no V1 bridge and runs as a
+        // true V2 staged write — physical planning picks per-Write
+        // (V1Write instance vs toBatch)
+        TableCapability.V1_BATCH_WRITE, TableCapability.BATCH_WRITE,
+        TableCapability.TRUNCATE,
+        TableCapability.OVERWRITE_DYNAMIC,
+        TableCapability.STREAMING_WRITE)
 
     /** SQL `INSERT INTO` / `INSERT OVERWRITE` through the catalog.
       * The V1 write bridge hands over the batch as ONE DataFrame whose
@@ -230,10 +241,23 @@ object ManifestSource {
       * SQL inserts serialize exactly like programmatic ones.
       */
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-      new WriteBuilder with SupportsTruncate {
+      new WriteBuilder with SupportsTruncate with SupportsDynamicOverwrite {
         private var overwrite = false
+        private var dynamic = false
         override def truncate(): WriteBuilder = { overwrite = true; this }
-        override def build(): Write = new V1Write {
+        override def overwriteDynamicPartitions(): WriteBuilder = {
+          dynamic = true; this
+        }
+        override def build(): Write =
+          // dynamic partition overwrite has NO V1 bridge in Spark —
+          // it runs as a true V2 batch write: tasks stage dot-files,
+          // the driver commit supersedes exactly the touched
+          // partition directories
+          if (dynamic) new Write {
+            override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+              new MfDynamicOverwrite(dir, info)
+          }
+          else new V1Write {
           override def toInsertableRelation: InsertableRelation =
             new InsertableRelation {
               override def insert(data: org.apache.spark.sql.Dataset[
@@ -257,6 +281,14 @@ object ManifestSource {
                   s, dir, data.toDF(), statCols)
               }
             }
+          /** `writeStream.toTable` — executor tasks stage dot-files
+            * via the row-level parquet writer; each epoch commits as
+            * ONE append snapshot with the epoch id as `txn`, so a
+            * replayed epoch after a restart no-ops (exactly-once, the
+            * same guard as ManifestSink's foreachBatch path).
+            */
+          override def toStreaming: StreamingWrite =
+            new MfStreamingWrite(dir, info)
         }
       }
 
@@ -315,7 +347,8 @@ object ManifestSource {
               .orElse(Manifest.currentVersion(spark, dir))
               .flatMap(v => Manifest.readVersion(spark, dir, v))
               .getOrElse(Seq.empty)
-              .filter(entrySurvives(_, pushed))
+              .filter(entrySurvives(_, pushed,
+                ManifestSource.renameMap(spark, dir)))
             val bytes = entries.map(_.bytes).sum
             val rows = entries.map(_.rows).sum
             new org.apache.spark.sql.connector.read.Statistics {
@@ -346,10 +379,11 @@ object ManifestSource {
               val entries = Manifest.readVersion(spark, dir, version)
                 .getOrElse(throw new IllegalArgumentException(
                   s"no manifest version $version under $dir"))
-                .filter(entrySurvives(_, pushed))
-              val marks = Manifest.dvMarks(spark, dir, version)
-                .collect().map(r => (r.getString(0), r.getLong(1)))
-                .groupBy(_._1)
+                .filter(entrySurvives(_, pushed,
+                  ManifestSource.renameMap(spark, dir, Some(version))))
+              // deletion marks do NOT transit the driver: each reader
+              // loads its own file's keyed subdirectory (dvSkip)
+              val dvRoot = ManifestSource.dvRootOf(spark, dir, version)
               val conf = new SerializableHadoopConf(
                 spark.sparkContext.hadoopConfiguration)
               entries.map { en =>
@@ -363,9 +397,7 @@ object ManifestSource {
                 // only materialized when the required schema asks for
                 // the metadata column (runtime group filtering,
                 // provenance selects)
-                MfPartition(s"$dir/${en.name}", required.json,
-                  marks.getOrElse(en.name.split('/').last, Array.empty)
-                    .map(_._2).sorted,
+                MfPartition(s"$dir/${en.name}", required.json, dvRoot,
                   partVals + (RowLevelOps.FileColumn ->
                     s"$dir/${en.name}"), conf): InputPartition
               }.toArray
@@ -505,20 +537,27 @@ object ManifestSource {
   /** Can `entry` contain rows matching every pushed filter? Mirrors
     * [[Manifest.prunedPaths]]: a file with no recorded stats for a
     * column is KEPT — pruning only ever skips provably-empty files.
+    * `renames` maps LOGICAL filter names to the PHYSICAL names stats
+    * are recorded under, so pruning survives a column rename.
     */
   private[sources] def entrySurvives(entry: graft.ops.ManifestEntry,
-      filters: Array[Filter]): Boolean = {
+      filters: Array[Filter],
+      renames: Map[String, String] = Map.empty): Boolean = {
     // partition-directory values from the entry's own path: equality
     // and IN on a partition column prune without stats at all
     val partVals: Map[String, String] = entry.name.split('/')
       .dropRight(1).filter(_.contains("="))
       .map { seg => val Array(k, v) = seg.split("=", 2); k -> v }.toMap
     filters.forall { f =>
-    def num(col: String)(keep: (Long, Long) => Boolean): Boolean =
+    def num(col0: String)(keep: (Long, Long) => Boolean): Boolean = {
+      val col = renames.getOrElse(col0, col0)
       entry.stats.find(_.col == col).forall(s => keep(s.min, s.max))
-    def str(col: String)(keep: (String, String) => Boolean): Boolean =
+    }
+    def str(col0: String)(keep: (String, String) => Boolean): Boolean = {
+      val col = renames.getOrElse(col0, col0)
       entry.sstats.getOrElse(Nil).find(_.col == col)
         .forall(s => keep(s.min, s.max))
+    }
     f match {
       case EqualTo(c, v) if partVals.contains(c) =>
         v != null && partVals(c) == v.toString
@@ -654,28 +693,13 @@ object ManifestSource {
           s"manifest version $e of $dir disappeared"))
         .filterNot(en => before.contains(en.name))
       // the end-version deletion marks on the added files (rare for a
-      // streaming table, exact for correctness): shipped per file so
-      // the reader can skip positions without a join. The collect is
-      // restricted to the WINDOW'S files first — never the whole
-      // table's vector through the driver
-      val addedBase = added.map(_.name.split('/').last)
-      val allMarks = Manifest.dvMarks(spark, dir, e)
-      val marks =
-        (if (addedBase.isEmpty) Array.empty[org.apache.spark.sql.Row]
-         else {
-           val ss = spark
-           import ss.implicits._
-           allMarks.join(
-             org.apache.spark.sql.functions.broadcast(
-               addedBase.toDF("file")), Seq("file"), "left_semi")
-             .collect()
-         })
-        .map(r => (r.getString(0), r.getLong(1)))
-        .groupBy(_._1)
+      // streaming table, exact for correctness): the partition carries
+      // only the DV pointer; each reader loads its own file's keyed
+      // positions — no mark transits the driver
+      val dvRoot = ManifestSource.dvRootOf(spark, dir, e)
       val conf = new SerializableHadoopConf(
         spark.sparkContext.hadoopConfiguration)
       added.map { en =>
-        val base = en.name.split('/').last
         // Hive-partitioned trees: the k=v path segments carry the
         // partition columns — reconstructed per file on the driver,
         // injected as constants by the reader
@@ -685,8 +709,7 @@ object ManifestSource {
             val Array(k, v) = seg.split("=", 2)
             k -> v
           }.toMap
-        MfPartition(s"$dir/${en.name}", schema.json,
-          marks.getOrElse(base, Array.empty).map(_._2).sorted,
+        MfPartition(s"$dir/${en.name}", schema.json, dvRoot,
           partVals, conf): InputPartition
       }.toArray
     }
@@ -711,7 +734,7 @@ object ManifestSource {
           fs.listStatus(cdc)
             .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
             .map(f => MfPartition(f.getPath.toString, schema.json,
-              Array.empty, inject, conf): InputPartition).toSeq
+              "", inject, conf): InputPartition).toSeq
         } else {
           val prev =
             if (v == 1) Set.empty[String]
@@ -733,7 +756,7 @@ object ManifestSource {
                 val Array(k, vv) = seg.split("=", 2)
                 k -> vv
               }.toMap
-            MfPartition(s"$dir/${en.name}", schema.json, Array.empty,
+            MfPartition(s"$dir/${en.name}", schema.json, "",
               partVals ++ inject + ("_change_type" -> "insert"),
               conf): InputPartition
           }
@@ -748,9 +771,198 @@ object ManifestSource {
     override def stop(): Unit = ()
   }
 
+  /** `dvRoot`: the snapshot's dv-v{K} directory when the version has a
+    * live deletion vector, else "". ONLY the pointer ships — the
+    * reader loads its own file's positions executor-side
+    * ([[dvSkip]]), so planning cost is O(1) FS checks regardless of
+    * how many rows the table has marked deleted.
+    */
   private[sources] case class MfPartition(file: String, schemaJson: String,
-      skipPositions: Array[Long], partVals: Map[String, String],
+      dvRoot: String, partVals: Map[String, String],
       conf: SerializableHadoopConf) extends InputPartition
+
+  /** Executor-side load of ONE data file's deletion-vector positions.
+    * Keyed layout (`dv-v{K}/file=<base>/`, what every writer produces):
+    * read just this file's own subdirectory — O(own marks) I/O.
+    * Legacy flat layout (tables written before keying): scan the
+    * root's parquet files filtering on the `file` column. Either way
+    * no mark ever transits the driver.
+    */
+  private[sources] def dvSkip(mp: MfPartition): Set[Long] = {
+    if (mp.dvRoot.isEmpty) return Set.empty
+    val conf = mp.conf.value
+    val root = new Path(mp.dvRoot)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return Set.empty
+    val base = new Path(mp.file).getName
+    val out = scala.collection.mutable.HashSet[Long]()
+    def drain(p: Path, legacyFilter: Boolean): Unit =
+      fs.listStatus(p).iterator
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .foreach { st =>
+          val r = ParquetReader.builder(new GroupReadSupport(), st.getPath)
+            .withConf(conf).build()
+          try {
+            var g = r.read()
+            while (g != null) {
+              val t = g.getType
+              if (!legacyFilter ||
+                  (t.containsField("file") &&
+                    g.getString(t.getFieldIndex("file"), 0) == base))
+                out += g.getLong(t.getFieldIndex("pos"), 0)
+              g = r.read()
+            }
+          } finally r.close()
+        }
+    val keyed = new Path(root, s"file=$base")
+    if (fs.exists(keyed)) drain(keyed, legacyFilter = false)
+    else drain(root, legacyFilter = true)
+    out.toSet
+  }
+
+  /** Streaming write into a manifest table (`writeStream.toTable`):
+    * rows stage executor-side under PHYSICAL column names via the
+    * row-level parquet writer; `commit(epoch)` lands them as one
+    * append snapshot through [[graft.ops.Layout.commitStagedAppend]]
+    * with the epoch as `txn` — replayed epochs clean up their staged
+    * files and no-op, making the sink exactly-once end to end.
+    */
+  private[sources] class MfStreamingWrite(dir: String,
+      info: LogicalWriteInfo) extends StreamingWrite {
+    private val spark = SparkSession.active
+    private val recorded = Manifest.currentVersion(spark, dir)
+      .flatMap(Manifest.tableSchema(spark, dir, _))
+    // the query's schema re-expressed in the TABLE's physical names
+    private val physSchema = StructType(info.schema().fields.map { f =>
+      recorded.flatMap(_.fields.find(_.name == f.name))
+        .map(tf => f.copy(name = Manifest.physNameOf(tf)))
+        .getOrElse(f)
+    })
+    private val partCols = graft.ops.Layout.partColsFor(spark, dir,
+      Manifest.read(spark, dir).getOrElse(Seq.empty))
+    private val statCols = physSchema.fields.collect {
+      case f if f.dataType == IntegerType || f.dataType == LongType ||
+          f.dataType == ShortType || f.dataType == ByteType ||
+          f.dataType == DateType || f.dataType == TimestampType ||
+          f.dataType == StringType => f.name
+    }.toSeq
+
+    override def createStreamingWriterFactory(
+        pi: PhysicalWriteInfo): StreamingDataWriterFactory =
+      MfStreamWriterFactory(dir, physSchema.json, partCols,
+        info.queryId(), new SerializableHadoopConf(
+          spark.sparkContext.hadoopConfiguration))
+
+    override def commit(epochId: Long,
+        messages: Array[WriterCommitMessage]): Unit = {
+      val staged = messages.flatMap {
+        case RowLevelOps.CowCommitMessage(ns) => ns.map(n => s"$dir/$n")
+        case _ => Seq.empty
+      }
+      graft.ops.Layout.commitStagedAppend(SparkSession.active, dir,
+        staged.toSeq, Some(epochId), statCols)
+    }
+
+    override def abort(epochId: Long,
+        messages: Array[WriterCommitMessage]): Unit = {
+      val fs = new Path(dir).getFileSystem(
+        SparkSession.active.sparkContext.hadoopConfiguration)
+      messages.foreach {
+        case RowLevelOps.CowCommitMessage(ns) =>
+          ns.foreach(n => fs.delete(new Path(s"$dir/$n"), false))
+        case _ => ()
+      }
+    }
+  }
+
+  private[sources] case class MfStreamWriterFactory(dir: String,
+      schemaJson: String, partCols: Seq[String], queryId: String,
+      conf: SerializableHadoopConf) extends StreamingDataWriterFactory {
+    override def createWriter(partitionId: Int, taskId: Long,
+        epochId: Long): DataWriter[InternalRow] =
+      new RowLevelOps.CowDataWriter(dir,
+        DataType.fromJson(schemaJson).asInstanceOf[StructType], partCols,
+        s".stream-$queryId-e$epochId-p$partitionId-t$taskId.parquet",
+        conf)
+  }
+
+  /** V2 batch write for DYNAMIC partition overwrite
+    * (`df.writeTo(t).overwritePartitions()`) — same task-side staging
+    * as the streaming write, committed through
+    * [[graft.ops.Layout.commitStagedDynamicOverwrite]].
+    */
+  private[sources] class MfDynamicOverwrite(dir: String,
+      info: LogicalWriteInfo)
+      extends org.apache.spark.sql.connector.write.BatchWrite {
+    private val spark = SparkSession.active
+    private val recorded = Manifest.currentVersion(spark, dir)
+      .flatMap(Manifest.tableSchema(spark, dir, _))
+    private val physSchema = StructType(info.schema().fields.map { f =>
+      recorded.flatMap(_.fields.find(_.name == f.name))
+        .map(tf => f.copy(name = Manifest.physNameOf(tf)))
+        .getOrElse(f)
+    })
+    private val partCols = graft.ops.Layout.partColsFor(spark, dir,
+      Manifest.read(spark, dir).getOrElse(Seq.empty))
+    private val statCols = physSchema.fields.collect {
+      case f if f.dataType == IntegerType || f.dataType == LongType ||
+          f.dataType == ShortType || f.dataType == ByteType ||
+          f.dataType == DateType || f.dataType == TimestampType ||
+          f.dataType == StringType => f.name
+    }.toSeq
+
+    override def createBatchWriterFactory(
+        pi: PhysicalWriteInfo):
+        org.apache.spark.sql.connector.write.DataWriterFactory =
+      RowLevelOps.CowWriterFactory(dir, physSchema.json, partCols,
+        info.queryId(), new SerializableHadoopConf(
+          spark.sparkContext.hadoopConfiguration))
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val staged = messages.flatMap {
+        case RowLevelOps.CowCommitMessage(ns) => ns.map(n => s"$dir/$n")
+        case _ => Seq.empty
+      }
+      graft.ops.Layout.commitStagedDynamicOverwrite(
+        SparkSession.active, dir, staged.toSeq, statCols)
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit = {
+      val fs = new Path(dir).getFileSystem(
+        SparkSession.active.sparkContext.hadoopConfiguration)
+      messages.foreach {
+        case RowLevelOps.CowCommitMessage(ns) =>
+          ns.foreach(n => fs.delete(new Path(s"$dir/$n"), false))
+        case _ => ()
+      }
+    }
+  }
+
+  /** LOGICAL→PHYSICAL column-name map of a snapshot's renamed columns
+    * — empty for tables that never renamed (the common case, so
+    * pruning pays nothing).
+    */
+  private[sources] def renameMap(spark: SparkSession, dir: String,
+      version: Option[Int] = None): Map[String, String] =
+    version.orElse(Manifest.currentVersion(spark, dir))
+      .flatMap(Manifest.tableSchema(spark, dir, _))
+      .map(_.fields.collect {
+        case f if Manifest.physNameOf(f) != f.name =>
+          f.name -> Manifest.physNameOf(f)
+      }.toMap)
+      .getOrElse(Map.empty)
+
+  /** The snapshot's DV pointer for partition planning: the dv-v{K}
+    * path when it exists, else "" — one FS existence check per scan.
+    */
+  private[sources] def dvRootOf(spark: SparkSession, dir: String,
+      version: Int): String = {
+    val p = graft.ops.Manifest.dvDir(dir, version)
+    val path = new Path(p)
+    if (path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(path)) p
+    else ""
+  }
 
   /** Executor-side parquet row reader (parquet-hadoop's Group model —
     * Spark's own vectorized reader is not reachable from a connector),
@@ -770,7 +982,9 @@ object ManifestSource {
         p: InputPartition): PartitionReader[InternalRow] = {
       val mp = p.asInstanceOf[MfPartition]
       val schema = DataType.fromJson(mp.schemaJson).asInstanceOf[StructType]
-      val skip = mp.skipPositions.toSet
+      // this task's own deletion marks, loaded HERE (executor-side)
+      // from the vector's per-file keyed subdirectory
+      val skip = ManifestSource.dvSkip(mp)
       new PartitionReader[InternalRow] {
         /** Parquet-level column projection: decode only the requested
           * columns, intersected with THIS file's footer schema (a
@@ -786,7 +1000,11 @@ object ManifestSource {
           val fileSchema = try footer.getFileMetaData.getSchema
             finally footer.close()
           import scala.jdk.CollectionConverters._
-          val want = schema.fields.map(_.name).toSet -- mp.partVals.keySet
+          // project under PHYSICAL names: a renamed column lives in
+          // files under its original name (column mapping)
+          val want = schema.fields
+            .filterNot(f => mp.partVals.keySet.contains(f.name))
+            .map(graft.ops.Manifest.physNameOf).toSet
           val kept = fileSchema.getFields.asScala.filter(f =>
             want.contains(f.getName))
           val proj = if (kept.isEmpty) fileSchema.getFields.asScala.take(1)
@@ -828,16 +1046,30 @@ object ManifestSource {
           val g = cur
           val fileType = g.getType
           InternalRow.fromSeq(schema.fields.toSeq.map { f =>
+            val phys = graft.ops.Manifest.physNameOf(f)
             if (mp.partVals.contains(f.name))
               partValue(mp.partVals(f.name), f.dataType)
-            else if (!fileType.containsField(f.name)) null
+            else if (!fileType.containsField(phys)) null
             else {
-              val i = fileType.getFieldIndex(f.name)
+              val i = fileType.getFieldIndex(phys)
               if (g.getFieldRepetitionCount(i) == 0) null
               else f.dataType match {
-                case LongType => g.getLong(i, 0)
+                // widened columns upcast from the file's narrower
+                // physical encoding (INT→BIGINT, FLOAT→DOUBLE
+                // metadata-only evolution)
+                case LongType =>
+                  if (fileType.getType(i).asPrimitiveType()
+                      .getPrimitiveTypeName ==
+                      PrimitiveType.PrimitiveTypeName.INT32)
+                    g.getInteger(i, 0).toLong
+                  else g.getLong(i, 0)
                 case IntegerType => g.getInteger(i, 0)
-                case DoubleType => g.getDouble(i, 0)
+                case DoubleType =>
+                  if (fileType.getType(i).asPrimitiveType()
+                      .getPrimitiveTypeName ==
+                      PrimitiveType.PrimitiveTypeName.FLOAT)
+                    g.getFloat(i, 0).toDouble
+                  else g.getDouble(i, 0)
                 case FloatType => g.getFloat(i, 0)
                 case BooleanType => g.getBoolean(i, 0)
                 case StringType =>

@@ -220,9 +220,10 @@ object RowLevelOps {
     override def planInputPartitions(): Array[InputPartition] = {
       val spark = SparkSession.active
       val entries = op.candidates
-      val marks = Manifest.dvMarks(spark, dir, op.version)
-        .collect().map(r => (r.getString(0), r.getLong(1)))
-        .groupBy(_._1)
+      // DV pointer only — each reader loads its own file's keyed
+      // positions executor-side (ManifestSource.dvSkip); no mark
+      // transits the driver however large the vector grows
+      val dvRoot = ManifestSource.dvRootOf(spark, dir, op.version)
       val conf = new SerializableHadoopConf(
         spark.sparkContext.hadoopConfiguration)
       entries.map { en =>
@@ -236,9 +237,7 @@ object RowLevelOps {
             val Array(k, v) = seg.split("=", 2)
             k -> v
           }.toMap
-        ManifestSource.MfPartition(file, required.json,
-          marks.getOrElse(en.name.split('/').last, Array.empty)
-            .map(_._2).sorted,
+        ManifestSource.MfPartition(file, required.json, dvRoot,
           partVals + (FileColumn -> file), conf): InputPartition
       }.toArray
     }
@@ -260,7 +259,11 @@ object RowLevelOps {
 
     override def createBatchWriterFactory(
         info: PhysicalWriteInfo): DataWriterFactory =
-      CowWriterFactory(dir, schema.json, partCols, queryId,
+      // stage under PHYSICAL column names: a renamed column writes
+      // into new files under its original name, like every file
+      // before it (column mapping)
+      CowWriterFactory(dir, Manifest.physicalSchema(schema).json,
+        partCols, queryId,
         new SerializableHadoopConf(
           SparkSession.active.sparkContext.hadoopConfiguration))
 
@@ -269,11 +272,12 @@ object RowLevelOps {
       val staged = messages.flatMap {
         case CowCommitMessage(names) => names.map(n => s"$dir/$n")
       }
+      // stats key on PHYSICAL names — the names staged files carry
       val statCols = schema.fields.collect {
         case f if f.dataType == IntegerType || f.dataType == LongType ||
             f.dataType == ShortType || f.dataType == ByteType ||
             f.dataType == DateType || f.dataType == TimestampType ||
-            f.dataType == StringType => f.name
+            f.dataType == StringType => Manifest.physNameOf(f)
       }.toSeq
       Layout.commitReplace(spark, dir, op.candidates.map(_.name),
         staged.toSeq, op.version, statCols)

@@ -1,0 +1,151 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Schema evolution beyond add/drop: RENAME COLUMN (metadata-only via
+  * Delta-style column mapping — files keep the original physical
+  * name) and WIDEN COLUMN TYPE (metadata-only INT→BIGINT etc. — old
+  * files upcast at read). Round trips cover reads, writes under the
+  * new name, merge-on-read deletes, time travel under the OLD name,
+  * the DSv2 connector, and the SQL front door.
+  */
+class EvolutionSpec extends SparkSpec {
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-evo-$tag").toString
+
+  private def mkTable(dir: String): Unit = {
+    import spark.implicits._
+    (0L until 100L).map(i => (i, s"t$i", i % 5))
+      .toDF("id", "text", "grp")
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    Manifest.create(spark, dir, Seq("id"))
+  }
+
+  test("rename round trip: read, append under the new name, time travel under the old") {
+    import spark.implicits._
+    val dir = tmp("ren")
+    mkTable(dir)                                             // v1
+    Layout.renameColumn(spark, dir, "text", "body")          // v2
+    val t2 = Manifest.readTable(spark, dir)
+    assert(t2.columns.toSeq == Seq("id", "body", "grp"))
+    assert(t2.where(col("id") === 7).select("body").as[String].head() == "t7")
+    // physical name preserved in files: v1 still reads as `text`
+    val t1 = Manifest.readTable(spark, dir, Some(1))
+    assert(t1.columns.toSeq == Seq("id", "text", "grp"))
+    assert(t1.count() == 100)
+    // append USING THE NEW NAME: stages under the physical name
+    Layout.appendInPlace(spark, dir,
+      Seq((100L, "new", 0L)).toDF("id", "body", "grp"), Seq("id")) // v3
+    val t3 = Manifest.readTable(spark, dir)
+    assert(t3.count() == 101)
+    assert(t3.where(col("id") === 100).select("body").as[String].head() == "new")
+    // the staged file itself carries the PHYSICAL name
+    val newFile = Manifest.read(spark, dir).get
+      .map(_.name).find(_.startsWith("append-v3")).get
+    assert(spark.read.parquet(s"$dir/$newFile").columns.contains("text"))
+    // chained rename keeps pointing at the one original physical name
+    Layout.renameColumn(spark, dir, "body", "corpus")        // v4
+    val f = Manifest.tableSchema(spark, dir,
+      Manifest.currentVersion(spark, dir).get).get("corpus")
+    assert(Manifest.physNameOf(f) == "text")
+    assert(Manifest.readTable(spark, dir)
+      .where(col("id") === 7).select("corpus").as[String].head() == "t7")
+  }
+
+  test("rename guards: missing source, collision, partition column") {
+    val dir = tmp("guards")
+    mkTable(dir)
+    intercept[IllegalArgumentException](
+      Layout.renameColumn(spark, dir, "nope", "x"))
+    intercept[IllegalArgumentException](
+      Layout.renameColumn(spark, dir, "text", "id"))
+  }
+
+  test("merge-on-read delete with a predicate on the renamed name") {
+    import spark.implicits._
+    val dir = tmp("rendv")
+    mkTable(dir)
+    Layout.renameColumn(spark, dir, "text", "body")
+    val (marked, _) = Layout.deleteMergeOnRead(spark, dir,
+      col("body").isin("t3", "t4"))
+    assert(marked == 2)
+    val left = Manifest.readTable(spark, dir).select("body").as[String]
+      .collect().toSet
+    assert(!left.contains("t3") && !left.contains("t4") && left.size == 98)
+  }
+
+  test("connector read + change feed present logical names after a rename") {
+    import spark.implicits._
+    val dir = tmp("renconn")
+    mkTable(dir)
+    Layout.renameColumn(spark, dir, "text", "body")
+    Layout.appendInPlace(spark, dir,
+      Seq((200L, "fresh", 1L)).toDF("id", "body", "grp"), Seq("id"))
+    val conn = spark.read.format("graft.sources.ManifestSource")
+      .option("path", dir).load()
+    assert(conn.columns.toSeq == Seq("id", "body", "grp"))
+    assert(conn.where(col("id") === 200).select("body").as[String]
+      .head() == "fresh")
+    assert(conn.where(col("id") === 7).select("body").as[String]
+      .head() == "t7")
+    val feed = Manifest.readChangeFeed(spark, dir, 2, 3)
+    assert(feed.columns.contains("body") && !feed.columns.contains("text"))
+    assert(feed.where(col("_change_type") === "insert").count() == 1)
+  }
+
+  test("widen INT->BIGINT: metadata-only, old files upcast, wide appends land") {
+    import spark.implicits._
+    val dir = tmp("widen")
+    (0 until 50).map(i => (i, s"w$i")).toDF("n", "text")
+      .repartition(2).write.mode("overwrite").parquet(dir)
+    Manifest.create(spark, dir, Seq("n"))                    // v1
+    assert(Manifest.readTable(spark, dir).schema("n").dataType == IntegerType)
+    Layout.widenColumn(spark, dir, "n", LongType, Seq("n"))  // v2
+    val t2 = Manifest.readTable(spark, dir)
+    assert(t2.schema("n").dataType == LongType)
+    assert(t2.agg(sum("n")).as[Long].head() == (0 until 50).sum.toLong)
+    // append a value beyond 2^31 — impossible in the un-widened table
+    Layout.appendInPlace(spark, dir,
+      Seq((3000000000L, "big")).toDF("n", "text"), Seq("n")) // v3
+    val t3 = Manifest.readTable(spark, dir)
+    assert(t3.where(col("n") === 3000000000L).count() == 1)
+    assert(t3.count() == 51)
+    // time travel: v1 still reads narrow
+    assert(Manifest.readTable(spark, dir, Some(1))
+      .schema("n").dataType == IntegerType)
+    // lossy widenings refuse
+    intercept[IllegalArgumentException](
+      Layout.widenColumn(spark, dir, "n", IntegerType, Seq("n")))
+  }
+
+  test("SQL front door: ALTER TABLE RENAME COLUMN and ALTER COLUMN TYPE") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-evo-sql").toString
+    spark.conf.set("spark.sql.catalog.gevo", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gevo.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gevo.db")
+    spark.sql("CREATE TABLE gevo.db.t AS " +
+      "SELECT CAST(id AS INT) AS small_id, CONCAT('v', id) AS label " +
+      "FROM range(40)")
+    spark.sql("ALTER TABLE gevo.db.t RENAME COLUMN label TO tag")
+    spark.sql("ALTER TABLE gevo.db.t ALTER COLUMN small_id TYPE BIGINT")
+    val out = spark.table("gevo.db.t")
+    assert(out.columns.toSeq == Seq("small_id", "tag"))
+    assert(out.schema("small_id").dataType == LongType)
+    spark.sql("INSERT INTO gevo.db.t VALUES (9000000000, 'wide')")
+    assert(spark.table("gevo.db.t").count() == 41)
+    assert(spark.sql(
+      "SELECT tag FROM gevo.db.t WHERE small_id = 9000000000")
+      .as[String].head() == "wide")
+    // row-level DML against the renamed column goes copy-on-write
+    // through the physically-named writer
+    spark.sql("DELETE FROM gevo.db.t WHERE tag = 'v3'")
+    assert(spark.table("gevo.db.t").count() == 40)
+    spark.sql("UPDATE gevo.db.t SET tag = 'patched' WHERE small_id = 5")
+    assert(spark.sql("SELECT tag FROM gevo.db.t WHERE small_id = 5")
+      .as[String].head() == "patched")
+  }
+}

@@ -507,6 +507,10 @@ class ManifestSpec extends SparkSpec {
   }
 
   test("merge-on-read delete: marks cheaply, reads subtract, flush materializes") {
+    // this test pins the manual mark/subtract/flush lifecycle, so the
+    // auto-flush policy (which would consume the vector early at this
+    // fixture's delete fractions) is disabled for its duration
+    spark.conf.set("spark.graft.dv.autoFlushRatio", "0")
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft-mf-dv").toString
     docs.repartitionByRange(16, col("doc_id"))
@@ -564,6 +568,7 @@ class ManifestSpec extends SparkSpec {
     Layout.compactInPlace(spark, dir, statCols = Seq("doc_id"))
     assert(Layout.contentFingerprint(Manifest.readTable(spark, dir))
       .collect().toSeq == expect2)
+    spark.conf.unset("spark.graft.dv.autoFlushRatio")
   }
 
   test("OPTIMIZE bin-packs: right-sized files carry verbatim, only the tail merges") {

@@ -174,6 +174,9 @@ class CatalogSpec extends SparkSpec {
 
   test("SQL DELETE is merge-on-read and composes with later INSERTs") {
     wh
+    // pins DV mechanics at fractions that would trip the auto-flush
+    // policy — disable it for this test
+    spark.conf.set("spark.graft.dv.autoFlushRatio", "0")
     spark.sql("CREATE TABLE gtest.db.del_t (id BIGINT, v STRING)")
     spark.sql("""INSERT INTO gtest.db.del_t
                 |SELECT id, concat('x', id) FROM range(0, 10)""".stripMargin)
@@ -198,6 +201,7 @@ class CatalogSpec extends SparkSpec {
     assert(rows("SELECT count(*) FROM gtest.db.del_t VERSION AS OF 2")
       .head.getLong(0) == 10L)
     spark.sql("DROP TABLE gtest.db.del_t")
+    spark.conf.unset("spark.graft.dv.autoFlushRatio")
   }
 
   test("timestamp time travel resolves through commit history") {

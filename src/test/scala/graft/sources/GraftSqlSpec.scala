@@ -59,6 +59,8 @@ class GraftSqlSpec extends SparkSpec {
 
   test("DESCRIBE HISTORY lists commits newest-first with operations") {
     wh
+    // the 30% delete would auto-flush and reclassify the head commit
+    spark.conf.set("spark.graft.dv.autoFlushRatio", "0")
     spark.sql("CREATE TABLE gm.db.hist (id BIGINT)")
     spark.sql("INSERT INTO gm.db.hist SELECT id FROM range(0, 10)")
     spark.sql("DELETE FROM gm.db.hist WHERE id < 3")
@@ -73,6 +75,7 @@ class GraftSqlSpec extends SparkSpec {
       s"operation: ${h.head.getString(2)}")
     assert(h.map(_.getString(2)).contains("APPEND"))
     spark.sql("DROP TABLE gm.db.hist")
+    spark.conf.unset("spark.graft.dv.autoFlushRatio")
   }
 
   test("ZORDER BY parses into clustering columns") {

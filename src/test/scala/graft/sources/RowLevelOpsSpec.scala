@@ -142,7 +142,13 @@ class RowLevelOpsSpec extends SparkSpec {
     spark.sql("INSERT INTO grlo.db.dfast SELECT id FROM range(0, 20)")
     val entriesBefore =
       Manifest.read(spark, s"$wh/db/dfast").get.map(_.name).toSet
-    spark.sql("DELETE FROM grlo.db.dfast WHERE id % 2 = 0")
+    // this test pins the METADATA-ONLY path; the 50% delete would
+    // trip the auto-flush policy, so disable it for the statement
+    spark.conf.set("spark.graft.dv.autoFlushRatio", "0")
+    try {
+      spark.sql("DELETE FROM grlo.db.dfast WHERE id % 2 = 0")
+      ()
+    } finally spark.conf.unset("spark.graft.dv.autoFlushRatio")
     assert(rows("SELECT count(*) FROM grlo.db.dfast").head.getLong(0) == 10L)
     // same files, plus a vector: no rewrite happened
     assert(Manifest.read(spark, s"$wh/db/dfast").get.map(_.name).toSet ==
