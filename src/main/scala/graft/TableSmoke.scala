@@ -136,6 +136,37 @@ object TableSmoke {
     val (keptMeta, tPlan) = time(ops.Manifest.prunedPaths(spark, mDir,
       Seq(("doc_id", 5000000L, 5050000L))).get.size)
 
+    // SUSTAINED-DELETE workload under the auto-flush policy: 12
+    // sequential ~2.5% band deletes against one table. Without the
+    // policy the vector grows without bound (every read pays an
+    // ever-larger skip set); with it, marks stay under
+    // ratio*rows + one band — the shape that keeps merge-on-read
+    // viable on a table deleted from daily for a year.
+    val sDir = java.nio.file.Files
+      .createTempDirectory("graft-tsmoke-sustain").toString
+    import spark.implicits._
+    spark.range(0, 200000L).select(col("id"),
+        concat(lit("d"), col("id")).as("txt"))
+      .repartition(8).write.mode("overwrite").parquet(sDir)
+    ops.Manifest.create(spark, sDir, Seq("id"))
+    var maxMarks = 0L
+    var flushes = 0
+    val t0s = System.nanoTime()
+    (0 until 12).foreach { k =>
+      val lo = k * 5000L
+      ops.Layout.deleteMergeOnRead(spark, sDir,
+        col("id") >= lo && col("id") < lo + 5000L, Seq("id"))
+      val v = ops.Manifest.currentVersion(spark, sDir).get
+      val marks = ops.Manifest.dvMarks(spark, sDir, v).count()
+      maxMarks = math.max(maxMarks, marks)
+      if (marks == 0) flushes += 1
+      val live = ops.Manifest.read(spark, sDir).get.map(_.rows).sum
+      assert(live == 0 || marks <= 0.10 * live + 5000L,
+        s"round $k: $marks marks on $live rows — vector unbounded")
+    }
+    val tSustain = (System.nanoTime() - t0s) / 1e9
+    assert(ops.Manifest.readTable(spark, sDir).count() == 140000L)
+
     println(s"""{"metric":"table_smoke","rows":$nRows,"mult":$mult,""" +
       s""""table_bytes":${dirBytes(srcA)},""" +
       s""""delete_band_rows":$marked,"files_hit":$hitA,"files":$totA,""" +
@@ -145,7 +176,9 @@ object TableSmoke {
       s""""stream_rows":$streamed,"stream_sec":$tStream,""" +
       s""""stream_rows_per_sec":${(streamed / tStream).toLong},""" +
       s""""manifest_files":10000,"manifest_commit_sec":$tCommit,""" +
-      s""""manifest_plan_sec":$tPlan,"manifest_kept":$keptMeta}""")
+      s""""manifest_plan_sec":$tPlan,"manifest_kept":$keptMeta,""" +
+      s""""sustain_deletes":12,"sustain_max_marks":$maxMarks,""" +
+      s""""sustain_flushes":$flushes,"sustain_sec":$tSustain}""")
     spark.stop()
   }
 }

@@ -81,6 +81,32 @@ class WriterSymmetrySpec extends SparkSpec {
     assert(Manifest.lastTxn(spark, dir).nonEmpty)
   }
 
+  test("toTable restart from the same checkpoint replays no epoch") {
+    import spark.implicits._
+    wh
+    spark.sql("CREATE TABLE gws.db.rst (id BIGINT)")
+    val ckpt = Files.createTempDirectory("graft-wsym-rst").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val q1 = mem.toDF().select(col("value").as("id"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .toTable("gws.db.rst")
+    mem.addData(1L, 2L)
+    q1.processAllAvailable()
+    q1.stop()
+    assert(spark.table("gws.db.rst").count() == 2)
+    // a NEW query from the same checkpoint: committed epochs must not
+    // re-apply (the manifest's txn guard absorbs any re-delivery)
+    val q2 = mem.toDF().select(col("value").as("id"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .toTable("gws.db.rst")
+    mem.addData(3L)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.table("gws.db.rst").select("id").as[Long]
+      .collect().toSeq.sorted == Seq(1L, 2L, 3L))
+  }
+
   test("deletion vectors auto-flush past the marks-to-rows threshold") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-wsym-flush").toString
