@@ -390,15 +390,24 @@ object Manifest {
     */
   def prunedPaths(spark: SparkSession, dir: String,
       ranges: Seq[(String, Long, Long)],
-      strRanges: Seq[(String, String, String)] = Nil): Option[Seq[String]] =
+      strRanges: Seq[(String, String, String)] = Nil): Option[Seq[String]] = {
+    // stats are keyed on PHYSICAL names — map renamed logical callers
+    val toPhys: String => String = currentVersion(spark, dir)
+      .flatMap(tableSchema(spark, dir, _)) match {
+      case Some(s) => c => s.fields.find(_.name == c)
+        .map(physNameOf).getOrElse(c)
+      case None => identity
+    }
     read(spark, dir).map(_.filter { e =>
       ranges.forall { case (c, lo, hi) =>
-        e.stats.find(_.col == c).forall(s => s.max >= lo && s.min <= hi)
+        e.stats.find(_.col == toPhys(c))
+          .forall(s => s.max >= lo && s.min <= hi)
       } && strRanges.forall { case (c, lo, hi) =>
-        e.sstats.getOrElse(Nil).find(_.col == c)
+        e.sstats.getOrElse(Nil).find(_.col == toPhys(c))
           .forall(s => s.max >= lo && s.min <= hi)
       }
     }.map(e => s"$dir/${e.name}"))
+  }
 
   /** Column-mapping metadata key (Delta-style): a renamed column keeps
     * its ORIGINAL physical name in every already-written file; the

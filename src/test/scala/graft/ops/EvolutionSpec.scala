@@ -55,6 +55,37 @@ class EvolutionSpec extends SparkSpec {
       .where(col("id") === 7).select("corpus").as[String].head() == "t7")
   }
 
+  test("filter on a renamed column pushes to the scan under the physical name") {
+    val dir = tmp("push")
+    mkTable(dir)
+    Layout.renameColumn(spark, dir, "text", "body")
+    val plan = Manifest.readTable(spark, dir)
+      .filter(col("body") === "t7")
+      .queryExecution.executedPlan.toString
+    // the predicate must reach the parquet scan AS A PUSHED FILTER on
+    // the physical column — the logical projection cannot block it
+    assert(plan.contains("PushedFilters") &&
+      plan.matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(text,t7\\).*"),
+      s"filter did not push to the scan under the physical name:\n$plan")
+  }
+
+  test("manifest range pruning accepts the renamed logical name") {
+    import spark.implicits._
+    val dir = tmp("prune")
+    (0L until 100L).map(i => (i, s"t$i")).toDF("id", "txt")
+      .repartitionByRange(4, col("id")).write.mode("overwrite").parquet(dir)
+    Manifest.create(spark, dir, Seq("id"))
+    Layout.renameColumn(spark, dir, "id", "doc_key")
+    val all = Manifest.read(spark, dir).get.size
+    val kept = Manifest.prunedPaths(spark, dir,
+      Seq(("doc_key", 0L, 10L))).get.size
+    assert(kept < all, s"no pruning under the renamed name: $kept of $all")
+    // and values still read correctly through the pruned path
+    val rows = Manifest.readPruned(spark, dir, Seq(("doc_key", 0L, 10L)))
+      .where(col("doc_key") <= 10).count()
+    assert(rows == 11)
+  }
+
   test("rename guards: missing source, collision, partition column") {
     val dir = tmp("guards")
     mkTable(dir)
