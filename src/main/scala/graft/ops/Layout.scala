@@ -985,9 +985,15 @@ object Layout {
     * Returns the number of files added (0 for a replay).
     */
   def appendInPlace(spark: SparkSession, dir: String, batch: DataFrame,
-      statCols: Seq[String] = Nil, txn: Option[Long] = None): Int = {
-    if (txn.exists(t => Manifest.lastTxn(spark, dir).exists(_ >= t)))
-      return 0
+      statCols: Seq[String] = Nil, txn: Option[Long] = None,
+      txnApp: Option[(String, Long)] = None): Int = {
+    val replay = txnApp match {
+      case Some((app, n)) =>
+        Manifest.lastTxnFor(spark, dir, app).exists(_ >= n)
+      case None =>
+        txn.exists(t => Manifest.lastTxn(spark, dir).exists(_ >= t))
+    }
+    if (replay) return 0
     val (v, entries) = Manifest.ensureVersioned(spark, dir, statCols)
     val newVersion = v + 1
     val partCols = partColsFor(spark, dir, entries)
@@ -1008,7 +1014,8 @@ object Layout {
         Some(c)
       }
     Manifest.write(spark, dir, (entries ++ newEntries).sortBy(_.name),
-      newVersion, txn, claim = claim, schema = evolved)
+      newVersion, if (txnApp.isDefined) None else txn, claim = claim,
+      schema = evolved, txnApp = txnApp)
     newEntries.size
   }
 
@@ -1023,10 +1030,20 @@ object Layout {
     */
   def commitStagedAppend(spark: SparkSession, dir: String,
       stagedAbs: Seq[String], txn: Option[Long],
-      statCols: Seq[String] = Nil): Int = {
+      statCols: Seq[String] = Nil,
+      txnApp: Option[(String, Long)] = None): Int = {
     val fs = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    if (txn.exists(t => Manifest.lastTxn(spark, dir).exists(_ >= t))) {
+    // replay guard: app-scoped watermark when the writer declared a
+    // txnAppId (several streams may share the table), else the global
+    // single-writer epoch max
+    val replay = txnApp match {
+      case Some((app, n)) =>
+        Manifest.lastTxnFor(spark, dir, app).exists(_ >= n)
+      case None =>
+        txn.exists(t => Manifest.lastTxn(spark, dir).exists(_ >= t))
+    }
+    if (replay) {
       stagedAbs.foreach(p => fs.delete(new Path(p), false))
       return 0
     }
@@ -1052,7 +1069,8 @@ object Layout {
         Some(c)
       }
     Manifest.write(spark, dir, (entries ++ newEntries).sortBy(_.name),
-      newVersion, txn, claim = claim)
+      newVersion, if (txnApp.isDefined) None else txn, claim = claim,
+      txnApp = txnApp)
     newEntries.size
   }
 

@@ -113,6 +113,34 @@ object Manifest {
     currentLine(spark, dir).flatMap(_.split("\\s+")
       .find(_.startsWith("txn=")).map(_.stripPrefix("txn=").toLong))
 
+  /** Sanitized token key for an application-scoped txn — the raw app
+    * id is user text, so it rides as a fixed-width md5 prefix.
+    */
+  private def txnAppKey(app: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(app.getBytes("UTF-8")).take(6)
+      .map("%02x".format(_)).mkString
+
+  /** Per-application txn watermark (`txn:<md5(app)>=N` tokens in
+    * CURRENT) — the Delta txnAppId pattern: the single `txn=` max is
+    * only a valid replay guard for ONE writer's monotone epochs; with
+    * two streams appending to one table their epoch counters
+    * interleave, and the global max would silently no-op whichever
+    * stream runs behind. App-scoped watermarks give each stream its
+    * own monotone lane; every commit carries all apps' tokens forward.
+    */
+  def lastTxnFor(spark: SparkSession, dir: String,
+      app: String): Option[Long] = {
+    val key = s"txn:${txnAppKey(app)}="
+    currentLine(spark, dir).flatMap(_.split("\\s+")
+      .find(_.startsWith(key)).map(_.stripPrefix(key).toLong))
+  }
+
+  /** All app-scoped txn tokens of the current pointer, for carry. */
+  private def txnAppTokens(spark: SparkSession, dir: String): Seq[String] =
+    currentLine(spark, dir).toSeq.flatMap(_.split("\\s+")
+      .filter(_.startsWith("txn:")))
+
   def read(spark: SparkSession, dir: String): Option[Seq[ManifestEntry]] =
     currentVersion(spark, dir).flatMap(v => readVersion(spark, dir, v))
 
@@ -211,12 +239,20 @@ object Manifest {
       version: Int, txn: Option[Long] = None,
       claim: Option[String] = None,
       schema: Option[StructType] = None,
-      leaseMs: Long = DefaultLeaseMs): Unit = {
+      leaseMs: Long = DefaultLeaseMs,
+      txnApp: Option[(String, Long)] = None): Unit = {
     val id = claim.getOrElse(claimVersion(spark, dir, version, leaseMs))
     // a maintenance commit must not erase the last streaming txn (a
     // post-crash batch replay would re-append) nor the schema record:
-    // carry both forward unless this commit sets its own
+    // carry both forward unless this commit sets its own. App-scoped
+    // txn tokens carry the same way, with this commit's app replaced.
     val effTxn = txn.orElse(lastTxn(spark, dir))
+    val appTokens = {
+      val newTok = txnApp.map { case (a, n) => s"txn:${txnAppKey(a)}=$n" }
+      val newKey = newTok.map(_.takeWhile(_ != '=') + "=")
+      txnAppTokens(spark, dir)
+        .filterNot(t => newKey.exists(t.startsWith)) ++ newTok
+    }
     // schemas are stored all-nullable: files written BEFORE an
     // add-column evolution backfill NULL, so a non-nullable field
     // recorded from a literal-valued batch would make codegen read
@@ -242,7 +278,8 @@ object Manifest {
           "re-read the current version and retry")
     }
     val out = fs.create(new Path(s"$dir/$DirName/CURRENT"), true)
-    val tag = effTxn.map(t => s" txn=$t").getOrElse("")
+    val tag = effTxn.map(t => s" txn=$t").getOrElse("") +
+      appTokens.map(t => s" $t").mkString
     try out.write(s"v$version$tag\n".getBytes("UTF-8")) finally out.close()
   }
 

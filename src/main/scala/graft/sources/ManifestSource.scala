@@ -859,8 +859,14 @@ object ManifestSource {
         case RowLevelOps.CowCommitMessage(ns) => ns.map(n => s"$dir/$n")
         case _ => Seq.empty
       }
+      // `.option("txnAppId", ...)` on the stream writer gives this
+      // stream its OWN replay watermark (Delta's txnAppId pattern):
+      // several streams can then append to one table without the
+      // global epoch max silently no-opping whichever runs behind
+      val txnApp = Option(info.options.get("txnAppId"))
+        .map(app => app -> epochId)
       graft.ops.Layout.commitStagedAppend(SparkSession.active, dir,
-        staged.toSeq, Some(epochId), statCols)
+        staged.toSeq, Some(epochId), statCols, txnApp = txnApp)
     }
 
     override def abort(epochId: Long,

@@ -28,20 +28,28 @@ import graft.ops.Layout
   */
 object ManifestSink {
 
-  /** The `foreachBatch` body: idempotent append of one micro-batch. */
-  def appendBatch(dir: String, statCols: Seq[String] = Nil)(
+  /** The `foreachBatch` body: idempotent append of one micro-batch.
+    * `appId` scopes the replay watermark to THIS stream (Delta's
+    * txnAppId pattern) — required when several streams append to one
+    * table, where the global epoch max would silently no-op whichever
+    * stream runs behind. A single-writer table can omit it.
+    */
+  def appendBatch(dir: String, statCols: Seq[String] = Nil,
+      appId: Option[String] = None)(
       batch: Dataset[Row], batchId: Long): Unit =
     Layout.appendInPlace(batch.sparkSession, dir, batch.toDF(),
-      statCols, txn = Some(batchId))
+      statCols, txn = Some(batchId),
+      txnApp = appId.map(_ -> batchId))
 
   /** Start a streaming append of `stream` into the manifest table at
     * `dir` (which must exist with at least one committed file — the
     * batch aligns to the table's schema).
     */
   def start(stream: DataFrame, dir: String, checkpoint: String,
-      statCols: Seq[String] = Nil): StreamingQuery =
+      statCols: Seq[String] = Nil,
+      appId: Option[String] = None): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch(appendBatch(dir, statCols) _)
+      .foreachBatch(appendBatch(dir, statCols, appId) _)
       .start()
 }

@@ -107,6 +107,38 @@ class WriterSymmetrySpec extends SparkSpec {
       .collect().toSeq.sorted == Seq(1L, 2L, 3L))
   }
 
+  test("two streams with txnAppId share one table without replay suppression") {
+    import spark.implicits._
+    wh
+    spark.sql("CREATE TABLE gws.db.duo (id BIGINT, src STRING)")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val memA = MemoryStream[Long]
+    val memB = MemoryStream[Long]
+    def writer(mem: MemoryStream[Long], tag: String) =
+      mem.toDF().select(col("value").as("id"), lit(tag).as("src"))
+        .writeStream
+        .option("checkpointLocation",
+          Files.createTempDirectory(s"graft-duo-$tag").toString)
+        .option("txnAppId", s"duo-$tag")
+        .toTable("gws.db.duo")
+    val qA = writer(memA, "a")
+    val qB = writer(memB, "b")
+    // A races ahead: its epochs reach 3 while B still sits at 0 —
+    // under a GLOBAL txn max, B's first commit would silently no-op
+    memA.addData(1L); qA.processAllAvailable()
+    memA.addData(2L); qA.processAllAvailable()
+    memA.addData(3L); qA.processAllAvailable()
+    memB.addData(100L); qB.processAllAvailable()
+    memB.addData(101L); qB.processAllAvailable()
+    memA.addData(4L); qA.processAllAvailable()
+    qA.stop(); qB.stop()
+    val rows = spark.table("gws.db.duo")
+      .select("id", "src").as[(Long, String)].collect().toSet
+    assert(rows == Set((1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"),
+      (100L, "b"), (101L, "b")),
+      s"a stream's batches were suppressed: $rows")
+  }
+
   test("deletion vectors auto-flush past the marks-to-rows threshold") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-wsym-flush").toString
