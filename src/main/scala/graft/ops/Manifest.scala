@@ -96,8 +96,22 @@ object Manifest {
     }
   }
 
-  private def currentLine(spark: SparkSession, dir: String): Option[String] =
-    readSmallFile(spark, dir, new Path(s"$dir/$DirName/CURRENT"))
+  private def currentLine(spark: SparkSession, dir: String): Option[String] = {
+    // belt-and-braces for filesystems without atomic rename-replace:
+    // an empty read means a writer is mid-flip — wait it out briefly
+    // rather than hand a blank line to the version parser
+    var tries = 0
+    while (true) {
+      readSmallFile(spark, dir, new Path(s"$dir/$DirName/CURRENT")) match {
+        case Some("") if tries < 50 => tries += 1; Thread.sleep(10)
+        case Some("") => throw new IllegalStateException(
+          s"CURRENT of $dir stayed empty after ${tries} reads — " +
+            "torn pointer write?")
+        case other => return other
+      }
+    }
+    None // unreachable
+  }
 
   def currentVersion(spark: SparkSession, dir: String): Option[Int] =
     currentLine(spark, dir)
@@ -277,10 +291,20 @@ object Manifest {
         s"another writer's v$version snapshot landed first under $dir — " +
           "re-read the current version and retry")
     }
-    val out = fs.create(new Path(s"$dir/$DirName/CURRENT"), true)
     val tag = effTxn.map(t => s" txn=$t").getOrElse("") +
       appTokens.map(t => s" $t").mkString
+    // ATOMIC pointer flip: fs.create(overwrite=true) TRUNCATES before
+    // writing, so a concurrent reader could observe an EMPTY pointer
+    // (caught by the racing writer specs). Write beside and rename
+    // over — POSIX/HDFS rename replaces atomically, and readers only
+    // ever see the old line or the new one.
+    val tmpPtr = new Path(s"$dir/$DirName/.CURRENT-$id")
+    val out = fs.create(tmpPtr, true)
     try out.write(s"v$version$tag\n".getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(tmpPtr.toUri,
+        spark.sparkContext.hadoopConfiguration)
+      .rename(tmpPtr, new Path(s"$dir/$DirName/CURRENT"),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Per-file stats in one distributed pass. `onlyNames` restricts the

@@ -127,6 +127,41 @@ class EvolutionSpec extends SparkSpec {
     assert(feed.where(col("_change_type") === "insert").count() == 1)
   }
 
+  test("OPTIMIZE and vector flush after a rename restage under physical names") {
+    import spark.implicits._
+    val dir = tmp("renopt")
+    mkTable(dir)                                              // v1
+    Layout.renameColumn(spark, dir, "text", "body")           // v2
+    // fragment: three small appends under the NEW name
+    (0 until 3).foreach { k =>
+      Layout.appendInPlace(spark, dir,
+        Seq((200L + k, s"f$k", 1L)).toDF("id", "body", "grp"), Seq("id"))
+    }
+    // mark a couple of rows, then OPTIMIZE — which consumes marks
+    // inline and merges the tail
+    spark.conf.set("spark.graft.dv.autoFlushRatio", "0")
+    try {
+      Layout.deleteMergeOnRead(spark, dir, col("body") === "t9")
+      val (before, after) = Layout.compactInPlace(spark, dir,
+        statCols = Seq("id"))
+      assert(after < before)
+      ()
+    } finally spark.conf.unset("spark.graft.dv.autoFlushRatio")
+    assert(!Manifest.hasDeletionVectors(spark, dir))
+    val t = Manifest.readTable(spark, dir)
+    assert(t.columns.toSeq == Seq("id", "body", "grp"))
+    assert(t.count() == 102) // 100 - 1 deleted + 3 appended
+    assert(t.where(col("id") === 202).select("body").as[String]
+      .head() == "f2")
+    assert(t.where(col("body") === "t9").count() == 0)
+    // every live file carries the PHYSICAL column name
+    Manifest.read(spark, dir).get.foreach { e =>
+      val cols = spark.read.parquet(s"$dir/${e.name}").columns.toSet
+      assert(cols.contains("text") && !cols.contains("body"),
+        s"${e.name} staged under logical names: $cols")
+    }
+  }
+
   test("widen INT->BIGINT: metadata-only, old files upcast, wide appends land") {
     import spark.implicits._
     val dir = tmp("widen")

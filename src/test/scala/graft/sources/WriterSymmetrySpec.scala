@@ -184,14 +184,16 @@ class WriterSymmetrySpec extends SparkSpec {
             t.getMessage.contains("another writer") ||
             t.getMessage.contains("retry"))) ||
         isConflict(t.getCause))
-    def retrying(sql: String, tries: Int = 10): Unit = {
+    // generous budget: under full-suite load a staging pass can take
+    // seconds, so two writers may conflict many times before landing
+    def retrying(sql: String, tries: Int = 40): Unit = {
       var n = 0
       var done = false
       while (!done) {
         try { spark.sql(sql).collect(); done = true }
         catch {
           case e: Throwable if n < tries && isConflict(e) =>
-            n += 1; Thread.sleep(50L * n)
+            n += 1; Thread.sleep(math.min(500L, 50L * n))
         }
       }
     }
