@@ -27,20 +27,23 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val ts = (1 to reps).map(_ => time(fn)).sorted
       val median = ts(ts.size / 2)
-      (name, median, ts.head)
+      // full spread (min/median/max) so sub-second regression flags
+      // self-adjudicate from one artifact instead of a rerun
+      (name, median, ts.head, ts.last)
     }
-    def fmt(sel: ((String, Double, Double)) => (String, Double)) =
+    def fmt(sel: ((String, Double, Double, Double)) => (String, Double)) =
       results.map(sel).map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-    val qs = fmt { case (k, med, _) => (k, med) }
-    val mins = fmt { case (k, _, mn) => (k, mn) }
+    val qs = fmt { case (k, med, _, _) => (k, med) }
+    val mins = fmt { case (k, _, mn, _) => (k, mn) }
+    val maxs = fmt { case (k, _, _, mx) => (k, mx) }
     // a query that throws records -1.0 — list it explicitly and keep
     // the sentinel OUT of the total so the headline never understates
     // (or silently absorbs) a failure
     val errors = results.filter(_._2 < 0).map(_._1)
     val errsJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"n_errors":${errors.size},"errors":$errsJson,"queries":$qs,"queries_min":$mins,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"n_errors":${errors.size},"errors":$errsJson,"queries":$qs,"queries_min":$mins,"queries_max":$maxs,"sf":"$sfDir"}"""
     println(line)
     // The stdout line gets truncated by log tooling past ~50 queries; persist the
     // full per-query breakdown so cross-round comparisons cover every query.

@@ -136,6 +136,43 @@ object TableSmoke {
     val (keptMeta, tPlan) = time(ops.Manifest.prunedPaths(spark, mDir,
       Seq(("doc_id", 5000000L, 5050000L))).get.size)
 
+    // CHUNKED metadata at 100k files: 100 delta commits of 1k entries
+    // each. The claim that must hold at 100 TB: commit latency stays
+    // FLAT as the table grows (each commit writes O(delta) + a
+    // bounded chunk list, never the accumulated file list), planning
+    // over the final 100k-entry manifest is a distributed filter that
+    // collects only survivors, and the driver never materializes the
+    // full list on the append path.
+    val cDir = java.nio.file.Files
+      .createTempDirectory("graft-tsmoke-chunk").toString
+    def entries1k(k: Int): Seq[ops.ManifestEntry] =
+      (0 until 1000).map { i =>
+        val fid = k * 1000 + i
+        ops.ManifestEntry(f"part-$fid%06d.parquet", 1000L, 1L << 20,
+          Seq(ops.ColRange("doc_id", fid * 1000L, fid * 1000L + 999)))
+      }
+    val commitSecs = (1 to 100).map { k =>
+      val carried =
+        if (k == 1) Seq.empty[ops.Manifest.ChunkRef]
+        else ops.Manifest.chunkRefs(spark, cDir, k - 1).get
+      val (_, s) = time(ops.Manifest.writeChunked(spark, cDir, k,
+        carried, Seq(entries1k(k - 1))))
+      s
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s(s.size / 2)
+    }
+    val mFirst = median(commitSecs.take(10))
+    val mLast = median(commitSecs.takeRight(10))
+    assert(mLast < 3 * mFirst,
+      s"commit latency grew with table size: first10=$mFirst last10=$mLast")
+    val nChunks = ops.Manifest.chunkRefs(spark, cDir, 100).get.size
+    assert(nChunks <= ops.Manifest.MaxChunks,
+      s"chunk list unbounded: $nChunks")
+    val (kept100k, tPlan100k) = time(ops.Manifest.prunedPaths(spark, cDir,
+      Seq(("doc_id", 50000000L, 50100000L))).get.size)
+    assert(kept100k == 101, s"chunked pruning kept $kept100k of 100k")
+
     // SUSTAINED-DELETE workload under the auto-flush policy: 12
     // sequential ~2.5% band deletes against one table. Without the
     // policy the vector grows without bound (every read pays an
@@ -177,6 +214,11 @@ object TableSmoke {
       s""""stream_rows_per_sec":${(streamed / tStream).toLong},""" +
       s""""manifest_files":10000,"manifest_commit_sec":$tCommit,""" +
       s""""manifest_plan_sec":$tPlan,"manifest_kept":$keptMeta,""" +
+      s""""chunked_files":100000,"chunked_commits":100,""" +
+      s""""chunked_commit_med_first10":$mFirst,""" +
+      s""""chunked_commit_med_last10":$mLast,""" +
+      s""""chunked_chunks":$nChunks,""" +
+      s""""chunked_plan_sec":$tPlan100k,"chunked_kept":$kept100k,""" +
       s""""sustain_deletes":12,"sustain_max_marks":$maxMarks,""" +
       s""""sustain_flushes":$flushes,"sustain_sec":$tSustain}""")
     spark.stop()

@@ -490,7 +490,10 @@ object Layout {
     * k=v path segments.
     */
   private def partColsOf(entries: Seq[ManifestEntry]): Seq[String] =
-    entries.headOption.toSeq.flatMap(_.name.split('/').dropRight(1)
+    partColsOfNames(entries.map(_.name))
+
+  private def partColsOfNames(names: Seq[String]): Seq[String] =
+    names.headOption.toSeq.flatMap(_.split('/').dropRight(1)
       .filter(_.contains("=")).map(_.split("=")(0)).toSeq)
 
   /** Field-metadata key marking a recorded-schema column as a
@@ -552,6 +555,18 @@ object Layout {
       s"schema mismatch: batch is missing table column(s) " +
         s"${missing.mkString(", ")} of $dir")
     val extras = batch.columns.toSeq.filterNot(tableCols.contains)
+    // an auto-evolved extra whose name equals an existing field's
+    // PHYSICAL name (left behind by renameColumn) would stage files —
+    // and commit a schema — with two same-named physical columns,
+    // bricking every schema-driven read after a successful commit
+    extras.foreach { x =>
+      fileFields.find(f => f.name != x && Manifest.physNameOf(f) == x)
+        .foreach(c => throw new IllegalArgumentException(
+          s"cannot evolve new column '$x' into $dir: existing column " +
+            s"'${c.name}' still writes under physical name '$x' " +
+            "(renamed columns keep their original physical name) — " +
+            "pick a different name"))
+    }
     // EXISTING columns are cast to the table's own types: a batch
     // carrying a narrower type (INT ids into a BIGINT table) would
     // otherwise stage files whose physical type silently drifts from
@@ -777,6 +792,13 @@ object Layout {
         s"(have ${schema.fieldNames.mkString(", ")})")
     require(!schema.fieldNames.contains(to),
       s"$to already exists in $dir")
+    // logical names may not shadow another field's PHYSICAL name:
+    // files and staged writes are keyed physically, and a later
+    // rename/drop against the shadowed field becomes ambiguous
+    schema.fields.find(f => f.name != from && Manifest.physNameOf(f) == to)
+      .foreach(c => throw new IllegalArgumentException(
+        s"cannot rename $from to '$to' in $dir: column '${c.name}' " +
+          s"still writes under physical name '$to' — pick another name"))
     val renamed = StructType(schema.fields.map { f =>
       if (f.name != from) f
       else f.copy(name = to, metadata =
@@ -845,10 +867,17 @@ object Layout {
     */
   def deleteMergeOnRead(spark: SparkSession, dir: String, pred: Column,
       statCols: Seq[String] = Nil): (Long, Int) = {
-    val (v, entries) = Manifest.ensureVersioned(spark, dir, statCols)
+    // entries transfer verbatim — only NAMES (for the scan) and the
+    // row total (for the flush policy) ever reach the driver; a
+    // chunked base commits O(#chunks) metadata however big the table
+    val (v, carried, legacy, _) =
+      Manifest.ensureVersionedDelta(spark, dir, statCols)
     val newVersion = v + 1
+    val (names, totalRows) =
+      if (legacy.nonEmpty) (legacy.map(_.name), legacy.map(_.rows).sum)
+      else Manifest.namesAndRows(spark, dir, v)
     val raw = Manifest.readPhysical(spark, dir,
-        entries.map(e => s"$dir/${e.name}"))
+        names.map(n => s"$dir/$n"))
       // materialize position metadata BEFORE any projection, then
       // present logical names so `pred` resolves on a renamed table
       .withColumn("_mk_f", element_at(
@@ -889,7 +918,8 @@ object Layout {
     Manifest.recordCdc(spark, dir, newVersion, cdcRows)
     all.unpersist()
     // entries transfer VERBATIM: the delete is pure metadata
-    Manifest.write(spark, dir, entries, newVersion, claim = Some(claim))
+    Manifest.writeChunked(spark, dir, newVersion, carried, Seq(legacy),
+      claim = Some(claim))
     // AUTO-FLUSH policy: past a marks-to-rows ratio the per-read
     // skip/anti-join work outweighs rewriting the marked files, and
     // an unbounded vector is exactly what makes any DV read path
@@ -899,10 +929,9 @@ object Layout {
     // inline for files it rewrites.
     val flushRatio = spark.conf.getOption("spark.graft.dv.autoFlushRatio")
       .map(_.toDouble).getOrElse(0.10)
-    val totalRows = entries.map(_.rows).sum
     if (flushRatio > 0 && totalRows > 0 && marked > flushRatio * totalRows)
       flushDeleteVectors(spark, dir, statCols)
-    (marked, entries.size)
+    (marked, names.size)
   }
 
   /** Materialize a table's deletion vectors: rewrite ONLY the files
@@ -987,18 +1016,19 @@ object Layout {
   def appendInPlace(spark: SparkSession, dir: String, batch: DataFrame,
       statCols: Seq[String] = Nil, txn: Option[Long] = None,
       txnApp: Option[(String, Long)] = None): Int = {
-    val replay = txnApp match {
-      case Some((app, n)) =>
-        Manifest.lastTxnFor(spark, dir, app).exists(_ >= n)
-      case None =>
-        txn.exists(t => Manifest.lastTxn(spark, dir).exists(_ >= t))
-    }
-    if (replay) return 0
-    val (v, entries) = Manifest.ensureVersioned(spark, dir, statCols)
+    if (isReplay(spark, dir, txn, txnApp)) return 0
+    // DELTA commit: the base snapshot's chunk list is carried by
+    // reference and only the new entries are written — appending to a
+    // million-file table costs O(batch) metadata, not O(table). An
+    // inline (legacy) base hands its entries over once as a migration
+    // chunk; alignment only ever needs one sample entry.
+    val (v, carried, legacy, head) =
+      Manifest.ensureVersionedDelta(spark, dir, statCols)
     val newVersion = v + 1
-    val partCols = partColsFor(spark, dir, entries)
+    val sample = legacy.headOption.orElse(head).toSeq
+    val partCols = partColsFor(spark, dir, sample)
     val (aligned, evolved) =
-      alignForWrite(spark, dir, entries, batch, partCols)
+      alignForWrite(spark, dir, sample, batch, partCols)
     val names = stageAndRename(spark, dir, aligned,
       partCols, s"append-v$newVersion")
     val newEntries = statStaged(spark, dir, statCols, names)
@@ -1013,11 +1043,40 @@ object Layout {
           .partitionBy("file").parquet(Manifest.dvDir(dir, newVersion))
         Some(c)
       }
-    Manifest.write(spark, dir, (entries ++ newEntries).sortBy(_.name),
-      newVersion, if (txnApp.isDefined) None else txn, claim = claim,
+    Manifest.writeChunked(spark, dir, newVersion, carried,
+      Seq(legacy, newEntries), txn, claim = claim,
       schema = evolved, txnApp = txnApp)
     newEntries.size
   }
+
+  /** Replay decision for an exactly-once append. App-scoped when the
+    * writer declared (or was defaulted) a txnAppId. On the GLOBAL
+    * single-writer path a batch EQUAL to the watermark is a true
+    * crash re-delivery (foreachBatch only ever re-delivers the last
+    * committed id) and no-ops; a batch BEHIND the watermark belongs
+    * to a DIFFERENT stream — e.g. a fresh checkpoint restarting at
+    * epoch 0 against a table already carrying txn=N — and failing
+    * loudly beats silently dropping its first N+1 batches.
+    */
+  private def isReplay(spark: SparkSession, dir: String,
+      txn: Option[Long], txnApp: Option[(String, Long)]): Boolean =
+    txnApp match {
+      case Some((app, n)) =>
+        Manifest.lastTxnFor(spark, dir, app).exists(_ >= n)
+      case None =>
+        txn.exists { t =>
+          Manifest.lastTxn(spark, dir) match {
+            case Some(last) if t == last => true
+            case Some(last) if t < last =>
+              throw new IllegalStateException(
+                s"batch $t is behind $dir's global txn watermark $last " +
+                  "— a different stream (fresh checkpoint?) appears to " +
+                  "be writing without a txnAppId; scope replays with " +
+                  "txnAppId/appId instead of silently dropping batches")
+            case _ => false
+          }
+        }
+    }
 
   /** Commit executor-staged parquet dot-files as an APPEND snapshot —
     * the driver half of the connector's STREAMING write
@@ -1034,44 +1093,59 @@ object Layout {
       txnApp: Option[(String, Long)] = None): Int = {
     val fs = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    // replay guard: app-scoped watermark when the writer declared a
-    // txnAppId (several streams may share the table), else the global
+    // replay guard: app-scoped watermark when the writer declared (or
+    // the connector defaulted) a txnAppId, else the global
     // single-writer epoch max
-    val replay = txnApp match {
-      case Some((app, n)) =>
-        Manifest.lastTxnFor(spark, dir, app).exists(_ >= n)
-      case None =>
-        txn.exists(t => Manifest.lastTxn(spark, dir).exists(_ >= t))
-    }
-    if (replay) {
+    if (isReplay(spark, dir, txn, txnApp)) {
       stagedAbs.foreach(p => fs.delete(new Path(p), false))
       return 0
     }
-    val (curV, entries) = Manifest.ensureVersioned(spark, dir, statCols)
+    // DELTA commit, like appendInPlace: carried chunks by reference,
+    // O(epoch batch) metadata per streaming commit
+    val (curV, carried, legacy, _) =
+      Manifest.ensureVersionedDelta(spark, dir, statCols)
     val newVersion = curV + 1
-    val names = stagedAbs.sorted.zipWithIndex.map { case (p, i) =>
-      val sub = Manifest.relativize(spark, dir, p)
-        .split('/').dropRight(1).mkString("/")
-      val tgt = (if (sub.isEmpty) "" else s"$sub/") +
-        s"append-v$newVersion-$i.parquet"
-      require(fs.rename(new Path(p), new Path(s"$dir/$tgt")),
-        s"staged file $p failed to land as $tgt")
-      tgt
-    }
-    val newEntries = statStaged(spark, dir, statCols, names)
-    val claim =
-      if (!Manifest.hasDeletionVectors(spark, dir)) None
-      else {
-        val c = Manifest.claimVersion(spark, dir, newVersion)
+    // claim BEFORE landing files: two concurrent epoch commits (the
+    // multi-writer txnAppId scenario) both compute the same K and —
+    // with deterministic target names — the same targets; POSIX
+    // rename silently replaces, so the loser would overwrite the
+    // winner's landed data. Claim-first makes the loser throw here
+    // with its staged dot-files intact (retry/abort cleans them), and
+    // the claim id in the landed names makes collision impossible
+    // even across a lease takeover.
+    val claim = Manifest.claimVersion(spark, dir, newVersion)
+    val tag = claim.take(8)
+    val landed = scala.collection.mutable.ArrayBuffer.empty[Path]
+    try {
+      val names = stagedAbs.sorted.zipWithIndex.map { case (p, i) =>
+        val sub = Manifest.relativize(spark, dir, p)
+          .split('/').dropRight(1).mkString("/")
+        val tgt = (if (sub.isEmpty) "" else s"$sub/") +
+          s"append-v$newVersion-$tag-$i.parquet"
+        require(fs.rename(new Path(p), new Path(s"$dir/$tgt")),
+          s"staged file $p failed to land as $tgt")
+        landed += new Path(s"$dir/$tgt")
+        tgt
+      }
+      val newEntries = statStaged(spark, dir, statCols, names)
+      if (Manifest.hasDeletionVectors(spark, dir))
         Manifest.dvMarks(spark, dir, newVersion - 1).repartition(col("file"))
           .write.mode("overwrite")
           .partitionBy("file").parquet(Manifest.dvDir(dir, newVersion))
-        Some(c)
-      }
-    Manifest.write(spark, dir, (entries ++ newEntries).sortBy(_.name),
-      newVersion, if (txnApp.isDefined) None else txn, claim = claim,
-      txnApp = txnApp)
-    newEntries.size
+      Manifest.writeChunked(spark, dir, newVersion, carried,
+        Seq(legacy, newEntries), txn, claim = Some(claim),
+        txnApp = txnApp)
+      newEntries.size
+    } catch { case e: Throwable =>
+      // Spark does not call abort() after a failed driver commit —
+      // remove already-landed final-looking files so a lost race
+      // leaves nothing the next listing or vacuum could mistake for
+      // committed data
+      landed.foreach(p => try fs.delete(p, false) catch {
+        case _: java.io.IOException => ()
+      })
+      throw e
+    }
   }
 
   /** DYNAMIC partition overwrite — `df.writeTo(t).overwritePartitions()`:
@@ -1111,18 +1185,34 @@ object Layout {
       spark.sparkContext.hadoopConfiguration)
     val (curV, entries) = Manifest.ensureVersioned(spark, dir, statCols)
     val newVersion = curV + 1
+    // same contract as overwritePartitionsInPlace: on an unpartitioned
+    // table every staged file shares dirname "", and "replace touched
+    // partitions" would silently degrade into a full-table overwrite
+    require(partColsFor(spark, dir, entries).nonEmpty,
+      s"$dir is unpartitioned — dynamic partition overwrite needs " +
+        "partition directories; use overwriteInPlace for whole-table")
     val claim = Manifest.claimVersion(spark, dir, newVersion)
-    val names = stagedAbs.sorted.zipWithIndex.map { case (p, i) =>
-      val sub = Manifest.relativize(spark, dir, p)
-        .split('/').dropRight(1).mkString("/")
-      val tgt = (if (sub.isEmpty) "" else s"$sub/") +
-        s"dynover-v$newVersion-$i.parquet"
-      require(fs.rename(new Path(p), new Path(s"$dir/$tgt")),
-        s"staged file $p failed to land as $tgt")
-      tgt
+    val tag = claim.take(8)
+    val landed = scala.collection.mutable.ArrayBuffer.empty[Path]
+    try {
+      val names = stagedAbs.sorted.zipWithIndex.map { case (p, i) =>
+        val sub = Manifest.relativize(spark, dir, p)
+          .split('/').dropRight(1).mkString("/")
+        val tgt = (if (sub.isEmpty) "" else s"$sub/") +
+          s"dynover-v$newVersion-$tag-$i.parquet"
+        require(fs.rename(new Path(p), new Path(s"$dir/$tgt")),
+          s"staged file $p failed to land as $tgt")
+        landed += new Path(s"$dir/$tgt")
+        tgt
+      }
+      commitDynamicCore(spark, dir, entries, names, newVersion,
+        claim, statCols, None)
+    } catch { case e: Throwable =>
+      landed.foreach(p => try fs.delete(p, false) catch {
+        case _: java.io.IOException => ()
+      })
+      throw e
     }
-    commitDynamicCore(spark, dir, entries, names, newVersion,
-      claim, statCols, None)
   }
 
   /** Shared tail of the two dynamic-overwrite entry points: every
@@ -1199,6 +1289,15 @@ object Layout {
       .getOrElse(Manifest.readTable(spark, dir).schema)
     require(!schema.fieldNames.contains(field.name),
       s"column ${field.name} already exists in $dir")
+    // same guard as alignForWrite's auto-evolution: a new column named
+    // after an existing field's physical name would record a physical
+    // schema with two identical fields — commit succeeds, every
+    // subsequent read fails analysis
+    schema.fields.find(f => Manifest.physNameOf(f) == field.name)
+      .foreach(c => throw new IllegalArgumentException(
+        s"cannot add column '${field.name}' to $dir: column " +
+          s"'${c.name}' still writes under physical name " +
+          s"'${field.name}' — pick a different name"))
     Manifest.write(spark, dir, entries, newVersion,
       schema = Some(StructType(schema.fields :+ field.copy(nullable = true))))
   }
@@ -1394,8 +1493,15 @@ object Layout {
   def deleteInPlace(spark: SparkSession, dir: String, pred: Column,
       statCols: Seq[String] = Nil): (Int, Int) = {
     requireNoDvs(spark, dir)
-    val (curV, entries) = Manifest.ensureVersioned(spark, dir, statCols)
-    val paths = entries.map(e => s"$dir/${e.name}")
+    // delta-aware: only file NAMES reach the driver (the scan needs
+    // them regardless); the commit removes affected entries from a
+    // chunked base by anti-join and never restates the full list
+    val (curV, carried, legacy, _) =
+      Manifest.ensureVersionedDelta(spark, dir, statCols)
+    val allNames =
+      if (legacy.nonEmpty) legacy.map(_.name)
+      else Manifest.namesAndRows(spark, dir, curV)._1
+    val paths = allNames.map(n => s"$dir/$n")
     // phase 1: affected files via pushed-predicate scan over the
     // manifest's file list; collect bounded by #files, never rows.
     // basePath keeps partition-directory columns usable in `pred`.
@@ -1410,37 +1516,42 @@ object Layout {
       .select(input_file_name().as("f")).distinct()
       .collect().map(r => Manifest.relativize(spark, dir, r.getString(0)))
       .toSet
-    val (hit, kept) = entries.partition(e => affected.contains(e.name))
+    val hitNames = allNames.filter(affected.contains)
     val newVersion = curV + 1
     // claim BEFORE side writes (change record, staged deltas) so a
     // lost commit race cannot leave another writer's version number
     // pointing at this writer's artifacts
     val claim = Manifest.claimVersion(spark, dir, newVersion)
-    val hitRead = if (hit.isEmpty) null
+    val hitRead = if (hitNames.isEmpty) null
       else logicalView(Manifest.readPhysical(spark, dir,
-        hit.map(e => s"$dir/${e.name}")))
+        hitNames.map(n => s"$dir/$n")))
     val deltaEntries =
-      if (hit.isEmpty) Seq.empty
+      if (hitNames.isEmpty) Seq.empty
       else {
         // survivors = rows NOT matching (NULL predicate RETAINS the
         // row), rewritten with the table's own partitioning so every
         // data file stays at a consistent depth
         val names = stageAndRename(spark, dir,
           physicalStage(hitRead.filter(!coalesce(pred, lit(false)))),
-          partColsOf(hit), s"delta-v$newVersion")
+          partColsOfNames(hitNames), s"delta-v$newVersion")
         statStaged(spark, dir, statCols, names)
       }
     // record the commit's change set (the deleted rows — one extra
     // O(affected) pass over the same pruned file list): consumption
     // becomes a file read, never a re-diff
     Manifest.recordCdc(spark, dir, newVersion,
-      (if (hit.isEmpty)
+      (if (hitNames.isEmpty)
         Manifest.readTable(spark, dir).filter(lit(false))
       else hitRead.filter(coalesce(pred, lit(false))))
         .withColumn("_change_type", lit("delete")))
-    Manifest.write(spark, dir, (kept ++ deltaEntries).sortBy(_.name),
-      newVersion, claim = Some(claim))
-    (hit.size, entries.size)
+    if (legacy.nonEmpty)
+      Manifest.write(spark, dir,
+        (legacy.filterNot(e => affected.contains(e.name)) ++ deltaEntries)
+          .sortBy(_.name), newVersion, claim = Some(claim))
+    else
+      Manifest.writeChunkedDelta(spark, dir, newVersion, carried,
+        affected, Seq(deltaEntries), claim = Some(claim))
+    (hitNames.size, allNames.size)
   }
 
   /** IN-PLACE UPDATE — copy-on-write `UPDATE ... SET ... WHERE` for a

@@ -99,13 +99,21 @@ object Manifest {
   private def currentLine(spark: SparkSession, dir: String): Option[String] = {
     // belt-and-braces for filesystems without atomic rename-replace:
     // an empty read means a writer is mid-flip — wait it out briefly
-    // rather than hand a blank line to the version parser
+    // rather than hand a blank line to the version parser. On
+    // CHECKSUMMED local filesystems the flip replaces TWO files (data
+    // + .crc sidecar) and only the data rename is atomic, so a racing
+    // reader can also observe a mismatched pair — same wait-out.
     var tries = 0
     while (true) {
-      readSmallFile(spark, dir, new Path(s"$dir/$DirName/CURRENT")) match {
+      val attempt =
+        try readSmallFile(spark, dir, new Path(s"$dir/$DirName/CURRENT"))
+        catch { case _: org.apache.hadoop.fs.ChecksumException =>
+          Some("") // torn crc/data pair mid-flip: retry below
+        }
+      attempt match {
         case Some("") if tries < 50 => tries += 1; Thread.sleep(10)
         case Some("") => throw new IllegalStateException(
-          s"CURRENT of $dir stayed empty after ${tries} reads — " +
+          s"CURRENT of $dir stayed empty/torn after ${tries} reads — " +
             "torn pointer write?")
         case other => return other
       }
@@ -161,17 +169,258 @@ object Manifest {
   /** Read a SPECIFIC snapshot — time travel. Any version whose data
     * files have not been [[vacuum]]ed is fully readable: in-place
     * commits only ADD files and swap the pointer, they never delete.
+    * Materializes the full entry list on the driver — planning paths
+    * that only need a filtered subset should go through [[entriesDF]].
     */
   def readVersion(spark: SparkSession, dir: String,
-      version: Int): Option[Seq[ManifestEntry]] = {
+      version: Int): Option[Seq[ManifestEntry]] =
+    entriesDF(spark, dir, version).map(
+      _.as(Encoders.product[ManifestEntry])
+        .collect().toSeq.sortBy(_.name))
+
+  // ── Chunked snapshots (manifest-list indirection) ──────────────────
+  //
+  // An INLINE snapshot (the original format) serializes the complete
+  // entry list into v<K> on every commit — O(#files) metadata write
+  // per commit, which at 100 TB (1e5-1e6 files) makes every append pay
+  // for the whole table. A CHUNKED snapshot instead stores `_chunks.json`
+  // in v<K>: an ordered list of immutable chunk files under
+  // `_manifest/chunks/`, each holding a slice of the entry list. An
+  // append commit then writes ONE new chunk (O(delta) rows) and carries
+  // every previous chunk by reference — flat commit latency regardless
+  // of table size (the Iceberg manifest-list design, reduced to its
+  // essence). Readers see both formats transparently; planning reads
+  // chunks as a distributed DataFrame ([[entriesDF]]), never funneling
+  // the file list through the driver unless a caller asks for Seq.
+
+  val ChunksDir = "chunks"
+  val ChunksFile = "_chunks.json"
+
+  /** One immutable slice of a chunked snapshot's entry list. `path` is
+    * relative to `<table>/_manifest/`; `n` is the (advisory) entry
+    * count used by the merge policy.
+    */
+  case class ChunkRef(path: String, n: Long)
+
+  /** Bound on the chunk-list length: past it, the smallest chunks are
+    * merged down to [[TargetChunks]] — a log-structured compaction
+    * that keeps list reads O(64) files while amortizing merge cost
+    * over the commits that fragmented the list.
+    */
+  val MaxChunks = 64
+  val TargetChunks = 32
+
+  private[graft] val entrySchema: StructType =
+    Encoders.product[ManifestEntry].schema
+
+  /** The chunk list of a snapshot — None for inline (legacy) and
+    * missing snapshots.
+    */
+  def chunkRefs(spark: SparkSession, dir: String,
+      version: Int): Option[Seq[ChunkRef]] =
+    readSmallFile(spark, dir,
+      new Path(s"$dir/$DirName/v$version/$ChunksFile")).map {
+      _.split('\n').iterator.map(_.trim).filter(_.nonEmpty).map { l =>
+        // fixed two-field shape, written by writeChunked below — no
+        // general JSON parse needed (paths are our own safe names)
+        val m = """\{"path":"([^"]+)","n":(-?\d+)\}""".r
+        l match {
+          case m(p, n) => ChunkRef(p, n.toLong)
+          case _ => throw new IllegalStateException(
+            s"malformed chunk ref in v$version of $dir: $l")
+        }
+      }.toSeq
+    }
+
+  /** The snapshot's entry list as a DataFrame (schema =
+    * [[ManifestEntry]]) — chunked snapshots read their chunk files
+    * distributed; inline snapshots read the snapshot dir. This is the
+    * planning surface: filter/join against it and collect only the
+    * survivors, never the whole list.
+    */
+  def entriesDF(spark: SparkSession, dir: String,
+      version: Int): Option[DataFrame] = {
     val fs = fsOf(spark, dir)
     if (!fs.exists(new Path(s"$dir/$DirName/v$version"))) None
-    else Some(
-      spark.read.schema(Encoders.product[ManifestEntry].schema)
-        .json(s"$dir/$DirName/v$version")
-        .as(Encoders.product[ManifestEntry])
-        .collect().toSeq.sortBy(_.name))
+    else Some(chunkRefs(spark, dir, version) match {
+      case Some(refs) if refs.isEmpty =>
+        spark.createDataset(Seq.empty[ManifestEntry])(
+          Encoders.product[ManifestEntry]).toDF()
+      case Some(refs) =>
+        spark.read.schema(entrySchema)
+          .json(refs.map(r => s"$dir/$DirName/${r.path}"): _*)
+      case None =>
+        spark.read.schema(entrySchema).json(s"$dir/$DirName/v$version")
+    })
   }
+
+  /** Commit `version` as a CHUNKED snapshot: `carried` chunk files are
+    * referenced verbatim (never read, never rewritten); each non-empty
+    * group in `added` lands as one fresh immutable chunk. Driver work
+    * is O(delta + #chunks) — the metadata cost of appending to a
+    * million-file table is the new entries plus a 64-line list file,
+    * not the file list.
+    */
+  def writeChunked(spark: SparkSession, dir: String, version: Int,
+      carried: Seq[ChunkRef], added: Seq[Seq[ManifestEntry]],
+      txn: Option[Long] = None,
+      claim: Option[String] = None,
+      schema: Option[StructType] = None,
+      leaseMs: Long = DefaultLeaseMs,
+      txnApp: Option[(String, Long)] = None): Unit = {
+    val id = claim.getOrElse(claimVersion(spark, dir, version, leaseMs))
+    val fs = fsOf(spark, dir)
+    fs.mkdirs(new Path(s"$dir/$DirName/$ChunksDir"))
+    val newRefs = added.filter(_.nonEmpty).zipWithIndex.flatMap {
+      case (es, i) => landChunk(spark, dir,
+        s"c-v$version-${id.take(8)}-$i",
+        spark.createDataset(es)(Encoders.product[ManifestEntry]).toDF(),
+        es.size.toLong)
+    }
+    val allRefs = carried ++ newRefs
+    val refs =
+      if (allRefs.size <= MaxChunks) allRefs
+      else mergeChunks(spark, dir, version, id, allRefs)
+    val stage = s"$dir/$DirName/.stage-v$version-$id"
+    fs.mkdirs(new Path(stage))
+    val out = fs.create(new Path(s"$stage/$ChunksFile"), true)
+    try out.write(refs.map(r => s"""{"path":"${r.path}","n":${r.n}}""")
+      .mkString("", "\n", "\n").getBytes("UTF-8")) finally out.close()
+    fs.create(new Path(s"$stage/_SUCCESS"), true).close()
+    commitStage(spark, dir, version, id, stage, txn, schema, txnApp)
+  }
+
+  /** Chunked commit with REMOVALS — the delete-shaped delta: carried
+    * chunks containing none of `removeNames` are referenced verbatim;
+    * the chunks that do are rewritten minus those entries by a
+    * distributed ANTI-JOIN over just the touched chunk files. Driver
+    * work is O(removed + #chunks) — a copy-on-write delete against a
+    * million-file table commits metadata proportional to the files it
+    * actually touched, and no file-path Set ever materializes on the
+    * driver.
+    */
+  def writeChunkedDelta(spark: SparkSession, dir: String, version: Int,
+      base: Seq[ChunkRef], removeNames: Set[String],
+      added: Seq[Seq[ManifestEntry]],
+      txn: Option[Long] = None,
+      claim: Option[String] = None,
+      schema: Option[StructType] = None,
+      leaseMs: Long = DefaultLeaseMs,
+      txnApp: Option[(String, Long)] = None): Unit = {
+    if (removeNames.isEmpty || base.isEmpty)
+      return writeChunked(spark, dir, version, base, added, txn, claim,
+        schema, leaseMs, txnApp)
+    val id = claim.getOrElse(claimVersion(spark, dir, version, leaseMs))
+    val rm = spark.createDataset(removeNames.toSeq)(
+      Encoders.STRING).toDF("rm")
+    // which chunk files mention a removed entry: distributed scan,
+    // O(removed) rows back
+    val touched = spark.read.schema(entrySchema)
+      .json(base.map(r => s"$dir/$DirName/${r.path}"): _*)
+      .select(col("name"), input_file_name().as("chunk"))
+      .join(broadcast(rm), col("name") === col("rm"))
+      .select("chunk").distinct()
+      .collect().map(r => new Path(r.getString(0)).getName).toSet
+    val (hit, carried) = base.partition(r =>
+      touched.contains(r.path.split('/').last))
+    val survivors =
+      if (hit.isEmpty) Nil
+      else landChunk(spark, dir, s"c-v$version-${id.take(8)}-d",
+        spark.read.schema(entrySchema)
+          .json(hit.map(r => s"$dir/$DirName/${r.path}"): _*)
+          .join(broadcast(rm), col("name") === col("rm"), "left_anti"),
+        math.max(1L, hit.map(_.n).sum - removeNames.size))
+    writeChunked(spark, dir, version, carried ++ survivors, added,
+      txn, Some(id), schema, leaseMs, txnApp)
+  }
+
+  /** Entries per chunk part — sized so a part stays a few tens of MB
+    * of JSONL, one comfortable task.
+    */
+  private val ChunkPartRows = 131072L
+
+  /** Land `df` (entry rows) as one or more immutable chunk files in
+    * the chunk store — a merged million-entry chunk is written as
+    * multiple parts, each its own chunk, so metadata writes stay
+    * distributed like everything else.
+    */
+  private def landChunk(spark: SparkSession, dir: String, name: String,
+      df: DataFrame, n: Long): Seq[ChunkRef] = {
+    val fs = fsOf(spark, dir)
+    val tmp = s"$dir/$DirName/.chunk-$name"
+    val parts = math.max(1L, math.min(64L,
+      (n + ChunkPartRows - 1) / ChunkPartRows)).toInt
+    (if (parts == 1) df.coalesce(1) else df.repartition(parts))
+      .write.mode("overwrite").json(tmp)
+    val landed = fs.listStatus(new Path(tmp)).map(_.getPath)
+      .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+    require(landed.nonEmpty, s"no chunk part landed in $tmp")
+    val refs = landed.zipWithIndex.map { case (p, i) =>
+      val rel = s"$ChunksDir/$name-$i.json"
+      require(fs.rename(p, new Path(s"$dir/$DirName/$rel")),
+        s"chunk $name-$i failed to land under $dir")
+      ChunkRef(rel, math.max(1L, n / landed.length))
+    }.toSeq
+    fs.delete(new Path(tmp), true)
+    refs
+  }
+
+  /** Merge the smallest chunks down to [[TargetChunks]]: a distributed
+    * read of just those chunk files, fresh parts out. Amortized over
+    * the ≥32 commits that grew the list, each commit pays O(total/32).
+    */
+  private def mergeChunks(spark: SparkSession, dir: String, version: Int,
+      id: String, refs: Seq[ChunkRef]): Seq[ChunkRef] = {
+    val sorted = refs.sortBy(_.n)
+    val nMerge = refs.size - TargetChunks + 1
+    val (merge, keep) = (sorted.take(nMerge), sorted.drop(nMerge))
+    val df = spark.read.schema(entrySchema)
+      .json(merge.map(r => s"$dir/$DirName/${r.path}"): _*)
+    landChunk(spark, dir, s"c-v$version-${id.take(8)}-m",
+      df, merge.map(_.n).sum) ++ keep
+  }
+
+  /** (sorted relative file names, total rows) of a snapshot without
+    * materializing full entries — the name list is the irreducible
+    * driver payload any Spark scan needs (a FileIndex holds it
+    * anyway); stats and everything else stay distributed.
+    */
+  private[graft] def namesAndRows(spark: SparkSession, dir: String,
+      version: Int): (Seq[String], Long) =
+    entriesDF(spark, dir, version) match {
+      case None => (Nil, 0L)
+      case Some(df) =>
+        val rs = df.select("name", "rows").collect()
+        (rs.map(_.getString(0)).toSeq.sorted, rs.map(_.getLong(1)).sum)
+    }
+
+  /** [[ensureVersioned]] for DELTA commits: pins the version and hands
+    * back what an O(delta) append actually needs — the carried chunk
+    * refs and ONE sample entry — without materializing the file list.
+    * An inline (legacy) base returns its full entry list once as a
+    * migration payload; the caller commits it as the first carried
+    * chunk and every later append is O(delta).
+    */
+  def ensureVersionedDelta(spark: SparkSession, dir: String,
+      statCols: Seq[String]): (Int, Seq[ChunkRef], Seq[ManifestEntry],
+        Option[ManifestEntry]) =
+    currentVersion(spark, dir) match {
+      case Some(v) => chunkRefs(spark, dir, v) match {
+        case Some(refs) =>
+          val head = entriesDF(spark, dir, v).flatMap(
+            _.limit(1).as(Encoders.product[ManifestEntry])
+              .collect().headOption)
+          (v, refs, Nil, head)
+        case None =>
+          val es = readVersion(spark, dir, v).getOrElse(
+            throw new IllegalStateException(
+              s"CURRENT of $dir points at missing snapshot v$v"))
+          (v, Nil, es, es.headOption)
+      }
+      case None =>
+        val es = create(spark, dir, statCols)
+        (currentVersion(spark, dir).getOrElse(1), Nil, es, es.headOption)
+    }
 
   /** The table schema AS OF `version` — recorded by every commit since
     * schema tracking landed ([[write]] stages `_schema.json` inside
@@ -256,6 +505,21 @@ object Manifest {
       leaseMs: Long = DefaultLeaseMs,
       txnApp: Option[(String, Long)] = None): Unit = {
     val id = claim.getOrElse(claimVersion(spark, dir, version, leaseMs))
+    val stage = s"$dir/$DirName/.stage-v$version-$id"
+    val ds: Dataset[ManifestEntry] =
+      spark.createDataset(entries)(Encoders.product[ManifestEntry])
+    ds.coalesce(1).write.mode("overwrite").json(stage)
+    commitStage(spark, dir, version, id, stage, txn, schema, txnApp)
+  }
+
+  /** Shared commit tail of [[write]] and [[writeChunked]]: carry the
+    * txn watermarks and schema forward, land `_schema.json` in the
+    * staged snapshot, run the rename arbiter, flip the pointer.
+    */
+  private def commitStage(spark: SparkSession, dir: String, version: Int,
+      id: String, stage: String, txn: Option[Long],
+      schema: Option[StructType],
+      txnApp: Option[(String, Long)]): Unit = {
     // a maintenance commit must not erase the last streaming txn (a
     // post-crash batch replay would re-append) nor the schema record:
     // carry both forward unless this commit sets its own. App-scoped
@@ -275,10 +539,6 @@ object Manifest {
         currentVersion(spark, dir).flatMap(tableSchema(spark, dir, _)))
       .map(s => StructType(s.fields.map(_.copy(nullable = true))))
     val fs = fsOf(spark, dir)
-    val stage = s"$dir/$DirName/.stage-v$version-$id"
-    val ds: Dataset[ManifestEntry] =
-      spark.createDataset(entries)(Encoders.product[ManifestEntry])
-    ds.coalesce(1).write.mode("overwrite").json(stage)
     effSchema.foreach { s =>
       val out = fs.create(new Path(s"$stage/$SchemaFile"), true)
       try out.write(s.json.getBytes("UTF-8")) finally out.close()
@@ -296,15 +556,43 @@ object Manifest {
     // ATOMIC pointer flip: fs.create(overwrite=true) TRUNCATES before
     // writing, so a concurrent reader could observe an EMPTY pointer
     // (caught by the racing writer specs). Write beside and rename
-    // over — POSIX/HDFS rename replaces atomically, and readers only
-    // ever see the old line or the new one.
+    // over. On LOCAL filesystems the rename must go through the RAW
+    // fs: the checksummed wrappers (ChecksumFs FileContext rename,
+    // and the .crc sidecar generally) either DELETE the destination
+    // before renaming — a reader-visible no-CURRENT window — or leave
+    // a crc/data pair that can't be replaced atomically as a unit
+    // (both observed by the racing specs as table-not-found and
+    // ChecksumException). RawLocalFileSystem.rename is POSIX
+    // rename(2): the destination is replaced atomically and readers
+    // only ever see the old line or the new one. HDFS-like systems
+    // keep the FileContext OVERWRITE rename (atomic there, no crc
+    // sidecars).
     val tmpPtr = new Path(s"$dir/$DirName/.CURRENT-$id")
-    val out = fs.create(tmpPtr, true)
-    try out.write(s"v$version$tag\n".getBytes("UTF-8")) finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(tmpPtr.toUri,
-        spark.sparkContext.hadoopConfiguration)
-      .rename(tmpPtr, new Path(s"$dir/$DirName/CURRENT"),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    val cur = new Path(s"$dir/$DirName/CURRENT")
+    fs match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem =>
+        val raw = c.getRawFileSystem
+        val out = raw.create(tmpPtr, true)
+        try out.write(s"v$version$tag\n".getBytes("UTF-8"))
+        finally out.close()
+        // legacy cleanup: a sidecar written by the old checksummed
+        // flip would mismatch every raw-renamed pointer after this
+        val crc = new Path(s"$dir/$DirName/.CURRENT.crc")
+        if (raw.exists(crc)) raw.delete(crc, false)
+        if (!raw.rename(tmpPtr, cur)) {
+          raw.delete(cur, false) // non-POSIX fallback (never on Linux)
+          require(raw.rename(tmpPtr, cur),
+            s"pointer flip to v$version failed under $dir")
+        }
+      case _ =>
+        val out = fs.create(tmpPtr, true)
+        try out.write(s"v$version$tag\n".getBytes("UTF-8"))
+        finally out.close()
+        org.apache.hadoop.fs.FileContext.getFileContext(tmpPtr.toUri,
+            spark.sparkContext.hadoopConfiguration)
+          .rename(tmpPtr, cur,
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
   }
 
   /** Per-file stats in one distributed pass. `onlyNames` restricts the
@@ -459,15 +747,32 @@ object Manifest {
         .map(physNameOf).getOrElse(c)
       case None => identity
     }
-    read(spark, dir).map(_.filter { e =>
-      ranges.forall { case (c, lo, hi) =>
-        e.stats.find(_.col == toPhys(c))
-          .forall(s => s.max >= lo && s.min <= hi)
-      } && strRanges.forall { case (c, lo, hi) =>
-        e.sstats.getOrElse(Nil).find(_.col == toPhys(c))
-          .forall(s => s.max >= lo && s.min <= hi)
-      }
-    }.map(e => s"$dir/${e.name}"))
+    // the intersection runs as a DataFrame filter over the (possibly
+    // chunked) entry list — distributed over chunk files, with only
+    // the SURVIVING names collected: planning a selective rectangle
+    // on a million-file table moves O(matches) through the driver.
+    // A file with no recorded stat for a column is kept (pruning may
+    // only ever SKIP files it can prove non-matching) — expressed as
+    // "no stat of this column proves disjointness".
+    currentVersion(spark, dir).flatMap(v => entriesDF(spark, dir, v)).map {
+      df =>
+        val numPred = ranges.map { case (c, lo, hi) =>
+          val pc = toPhys(c)
+          !coalesce(exists(col("stats"), s =>
+            s("col") === pc && (s("max") < lo || s("min") > hi)),
+            lit(false))
+        }
+        val strPred = strRanges.map { case (c, lo, hi) =>
+          val pc = toPhys(c)
+          !coalesce(exists(col("sstats"), s =>
+            s("col") === pc && (s("max") < lo || s("min") > hi)),
+            lit(false))
+        }
+        val pred = (numPred ++ strPred)
+          .reduceOption(_ && _).getOrElse(lit(true))
+        df.filter(pred).select("name").collect()
+          .map(r => s"$dir/${r.getString(0)}").toSeq.sorted
+    }
   }
 
   /** Column-mapping metadata key (Delta-style): a renamed column keeps
@@ -1032,6 +1337,29 @@ object Manifest {
           n.stripPrefix("commit-v").toInt <= cur)
         // spent claim tokens: their version landed, the lock is done
         fs.delete(st.getPath, false)
+      else if (n.startsWith(".chunk-") &&
+          now - st.getModificationTime > DefaultLeaseMs)
+        // chunk staging dir of a crashed writer
+        fs.delete(st.getPath, true)
+    }
+    // chunk-store GC: a chunk file referenced by NO snapshot dir is a
+    // crash orphan (its commit lost the arbiter race) or debris of a
+    // failed merge — removable once past the lease window. Chunks of
+    // OLD versions stay referenced by those version dirs (which vacuum
+    // keeps), preserving the existing metadata-outlives-data contract.
+    val chunkStore = new Path(s"$dir/$DirName/$ChunksDir")
+    if (fs.exists(chunkStore)) {
+      val versions = fs.listStatus(mfPath).map(_.getPath.getName)
+        .filter(n => n.length > 1 && n.head == 'v' &&
+          n.tail.forall(_.isDigit)).map(_.tail.toInt)
+      val referenced = versions
+        .flatMap(v => chunkRefs(spark, dir, v).toSeq.flatten)
+        .map(_.path).toSet
+      fs.listStatus(chunkStore).foreach { st =>
+        if (!referenced.contains(s"$ChunksDir/${st.getPath.getName}") &&
+            now - st.getModificationTime > DefaultLeaseMs)
+          fs.delete(st.getPath, false)
+      }
     }
     removed
   }

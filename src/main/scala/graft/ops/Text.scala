@@ -12,11 +12,12 @@ import org.apache.spark.sql.functions._
   *  - token counting is a map-side-combinable groupBy: partial
   *    aggregation happens before the shuffle, so shuffle volume is
   *    O(vocabulary), not O(corpus tokens).
-  *  - the top-p window runs over the *aggregated* vocabulary table
-  *    (small), never over the raw token stream, so the single-partition
-  *    global window is bounded by |vocab| regardless of corpus size.
-  *  - the total mass is joined back via a broadcast of a 1-row
-  *    aggregate, not a second unpartitioned window.
+  *  - the top-p running sum operates on the *aggregated* vocabulary
+  *    table, never the raw token stream, and is a two-stage
+  *    range-partitioned prefix sum — no single executor ever sorts
+  *    the whole vocabulary (see [[Text.topPTokens]]).
+  *  - total mass and per-partition offsets ride one broadcast of an
+  *    O(#partitions)-row table, not an unpartitioned window.
   */
 object Text {
 
@@ -38,22 +39,53 @@ object Text {
   /** W1+W2: the flagship top-p mass cut ("top90",
     * basic_tasks.py:92-105). Keeps tokens whose running
     * count-descending mass stays under `p` x total mass.
+    *
+    * The global running sum is a TWO-STAGE prefix sum, never a
+    * single-partition sort of the vocabulary (at 100 TB a token
+    * vocabulary reaches 1e8-1e9 rows — one executor must not sort
+    * and scan all of it):
+    *  1. range-partition the counts by the global sort key; each
+    *     partition computes its LOCAL running sum in parallel (the
+    *     pid-window exchange holds one range-slice per group);
+    *  2. per-partition totals (one row per partition, O(#partitions)
+    *     regardless of data size) get their cumulative offsets and
+    *     the grand total in one trivially-small window, and are
+    *     broadcast-joined back: running = offset + local running.
+    * Range boundaries come from sampling, but the result is exact for
+    * ANY boundary placement — offsets are computed from the actual
+    * partition sums in range (= global) order, and the (cnt, token)
+    * key is unique so no group straddles a boundary ambiguously.
+    * The pid-stamped slice is PERSISTED before fanning out to its two
+    * consumers: spark_partition_id is physical, and without a pinned
+    * materialization the branches would re-sample range boundaries
+    * independently whenever exchange reuse doesn't fire (conf off,
+    * plan drift) and silently disagree on pids. The cache holds the
+    * vocab-sized table only — O(|vocab|), corpus never cached, corpus
+    * scanned once — and is dropped by the ContextCleaner when the
+    * result frame is released. PlanShapeSpec pins that no
+    * single-partition exchange carries token-level rows.
     */
   def topPTokens(docs: DataFrame, p: Double = 0.9): DataFrame = {
     val counts = tokenize(docs).groupBy("token").agg(count(lit(1)).as("cnt"))
-    // both windows run over the same single-partition exchange of the
-    // vocab-sized counts table: one corpus scan total. (The
-    // alternative — a broadcast 1-row total — recomputes counts from
-    // the corpus, i.e. scans the corpus twice.)
-    val running = Window
+    val parted = counts
+      .repartitionByRange(col("cnt").desc, col("token").asc)
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val local = Window.partitionBy("pid")
       .orderBy(col("cnt").desc, col("token").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = parted.withColumn("local_run", sum("cnt").over(local))
+    val prior = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
     val whole = Window.partitionBy()
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    counts
-      .withColumn("running", sum(col("cnt")).over(running))
-      .withColumn("total", sum(col("cnt")).over(whole))
-      .filter(col("running") < lit(p) * col("total"))
+    val offsets = parted.groupBy("pid").agg(sum("cnt").as("part_sum"))
+      .select(col("pid"),
+        coalesce(sum("part_sum").over(prior), lit(0L)).as("offset"),
+        sum("part_sum").over(whole).as("total"))
+    withLocal
+      .join(broadcast(offsets), Seq("pid"))
+      .filter(col("offset") + col("local_run") < lit(p) * col("total"))
       .select("token", "cnt")
       .orderBy(col("cnt").desc, col("token").asc)
   }

@@ -860,13 +860,21 @@ object ManifestSource {
         case _ => Seq.empty
       }
       // `.option("txnAppId", ...)` on the stream writer gives this
-      // stream its OWN replay watermark (Delta's txnAppId pattern):
-      // several streams can then append to one table without the
-      // global epoch max silently no-opping whichever runs behind
-      val txnApp = Option(info.options.get("txnAppId"))
-        .map(app => app -> epochId)
+      // stream its OWN replay watermark (Delta's txnAppId pattern).
+      // Without one, the watermark defaults to the QUERY's id — stable
+      // across restarts of the same checkpoint (true replays still
+      // no-op), fresh for a new checkpoint — so a new query writing to
+      // a table that already carries txn=N from a previous query does
+      // NOT mistake its first N+1 epochs for replays and silently
+      // delete their staged files. The global txn is still recorded
+      // for a defaulted (single-writer) stream; explicit multi-app
+      // streams suppress it so a behind-running app can't lower the
+      // shared watermark.
+      val explicitApp = Option(info.options.get("txnAppId"))
       graft.ops.Layout.commitStagedAppend(SparkSession.active, dir,
-        staged.toSeq, Some(epochId), statCols, txnApp = txnApp)
+        staged.toSeq,
+        if (explicitApp.isDefined) None else Some(epochId), statCols,
+        txnApp = Some(explicitApp.getOrElse(info.queryId()) -> epochId))
     }
 
     override def abort(epochId: Long,
@@ -910,6 +918,13 @@ object ManifestSource {
     })
     private val partCols = graft.ops.Layout.partColsFor(spark, dir,
       Manifest.read(spark, dir).getOrElse(Seq.empty))
+    // fail BEFORE tasks stage anything: on an unpartitioned table
+    // "replace touched partitions" degrades into a silent full-table
+    // overwrite (every file shares dirname ""). The commit path
+    // enforces the same guard as a backstop.
+    require(partCols.nonEmpty,
+      s"$dir is unpartitioned — dynamic partition overwrite needs " +
+        "partition directories; use a plain overwrite for whole-table")
     private val statCols = physSchema.fields.collect {
       case f if f.dataType == IntegerType || f.dataType == LongType ||
           f.dataType == ShortType || f.dataType == ByteType ||

@@ -38,7 +38,10 @@ object ManifestSink {
       appId: Option[String] = None)(
       batch: Dataset[Row], batchId: Long): Unit =
     Layout.appendInPlace(batch.sparkSession, dir, batch.toDF(),
-      statCols, txn = Some(batchId),
+      statCols,
+      // an explicit app suppresses the global txn: a behind-running
+      // app stream must not lower the shared single-writer watermark
+      txn = if (appId.isDefined) None else Some(batchId),
       txnApp = appId.map(_ -> batchId))
 
   /** Start a streaming append of `stream` into the manifest table at

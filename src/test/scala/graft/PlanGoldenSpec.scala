@@ -49,7 +49,13 @@ class PlanGoldenSpec extends SparkSpec {
     * reading the assertion message after an INTENDED plan change.
     */
   private val golden = Map(
-    "w2_top90" -> "Exchange:2,Generate:1,HashAggregate:2,Window:2",
+    // round-10 two-stage prefix sum: the token agg + range exchange
+    // live inside the persisted vocab slice (not walked here; pinned
+    // by PlanShapeSpec); above it sit the pid-local window, the two
+    // O(#partitions) offset windows, the offsets broadcast join, and
+    // the presentation sort — no vocab-sized single-partition window
+    "w2_top90" -> ("BroadcastExchange:1,BroadcastHashJoin:1,Exchange:4," +
+      "HashAggregate:2,Window:3"),
     "q5_region_volume" ->
       "BroadcastExchange:4,BroadcastHashJoin:4,Exchange:2,HashAggregate:2",
     "q3_shipping_priority" ->

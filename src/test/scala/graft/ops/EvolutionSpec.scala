@@ -95,6 +95,33 @@ class EvolutionSpec extends SparkSpec {
       Layout.renameColumn(spark, dir, "text", "id"))
   }
 
+  test("a vacated physical name cannot be re-occupied by any evolution path") {
+    import spark.implicits._
+    val dir = tmp("shadow")
+    mkTable(dir)                                             // v1
+    Layout.renameColumn(spark, dir, "text", "body")          // v2: body ~> phys text
+    // ALTER TABLE ADD COLUMN text would record a physical schema with
+    // two `text` fields — a successful commit that bricks every read
+    intercept[IllegalArgumentException](
+      Layout.addColumn(spark, dir, StructField("text", StringType)))
+    // auto-evolution through a write batch is the same trap
+    intercept[IllegalArgumentException](
+      Layout.appendInPlace(spark, dir,
+        Seq((200L, "b", 0L, "sneaky")).toDF("id", "body", "grp", "text"),
+        Seq("id")))
+    // renaming ANOTHER column onto the vacated physical name is ambiguous
+    intercept[IllegalArgumentException](
+      Layout.renameColumn(spark, dir, "grp", "text"))
+    // a non-colliding evolution still works and the table stays readable
+    Layout.addColumn(spark, dir, StructField("note", StringType))
+    Layout.appendInPlace(spark, dir,
+      Seq((200L, "b", 0L, "n")).toDF("id", "body", "grp", "note"),
+      Seq("id"))
+    val t = Manifest.readTable(spark, dir)
+    assert(t.columns.toSeq == Seq("id", "body", "grp", "note"))
+    assert(t.count() == 101)
+  }
+
   test("merge-on-read delete with a predicate on the renamed name") {
     import spark.implicits._
     val dir = tmp("rendv")

@@ -7,9 +7,31 @@ import graft.SparkSpec
   */
 class PlanShapeSpec extends SparkSpec {
 
-  private def plan(name: String): String =
-    graft.SparkEntry.queries(name)(spark, sf)
-      .queryExecution.executedPlan.toString
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+  import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+
+  /** Every node of the physical plan, descending through AQE wrappers,
+    * finalized query stages, and cached (InMemoryRelation) subplans —
+    * a persist() must not hide the scan shape from these pins.
+    */
+  private def walk(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case s: InMemoryTableScanExec => Seq(s.relation.cachedPlan)
+      case other => other.children
+    }
+    p +: kids.flatMap(walk)
+  }
+
+  private def plan(name: String): String = {
+    val root = graft.SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan
+    walk(root).collect { case s: InMemoryTableScanExec =>
+      s.relation.cachedPlan.toString
+    }.mkString(root.toString, "\n--- cached subplan ---\n", "")
+  }
 
   test("flagship scans only the text column (column pruning)") {
     val p = plan("w2_top90")
@@ -148,6 +170,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
       p.take(3000))
     assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("top-p prefix sum never funnels the vocabulary through one partition") {
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // materialize so AQE finalizes its stages — the pin must hold on
+    // the plan that actually ran, not the pre-adaptive sketch
+    val df = graft.SparkEntry.queries("w2_top90")(spark, sf)
+    df.collect()
+    val singles = walk(df.queryExecution.executedPlan).collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning == SinglePartition => e
+    }
+    // the only legal single-partition funnel is the O(#partitions)
+    // offsets table (pid/part_sum) — token-level rows must never
+    // converge on one executor (the 1e9-row-vocab failure mode)
+    val offending = singles.filter(_.output.exists(_.name == "token"))
+    assert(offending.isEmpty,
+      s"vocabulary rows cross a SinglePartition exchange:\n" +
+        offending.map(_.toString).mkString("\n"))
+    assert(singles.forall(_.output.length <= 3),
+      "single-partition exchanges must carry only the tiny offsets frame")
   }
 
   test("every registered query plans cleanly with zero CartesianProducts") {

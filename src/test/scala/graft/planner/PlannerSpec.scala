@@ -223,6 +223,45 @@ class PlannerSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("100-task registry: goal found under 100ms, A* == BFS, registry size is not the cost") {
+    // the reference burned 13.31s planning over EIGHT tasks
+    // (test_usenet.py.lprof; BASELINE.md). The claim here: planning
+    // cost scales with the REACHABLE search space, not the registry —
+    // 100 registered tasks (a realistic shared library), of which 90
+    // never unify with the working state, plan a 10-step chain in
+    // milliseconds because a dead task costs one failed unification
+    // per expansion, nothing more.
+    val chain = (1 to 10).map { i =>
+      val from = if (i == 1) raw"(src)$$" else raw"(.+)\.s${i - 1}$$"
+      Task(s"step$i", Vector(Req("x", Vector(Pat(from)))),
+        Vector(Vector(s"{x}.s$i")))(noop(1))
+    }
+    val dead = (1 to 90).map { i =>
+      Task(s"lib$i", Vector(Req.lit("x", s"absent_$i", s"also_absent_$i")),
+        Vector(Vector(s"unused_$i")))(noop(1))
+    }
+    // interleave so the live chain is scattered through the registry
+    val reg100 = TaskRegistry(
+      (dead.take(45) ++ chain ++ dead.drop(45)).toVector)
+    assert(reg100.tasks.size == 100)
+    val goal = Vector(Vector("src" + (1 to 10).map(i => s".s$i").mkString))
+    // warm the JIT once, then measure — the bound is about algorithmic
+    // cost, not first-call class loading
+    Planner.findPath(reg100, Vector(Vector("src")), goal)
+    val t0 = System.nanoTime()
+    val path = Planner.findPath(reg100, Vector(Vector("src")), goal).get
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(path.map(_.task.name) == (1 to 10).map(i => s"step$i"))
+    assert(ms < 100, s"100-task plan took ${ms}ms")
+    // the default stays pinned to exhaustive-BFS plans at this size
+    val (bfs, bfsExp) = Planner.findPathBfsCounted(reg100,
+      Vector(Vector("src")), goal)
+    val (astar, aExp) = Planner.findPathAStarCounted(reg100,
+      Vector(Vector("src")), goal)
+    assert(astar.map(_.map(_.task.name)) == bfs.map(_.map(_.task.name)))
+    assert(aExp <= bfsExp)
+  }
+
   test("planner stays in milliseconds on the demo registry") {
     val t0 = System.nanoTime()
     val path = Planner.findPath(Library.registry,

@@ -139,6 +139,100 @@ class WriterSymmetrySpec extends SparkSpec {
       s"a stream's batches were suppressed: $rows")
   }
 
+  test("overwritePartitions on an UNPARTITIONED table fails instead of clobbering it") {
+    import spark.implicits._
+    wh
+    spark.sql("CREATE TABLE gws.db.flat (id BIGINT, tag STRING)")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "tag")
+      .writeTo("gws.db.flat").append()
+    val e = intercept[Throwable] {
+      Seq((9L, "z")).toDF("id", "tag")
+        .writeTo("gws.db.flat").overwritePartitions()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("unpartitioned")), s"got: $e")
+    // the existing rows survive untouched
+    assert(spark.table("gws.db.flat").select("id").as[Long]
+      .collect().toSet == Set(1L, 2L))
+  }
+
+  test("a NEW query with a FRESH checkpoint appends instead of self-suppressing") {
+    import spark.implicits._
+    wh
+    spark.sql("CREATE TABLE gws.db.fresh (id BIGINT)")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // query 1 advances the table's txn watermark past 0
+    val mem1 = MemoryStream[Long]
+    val q1 = mem1.toDF().select(col("value").as("id"))
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-fresh-ck1").toString)
+      .toTable("gws.db.fresh")
+    mem1.addData(1L); q1.processAllAvailable()
+    mem1.addData(2L); q1.processAllAvailable()
+    q1.stop()
+    assert(spark.table("gws.db.fresh").count() == 2)
+    // a BRAND-NEW query (fresh checkpoint → epochs restart at 0) must
+    // not mistake its first epochs for replays of the old query's —
+    // the failure mode was silent deletion of its staged files
+    val mem2 = MemoryStream[Long]
+    val q2 = mem2.toDF().select(col("value").as("id"))
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-fresh-ck2").toString)
+      .toTable("gws.db.fresh")
+    mem2.addData(10L); q2.processAllAvailable()
+    mem2.addData(11L); q2.processAllAvailable()
+    q2.stop()
+    assert(spark.table("gws.db.fresh").select("id").as[Long]
+      .collect().toSet == Set(1L, 2L, 10L, 11L),
+      "the new query's early epochs were silently swallowed")
+  }
+
+  test("staged append claims its version BEFORE landing files; loser keeps its staging intact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-wsym-claim").toString
+    (0L until 20L).map(i => (i, s"d$i")).toDF("id", "txt")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    Manifest.create(spark, dir, Seq("id"))                   // v1
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def stage(tag: String, lo: Long): String = {
+      val t = Files.createTempDirectory(s"graft-stg-$tag").toString
+      (lo until lo + 5L).map(i => (i, s"$tag$i")).toDF("id", "txt")
+        .coalesce(1).write.mode("overwrite").parquet(t)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(t))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      val dst = s"$dir/.staged-$tag.parquet"
+      fs.rename(part, new org.apache.hadoop.fs.Path(dst))
+      dst
+    }
+    val stagedB = stage("b", 100L)
+    // writer A holds the v2 claim: B's commit must fail BEFORE any
+    // rename — under the old order B would land deterministic
+    // append-v2-* names that A's files then collide with
+    val claimA = Manifest.claimVersion(spark, dir, 2)
+    intercept[java.util.ConcurrentModificationException] {
+      Layout.commitStagedAppend(spark, dir, Seq(stagedB), None, Seq("id"))
+    }
+    assert(fs.exists(new org.apache.hadoop.fs.Path(stagedB)),
+      "loser's staged file must survive for its retry")
+    assert(Manifest.currentVersion(spark, dir).contains(1))
+    // A finishes; B retries at the next version and lands cleanly
+    Manifest.write(spark, dir, Manifest.read(spark, dir).get, 2,
+      claim = Some(claimA))
+    assert(Layout.commitStagedAppend(spark, dir, Seq(stagedB), None,
+      Seq("id")) == 1)
+    val landed = Manifest.read(spark, dir).get.map(_.name)
+      .filter(_.startsWith("append-v3"))
+    assert(landed.size == 1 &&
+      landed.head.matches("append-v3-[0-9a-f]{8}-0\\.parquet"),
+      s"landed name must embed the claim id: $landed")
+    assert(Manifest.readTable(spark, dir).count() == 25)
+  }
+
   test("deletion vectors auto-flush past the marks-to-rows threshold") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-wsym-flush").toString

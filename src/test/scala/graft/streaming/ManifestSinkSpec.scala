@@ -71,5 +71,16 @@ class ManifestSinkSpec extends SparkSpec {
     assert(delta.agg(min("doc_id")).head().getLong(0) == 40L)
     // and a same-version window is empty
     assert(Manifest.readChanges(spark, dir, v, v).count() == 0)
+
+    // a batch BEHIND the watermark is not a crash replay (foreachBatch
+    // only ever re-delivers the LAST id) — it is a different stream
+    // with a fresh checkpoint writing without an appId, and must fail
+    // loudly instead of silently dropping its data
+    val stale = Seq(SinkDoc(99L, "s0", "stale")).toDF()
+    intercept[IllegalStateException] {
+      Layout.appendInPlace(spark, dir, stale, Seq("doc_id"),
+        txn = Some(0L))
+    }
+    assert(Manifest.readTable(spark, dir).count() == 45)
   }
 }
