@@ -69,6 +69,55 @@ class QualitySpec extends SparkSpec {
       f"training bought only ${trained - untrained}%.4f recall")
   }
 
+  test("persisted IVF at 10x corpus: build + append + recall floor holds") {
+    // 5,000 vectors = 10x the sf0.01 embeddings table, synthesized
+    // in-plan with PLANTED cluster structure (250 clusters of 20):
+    // vector = cluster center + 5% hash perturbation, so each
+    // vector's true nearest neighbors are its cluster siblings and
+    // recall measures whether the index keeps clusters inside probed
+    // cells — the property that must survive corpus growth. Members
+    // of cluster c are ids {c, c+250, ...}, so the appended quarter
+    // (vec_id >= 4000) holds siblings of every query: the floor also
+    // proves appended vectors are VISIBLE to probes (a silent append
+    // bug would cost ~1/5 of every cluster and land far below it).
+    val n = 5000L
+    val nClusters = 250L
+    val emb = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(64)), d =>
+        (pmod(hash(pmod(col("id"), lit(nClusters)) * 64 + d), lit(1000))
+          .cast("double") / 500.0 - 1.0) +
+        (pmod(hash(col("id") * 64 + d + lit(7)), lit(1000))
+          .cast("double") / 500.0 - 1.0) * 0.05).as("embedding"))
+    // serving config: ~sqrt(n) cells, TrainPerCell-sized Lloyd sample
+    val stride = math.round(math.sqrt(n.toDouble))
+    val trainSample = (Similarity.TrainPerCell * (n / stride)).toInt
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-q-ivf10x").toString
+    val t0 = System.nanoTime()
+    Similarity.ivfBuild(emb.filter(col("vec_id") < 4000), dir,
+      stride, trainSample)
+    val tBuild = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    Similarity.ivfAppend(emb.filter(col("vec_id") >= 4000), dir)
+    val tAppend = (System.nanoTime() - t1) / 1e9
+    val queries = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val k = 3
+    val exact = Similarity.knnBruteForce(emb, 50, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = Similarity.ivfQuery(queries, dir, k, 2)
+      .select(col("query_id").as("aq"), col("neighbor_id").as("hit_id"))
+    val recall = exact.join(approx,
+        col("query_id") === col("aq") &&
+          col("neighbor_id") === col("hit_id"), "left")
+      .agg((count(col("hit_id")) / (lit(k) * countDistinct("query_id")))
+        .as("recall")).head().getDouble(0)
+    info(f"10x persisted IVF: build $tBuild%.2f s (4k vecs), " +
+      f"append $tAppend%.2f s (1k vecs), recall@3 = $recall%.4f")
+    assert(recall >= 0.80,
+      f"10x persisted-index recall@3 regressed: $recall%.4f < 0.80")
+  }
+
   test("simhash64 block-split recall: exhaustive below the block bound") {
     // 64 bits in 4 blocks: any pair within hamming <= 3 shares an
     // intact block (pigeonhole), so candidate generation is EXHAUSTIVE

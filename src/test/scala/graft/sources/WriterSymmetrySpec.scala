@@ -262,6 +262,104 @@ class WriterSymmetrySpec extends SparkSpec {
     assert(Manifest.readTable(spark, dir).count() == 250)
   }
 
+  test("multi-writer soak: two txnAppId streams + batch DELETEs, killed and restarted mid-epoch") {
+    import spark.implicits._
+    wh
+    spark.sql("CREATE TABLE gws.db.soak (id BIGINT, src STRING)")
+    spark.sql(
+      "INSERT INTO gws.db.soak SELECT id, 'seed' FROM range(100)")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val memA = MemoryStream[Long]
+    val memB = MemoryStream[Long]
+    val ckA = Files.createTempDirectory("graft-soak-cka").toString
+    val ckB = Files.createTempDirectory("graft-soak-ckb").toString
+    def start(mem: MemoryStream[Long], tag: String, ckpt: String) =
+      mem.toDF().select(col("value").as("id"), lit(tag).as("src"))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .option("txnAppId", s"soak-$tag")
+        .toTable("gws.db.soak")
+    // Drive `epochs` batches through the sink. A lost commit race
+    // surfaces as a FAILED QUERY (the claim arbiter throws mid-epoch)
+    // — exactly a kill — and the recovery contract is: restart from
+    // the same checkpoint and let the app-scoped watermark absorb the
+    // replay. `killAt` additionally stops the query with a batch
+    // ADDED BUT UNCOMMITTED, the crash case where data is in flight.
+    def drive(mem: MemoryStream[Long], tag: String, ckpt: String,
+        lo: Long, epochs: Int, killAt: Int): Int = {
+      var restarts = 0
+      var q = start(mem, tag, ckpt)
+      (0 until epochs).foreach { e =>
+        mem.addData(lo + e)
+        if (e == killAt) {
+          q.stop(); restarts += 1; q = start(mem, tag, ckpt)
+        }
+        var committed = false
+        while (!committed) {
+          try { q.processAllAvailable(); committed = true }
+          catch { case _: Throwable =>
+            try q.stop() catch { case _: Throwable => () }
+            restarts += 1
+            Thread.sleep(100L * math.min(restarts, 5))
+            q = start(mem, tag, ckpt)
+          }
+        }
+      }
+      q.stop()
+      restarts
+    }
+    def isConflict(t: Throwable): Boolean =
+      t != null && (t.isInstanceOf[java.util.ConcurrentModificationException] ||
+        (t.getMessage != null &&
+          (t.getMessage.contains("moved from") ||
+            t.getMessage.contains("another writer") ||
+            t.getMessage.contains("retry"))) ||
+        isConflict(t.getCause))
+    def retryingSql(sql: String, tries: Int = 60): Unit = {
+      var n = 0
+      var done = false
+      while (!done) {
+        try { spark.sql(sql).collect(); done = true }
+        catch {
+          case e: Throwable if n < tries && isConflict(e) =>
+            n += 1; Thread.sleep(math.min(500L, 50L * n))
+        }
+      }
+    }
+    val fA = Future(drive(memA, "a", ckA, 1000L, 6, 3))
+    val fB = Future(drive(memB, "b", ckB, 2000L, 6, -1))
+    val fDel = Future {
+      (0 until 5).foreach { k =>
+        retryingSql("DELETE FROM gws.db.soak WHERE src = 'seed' AND " +
+          s"id >= ${k * 20} AND id < ${k * 20 + 20}")
+        Thread.sleep(50)
+      }
+    }
+    val rA = Await.result(fA, 300.seconds)
+    val rB = Await.result(fB, 300.seconds)
+    Await.result(fDel, 300.seconds)
+    info(s"soak restarts: stream a $rA, stream b $rB")
+    val out = spark.table("gws.db.soak")
+      .select("id", "src").as[(Long, String)].collect()
+    // exactly-once per app: every epoch's row exactly once, despite
+    // kills, conflict-driven restarts, and checkpoint replays
+    assert(out.length == out.distinct.length,
+      s"duplicate rows after soak: ${out.groupBy(identity)
+        .filter(_._2.length > 1).keys.toSeq.sorted.take(10)}")
+    val bysrc = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(bysrc.getOrElse("a", Set.empty) == (1000L until 1006L).toSet,
+      s"stream a lost or duplicated epochs: ${bysrc.get("a")}")
+    assert(bysrc.getOrElse("b", Set.empty) == (2000L until 2006L).toSet,
+      s"stream b lost or duplicated epochs: ${bysrc.get("b")}")
+    // no lost updates: every DELETE batch landed despite the streams
+    assert(bysrc.getOrElse("seed", Set.empty).isEmpty,
+      s"DELETE batches lost under concurrent streams: ${bysrc.get("seed")}")
+  }
+
   test("concurrent INSERT and DELETE serialize through the commit arbiter") {
     import spark.implicits._
     wh
