@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Time a handful of named `SparkEntry.queries` in one session —
+  * the per-query companion to [[Bench]] for chasing a single flag
+  * without a full 215-query run.
+  *
+  * Usage: runMain graft.BenchOne <query> [query ...] (reps via
+  * SPARK_GRAFT_BENCH_REPS, sf dir via SPARK_GRAFT_SF_DIR).
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: BenchOne <query> [query ...]")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    for (name <- args) {
+      val fn = SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query: $name"))
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val times = ts.map(_._1).sorted
+      println(f"""{"query":"$name","rows":${ts.head._2},""" +
+        f""""min":${times.head}%.3f,"median":${times(times.size / 2)}%.3f,""" +
+        f""""max":${times.last}%.3f,"reps":$reps}""")
+    }
+    spark.stop()
+  }
+}

@@ -70,3 +70,88 @@ case class HilbertKey(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): HilbertKey =
     copy(left = newLeft, right = newRight)
 }
+
+/** Generic d-dimensional Morton interleave as static long arithmetic.
+  *
+  * Bit `i` of coordinate `j` lands at position `i*d + j` — the exact
+  * contract of [[graft.ops.Layout.zkeyNSql]], so the stored key stays
+  * textually mirrorable in any SQL engine. The per-bit select-shift
+  * form as a Column tree is O(bits*d) nodes evaluated per row (and a
+  * clustered write evaluates the key in the range-sampler, the
+  * exchange AND the sort); folded into one static loop the whole key
+  * is a single JIT-compiled method call per row, which is what makes
+  * the one-time 100-TB curve write CPU-bound on the sort, not the key.
+  */
+object MortonCurve {
+  /** Contribution of coordinate `j` (of `d`): its low `bits` bits
+    * spread to positions `i*d + j`. The full key is the OR across
+    * coordinates.
+    */
+  def spreadAt(v: Long, bits: Int, d: Int, j: Int): Long = {
+    val m = v & ((1L << bits) - 1)
+    var r = 0L
+    var i = 0
+    while (i < bits) {
+      r |= ((m >> i) & 1L) << (i * d + j)
+      i += 1
+    }
+    r
+  }
+}
+
+/** `morton_key(c0..cd-1, bits)`: the d-dimensional Morton key, each
+  * coordinate quantized to its low `bits` bits; `bits*d` must stay
+  * under 63 (BIGINT, no sign bit). Null if any coordinate is null.
+  */
+case class MortonKey(children: Seq[Expression], bits: Int)
+    extends Expression {
+  require(children.nonEmpty && bits * children.size <= 63,
+    s"$bits bits x ${children.size} dims > 63")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val d = children.size
+    var r = 0L
+    var j = 0
+    while (j < d) {
+      val v = children(j).eval(input)
+      if (v == null) return null
+      r |= MortonCurve.spreadAt(v.asInstanceOf[Long], bits, d, j)
+      j += 1
+    }
+    r
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val d = children.size
+    val evals = children.map(_.genCode(ctx))
+    // evaluate children in order, short-circuiting on the first null
+    val body = evals.zipWithIndex.map { case (e, j) =>
+      s"""
+         |if (!${ev.isNull}) {
+         |  ${e.code}
+         |  if (${e.isNull}) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} |= graft.functions.MortonCurve.spreadAt(
+         |      ${e.value}, $bits, $d, $j);
+         |  }
+         |}
+       """.stripMargin
+    }.mkString("\n")
+    ev.copy(code =
+      code"""
+        boolean ${ev.isNull} = false;
+        long ${ev.value} = 0L;
+        $body
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MortonKey =
+    copy(children = newChildren)
+}

@@ -529,4 +529,12 @@ object VectorFunctions {
     graftShims.toColumn(HilbertKey(
       graftShims.toExpression(x.cast("bigint")),
       graftShims.toExpression(y.cast("bigint"))))
+
+  /** Codegen'd d-dimensional Morton key (see [[MortonKey]]): one
+    * static-loop call per coordinate instead of an O(bits*d)-node
+    * Column tree per row.
+    */
+  def morton_key(cols: Seq[Column], bits: Int): Column =
+    graftShims.toColumn(MortonKey(
+      cols.map(c => graftShims.toExpression(c.cast("bigint"))), bits))
 }

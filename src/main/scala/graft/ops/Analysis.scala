@@ -785,17 +785,20 @@ object Analysis {
     * occupies), and a salt factor (ceil of that ratio, in exact
     * integer arithmetic) — the number of sub-splits that brings the
     * key back to average partition weight. One map-side-combined
-    * count + an O(keys) window; at 100 TB this runs as a side
-    * diagnostic on the same pass that builds any per-key aggregate.
-    * `j4_salted_join` / `g3_salted_agg` are the consumers of the
-    * recommendation.
+    * count, then the (total, nkeys) pair as a SCALAR aggregate
+    * broadcast back over the counts — NOT a whole-frame window, which
+    * would funnel all O(distinct keys) rows (10^9 user ids at 100 TB)
+    * through one partition. The two consumers of the counts subtree
+    * are the identical exchange, so AQE's ReusedExchange keeps this
+    * one corpus scan. `j4_salted_join` / `g3_salted_agg` are the
+    * consumers of the recommendation.
     */
   def skewReport(df: DataFrame, key: String, topN: Int = 5): DataFrame = {
     val counts = df.groupBy(col(key).as("key")).agg(count(lit(1)).as("cnt"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val totals = counts.agg(sum("cnt").as("total"),
+      count(lit(1)).as("nkeys"))
     counts
-      .withColumn("total", sum("cnt").over(w))
-      .withColumn("nkeys", count(lit(1)).over(w))
+      .crossJoin(broadcast(totals))
       .select(col("key"), col("cnt"),
         round(col("cnt") / col("total"), 6).as("share"),
         round(col("cnt") * col("nkeys") / col("total"), 4).as("skew_ratio"),

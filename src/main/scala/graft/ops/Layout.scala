@@ -90,6 +90,21 @@ object Layout {
   def zkeyN(cols: Seq[Column], bits: Int = 16): Column = {
     val d = cols.size
     require(d >= 1 && bits * d <= 63, s"$bits bits x $d dims > 63")
+    // Same per-bit semantics as the documented select-shift tree, but
+    // as ONE codegen'd expression (a static loop per coordinate): the
+    // O(bits*d)-node Column form cost ~10x the whole clustered write
+    // at the 6M-row bench scale, because a range-clustered write
+    // evaluates the key in the sampler, the exchange and the sort.
+    // LayoutSpec pins bit-equality of the two forms.
+    graft.functions.VectorFunctions.morton_key(cols, bits)
+  }
+
+  /** The reference Column-tree form of [[zkeyN]] — kept as the
+    * executable spec the codegen'd expression is pinned against.
+    */
+  private[graft] def zkeyNTree(cols: Seq[Column], bits: Int = 16): Column = {
+    val d = cols.size
+    require(d >= 1 && bits * d <= 63, s"$bits bits x $d dims > 63")
     cols.zipWithIndex.map { case (c, j) =>
       val v = c.cast("bigint").bitwiseAND(lit((1L << bits) - 1))
       (0 until bits).map { i =>

@@ -160,20 +160,29 @@ object Relational {
 
   /** O2: pagination with a stable total order (serve_view_df.py:108-116,
     * PAGE_SIZE=30; negative page counts from the END, as the
-    * reference's head/tail arithmetic does). Implemented with
-    * row_number over the order rather than limit/offset so any page is
-    * addressable, and over the reversed order for negative pages so no
-    * total count is needed.
+    * reference's head/tail arithmetic does), over the reversed order
+    * for negative pages so no total count is needed.
+    *
+    * The page is carved from a `limit((idx+1)*pageSize)` prefix —
+    * Spark plans the sort+limit as TakeOrderedAndProject (per-
+    * partition top-k, merge k-sized results), so the table is never
+    * globally sorted; the row_number window then runs over at most
+    * one page-prefix of rows, not the corpus. Deep random pages at
+    * 100 TB go through the Serve page-file path instead; this is the
+    * interactive contract where idx is human-sized.
     */
   def page(orders: DataFrame, pageSize: Int, pageIdx: Int): DataFrame = {
     val fwd = Seq(col("o_totalprice").desc, col("o_orderkey").asc)
     val (order, idx) =
       if (pageIdx >= 0) (fwd, pageIdx)
       else (Seq(col("o_totalprice").asc, col("o_orderkey").desc), -pageIdx - 1)
+    val prefix = orders.select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(order: _*)
+      .limit(pageSize * (idx + 1))
     val w = Window.orderBy(order: _*)
-    orders.select(col("o_orderkey"), col("o_totalprice"),
+    prefix.select(col("o_orderkey"), col("o_totalprice"),
         row_number().over(w).as("rn"))
-      .filter(col("rn") > pageSize * idx && col("rn") <= pageSize * (idx + 1))
+      .filter(col("rn") > pageSize * idx)
       .drop("rn")
       .orderBy(fwd: _*)
   }

@@ -67,27 +67,41 @@ object Text {
     */
   def topPTokens(docs: DataFrame, p: Double = 0.9): DataFrame = {
     val counts = tokenize(docs).groupBy("token").agg(count(lit(1)).as("cnt"))
+    topPMassCut(counts, col("token"), col("cnt"), p)
+      .select(col("__key").as("token"), col("__cnt").as("cnt"))
+  }
+
+  /** The two-stage top-p mass cut over an arbitrary (key, count)
+    * frame — the reusable core of [[topPTokens]], also registered as
+    * the planner's `top90` task so every consumer of the running-sum
+    * cut gets the scale-safe plan. Returns canonical columns
+    * (`__key`, `__cnt`), count-descending with the key as tiebreaker;
+    * callers rename to their schema.
+    */
+  def topPMassCut(countsIn: DataFrame, key: org.apache.spark.sql.Column,
+      cnt: org.apache.spark.sql.Column, p: Double): DataFrame = {
+    val counts = countsIn.select(key.as("__key"), cnt.as("__cnt"))
     val parted = counts
-      .repartitionByRange(col("cnt").desc, col("token").asc)
+      .repartitionByRange(col("__cnt").desc, col("__key").asc)
       .withColumn("pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val local = Window.partitionBy("pid")
-      .orderBy(col("cnt").desc, col("token").asc)
+      .orderBy(col("__cnt").desc, col("__key").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withLocal = parted.withColumn("local_run", sum("cnt").over(local))
+    val withLocal = parted.withColumn("local_run", sum("__cnt").over(local))
     val prior = Window.orderBy("pid")
       .rowsBetween(Window.unboundedPreceding, -1)
     val whole = Window.partitionBy()
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val offsets = parted.groupBy("pid").agg(sum("cnt").as("part_sum"))
+    val offsets = parted.groupBy("pid").agg(sum("__cnt").as("part_sum"))
       .select(col("pid"),
         coalesce(sum("part_sum").over(prior), lit(0L)).as("offset"),
         sum("part_sum").over(whole).as("total"))
     withLocal
       .join(broadcast(offsets), Seq("pid"))
       .filter(col("offset") + col("local_run") < lit(p) * col("total"))
-      .select("token", "cnt")
-      .orderBy(col("cnt").desc, col("token").asc)
+      .select("__key", "__cnt")
+      .orderBy(col("__cnt").desc, col("__key").asc)
   }
 
   /** W2 detail form: the token *stream* filtered to top-p tokens —

@@ -88,16 +88,11 @@ object Library {
       val cntCol = in.bindings("c").cols(1).column
       val outTok = in.expects.head.head
       val counts = in.frames("c")
-      val running = Window
-        .orderBy(col(bq(cntCol)).desc, col(bq(tokCol)).asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val whole = Window.partitionBy()
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      Seq(counts
-        .withColumn("__running", sum(col(bq(cntCol))).over(running))
-        .withColumn("__total", sum(col(bq(cntCol))).over(whole))
-        .filter(col("__running") < lit(0.9) * col("__total"))
-        .select(col(bq(tokCol)).as(outTok), col(bq(cntCol))))
+      // the scale-safe two-stage prefix sum (never a single-partition
+      // vocabulary sort) — same core as Text.topPTokens
+      Seq(graft.ops.Text
+        .topPMassCut(counts, col(bq(tokCol)), col(bq(cntCol)), 0.9)
+        .select(col("__key").as(outTok), col("__cnt").as(cntCol)))
     })
 
   /** Exact content dedup as a planner task — the north-star extension

@@ -213,6 +213,29 @@ class LayoutSpec extends SparkSpec {
     assert(bad.isEmpty, s"non-bijective 3-d z-keys: ${bad.take(3).toSeq}")
   }
 
+  test("property: codegen'd morton key == the select-shift Column tree") {
+    // the codegen'd MortonKey replaced an O(bits*d)-node Column tree
+    // on the clustered-write hot path; the tree stays as the
+    // executable spec and the two must be bit-equal on every input,
+    // including negatives (masked) and nulls (null out)
+    val rnd = new scala.util.Random(97)
+    val rows = Seq.tabulate(1000)(i =>
+      (if (i % 17 == 0) null else java.lang.Long.valueOf(rnd.nextLong()),
+        java.lang.Long.valueOf(rnd.nextLong()),
+        java.lang.Long.valueOf(rnd.nextLong())))
+    val df = spark.createDataFrame(rows).toDF("a", "b", "c")
+    for ((cols, bits) <- Seq(
+        (Seq("a", "b"), 16), (Seq("a", "b", "c"), 16),
+        (Seq("a", "b", "c"), 21), (Seq("a", "b", "c", "a"), 15))) {
+      val cs = cols.map(col)
+      val diff = df.select(
+          Layout.zkeyN(cs, bits).as("fast"),
+          Layout.zkeyNTree(cs, bits).as("tree"))
+        .filter(!(col("fast") <=> col("tree"))).count()
+      assert(diff == 0, s"morton mismatch for d=${cols.size} bits=$bits")
+    }
+  }
+
   test("3-d z-key matches its own SQL twin on the session engine") {
     val df = spark.range(-3, 70000, 997)
       .selectExpr("id AS l_partkey", "(id * 31 + 7) % 70000 AS l_suppkey",

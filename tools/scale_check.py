@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Scale-linearity check: BENCH at a multiplied SF vs the base SF.
+
+Usage: scale_check.py BASE.json BIG.json [--mult 10] [--slack 2.0]
+                      [--floor 0.5]
+
+For each query, the sf-scaled expectation is `mult * base_sec` — the
+cost model for a data-linear operator — and a query is flagged when
+its big-SF time exceeds `slack * max(floor, mult * base_sec)`. The
+`floor` absorbs fixed per-query overhead (session/trigger setup,
+planner work, dim-table scans) that does not grow with the fact
+tables; without it every 40 ms constant-time query would be "flagged"
+for not shrinking relative to 10x its own noise.
+"""
+import argparse
+import json
+import signal
+import sys
+
+signal.signal(signal.SIGPIPE, signal.SIG_DFL)
+
+
+def load(path):
+    with open(path) as f:
+        for line in f.read().splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                obj = json.loads(line)
+                if "queries" in obj:
+                    return obj
+    raise SystemExit(f"{path}: no line with a 'queries' object")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("base")
+    ap.add_argument("big")
+    ap.add_argument("--mult", type=float, default=10.0)
+    ap.add_argument("--slack", type=float, default=2.0)
+    ap.add_argument("--floor", type=float, default=0.5)
+    args = ap.parse_args()
+
+    base, big = load(args.base), load(args.big)
+    bq, gq = base["queries"], big["queries"]
+    common = sorted(set(bq) & set(gq))
+    rows = []
+    for name in common:
+        b, g = bq[name], gq[name]
+        if b < 0 or g < 0:
+            rows.append((float("inf"), name, b, g, True))
+            continue
+        budget = args.slack * max(args.floor, args.mult * b)
+        rows.append((g / max(b, 1e-9), name, b, g, g > budget))
+    rows.sort(reverse=True)
+    flagged = [r for r in rows if r[4]]
+    print(f"{len(common)} common queries; mult={args.mult} "
+          f"slack={args.slack} floor={args.floor}s; "
+          f"{len(flagged)} flagged")
+    print(f"{'query':34s} {'base':>8s} {'big':>8s} {'ratio':>7s}  flag")
+    for ratio, name, b, g, flag in rows[:40]:
+        print(f"{name:34s} {b:8.3f} {g:8.3f} {ratio:7.2f}  "
+              f"{'FLAG' if flag else ''}")
+    only_base = sorted(set(bq) - set(gq))
+    only_big = sorted(set(gq) - set(bq))
+    if only_base:
+        print("only in base:", ", ".join(only_base))
+    if only_big:
+        print("only in big:", ", ".join(only_big))
+    sys.exit(1 if flagged else 0)
+
+
+if __name__ == "__main__":
+    main()
