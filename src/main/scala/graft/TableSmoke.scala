@@ -20,12 +20,15 @@ import org.apache.spark.sql.functions._
   * minutes-long affected-file pass, and a seconds-long metadata
   * commit. Reports one JSON line of rows, seconds, and bytes written.
   *
-  * Usage: runMain graft.TableSmoke [sfDir] [multiplier]
+  * Usage: runMain graft.TableSmoke [sfDir] [multiplier] [chunkCommits]
+  * (chunkCommits x 1000 = file count of the chunked-metadata gate;
+  * default 100 -> the 100k-file bar, 1000 -> a 1M-file run).
   */
 object TableSmoke {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mult = args.lift(1).map(_.toInt).getOrElse(10)
+    val chunkCommits = args.lift(2).map(_.toInt).getOrElse(100)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.shuffle.partitions",
@@ -151,7 +154,7 @@ object TableSmoke {
         ops.ManifestEntry(f"part-$fid%06d.parquet", 1000L, 1L << 20,
           Seq(ops.ColRange("doc_id", fid * 1000L, fid * 1000L + 999)))
       }
-    val commitSecs = (1 to 100).map { k =>
+    val commitSecs = (1 to chunkCommits).map { k =>
       val carried =
         if (k == 1) Seq.empty[ops.Manifest.ChunkRef]
         else ops.Manifest.chunkRefs(spark, cDir, k - 1).get
@@ -166,7 +169,7 @@ object TableSmoke {
     val mLast = median(commitSecs.takeRight(10))
     assert(mLast < 3 * mFirst,
       s"commit latency grew with table size: first10=$mFirst last10=$mLast")
-    val nChunks = ops.Manifest.chunkRefs(spark, cDir, 100).get.size
+    val nChunks = ops.Manifest.chunkRefs(spark, cDir, chunkCommits).get.size
     assert(nChunks <= ops.Manifest.MaxChunks,
       s"chunk list unbounded: $nChunks")
     val (kept100k, tPlan100k) = time(ops.Manifest.prunedPaths(spark, cDir,
@@ -214,7 +217,8 @@ object TableSmoke {
       s""""stream_rows_per_sec":${(streamed / tStream).toLong},""" +
       s""""manifest_files":10000,"manifest_commit_sec":$tCommit,""" +
       s""""manifest_plan_sec":$tPlan,"manifest_kept":$keptMeta,""" +
-      s""""chunked_files":100000,"chunked_commits":100,""" +
+      s""""chunked_files":${chunkCommits * 1000},""" +
+      s""""chunked_commits":$chunkCommits,""" +
       s""""chunked_commit_med_first10":$mFirst,""" +
       s""""chunked_commit_med_last10":$mLast,""" +
       s""""chunked_chunks":$nChunks,""" +

@@ -213,6 +213,27 @@ class LayoutSpec extends SparkSpec {
     assert(bad.isEmpty, s"non-bijective 3-d z-keys: ${bad.take(3).toSeq}")
   }
 
+  test("morton key survives CODEGEN_ONLY factory mode (no silent fallback)") {
+    // a Janino failure in MortonKey.doGenCode would silently fall back
+    // to interpreted eval and erase the 4x clustered-write win; force
+    // the codegen-only factory so a broken doGenCode FAILS the suite
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try {
+      val out = spark.range(-5, 1000, 7)
+        .selectExpr("id AS x", "id * 31 AS y", "id * 17 AS o")
+        .select(Layout.zkeyN(Seq(col("x"), col("y"), col("o"))).as("z"))
+        .agg(sum("z")).head().getLong(0)
+      assert(out != 0L)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("property: codegen'd morton key == the select-shift Column tree") {
     // the codegen'd MortonKey replaced an O(bits*d)-node Column tree
     // on the clustered-write hot path; the tree stays as the
