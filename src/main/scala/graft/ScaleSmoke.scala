@@ -102,6 +102,17 @@ object ScaleSmoke {
       transform(sequence(lit(1), lit(64)),
         d => pmod(hash(col("id") * 64 + d), lit(1000)).cast("double")
           / 500.0 - 1.0).as("embedding"))
+    // embedding near-dup with the sign-LSH planes knob AT ITS SCALE
+    // SETTING (planes ~ log2 n): candidate volume n^2*(planes+1)/2^p
+    // collapses to ~linear, proving the oracle-paired query's fixed
+    // planes=4 is a fixture-scale choice, not the algorithm's limit.
+    // Synthetic hash vectors are near-orthogonal, so surviving pairs
+    // are rare and the measured cost IS the candidate generation.
+    val lshPlanes = math.max(4,
+      math.ceil(math.log(nVecs.toDouble) / math.log(2.0)).toInt)
+    val (nNearDup, tNearDup) = time(ops.Similarity.nearDupPairsV(
+      emb.select(col("vec_id"), col("embedding").as("v")),
+      0.95, lshPlanes).count())
     val stride = math.max(1L, math.round(math.sqrt(nVecs.toDouble)))
     val trainSample = (ops.Similarity.TrainPerCell *
       math.max(1L, nVecs / stride)).toInt
@@ -210,6 +221,8 @@ object ScaleSmoke {
       s""""span_docs":$nSpan,"span_sec":$tSpan,""" +
       s""""pack_rows":$nPack,"pack_sec":$tPack,""" +
       s""""shard_rows":$nShard,"shard_sec":$tShard,""" +
+      s""""neardup_planes":$lshPlanes,"neardup_pairs":$nNearDup,""" +
+      s""""neardup_sec":$tNearDup,""" +
       s""""ivf_vecs":$nVecs,"ivf_cells":$nCells,""" +
       s""""ivf_build_sec":$tIvfBuild,""" +
       s""""ivf_probe_rows":$nProbe,"ivf_probe_sec":$tIvfProbe,""" +

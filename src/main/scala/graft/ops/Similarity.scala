@@ -138,9 +138,16 @@ object Similarity {
   private def planeVec(p: Int): Column =
     transform(sequence(lit(1), lit(64)), d => planeComponent(p, d))
 
-  /** Sign-projection bucket id over [[Planes]] hyperplanes. */
-  def lshBucket(v: Column): Column =
-    (0 until Planes).map { p =>
+  /** Sign-projection bucket id over `planes` hyperplanes.
+    *
+    * `planes` is THE scale knob of every sign-LSH consumer: candidate
+    * volume is ~n^2 * (planes+1) / 2^planes, so planes must track
+    * log2(n) for linear pair output (at the oracle fixtures it stays
+    * at [[Planes]] so the paired SQL is a fixed expression; ScaleSmoke
+    * measures the log-n setting on a 100k-vector corpus).
+    */
+  def lshBucket(v: Column, planes: Int = Planes): Column =
+    (0 until planes).map { p =>
       when(dot(v, planeVec(p)) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -237,17 +244,31 @@ object Similarity {
     * P(0 flips) to P(<=1 flip) for ~5x the candidate volume, still
     * O(n), never all-pairs.
     */
-  def embeddingNearDupLsh(emb: DataFrame, minSim: Double = 0.9): DataFrame = {
+  def embeddingNearDupLsh(emb: DataFrame, minSim: Double = 0.9,
+      planes: Int = Planes): DataFrame = {
     val base = emb.filter(col("vec_id") % 5 === 0)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val variants = base.select((col("vec_id") + VariantIdOffset).as("vec_id"),
       concat(array(element_at(col("v"), 1) + lit(0.5)),
         slice(col("v"), 2, 63)).as("v"))
-    val all = base.unionByName(variants)
-      .withColumn("bucket", lshBucket(col("v")))
+    nearDupPairsV(base.unionByName(variants), minSim, planes)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** General sign-LSH near-dup pair scan over a (vec_id, v: double[])
+    * frame: bucket on `planes` hyperplanes, multiprobe radius 1,
+    * equi-join on the bucket key (never a cross join), exact cosine
+    * filter on candidates. Candidate volume ~n^2*(planes+1)/2^planes:
+    * pick planes ~ log2(n) for linear output at corpus scale
+    * (ScaleSmoke measures exactly that setting).
+    */
+  def nearDupPairsV(allV: DataFrame, minSim: Double,
+      planes: Int): DataFrame = {
+    val all = allV
+      .withColumn("bucket", lshBucket(col("v"), planes))
       .withColumn("nrm", norm(col("v")))
     val probeMasks = array((lit(0L) +:
-      (0 until Planes).map(p => lit(1L << p))): _*)
+      (0 until planes).map(p => lit(1L << p))): _*)
     val probed = all.select(col("vec_id"), col("v"), col("nrm"),
       explode(transform(probeMasks, m => col("bucket").bitwiseXOR(m)))
         .as("pbucket"))
@@ -258,7 +279,6 @@ object Similarity {
         round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
           .as("cos_sim"))
       .filter(col("cos_sim") >= minSim)
-      .orderBy("id_a", "id_b")
   }
 
   def embeddingNearDupLshOracle(minSim: Double = 0.9): String = {

@@ -134,6 +134,31 @@ class ChunkedManifestSpec extends SparkSpec {
     assert(Manifest.readTable(spark, dir).count() == 250)
   }
 
+  test("vacuum retiring a version keeps chunks CARRIED by survivors") {
+    // carried-by-reference chunks are shared across versions: v3
+    // carries v2's chunk files verbatim, so retiring v2 must NOT
+    // delete them — a naive per-version GC would corrupt CURRENT
+    import spark.implicits._
+    val dir = tmp("carry-gc")
+    (0L until 100L).map(i => (i, s"v$i")).toDF("id", "txt")
+      .repartition(2).write.mode("overwrite").parquet(dir)
+    Manifest.create(spark, dir, Seq("id"))
+    Layout.appendInPlace(spark, dir,
+      (100L until 150L).map(i => (i, s"v$i")).toDF("id", "txt"),
+      Seq("id"))                                        // v2 chunked
+    Layout.appendInPlace(spark, dir,
+      (150L until 160L).map(i => (i, s"v$i")).toDF("id", "txt"),
+      Seq("id"))                                        // v3 carries v2's chunks
+    val curRefs = Manifest.chunkRefs(spark, dir, 3).get.map(_.path)
+    assert(curRefs.nonEmpty)
+    Manifest.vacuum(spark, dir, keepVersions = 1)
+    val f = fs(dir)
+    curRefs.foreach(p => assert(
+      f.exists(new Path(s"$dir/${Manifest.DirName}/$p")),
+      s"carried chunk $p deleted by vacuum of retired versions"))
+    assert(Manifest.readTable(spark, dir).count() == 160)
+  }
+
   test("streaming toTable ingest commits O(epoch) chunked metadata") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

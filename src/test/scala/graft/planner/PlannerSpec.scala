@@ -262,6 +262,32 @@ class PlannerSearchSpec extends AnyFunSuite {
     assert(aExp <= bfsExp)
   }
 
+  test("1000-task registry: same 10-step goal, planning stays under 500ms") {
+    // one decade past the 100-task pin: dead registry entries must
+    // stay a CONSTANT per-expansion cost (one failed unification), so
+    // 10x the library multiplies planning wall by ~10 at most, never
+    // by the search-space blowup a naive all-subsets planner hits
+    val chain = (1 to 10).map { i =>
+      val from = if (i == 1) raw"(src)$$" else raw"(.+)\.s${i - 1}$$"
+      Task(s"step$i", Vector(Req("x", Vector(Pat(from)))),
+        Vector(Vector(s"{x}.s$i")))(noop(1))
+    }
+    val dead = (1 to 990).map { i =>
+      Task(s"lib$i", Vector(Req.lit("x", s"absent_$i", s"also_absent_$i")),
+        Vector(Vector(s"unused_$i")))(noop(1))
+    }
+    val reg1k = TaskRegistry(
+      (dead.take(495) ++ chain ++ dead.drop(495)).toVector)
+    assert(reg1k.tasks.size == 1000)
+    val goal = Vector(Vector("src" + (1 to 10).map(i => s".s$i").mkString))
+    Planner.findPath(reg1k, Vector(Vector("src")), goal) // JIT warm
+    val t0 = System.nanoTime()
+    val path = Planner.findPath(reg1k, Vector(Vector("src")), goal).get
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(path.map(_.task.name) == (1 to 10).map(i => s"step$i"))
+    assert(ms < 500, s"1000-task plan took ${ms}ms")
+  }
+
   test("planner stays in milliseconds on the demo registry") {
     val t0 = System.nanoTime()
     val path = Planner.findPath(Library.registry,
