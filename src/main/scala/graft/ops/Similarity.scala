@@ -127,6 +127,21 @@ object Similarity {
 
   val Planes = 4
 
+  /** The sign-LSH planes ladder: smallest p in [4, 24] with
+    * 2^p >= n, i.e. at least as many buckets as vectors, so expected
+    * bucket occupancy stays O(1) and candidate volume stays ~linear
+    * at ANY corpus size. Pure integer thresholds (no float log2), so
+    * the DuckDB twin ([[planesLadderSql]]) is bit-identical at every
+    * boundary.
+    */
+  def planesFor(n: Long): Int =
+    (4 to 24).find(p => n <= (1L << p)).getOrElse(24)
+
+  /** SQL twin of [[planesFor]] over a column/expression `cnt`. */
+  def planesLadderSql(cnt: String): String =
+    (4 to 23).map(p => s"WHEN $cnt <= ${1L << p} THEN $p")
+      .mkString("(CASE ", " ", " ELSE 24 END)")
+
   /** Deterministic random hyperplane p (0-based): component d in
     * [-1, 1), derived from md5("p_<p>_<d>") identically in both
     * engines; division by 2^30 is exact in binary.
@@ -245,13 +260,19 @@ object Similarity {
     * O(n), never all-pairs.
     */
   def embeddingNearDupLsh(emb: DataFrame, minSim: Double = 0.9,
-      planes: Int = Planes): DataFrame = {
+      planes: Int = 0): DataFrame = {
     val base = emb.filter(col("vec_id") % 5 === 0)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val variants = base.select((col("vec_id") + VariantIdOffset).as("vec_id"),
       concat(array(element_at(col("v"), 1) + lit(0.5)),
         slice(col("v"), 2, 63)).as("v"))
-    nearDupPairsV(base.unionByName(variants), minSim, planes)
+    // planes <= 0 -> ADAPTIVE: the integer ladder on the corpus size
+    // (base + variants), resolved as one plan-time scalar count — the
+    // same AQE-style statistics-driven choice the oracle makes with a
+    // SQL scalar subquery, so the two engines always pick the same p
+    // and candidate volume stays ~linear at every scale factor.
+    val p = if (planes > 0) planes else planesFor(2L * base.count())
+    nearDupPairsV(base.unionByName(variants), minSim, p)
       .orderBy("id_a", "id_b")
   }
 
@@ -286,8 +307,13 @@ object Similarity {
       s"""list_sum(list_transform(range(1, 65), d -> v[d] *
          |      ((${H.duckHash30(s"'p_${p}_' || d::VARCHAR")} * 2 - 1073741824)::DOUBLE
          |        / 1073741824)))""".stripMargin
-    val bucket = (0 until Planes).map { p =>
-      s"CASE WHEN ${dotPlane(p)} > 0 THEN ${1L << p} ELSE 0 END"
+    // conditional bit terms up to the ladder cap: term p contributes
+    // only when p < planes, so the STATIC oracle text evaluates the
+    // same data-dependent bucket the Spark side builds from its
+    // plan-time count
+    val bucket = (0 until 24).map { p =>
+      s"CASE WHEN $p < planes AND ${dotPlane(p)} > 0 " +
+        s"THEN ${1L << p} ELSE 0 END"
     }.mkString(" + ")
     s"""WITH base AS (SELECT vec_id,
        |    list_transform(embedding, x -> x::DOUBLE) AS v
@@ -296,11 +322,14 @@ object Similarity {
        |  SELECT vec_id, v FROM base
        |  UNION ALL
        |  SELECT vec_id + $VariantIdOffset, [v[1] + 0.5] || v[2:] FROM base),
-       |bucketed AS (SELECT vec_id, v, ($bucket)::BIGINT AS bucket FROM allv),
+       |par AS (SELECT ${planesLadderSql("cnt")} AS planes
+       |  FROM (SELECT count(*) AS cnt FROM allv)),
+       |bucketed AS (SELECT vec_id, v, planes,
+       |    ($bucket)::BIGINT AS bucket
+       |  FROM allv CROSS JOIN par),
        |probed AS (SELECT vec_id, v,
-       |    unnest([bucket, ${(0 until Planes)
-                  .map(p => s"xor(bucket, ${1L << p})").mkString(", ")}])
-       |      AS pbucket
+       |    unnest([bucket] || list_transform(range(0, planes),
+       |      p -> xor(bucket, (1::BIGINT << p)))) AS pbucket
        |  FROM bucketed),
        |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |    round(
