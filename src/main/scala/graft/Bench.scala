@@ -19,6 +19,20 @@ object Bench {
     // absorb JVM/codegen/session warm-up outside any query's timing
     spark.range(1000000).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).count()
+    // LOAD CANARY (round-10 verdict #3): a constant-cost computation
+    // timed AFTER warm-up. Its wall time depends only on how much CPU
+    // this box is actually giving us, never on the SF or the plans —
+    // so a bench artifact recorded under concurrent machine load
+    // self-identifies (the round-10 "94 s regression" that was really
+    // a loaded box cost a judge rerun to adjudicate). Median of 3 so
+    // one scheduler hiccup can't poison the canary itself;
+    // tools/bench_diff.py refuses to flag per-query regressions when
+    // two artifacts' canaries differ more than 2x.
+    val canary = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(200000000L).selectExpr("sum(id * 3)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.sorted.apply(1)
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
@@ -43,7 +57,7 @@ object Bench {
     val errors = results.filter(_._2 < 0).map(_._1)
     val errsJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"n_errors":${errors.size},"errors":$errsJson,"queries":$qs,"queries_min":$mins,"queries_max":$maxs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"canary_s":$canary,"n_errors":${errors.size},"errors":$errsJson,"queries":$qs,"queries_min":$mins,"queries_max":$maxs,"sf":"$sfDir"}"""
     println(line)
     // The stdout line gets truncated by log tooling past ~50 queries; persist the
     // full per-query breakdown so cross-round comparisons cover every query.

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-factor multiplier: derive an `sf1`-shaped directory from the
@@ -26,13 +26,22 @@ import org.apache.spark.sql.functions._
   *    of exact dups per doc and measure fixture blowup, not the
   *    operator (same reasoning as ScaleSmoke's synthetic LSH corpus);
   *  - `embeddings.embedding` for copies > 0 gets a per-copy CYCLIC
-  *    SHIFT of its dimensions. A dimension permutation is orthogonal:
-  *    every intra-copy dot product, norm and distance is preserved
-  *    EXACTLY (so each copy reproduces the base corpus's near-dup
-  *    pairs and cluster geometry, and pair volume scales exactly
-  *    10x), while cross-copy similarity is scrambled — additive
-  *    jitter instead plants mult-cliques of near-identical vectors
-  *    and measures fixture blowup, not the operator;
+  *    SHIFT of its dimensions COMPOSED with a per-block SIGN-FLIP
+  *    pattern. Both factors are orthogonal (a permutation, and a
+  *    diagonal of ±1), so every intra-copy dot product, norm and
+  *    distance is preserved EXACTLY (each copy reproduces the base
+  *    corpus's near-dup pairs and cluster geometry, and pair volume
+  *    scales exactly `mult`x), while cross-copy similarity is
+  *    scrambled — additive jitter instead plants mult-cliques of
+  *    near-identical vectors and measures fixture blowup, not the
+  *    operator. The sign-flip factor is what keeps the transforms
+  *    PAIRWISE-DISTINCT past mult=dim: the shift alone has only `dim`
+  *    values (copy dim would equal copy 0 verbatim, planting ~n/dim
+  *    cross-copy exact duplicates at mult=100), so block
+  *    `copy / dim` flips the sign of dimension d when bit (d mod 30)
+  *    of the block index is set — equal shifts force equal
+  *    `copy mod dim`, hence different blocks, hence different flip
+  *    patterns, for every mult up to dim * 2^30;
   *  - timestamps are carried verbatim: date-range filters keep their
   *    selectivity and event-time windows get 10x denser, which is how
   *    a real corpus grows at fixed wall-clock span.
@@ -60,6 +69,28 @@ object SfScale {
     val js = counts.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     println(s"""{"src":"$src","dst":"$dst","mult":$mult,$js,"gen_sec":$secs}""")
     spark.stop()
+  }
+
+  /** The per-copy orthogonal embedding transform (copy 0 verbatim):
+    * cyclic shift by `copy*7 mod dim`, then flip the sign of output
+    * dimension d when bit (d mod 30) of block `copy / dim` is set.
+    * Shift and sign-diagonal are both orthogonal, so intra-copy
+    * geometry is exact; the composition is injective in `copy` (equal
+    * shift ⇒ equal copy mod dim ⇒ distinct blocks ⇒ distinct flips),
+    * which the shift alone is NOT once mult exceeds dim — the
+    * round-10 advisor's cross-copy-duplicate finding. Factored out so
+    * SfScaleSpec can pin distinctness and isometry directly.
+    */
+  def perturbEmbedding(copy: Column, embedding: Column): Column = {
+    val dim = size(embedding)
+    val shift = pmod(copy * 7, dim.cast("bigint")).cast("int")
+    val block = floor(copy / dim).cast("long")
+    val shifted = concat(slice(embedding, shift + 1, dim - shift),
+      slice(embedding, lit(1), shift))
+    val flipped = transform(shifted, (x, i) =>
+      when(call_function("shiftright", block, pmod(i, lit(30)))
+        .bitwiseAND(lit(1L)) === 1L, negate(x)).otherwise(x))
+    when(copy === 0, embedding).otherwise(flipped)
   }
 
   /** Materialize the multiplied directory; returns per-table row counts. */
@@ -90,13 +121,7 @@ object SfScale {
       array_join(transform(split(col("text"), " "),
         t => concat(lit("c"), col("copy"), lit("x"), t)), " "))
 
-    // Cyclic dimension shift by copy*7 (mod dim), copy 0 verbatim:
-    // an orthogonal transform, so intra-copy geometry is exact.
-    val dim = size(col("embedding"))
-    val shift = pmod(col("copy") * 7, dim.cast("bigint")).cast("int")
-    val perturbed = when(col("copy") === 0, col("embedding")).otherwise(
-      concat(slice(col("embedding"), shift + 1, dim - shift),
-        slice(col("embedding"), lit(1), shift)))
+    val perturbed = perturbEmbedding(col("copy"), col("embedding"))
 
     Seq(
       write("region", tbl("region"), 1),

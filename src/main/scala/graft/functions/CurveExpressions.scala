@@ -1,7 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftShims
 import org.apache.spark.sql.types.{DataType, LongType}
 
 /** Hilbert curve index on the 16-bit grid.
@@ -104,9 +105,16 @@ object MortonCurve {
   * under 63 (BIGINT, no sign bit). Null if any coordinate is null.
   */
 case class MortonKey(children: Seq[Expression], bits: Int)
-    extends Expression {
+    extends Expression with ImplicitCastInputTypes {
   require(children.nonEmpty && bits * children.size <= 63,
     s"$bits bits x ${children.size} dims > 63")
+
+  // analysis-time type contract (round-10 advisor): without it a
+  // non-long child compiles the plan but ClassCastExceptions in
+  // interpreted eval and emits ill-typed Java in codegen; with it
+  // analysis inserts the implicit cast or rejects the query
+  override def inputTypes: Seq[graftShims.AbsDataType] =
+    Seq.fill(children.size)(LongType)
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = children.exists(_.nullable)

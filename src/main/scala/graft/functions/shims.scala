@@ -6,6 +6,12 @@ package org.apache.spark.sql
 import org.apache.spark.sql.catalyst.expressions.Expression
 
 object graftShims {
+  /** `AbstractDataType` is private[sql]; this public alias lets graft
+    * expressions declare `ExpectsInputTypes.inputTypes` (the
+    * analysis-time cast/reject contract) from outside the package.
+    */
+  type AbsDataType = org.apache.spark.sql.types.AbstractDataType
+
   def toColumn(e: Expression): Column =
     classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression =

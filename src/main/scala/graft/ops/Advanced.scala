@@ -39,7 +39,10 @@ object Advanced {
     * when one key dominates (AQE skew-split handles moderate skew;
     * salting is the explicit fix for pathological keys). The result
     * is oracle-checked against the UNSALTED join, proving semantics
-    * are unchanged.
+    * are unchanged. The replicated side is deliberately UNHINTED:
+    * supplier scales with the corpus, so whether the salted copies
+    * broadcast or shuffle is AQE's size-gated call (salting spreads
+    * the hot key either way).
     */
   def saltedRevenueByNation(li: DataFrame, supplier: DataFrame,
       nation: DataFrame, salt: Int = 8): DataFrame = {
@@ -48,7 +51,7 @@ object Advanced {
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name"))
       .withColumn("salt", explode(sequence(lit(0L), lit(salt - 1L))))
-    big.join(broadcast(small),
+    big.join(small,
         col("l_suppkey") === col("s_suppkey") && big("salt") === small("salt"))
       .groupBy("n_name")
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
@@ -82,11 +85,24 @@ object Advanced {
 
   /** TPC-H Q3 shape: shipping priority — top unshipped-revenue orders
     * for one segment.
+    *
+    * BROADCAST POLICY (applies to every query in this file): customer,
+    * supplier and part scale LINEARLY with the corpus, so their joins
+    * are UNHINTED — Spark broadcasts them while their (possibly
+    * filtered) size fits under autoBroadcastJoinThreshold and AQE
+    * falls back to a shuffle join when it doesn't. A forced
+    * `broadcast()` hint on those tables would OOM at a billion
+    * customers exactly when the size gate matters. Only genuinely
+    * bounded frames keep the hint: nation/region (fixed-size dims at
+    * every TPC-H SF), 1-row scalar aggregates, and literal band/window
+    * tables. Fixture-scale plans are pinned broadcast in
+    * PlanShapeSpec, so the unhinted joins can't silently regress to
+    * SMJ at test SF.
     */
   def shippingPriority(li: DataFrame, orders: DataFrame, customer: DataFrame,
       segment: String = "BUILDING"): DataFrame =
     li.join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer.filter(col("c_mktsegment") === segment)),
+      .join(customer.filter(col("c_mktsegment") === segment),
         col("o_custkey") === col("c_custkey"))
       .groupBy("l_orderkey")
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
@@ -95,13 +111,14 @@ object Advanced {
       .limit(10)
 
   /** TPC-H Q5 shape: revenue per nation for suppliers in one region
-    * (4-way join; region/nation/supplier broadcast, lineitem-orders
-    * shuffles).
+    * (4-way join; region/nation hinted — bounded dims at every SF —
+    * supplier UNHINTED because it scales linearly: AQE size-gates its
+    * broadcast; lineitem-orders shuffles).
     */
   def regionVolume(li: DataFrame, orders: DataFrame, supplier: DataFrame,
       nation: DataFrame, region: DataFrame, regionName: String = "ASIA"): DataFrame =
     li.join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region.filter(col("r_name") === regionName)),
         col("n_regionkey") === col("r_regionkey"))
@@ -112,7 +129,8 @@ object Advanced {
 
   /** TPC-H Q10 shape: revenue lost to returned items per customer,
     * top 20. The fact side is FILTERED AT THE SCAN (l_returnflag = 'R'
-    * reaches parquet as a pushed predicate), customer/nation broadcast,
+    * reaches parquet as a pushed predicate), customer size-gated by AQE
+    * and nation (hinted, bounded) broadcast,
     * and the top-20 is TakeOrderedAndProject after a map-side-combined
     * per-customer rollup — at 100 TB only returned line items ever
     * leave the scan stage.
@@ -121,7 +139,7 @@ object Advanced {
       customer: DataFrame, nation: DataFrame): DataFrame =
     li.filter(col("l_returnflag") === "R")
       .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy("c_custkey", "c_name", "n_name")
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
@@ -158,7 +176,7 @@ object Advanced {
       .select("l_orderkey")
     li.join(big, "l_orderkey")
       .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
       .groupBy("c_name", "o_orderkey", "o_totalprice")
       .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -192,9 +210,9 @@ object Advanced {
     // filter would otherwise apply only after the min join-back
     val econParts = part.filter(col("p_type") === "ECONOMY")
     val eligible = li
-      .join(broadcast(econParts.select(col("p_partkey"))),
+      .join(econParts.select(col("p_partkey")),
         col("l_partkey") === col("p_partkey"), "left_semi")
-      .join(broadcast(regionSupp), col("l_suppkey") === col("s_suppkey"))
+      .join(regionSupp, col("l_suppkey") === col("s_suppkey"))
       .select(col("l_partkey"), col("l_extendedprice"), col("s_name"),
         col("n_name"), col("s_acctbal"))
     val minp = eligible.groupBy("l_partkey")
@@ -203,7 +221,7 @@ object Advanced {
     eligible
       .join(minp, col("l_partkey") === col("mp_partkey") &&
         col("l_extendedprice") === col("mp"))
-      .join(broadcast(econParts),
+      .join(econParts,
         col("l_partkey") === col("p_partkey"))
       .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
         round(col("s_acctbal"), 2).as("acctbal"),
@@ -304,7 +322,7 @@ object Advanced {
     val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
     li.filter(col("l_shipdate") >= lit(s"$year-01-01").cast("timestamp") &&
         col("l_shipdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
-      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(part, col("l_partkey") === col("p_partkey"))
       .agg(round(lit(100.0) *
           sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) /
           sum(rev), 4).as("promo_share"),
@@ -337,7 +355,7 @@ object Advanced {
         col("p_size").between(1, 25)) ||
       (col("p_type") === "LARGE" && col("l_quantity").between(20, 30) &&
         col("p_size").between(1, 35))
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
       .filter(cond)
       .agg(round(sum(rev), 2).as("revenue"), count(lit(1)).as("n_lines"))
   }
@@ -385,7 +403,7 @@ object Advanced {
       .withColumn("n_supp", count(lit(1)).over(wOrd))
       .withColumn("n_late", sum(col("late")).over(wOrd))
       .filter(col("late") === 1 && col("n_supp") > 1 && col("n_late") === 1)
-      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
       .groupBy("s_name")
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name").asc)
@@ -483,7 +501,7 @@ object Advanced {
     val brandParts = part.filter(col("p_brand") === brand)
       .select(col("p_partkey"))
     val brandLi = li
-      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"),
+      .join(brandParts, col("l_partkey") === col("p_partkey"),
         "left_semi")
     val partAvg = brandLi.groupBy("l_partkey")
       .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
@@ -547,10 +565,10 @@ object Advanced {
       col("n_name").as("supp_nation"))
     val n2 = pair.select(col("n_nationkey").as("n2_key"),
       col("n_name").as("cust_nation"))
-    li.join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+    li.join(supplier, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
       .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
@@ -593,12 +611,12 @@ object Advanced {
         col("n_regionkey") === col("r_regionkey"))
       .select(col("n_nationkey").as("n2_key"))
     val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
-    li.join(broadcast(part.filter(col("p_type") === partType)),
+    li.join(part.filter(col("p_type") === partType),
         col("l_partkey") === col("p_partkey"))
-      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
       .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(marketNations), col("c_nationkey") === col("n2_key"),
         "left_semi")
       .groupBy(year(col("o_orderdate")).cast("int").as("order_year"))
@@ -676,7 +694,7 @@ object Advanced {
     val maxRev = srev.agg(max(col("total_cents")).as("max_cents"))
     srev.crossJoin(broadcast(maxRev))
       .filter(col("total_cents") === col("max_cents"))
-      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         (col("total_cents").cast("double") / lit(100.0))
           .as("total_revenue"))
@@ -705,10 +723,10 @@ object Advanced {
       supplier: DataFrame): DataFrame = {
     val excluded = supplier.filter(col("s_acctbal") < 0)
       .select(col("s_suppkey"))
-    li.join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"),
+    li.join(excluded, col("l_suppkey") === col("s_suppkey"),
         "left_anti")
-      .join(broadcast(part.filter(col("p_brand") =!= "Brand#1" &&
-          col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))),
+      .join(part.filter(col("p_brand") =!= "Brand#1" &&
+          col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)),
         col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand", "p_type", "p_size")
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
@@ -748,9 +766,9 @@ object Advanced {
       (lit(1) - col("l_discount")) -
       lit(0.6) * col("p_retailprice") * col("l_quantity")) * 100)
       .cast("long")
-    li.join(broadcast(part.filter(col("p_name").contains(namePattern))),
+    li.join(part.filter(col("p_name").contains(namePattern)),
         col("l_partkey") === col("p_partkey"))
-      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name").as("nation"),
@@ -793,7 +811,7 @@ object Advanced {
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"))
     val value = li
-      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"),
+      .join(natSupp, col("l_suppkey") === col("s_suppkey"),
         "left_semi")
       .groupBy("l_partkey")
       .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("vc"))

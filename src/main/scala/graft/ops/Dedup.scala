@@ -390,15 +390,25 @@ object Dedup {
     * [[Similarity.knnLshRecall]] (Similarity.scala) — exact reference
     * ranking left-joined with the approximate hits.
     *
-    * The exact side is deliberately the quadratic all-pairs
-    * comparison (broadcast nested-loop over fixed-width longs) — a
-    * measurement bed for the fixture, not a scale path; the scale
-    * path is exactly what is being graded here.
+    * The exact side is an all-pairs comparison over fixed-width longs
+    * — a measurement bed, not a scale path; past the base fixtures it
+    * computes truth over a hash-sampled left side (see
+    * [[TruthSample]]: stride from the raw `documents` count — the
+    * cheap metadata count both engines share; the derived corpus is
+    * at most 2x that — so work is O([[SimhashTruthCap]] · n), the
+    * bounded sampled side broadcasts, and the corpus side streams
+    * with no shuffle at any scale).
     */
+  val SimhashTruthCap = 1024L
+
   def simhashWideRecall(docs: DataFrame): DataFrame = {
     val buckets = simhashBuckets(docs, SimhashWideBits)
-    val exact = buckets.as("a")
-      .join(broadcast(buckets.as("b")), col("a.doc_id") < col("b.doc_id"))
+    val stride = TruthSample.strideFor(docs.count(), SimhashTruthCap)
+    val left =
+      if (stride == 1L) buckets
+      else buckets.filter(TruthSample.keep(col("doc_id"), "sh_", stride))
+    val exact = broadcast(left).as("a")
+      .join(buckets.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
           .cast("int").as("hamming"))
@@ -437,9 +447,13 @@ object Dedup {
        |          FROM blocks a JOIN blocks b
        |            ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id
        |          WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxHamming),
+       |par AS (SELECT ${TruthSample.strideLadderSql("cnt", SimhashTruthCap)}
+       |    AS stride FROM (SELECT count(*) AS cnt FROM documents)),
+       |lefts AS (SELECT doc_id, simhash FROM buckets CROSS JOIN par
+       |  WHERE ${TruthSample.duckKeepSql("doc_id", "sh_", "stride")}),
        |exact AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |            bit_count(xor(a.simhash, b.simhash))::INT AS hamming
-       |          FROM buckets a JOIN buckets b ON a.doc_id < b.doc_id
+       |          FROM lefts a JOIN buckets b ON a.doc_id < b.doc_id
        |          WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxHamming)
        |SELECT hamming, count(*) AS n_true, count(f.id_a) AS n_found,
        |  round(count(f.id_a) / count(*), 4) AS recall

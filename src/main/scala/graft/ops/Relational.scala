@@ -7,10 +7,13 @@ import org.apache.spark.sql.functions._
 /** Relational operator library — one builder per SURVEY.md §2.B row.
   * All pure built-in `Column` expressions (codegen'd, zero UDFs).
   *
-  * Scale notes: dimension sides of joins are explicitly
-  * `broadcast(...)`-hinted where they are bounded (nation/region/
-  * customer-per-key lookups); fact-fact joins shuffle on their keys and
-  * rely on AQE for skew. Filters are plain parquet-pushable predicates.
+  * Scale notes: only genuinely BOUNDED dimension sides carry an
+  * explicit `broadcast(...)` hint (nation/region, 1-row scalars);
+  * tables that scale linearly with the corpus (customer/supplier/
+  * part) are left unhinted so AQE's size gate decides — a forced hint
+  * there is a driver OOM at a billion-row dimension. Fact-fact joins
+  * shuffle on their keys and rely on AQE for skew. Filters are plain
+  * parquet-pushable predicates.
   */
 object Relational {
 
@@ -59,10 +62,12 @@ object Relational {
   }
 
   /** J2: left equi-join lookup (flag table broadcast onto a stream,
-    * basic_tasks.py:102). Customer is the bounded side -> broadcast.
+    * basic_tasks.py:102). Customer scales with the corpus, so the
+    * hint is AQE's size-gated call, not ours (PlanShapeSpec pins the
+    * fixture-scale broadcast).
     */
   def ordersWithCustomer(orders: DataFrame, customer: DataFrame): DataFrame =
-    orders.join(broadcast(customer), col("o_custkey") === col("c_custkey"), "left")
+    orders.join(customer, col("o_custkey") === col("c_custkey"), "left")
       .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
         col("c_mktsegment"))
       .orderBy("o_orderkey")
@@ -82,11 +87,12 @@ object Relational {
       .orderBy("c_custkey")
 
   /** 3-way join + agg: revenue per market segment. lineitem-orders is
-    * the fact-fact shuffle join; customer is broadcast.
+    * the fact-fact shuffle join; customer broadcasts under AQE's size
+    * gate (unhinted — it scales with the corpus).
     */
   def revenueBySegment(li: DataFrame, orders: DataFrame, customer: DataFrame): DataFrame =
     li.join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)

@@ -45,6 +45,14 @@ object Similarity {
     * cosine >= minSim. Natural pairs top out near 0.44, perturbed
     * copies near 0.99.
     */
+  /** Rows the exact-cosine baseline's sampled side is capped at —
+    * above the sf0.1 fixture's 800 vectors, so every base fixture
+    * resolves to stride 1 (unsampled, bit-identical history) and the
+    * cross-join work is O([[EmbedTruthCap]] · n) past that (see
+    * [[TruthSample]]).
+    */
+  val EmbedTruthCap = 1024L
+
   def embeddingNearDup(emb: DataFrame, minSim: Double = 0.9): DataFrame = {
     val base = emb.filter(col("vec_id") % 5 === 0)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -54,7 +62,15 @@ object Similarity {
     // norms once per vector (O(n·d)), not once per pair (O(n²·d))
     val all = base.unionByName(variants)
       .withColumn("nrm", norm(col("v")))
-    all.as("a")
+    // sampled exact truth past the base fixtures (stride 1 there):
+    // pairs whose SMALLER id hash-samples in — the left side is
+    // bounded by EmbedTruthCap rows, so broadcasting it keeps the
+    // corpus side streaming with no shuffle at any scale
+    val stride = TruthSample.strideFor(2L * base.count(), EmbedTruthCap)
+    val left =
+      if (stride == 1L) all
+      else all.filter(TruthSample.keep(col("vec_id"), "t_", stride))
+    broadcast(left).as("a")
       .join(all.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
@@ -71,13 +87,17 @@ object Similarity {
        |  SELECT vec_id, v FROM base
        |  UNION ALL
        |  SELECT vec_id + $VariantIdOffset, [v[1] + 0.5] || v[2:] FROM base),
+       |par AS (SELECT ${TruthSample.strideLadderSql("cnt", EmbedTruthCap)}
+       |    AS stride FROM (SELECT count(*) AS cnt FROM allv)),
+       |lefts AS (SELECT vec_id, v FROM allv CROSS JOIN par
+       |  WHERE ${TruthSample.duckKeepSql("vec_id", "t_", "stride")}),
        |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |    round(
        |      list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
        |      (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i]))) *
        |       sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))),
        |      6) AS cos_sim
-       |  FROM allv a JOIN allv b ON a.vec_id < b.vec_id)
+       |  FROM lefts a JOIN allv b ON a.vec_id < b.vec_id)
        |SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= $minSim
        |ORDER BY id_a, id_b""".stripMargin
 
@@ -142,6 +162,32 @@ object Similarity {
     (4 to 23).map(p => s"WHEN $cnt <= ${1L << p} THEN $p")
       .mkString("(CASE ", " ", " ELSE 24 END)")
 
+  /** Expected per-bucket occupancy the kNN ladder holds constant. */
+  val KnnTargetBucket = 32L
+
+  /** The kNN planes ladder: smallest p in [4, 24] with
+    * n <= [[KnnTargetBucket]] * 2^p. The near-dup ladder
+    * ([[planesFor]]) must track 2^p ~ n because its output is a PAIR
+    * join (candidate volume ~n²/2^p); a top-k search instead scans
+    * ~nQueries * (p+1) * n/2^p candidates, so the right invariant is
+    * constant bucket occupancy — each probe inspects O(TargetBucket)
+    * vectors and per-query work stays ~TargetBucket*(p+1) at every
+    * corpus size (sub-linear total), while p grows only as
+    * log2(n/TargetBucket), preserving multi-probe recall far better
+    * than the pair ladder would (radius-1 recall decays with p).
+    * Resolves to the historical fixed Planes=4 on the 500-vector
+    * fixture, so fixture results and QualitySpec recall floors are
+    * unchanged by adaptivity. Pure integer thresholds; the DuckDB
+    * twin ([[knnPlanesLadderSql]]) is bit-identical at every boundary.
+    */
+  def knnPlanesFor(n: Long): Int =
+    (4 to 24).find(p => n <= (KnnTargetBucket << p)).getOrElse(24)
+
+  /** SQL twin of [[knnPlanesFor]] over a column/expression `cnt`. */
+  def knnPlanesLadderSql(cnt: String): String =
+    (4 to 23).map(p => s"WHEN $cnt <= ${KnnTargetBucket << p} THEN $p")
+      .mkString("(CASE ", " ", " ELSE 24 END)")
+
   /** Deterministic random hyperplane p (0-based): component d in
     * [-1, 1), derived from md5("p_<p>_<d>") identically in both
     * engines; division by 2^30 is exact in binary.
@@ -155,11 +201,16 @@ object Similarity {
 
   /** Sign-projection bucket id over `planes` hyperplanes.
     *
-    * `planes` is THE scale knob of every sign-LSH consumer: candidate
-    * volume is ~n^2 * (planes+1) / 2^planes, so planes must track
-    * log2(n) for linear pair output (at the oracle fixtures it stays
-    * at [[Planes]] so the paired SQL is a fixed expression; ScaleSmoke
-    * measures the log-n setting on a 100k-vector corpus).
+    * `planes` is THE scale knob of every sign-LSH consumer. Pair
+    * scans (near-dup) need planes ~ log2(n) for linear output
+    * ([[planesFor]] — the 2000-vector bench fixture resolves to 10);
+    * top-k searches need constant bucket occupancy ([[knnPlanesFor]]
+    * — the 500-vector oracle fixture resolves to the historical
+    * [[Planes]]=4). Both ladders are statistics-adaptive with
+    * engine-paired SQL twins, and QualitySpec pins the recall
+    * trade-off each setting buys (more planes = fewer candidates =
+    * lower radius-1 multi-probe recall), so the choice is measured,
+    * not implied.
     */
   def lshBucket(v: Column, planes: Int = Planes): Column =
     (0 until planes).map { p =>
@@ -167,12 +218,18 @@ object Similarity {
     }.reduce(_ + _)
 
   /** Bucketed ANN: top-k neighbors per query (vec_id < nQueries)
-    * searched only within the query's LSH bucket.
+    * searched only within the query's LSH bucket. `planes <= 0` —
+    * the default — resolves adaptively from a plan-time corpus count
+    * via [[knnPlanesFor]] (the oracle computes the identical ladder
+    * as a SQL scalar subquery), so per-probe candidate work stays
+    * O([[KnnTargetBucket]]) at every corpus size.
     */
-  def knnLsh(emb: DataFrame, nQueries: Int = 50, k: Int = 3): DataFrame = {
+  def knnLsh(emb: DataFrame, nQueries: Int = 50, k: Int = 3,
+      planes: Int = 0): DataFrame = {
+    val p = if (planes > 0) planes else knnPlanesFor(emb.count())
     val all = emb
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("bucket", lshBucket(col("v")))
+      .withColumn("bucket", lshBucket(col("v"), p))
       .withColumn("nrm", norm(col("v")))
     val queries = all.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
@@ -200,13 +257,15 @@ object Similarity {
     * on the tiny broadcast query side only, so the corpus-side plan
     * is identical to single-probe).
     */
-  def knnLshProbe(emb: DataFrame, nQueries: Int = 50, k: Int = 3): DataFrame = {
+  def knnLshProbe(emb: DataFrame, nQueries: Int = 50, k: Int = 3,
+      planes: Int = 0): DataFrame = {
+    val p = if (planes > 0) planes else knnPlanesFor(emb.count())
     val all = emb
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("bucket", lshBucket(col("v")))
+      .withColumn("bucket", lshBucket(col("v"), p))
       .withColumn("nrm", norm(col("v")))
     val probeMasks = array((lit(0L) +:
-      (0 until Planes).map(p => lit(1L << p))): _*)
+      (0 until p).map(i => lit(1L << i))): _*)
     // buckets partition the corpus and probe targets are distinct, so
     // each (query, neighbor) pair matches via at most one probe — no
     // dedup needed downstream
@@ -1556,18 +1615,31 @@ object Similarity {
        |  ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
 
-  def knnLshOracle(nQueries: Int = 50, k: Int = 3): String = {
+  /** Conditional-bit bucket expression for the adaptive kNN oracles:
+    * term p contributes only when `p < planes`, so the STATIC SQL
+    * text evaluates the same data-dependent bucket the Spark side
+    * builds from its plan-time count (the embeddingNearDupLshOracle
+    * device).
+    */
+  private def knnCondBucketSql: String = {
     def dotPlane(p: Int): String =
       s"""list_sum(list_transform(range(1, 65), d -> v[d] *
          |      ((${H.duckHash30(s"'p_${p}_' || d::VARCHAR")} * 2 - 1073741824)::DOUBLE
          |        / 1073741824)))""".stripMargin
-    val bucket = (0 until Planes).map { p =>
-      s"CASE WHEN ${dotPlane(p)} > 0 THEN ${1L << p} ELSE 0 END"
+    (0 until 24).map { p =>
+      s"CASE WHEN $p < planes AND ${dotPlane(p)} > 0 " +
+        s"THEN ${1L << p} ELSE 0 END"
     }.mkString(" + ")
+  }
+
+  def knnLshOracle(nQueries: Int = 50, k: Int = 3): String =
     s"""WITH allv AS (SELECT vec_id,
        |    list_transform(embedding, x -> x::DOUBLE) AS v
        |  FROM embeddings),
-       |bucketed AS (SELECT vec_id, v, ($bucket)::BIGINT AS bucket FROM allv),
+       |par AS (SELECT ${knnPlanesLadderSql("cnt")} AS planes
+       |  FROM (SELECT count(*) AS cnt FROM allv)),
+       |bucketed AS (SELECT vec_id, v, ($knnCondBucketSql)::BIGINT AS bucket
+       |  FROM allv CROSS JOIN par),
        |q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
        |      FROM bucketed WHERE vec_id < $nQueries),
        |scored AS (SELECT query_id, vec_id AS neighbor_id,
@@ -1583,27 +1655,23 @@ object Similarity {
        |  FROM scored)
        |SELECT query_id, rn, neighbor_id, cos_sim FROM ranked WHERE rn <= $k
        |ORDER BY query_id, rn""".stripMargin
-  }
 
-  /** Shared CTE prefix for the multi-probe oracles: bucketed corpus +
-    * probe-expanded queries + the ranked candidate stream.
+  /** Shared CTE prefix for the multi-probe oracles: adaptive planes
+    * (the [[knnPlanesFor]] ladder as a scalar subquery), bucketed
+    * corpus, probe-expanded queries and the ranked candidate stream.
     */
-  private def probeRankedCtes(nQueries: Int): String = {
-    def dotPlane(p: Int): String =
-      s"""list_sum(list_transform(range(1, 65), d -> v[d] *
-         |      ((${H.duckHash30(s"'p_${p}_' || d::VARCHAR")} * 2 - 1073741824)::DOUBLE
-         |        / 1073741824)))""".stripMargin
-    val bucket = (0 until Planes).map { p =>
-      s"CASE WHEN ${dotPlane(p)} > 0 THEN ${1L << p} ELSE 0 END"
-    }.mkString(" + ")
+  private def probeRankedCtes(nQueries: Int): String =
     s"""allv AS (SELECT vec_id,
        |    list_transform(embedding, x -> x::DOUBLE) AS v
        |  FROM embeddings),
-       |bucketed AS (SELECT vec_id, v, ($bucket)::BIGINT AS bucket FROM allv),
+       |par AS (SELECT ${knnPlanesLadderSql("cnt")} AS planes
+       |  FROM (SELECT count(*) AS cnt FROM allv)),
+       |bucketed AS (SELECT vec_id, v, planes,
+       |    ($knnCondBucketSql)::BIGINT AS bucket
+       |  FROM allv CROSS JOIN par),
        |q AS (SELECT vec_id AS query_id, v AS qv,
-       |    unnest([bucket, ${(0 until Planes)
-                .map(p => s"xor(bucket, ${1L << p})").mkString(", ")}])
-       |      AS pbucket
+       |    unnest([bucket] || list_transform(range(0, planes),
+       |      p -> xor(bucket, (1::BIGINT << p)))) AS pbucket
        |  FROM bucketed WHERE vec_id < $nQueries),
        |scored AS (SELECT query_id, vec_id AS neighbor_id,
        |    round(
@@ -1616,7 +1684,6 @@ object Similarity {
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
        |  FROM scored)""".stripMargin
-  }
 
   def knnLshProbeOracle(nQueries: Int = 50, k: Int = 3): String =
     s"""WITH ${probeRankedCtes(nQueries)}

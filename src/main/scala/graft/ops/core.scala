@@ -93,6 +93,41 @@ object H {
     s"(${duckHash60(sqlExpr)} % 1073741824)"
 }
 
+/** Seeded subsampling for exact ground-truth baselines (round-10
+  * verdict #2). The exact all-pairs oracles (`ns_embed_neardup`, the
+  * simhash recall gate) are O(n²) by definition — correct as recall
+  * regression tests, a scale-killer as bench entries. Past the base
+  * fixture size they compute truth over a DETERMINISTIC hash-sampled
+  * id subset instead: the left (smaller-id) side keeps ids with
+  * `hash30(tag || id) % stride == 0`, where `stride` is the smallest
+  * power of two holding the sampled side at or under `cap` rows —
+  * resolved from a plan-time count exactly like the LSH planes
+  * ladders, with a bit-identical DuckDB twin, so both engines always
+  * sample the same rows. Work becomes O(cap · n) (linear), the base
+  * fixtures resolve to stride 1 (bit-identical to the unsampled
+  * history), and the measured recall stays an unbiased estimate
+  * because the sample is independent of the vectors' geometry (an
+  * md5 of the id, not of the data).
+  */
+object TruthSample {
+  def strideFor(n: Long, cap: Long): Long =
+    (0 to 20).map(1L << _).find(s => n <= cap * s).getOrElse(1L << 20)
+
+  /** SQL twin of [[strideFor]] over a count expression. */
+  def strideLadderSql(cnt: String, cap: Long): String =
+    (0 to 19).map(i => s"WHEN $cnt <= ${cap << i} THEN ${1L << i}")
+      .mkString("(CASE ", " ", s" ELSE ${1L << 20} END)")
+
+  /** Spark-side membership predicate for id column `id` (any integer
+    * type) under `stride`; [[duckKeepSql]] is its SQL twin.
+    */
+  def keep(id: Column, tag: String, stride: Long): Column =
+    pmod(H.hash30(concat(lit(tag), id.cast("string"))), lit(stride)) === 0
+
+  def duckKeepSql(idExpr: String, tag: String, strideExpr: String): String =
+    s"${H.duckHash30(s"'$tag' || $idExpr::VARCHAR")} % $strideExpr = 0"
+}
+
 /** Tokenization contract shared by the text operators and their
   * oracles.
   *

@@ -234,6 +234,35 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("morton key declares LongType inputs: int children cast at analysis, not CCE at runtime") {
+    // round-10 advisor: a raw MortonKey over non-long children used to
+    // compile the plan and ClassCastException in interpreted eval (or
+    // emit ill-typed Java). ExpectsInputTypes makes analysis insert
+    // the implicit cast, so INT/SMALLINT coordinates now evaluate
+    // identically to their explicit bigint casts on both eval paths.
+    import graft.functions.MortonKey
+    import org.apache.spark.sql.graftShims
+    val df = spark.range(0, 500, 3)
+      .selectExpr("cast(id AS int) AS xi", "cast(id * 31 AS int) AS yi")
+    val raw = graftShims.toColumn(MortonKey(
+      Seq(graftShims.toExpression(col("xi")),
+        graftShims.toExpression(col("yi"))), 16))
+    for (mode <- Seq("NO_CODEGEN", "CODEGEN_ONLY")) {
+      val key = "spark.sql.codegen.factoryMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, mode)
+      try {
+        val diff = df.select(raw.as("raw"),
+            Layout.zkeyN(Seq(col("xi"), col("yi")), 16).as("cast"))
+          .filter(!(col("raw") <=> col("cast"))).count()
+        assert(diff == 0, s"int-child morton mismatch under $mode")
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("property: codegen'd morton key == the select-shift Column tree") {
     // the codegen'd MortonKey replaced an O(bits*d)-node Column tree
     // on the clustered-write hot path; the tree stays as the

@@ -147,6 +147,49 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("TPC-H dims broadcast at fixture scale WITHOUT forced hints (AQE size gate)") {
+    // round-10 verdict #1: customer/supplier/part scale linearly, so
+    // their joins are unhinted — this pin proves the size-gated plan
+    // still broadcasts them at fixture SF (no silent SMJ regression)…
+    for (name <- Seq("q3_shipping_priority", "q8_market_share",
+        "q9_nation_profit", "q10_returned_revenue", "q18_large_orders",
+        "j2_left_join")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"), s"$name:\n" + p.take(2000))
+      assert(!p.contains("SortMergeJoin"), s"$name:\n" + p.take(2000))
+    }
+  }
+
+  test("TPC-H scaling tables are NOT force-broadcast (hint removed, threshold decides)") {
+    // …and this one proves the broadcast really is the threshold's
+    // choice: with the gate closed, the customer/supplier/part joins
+    // must fall back to shuffle joins. A forced broadcast() hint would
+    // keep them BroadcastHashJoin regardless — the 100 TB driver-OOM
+    // plan this guards against. (q8/q9 keep their bounded
+    // nation/region hints, which legitimately broadcast even here.)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "-1")
+    try {
+      for (name <- Seq("q3_shipping_priority", "q18_large_orders",
+          "j2_left_join")) {
+        val p = plan(name)
+        assert(!p.contains("BroadcastHashJoin"), s"$name:\n" + p.take(3000))
+      }
+      // these keep a bounded nation/region hint (still a BHJ even with
+      // the gate closed) — the scaling-table joins must show as SMJ
+      for (name <- Seq("q5_region_volume", "q8_market_share",
+          "q9_nation_profit", "q10_returned_revenue",
+          "q21_waiting_suppliers")) {
+        val p = plan(name)
+        assert(p.contains("SortMergeJoin"), s"$name:\n" + p.take(3000))
+      }
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("manifest reads keep parquet pushdown under the recorded schema; DV join broadcasts") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sf/documents.parquet")

@@ -52,6 +52,53 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("near-dup LSH keeps planted-variant recall at the ADAPTIVE planes setting") {
+    // round-10 advisor: the adaptive ladder resolves to more planes
+    // than the old fixed 4 on these fixtures, and more planes lowers
+    // radius-1 multiprobe recall of the planted variant pairs — a
+    // drop the ORACLE cannot see because it adapts in lockstep. Pin
+    // the trade-off here: of the planted (base, base+offset) variant
+    // pairs that truly clear cos >= 0.9 (exact all-pairs truth), the
+    // bucketed path must keep finding its measured share.
+    val exactVariant = Similarity.embeddingNearDup(emb, 0.9)
+      .filter(col("id_b") === col("id_a") + Similarity.VariantIdOffset)
+      .select("id_a", "id_b")
+    val lshFound = Similarity.embeddingNearDupLsh(emb, 0.9)
+      .select(col("id_a").as("fa"), col("id_b").as("fb"))
+    val nTrue = exactVariant.count()
+    val nHit = exactVariant.join(lshFound,
+      col("id_a") === col("fa") && col("id_b") === col("fb"), "left_semi")
+      .count()
+    val recall = nHit.toDouble / nTrue
+    // measured round 11: 0.4444 (16/36) at planesFor(200)=8 — vs
+    // ~0.72 the old fixed 4 planes bought; that loss is the price of
+    // the linear-at-scale candidate volume, now on the record
+    info(f"planted-variant recall at adaptive planes = $recall%.4f ($nHit/$nTrue)")
+    assert(nTrue > 0)
+    assert(recall >= 0.40,
+      f"adaptive-planes planted-variant recall regressed: $recall%.4f")
+  }
+
+  test("exact-truth sampling ladder: base fixtures resolve to stride 1, growth is log2") {
+    // TruthSample is what keeps ns_embed_neardup / the simhash recall
+    // gate linear past the base fixtures (round-10 verdict #2); these
+    // integer boundaries are the whole contract
+    assert(TruthSample.strideFor(200, Similarity.EmbedTruthCap) == 1)
+    assert(TruthSample.strideFor(800, Similarity.EmbedTruthCap) == 1)
+    assert(TruthSample.strideFor(1024, 1024) == 1)
+    assert(TruthSample.strideFor(1025, 1024) == 2)
+    assert(TruthSample.strideFor(8000, 1024) == 8)
+    assert(TruthSample.strideFor(80000, 1024) == 128)
+    assert(TruthSample.strideFor(500, Dedup.SimhashTruthCap) == 1)
+    assert(TruthSample.strideFor(Long.MaxValue / 4, 1024) == (1L << 20))
+    // stride 1 keeps EVERY id — the bit-identical-history guarantee
+    val ids = spark.range(0, 1000).select(col("id"))
+    assert(ids.filter(TruthSample.keep(col("id"), "t_", 1L)).count() == 1000)
+    // and a power-of-two stride keeps ~1/stride of ids (hash-uniform)
+    val kept = ids.filter(TruthSample.keep(col("id"), "t_", 8L)).count()
+    assert(kept > 60 && kept < 190, s"stride-8 kept $kept of 1000")
+  }
+
   test("the untrained codebook is the negative control the floors catch") {
     // knnPqRecall quantizes against an UNTRAINED (data-split) codebook —
     // exactly the recall-killing mutation this suite exists to catch.

@@ -108,6 +108,49 @@ class PlanJsonSpec extends SparkSpec {
     })
   }
 
+  test("property: A* plan length is optimal on RANDOM literal registries (round-11)") {
+    // the chain property above fixes the registry SHAPE; this one
+    // draws arbitrary literal-task DAGs (random in/out column sets,
+    // random sources) so a future heuristic change can't overfit the
+    // chain. Contract pinned exactly as documented on findPathAStar:
+    //  - reachability always agrees with BFS;
+    //  - A* can never beat exhaustive BFS (BFS is minimal);
+    //  - single-goal-set goals: h <= 1 is admissible -> length EQUAL;
+    //  - multi-set goals: one frame may cover several sets at once ->
+    //    at most (goalSets - 1) steps off minimal.
+    val cols = (0 until 6).map(i => s"c$i").toVector
+    val colGen = Gen.oneOf(cols)
+    val frameGen = Gen.choose(1, 2).flatMap(n =>
+      Gen.listOfN(n, colGen).map(_.distinct.toVector))
+    val taskGen = for {
+      ins <- frameGen
+      outs <- Gen.choose(1, 2).flatMap(n => Gen.listOfN(n, frameGen))
+    } yield (ins, outs.toVector)
+    val regGen = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, taskGen))
+    val goalGen = Gen.choose(1, 2).flatMap(n => Gen.listOfN(n, frameGen))
+    check(Prop.forAll(regGen, frameGen, goalGen) { (specs, src, goalSets) =>
+      val reg = TaskRegistry(specs.zipWithIndex.map { case ((ins, outs), i) =>
+        Task(s"t$i", Vector(Req.lit("x", ins: _*)), outs)(_ => Seq(null))
+      }.toVector)
+      val goal = goalSets.toVector
+      val (bfs, _) = Planner.findPathBfsCounted(reg, Vector(src), goal)
+      val (astar, _) = Planner.findPathAStarCounted(reg, Vector(src), goal)
+      val reachAgree = bfs.isDefined == astar.isDefined
+      val lengthOk = (bfs, astar) match {
+        case (Some(b), Some(a)) =>
+          a.length >= b.length &&
+            (if (goal.size == 1) a.length == b.length
+             else a.length <= b.length + goal.size - 1)
+        case _ => true
+      }
+      val goalOk = astar.forall { path =>
+        Planner.goalReached(
+          path.foldLeft(Planner.initial(Vector(src)))(Planner.apply), goal)
+      }
+      reachAgree && lengthOk && goalOk
+    })
+  }
+
   test("property: every satisfied binding actually matches its columns") {
     val varGen: Gen[Variable] = Gen.oneOf(
       nameGen.map(Lit(_)),

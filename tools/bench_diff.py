@@ -9,6 +9,16 @@ holds (BENCH_FULL.json / BENCH_r*.json; a git ref works via
 query sorted by regression (new/old descending), and flags rows past the
 threshold. Queries present in only one artifact are listed separately so
 surface growth is visible, not silently dropped.
+
+LOAD ADJUDICATION: artifacts carry `canary_s` — the median wall time of
+a constant-cost computation Bench times after warm-up, which moves only
+with machine load, never with the SF or the plans. When the two
+artifacts' canaries differ by more than --canary-slack (default 2x),
+per-query flags are NOT comparable plan-to-plan (one run was starved for
+CPU): the diff still prints, but regressions are reported as
+LOAD-SKEWED and the exit code stays 0 so a loaded-box artifact can't
+fail a gate the way round-10's 94s-vs-75s confusion did. Artifacts
+predating the canary field diff exactly as before.
 """
 import argparse
 import json
@@ -37,10 +47,24 @@ def main():
     ap.add_argument("new")
     ap.add_argument("--threshold", type=float, default=1.5,
                     help="flag ratios above this (and below 1/this)")
+    ap.add_argument("--canary-slack", type=float, default=2.0,
+                    help="max canary_s ratio before declaring the diff "
+                         "load-skewed (flags become advisory, exit 0)")
     args = ap.parse_args()
 
     old, new = load(args.old), load(args.new)
     oq, nq = old["queries"], new["queries"]
+
+    canary_old, canary_new = old.get("canary_s"), new.get("canary_s")
+    load_skewed = False
+    if canary_old and canary_new:
+        c_ratio = max(canary_new / canary_old, canary_old / canary_new)
+        load_skewed = c_ratio > args.canary_slack
+        print(f"canary: {canary_old:.3f}s -> {canary_new:.3f}s "
+              f"(x{c_ratio:.2f}{' — LOAD-SKEWED, flags advisory' if load_skewed else ''})")
+    elif canary_old or canary_new:
+        print("canary: present in only one artifact (pre-canary baseline); "
+              "flags assume comparable load")
 
     def ratio(q):
         # old == 0 carries no timing information (a sub-ms or unrecorded
@@ -79,6 +103,11 @@ def main():
         print(f"added ({len(only_new)}, {tot:.1f}s): {', '.join(only_new)}")
     n_reg = sum(1 for q in shared
                 if ratio(q) is not None and ratio(q) >= args.threshold)
+    if load_skewed and n_reg:
+        print(f"regressions past {args.threshold}x: {n_reg} "
+              f"(LOAD-SKEWED canaries — not adjudicated as plan "
+              f"regressions; rerun on an idle box)")
+        return 0
     print(f"regressions past {args.threshold}x: {n_reg}")
     return 1 if n_reg else 0
 
