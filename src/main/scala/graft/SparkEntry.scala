@@ -40,7 +40,8 @@ object SparkEntry {
     */
   private def ivfIndexDir(tag: String, dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft-ivf-$tag-" +
-      s"l${Similarity.LloydRounds}t${Similarity.TrainSample}-" +
+      s"l${Similarity.LloydRounds}t${Similarity.TrainSample}" +
+      s"q${Similarity.QuantizerVersion}-" +
       java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
@@ -1309,6 +1310,20 @@ object SparkEntry {
     // Recall@k of multi-probe LSH vs the exact brute-force ranking.
     q("ns_knn_recall", Similarity.knnLshRecallOracle(50, 3)) {
       (s, dir) => Similarity.knnLshRecall(T(s, dir, "embeddings"), 50, 3)
+    },
+
+    // Multi-table LSH ANN: L independent salted hash tables, candidate
+    // union — the recall-at-scale device (multiprobe recall decays as
+    // planes grow with the corpus; L tables hold P(miss)=(1-p)^L at a
+    // constant L·bucket candidate budget).
+    q("ns_knn_lsh_tables", Similarity.knnLshTablesOracle(50, 3, 4)) {
+      (s, dir) => Similarity.knnLshTables(T(s, dir, "embeddings"), 50, 3, 4)
+    },
+
+    // Recall@k of the 4-table search vs the exact ranking.
+    q("ns_knn_tables_recall", Similarity.knnLshTablesRecallOracle(50, 3, 4)) {
+      (s, dir) =>
+        Similarity.knnLshTablesRecall(T(s, dir, "embeddings"), 50, 3, 4)
     },
 
     // Recall@k of IVF (nprobe cells) vs the exact ranking.

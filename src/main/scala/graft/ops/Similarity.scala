@@ -26,7 +26,7 @@ object Similarity {
   val VariantIdOffset = 1000000L
 
   /** Cast a float embedding to double for deterministic arithmetic. */
-  private def asDouble(e: Column): Column = transform(e, x => x.cast("double"))
+  private[ops] def asDouble(e: Column): Column = transform(e, x => x.cast("double"))
 
   /** Codegen'd custom expression (graft.functions.DotProduct): the
     * higher-order `aggregate(zip_with(...))` formulation is
@@ -36,7 +36,7 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.dot_product(a, b)
 
-  private def norm(a: Column): Column = sqrt(dot(a, a))
+  private[ops] def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -192,12 +192,27 @@ object Similarity {
     * [-1, 1), derived from md5("p_<p>_<d>") identically in both
     * engines; division by 2^30 is exact in binary.
     */
-  private def planeComponent(p: Int, d: Column): Column =
-    ((H.hash30(concat(lit(s"p_${p}_"), d.cast("string"))) * 2 -
-      lit(1073741824L)).cast("double") / lit(1073741824.0))
+  private def planeComponent(p: Int, d: Int, salt: String = ""): Double = {
+    val h60 = graft.functions.Md5Prefix60
+      .fromBytes(s"${salt}p_${p}_$d".getBytes("UTF-8"))
+    ((h60 % 1073741824L) * 2 - 1073741824L).toDouble / 1073741824.0
+  }
 
-  private def planeVec(p: Int): Column =
-    transform(sequence(lit(1), lit(64)), d => planeComponent(p, d))
+  /** Plane p as a LITERAL array column, hashed once on the driver
+    * (same md5-prefix integer arithmetic as [[H.hash30]], so the
+    * values are bit-identical to the oracle's in-SQL derivation —
+    * division by 2^30 is exact in binary). The earlier formulation
+    * — `transform(sequence(1,64), d => hash30(...))` — looked
+    * constant but was NOT constant-folded (Catalyst never folds
+    * under a higher-order lambda), so every ROW recomputed 64 md5
+    * digests per plane: at the 200k-vector corpus with the 13-plane
+    * ladder that was ~166M digests per table and the dominant cost
+    * of every sign-LSH scan (measured at mult=100: knnLsh
+    * 18.6 s -> 3.7 s, knnLshTables(4) 71.4 s -> 4.0 s, knnLshProbe
+    * 18.5 s -> 1.2 s, embeddingNearDupLsh 19.3 s -> 4.3 s).
+    */
+  private def planeVec(p: Int, salt: String = ""): Column =
+    typedLit((1 to 64).map(d => planeComponent(p, d, salt)))
 
   /** Sign-projection bucket id over `planes` hyperplanes.
     *
@@ -212,9 +227,9 @@ object Similarity {
     * lower radius-1 multi-probe recall), so the choice is measured,
     * not implied.
     */
-  def lshBucket(v: Column, planes: Int = Planes): Column =
+  def lshBucket(v: Column, planes: Int = Planes, salt: String = ""): Column =
     (0 until planes).map { p =>
-      when(dot(v, planeVec(p)) > 0, lit(1L << p)).otherwise(lit(0L))
+      when(dot(v, planeVec(p, salt)) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Bucketed ANN: top-k neighbors per query (vec_id < nQueries)
@@ -298,6 +313,69 @@ object Similarity {
     val exact = knnBruteForce(emb, nQueries, k)
       .select(col("query_id"), col("neighbor_id"))
     val approx = knnLshProbe(emb, nQueries, k)
+      .select(col("query_id").as("aq"), col("neighbor_id").as("hit_id"))
+    exact.join(approx,
+        col("query_id") === col("aq") && col("neighbor_id") === col("hit_id"),
+        "left")
+      .groupBy("query_id")
+      .agg(round(count(col("hit_id")) / lit(k.toDouble), 4).as("recall"))
+      .orderBy("query_id")
+  }
+
+  /** Multi-table bucketed ANN: `tables` INDEPENDENT sign-LSH hash
+    * tables (each its own salted hyperplane set, each sized by the
+    * [[knnPlanesFor]] ladder), a query's candidates being the union
+    * of its bucket in every table. This is the standard
+    * recall-at-scale device the single-table searches can't offer:
+    * multiprobe recall decays as planes grow with the corpus
+    * (P(<=1 flip of p) falls with p), while L independent tables hold
+    * P(miss) = (1 - P(collide))^L at ANY corpus size for a constant
+    * L·[[KnnTargetBucket]] candidate budget per query.
+    *
+    * Plan shape: per table, one broadcast of the (tiny) query side
+    * and one map-only broadcast-hash join of the corpus on bucket
+    * equality — the corpus never shuffles for candidate generation;
+    * the only exchanges are the dedup/rank over the bounded candidate
+    * stream. A pair colliding in several tables scores identically in
+    * each (same rounded cosine), so the dedup `max` is
+    * order-independent and oracle-reproducible.
+    */
+  def knnLshTables(emb: DataFrame, nQueries: Int = 50, k: Int = 3,
+      tables: Int = 4, planes: Int = 0): DataFrame = {
+    val p = if (planes > 0) planes else knnPlanesFor(emb.count())
+    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val cands = (0 until tables).map { t =>
+      val all = base.withColumn("bucket", lshBucket(col("v"), p, s"t${t}_"))
+      val queries = all.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("bucket").as("qbucket"), col("nrm").as("qnrm"))
+      broadcast(queries)
+        .join(all, col("qbucket") === col("bucket") &&
+          col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6)
+            .as("cos_sim"))
+    }.reduce(_ unionByName _)
+    val dedup = cands.groupBy("query_id", "neighbor_id")
+      .agg(max(col("cos_sim")).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    dedup.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("neighbor_id"), col("cos_sim"))
+      .orderBy("query_id", "rn")
+  }
+
+  /** Recall@k of the multi-table search against the exact brute-force
+    * ranking — the measurement that justifies the L-table candidate
+    * budget (QualitySpec pins its floor next to the multiprobe one).
+    */
+  def knnLshTablesRecall(emb: DataFrame, nQueries: Int = 50, k: Int = 3,
+      tables: Int = 4): DataFrame = {
+    val exact = knnBruteForce(emb, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = knnLshTables(emb, nQueries, k, tables)
       .select(col("query_id").as("aq"), col("neighbor_id").as("hit_id"))
     exact.join(approx,
         col("query_id") === col("aq") && col("neighbor_id") === col("hit_id"),
@@ -404,10 +482,12 @@ object Similarity {
 
   // ----------------------------------------------------------- IVF ANN
 
-  /** Every `CentroidStride`-th vector seeds a coarse centroid; the
-    * quantizer is then refined with [[LloydRounds]] Lloyd iterations
-    * (see [[trainedCents]]) — deterministic end to end, so both
-    * engines derive identical cells.
+  /** Fixture-scale centroid stride (every `CentroidStride`-th vector
+    * seeds a coarse centroid; the quantizer is then refined with
+    * [[LloydRounds]] Lloyd iterations, see [[trainedCents]] —
+    * deterministic end to end, so both engines derive identical
+    * cells). Past 1024 training vectors the stride adapts via
+    * [[ivfStrideFor]].
     */
   val CentroidStride = 40L
 
@@ -416,6 +496,41 @@ object Similarity {
     * at nprobe=2 from 0.32 to 0.43 (PLANS.md, round 5).
     */
   val LloydRounds = 1
+
+  /** Adaptive centroid stride: the smallest power-of-two s with
+    * n <= s², floored at [[CentroidStride]] — i.e. cells grow as
+    * ~sqrt(n), the standard IVF sizing. Round-11 measurement
+    * (IvfProfile, 200k vectors): the FIXED stride 40 put 5,000 cells
+    * on the quantizer, and the build paid 16 s training (train x C
+    * cross join), ~20 s n x C assignment, and a 40 s 5,000-directory
+    * partitioned write — 56 s end to end, all three terms linear in
+    * C. The sqrt ladder resolves 512 there (390 cells), cutting every
+    * term ~13x; probe cost stays O(n·nprobe/C) per query and recall
+    * at fixed nprobe RISES (each probed cell covers more corpus).
+    * Base fixtures (n <= 1024) resolve to the historical 40, so
+    * fixture results and QualitySpec floors are unchanged. Pure
+    * integer thresholds; [[ivfStrideLadderSql]] is the bit-identical
+    * DuckDB twin, resolved over the same corpus the quantizer trains
+    * on.
+    */
+  def ivfStrideFor(n: Long): Long =
+    if (n <= 1024) CentroidStride
+    else (6 to 14).find(k => n <= (1L << (2 * k))).map(1L << _)
+      .getOrElse(1L << 15)
+
+  /** SQL twin of [[ivfStrideFor]] over a count expression. */
+  def ivfStrideLadderSql(cnt: String): String =
+    s"(CASE WHEN $cnt <= 1024 THEN $CentroidStride " +
+      (6 to 14).map(k => s"WHEN $cnt <= ${1L << (2 * k)} THEN ${1L << k}")
+        .mkString(" ") +
+      s" ELSE ${1L << 15} END)"
+
+  /** Version tag of the quantizer-sizing policy, embedded in
+    * persisted-index scratch paths so a policy change invalidates
+    * indexes built under the old one (round-11: fixed stride ->
+    * sqrt ladder).
+    */
+  val QuantizerVersion = 2
 
   /** Fixed-point scale for the Lloyd centroid mean: components are
     * quantized to round(x * FixPoint) longs and SUMMED AS INTEGERS,
@@ -470,9 +585,14 @@ object Similarity {
     * chain drops it too).
     */
   private[ops] def trainedCents(all: DataFrame,
-      stride: Long = CentroidStride,
+      stride: Long = 0L,
       trainSample: Int = TrainSample): DataFrame = {
-    var cents = all.filter(col("vec_id") % stride === 0)
+    // stride <= 0 -> ADAPTIVE: the sqrt ladder on the training corpus
+    // size, resolved as one plan-time count — the same
+    // statistics-driven device as the LSH planes ladders, mirrored by
+    // the oracle's scalar-subquery ladder over its trainFrom CTE
+    val s = if (stride > 0) stride else ivfStrideFor(all.count())
+    var cents = all.filter(col("vec_id") % s === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"),
         col("nrm").as("cnrm"))
     val train = all
@@ -557,7 +677,7 @@ object Similarity {
     val all = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
     val centArr = collectCents(
-      trainedCents(all, CentroidStride, trainSample))
+      trainedCents(all, 0L, trainSample))
     val assigned = assignCells(all, centArr)
     val cents = centsDf(emb.sparkSession, centArr)
     val qscored = all.filter(col("vec_id") < nQueries)
@@ -645,8 +765,11 @@ object Similarity {
          |  FROM upd_$r GROUP BY cell),""".stripMargin
     }.mkString("\n")
     s"""$allvCte,
-       |cents_0 AS (SELECT vec_id AS cid, v AS cv FROM $trainFrom
-       |          WHERE vec_id % $CentroidStride = 0),
+       |spar AS (SELECT ${ivfStrideLadderSql("cnt")} AS cstride
+       |  FROM (SELECT count(*) AS cnt FROM $trainFrom)),
+       |cents_0 AS (SELECT vec_id AS cid, v AS cv
+       |          FROM $trainFrom CROSS JOIN spar
+       |          WHERE vec_id % cstride = 0),
        |train AS (SELECT vec_id, v FROM $trainFrom
        |          ORDER BY ${H.duckHash30("'tr_' || vec_id::VARCHAR")},
        |            vec_id LIMIT $trainSample),
@@ -749,7 +872,7 @@ object Similarity {
     * [[TrainPerCell]] x expected cells.
     */
   def ivfBuild(emb: DataFrame, dir: String,
-      stride: Long = CentroidStride,
+      stride: Long = 0L,
       trainSample: Int = TrainSample): Unit = {
     val all = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
@@ -936,7 +1059,8 @@ object Similarity {
   // ------------------------------------------------------------ PQ ANN
 
   /** Product-quantization geometry: 64 dims = [[PqSubspaces]] x
-    * [[PqSubDim]]; every [[PqStride]]-th vector seeds one codebook
+    * [[PqSubDim]]; every [[PqStride]]-th vector (fixture scale; the
+    * [[pqStrideFor]] ladder past 4,096 vectors) seeds one codebook
     * entry per subspace (deterministic, engine-reproducible). A coded
     * vector is [[PqSubspaces]] small ids instead of 64 floats — with
     * a 256-entry codebook that is 8 bytes/vector, 32x smaller than
@@ -946,6 +1070,33 @@ object Similarity {
   val PqSubspaces = 8
   val PqSubDim = 8
   val PqStride = 25L
+
+  /** Codes per subspace the adaptive PQ stride holds the codebook at
+    * — the classic 8-bit PQ size.
+    */
+  val PqTargetCodes = 256L
+
+  /** Adaptive PQ codebook stride: the fixed [[PqStride]] lets the
+    * codebook grow as n/25 (8,000 codes per subspace at the
+    * 200k-vector spot corpus — 1e11 flops to encode, 130 s, and no
+    * longer an 8-bit code), so past 4,096 vectors the stride becomes
+    * the smallest power of two keeping the codebook at or under
+    * [[PqTargetCodes]] codes per subspace. Base fixtures (n <= 4096)
+    * resolve to the historical 25, so fixture results and QualitySpec
+    * floors are unchanged. [[pqStrideLadderSql]] is the bit-identical
+    * DuckDB twin over the same corpus count.
+    */
+  def pqStrideFor(n: Long): Long =
+    if (n <= 4096) PqStride
+    else (5 to 20).find(k => n <= (PqTargetCodes << k)).map(1L << _)
+      .getOrElse(1L << 20)
+
+  /** SQL twin of [[pqStrideFor]] over a count expression. */
+  def pqStrideLadderSql(cnt: String): String =
+    s"(CASE WHEN $cnt <= 4096 THEN $PqStride " +
+      (5 to 20).map(k => s"WHEN $cnt <= ${PqTargetCodes << k} THEN ${1L << k}")
+        .mkString(" ") +
+      s" ELSE ${1L << 20} END)"
 
   /** Fixed-point scale for ADC lookup-table entries: per-subspace
     * distances are quantized to `round(d * PqFix)` longs so the
@@ -962,9 +1113,12 @@ object Similarity {
     * quantizer) while the fixture default keeps the oracle's exact
     * geometry.
     */
-  private def pqCodebook(all: DataFrame, stride: Long = PqStride)
+  private def pqCodebook(all: DataFrame, stride: Long = 0L)
       : (Array[Array[Long]], Array[Array[Array[Double]]]) = {
-    val seeds = all.filter(col("vec_id") % stride === 0)
+    // stride <= 0 -> ADAPTIVE via the pqStrideFor ladder (plan-time
+    // count; oracle twin is a scalar-subquery ladder over allv)
+    val st = if (stride > 0) stride else pqStrideFor(all.count())
+    val seeds = all.filter(col("vec_id") % st === 0)
       .select(col("vec_id"), col("v")).orderBy("vec_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val idRow = seeds.map(_._1)
@@ -995,11 +1149,12 @@ object Similarity {
     * subspace only, which is why the codebook ids are per subspace.
     */
   private[ops] def pqTrainedCodebook(all: DataFrame,
-      stride: Long = PqStride, trainSample: Int = TrainSample)
+      stride: Long = 0L, trainSample: Int = TrainSample)
       : (Array[Array[Long]], Array[Array[Array[Double]]]) = {
+    val st = if (stride > 0) stride else pqStrideFor(all.count())
     val subvecs = transform(sequence(lit(0), lit(PqSubspaces - 1)),
       s => slice(col("v"), s * PqSubDim + 1, lit(PqSubDim)))
-    var cents = all.filter(col("vec_id") % stride === 0)
+    var cents = all.filter(col("vec_id") % st === 0)
       .select(col("vec_id").as("cid"),
         posexplode(subvecs).as(Seq("sub", "cv")))
     val train = all
@@ -1102,9 +1257,11 @@ object Similarity {
 
   /** Stride-seeded codebook CTE: defines `cents(cid, sub, cv)`. */
   private def pqStrideCentsCte: String =
-    s"""cents AS (SELECT vec_id AS cid, sub,
+    s"""ppar AS (SELECT ${pqStrideLadderSql("cnt")} AS pstride
+       |  FROM (SELECT count(*) AS cnt FROM allv)),
+       |cents AS (SELECT vec_id AS cid, sub,
        |    v[sub * $PqSubDim + 1 : sub * $PqSubDim + $PqSubDim] AS cv
-       |  FROM allv, subs WHERE vec_id % $PqStride = 0)""".stripMargin
+       |  FROM allv, subs CROSS JOIN ppar WHERE vec_id % pstride = 0)""".stripMargin
 
   /** Trained-codebook CTE chain, mirroring [[pqTrainedCodebook]]:
     * stride seeds, hash-smallest training sample, one per-subspace
@@ -1134,9 +1291,11 @@ object Similarity {
          |    list(s::DOUBLE / (n * $FixPoint.0) ORDER BY dim) AS cv
          |  FROM pupd_$r GROUP BY cell, sub)""".stripMargin
     }.mkString(",\n")
-    s"""pcents_0 AS (SELECT vec_id AS cid, sub,
+    s"""ppar AS (SELECT ${pqStrideLadderSql("cnt")} AS pstride
+       |  FROM (SELECT count(*) AS cnt FROM allv)),
+       |pcents_0 AS (SELECT vec_id AS cid, sub,
        |    v[sub * $PqSubDim + 1 : sub * $PqSubDim + $PqSubDim] AS cv
-       |  FROM allv, subs WHERE vec_id % $PqStride = 0),
+       |  FROM allv, subs CROSS JOIN ppar WHERE vec_id % pstride = 0),
        |ptrain AS (SELECT vec_id, sub,
        |    v[sub * $PqSubDim + 1 : sub * $PqSubDim + $PqSubDim] AS sv
        |  FROM (SELECT vec_id, v FROM allv
@@ -1386,9 +1545,11 @@ object Similarity {
        |        ORDER BY ccos DESC, cid ASC) AS rn
        |    FROM scored WHERE vec_id < $nQueries) WHERE rn <= $nprobe),
        |subs AS (SELECT unnest(range(0, $PqSubspaces)) AS sub),
+       |ppar AS (SELECT ${pqStrideLadderSql("cnt")} AS pstride
+       |  FROM (SELECT count(*) AS cnt FROM allv)),
        |pqcents AS (SELECT vec_id AS cid, sub,
        |    v[sub * $PqSubDim + 1 : sub * $PqSubDim + $PqSubDim] AS cv
-       |  FROM allv, subs WHERE vec_id % $PqStride = 0),
+       |  FROM allv, subs CROSS JOIN ppar WHERE vec_id % pstride = 0),
        |codes AS (SELECT vec_id, sub, cid AS code FROM (
        |    SELECT a.vec_id, c.sub, c.cid,
        |      row_number() OVER (PARTITION BY a.vec_id, c.sub
@@ -1438,9 +1599,9 @@ object Similarity {
     * shortlist rows.
     */
   def ivfBuildPq(emb: DataFrame, dir: String,
-      stride: Long = CentroidStride,
+      stride: Long = 0L,
       trainSample: Int = TrainSample,
-      pqStride: Long = PqStride): Unit = {
+      pqStride: Long = 0L): Unit = {
     val all = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
     val centArr = collectCents(trainedCents(all, stride, trainSample))
@@ -1621,16 +1782,85 @@ object Similarity {
     * builds from its plan-time count (the embeddingNearDupLshOracle
     * device).
     */
-  private def knnCondBucketSql: String = {
+  private def knnCondBucketSql: String = knnCondBucketSqlSalted("")
+
+  private def knnCondBucketSqlSalted(salt: String): String = {
     def dotPlane(p: Int): String =
       s"""list_sum(list_transform(range(1, 65), d -> v[d] *
-         |      ((${H.duckHash30(s"'p_${p}_' || d::VARCHAR")} * 2 - 1073741824)::DOUBLE
+         |      ((${H.duckHash30(s"'${salt}p_${p}_' || d::VARCHAR")} * 2 - 1073741824)::DOUBLE
          |        / 1073741824)))""".stripMargin
     (0 until 24).map { p =>
       s"CASE WHEN $p < planes AND ${dotPlane(p)} > 0 " +
         s"THEN ${1L << p} ELSE 0 END"
     }.mkString(" + ")
   }
+
+  /** Shared CTE prefix for the multi-table oracles: adaptive planes +
+    * one salted conditional-bit bucket column per table, then the
+    * per-table self-joins unioned and deduped exactly like
+    * [[knnLshTables]].
+    */
+  private def tablesDedupCtes(nQueries: Int, tables: Int): String = {
+    val bucketCols = (0 until tables).map(t =>
+      s"(${knnCondBucketSqlSalted(s"t${t}_")})::BIGINT AS bucket_$t")
+      .mkString(",\n|    ")
+    val perTable = (0 until tables).map { t =>
+      s"""SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |      round(
+         |        list_sum(list_transform(range(1, 65), i -> q.v[i] * a.v[i])) /
+         |        (sqrt(list_sum(list_transform(range(1, 65), i -> q.v[i] * q.v[i]))) *
+         |         sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i])))),
+         |        6) AS cos_sim
+         |    FROM bucketed q JOIN bucketed a
+         |      ON q.bucket_$t = a.bucket_$t AND q.vec_id <> a.vec_id
+         |    WHERE q.vec_id < $nQueries""".stripMargin
+    }.mkString("\n|    UNION ALL\n|    ")
+    s"""allv AS (SELECT vec_id,
+       |    list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |par AS (SELECT ${knnPlanesLadderSql("cnt")} AS planes
+       |  FROM (SELECT count(*) AS cnt FROM allv)),
+       |bucketed AS (SELECT vec_id, v,
+       |    $bucketCols
+       |  FROM allv CROSS JOIN par),
+       |cand AS ($perTable),
+       |dedup AS (SELECT query_id, neighbor_id, max(cos_sim) AS cos_sim
+       |  FROM cand GROUP BY query_id, neighbor_id),
+       |ranked AS (SELECT query_id, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+       |  FROM dedup)""".stripMargin
+  }
+
+  def knnLshTablesOracle(nQueries: Int = 50, k: Int = 3,
+      tables: Int = 4): String =
+    s"""WITH ${tablesDedupCtes(nQueries, tables)}
+       |SELECT query_id, rn, neighbor_id, cos_sim FROM ranked WHERE rn <= $k
+       |ORDER BY query_id, rn""".stripMargin
+
+  def knnLshTablesRecallOracle(nQueries: Int = 50, k: Int = 3,
+      tables: Int = 4): String =
+    s"""WITH ${tablesDedupCtes(nQueries, tables)},
+       |tbl_topk AS (SELECT query_id, neighbor_id FROM ranked WHERE rn <= $k),
+       |exact_scored AS (SELECT a.query_id, vec_id AS neighbor_id,
+       |    round(
+       |      list_sum(list_transform(range(1, 65), i -> qv[i] * v[i])) /
+       |      (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i]))) *
+       |       sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))),
+       |      6) AS cos_sim
+       |  FROM (SELECT vec_id AS query_id, v AS qv FROM allv
+       |        WHERE vec_id < $nQueries) a
+       |  JOIN allv ON query_id <> vec_id),
+       |exact_topk AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+       |    FROM exact_scored) WHERE rn <= $k)
+       |SELECT e.query_id,
+       |  round(count(p.neighbor_id) / $k.0, 4) AS recall
+       |FROM exact_topk e LEFT JOIN tbl_topk p
+       |  ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
 
   def knnLshOracle(nQueries: Int = 50, k: Int = 3): String =
     s"""WITH allv AS (SELECT vec_id,

@@ -38,6 +38,12 @@ class QualitySpec extends SparkSpec {
   test("ANN recall floors: every shipped approximate search clears its bar") {
     val measured = Seq(
       ("lsh_probe", meanRecall(Similarity.knnLshRecall(emb, 50, 3)), 0.40),
+      // 4 tables x ~31-vector buckets = ~124 candidates/query vs
+      // multiprobe's 155 at this fixture (p=4), so fixture recall sits
+      // just below it (0.3800 measured round 11) — the tables path
+      // earns its keep at corpus scale, where multiprobe's radius-1
+      // recall decays with the ladder's p and L tables do not
+      ("lsh_tables", meanRecall(Similarity.knnLshTablesRecall(emb, 50, 3, 4)), 0.33),
       ("ivf", meanRecall(Similarity.knnIvfRecall(emb, 50, 3, 2)), 0.35),
       ("ivfpq", meanRecall(Similarity.knnIvfPqRecall(emb, 50, 3, 2, 32)), 0.30),
       ("pq_trained",
