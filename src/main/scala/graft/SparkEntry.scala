@@ -1194,7 +1194,8 @@ object SparkEntry {
       """WITH b AS (SELECT doc_id, text FROM documents
         |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
         |SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
-        |FROM b GROUP BY md5(text) ORDER BY canonical_id""".stripMargin) {
+        |FROM b GROUP BY ('0x' || substr(md5(text), 1, 15))::BIGINT
+        |ORDER BY canonical_id""".stripMargin) {
       (s, dir) => graft.planner.Library.plannedDedup(T(s, dir, "documents"))
     },
 
@@ -1205,7 +1206,8 @@ object SparkEntry {
       """WITH b AS (SELECT doc_id, text FROM documents
         |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
         |SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
-        |FROM b GROUP BY md5(text) ORDER BY canonical_id""".stripMargin) {
+        |FROM b GROUP BY ('0x' || substr(md5(text), 1, 15))::BIGINT
+        |ORDER BY canonical_id""".stripMargin) {
       (s, dir) => Dedup.exactDedup(T(s, dir, "documents"))
     },
 

@@ -162,12 +162,23 @@ case class Md5Prefix60(child: Expression)
 }
 
 object Md5Prefix60 {
+  /** One digest instance per executor thread: `DigestUtils.md5`
+    * runs `MessageDigest.getInstance("MD5")` per CALL — a synchronized
+    * security-provider lookup plus an allocation — and this is the
+    * single hottest function in the engine (every shingle of every
+    * document on every minhash/simhash path lands here; ~85M calls in
+    * one sf10 dedup query). `digest()` leaves the instance reset, so
+    * reuse is safe.
+    */
+  private val tlMd = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
   /** 60-bit big-endian prefix of the md5 digest: 7 full bytes plus
     * the high nibble of byte 8 — exactly the value of the first 15
     * hex characters parsed base-16.
     */
   def fromBytes(bytes: Array[Byte]): Long = {
-    val d = org.apache.commons.codec.digest.DigestUtils.md5(bytes)
+    val d = tlMd.get().digest(bytes)
     var v = 0L
     var i = 0
     while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }

@@ -67,14 +67,19 @@ object Dedup {
     * distinct text. Fixture: an exact copy of every doc at
     * id + 1_000_000, so every group has >= 2 members.
     * At scale this is the standard hash-groupBy — map-side combine,
-    * shuffle O(#distinct texts); hash the content (md5) instead of
-    * grouping raw text so shuffle keys are fixed-width.
+    * shuffle O(#distinct texts); hash the content instead of grouping
+    * raw text so shuffle keys are fixed-width. The key is the 60-bit
+    * md5 prefix ([[H.hash60]]) rather than the 32-char md5 hex: an
+    * 8-byte long shuffles 5x fewer key bytes and skips the per-row
+    * hex-string materialization, and the oracle twin derives the SAME
+    * key (substr of DuckDB's md5), so even a prefix collision — odds
+    * ~n²/2^61 — would alter both engines identically.
     */
   def exactDedup(docs: DataFrame): DataFrame = {
     val both = docs.select(col("doc_id"), col("text"))
       .unionByName(docs.select((col("doc_id") + VariantIdOffset).as("doc_id"),
         col("text")))
-    both.groupBy(md5(col("text")).as("content_hash"))
+    both.groupBy(H.hash60(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
       .select("canonical_id", "n_copies")
       .orderBy("canonical_id")
@@ -630,7 +635,7 @@ object Dedup {
           s"i -> concat_ws(' ', slice(toks, i*$chunkTokens + 1, $chunkTokens)))"))
         .as(Seq("chunk_idx", "chunk")))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(col("chunk")))
+      .partitionBy(H.hash60(col("chunk")))
       .orderBy(col("doc_id").asc, col("chunk_idx").asc)
     chunks
       .withColumn("rn", row_number().over(w))
@@ -651,7 +656,7 @@ object Dedup {
        |      AS chunk
        |  FROM t, unnest(range(0, (len(toks)-1)//$chunkTokens + 1)) AS u(i)),
        |ranked AS (SELECT doc_id, chunk_idx,
-       |    row_number() OVER (PARTITION BY md5(chunk)
+       |    row_number() OVER (PARTITION BY ${H.duckHash60("chunk")}
        |      ORDER BY doc_id, chunk_idx) AS rn
        |  FROM chunks)
        |SELECT doc_id, count(*) AS n_chunks,
@@ -676,7 +681,8 @@ object Dedup {
     *
     * Scale posture: O(tokens) window rows, one map-side-combinable
     * count per hash, one broadcast-or-shuffle join back (AQE
-    * decides), one per-doc rollup. Fixed-width md5 keys; nothing
+    * decides), one per-doc rollup. Fixed-width 8-byte hash keys
+    * ([[H.hash60]], oracle-mirrored md5 prefix); nothing
     * quadratic anywhere.
     */
   def spanDedup(docs: DataFrame, spanTokens: Int = SpanTokens): DataFrame = {
@@ -689,7 +695,7 @@ object Dedup {
         .select((col("doc_id") + VariantIdOffset).as("doc_id"),
           slice(col("toks"), lit(2), size(col("toks")) - 1).as("toks")))
     val windows = both.select(col("doc_id"),
-      explode(transform(shingles(col("toks"), spanTokens), s => md5(s)))
+      explode(transform(shingles(col("toks"), spanTokens), s => H.hash60(s)))
         .as("h"))
     val dupHashes = windows.groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("h")
@@ -711,7 +717,7 @@ object Dedup {
        |  UNION ALL
        |  SELECT doc_id + $VariantIdOffset, toks[2:] FROM base
        |  WHERE len(toks) > $spanTokens),
-       |w AS (SELECT doc_id, md5(u.s) AS h
+       |w AS (SELECT doc_id, ${H.duckHash60("u.s")} AS h
        |  FROM corpus, unnest(list_transform(
        |    range(1, len(toks) - ${spanTokens - 2}),
        |    i -> array_to_string(toks[i : i + ${spanTokens - 1}], ' '))) AS u(s)),

@@ -364,7 +364,7 @@ object Pipeline {
         col("ok_symbol_ratio") && col("ok_alpha_words"))
       .select("doc_id").join(docs, "doc_id")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(col("text"))).orderBy("doc_id")
+      .partitionBy(H.hash60(col("text"))).orderBy("doc_id")
     val exactKept = quality.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
     val corpus = exactKept
@@ -386,7 +386,7 @@ object Pipeline {
        |            WHERE ${Analysis.gopherStructuralCond}),
        |exact AS (SELECT doc_id, text FROM (
        |    SELECT doc_id, text,
-       |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |      row_number() OVER (PARTITION BY ${H.duckHash60("text")} ORDER BY doc_id) AS rn
        |    FROM quality) WHERE rn = 1),
        |corpus AS (SELECT doc_id, string_split(text, ' ') AS toks FROM exact
        |           WHERE len(string_split(text, ' ')) >= 3),
