@@ -319,13 +319,12 @@ object SparkEntry {
     * co-located join query reads them shuffle-free; see
     * [[ops.Bucketing]] for the 100 TB rationale.
     */
-  private def bucketedPair(s: SparkSession, dir: String): Unit =
-    if (!s.catalog.tableExists("g_orders_b")) {
-      ops.Bucketing.writeBucketed(T(s, dir, "orders"), "g_orders_b",
-        layoutDir("orders-bucketed", dir), 8, "o_orderkey")
-      ops.Bucketing.writeBucketed(T(s, dir, "lineitem"), "g_lineitem_b",
-        layoutDir("lineitem-bucketed", dir), 8, "l_orderkey")
-    }
+  private def bucketedPair(s: SparkSession, dir: String): Unit = {
+    ops.Bucketing.ensureBucketed(T(s, dir, "orders"), "g_orders_b",
+      layoutDir("orders-bucketed", dir), 8, "o_orderkey")
+    ops.Bucketing.ensureBucketed(T(s, dir, "lineitem"), "g_lineitem_b",
+      layoutDir("lineitem-bucketed", dir), 8, "l_orderkey")
+  }
 
   /** Build-once fixture for the in-place delete pair: a doc_id-
     * clustered documents copy whose manifest is committed to v2 by an

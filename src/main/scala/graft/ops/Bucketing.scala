@@ -43,6 +43,30 @@ object Bucketing {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Register `table` over an EXISTING bucketed layout at `path`, or
+    * build it if absent. The catalog entry is per-session (in-memory
+    * metastore), but the layout itself is durable — a fresh session
+    * must reattach via CREATE TABLE ... CLUSTERED BY over the same
+    * files, not rewrite them (the whole point of paying the clustered
+    * write once is that the Nth session's join is free; re-bucketing
+    * 100 TB per session would make the layout COST a query instead of
+    * an asset — and it made ns_bucketed_join look 20x super-linear in
+    * the 10x scale gate, because each bench JVM re-paid the write).
+    */
+  def ensureBucketed(df: DataFrame, table: String, path: String,
+      buckets: Int, key: String): Unit = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      if (new java.io.File(s"$path/_SUCCESS").exists())
+        spark.sql(
+          s"""CREATE TABLE $table (${df.schema.toDDL})
+             |USING parquet
+             |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
+             |LOCATION '$path'""".stripMargin)
+      else writeBucketed(df, table, path, buckets, key)
+    }
+  }
+
   /** Revenue per order over two bucketed fact tables — the co-located
     * join shape. Both sides are read through their bucket metadata:
     * no Exchange on either input, aggregation reuses the join's

@@ -343,20 +343,31 @@ object Similarity {
   def knnLshTables(emb: DataFrame, nQueries: Int = 50, k: Int = 3,
       tables: Int = 4, planes: Int = 0): DataFrame = {
     val p = if (planes > 0) planes else knnPlanesFor(emb.count())
+    // ONE corpus scan computes every table's bucket (a union of
+    // per-table pipelines would re-read and re-decode the embedding
+    // column `tables` times — parquet decode of the vectors is the
+    // dominant linear cost); posexplode then yields (table, bucket)
+    // rows in-memory, and the per-table candidate join becomes a
+    // single broadcast-hash join on the COMPOSITE (table, bucket) key.
+    // Still map-only on the corpus side: no shuffle before the
+    // bounded candidate stream's dedup/rank.
     val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val cands = (0 until tables).map { t =>
-      val all = base.withColumn("bucket", lshBucket(col("v"), p, s"t${t}_"))
-      val queries = all.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("bucket").as("qbucket"), col("nrm").as("qnrm"))
-      broadcast(queries)
-        .join(all, col("qbucket") === col("bucket") &&
-          col("query_id") =!= col("vec_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6)
-            .as("cos_sim"))
-    }.reduce(_ unionByName _)
+      .withColumn("buckets", array(
+        (0 until tables).map(t => lshBucket(col("v"), p, s"t${t}_")): _*))
+    val all = base.select(col("vec_id"), col("v"), col("nrm"),
+      posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+    val queries = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("tbl").as("qtbl"), col("bucket").as("qbucket"),
+        col("nrm").as("qnrm"))
+    val cands = broadcast(queries)
+      .join(all, col("qtbl") === col("tbl") &&
+        col("qbucket") === col("bucket") &&
+        col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6)
+          .as("cos_sim"))
     val dedup = cands.groupBy("query_id", "neighbor_id")
       .agg(max(col("cos_sim")).as("cos_sim"))
     val w = Window.partitionBy("query_id")

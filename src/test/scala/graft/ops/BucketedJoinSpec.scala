@@ -49,6 +49,31 @@ class BucketedJoinSpec extends SparkSpec {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("a fresh session REATTACHES the layout instead of rewriting it") {
+    ready
+    // simulate a new session: the catalog entry is gone but the files
+    // survive — ensureBucketed must CREATE ... CLUSTERED BY over the
+    // existing path (no rewrite) and the rebound table must keep the
+    // zero-Exchange co-located plan
+    val path = spark.sql("DESCRIBE TABLE EXTENDED spec_orders_b")
+      .filter("col_name = 'Location'").head().getString(1)
+      .stripPrefix("file:")
+    val before = Files.walk(java.nio.file.Paths.get(path)).toArray.length
+    spark.sql("DROP TABLE spec_orders_b")
+    Bucketing.ensureBucketed(spark.read.parquet(s"$sf/orders.parquet"),
+      "spec_orders_b", path, 4, "o_orderkey")
+    val after = Files.walk(java.nio.file.Paths.get(path)).toArray.length
+    assert(before == after, "reattach must not rewrite the layout files")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = finalPlan(Bucketing.revenuePerOrder(spark,
+        "spec_orders_b", "spec_lineitem_b"))
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+    } finally
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("bucketed and plain joins agree on results") {
     ready
     val bucketed = Bucketing.revenuePerOrder(spark,
