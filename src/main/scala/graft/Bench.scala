@@ -38,7 +38,23 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
+    // Cross-query hygiene: one JVM runs 200+ queries back-to-back, and
+    // Spark's ContextCleaner only releases finished queries' broadcast
+    // and checkpoint blocks after a DRIVER GC notices the weak refs —
+    // which a 96 GiB heap may not run for minutes. Without this, block
+    // eviction pressure from long-dead queries lands on whichever
+    // queries happen to run later (observed: the same query 24 s
+    // isolated vs 120 s mid-artifact, with a healthy canary). An
+    // explicit GC every 25 queries keeps the cleaner current for
+    // ~0.1 s apiece; the canary still catches EXTERNAL load.
+    var sinceGc = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      sinceGc += 1
+      if (sinceGc >= 25) {
+        sinceGc = 0
+        spark.catalog.clearCache()
+        System.gc()
+      }
       val ts = (1 to reps).map(_ => time(fn)).sorted
       val median = ts(ts.size / 2)
       // full spread (min/median/max) so sub-second regression flags

@@ -350,11 +350,19 @@ object Similarity {
     // rows in-memory, and the per-table candidate join becomes a
     // single broadcast-hash join on the COMPOSITE (table, bucket) key.
     // Still map-only on the corpus side: no shuffle before the
-    // bounded candidate stream's dedup/rank.
+    // bounded candidate stream's dedup/rank. The buckets come from
+    // the codegen'd [[graft.functions.LshTableBuckets]] (plane matrix
+    // as a reference object): composing tables x planes literal-array
+    // dots as Columns inlines 52 64-double literals into one generated
+    // method and falls out of compiled execution (measured 105 s at
+    // mult=100 vs ~2 s for the tight loop).
+    val planeMatrix: Array[Array[Array[Double]]] =
+      Array.tabulate(tables, p, 64)((t, pp, d) =>
+        planeComponent(pp, d + 1, s"t${t}_"))
     val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-      .withColumn("buckets", array(
-        (0 until tables).map(t => lshBucket(col("v"), p, s"t${t}_")): _*))
+      .withColumn("buckets", graft.functions.VectorFunctions
+        .lsh_table_buckets(col("v"), planeMatrix))
     val all = base.select(col("vec_id"), col("v"), col("nrm"),
       posexplode(col("buckets")).as(Seq("tbl", "bucket")))
     val queries = all.filter(col("vec_id") < nQueries)

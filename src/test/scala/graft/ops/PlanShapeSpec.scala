@@ -61,6 +61,19 @@ class PlanShapeSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("multi-table LSH reads the corpus ONCE: one scan, one broadcast join") {
+    // 4 hash tables must not mean 4 corpus scans (parquet decode of
+    // the vectors is the dominant linear cost): all buckets derive
+    // from a single pass, candidates come from ONE broadcast-hash
+    // join on the composite (table, bucket) key, and the corpus never
+    // shuffles before the bounded candidate stream's dedup/rank
+    val p = plan("ns_knn_lsh_tables")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"expected <= 2 parquet scans (corpus + ladder count), saw $scans:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("pairwise cosine uses the custom DotProduct expression") {
     val p = plan("ns_embed_neardup")
     // the custom expression replaced the interpreted higher-order

@@ -105,6 +105,35 @@ class QualitySpec extends SparkSpec {
     assert(kept > 60 && kept < 190, s"stride-8 kept $kept of 1000")
   }
 
+  test("quantizer-sizing ladders: fixture boundaries hold, growth is sqrt/constant-codebook") {
+    // ivfStrideFor: cells ~ sqrt(n) past the 1024-vector fixture line;
+    // the fixture stride 40 is load-bearing (every IVF oracle derives
+    // identical centroids from it)
+    assert(Similarity.ivfStrideFor(500) == 40)
+    assert(Similarity.ivfStrideFor(1024) == 40)
+    assert(Similarity.ivfStrideFor(1025) == 64)
+    assert(Similarity.ivfStrideFor(4096) == 64)
+    assert(Similarity.ivfStrideFor(200000) == 512) // the IvfProfile corpus
+    assert(Similarity.ivfStrideFor(1L << 28) == (1L << 14))
+    // pqStrideFor: codebook held at <= 256 codes/subspace past the
+    // 4096-vector fixture line (fixed stride 25 reached 8,000 codes at
+    // the 200k corpus — no longer an 8-bit code, 130 s to encode)
+    assert(Similarity.pqStrideFor(2000) == 25)
+    assert(Similarity.pqStrideFor(4096) == 25)
+    assert(Similarity.pqStrideFor(4097) == 32)
+    assert(Similarity.pqStrideFor(200000) == 1024)
+    assert(200000 / Similarity.pqStrideFor(200000) <= Similarity.PqTargetCodes)
+    // knnPlanesFor: constant ~32-vector bucket occupancy at any n
+    assert(Similarity.knnPlanesFor(500) == 4)
+    assert(Similarity.knnPlanesFor(2000) == 6)
+    assert(Similarity.knnPlanesFor(200000) == 13)
+    (1 to 10).foreach { e =>
+      val n = math.pow(10, e).toLong
+      val p = Similarity.knnPlanesFor(n)
+      assert(p == 24 || n <= (Similarity.KnnTargetBucket << p))
+    }
+  }
+
   test("the untrained codebook is the negative control the floors catch") {
     // knnPqRecall quantizes against an UNTRAINED (data-split) codebook —
     // exactly the recall-killing mutation this suite exists to catch.
