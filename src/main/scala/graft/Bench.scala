@@ -49,6 +49,12 @@ object Bench {
     // ~0.1 s apiece; the canary still catches EXTERNAL load.
     var sinceGc = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // a finished query's localCheckpoint RDDs sit in
+      // getPersistentRDDs until the cleaner notices — drop them NOW
+      // (async, block-manager only) so iterative queries' round
+      // blocks never shift eviction pressure onto later queries
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       sinceGc += 1
       if (sinceGc >= 25) {
         sinceGc = 0

@@ -521,13 +521,27 @@ object Dedup {
     // per round
     val edges = iterCheckpoint(pairs
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))))
+    // Superseded-round rotation (same leak as Graph.ccStar): each
+    // round's localCheckpoint blocks outlive the round until a driver
+    // GC wakes the cleaner; drop the previous round's explicitly once
+    // the new round is materialized. The EDGE checkpoint is excluded —
+    // every round joins against it.
+    val sc = docs.sparkSession.sparkContext
+    var priorIds: Set[Int] = Set.empty
+    def rotateTo(created: Set[Int]): Unit = {
+      priorIds.foreach(id => sc.getPersistentRDDs.get(id)
+        .foreach(_.unpersist(blocking = false)))
+      priorIds = created
+    }
     // round 1 fused into initialization: from identity labels, the
     // first propagation is just min(id, min direct neighbor) — one
     // aggregation over the edge list instead of an identity
     // checkpoint + join + re-checkpoint
+    val beforeL0 = sc.getPersistentRDDs.keySet.toSet
     var labels = iterCheckpoint(edges.groupBy(col("id_a").as("id"))
       .agg(min(col("id_b")).as("nmin"))
       .select(col("id"), least(col("id"), col("nmin")).as("label")))
+    rotateTo(sc.getPersistentRDDs.keySet.toSet -- beforeL0)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -549,11 +563,15 @@ object Dedup {
       // ONE job that also materializes the round; eager reliable
       // checkpoint on a cluster (recoverable mid-iteration, and the
       // count then reads checkpoint files)
+      val beforeR = sc.getPersistentRDDs.keySet.toSet
       val next =
         if (stepped.sparkSession.sparkContext.getCheckpointDir.isDefined)
           stepped.checkpoint(true)
         else stepped.localCheckpoint(false)
       converged = next.filter(col("label") =!= col("prev")).count() == 0
+      // the count materialized this round; the previous round's label
+      // blocks can no longer be read by any future job
+      rotateTo(sc.getPersistentRDDs.keySet.toSet -- beforeR)
       labels = next.select(col("id"), col("label"))
       iter += 1
     }

@@ -70,8 +70,25 @@ object Graph {
     * O(1)-state aggregate, not a distributed set compare.
     */
   def ccStar(edges0: DataFrame, maxIter: Int = 25): (DataFrame, Int) = {
+    val sc = edges0.sparkSession.sparkContext
+    // Round-block rotation: a localCheckpoint parks its blocks in the
+    // executors until the ContextCleaner gets a driver GC — in a
+    // long-lived session every superseded round LEAKS its blocks
+    // (observed shifting minutes of eviction pressure onto unrelated
+    // queries in a 217-query JVM). Snapshot getPersistentRDDs around
+    // each round's cut and explicitly unpersist the PREVIOUS round
+    // once the new one is materialized; only ids created by this loop
+    // are ever touched, so concurrent jobs are unaffected.
+    var priorIds: Set[Int] = Set.empty
+    def rotateTo(created: Set[Int]): Unit = {
+      priorIds.foreach(id => sc.getPersistentRDDs.get(id)
+        .foreach(_.unpersist(blocking = false)))
+      priorIds = created
+    }
+    val before0 = sc.getPersistentRDDs.keySet.toSet
     var edges = iterCheckpoint(
       edges0.select(col("src"), col("dst")).filter(col("src") =!= col("dst")))
+    rotateTo(sc.getPersistentRDDs.keySet.toSet -- before0)
     def fingerprint(e: DataFrame): (Long, Long, Long) = {
       // hashes reduced mod ~1e9 before summing: ANSI-overflow-safe up
       // to ~9e9 edges per fingerprint
@@ -99,9 +116,13 @@ object Graph {
       // the round stays eagerly checkpointed: the fingerprint then
       // reads checkpoint files (cheap second job), and every round
       // remains recoverable if an executor dies mid-iteration.
+      val before = sc.getPersistentRDDs.keySet.toSet
       edges = if (reliable) stepped.checkpoint(true)
               else stepped.localCheckpoint(false)
       val next = fingerprint(edges)
+      // the fingerprint materialized this round's blocks; the previous
+      // round's are now unreachable by any future job — drop them
+      rotateTo(sc.getPersistentRDDs.keySet.toSet -- before)
       converged = next == fp
       fp = next
       rounds += 1
