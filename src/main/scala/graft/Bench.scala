@@ -28,11 +28,16 @@ object Bench {
     // one scheduler hiccup can't poison the canary itself;
     // tools/bench_diff.py refuses to flag per-query regressions when
     // two artifacts' canaries differ more than 2x.
-    val canary = (1 to 3).map { _ =>
+    def canaryRun(): Double = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
       spark.range(200000000L).selectExpr("sum(id * 3)").collect()
       (System.nanoTime() - t0) / 1e9
     }.sorted.apply(1)
+    // opening AND closing canaries (round-11 advisor): one canary
+    // before the loop cannot see a load spike that starts mid-run, so
+    // a ~750 s artifact could still mis-adjudicate late-query
+    // regressions as plan regressions. bench_diff skew-gates on both.
+    val canary = canaryRun()
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
@@ -79,7 +84,13 @@ object Bench {
     val errors = results.filter(_._2 < 0).map(_._1)
     val errsJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"canary_s":$canary,"n_errors":${errors.size},"errors":$errsJson,"queries":$qs,"queries_min":$mins,"queries_max":$maxs,"sf":"$sfDir"}"""
+    val canaryEnd = canaryRun()
+    // the heap size travels WITH the numbers: the 48g-vs-96g
+    // adjudication (PLANS.md) showed driver-GC pause length shifts
+    // iterative queries' mid-artifact wall, so two artifacts are only
+    // comparable at matching heap configs
+    val heapGb = Runtime.getRuntime.maxMemory / (1L << 30)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"canary_s":$canary,"canary_end_s":$canaryEnd,"heap_gb":$heapGb,"n_errors":${errors.size},"errors":$errsJson,"queries":$qs,"queries_min":$mins,"queries_max":$maxs,"sf":"$sfDir"}"""
     println(line)
     // The stdout line gets truncated by log tooling past ~50 queries; persist the
     // full per-query breakdown so cross-round comparisons cover every query.

@@ -1461,13 +1461,19 @@ object SparkEntry {
 
     // Multimodal -> ANN loop: binary payloads through the batched
     // embedding stub, then IVF top-k over the derived vectors. This
-    // inline form re-derives embeddings and retrains the quantizer per
+    // inline form derives embeddings and retrains the quantizer per
     // run — it is the training-cost measurement; the indexed variant
-    // below is the serving shape.
+    // below is the serving shape. The derived vectors are cut ONCE
+    // (round-11 verdict #2): knnIvf reads its input five times (size
+    // ladder, stride seeds, training sample, assignment, probes), and
+    // without the cut each read re-ran the byte-level decode over
+    // every payload — 5x the decode cost to measure 1x the search
+    // (18 s -> ~7 s at mult=100).
     q("ns_media_knn",
       Similarity.knnIvfOracleFrom(Multimodal.mediaEmbeddingCte, 50, 3, 2)) {
       (s, dir) => Similarity.knnIvf(
-        Multimodal.mediaEmbeddings(s, T(s, dir, "documents")), 50, 3, 2)
+        Multimodal.mediaEmbeddings(s, T(s, dir, "documents"))
+          .localCheckpoint(true), 50, 3, 2)
     },
 
     // The media serving shape: derived (non-table) embeddings pay

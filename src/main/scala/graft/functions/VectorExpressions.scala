@@ -209,10 +209,32 @@ object Md5Prefix60 {
   */
 case class NearestCell(vec: Expression, nrm: Expression,
     centIds: Array[Long], centVecs: Array[Array[Double]],
-    centNrms: Array[Double]) extends BinaryExpression {
+    centNrms: Array[Double]) extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
   override def left: Expression = vec
   override def right: Expression = nrm
+
+  override def inputTypes: Seq[graftShims.AbsDataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(DoubleType), DoubleType)
+
+  // structural equality over the array-valued centroid table (same
+  // canonicalization rationale as [[LshTableBuckets]])
+  override def equals(other: Any): Boolean = other match {
+    case NearestCell(v, n, ids, vecs, nrms) =>
+      v == vec && n == nrm &&
+        java.util.Arrays.equals(centIds, ids) &&
+        java.util.Arrays.deepEquals(
+          centVecs.asInstanceOf[Array[AnyRef]], vecs.asInstanceOf[Array[AnyRef]]) &&
+        java.util.Arrays.equals(centNrms, nrms)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(vec, nrm,
+      Integer.valueOf(java.util.Arrays.hashCode(centIds)),
+      Integer.valueOf(java.util.Arrays.deepHashCode(
+        centVecs.asInstanceOf[Array[AnyRef]])),
+      Integer.valueOf(java.util.Arrays.hashCode(centNrms)))
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
 
@@ -416,10 +438,32 @@ object PqEncode {
   */
 case class NearestCells(vec: Expression, nrm: Expression,
     centIds: Array[Long], centVecs: Array[Array[Double]],
-    centNrms: Array[Double], nprobe: Int) extends BinaryExpression {
+    centNrms: Array[Double], nprobe: Int) extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
   override def left: Expression = vec
   override def right: Expression = nrm
+
+  override def inputTypes: Seq[graftShims.AbsDataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(DoubleType), DoubleType)
+
+  // structural equality over the array-valued centroid table (same
+  // canonicalization rationale as [[LshTableBuckets]])
+  override def equals(other: Any): Boolean = other match {
+    case NearestCells(v, n, ids, vecs, nrms, np) =>
+      v == vec && n == nrm && np == nprobe &&
+        java.util.Arrays.equals(centIds, ids) &&
+        java.util.Arrays.deepEquals(
+          centVecs.asInstanceOf[Array[AnyRef]], vecs.asInstanceOf[Array[AnyRef]]) &&
+        java.util.Arrays.equals(centNrms, nrms)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(vec, nrm, Integer.valueOf(nprobe),
+      Integer.valueOf(java.util.Arrays.hashCode(centIds)),
+      Integer.valueOf(java.util.Arrays.deepHashCode(
+        centVecs.asInstanceOf[Array[AnyRef]])),
+      Integer.valueOf(java.util.Arrays.hashCode(centNrms)))
 
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(
@@ -503,7 +547,29 @@ object NearestCells {
   */
 case class LshTableBuckets(child: Expression,
     planes: Array[Array[Array[Double]]])
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  // analysis-time type contract (round-11 advisor, same gap MortonKey
+  // closed): without it a non-double array child — e.g. the raw float
+  // embedding column — passes analysis and then misreads through
+  // ArrayData.getDouble at runtime; with it analysis inserts the cast
+  // or rejects the query
+  override def inputTypes: Seq[graftShims.AbsDataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(DoubleType))
+
+  // the Java-array field would make case-class equality
+  // reference-based, defeating plan canonicalization and common
+  // subexpression elimination — compare the plane matrix structurally
+  override def equals(other: Any): Boolean = other match {
+    case LshTableBuckets(c, p) =>
+      c == child && java.util.Arrays.deepEquals(
+        planes.asInstanceOf[Array[AnyRef]], p.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() +
+      java.util.Arrays.deepHashCode(planes.asInstanceOf[Array[AnyRef]])
 
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(

@@ -31,17 +31,58 @@ import org.apache.spark.sql.functions._
   */
 object Bucketing {
 
+  /** Bump when the bucketed-layout semantics change (bucket hash
+    * function, file naming, sidecar format): a version mismatch in the
+    * sidecar forces a rebuild instead of trusting stale files.
+    */
+  val LayoutVersion = 1
+
   /** Write `df` as a bucketed+sorted table registered under `table`
     * with its files at `path` (external, so data survives the
-    * session's in-memory catalog). Overwrites any prior layout.
+    * session's in-memory catalog). Overwrites any prior layout and
+    * records the layout contract in a sidecar descriptor.
     */
   def writeBucketed(df: DataFrame, table: String, path: String,
-      buckets: Int, key: String): Unit =
+      buckets: Int, key: String): Unit = {
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .option("path", path)
       .format("parquet")
       .saveAsTable(table)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, SidecarName),
+      descriptor(df, buckets, key).getBytes("UTF-8"))
+  }
+
+  private val SidecarName = "_graft_layout"
+
+  /** The layout contract the files at `path` were written under:
+    * layout version + bucket count + cluster/sort key + schema + a
+    * fingerprint of the SOURCE files (path:length:mtime of every
+    * input file of `df`). Reattachment compares the stored descriptor
+    * against the one recomputed from the current source, so a changed
+    * bucket spec, an evolved schema, or an sf directory regenerated
+    * in place under the same layoutDir all force a rebuild — the same
+    * invalidation class QuantizerVersion covers for the IVF index.
+    * Without this, CREATE TABLE ... CLUSTERED BY over stale files
+    * would misdescribe them and the zero-Exchange SortMergeJoin would
+    * silently return wrong results.
+    */
+  private def descriptor(df: DataFrame, buckets: Int, key: String): String = {
+    val sig = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      df.inputFiles.sorted.foreach { f =>
+        val p = try new java.io.File(new java.net.URI(f)) catch {
+          case _: Exception => new java.io.File(f)
+        }
+        md.update(s"$f:${p.length}:${p.lastModified}\n".getBytes("UTF-8"))
+      }
+      md.digest().map("%02x".format(_)).mkString
+    }
+    s"""{"layout_version":$LayoutVersion,"buckets":$buckets,"key":"$key",
+       |"schema":"${df.schema.toDDL.replace("\"", "'")}",
+       |"source_sig":"$sig"}""".stripMargin
+  }
 
   /** Register `table` over an EXISTING bucketed layout at `path`, or
     * build it if absent. The catalog entry is per-session (in-memory
@@ -52,12 +93,24 @@ object Bucketing {
     * 100 TB per session would make the layout COST a query instead of
     * an asset — and it made ns_bucketed_join look 20x super-linear in
     * the 10x scale gate, because each bench JVM re-paid the write).
+    *
+    * Reattach requires the sidecar descriptor to match the contract
+    * recomputed from the current request (round-11 advisor): files
+    * with a _SUCCESS marker but a different bucket count, key, schema
+    * or source fingerprint are REBUILT, not trusted — a misdescribed
+    * CLUSTERED BY has no Exchange to save it.
     */
   def ensureBucketed(df: DataFrame, table: String, path: String,
       buckets: Int, key: String): Unit = {
     val spark = df.sparkSession
     if (!spark.catalog.tableExists(table)) {
-      if (new java.io.File(s"$path/_SUCCESS").exists())
+      val sidecar = java.nio.file.Paths.get(path, SidecarName)
+      val attachable =
+        new java.io.File(s"$path/_SUCCESS").exists() &&
+          java.nio.file.Files.exists(sidecar) &&
+          new String(java.nio.file.Files.readAllBytes(sidecar), "UTF-8") ==
+            descriptor(df, buckets, key)
+      if (attachable)
         spark.sql(
           s"""CREATE TABLE $table (${df.schema.toDDL})
              |USING parquet

@@ -85,10 +85,48 @@ object Graph {
         .foreach(_.unpersist(blocking = false)))
       priorIds = created
     }
-    val before0 = sc.getPersistentRDDs.keySet.toSet
-    var edges = iterCheckpoint(
+    // materialize the input edge list ONCE — the contraction below
+    // reads it three times (neighborhood minima + both relabel joins),
+    // and without the cut each read would re-run the whole upstream
+    // pipeline (e.g. the LSH candidate generation)
+    val beforeBase = sc.getPersistentRDDs.keySet.toSet
+    val base = iterCheckpoint(
       edges0.select(col("src"), col("dst")).filter(col("src") =!= col("dst")))
+    val baseIds = sc.getPersistentRDDs.keySet.toSet -- beforeBase
+    // PRE-CONTRACTION (round-11 verdict #1, "hash-to-min" pass): map
+    // every node u to m(u) = min(N(u) ∪ u) and rewrite each edge
+    // (u, v) as (m(u), m(v)), dropping self-loops. Every original
+    // edge maps to a contracted edge between the same components, so
+    // connectivity is preserved exactly — and any component whose
+    // nodes all agree on m (every star, every diameter-<=2 cluster,
+    // i.e. almost all of a near-dup graph) vanishes from the edge set
+    // entirely before the star loop starts. At mult=100 this cuts the
+    // iterated edge set from ~1.2M to a few thousand rows, so the
+    // O(log n) star rounds — the query's sequential, driver-GC-
+    // sensitive stretch — run on KB-scale data. If the contracted set
+    // collapses to empty, m IS the component-min labeling (proof: all
+    // self-loops means m is constant per component, and the component
+    // min w has m(w) = w).
+    val bi0 = base.unionByName(
+      base.select(col("dst").as("src"), col("src").as("dst")))
+    // m survives the whole loop (the final labels compose through it):
+    // keep it out of the round rotation
+    val m = iterCheckpoint(bi0.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("m")))
+    val mSrc = m.select(col("id").as("src"), col("m").as("msrc"))
+    val mDst = m.select(col("id").as("dst"), col("m").as("mdst"))
+    val before0 = sc.getPersistentRDDs.keySet.toSet
+    var edges = iterCheckpoint(base
+      .join(mSrc, "src").join(mDst, "dst")
+      .select(col("msrc").as("src"), col("mdst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct())
     rotateTo(sc.getPersistentRDDs.keySet.toSet -- before0)
+    // base fed only the contraction; its blocks are dead now that the
+    // contracted set is materialized (m stays — the final labels
+    // compose through it)
+    baseIds.foreach(id => sc.getPersistentRDDs.get(id)
+      .foreach(_.unpersist(blocking = false)))
     def fingerprint(e: DataFrame): (Long, Long, Long) = {
       // hashes reduced mod ~1e9 before summing: ANSI-overflow-safe up
       // to ~9e9 edges per fingerprint
@@ -103,9 +141,13 @@ object Graph {
     }
     val reliable =
       edges0.sparkSession.sparkContext.getCheckpointDir.isDefined
-    var fp = (-1L, 0L, 0L)
+    // seed with the contracted set's own fingerprint (one cheap job
+    // over the just-materialized checkpoint): an already-converged —
+    // in particular EMPTY — contracted set then skips the loop after
+    // one no-op round instead of two
+    var fp = fingerprint(edges)
     var rounds = 0
-    var converged = false
+    var converged = fp._1 == 0L
     while (!converged && rounds < maxIter) {
       val stepped = smallStar(largeStar(edges, dedup = false))
       // Per-round lineage policy: in local mode the cut is a LAZY
@@ -129,9 +171,15 @@ object Graph {
     }
     // at the fixpoint the edge set is a union of stars rooted at each
     // component's minimum: every non-root points straight at its root
-    val labels = edges.select(col("src").as("id"), col("dst").as("label"))
+    val loopLabels = edges
+      .select(col("src").as("id"), col("dst").as("label"))
       .unionByName(edges.select(col("dst").as("id"), col("dst").as("label")))
       .groupBy("id").agg(min("label").as("label"))
+    // compose back through the contraction: label(u) = L(m(u)) when
+    // m(u) survived into the contracted graph, else m(u) itself (its
+    // component fully collapsed, so m(u) is the component min)
+    val labels = m.join(loopLabels, m("m") === loopLabels("id"), "left")
+      .select(m("id"), coalesce(loopLabels("label"), m("m")).as("label"))
     (labels, rounds)
   }
 

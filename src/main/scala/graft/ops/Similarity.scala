@@ -662,9 +662,26 @@ object Similarity {
     cents.orderBy("cid").collect().map(r =>
       (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
 
+  /** Rebalance a kernel-bound stream to the session's full
+    * parallelism. The per-row ANN kernels (NearestCell assignment,
+    * pq_encode) cost O(C·d) flops per vector — tens of Gflops over a
+    * corpus — but a compact vector table is a HANDFUL of parquet
+    * bytes (the mult=100 embeddings are 34 MB), so the scan planner
+    * hands the whole corpus to 1-2 input partitions and the kernel
+    * runs on 1-2 of 32 cores (measured: 17 s of the 19 s
+    * ns_media_knn wall). One round-robin repartition (~1 s for the
+    * 256 MB decoded stream) unlocks every core; at real scale the
+    * input already has >= defaultParallelism partitions and this is
+    * an exact no-op, so no extra shuffle ever reaches a cluster plan.
+    */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   private def assignCells(all: DataFrame,
       centArr: Array[(Long, Array[Double], Double)]): DataFrame =
-    all.withColumn("cell", graft.functions.VectorFunctions.nearest_cell(
+    fanOut(all).withColumn("cell", graft.functions.VectorFunctions.nearest_cell(
       col("v"), col("nrm"),
       centArr.map(_._1), centArr.map(_._2), centArr.map(_._3)))
 
@@ -899,7 +916,13 @@ object Similarity {
     val assigned = assignCells(all, centArr)
     centsDf(emb.sparkSession, centArr)
       .write.mode("overwrite").parquet(s"$dir/centroids")
-    assigned.write.mode("overwrite").partitionBy("cell")
+    // cluster by cell before the partitioned write: fanOut leaves the
+    // assigned stream round-robin over every core, which would spray
+    // up to one file per (cell, partition) into the index; hashing on
+    // cell collapses that to one file per cell — exactly the layout a
+    // 100 TB index write wants anyway
+    assigned.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/cells")
   }
 
@@ -1388,7 +1411,9 @@ object Similarity {
       codebook: (Array[Array[Long]], Array[Array[Array[Double]]]),
       nQueries: Int, k: Int, shortlist: Int): DataFrame = {
     val (ids, bySub) = codebook
-    val codes = all.select(col("vec_id"),
+    // pq_encode is the O(codes·d) kernel per vector — same
+    // single-input-partition hazard as assignCells, same fanOut fix
+    val codes = fanOut(all).select(col("vec_id"),
       posexplode(graft.functions.VectorFunctions.pq_encode(
         col("v"), ids, bySub, PqSubDim)).as(Seq("sub", "code")))
     val spark = all.sparkSession
@@ -1636,7 +1661,9 @@ object Similarity {
       pqIds(s).indices.map(c => (pqIds(s)(c), s, pqBySub(s)(c).toSeq))
     }.toDF("cid", "sub", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/pqcents")
-    assigned.write.mode("overwrite").partitionBy("cell")
+    // same cell-clustered write rationale as [[ivfBuild]]
+    assigned.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/cells")
   }
 

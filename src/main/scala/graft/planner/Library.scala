@@ -109,7 +109,7 @@ object Library {
       val outCanon = in.expects.head(0)
       val outN = in.expects.head(1)
       Seq(in.frames("docs")
-        .groupBy(md5(col(bq(txt))))
+        .groupBy(graft.ops.H.hash60(col(bq(txt))))
         .agg(min(col("doc_id")).as(outCanon), count(lit(1)).as(outN))
         .select(col(bq(outCanon)), col(bq(outN))))
     })

@@ -55,16 +55,48 @@ def main():
     old, new = load(args.old), load(args.new)
     oq, nq = old["queries"], new["queries"]
 
-    canary_old, canary_new = old.get("canary_s"), new.get("canary_s")
+    # each artifact may carry an opening AND a closing canary
+    # (canary_s / canary_end_s): a load spike that starts mid-run skews
+    # the closing one, so BOTH pairs gate comparability. Compared
+    # against None, not truthiness — a recorded 0.0 canary is data
+    # (round-11 advisor), not absence.
     load_skewed = False
-    if canary_old and canary_new:
-        c_ratio = max(canary_new / canary_old, canary_old / canary_new)
-        load_skewed = c_ratio > args.canary_slack
-        print(f"canary: {canary_old:.3f}s -> {canary_new:.3f}s "
-              f"(x{c_ratio:.2f}{' — LOAD-SKEWED, flags advisory' if load_skewed else ''})")
-    elif canary_old or canary_new:
+    any_canary = False
+    for field, tag in (("canary_s", "open"), ("canary_end_s", "close")):
+        c_old, c_new = old.get(field), new.get(field)
+        if c_old is not None and c_new is not None:
+            any_canary = True
+            if c_old > 0 and c_new > 0:
+                c_ratio = max(c_new / c_old, c_old / c_new)
+                skew = c_ratio > args.canary_slack
+                load_skewed = load_skewed or skew
+                print(f"canary[{tag}]: {c_old:.3f}s -> {c_new:.3f}s "
+                      f"(x{c_ratio:.2f}"
+                      f"{' — LOAD-SKEWED, flags advisory' if skew else ''})")
+            else:
+                print(f"canary[{tag}]: {c_old:.3f}s -> {c_new:.3f}s "
+                      f"(zero canary — unusable, flags assume comparable load)")
+    # a WITHIN-artifact open-vs-close drift also marks that artifact as
+    # recorded under shifting load
+    for side, art in (("old", old), ("new", new)):
+        c0, c1 = art.get("canary_s"), art.get("canary_end_s")
+        if c0 is not None and c1 is not None and c0 > 0 and c1 > 0:
+            d_ratio = max(c1 / c0, c0 / c1)
+            if d_ratio > args.canary_slack:
+                load_skewed = True
+                print(f"canary[{side}]: open {c0:.3f}s vs close {c1:.3f}s "
+                      f"(x{d_ratio:.2f} WITHIN one run — LOAD-SKEWED, "
+                      f"flags advisory)")
+    if not any_canary and (old.get("canary_s") is not None
+                           or new.get("canary_s") is not None):
         print("canary: present in only one artifact (pre-canary baseline); "
               "flags assume comparable load")
+    heap_old, heap_new = old.get("heap_gb"), new.get("heap_gb")
+    if heap_old is not None and heap_new is not None and heap_old != heap_new:
+        print(f"heap_gb: {heap_old} -> {heap_new} — MISMATCHED HEAP CONFIGS; "
+              f"driver-GC-sensitive queries (iterative rounds) are not "
+              f"comparable (PLANS.md heap adjudication), flags advisory")
+        load_skewed = True
 
     def ratio(q):
         # old == 0 carries no timing information (a sub-ms or unrecorded
