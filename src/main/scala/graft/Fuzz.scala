@@ -36,6 +36,11 @@ object Fuzz {
     val sqlDir = new java.io.File(s"$outDir/spark_sql")
     val files = Option(sqlDir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".sql")).sortBy(_.getName)
+    // the .err sidecar path must exist even if the FIRST query fails
+    // spark-side (round-12 advisor: parquet write creates it only on
+    // success)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(outDir, "results"))
     var failed = 0
     files.foreach { f =>
       val name = f.getName.stripSuffix(".sql")

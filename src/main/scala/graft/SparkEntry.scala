@@ -1472,8 +1472,7 @@ object SparkEntry {
     q("ns_media_knn",
       Similarity.knnIvfOracleFrom(Multimodal.mediaEmbeddingCte, 50, 3, 2)) {
       (s, dir) => Similarity.knnIvf(
-        Multimodal.mediaEmbeddings(s, T(s, dir, "documents"))
-          .localCheckpoint(true), 50, 3, 2)
+        Multimodal.mediaEmbeddingsCut(s, T(s, dir, "documents")), 50, 3, 2)
     },
 
     // The media serving shape: derived (non-table) embeddings pay

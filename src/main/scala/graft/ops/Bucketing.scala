@@ -71,11 +71,21 @@ object Bucketing {
   private def descriptor(df: DataFrame, buckets: Int, key: String): String = {
     val sig = {
       val md = java.security.MessageDigest.getInstance("MD5")
+      // lengths/mtimes through the Hadoop FileSystem API, not
+      // java.io.File (round-12 advisor): on hdfs:// or s3a:// a
+      // File-based probe returns 0/0 for every file, degrading the
+      // signature to path names only — exactly the regenerated-in-
+      // place case the sidecar exists to catch. getFileStatus is
+      // uniform across local and cluster filesystems.
+      val conf = df.sparkSession.sessionState.newHadoopConf()
       df.inputFiles.sorted.foreach { f =>
-        val p = try new java.io.File(new java.net.URI(f)) catch {
-          case _: Exception => new java.io.File(f)
-        }
-        md.update(s"$f:${p.length}:${p.lastModified}\n".getBytes("UTF-8"))
+        val p = new org.apache.hadoop.fs.Path(f)
+        val (len, mtime) =
+          try {
+            val st = p.getFileSystem(conf).getFileStatus(p)
+            (st.getLen, st.getModificationTime)
+          } catch { case _: Exception => (-1L, -1L) }
+        md.update(s"$f:$len:$mtime\n".getBytes("UTF-8"))
       }
       md.digest().map("%02x".format(_)).mkString
     }

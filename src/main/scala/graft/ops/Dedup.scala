@@ -587,18 +587,26 @@ object Dedup {
         initIds.foreach(id => sc.getPersistentRDDs.get(id)
           .foreach(_.unpersist(blocking = false)))
       } else {
-        // a frontier below ~1M rows rides to every executor as a
+        // a frontier below the gate rides to every executor as a
         // broadcast (exact count from last round's convergence
         // check); a bigger one — adversarial chain graphs — falls
-        // back to the shuffled join automatically
-        val small = deltaRows <= 1000000L
+        // back to the shuffled join automatically. The gate is a
+        // conf knob so tests can force the fallback path.
+        val gate = docs.sparkSession.conf
+          .get("spark.graft.frontierBroadcastRows", "1000000").toLong
+        val small = deltaRows <= gate
         val d = if (small) broadcast(delta) else delta
+        // `cand` is one row per DISTINCT NEIGHBOR of the frontier —
+        // on a hub-heavy graph that can be orders of magnitude
+        // larger than the frontier itself, so a forced broadcast
+        // here (round-12 advisor) risks the driver: no hint, AQE
+        // sizes the post-shuffle side at runtime and converts to a
+        // broadcast join exactly when it actually fits.
         val cand = edges.join(d, edges("id_b") === d("id"))
           .groupBy(edges("id_a").as("id"))
           .agg(min(d("label")).as("cand"))
-        val c = if (small) broadcast(cand) else cand
         // strict improvements only: candidates below the current best
-        val imp = best.join(c, "id")
+        val imp = best.join(cand, "id")
           .filter(col("cand") < col("label"))
           .select(col("id"), col("cand").as("label"))
         val next = cut(imp)
@@ -611,9 +619,13 @@ object Dedup {
           // large-frontier fallback). Renamed first: a lazy checkpoint
           // REUSES the parent plan's exprIds, so joining it back
           // against `best` unrenamed is an ambiguous self-join.
+          // Gate on the FRESH count (the new delta's own exact size),
+          // not last round's — the stale gate was the second half of
+          // the round-12 advisor finding.
+          val smallNext = deltaRows <= gate
           val renamed = next.select(col("id").as("d_id"),
             col("label").as("d_label"))
-          val nd = if (small) broadcast(renamed) else renamed
+          val nd = if (smallNext) broadcast(renamed) else renamed
           best = best.join(nd, best("id") === nd("d_id"), "left")
             .select(best("id"),
               least(best("label"), coalesce(nd("d_label"), best("label")))

