@@ -1417,7 +1417,13 @@ object SparkEntry {
     q("ns_media_ingest", Multimodal.ingestOracle) {
       (s, dir) =>
         val mdir = layoutDir("media-files", dir)
-        if (!new java.io.File(s"$mdir/_SUCCESS").exists())
+        // guard on actual payload files, not just the marker — a
+        // half-cleaned scratch dir with a surviving _SUCCESS would
+        // otherwise ingest an empty directory
+        val staged = { val d = new java.io.File(mdir)
+          new java.io.File(d, "_SUCCESS").exists() &&
+            Option(d.list()).exists(_.exists(_.endsWith(".bin"))) }
+        if (!staged)
           Multimodal.writeMediaFiles(T(s, dir, "documents"), mdir)
         Multimodal.ingestBinaryFiles(s, mdir)
     },

@@ -270,24 +270,59 @@ object NearestCell {
     else java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
+  // per-thread scratch for the raw cosines of one row — the argmax is
+  // called 500k+ times per corpus pass; a fresh C-sized allocation per
+  // row would be pure young-gen churn
+  private val scratch = new ThreadLocal[Array[Double]] {
+    override def initialValue(): Array[Double] = new Array[Double](0)
+  }
+
   def compute(v: ArrayData, nrm: Double, ids: Array[Long],
       vecs: Array[Array[Double]], nrms: Array[Double]): Long = {
-    var best = Double.NegativeInfinity
-    var bestId = Long.MaxValue
+    // Round-13 profile: round6's BigDecimal round-trip per (row, cell)
+    // was 2/3 of the whole media-corpus assignment (9 s of a 15 s
+    // query at 500k x 488). round6 is MONOTONE, so the winning rounded
+    // value is round6(rawMax), and round6 moves a value by at most
+    // 5e-7 — only raws within 1e-6 of rawMax can round to it. Pass 1
+    // finds raw cosines (no rounding); pass 2 rounds just the
+    // near-top sliver and applies the exact original (rounded desc,
+    // id asc) selection — bit-identical winners (NearestCellSpec
+    // differential-covers this against the struct-max form).
+    val C = ids.length
+    var buf = scratch.get()
+    if (buf.length < C) { buf = new Array[Double](C); scratch.set(buf) }
+    val va = v.toDoubleArray()
+    var rawMax = Double.NegativeInfinity
     var c = 0
-    while (c < ids.length) {
+    while (c < C) {
       val cv = vecs(c)
-      val n = math.min(v.numElements(), cv.length)
+      val n = math.min(va.length, cv.length)
       var s = 0.0
       var i = 0
-      while (i < n) { s += v.getDouble(i) * cv(i); i += 1 }
-      val ccos = round6(s / (nrm * nrms(c)))
+      while (i < n) { s += va(i) * cv(i); i += 1 }
+      val raw = s / (nrm * nrms(c))
+      buf(c) = raw
       // Double.compare orders NaN greatest and -0.0 < 0.0, matching
       // Spark's struct-max double ordering
-      val cmp = java.lang.Double.compare(ccos, best)
-      if (cmp > 0 || (cmp == 0 && ids(c) < bestId)) {
-        best = ccos
-        bestId = ids(c)
+      if (java.lang.Double.compare(raw, rawMax) > 0) rawMax = raw
+      c += 1
+    }
+    // NaN rawMax -> NaN threshold: compare(x, NaN) >= 0 only for NaN
+    // raws, exactly the original candidate set (NaN beats everything).
+    // Inf - 2e-6 = Inf keeps only Inf raws. 2e-6 doubles the proven
+    // 1e-6 bound for margin; a few extra round6 calls are free.
+    val threshold = rawMax - 2e-6
+    var best = Double.NegativeInfinity
+    var bestId = Long.MaxValue
+    c = 0
+    while (c < C) {
+      if (java.lang.Double.compare(buf(c), threshold) >= 0) {
+        val ccos = round6(buf(c))
+        val cmp = java.lang.Double.compare(ccos, best)
+        if (cmp > 0 || (cmp == 0 && ids(c) < bestId)) {
+          best = ccos
+          bestId = ids(c)
+        }
       }
       c += 1
     }
@@ -492,35 +527,76 @@ object NearestCells {
     * O(C * nprobe) with nprobe tiny (2-8) — the same work the window
     * form pays, minus the n x C rows and the shuffle.
     */
+  private val scratch = new ThreadLocal[Array[Double]] {
+    override def initialValue(): Array[Double] = new Array[Double](0)
+  }
+
   def compute(v: ArrayData, nrm: Double, ids: Array[Long],
       vecs: Array[Array[Double]], nrms: Array[Double],
       nprobe: Int): ArrayData = {
-    val m = math.min(nprobe, ids.length)
-    val topCos = new Array[Double](m)
-    val topId = new Array[Long](m)
+    // Same two-pass round6 elision as [[NearestCell.compute]]: the
+    // rounded top-m can only contain cells whose RAW cosine is within
+    // 1e-6 of the m-th largest raw (round6 monotone, moves a value by
+    // at most 5e-7) — so pass 1 tracks raw values only, and the
+    // BigDecimal rounding runs for the near-cutoff sliver instead of
+    // every (row, cell). Selection semantics are unchanged
+    // (NearestCellSpec differential-pins element 0 and the window
+    // form pins the full array).
+    val C = ids.length
+    val m = math.min(nprobe, C)
+    var buf = scratch.get()
+    if (buf.length < C) { buf = new Array[Double](C); scratch.set(buf) }
+    val va = v.toDoubleArray()
+    // pass 1: raw cosines + the m-th largest raw (values only — the
+    // id tiebreak doesn't change the cutoff VALUE)
+    val topRaw = new Array[Double](m)
     var filled = 0
     var c = 0
-    while (c < ids.length) {
+    while (c < C) {
       val cv = vecs(c)
-      val n = math.min(v.numElements(), cv.length)
+      val n = math.min(va.length, cv.length)
       var s = 0.0
       var i = 0
-      while (i < n) { s += v.getDouble(i) * cv(i); i += 1 }
-      val ccos = NearestCell.round6(s / (nrm * nrms(c)))
-      val id = ids(c)
-      // find insertion point among the current top-m (ccos desc, id asc)
+      while (i < n) { s += va(i) * cv(i); i += 1 }
+      val raw = s / (nrm * nrms(c))
+      buf(c) = raw
       var pos = filled
-      while (pos > 0 && {
-        val cmp = java.lang.Double.compare(ccos, topCos(pos - 1))
-        cmp > 0 || (cmp == 0 && id < topId(pos - 1))
-      }) pos -= 1
+      while (pos > 0 &&
+          java.lang.Double.compare(raw, topRaw(pos - 1)) > 0) pos -= 1
       if (pos < m) {
         val last = math.min(filled, m - 1)
         var j = last
-        while (j > pos) { topCos(j) = topCos(j - 1); topId(j) = topId(j - 1); j -= 1 }
-        topCos(pos) = ccos
-        topId(pos) = id
+        while (j > pos) { topRaw(j) = topRaw(j - 1); j -= 1 }
+        topRaw(pos) = raw
         if (filled < m) filled += 1
+      }
+      c += 1
+    }
+    val cutoff =
+      if (filled < m) Double.NegativeInfinity else topRaw(m - 1) - 2e-6
+    // pass 2: round the candidates and run the exact original
+    // (rounded desc, id asc) insertion select over them
+    val topCos = new Array[Double](m)
+    val topId = new Array[Long](m)
+    filled = 0
+    c = 0
+    while (c < C) {
+      if (java.lang.Double.compare(buf(c), cutoff) >= 0) {
+        val ccos = NearestCell.round6(buf(c))
+        val id = ids(c)
+        var pos = filled
+        while (pos > 0 && {
+          val cmp = java.lang.Double.compare(ccos, topCos(pos - 1))
+          cmp > 0 || (cmp == 0 && id < topId(pos - 1))
+        }) pos -= 1
+        if (pos < m) {
+          val last = math.min(filled, m - 1)
+          var j = last
+          while (j > pos) { topCos(j) = topCos(j - 1); topId(j) = topId(j - 1); j -= 1 }
+          topCos(pos) = ccos
+          topId(pos) = id
+          if (filled < m) filled += 1
+        }
       }
       c += 1
     }

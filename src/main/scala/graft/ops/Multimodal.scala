@@ -251,7 +251,13 @@ object Multimodal {
     */
   def ingestBinaryFiles(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
-    spark.read.format("binaryFile").load(s"$dir/*.bin")
+    // pathGlobFilter over the directory rather than a glob in the
+    // path: the directory always exists once staged, so analysis
+    // never depends on glob expansion (which resolves through the
+    // configured FileSystem impl and has proven flaky under Hive's
+    // ProxyLocalFileSystem on a cold session)
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.bin")
+      .load(dir)
       .select(
         regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
           .cast("long").as("doc_id"),

@@ -127,4 +127,43 @@ class NearestCellSpec extends SparkSpec {
       .head().getLong(0)
     assert(out == 3L, s"zero-norm vector assigned to cell $out")
   }
+
+  test("sub-1e-6 raw ties round equal and break by id (two-pass sliver)") {
+    // The two-pass argmax tracks RAW cosines in pass 1 and only rounds
+    // the near-top sliver in pass 2. These fixtures pin the case a
+    // naive raw-argmax would get wrong: raws within 1e-6 that round to
+    // the SAME 6-dp value, where the rounded-desc/id-asc contract must
+    // pick the smaller id even though its raw is strictly smaller.
+    // d=1, unit norms, so cosine == the cell vector's single component.
+    val v = array(lit(1.0))
+
+    // raw(id=9) = 0.12345649 > raw(id=2) = 0.12345641, both round to
+    // 0.123456 -> id 2 must win
+    val tieIds = Array(9L, 2L)
+    val tieVecs = Array(Array(0.12345649), Array(0.12345641))
+    val ones = Array(1.0, 1.0)
+    val tie = spark.range(1)
+      .select(VectorFunctions.nearest_cell(v, lit(1.0), tieIds, tieVecs, ones))
+      .head().getLong(0)
+    assert(tie == 2L, s"rounded tie must break to the smaller id, got $tie")
+
+    // just across the HALF_UP boundary: 0.1234565 -> 0.123457 beats
+    // 0.12345649 -> 0.123456 despite a raw gap of only 1e-8
+    val edgeIds = Array(4L, 1L)
+    val edgeVecs = Array(Array(0.1234565), Array(0.12345649))
+    val edge = spark.range(1)
+      .select(VectorFunctions.nearest_cell(v, lit(1.0), edgeIds, edgeVecs, ones))
+      .head().getLong(0)
+    assert(edge == 4L, s"HALF_UP boundary winner wrong: $edge")
+
+    // multi-probe: the cutoff sliver must admit the id-2 cell into the
+    // top-2 even though its raw ranks third
+    val mIds = Array(5L, 9L, 2L)
+    val mVecs = Array(Array(0.5), Array(0.12345649), Array(0.12345641))
+    val mOnes = Array(1.0, 1.0, 1.0)
+    val probes = spark.range(1)
+      .select(VectorFunctions.nearest_cells(v, lit(1.0), mIds, mVecs, mOnes, 2))
+      .head().getSeq[Long](0)
+    assert(probes == Seq(5L, 2L), s"multi-probe sliver wrong: $probes")
+  }
 }
