@@ -24,9 +24,12 @@ object BenchOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
+    val explain = sys.env.contains("SPARK_GRAFT_BENCH_EXPLAIN")
     for (name <- args) {
       val fn = SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query: $name"))
+      if (explain) println(fn(spark, sfDir).queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode))
       val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()

@@ -685,9 +685,9 @@ object Similarity {
     * that reports the default huge estimate) errs toward
     * repartitioning, which is the safe direction at unknown scale.
     */
-  private val FanOutFloorBytes = 8L << 20
+  private[graft] val FanOutFloorBytes = 8L << 20
 
-  private def fanOut(df: DataFrame): DataFrame = {
+  private[graft] def fanOut(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (bytes >= FanOutFloorBytes && df.rdd.getNumPartitions < par)

@@ -116,17 +116,68 @@ object Planner {
     findPathBfsCounted(registry, sources, goal, maxRepeatGeneric,
       maxExpansions)._1
 
-  /** A* search: f = plan length + number of goal sets no pooled frame
-    * covers yet. The heuristic is admissible whenever each task
-    * application satisfies at most one outstanding goal set (true for
-    * every reference-shaped task — single-frame outputs and disjoint
-    * goals), so the plan is minimal there; in the corner case where
-    * one new frame covers several goal sets at once it may return a
-    * plan one step off minimal ([[findPathBfs]] covers that case).
-    * Tie-breaking is insertion-order FIFO, which makes equal-f
-    * exploration order match BFS exactly — that is why the fixtures
-    * get IDENTICAL plans, not merely equal-length ones. Returns
-    * (plan, states expanded).
+  /** Relaxed-reachability depth: one relaxed level applies EVERY
+    * currently-satisfiable novel action at once and pools all the
+    * outputs. Unification is monotone in the frame pool (more frames
+    * can only enable more bindings), so by induction the relaxed pool
+    * after d levels contains every frame ANY real d-step plan from
+    * `state` could have produced — the number of levels until the
+    * goal is covered is a lower bound on the remaining plan length.
+    * Two sharper consequences fall out:
+    *  - a fixpoint that never covers the goal proves the goal
+    *    unreachable from `state` ([[Unreachable]] — A* prunes the
+    *    branch instead of flooding it);
+    *  - the bound is CONSISTENT: a successor's pool sits inside this
+    *    state's level-1 pool, so the estimate drops by at most one
+    *    per real step (closed-set A* stays optimal).
+    * Generic-use caps are deliberately ignored (ignoring a cap only
+    * grows the pool, keeping the lower bound valid); the level cap
+    * and frame budget bound the cost against `(.+)`-template
+    * registries whose relaxation would grow forever — bailing out at
+    * depth d is still a valid bound because the goal was uncovered
+    * at every level checked so far.
+    */
+  private val RelaxLevelCap = 50
+  private val RelaxFrameBudget = 4000
+  private[planner] val Unreachable = Int.MaxValue / 4
+
+  private[planner] def relaxedDepth(
+      registry: TaskRegistry,
+      state: State,
+      goal: Vector[Vector[String]]): Int = {
+    var frames = state.frames
+    var key = state.key
+    var d = 0
+    while (d < RelaxLevelCap && frames.size <= RelaxFrameBudget) {
+      if (goal.forall(g => frames.exists(f => g.forall(f.contains))))
+        return d
+      val novel = registry.tasks.iterator
+        .flatMap(t => Unify.satisfy(t, frames).iterator.flatMap(_.outputs))
+        .filter(o => !key.contains(o.toSet))
+        .toVector.distinctBy(_.toSet)
+      if (novel.isEmpty) return Unreachable
+      frames = frames ++ novel
+      key = key ++ novel.map(_.toSet)
+      d += 1
+    }
+    d
+  }
+
+  /** A* search: f = plan length + max(uncovered goal sets,
+    * [[relaxedDepth]]). The goal-set count is admissible whenever
+    * each task application satisfies at most one outstanding goal set
+    * (true for every reference-shaped task — single-frame outputs and
+    * disjoint goals); the relaxed depth is admissible and consistent
+    * unconditionally, and is what gives DEEP CHAINS their guidance
+    * (the set count is a flat 1 along a chain, degenerating A* to
+    * BFS; the relaxed depth counts the remaining links, so off-chain
+    * distractors cost more than on-chain progress and dead branches
+    * prune outright). In the corner case where one new frame covers
+    * several goal sets at once the combined h may still overestimate
+    * by the set count's excess and return a plan one step off minimal
+    * ([[findPathBfs]] covers that case). Tie-breaking is
+    * insertion-order FIFO, which keeps equal-f exploration in BFS
+    * order. Returns (plan, states expanded).
     */
   def findPathAStarCounted(
       registry: TaskRegistry,
@@ -134,8 +185,13 @@ object Planner {
       goal: Vector[Vector[String]],
       maxRepeatGeneric: Int = 1,
       maxExpansions: Int = 100000): (Option[Vector[Action]], Int) = {
-    def h(state: State): Int =
-      goal.count(g => !state.frames.exists(f => g.forall(f.contains)))
+    val memo = scala.collection.mutable.HashMap.empty[Set[Set[String]], Int]
+    def h(state: State): Int = {
+      val sets = goal.count(g => !state.frames.exists(f => g.forall(f.contains)))
+      if (sets == 0) 0
+      else math.max(sets, memo.getOrElseUpdate(state.key,
+        relaxedDepth(registry, state, goal)))
+    }
     val start = initial(sources)
     if (goalReached(start, goal)) return (Some(Vector.empty), 0)
     // ordered by f asc; tie-broken by insertion order for stability
@@ -154,8 +210,12 @@ object Planner {
         if (!visited.contains(next.key)) {
           if (goalReached(next, goal)) return (Some(path :+ a), expansions)
           visited += next.key
-          tick += 1
-          open.enqueue((path.length + 1 + h(next), tick, next, path :+ a))
+          val hn = h(next)
+          // provably-unreachable successors never enter the frontier
+          if (hn < Unreachable) {
+            tick += 1
+            open.enqueue((path.length + 1 + hn, tick, next, path :+ a))
+          }
         }
       }
     }

@@ -297,4 +297,88 @@ class PlannerSearchSpec extends AnyFunSuite {
     assert(path.map(_.task.name) == Vector("tokenize", "counts", "top90"))
     assert(ms < 1000, s"planner took ${ms}ms")
   }
+
+  test("relaxed-depth heuristic walks the chain instead of flooding distractors") {
+    // 8-step chain plus 4 LIVE distractors (they fire from src, their
+    // outputs feed nothing). The goal-set count is a flat 1 along the
+    // chain, so pre-round-13 A* degenerated to BFS over the
+    // (chain-position x distractor-subset) lattice; the relaxed depth
+    // charges every off-chain state its full remaining distance, so
+    // the frontier follows the chain.
+    val chain = (1 to 8).map { i =>
+      val from = if (i == 1) raw"(src)$$" else raw"(.+)\.s${i - 1}$$"
+      Task(s"step$i", Vector(Req("x", Vector(Pat(from)))),
+        Vector(Vector(s"{x}.s$i")))(noop(1))
+    }
+    val live = (1 to 4).map { i =>
+      Task(s"distract$i", Vector(Req("x", Vector(Pat(raw"(src)$$")))),
+        Vector(Vector(s"{x}.d$i")))(noop(1))
+    }
+    val reg = TaskRegistry((chain ++ live).toVector)
+    val goal = Vector(Vector("src" + (1 to 8).map(i => s".s$i").mkString))
+    val (bfs, bfsExp) = Planner.findPathBfsCounted(reg,
+      Vector(Vector("src")), goal)
+    val (astar, aExp) = Planner.findPathAStarCounted(reg,
+      Vector(Vector("src")), goal)
+    assert(astar.get.map(_.task.name) == (1 to 8).map(i => s"step$i"),
+      "A* must still return the minimal chain")
+    assert(astar.get.length == bfs.get.length)
+    assert(aExp <= 2 * astar.get.length,
+      s"sharpened A* should track the chain, expanded $aExp")
+    assert(aExp * 4 <= bfsExp,
+      s"expected a wide margin over BFS, got A*=$aExp BFS=$bfsExp")
+  }
+
+  test("relaxed depth proves dead branches unreachable and prunes them") {
+    // a fixpoint that never covers the goal IS a proof of
+    // unreachability — h goes to Unreachable and A* never enqueues
+    // the branch
+    val dead = TaskRegistry.of(
+      Task("dead", Vector(Req.lit("x", "missing")),
+        Vector(Vector("never")))(noop(1)))
+    val s = Planner.initial(Vector(Vector("src")))
+    assert(Planner.relaxedDepth(dead, s, Vector(Vector("goal"))) ==
+      Planner.Unreachable)
+    val (none, exp) = Planner.findPathAStarCounted(dead,
+      Vector(Vector("src")), Vector(Vector("goal")))
+    assert(none.isEmpty)
+    assert(exp <= 1, s"unreachable search should stop at the root, got $exp")
+    // a template registry whose relaxation grows forever must CAP,
+    // not hang, and the cap is still a usable finite bound
+    val d = Planner.relaxedDepth(reg, s, Vector(Vector("unreachable.goal")))
+    assert(d > 0 && d < Planner.Unreachable,
+      s"capped relaxation must stay a finite bound, got $d")
+  }
+
+  test("property: A* matches BFS plan length on 60 seeded random registries") {
+    // admissibility safety net for the sharpened heuristic: on random
+    // literal-task registries (where bindings are unambiguous and the
+    // corner case documented on findPathAStarCounted cannot arise,
+    // since goals are single sets) A* must agree with exhaustive BFS
+    // on reachability AND plan length, and never expand more states.
+    val rnd = new scala.util.Random(1312L)
+    (1 to 60).foreach { trial =>
+      val cols = (0 until 10).map(i => s"c$i")
+      val tasks = (0 until 8).map { t =>
+        val nIn = 1 + rnd.nextInt(2)
+        val ins = Vector.fill(nIn)(cols(rnd.nextInt(cols.size)))
+        val out = cols(rnd.nextInt(cols.size))
+        Task(s"t$t", Vector(Req.lit("x", ins.distinct: _*)),
+          Vector(Vector(out)))(noop(1))
+      }
+      val registry = TaskRegistry(tasks.toVector)
+      val sources = Vector(Vector.fill(1 + rnd.nextInt(3))(
+        cols(rnd.nextInt(cols.size))).distinct)
+      val goal = Vector(Vector(cols(rnd.nextInt(cols.size))))
+      val (bfs, bfsExp) = Planner.findPathBfsCounted(registry, sources, goal)
+      val (astar, aExp) = Planner.findPathAStarCounted(registry, sources, goal)
+      assert(bfs.isDefined == astar.isDefined,
+        s"trial $trial: reachability diverged")
+      assert(bfs.map(_.length) == astar.map(_.length),
+        s"trial $trial: A* plan ${astar.map(_.length)} vs " +
+          s"BFS ${bfs.map(_.length)}")
+      assert(aExp <= bfsExp,
+        s"trial $trial: A* expanded $aExp vs BFS $bfsExp")
+    }
+  }
 }
