@@ -52,7 +52,17 @@ object Bench {
     // isolated vs 120 s mid-artifact, with a healthy canary). An
     // explicit GC every 25 queries keeps the cleaner current for
     // ~0.1 s apiece; the canary still catches EXTERNAL load.
+    // Round-13 cadence A/B at sf1 (gc_every 25 vs 1, reps=1): per-query
+    // GC collapses the iterative heavies' spikes (ns_dedup_clusters
+    // 11.5 -> 5.2 s) but the ContextCleaner churn each GC kicks off
+    // bleeds into every following timed window, taxing the ~200 fast
+    // queries ~0.1 s apiece — net total 192.6 -> 212.1 s. The artifact
+    // protocol therefore stays at 25 (annotated as gc_every in the
+    // JSON line); per-query hygiene is BenchOne's job, where single
+    // queries are diagnosed without 200 neighbors to tax.
+    val gcEvery = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "25").toInt.max(1)
     var sinceGc = 0
+    var sinceClear = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // a finished query's localCheckpoint RDDs sit in
       // getPersistentRDDs until the cleaner notices — drop them NOW
@@ -61,9 +71,13 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       sinceGc += 1
-      if (sinceGc >= 25) {
-        sinceGc = 0
+      sinceClear += 1
+      if (sinceClear >= 25) {
+        sinceClear = 0
         spark.catalog.clearCache()
+      }
+      if (sinceGc >= gcEvery) {
+        sinceGc = 0
         System.gc()
       }
       val ts = (1 to reps).map(_ => time(fn)).sorted
@@ -90,7 +104,7 @@ object Bench {
     // iterative queries' mid-artifact wall, so two artifacts are only
     // comparable at matching heap configs
     val heapGb = Runtime.getRuntime.maxMemory / (1L << 30)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"canary_s":$canary,"canary_end_s":$canaryEnd,"heap_gb":$heapGb,"n_errors":${errors.size},"errors":$errsJson,"queries":$qs,"queries_min":$mins,"queries_max":$maxs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"canary_s":$canary,"canary_end_s":$canaryEnd,"heap_gb":$heapGb,"gc_every":$gcEvery,"n_errors":${errors.size},"errors":$errsJson,"queries":$qs,"queries_min":$mins,"queries_max":$maxs,"sf":"$sfDir"}"""
     println(line)
     // The stdout line gets truncated by log tooling past ~50 queries; persist the
     // full per-query breakdown so cross-round comparisons cover every query.

@@ -31,6 +31,15 @@ object BenchOne {
       if (explain) println(fn(spark, sfDir).queryExecution
         .explainString(org.apache.spark.sql.execution.FormattedMode))
       val ts = (1 to reps).map { _ =>
+        // same cross-run hygiene as Bench, outside the timed window:
+        // the previous rep/query's localCheckpoint blocks sit in
+        // getPersistentRDDs until a driver GC runs the ContextCleaner,
+        // and their eviction pressure lands on THIS measurement
+        // (observed: ns_dedup_clusters 16 s on rep 1 vs 100 s on
+        // rep 2 of the same session without this)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        System.gc()
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()
         ((System.nanoTime() - t0) / 1e9, n)
