@@ -407,8 +407,119 @@ class Gen:
                f"AND o_orderkey % 11 = 0")
         return sql, sql
 
+    def q_lateral(self):
+        """Correlated LATERAL subquery with per-row ORDER BY + LIMIT —
+        the decorrelation path (Spark rewrites to WindowGroupLimit).
+        Total order inside the lateral keeps the cut engine-exact."""
+        k = self.rnd.randint(1, 3)
+        m = self.rnd.choice([7, 10, 13])
+        if self.rnd.random() < 0.5:
+            oc = self.rnd.choice(["o_totalprice", "o_orderdate"])
+            d = self.rnd.choice(["ASC", "DESC"])
+            sql = (f"SELECT c_custkey, t.o_orderkey, t.o_totalprice "
+                   f"FROM customer, LATERAL ("
+                   f"SELECT o_orderkey, o_totalprice FROM orders "
+                   f"WHERE o_custkey = c_custkey "
+                   f"ORDER BY {oc} {d}, o_orderkey LIMIT {k}) t "
+                   f"WHERE c_custkey % {m} = 0")
+        else:
+            oc = self.rnd.choice(["l_extendedprice", "l_quantity"])
+            d = self.rnd.choice(["ASC", "DESC"])
+            # (l_orderkey, l_linenumber) is NOT unique in the synthetic
+            # lineitem, so the tiebreak must cover every projected
+            # column: rows still tied after that are identical in the
+            # output, making the LIMIT cut deterministic as a multiset
+            sql = (f"SELECT o_orderkey, t.l_linenumber, t.l_extendedprice "
+                   f"FROM orders, LATERAL ("
+                   f"SELECT l_linenumber, l_extendedprice FROM lineitem "
+                   f"WHERE l_orderkey = o_orderkey "
+                   f"ORDER BY {oc} {d}, l_linenumber, l_extendedprice "
+                   f"LIMIT {k}) t "
+                   f"WHERE o_orderkey % {m} = 0")
+        return sql, sql
+
+    def q_rollup(self):
+        """ROLLUP / CUBE / GROUPING SETS with coalesced labels (the
+        group columns are non-null TPC-H fields, so a NULL is always a
+        subtotal row, never data)."""
+        t = self.rnd.choice(["lineitem", "orders", "customer", "part"])
+        g1, g2 = self.rnd.sample(cols_of(t, {"str", "int"}), 2)
+        gs = self.rnd.choice([
+            f"ROLLUP({g1}, {g2})", f"CUBE({g1}, {g2})",
+            f"GROUPING SETS (({g1}), ({g2}), ())"])
+        e, nm = self.agg_expr(t)
+        if nm == "n":
+            nm = "n2"
+        pred = self.predicate(t)
+        sql = (f"SELECT COALESCE(CAST({g1} AS STRING), 'ALL') AS k1, "
+               f"COALESCE(CAST({g2} AS STRING), 'ALL') AS k2, "
+               f"COUNT(*) AS n, {e} AS {nm} "
+               f"FROM {t} WHERE {pred} GROUP BY {gs}")
+        return sql, sql
+
+    def q_cte(self):
+        """CTE aggregate joined back through the FK graph."""
+        fact, fk, dim, dk = self.rnd.choice(
+            [f for f in FKS if f[0] in ("lineitem", "orders", "customer")])
+        e, nm = self.agg_expr(fact)
+        if nm == "n":
+            nm = "n2"
+        pred = self.predicate(fact)
+        dcol = self.rnd.choice(cols_of(dim, {"str", "int"}))
+        thresh = self.rnd.randint(1, 3)
+        sql = (f"WITH agg AS ("
+               f"SELECT {fk} AS k, COUNT(*) AS n, {e} AS {nm} "
+               f"FROM {fact} WHERE {pred} GROUP BY {fk}) "
+               f"SELECT d.{dcol}, agg.k, agg.n, agg.{nm} "
+               f"FROM agg JOIN {dim} d ON agg.k = d.{dk} "
+               f"WHERE agg.n > {thresh}")
+        return sql, sql
+
+    def q_frame(self):
+        """Window frame aggregation (ROWS BETWEEN) over an integer
+        column, totally ordered inside each partition — engine-exact
+        running sums, cast to BIGINT on both sides."""
+        t, pk, ids = self.rnd.choice([
+            ("lineitem", "l_orderkey", ["l_orderkey", "l_linenumber"]),
+            ("orders", "o_custkey", ["o_orderkey"]),
+            ("customer", "c_nationkey", ["c_custkey"]),
+        ])
+        ic = self.rnd.choice(cols_of(t, {"int"}))
+        a = self.rnd.randint(1, 4)
+        frame = self.rnd.choice([
+            f"ROWS BETWEEN {a} PRECEDING AND CURRENT ROW",
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"])
+        fn = self.rnd.choice(["SUM", "MIN", "MAX"])
+        # the id columns are not a total order in the synthetic data
+        # (lineitem repeats (l_orderkey, l_linenumber)); appending the
+        # aggregated column makes remaining ties carry EQUAL frame
+        # contributions, so the projected output is multiset-exact
+        order = ", ".join(ids + [ic])
+        idp = ", ".join(ids)
+        pred = self.predicate(t)
+        sql = (f"SELECT {idp}, CAST({fn}({ic}) OVER ("
+               f"PARTITION BY {pk} ORDER BY {order} {frame}) AS BIGINT) "
+               f"AS roll FROM {t} WHERE {pred}")
+        return sql, sql
+
+    def q_exists(self):
+        """Correlated [NOT] EXISTS — the semi/anti join rewrite."""
+        neg = self.rnd.choice(["", "NOT "])
+        if self.rnd.random() < 0.5:
+            p = self.predicate("lineitem")
+            sql = (f"SELECT s_suppkey, s_name FROM supplier "
+                   f"WHERE {neg}EXISTS (SELECT 1 FROM lineitem "
+                   f"WHERE l_suppkey = s_suppkey AND {p})")
+        else:
+            p = self.predicate("orders")
+            sql = (f"SELECT c_custkey, c_mktsegment FROM customer "
+                   f"WHERE {neg}EXISTS (SELECT 1 FROM orders "
+                   f"WHERE o_custkey = c_custkey AND {p})")
+        return sql, sql
+
     SHAPES = ["q_scan", "q_join", "q_agg", "q_window", "q_explode",
-              "q_limit", "q_union", "q_subquery"]
+              "q_limit", "q_union", "q_subquery", "q_lateral",
+              "q_rollup", "q_cte", "q_frame", "q_exists"]
 
     def generate(self, i):
         shape = self.SHAPES[i % len(self.SHAPES)]
