@@ -178,27 +178,44 @@ object Analysis {
   def pmiPairs(docs: DataFrame, minPairDocs: Long = 50): DataFrame = {
     // SORTED distinct tokens: pairs enumerated with i < j are then
     // already (a < b)-normalized AND unique per doc — no per-pair
-    // least/greatest and, crucially, no distinct() (which would
-    // shuffle every generated pair row; the only shuffle left is the
-    // map-side-combined groupBy over <=|vocab|^2 partial counts)
+    // least/greatest and no distinct() over generated pairs.
     val docToks = docs.select(col("doc_id"),
       array_sort(array_distinct(split(col("text"), " "))).as("toks"))
     val n = docToks.select(count(lit(1)).as("n_docs"))
     val tokDocs = docToks.select(col("doc_id"), explode(col("toks")).as("t"))
     val tokDf = tokDocs.groupBy("t").agg(count(lit(1)).as("df"))
-    val pairs = docToks.select(col("doc_id"),
-        explode(flatten(transform(col("toks"), (a, i) =>
-          transform(slice(col("toks"), i + 2, size(col("toks"))), b =>
+    // Pair keys are DENSE INT IDS, not strings (round-13: the pair
+    // stream is the whole cost — |corpus| * m^2/2 rows; at the 100x
+    // corpus that is 137M (string, string) structs whose hashing and
+    // map-side-combine dominated the query. Ids are assigned by
+    // row_number in TOKEN SORT ORDER over the df >= minPairDocs
+    // vocabulary — pair_df <= min(df_a, df_b), so a pair with either
+    // token below the floor can never qualify, and pruning BEFORE
+    // pair generation also shrinks the quadratic blowup. Id order ==
+    // token order, so i < j normalization survives the mapping.
+    // The single-partition window is bounded by the QUALIFYING vocab
+    // (floor-pruned), the same vocab the result itself must hold.
+    val idDf = tokDf.filter(col("df") >= minPairDocs)
+      .withColumn("id", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("t"))
+        .cast("int"))
+    // map each doc's token array to sorted id arrays: explode-join-
+    // regroup (one linear shuffle of the token stream; the id side is
+    // unhinted — AQE broadcasts it when small, see tfidfTop3's doc)
+    val docIds = tokDocs.join(idDf.select("t", "id"), "t")
+      .groupBy("doc_id").agg(array_sort(collect_list("id")).as("ids"))
+    val pairs = docIds.select(
+        explode(flatten(transform(col("ids"), (a, i) =>
+          transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
             struct(a.as("a"), b.as("b")))))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
-    val pairDf = pairs.groupBy("a", "b").agg(count(lit(1)).as("pair_df"))
+      .select(col("p.a").as("ia"), col("p.b").as("ib"))
+    val pairDf = pairs.groupBy("ia", "ib").agg(count(lit(1)).as("pair_df"))
       .filter(col("pair_df") >= minPairDocs)
-    // tokDf is vocab-sized: unhinted (AQE broadcasts it when its
-    // runtime size allows; see tfidfTop3's doc for why a forced
-    // broadcast() would be wrong at corpus scale)
     pairDf
-      .join(tokDf.select(col("t").as("a"), col("df").as("df_a")), "a")
-      .join(tokDf.select(col("t").as("b"), col("df").as("df_b")), "b")
+      .join(idDf.select(col("id").as("ia"), col("t").as("a"),
+        col("df").as("df_a")), "ia")
+      .join(idDf.select(col("id").as("ib"), col("t").as("b"),
+        col("df").as("df_b")), "ib")
       .crossJoin(broadcast(n))
       .select(col("a"), col("b"), col("pair_df"),
         round(log((col("pair_df") * col("n_docs")).cast("double") /
