@@ -121,15 +121,24 @@ object Pipeline {
       maxDf: Int = MaxShingleDf, words: Int = BloomWords): DataFrame = {
     val (evalSh, trainSh) = contaminationShingles(docs, maxDf)
     val bits = words * 32L
-    def pos(tag: String) =
-      H.hash60(concat(lit(tag), col("sh"))) % bits
+    // Both bit positions from ONE md5: p1 = the hash's low log2(bits)
+    // bits, p2 = the next window up (classic double hashing — with
+    // bits = 2^15 the two windows are disjoint slices of the 60-bit
+    // hash). Round-13: the salted two-md5 form paid the query's
+    // dominant CPU twice per train shingle; the windows halve it for
+    // the same oracle-checkable determinism (the FP pattern changes,
+    // and changes identically in both engines).
     val bloom = evalSh
-      .select(explode(array(pos("b1_"), pos("b2_"))).as("p"))
+      .select(H.hash60(col("sh")).as("hh"))
+      .select(explode(array(col("hh") % bits,
+        expr(s"(hh DIV $bits) % $bits"))).as("p"))
       .select(expr("p DIV 32").as("w"), (col("p") % 32).cast("int").as("b"))
       .groupBy("w")
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))").as("word"))
     val probed = trainSh
-      .withColumn("p1", pos("b1_")).withColumn("p2", pos("b2_"))
+      .withColumn("hh", H.hash60(col("sh")))
+      .withColumn("p1", col("hh") % bits)
+      .withColumn("p2", expr(s"(hh DIV $bits) % $bits"))
       .select(col("train_id"), col("sh"),
         expr("p1 DIV 32").as("w1"), (col("p1") % 32).cast("int").as("b1"),
         expr("p2 DIV 32").as("w2"), (col("p2") % 32).cast("int").as("b2"))
@@ -141,13 +150,29 @@ object Pipeline {
       .withColumn("hit",
         coalesce(expr("shiftright(word1, b1) & 1"), lit(0L)) === 1 &&
           coalesce(expr("shiftright(word2, b2) & 1"), lit(0L)) === 1)
+    // Ground truth probes only the bloom-HIT shingles: a Bloom filter
+    // has no false negatives, so every genuinely shared shingle has
+    // both bits set — the exact verdict over hits equals the exact
+    // verdict over the full stream. The hit shingles ride the perDoc
+    // aggregation as a collect_set (when() leaves misses NULL and
+    // collect_set drops NULLs), so the train shingle stream is read
+    // ONCE and shuffled ONCE (by train_id, carrying only the rare
+    // hits as payload): both downstream consumers — the verdict join
+    // and the final report — hang off the same exchange, which AQE
+    // reuses. Round-13: previously the ground truth re-shuffled the
+    // ENTIRE train shingle stream through an equi-join to confirm
+    // what the 4 KB broadcast filter had already screened; at 100 TB
+    // that exchange dwarfs everything else in the query.
     val perDoc = j.groupBy("train_id")
       .agg(count(lit(1)).as("n_sh"),
-        sum(when(col("hit"), 1L).otherwise(0L)).as("n_hit"))
-    val exact = trainSh.join(evalSh, "sh")
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_hit"),
+        collect_set(when(col("hit"), col("sh"))).as("hit_sh"))
+    val exact = perDoc
+      .select(col("train_id"), explode(col("hit_sh")).as("sh"))
+      .join(evalSh.select("sh").distinct(), "sh")
       .select("train_id").distinct()
       .withColumn("is_true", lit(true))
-    perDoc.join(exact, Seq("train_id"), "left")
+    perDoc.drop("hit_sh").join(exact, Seq("train_id"), "left")
       .select(col("train_id"), col("n_sh"), col("n_hit"),
         (col("n_hit") > 0).as("bloom_flagged"),
         coalesce(col("is_true"), lit(false)).as("exact_contaminated"),
@@ -176,19 +201,16 @@ object Pipeline {
        |        GROUP BY sh HAVING count(*) > $maxDf),
        |t2 AS (SELECT * FROM trsh WHERE sh NOT IN (SELECT sh FROM hot)),
        |e2 AS (SELECT * FROM evsh WHERE sh NOT IN (SELECT sh FROM hot)),
-       |bloompos AS (SELECT unnest([
-       |    ${H.duckHash60("'b1_' || sh")} % $bits,
-       |    ${H.duckHash60("'b2_' || sh")} % $bits]) AS p FROM e2),
+       |bloompos AS (SELECT unnest([hh % $bits, (hh // $bits) % $bits]) AS p
+       |  FROM (SELECT ${H.duckHash60("sh")} AS hh FROM e2)),
        |bloom AS (SELECT p // 32 AS w,
        |    bit_or((1::BIGINT) << ((p % 32)::INT)) AS word
        |  FROM bloompos GROUP BY 1),
        |probed AS (SELECT train_id,
        |    p1 // 32 AS w1, (p1 % 32)::INT AS b1,
        |    p2 // 32 AS w2, (p2 % 32)::INT AS b2
-       |  FROM (SELECT train_id,
-       |      ${H.duckHash60("'b1_' || sh")} % $bits AS p1,
-       |      ${H.duckHash60("'b2_' || sh")} % $bits AS p2
-       |    FROM t2)),
+       |  FROM (SELECT train_id, hh % $bits AS p1, (hh // $bits) % $bits AS p2
+       |    FROM (SELECT train_id, ${H.duckHash60("sh")} AS hh FROM t2))),
        |j AS (SELECT train_id,
        |    CASE WHEN coalesce((x1.word >> b1) & 1, 0) = 1
        |          AND coalesce((x2.word >> b2) & 1, 0) = 1

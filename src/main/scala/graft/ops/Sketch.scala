@@ -42,14 +42,23 @@ object Sketch {
     */
   def heavyHitters(docs: DataFrame, topK: Int = 20): DataFrame = {
     val toks = Tok.tokens(docs, "text").select("token")
-    val rs = explode(array((0 until Depth).map(lit(_)): _*)).as("r")
-    val cells = toks.select(col("token"), rs)
-      .withColumn("bucket", bucket(col("r"), col("token")))
-      .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+    // Touch the token STREAM exactly once (the map-side-combined
+    // exact groupBy); every cell count is then a sum of exact counts
+    // over the tokens hashing into it — identical numbers to counting
+    // stream occurrences per cell directly (the oracle's form), but
+    // the x Depth row blowup and the salted-md5 bucket arithmetic run
+    // over the VOCABULARY, not the corpus (round-13: this was 4 md5s
+    // per token OCCURRENCE — the whole cost of the query at the 100x
+    // corpus, where stream/vocab > 40,000x).
     val exact = toks.groupBy("token").agg(count(lit(1)).as("exact"))
+    val rs = explode(array((0 until Depth).map(lit(_)): _*)).as("r")
     val probes = exact.select(col("token"), col("exact"), rs)
       .withColumn("bucket", bucket(col("r"), col("token")))
-    probes.join(cells, Seq("r", "bucket"))
+    // est per (token, r) via a window sum over the cell's members:
+    // one vocab-sized shuffle, no second grid build + join
+    val cnt = sum(col("exact")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("r", "bucket"))
+    probes.withColumn("cnt", cnt)
       .groupBy("token", "exact").agg(min(col("cnt")).as("est"))
       .select(col("token"), col("est"), col("exact"),
         (col("est") - col("exact")).as("overestimate"))

@@ -84,10 +84,14 @@ class PlanGoldenSpec extends SparkSpec {
       "Exchange:4,Generate:2,HashAggregate:2,SortMergeJoin:1",
     "ev_funnel" ->
       "BroadcastExchange:1,BroadcastHashJoin:1,Exchange:2,HashAggregate:4",
-    // CMS: grid + exact sides, broadcast probe join, fixed-size top-k
+    // CMS heavy hitters (round-13 re-pin, intended): the token STREAM
+    // is aggregated once (first Exchange); the grid build + probe
+    // collapsed into one vocab-sized window over (r, bucket) — the
+    // old grid-vs-probe BroadcastHashJoin and the second stream-wide
+    // Generate are gone, so every Exchange past the first is
+    // vocabulary-sized
     "ns_heavy_hitters" ->
-      ("BroadcastExchange:1,BroadcastHashJoin:1,Exchange:2,Generate:4," +
-        "HashAggregate:6,TakeOrderedAndProject:1"),
+      "Exchange:3,Generate:2,HashAggregate:4,TakeOrderedAndProject:1,Window:1",
     // mergeable partials: two grouped halves + the merge, no joins
     "ns_incr_agg" -> "Exchange:3,HashAggregate:6",
     // one SMJ on (source, doc_id) over fixed-width hash rows — the

@@ -28,4 +28,20 @@ class BloomContaminationSpec extends SparkSpec {
     assert(clean == 0 || fps.toDouble / clean < 0.25,
       s"FP rate $fps/$clean above the filter's design range")
   }
+
+  test("hit-filtered ground truth equals the full exact join") {
+    // round-13: contaminationBloom's exact_contaminated verdict now
+    // probes only bloom-HIT shingles (no false negatives => the
+    // verdicts are identical). Pin that equivalence against the
+    // independent full-stream join of Pipeline.contamination.
+    val docs = T(spark, sf, "documents")
+    val fromBloom = Pipeline.contaminationBloom(docs)
+      .filter(org.apache.spark.sql.functions.col("exact_contaminated"))
+      .select("train_id").collect().map(_.getLong(0)).toSet
+    val fromExact = Pipeline.contamination(docs)
+      .select("train_id").collect().map(_.getLong(0)).toSet
+    assert(fromBloom == fromExact,
+      s"verdicts diverge: only-bloom=${(fromBloom -- fromExact).take(5)} " +
+        s"only-exact=${(fromExact -- fromBloom).take(5)}")
+  }
 }

@@ -108,4 +108,26 @@ class SketchSpec extends SparkSpec {
     // and the probe covered the entire vocabulary
     assert(full.count() == exact.count())
   }
+
+  test("heavyHitters estimates equal probing the stream-built grid") {
+    // round-13 pins the rewrite's algebraic claim: summing exact
+    // counts per cell (the vocab-sized window form the query now
+    // runs) produces cell-for-cell the grid the token STREAM builds —
+    // so the reported est values must match a direct probe of
+    // cmsCells for every token
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val full = Sketch.heavyHitters(docs, topK = Int.MaxValue)
+    val cells = Sketch.cmsCells(docs)
+    val rs = explode(array((0 until Sketch.Depth).map(lit(_)): _*)).as("r")
+    val streamEst = Tok.tokens(docs, "text").select("token").distinct()
+      .select(col("token"), rs)
+      .withColumn("bucket",
+        graft.ops.H.hash30(concat(lit("cms"), col("r").cast("string"),
+          lit("|"), col("token"))) % lit(Sketch.Width.toLong))
+      .join(cells, Seq("r", "bucket"))
+      .groupBy("token").agg(min(col("cnt")).as("est_stream"))
+    val diverged = full.join(streamEst, "token")
+      .filter(col("est") =!= col("est_stream")).count()
+    assert(diverged == 0, s"$diverged tokens diverge from the stream grid")
+  }
 }
