@@ -136,11 +136,17 @@ object Dedup {
         (u, v) => when(u === v, 1L).otherwise(0L)),
       lit(0L), (acc, m) => acc + m)
 
-    // MERGE hint: a broadcast self-join would recompute the signature
-    // subtree on both sides; sort-merge makes both sides shuffle on
-    // (band, key), so ReusedExchange derives signatures exactly once
+    // SHUFFLE_HASH hint (round-13, was merge): a broadcast self-join
+    // would recompute the signature subtree on both sides; any
+    // shuffled join makes both sides exchange on (band, key), so
+    // ReusedExchange derives signatures exactly once — and the hash
+    // join gets that without SORTING the fat (sig, key) rows twice,
+    // which the sort-merge form paid as the join's dominant cost.
+    // Build side = one shuffle partition of the band table (bounded
+    // by partition count, not corpus size); AQE's skew-join split
+    // covers hot bands on ShuffledHashJoin since Spark 3.2.
     bands.as("a")
-      .join(bands.as("b").hint("merge"),
+      .join(bands.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),

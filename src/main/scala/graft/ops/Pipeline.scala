@@ -318,8 +318,11 @@ object Pipeline {
       zip_with(col("in.sig"), col("ref.sig"),
         (u, v) => when(u === v, 1L).otherwise(0L)),
       lit(0L), (acc, m) => acc + m) / lit(Dedup.MinhashAB.size.toDouble)
+    // shuffle_hash (round-13, was merge): same exchanges either way,
+    // but the hash join skips sorting both band tables' fat
+    // (sig, key) rows — see Dedup.minhashPairs for the full rationale
     bands(incoming).as("in")
-      .join(bands(reference).as("ref").hint("merge"),
+      .join(bands(reference).as("ref").hint("shuffle_hash"),
         col("in.band") === col("ref.band") && col("in.key") === col("ref.key"))
       .select(col("in.doc_id").as("incoming_id"),
         col("ref.doc_id").as("ref_id"), est.as("est_sim"))

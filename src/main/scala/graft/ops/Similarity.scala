@@ -449,8 +449,12 @@ object Similarity {
     val probed = all.select(col("vec_id"), col("v"), col("nrm"),
       explode(transform(probeMasks, m => col("bucket").bitwiseXOR(m)))
         .as("pbucket"))
+    // shuffle_hash (round-13, was merge): the join payload is the
+    // 64-dim vector itself — hash-joining the bucket keys avoids
+    // sort-spilling fat rows at corpus scale (build side = the
+    // un-exploded bucket table's shuffle partition)
     probed.as("a")
-      .join(all.as("b").hint("merge"),
+      .join(all.as("b").hint("shuffle_hash"),
         col("a.pbucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
@@ -1069,8 +1073,10 @@ object Similarity {
         col("v"), col("nrm"),
         centArr.map(_._1), centArr.map(_._2), centArr.map(_._3), nprobe))
         .as("cell"))
+    // shuffle_hash: vector-payload cell join, same rationale as
+    // nearDupPairsV's bucket join above
     probed.as("a")
-      .join(assigned.as("b").hint("merge"),
+      .join(assigned.as("b").hint("shuffle_hash"),
         col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
       .select(least(col("a.vec_id"), col("b.vec_id")).as("id_a"),
         greatest(col("a.vec_id"), col("b.vec_id")).as("id_b"),

@@ -80,8 +80,12 @@ class PlanGoldenSpec extends SparkSpec {
         "Exchange:3,Generate:1,HashAggregate:2,Window:2,WindowGroupLimit:3"),
     "ns_seq_pack" -> "Exchange:2,Window:1",
     "ns_dedup_exact" -> "Exchange:2,HashAggregate:2",
+    // round-13 re-pin (intended): the band self-join moved from
+    // sort-merge to shuffled-hash — same exchanges (ReusedExchange
+    // still derives signatures once, PlanShapeSpec pins it), minus
+    // the two sorts of fat (sig, band, key) rows
     "ns_dedup_minhash_lsh" ->
-      "Exchange:4,Generate:2,HashAggregate:2,SortMergeJoin:1",
+      "Exchange:4,Generate:2,HashAggregate:2,ShuffledHashJoin:1",
     "ev_funnel" ->
       "BroadcastExchange:1,BroadcastHashJoin:1,Exchange:2,HashAggregate:4",
     // CMS heavy hitters (round-13 re-pin, intended): the token STREAM
