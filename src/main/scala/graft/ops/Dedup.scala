@@ -673,9 +673,16 @@ object Dedup {
     val corpus = corpusWithVariants(docs).select("doc_id")
     val drops = minhashLsh(docs, minSim).select(col("id_b").as("doc_id")).distinct()
     val kept = corpus.join(drops, Seq("doc_id"), "left_anti")
+    // n_dropped is DERIVED (drops ⊆ corpus by construction — every
+    // id_b is a corpus doc — so n_corpus = n_kept + n_dropped holds
+    // exactly). Counting drops as its own aggregate branch ran the
+    // entire LSH pipeline a second time: the anti join's build side
+    // and the standalone count don't share an exchange (round-13
+    // measured the query at 2x the cost of minhashLsh itself).
     corpus.agg(count(lit(1)).as("n_corpus"))
-      .crossJoin(drops.agg(count(lit(1)).as("n_dropped")))
       .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
+      .select(col("n_corpus"),
+        (col("n_corpus") - col("n_kept")).as("n_dropped"), col("n_kept"))
   }
 
   def keepFirstSummaryOracle(minSim: Double = 0.5): String =
