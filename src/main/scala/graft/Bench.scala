@@ -60,7 +60,13 @@ object Bench {
     // protocol therefore stays at 25 (annotated as gc_every in the
     // JSON line); per-query hygiene is BenchOne's job, where single
     // queries are diagnosed without 200 neighbors to tax.
-    val gcEvery = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "25").toInt.max(1)
+    // a malformed value must fail BEFORE any query runs, naming the
+    // variable — not as a bare NumberFormatException mid-bench
+    val gcEvery = sys.env.get("SPARK_GRAFT_BENCH_GC") match {
+      case None => 25
+      case Some(v) => scala.util.Try(v.trim.toInt).getOrElse(
+        sys.error(s"SPARK_GRAFT_BENCH_GC must be an integer, got '$v'")).max(1)
+    }
     var sinceGc = 0
     var sinceClear = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -104,7 +110,20 @@ object Bench {
     // iterative queries' mid-artifact wall, so two artifacts are only
     // comparable at matching heap configs
     val heapGb = Runtime.getRuntime.maxMemory / (1L << 30)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"canary_s":$canary,"canary_end_s":$canaryEnd,"heap_gb":$heapGb,"gc_every":$gcEvery,"n_errors":${errors.size},"errors":$errsJson,"queries":$qs,"queries_min":$mins,"queries_max":$maxs,"sf":"$sfDir"}"""
+    // per-query isolated-min annotations (round-13 verdict #7): a
+    // BenchOne pass over the top heavies (SPARK_GRAFT_BENCH_ONE_OUT)
+    // produces a {query: isolated_min_sec} map; pointing
+    // SPARK_GRAFT_BENCH_ISOLATED at it embeds it in the artifact, so
+    // in-chain spikes of iterative queries (the documented GC
+    // envelope) are diffable against their isolated truth in the SAME
+    // JSON instead of a rerun.
+    val isolated = sys.env.get("SPARK_GRAFT_BENCH_ISOLATED")
+      .map(p => new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+      .filter(s => s.startsWith("{") && s.endsWith("}"))
+      .map(s => s""","isolated_min":$s""").getOrElse("")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"canary_s":$canary,"canary_end_s":$canaryEnd,"heap_gb":$heapGb,"gc_every":$gcEvery,"n_errors":${errors.size},"errors":$errsJson,"queries":$qs,"queries_min":$mins,"queries_max":$maxs$isolated,"sf":"$sfDir"}"""
     println(line)
     // The stdout line gets truncated by log tooling past ~50 queries; persist the
     // full per-query breakdown so cross-round comparisons cover every query.

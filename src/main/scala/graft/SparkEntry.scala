@@ -1417,12 +1417,17 @@ object SparkEntry {
     q("ns_media_ingest", Multimodal.ingestOracle) {
       (s, dir) =>
         val mdir = layoutDir("media-files", dir)
-        // guard on actual payload files, not just the marker — a
-        // half-cleaned scratch dir with a surviving _SUCCESS would
-        // otherwise ingest an empty directory
+        // guard on the EXACT payload-file count, not just the marker
+        // or "at least one .bin" (round-13 advisor): a half-cleaned
+        // scratch dir where a strict subset of .bin files survives
+        // alongside _SUCCESS must re-stage, or the ingest silently
+        // returns fewer assets than the corpus defines
+        val expected = T(s, dir, "documents")
+          .filter(col("doc_id") % 50 === 0).count()
         val staged = { val d = new java.io.File(mdir)
           new java.io.File(d, "_SUCCESS").exists() &&
-            Option(d.list()).exists(_.exists(_.endsWith(".bin"))) }
+            Option(d.list()).map(_.count(_.endsWith(".bin")).toLong)
+              .contains(expected) }
         if (!staged)
           Multimodal.writeMediaFiles(T(s, dir, "documents"), mdir)
         Multimodal.ingestBinaryFiles(s, mdir)

@@ -187,18 +187,41 @@ object Analysis {
     // Pair keys are DENSE INT IDS, not strings (round-13: the pair
     // stream is the whole cost — |corpus| * m^2/2 rows; at the 100x
     // corpus that is 137M (string, string) structs whose hashing and
-    // map-side-combine dominated the query. Ids are assigned by
-    // row_number in TOKEN SORT ORDER over the df >= minPairDocs
-    // vocabulary — pair_df <= min(df_a, df_b), so a pair with either
-    // token below the floor can never qualify, and pruning BEFORE
-    // pair generation also shrinks the quadratic blowup. Id order ==
-    // token order, so i < j normalization survives the mapping.
-    // The single-partition window is bounded by the QUALIFYING vocab
-    // (floor-pruned), the same vocab the result itself must hold.
-    val idDf = tokDf.filter(col("df") >= minPairDocs)
-      .withColumn("id", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy("t"))
-        .cast("int"))
+    // map-side-combine dominated the query. Ids are assigned in TOKEN
+    // SORT ORDER over the df >= minPairDocs vocabulary — pair_df <=
+    // min(df_a, df_b), so a pair with either token below the floor
+    // can never qualify, and pruning BEFORE pair generation also
+    // shrinks the quadratic blowup. Id order == token order, so i < j
+    // normalization survives the mapping.
+    //
+    // The assignment itself is DISTRIBUTED (round-14; was one bare
+    // row_number window, i.e. the whole qualifying vocab sorted on a
+    // single core — fine under the floor at bench scale, but a 100 TB
+    // corpus plausibly qualifies 10^7-10^8 tokens). zipWithIndex
+    // pattern, kept inside Catalyst: range-repartition by token
+    // (global order ACROSS partitions), rank within each partition
+    // (parallel sorts), then add the partition's start offset — a
+    // running sum over per-partition counts, a window over
+    // numPartitions rows, not vocab rows. Same total order ==> ids
+    // bit-identical to the serial row_number; the oracle twin (which
+    // never sees ids) is untouched.
+    val W = org.apache.spark.sql.expressions.Window
+    val vocab = tokDf.filter(col("df") >= minPairDocs)
+      .repartitionByRange(col("t"))
+      .withColumn("pid", spark_partition_id())
+    val local = vocab.withColumn("local",
+      row_number().over(W.partitionBy("pid").orderBy("t")))
+    // the offsets side is numPartitions rows — bounded by cluster
+    // config, not data — and stays UNHINTED like every vocab-sized
+    // side here: AQE broadcasts it at runtime (PlanShapeSpec pins
+    // that no join in this query is force-broadcast)
+    val offsets = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum("cnt").over(
+        W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("off"))
+    val idDf = local.join(offsets, "pid")
+      .withColumn("id", (col("off") + col("local")).cast("int"))
+      .select("t", "df", "id")
     // map each doc's token array to sorted id arrays: explode-join-
     // regroup (one linear shuffle of the token stream; the id side is
     // unhinted — AQE broadcasts it when small, see tfidfTop3's doc)

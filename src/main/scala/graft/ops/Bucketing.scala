@@ -80,12 +80,20 @@ object Bucketing {
       val conf = df.sparkSession.sessionState.newHadoopConf()
       df.inputFiles.sorted.foreach { f =>
         val p = new org.apache.hadoop.fs.Path(f)
-        val (len, mtime) =
+        val tag =
           try {
             val st = p.getFileSystem(conf).getFileStatus(p)
-            (st.getLen, st.getModificationTime)
-          } catch { case _: Exception => (-1L, -1L) }
-        md.update(s"$f:$len:$mtime\n".getBytes("UTF-8"))
+            s"$f:${st.getLen}:${st.getModificationTime}"
+          } catch { case _: Exception =>
+            // a failed probe must never degrade to a STABLE signature:
+            // two consecutive failures over different file content
+            // would hash identically and reattach a stale layout — the
+            // exact wrong-joins case the sidecar exists to prevent
+            // (round-13 advisor). A per-probe nonce guarantees the
+            // descriptor mismatches and the layout is rebuilt instead.
+            s"$f:probe-failed:${java.util.UUID.randomUUID()}"
+          }
+        md.update((tag + "\n").getBytes("UTF-8"))
       }
       md.digest().map("%02x".format(_)).mkString
     }

@@ -145,6 +145,14 @@ object Dedup {
     // Build side = one shuffle partition of the band table (bounded
     // by partition count, not corpus size); AQE's skew-join split
     // covers hot bands on ShuffledHashJoin since Spark 3.2.
+    // CAVEAT (round-13 advisor): the SHJ build-side hash map does NOT
+    // spill — a single (band, key) beyond AQE's skew thresholds would
+    // OOM where sort-merge degrades gracefully. Tolerable here because
+    // band keys are 2 concatenated 30-bit minhashes: a band partition
+    // only grows with near-duplicate mass, and the SF10 chain's
+    // largest band-shuffle partition is recorded in PLANS.md. If a
+    // real corpus ever concentrates one band key, drop the hint — the
+    // ReusedExchange (the actual win) survives under merge too.
     bands.as("a")
       .join(bands.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -523,8 +531,17 @@ object Dedup {
     * exactly that); the alternating large/small star twin
     * ([[graft.ops.Graph.ccStar]]) covers adversarial diameters.
     */
-  def minhashClusters(docs: DataFrame, minSim: Double = 0.5, maxIter: Int = 10): DataFrame = {
-    val pairs = minhashLsh(docs, minSim).select("id_a", "id_b")
+  def minhashClusters(docs: DataFrame, minSim: Double = 0.5, maxIter: Int = 10): DataFrame =
+    propagateLabels(minhashLsh(docs, minSim).select("id_a", "id_b"), maxIter)
+
+  /** The frontier label-propagation core of [[minhashClusters]],
+    * callable on ANY undirected pair list (id_a, id_b) — split out
+    * (round-14) so HubGraphSpec can drive it with a synthetic
+    * 10M-edge hub graph without synthesizing documents that LSH into
+    * one. Production entry points always arrive through
+    * [[minhashClusters]]; semantics and plan are unchanged.
+    */
+  private[graft] def propagateLabels(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     // materialize the edge list ONCE: every iteration joins against it,
     // and without the checkpoint the whole LSH pipeline would re-run
     // per round
@@ -534,7 +551,7 @@ object Dedup {
     // first propagation is just min(id, min direct neighbor) — one
     // aggregation over the edge list instead of an identity
     // checkpoint + join + re-checkpoint
-    val sc = docs.sparkSession.sparkContext
+    val sc = pairs.sparkSession.sparkContext
     val beforeInit = sc.getPersistentRDDs.keySet.toSet
     val init = iterCheckpoint(edges.groupBy(col("id_a").as("id"))
       .agg(min(col("id_b")).as("nmin"))
@@ -598,7 +615,7 @@ object Dedup {
         // check); a bigger one — adversarial chain graphs — falls
         // back to the shuffled join automatically. The gate is a
         // conf knob so tests can force the fallback path.
-        val gate = docs.sparkSession.conf
+        val gate = pairs.sparkSession.conf
           .get("spark.graft.frontierBroadcastRows", "1000000").toLong
         val small = deltaRows <= gate
         val d = if (small) broadcast(delta) else delta

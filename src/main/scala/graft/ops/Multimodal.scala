@@ -182,15 +182,26 @@ object Multimodal {
     * returned plan is lazy and still references the cut when the
     * caller materializes it — so the leak is bounded to one cut
     * instead of one per run.
+    *
+    * The rotated ids are the cut's OWN checkpointed RDD (the
+    * `LogicalRDD` the eager localCheckpoint leaves behind), not a
+    * before/after keyset diff of `getPersistentRDDs` (round-13
+    * advisor): a diff would wrongly claim — and unpersist — any RDD a
+    * concurrent thread persists during the window. Note the contract
+    * this rotation imposes either way: unpersisting a localCheckpoint
+    * destroys its truncated lineage, so holding a PRIOR cut across a
+    * newer call and re-executing it is unsupported (all in-repo
+    * callers are sequential and single-use).
     */
   def mediaEmbeddingsCut(spark: SparkSession, docs: DataFrame): DataFrame =
     synchronized {
       val sc = spark.sparkContext
       lastCutIds.foreach(id => sc.getPersistentRDDs.get(id)
         .foreach(_.unpersist(blocking = false)))
-      val before = sc.getPersistentRDDs.keySet.toSet
       val cut = mediaEmbeddings(spark, docs).localCheckpoint(true)
-      lastCutIds = sc.getPersistentRDDs.keySet.toSet -- before
+      lastCutIds = cut.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+      }.toSet
       cut
     }
 
@@ -218,9 +229,13 @@ object Multimodal {
   def writeMediaFiles(docs: DataFrame, dir: String): Unit = {
     import org.apache.hadoop.fs.Path
     val spark = docs.sparkSession
-    val driverFs = new Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    driverFs.mkdirs(new Path(dir))
+    val dirPath = new Path(dir)
+    val driverFs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // clear before staging (round-13 advisor): stale doc_*.bin from a
+    // prior/larger corpus would survive a re-stage and silently widen
+    // the ingest — the _SUCCESS marker only certifies THIS write set
+    if (driverFs.exists(dirPath)) driverFs.delete(dirPath, true)
+    driverFs.mkdirs(dirPath)
     // ship the DRIVER's Hadoop conf: a bare new Configuration() on the
     // executor would drop spark.hadoop.* session overrides
     // (credentials, fs.defaultFS) and could resolve a different

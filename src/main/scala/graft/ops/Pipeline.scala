@@ -321,6 +321,8 @@ object Pipeline {
     // shuffle_hash (round-13, was merge): same exchanges either way,
     // but the hash join skips sorting both band tables' fat
     // (sig, key) rows — see Dedup.minhashPairs for the full rationale
+    // and the non-spillable-build-side caveat (drop the hint if a
+    // band key ever concentrates beyond AQE's skew split)
     bands(incoming).as("in")
       .join(bands(reference).as("ref").hint("shuffle_hash"),
         col("in.band") === col("ref.band") && col("in.key") === col("ref.key"))

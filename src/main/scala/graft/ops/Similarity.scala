@@ -211,8 +211,8 @@ object Similarity {
     * 18.6 s -> 3.7 s, knnLshTables(4) 71.4 s -> 4.0 s, knnLshProbe
     * 18.5 s -> 1.2 s, embeddingNearDupLsh 19.3 s -> 4.3 s).
     */
-  private def planeVec(p: Int, salt: String = ""): Column =
-    typedLit((1 to 64).map(d => planeComponent(p, d, salt)))
+  private def planeVec(p: Int, salt: String = "", dim: Int = 64): Column =
+    typedLit((1 to dim).map(d => planeComponent(p, d, salt)))
 
   /** Sign-projection bucket id over `planes` hyperplanes.
     *
@@ -227,9 +227,10 @@ object Similarity {
     * lower radius-1 multi-probe recall), so the choice is measured,
     * not implied.
     */
-  def lshBucket(v: Column, planes: Int = Planes, salt: String = ""): Column =
+  def lshBucket(v: Column, planes: Int = Planes, salt: String = "",
+      dim: Int = 64): Column =
     (0 until planes).map { p =>
-      when(dot(v, planeVec(p, salt)) > 0, lit(1L << p)).otherwise(lit(0L))
+      when(dot(v, planeVec(p, salt, dim)) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Bucketed ANN: top-k neighbors per query (vec_id < nQueries)
@@ -240,11 +241,11 @@ object Similarity {
     * O([[KnnTargetBucket]]) at every corpus size.
     */
   def knnLsh(emb: DataFrame, nQueries: Int = 50, k: Int = 3,
-      planes: Int = 0): DataFrame = {
+      planes: Int = 0, dim: Int = 64): DataFrame = {
     val p = if (planes > 0) planes else knnPlanesFor(emb.count())
     val all = emb
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("bucket", lshBucket(col("v"), p))
+      .withColumn("bucket", lshBucket(col("v"), p, "", dim))
       .withColumn("nrm", norm(col("v")))
     val queries = all.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
@@ -452,7 +453,11 @@ object Similarity {
     // shuffle_hash (round-13, was merge): the join payload is the
     // 64-dim vector itself — hash-joining the bucket keys avoids
     // sort-spilling fat rows at corpus scale (build side = the
-    // un-exploded bucket table's shuffle partition)
+    // un-exploded bucket table's shuffle partition). Caveat: the SHJ
+    // build map does not spill; a single bucket beyond AQE's skew
+    // split would OOM where merge degrades. LSH buckets are hash-
+    // balanced by construction, so this needs adversarially-aligned
+    // vectors — see Dedup.minhashPairs for the fallback note.
     probed.as("a")
       .join(all.as("b").hint("shuffle_hash"),
         col("a.pbucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
@@ -1073,8 +1078,10 @@ object Similarity {
         col("v"), col("nrm"),
         centArr.map(_._1), centArr.map(_._2), centArr.map(_._3), nprobe))
         .as("cell"))
-    // shuffle_hash: vector-payload cell join, same rationale as
-    // nearDupPairsV's bucket join above
+    // shuffle_hash: vector-payload cell join, same rationale (and the
+    // same non-spillable-build caveat) as nearDupPairsV's bucket join
+    // above; IVF cell sizes are bounded by the k-means balance, not
+    // the corpus
     probed.as("a")
       .join(assigned.as("b").hint("shuffle_hash"),
         col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
@@ -1177,7 +1184,8 @@ object Similarity {
     * quantizer) while the fixture default keeps the oracle's exact
     * geometry.
     */
-  private def pqCodebook(all: DataFrame, stride: Long = 0L)
+  private def pqCodebook(all: DataFrame, stride: Long = 0L,
+      subDim: Int = PqSubDim)
       : (Array[Array[Long]], Array[Array[Array[Double]]]) = {
     // stride <= 0 -> ADAPTIVE via the pqStrideFor ladder (plan-time
     // count; oracle twin is a scalar-subquery ladder over allv)
@@ -1188,7 +1196,7 @@ object Similarity {
     val idRow = seeds.map(_._1)
     val ids = Array.fill(PqSubspaces)(idRow)
     val bySub = Array.tabulate(PqSubspaces) { s =>
-      seeds.map(_._2.slice(s * PqSubDim, (s + 1) * PqSubDim))
+      seeds.map(_._2.slice(s * subDim, (s + 1) * subDim))
     }
     (ids, bySub)
   }
@@ -1274,12 +1282,13 @@ object Similarity {
     * index (scan only probed cells' codes) is the standard IVF-PQ
     * serving stack.
     */
-  def knnPq(emb: DataFrame, nQueries: Int = 50, k: Int = 3): DataFrame = {
+  def knnPq(emb: DataFrame, nQueries: Int = 50, k: Int = 3,
+      subDim: Int = PqSubDim): DataFrame = {
     val all = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val (ids, bySub) = pqCodebook(all)
+    val (ids, bySub) = pqCodebook(all, subDim = subDim)
     val codes = all.select(col("vec_id"),
       posexplode(graft.functions.VectorFunctions.pq_encode(
-        col("v"), ids, bySub, PqSubDim)).as(Seq("sub", "code")))
+        col("v"), ids, bySub, subDim)).as(Seq("sub", "code")))
     // (query, subspace, codebook-entry) fixed-point distance table
     val spark = emb.sparkSession
     import spark.implicits._
@@ -1291,7 +1300,7 @@ object Similarity {
       .crossJoin(centsSub)
       .select(col("query_id"), col("sub"), col("cid"),
         round(graft.functions.VectorFunctions.sq_dist(
-          slice(col("qv"), col("sub") * PqSubDim + 1, lit(PqSubDim)), col("cv"))
+          slice(col("qv"), col("sub") * subDim + 1, lit(subDim)), col("cv"))
           * PqFix).cast("long").as("dfix"))
     val scored = codes.join(broadcast(lut),
         codes("sub") === lut("sub") && codes("code") === lut("cid"))
@@ -2033,11 +2042,16 @@ object Similarity {
     val mm = all.select(posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
       .orderBy("dim").collect()
-    val mins = array(mm.map(r => lit(r.getDouble(1))): _*)
-    val rngs = array(mm.map { r =>
+    // typedLit (round-14): one Literal node holding the whole array,
+    // not a d-child CreateArray — at production embedding widths
+    // (d=512/1024) the CreateArray form grows the plan tree and the
+    // generated code linearly in d; a single ArrayData literal is
+    // O(1) in both (Dim512Spec pins plan build + execution at d=512)
+    val mins = typedLit(mm.map(_.getDouble(1)).toSeq)
+    val rngs = typedLit(mm.map { r =>
       val d = r.getDouble(2) - r.getDouble(1)
-      lit(if (d == 0.0) 1.0 else d)
-    }: _*)
+      if (d == 0.0) 1.0 else d
+    }.toSeq)
     // codes -> reconstructed values (x_hat = mn + c * rng / 255): the
     // compressed-domain ranking runs on the DEQUANTIZED vectors (raw
     // shifted-code dot products are not rank-equivalent to cosine),

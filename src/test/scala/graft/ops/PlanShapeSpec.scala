@@ -140,6 +140,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("HashAggregate"), p.take(3000))
   }
 
+  test("PMI id assignment is distributed (no global-order window over the vocab)") {
+    // round-13 verdict #2: a bare Window.orderBy("t") sorts the whole
+    // qualifying vocabulary on ONE core. The distributed form ranks
+    // within range partitions (partition spec [pid]) and only runs a
+    // global window over the numPartitions-row offset table. A Window
+    // prints "[exprs], [partitionSpec], [orderSpec]" — so an empty
+    // partition spec ordered by the token column is the banned shape.
+    val p = plan("ns_pmi_pairs")
+    assert(!p.contains("], [], [t#"), p.take(4000))
+    assert(p.contains("], [pid#"), p.take(4000))
+  }
+
   test("vocab-sized TF-IDF/PMI sides are not force-broadcast (AQE decides)") {
     // with the broadcast threshold disabled, an unhinted vocab join
     // must fall back to a shuffle join — a forced broadcast() hint

@@ -517,9 +517,106 @@ class Gen:
                    f"WHERE o_custkey = c_custkey AND {p})")
         return sql, sql
 
+    def q_outer(self):
+        """Null-heavy outer joins (round-13 verdict #5): a LEFT join
+        whose predicate lives in the ON clause (null-extends instead
+        of filtering — the classic outer-join trap), or a FULL join of
+        two disjoint-ish filtered subsets. Null-ness surfaces through
+        an IS NULL boolean plus COALESCE(-1) so no NULL ever reaches
+        an int column (pandas would silently float-ify one side)."""
+        if self.rnd.random() < 0.5:
+            fact, fk, dim, dk = self.rnd.choice(
+                [("orders", "o_custkey", "customer", "c_custkey"),
+                 ("lineitem", "l_partkey", "part", "p_partkey"),
+                 ("customer", "c_nationkey", "nation", "n_nationkey")])
+            # dim on the LEFT, fact filtered in the ON clause: unmatched
+            # dim rows survive with NULL fact columns
+            p = self.predicate(fact, "f")
+            fcol = cols_of(fact, {"int"})[0]
+            sql = (f"SELECT d.{dk}, f.{fcol} IS NULL AS unmatched, "
+                   f"COALESCE(f.{fcol}, -1) AS fval, COUNT(*) AS n "
+                   f"FROM {dim} d LEFT JOIN {fact} f "
+                   f"ON d.{dk} = f.{fk} AND {p} "
+                   f"GROUP BY 1, 2, 3")
+            return sql, sql
+        t, uk = self.rnd.choice([("orders", "o_orderkey"),
+                                 ("customer", "c_custkey"),
+                                 ("part", "p_partkey")])
+        p1, p2 = self.predicate(t, "x"), self.predicate(t, "y")
+        m = self.rnd.choice([3, 5, 7])
+        sql = (f"SELECT COALESCE(a.k, -1) AS ak, COALESCE(b.k, -1) AS bk, "
+               f"a.k IS NULL AS only_b, b.k IS NULL AS only_a "
+               f"FROM (SELECT {uk} AS k FROM {t} x WHERE {p1}) a "
+               f"FULL JOIN (SELECT {uk} AS k FROM {t} y "
+               f"WHERE {p2} AND {uk} % {m} = 0) b ON a.k = b.k")
+        return sql, sql
+
+    def q_decimal(self):
+        """Decimal aggregation: exact integer cents lifted into
+        DECIMAL so Spark's decimal sum/min/max path runs, final value
+        cast back to DOUBLE (the decimal is exact and well under 2^53,
+        so the double rendering is identical in both engines). AVG is
+        deliberately absent: Spark keeps decimal scale +4 while DuckDB
+        promotes to DOUBLE — not cross-engine exact."""
+        t = self.rnd.choice([x for x in TABLES
+                             if cols_of(x, {"money"})])
+        c = self.rnd.choice(cols_of(t, {"money"}))
+        g = self.rnd.choice(cols_of(t, {"str"}))
+        dec = (f"CAST(CAST(round({c} * 100) AS BIGINT) "
+               f"AS DECIMAL(18,0))")
+        f1 = self.rnd.choice(["MIN", "MAX"])
+        pred = self.predicate(t)
+        sql = (f"SELECT {g}, CAST(SUM({dec}) AS DOUBLE) AS dsum, "
+               f"CAST({f1}({dec}) AS DOUBLE) AS dmm, COUNT(*) AS n "
+               f"FROM {t} WHERE {pred} GROUP BY {g}")
+        return sql, sql
+
+    def q_having_window(self):
+        """Window over a grouped-and-HAVING-filtered aggregate in the
+        same SELECT (round-13 verdict #5): the rank sees only groups
+        that survive HAVING, which both engines must agree on before
+        the window even runs. Full tiebreak (group key is unique per
+        row) keeps ranks engine-exact."""
+        t = self.rnd.choice(["lineitem", "orders", "customer", "part"])
+        g = self.rnd.choice(cols_of(t, {"str", "int"}))
+        e, nm = self.agg_expr(t)
+        if nm == "n":
+            nm = "n2"
+        thresh = self.rnd.randint(1, 3)
+        keep = self.rnd.choice([5, 10, 20])
+        d = self.rnd.choice(["ASC", "DESC"])
+        sql = (f"SELECT k, n, {nm}, rk FROM ("
+               f"SELECT {g} AS k, COUNT(*) AS n, {e} AS {nm}, "
+               f"RANK() OVER (ORDER BY COUNT(*) {d}, {g}) AS rk "
+               f"FROM {t} GROUP BY {g} HAVING COUNT(*) > {thresh}) w "
+               f"WHERE rk <= {keep}")
+        return sql, sql
+
+    def q_setop_limit(self):
+        """Set op feeding ORDER BY ... LIMIT (round-13 verdict #5):
+        ties at the cut boundary are only multiset-deterministic if
+        the ORDER BY covers every projected column — which it does, so
+        any rows tied across the boundary are identical and the cut is
+        engine-exact as a multiset."""
+        t = self.rnd.choice(["orders", "customer", "part", "lineitem"])
+        ints = cols_of(t, {"int"})
+        c1 = self.rnd.choice(ints)
+        c2 = self.rnd.choice(
+            [c for c in cols_of(t, {"str", "int"}) if c != c1])
+        p1, p2 = self.predicate(t), self.predicate(t)
+        op = self.rnd.choice(["UNION", "UNION ALL", "INTERSECT",
+                              "EXCEPT"])
+        k = self.rnd.choice([5, 10, 25])
+        d = self.rnd.choice(["ASC", "DESC"])
+        sql = (f"SELECT {c1}, {c2} FROM {t} WHERE {p1} "
+               f"{op} SELECT {c1}, {c2} FROM {t} WHERE {p2} "
+               f"ORDER BY {c1} {d}, {c2} LIMIT {k}")
+        return sql, sql
+
     SHAPES = ["q_scan", "q_join", "q_agg", "q_window", "q_explode",
               "q_limit", "q_union", "q_subquery", "q_lateral",
-              "q_rollup", "q_cte", "q_frame", "q_exists"]
+              "q_rollup", "q_cte", "q_frame", "q_exists",
+              "q_outer", "q_decimal", "q_having_window", "q_setop_limit"]
 
     def generate(self, i):
         shape = self.SHAPES[i % len(self.SHAPES)]
