@@ -1278,6 +1278,14 @@ object SparkEntry {
       (s, dir) => Similarity.embeddingNearDupLsh(T(s, dir, "embeddings"), 0.9)
     },
 
+    // Semantic dedup (SemDeDup-style): connected components over the
+    // LSH-bucketed cosine near-dup graph — cluster representatives
+    // for embedding-level duplicates, same propagation loop as the
+    // minhash clusters.
+    q("ns_embed_clusters", Similarity.embeddingClustersOracle(0.9)) {
+      (s, dir) => Similarity.embeddingClusters(T(s, dir, "embeddings"), 0.9)
+    },
+
     // Brute-force cosine top-k (exact ANN baseline).
     // Label-noise detection: per-label fixed-point centroids, then a
     // broadcast L-row margin scan — O(n·L) map-only, the linear

@@ -508,6 +508,38 @@ object Similarity {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** SemDeDup-style semantic dedup (round 14): connected components
+    * over the embedding cosine near-dup graph — the decision stage
+    * that turns pairwise embedding matches into cluster
+    * representatives, exactly as [[Dedup.minhashClusters]] does for
+    * lexical matches. Composition of two already-scale-proven pieces:
+    * the sign-LSH bucketed pair scan ([[embeddingNearDupLsh]] — equi
+    * join on bucket keys, never all-pairs) feeding the frontier label
+    * propagation ([[Dedup.propagateLabels]] — delta-only rounds,
+    * gated broadcast, pinned to 10M-edge hub graphs by HubGraphSpec).
+    * Output: (canonical_id, cluster_size) per near-dup cluster.
+    */
+  def embeddingClusters(emb: DataFrame, minSim: Double = 0.9): DataFrame =
+    Dedup.propagateLabels(
+      embeddingNearDupLsh(emb, minSim).select("id_a", "id_b"))
+
+  /** DuckDB twin: the LSH pair oracle wrapped in the same recursive
+    * reachability CTE as [[Dedup.minhashClustersOracle]].
+    */
+  def embeddingClustersOracle(minSim: Double = 0.9): String =
+    s"""WITH RECURSIVE lshpairs AS (${embeddingNearDupLshOracle(minSim)
+          .replace("ORDER BY id_a, id_b", "")}),
+       |edges AS (SELECT id_a, id_b FROM lshpairs
+       |          UNION SELECT id_b, id_a FROM lshpairs),
+       |nodes AS (SELECT DISTINCT id_a AS id FROM edges),
+       |reach(id, root) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.id_b, r.root FROM reach r JOIN edges e ON e.id_a = r.id),
+       |labels AS (SELECT id, min(root) AS label FROM reach GROUP BY id)
+       |SELECT min(id) AS canonical_id, count(*) AS cluster_size
+       |FROM labels GROUP BY label ORDER BY canonical_id""".stripMargin
+
   // ----------------------------------------------------------- IVF ANN
 
   /** Fixture-scale centroid stride (every `CentroidStride`-th vector
@@ -1221,11 +1253,12 @@ object Similarity {
     * subspace only, which is why the codebook ids are per subspace.
     */
   private[ops] def pqTrainedCodebook(all: DataFrame,
-      stride: Long = 0L, trainSample: Int = TrainSample)
+      stride: Long = 0L, trainSample: Int = TrainSample,
+      subDim: Int = PqSubDim)
       : (Array[Array[Long]], Array[Array[Array[Double]]]) = {
     val st = if (stride > 0) stride else pqStrideFor(all.count())
     val subvecs = transform(sequence(lit(0), lit(PqSubspaces - 1)),
-      s => slice(col("v"), s * PqSubDim + 1, lit(PqSubDim)))
+      s => slice(col("v"), s * subDim + 1, lit(subDim)))
     var cents = all.filter(col("vec_id") % st === 0)
       .select(col("vec_id").as("cid"),
         posexplode(subvecs).as(Seq("sub", "cv")))
@@ -1430,9 +1463,10 @@ object Similarity {
     * [[knnPqTrainedRecall]] against the same exact ranking.
     */
   def knnPqTrained(emb: DataFrame, nQueries: Int = 50, k: Int = 3,
-      shortlist: Int = 16): DataFrame = {
+      shortlist: Int = 16, subDim: Int = PqSubDim): DataFrame = {
     val all = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    pqRerankWith(all, pqTrainedCodebook(all), nQueries, k, shortlist)
+    pqRerankWith(all, pqTrainedCodebook(all, subDim = subDim),
+      nQueries, k, shortlist, subDim)
   }
 
   /** Shared two-stage (ADC shortlist -> exact rerank) pipeline over a
@@ -1440,13 +1474,14 @@ object Similarity {
     */
   private def pqRerankWith(all: DataFrame,
       codebook: (Array[Array[Long]], Array[Array[Array[Double]]]),
-      nQueries: Int, k: Int, shortlist: Int): DataFrame = {
+      nQueries: Int, k: Int, shortlist: Int,
+      subDim: Int = PqSubDim): DataFrame = {
     val (ids, bySub) = codebook
     // pq_encode is the O(codes·d) kernel per vector — same
     // single-input-partition hazard as assignCells, same fanOut fix
     val codes = fanOut(all).select(col("vec_id"),
       posexplode(graft.functions.VectorFunctions.pq_encode(
-        col("v"), ids, bySub, PqSubDim)).as(Seq("sub", "code")))
+        col("v"), ids, bySub, subDim)).as(Seq("sub", "code")))
     val spark = all.sparkSession
     import spark.implicits._
     val centsSub = (0 until PqSubspaces).flatMap { s =>
@@ -1457,7 +1492,7 @@ object Similarity {
     val lut = queries.crossJoin(centsSub)
       .select(col("query_id"), col("sub"), col("cid"),
         round(graft.functions.VectorFunctions.sq_dist(
-          slice(col("qv"), col("sub") * PqSubDim + 1, lit(PqSubDim)),
+          slice(col("qv"), col("sub") * subDim + 1, lit(subDim)),
           col("cv")) * PqFix).cast("long").as("dfix"))
     val scored = codes.join(broadcast(lut),
         codes("sub") === lut("sub") && codes("code") === lut("cid"))

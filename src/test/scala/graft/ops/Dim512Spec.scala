@@ -95,6 +95,24 @@ class Dim512Spec extends SparkSpec {
     assert(rows.map(_.getLong(0)).distinct.length == 10)
   }
 
+  test("IVF kNN at d=512: trained centroids, bounded, codegen-strict") {
+    // fully data-driven: centroids are trained from the vectors (their
+    // width comes from the data) and ride into NearestCell as
+    // reference objects, never literal trees
+    val (rows, secs) = run(Similarity.knnIvf(emb512, nQueries = 10, k = 3))
+    assert(secs < BoundSec, s"knnIvf d=512 took $secs s")
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getInt(1) >= 1 && r.getInt(1) <= 3))
+  }
+
+  test("trained-PQ rerank at d=512 (Lloyd-refined 8 x 64-dim codebook): bounded, codegen-strict") {
+    val (rows, secs) = run(
+      Similarity.knnPqTrained(emb512, nQueries = 10, k = 3, subDim = D / 8))
+    assert(secs < BoundSec, s"knnPqTrained d=512 took $secs s")
+    // rerank scores the ADC shortlist exactly: k rows per query
+    assert(rows.length == 30, s"got ${rows.length} rows")
+  }
+
   test("d=512 LSH plan stays inside whole-stage codegen (no interpreted span)") {
     val df = Similarity.knnLsh(emb512, nQueries = 10, k = 3, dim = D)
     df.collect() // AQE only materializes codegen stages at execution
