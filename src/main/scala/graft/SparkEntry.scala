@@ -1215,6 +1215,21 @@ object SparkEntry {
       (s, dir) => Dedup.minhashLsh(T(s, dir, "documents"), 0.5)
     },
 
+    // Incremental dedup against a persisted LSH band index: the index
+    // is built ONCE over the standing corpus (scratch-dir lifecycle,
+    // like the IVF indexes), then the batch probes it map-only —
+    // broadcast batch bands + dynamic partition pruning on the
+    // bucket layout — and keep-firsts against itself. The daily-
+    // ingest shape at 100 TB: per-batch cost is O(batch), not
+    // O(corpus).
+    q("ns_dedup_incremental", Dedup.dedupIncrOracle(0.5)) {
+      (s, dir) =>
+        val idx = layoutDir("lshidx-v1", dir)
+        if (!new java.io.File(s"$idx/bands/_SUCCESS").exists())
+          Dedup.lshIndexBuild(Dedup.incrBase(T(s, dir, "documents")), idx)
+        Dedup.dedupIncr(T(s, dir, "documents"), idx, 0.5)
+    },
+
     // MinHash signatures via the typed Aggregator (map-side-combinable
     // sketch building; same constants, identical signatures).
     q("ns_minhash_signatures", Dedup.minhashSignaturesAggOracle) {
@@ -1377,6 +1392,15 @@ object SparkEntry {
 
     q("ns_tfidf", Analysis.tfidfTop3Oracle) {
       (s, dir) => Analysis.tfidfTop3(T(s, dir, "documents"))
+    },
+
+    // Okapi BM25 top-k docs per high-df query term — the retrieval
+    // scorer behind similarity-based curation and retrieval-style
+    // decontamination. Term cut is TakeOrderedAndProject; the per-
+    // term top-k rides the TopKPerKey physical operator (bounded
+    // partial heaps), never a corpus-sized window partition.
+    q("ns_bm25", Analysis.bm25TopDocsOracle(20, 3)) {
+      (s, dir) => Analysis.bm25TopDocs(T(s, dir, "documents"), 20, 3)
     },
 
     // Deterministic hash sampling (reproducible 10% sample, no rand).

@@ -168,6 +168,85 @@ object Analysis {
       |SELECT doc_id, rn, token, tfidf FROM ranked WHERE rn <= 3
       |ORDER BY doc_id, rn""".stripMargin
 
+  /** Okapi BM25 retrieval scoring (k1=1.2, b=0.75): top `k` documents
+    * per query term for the `nTerms` highest-df vocabulary terms —
+    * the standard retrieval scorer data-curation pipelines use for
+    * similarity-based quality filtering and retrieval-style
+    * decontamination. idf is the (1 + ...) form, so scores stay
+    * positive at df > n/2.
+    *
+    * Scale posture: tf/dl/df are one tokenize pass with map-side
+    * combine; the query-term cut is TakeOrderedAndProject (orderBy +
+    * limit — no single-partition window over the vocabulary), terms
+    * and corpus stats broadcast into the tf stream, and the per-term
+    * top-k runs on [[graft.plans.TopKPerKey]] — partial bounded heaps
+    * per map partition, so the shuffle carries <= nTerms x k rows per
+    * partition even though high-df terms touch nearly every document
+    * (a 20-slot window partition over corpus-sized groups would
+    * funnel the whole scored stream through nTerms tasks).
+    */
+  def bm25TopDocs(docs: DataFrame, nTerms: Int = 20,
+      k: Int = 3): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // avgdl from the EXACT long sum (not avg()): partition-order-
+    // dependent double summation could drift an ulp from the oracle
+    val stats = docs.agg(count(lit(1)).as("n_docs")).crossJoin(
+      dl.agg((sum("dl").cast("double") / count(lit(1))).as("avgdl")))
+    val qterms = df.orderBy(col("df").desc, col("token").asc)
+      .limit(nTerms)
+    val scored = tf.join(broadcast(qterms), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("token"), col("doc_id"),
+        round(
+          log(lit(1.0) +
+            (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(2.2) /
+            (col("tf") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))),
+          6).as("score"))
+    val top = graft.plans.TopKPerKey.topK(scored, Seq("token"),
+      Seq(col("score").desc, col("doc_id").asc), k)
+    // rn over the already-cut <= nTerms x k rows
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("token").orderBy(col("score").desc, col("doc_id").asc)
+    top.withColumn("rn", row_number().over(w))
+      .select(col("token"), col("rn"), col("doc_id"), col("score"))
+      .orderBy("token", "rn")
+  }
+
+  /** Same formula, literal for literal, as [[bm25TopDocs]]. */
+  def bm25TopDocsOracle(nTerms: Int = 20, k: Int = 3): String =
+    s"""WITH tok AS (SELECT doc_id, t.token FROM documents,
+       |    unnest(string_split(text, ' ')) AS t(token)),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       |stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+       |    (SELECT sum(dl) FROM dl)::DOUBLE /
+       |      (SELECT count(*) FROM documents) AS avgdl),
+       |qterms AS (SELECT token, df FROM df
+       |           ORDER BY df DESC, token ASC LIMIT $nTerms),
+       |scored AS (SELECT q.token, tf.doc_id,
+       |    round(
+       |      ln(1.0 + (n_docs - q.df + 0.5) / (q.df + 0.5)) *
+       |      (tf.tf * 2.2 /
+       |        (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))),
+       |      6) AS score
+       |  FROM tf JOIN qterms q ON tf.token = q.token
+       |          JOIN dl ON tf.doc_id = dl.doc_id
+       |          CROSS JOIN stats),
+       |ranked AS (SELECT token, doc_id, score,
+       |    row_number() OVER (PARTITION BY token
+       |      ORDER BY score DESC, doc_id ASC) AS rn
+       |  FROM scored)
+       |SELECT token, rn, doc_id, score FROM ranked WHERE rn <= $k
+       |ORDER BY token, rn""".stripMargin
+
   /** PMI co-occurrence: pointwise mutual information of token pairs
     * co-occurring in a document, over the top candidate pairs.
     * Bounded by vocabulary^2 regardless of corpus size (pair counts

@@ -119,17 +119,22 @@ object Dedup {
     * — the composable form ([[Pipeline.corpusBuild]] runs it over the
     * quality-gated, exact-deduped corpus).
     */
+  /** The `Bands` LSH band keys of a 16-minhash signature (r=2 rows
+    * per band, key = the two minhashes joined with '_'). */
+  private def bandKeysOf(sig: Column): Column =
+    transform(sequence(lit(0), lit(Bands - 1)),
+      j => concat_ws("_",
+        element_at(sig, j * 2 + 1), element_at(sig, j * 2 + 2)))
+
   def minhashPairs(corpus: DataFrame, minSim: Double): DataFrame = {
     val sigs = signatures(corpus)
 
-    val bandKeys = transform(sequence(lit(0), lit(Bands - 1)),
-      j => concat_ws("_",
-        element_at(col("sig"), j * 2 + 1), element_at(col("sig"), j * 2 + 2)))
     // carry the 16-long signature through the band shuffle: one corpus
     // scan + one shuffle, instead of re-deriving signatures for both
     // sides of the estimate join (3 corpus scans)
     val bands = sigs
-      .select(col("doc_id"), col("sig"), posexplode(bandKeys).as(Seq("band", "key")))
+      .select(col("doc_id"), col("sig"),
+        posexplode(bandKeysOf(col("sig"))).as(Seq("band", "key")))
 
     val matches = aggregate(
       zip_with(col("a.sig"), col("b.sig"),
@@ -907,4 +912,147 @@ object Dedup {
        |           JOIN sizes y ON id_b = y.doc_id
        |WHERE inter::DOUBLE / (x.n + y.n - inter) >= $minSim
        |ORDER BY id_a, id_b""".stripMargin
+
+  // ------------------- incremental dedup against a persisted LSH index
+
+  /** Bucket count of the persisted band index. `bucket =
+    * pmod(hash(band, key), IndexBuckets)` is the index's physical
+    * partition column: a batch probe joins on it (it is functionally
+    * determined by the logical join key `(band, key)`), so dynamic
+    * partition pruning drops every bucket directory the batch never
+    * probes — the index is read O(batch-touched buckets), not
+    * O(index). At 100 TB size this to ~2-4x the file-count sweet spot
+    * (a few thousand); 64 keeps the sf fixtures to one file per
+    * bucket.
+    */
+  val IndexBuckets = 64
+
+  /** Batch/base split of the fixture corpus for the incremental
+    * queries. `% 4` keeps original+variant together (the offset is
+    * 1_000_000 ≡ 0 mod 4) — guaranteed *batch-internal* near-dup
+    * pairs; `% 3` splits them apart (offset ≡ 1 mod 3) — guaranteed
+    * *batch-vs-corpus* matches. Both decision paths are exercised at
+    * every SF.
+    */
+  private def incrBatchPred: Column =
+    col("doc_id") % 4 === 0 || col("doc_id") % 3 === 0
+
+  /** The standing corpus the index is built over. */
+  def incrBase(docs: DataFrame): DataFrame =
+    corpusWithVariants(docs).filter(!incrBatchPred)
+
+  /** The incoming batch to dedup against the index. */
+  def incrBatch(docs: DataFrame): DataFrame =
+    corpusWithVariants(docs).filter(incrBatchPred)
+
+  /** Persist the LSH band index of a standing corpus under
+    * `dir/bands`: one row per (doc, band) carrying the full
+    * signature, Hive-partitioned by the hash bucket of the band key.
+    * Build cost is the same single signature pass as [[minhashPairs]]
+    * plus one hash-partitioned write — O(corpus), paid once. This is
+    * the shape incremental ingest needs at 100 TB: re-running
+    * full-corpus dedup per daily batch is O(corpus) *per batch*;
+    * probing a persisted index is O(batch).
+    */
+  def lshIndexBuild(corpus: DataFrame, dir: String): Unit = {
+    val sigs = signatures(corpus)
+    sigs.select(col("doc_id"), col("sig"),
+        posexplode(bandKeysOf(col("sig"))).as(Seq("band", "key")))
+      .withColumn("bucket",
+        pmod(hash(col("band"), col("key")), lit(IndexBuckets)))
+      // collapse to one file per bucket instead of one per
+      // (bucket, task) — same reasoning as the IVF cell write
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/bands")
+  }
+
+  /** Dedup an incoming batch against a persisted [[lshIndexBuild]]
+    * index plus itself. Per batch doc: `decision` is `dup_corpus`
+    * (shares an LSH band with a standing-corpus doc at est_sim >=
+    * minSim; wins over everything — the standing corpus is already
+    * deduped and kept), else `dup_batch` (keep-first within the
+    * batch: some earlier batch doc matches it), else `kept`;
+    * `dup_of` is the smallest matching doc id (-1 when kept).
+    *
+    * Scale posture: the batch band table BROADCASTS into the index
+    * scan (batch << index is the defining property of incremental
+    * ingest), so the index is never shuffled — one map-only probe
+    * pass whose scan skips unprobed bucket directories via dynamic
+    * partition pruning on the functionally-joined `bucket` column
+    * (IncrDedupSpec pins the dynamicpruning filter in the plan). The
+    * batch-internal pass is [[minhashPairs]] on the batch alone —
+    * O(batch), shares nothing with the index probe by design.
+    */
+  def dedupIncr(docs: DataFrame, dir: String,
+      minSim: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    val idx = spark.read.parquet(s"$dir/bands")
+    val batch = incrBatch(docs)
+    val bbands = signatures(batch).select(col("doc_id"), col("sig"),
+        posexplode(bandKeysOf(col("sig"))).as(Seq("band", "key")))
+      .withColumn("bucket",
+        pmod(hash(col("band"), col("key")), lit(IndexBuckets)))
+    val est = aggregate(
+      zip_with(col("c.sig"), col("n.sig"),
+        (u, v) => when(u === v, 1L).otherwise(0L)),
+      lit(0L), (acc, m) => acc + m) / lit(MinhashAB.size.toDouble)
+    val corpusDup = idx.as("c")
+      .join(broadcast(bbands.as("n")),
+        col("c.bucket") === col("n.bucket") &&
+          col("c.band") === col("n.band") && col("c.key") === col("n.key"))
+      .select(col("n.doc_id").as("doc_id"),
+        col("c.doc_id").as("corpus_id"), est.as("est_sim"))
+      .filter(col("est_sim") >= minSim)
+      .groupBy("doc_id").agg(min("corpus_id").as("dup_corpus"))
+    val batchDup = minhashPairs(batch, minSim)
+      .select(col("id_b").as("doc_id"), col("id_a"))
+      .groupBy("doc_id").agg(min("id_a").as("dup_batch"))
+    batch.select("doc_id")
+      .join(corpusDup, Seq("doc_id"), "left")
+      .join(batchDup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("dup_corpus").isNotNull, lit("dup_corpus"))
+          .when(col("dup_batch").isNotNull, lit("dup_batch"))
+          .otherwise(lit("kept")).as("decision"),
+        coalesce(col("dup_corpus"), col("dup_batch"), lit(-1L))
+          .as("dup_of"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[lshIndexBuild]] on [[incrBase]] +
+    * [[dedupIncr]]: the banded est pairs over the FULL corpus
+    * ([[minhashEstCtes]] — identical constants), symmetrized for the
+    * batch-vs-base direction (the index probe has no id ordering),
+    * id_a < id_b keep-first for the batch-internal direction.
+    */
+  def dedupIncrOracle(minSim: Double = 0.5): String =
+    s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |corpus AS (
+       |  SELECT doc_id, toks FROM base WHERE len(toks) >= 3
+       |  UNION ALL
+       |  SELECT doc_id + $VariantIdOffset, toks[2:] FROM base WHERE len(toks) > 3),
+       |$minhashEstCtes,
+       |batch AS (SELECT doc_id FROM corpus
+       |          WHERE doc_id % 4 = 0 OR doc_id % 3 = 0),
+       |sym AS (SELECT id_a AS d, id_b AS o, est_sim FROM est
+       |        UNION ALL SELECT id_b, id_a, est_sim FROM est),
+       |cdup AS (SELECT d AS doc_id, min(o) AS dup_corpus FROM sym
+       |         WHERE est_sim >= $minSim
+       |           AND d IN (SELECT doc_id FROM batch)
+       |           AND o NOT IN (SELECT doc_id FROM batch)
+       |         GROUP BY 1),
+       |bdup AS (SELECT id_b AS doc_id, min(id_a) AS dup_batch FROM est
+       |         WHERE est_sim >= $minSim
+       |           AND id_a IN (SELECT doc_id FROM batch)
+       |           AND id_b IN (SELECT doc_id FROM batch)
+       |         GROUP BY 1)
+       |SELECT b.doc_id,
+       |  CASE WHEN c.dup_corpus IS NOT NULL THEN 'dup_corpus'
+       |       WHEN d.dup_batch IS NOT NULL THEN 'dup_batch'
+       |       ELSE 'kept' END AS decision,
+       |  coalesce(c.dup_corpus, d.dup_batch, -1) AS dup_of
+       |FROM batch b LEFT JOIN cdup c USING (doc_id)
+       |             LEFT JOIN bdup d USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
 }

@@ -86,6 +86,19 @@ class PlannerSearchSpec extends AnyFunSuite {
   private def noop(n: Int): TaskInput => Seq[org.apache.spark.sql.DataFrame] =
     _ => Seq.fill(n)(null)
 
+  /** Min over `reps` timed runs of `body`, in ms. The wall-clock
+    * bounds below assert ALGORITHMIC cost; a single sample under the
+    * full parallel suite measures scheduler contention instead (the
+    * 500 ms 1000-task bound has read 5+ s purely from ambient load) —
+    * min-of-reps is the same convention the bench harness uses.
+    */
+  private def minMs(reps: Int)(body: => Unit): Double =
+    (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      body
+      (System.nanoTime() - t0) / 1e6
+    }.min
+
   private val splitter = Task("splitter",
     Vector(Req("x", Vector(Pat("(.+)")))),
     Vector(Vector("{x}.split")))(noop(1))
@@ -109,11 +122,11 @@ class PlannerSearchSpec extends AnyFunSuite {
   }
 
   test("generic-task cap bounds the search (unreachable goal -> None)") {
-    val t0 = System.nanoTime()
     val r = Planner.findPath(reg,
       Vector(Vector("name")), Vector(Vector("unreachable.goal")))
-    val ms = (System.nanoTime() - t0) / 1e6
     assert(r.isEmpty)
+    val ms = minMs(3)(Planner.findPath(reg,
+      Vector(Vector("name")), Vector(Vector("unreachable.goal"))))
     // the reference burned 13.3s planning (BASELINE.md); we must not
     assert(ms < 2000, s"planner took ${ms}ms")
   }
@@ -150,11 +163,11 @@ class PlannerSearchSpec extends AnyFunSuite {
     }
     val reg = TaskRegistry((chain ++ distractors).toVector)
     val goal = "src" + (1 to 8).map(i => s".s$i").mkString
-    val t0 = System.nanoTime()
     val path = Planner.findPath(reg, Vector(Vector("src")),
       Vector(Vector(goal))).get
-    val ms = (System.nanoTime() - t0) / 1e6
     assert(path.map(_.task.name) == (1 to 8).map(i => s"step$i"))
+    val ms = minMs(3)(
+      Planner.findPath(reg, Vector(Vector("src")), Vector(Vector(goal))))
     assert(ms < 1000, s"deep plan took ${ms}ms")
   }
 
@@ -247,11 +260,9 @@ class PlannerSearchSpec extends AnyFunSuite {
     val goal = Vector(Vector("src" + (1 to 10).map(i => s".s$i").mkString))
     // warm the JIT once, then measure — the bound is about algorithmic
     // cost, not first-call class loading
-    Planner.findPath(reg100, Vector(Vector("src")), goal)
-    val t0 = System.nanoTime()
     val path = Planner.findPath(reg100, Vector(Vector("src")), goal).get
-    val ms = (System.nanoTime() - t0) / 1e6
     assert(path.map(_.task.name) == (1 to 10).map(i => s"step$i"))
+    val ms = minMs(3)(Planner.findPath(reg100, Vector(Vector("src")), goal))
     assert(ms < 100, s"100-task plan took ${ms}ms")
     // the default stays pinned to exhaustive-BFS plans at this size
     val (bfs, bfsExp) = Planner.findPathBfsCounted(reg100,
@@ -280,21 +291,20 @@ class PlannerSearchSpec extends AnyFunSuite {
       (dead.take(495) ++ chain ++ dead.drop(495)).toVector)
     assert(reg1k.tasks.size == 1000)
     val goal = Vector(Vector("src" + (1 to 10).map(i => s".s$i").mkString))
-    Planner.findPath(reg1k, Vector(Vector("src")), goal) // JIT warm
-    val t0 = System.nanoTime()
     val path = Planner.findPath(reg1k, Vector(Vector("src")), goal).get
-    val ms = (System.nanoTime() - t0) / 1e6
     assert(path.map(_.task.name) == (1 to 10).map(i => s"step$i"))
+    val ms = minMs(3)(Planner.findPath(reg1k, Vector(Vector("src")), goal))
     assert(ms < 500, s"1000-task plan took ${ms}ms")
   }
 
   test("planner stays in milliseconds on the demo registry") {
-    val t0 = System.nanoTime()
     val path = Planner.findPath(Library.registry,
       Vector(Vector("doc_id", "text")),
       Vector(Vector("text.tokens.top90"))).get
-    val ms = (System.nanoTime() - t0) / 1e6
     assert(path.map(_.task.name) == Vector("tokenize", "counts", "top90"))
+    val ms = minMs(3)(Planner.findPath(Library.registry,
+      Vector(Vector("doc_id", "text")),
+      Vector(Vector("text.tokens.top90"))))
     assert(ms < 1000, s"planner took ${ms}ms")
   }
 
