@@ -1215,6 +1215,13 @@ object SparkEntry {
       (s, dir) => Dedup.minhashLsh(T(s, dir, "documents"), 0.5)
     },
 
+    // Overlap-coefficient (containment) pairs: inclusion dedup —
+    // a short doc quoted inside a long one scores low Jaccard but
+    // overlap 1.0. Every original/variant fixture pair must hit 1.0.
+    q("ns_dedup_containment", Dedup.ngramContainmentOracle(0.8)) {
+      (s, dir) => Dedup.ngramContainment(T(s, dir, "documents"), 0.8)
+    },
+
     // Incremental dedup against a persisted LSH band index: the index
     // is built ONCE over the standing corpus (scratch-dir lifecycle,
     // like the IVF indexes), then the batch probes it map-only —
@@ -1224,7 +1231,11 @@ object SparkEntry {
     // O(corpus).
     q("ns_dedup_incremental", Dedup.dedupIncrOracle(0.5)) {
       (s, dir) =>
-        val idx = layoutDir("lshidx-v1", dir)
+        // the tag carries the LSH geometry: a Bands/IndexBuckets/
+        // signature-width change must invalidate persisted indexes,
+        // not silently probe stale band keys
+        val idx = layoutDir("lshidx-b" + Dedup.Bands +
+          "x" + Dedup.IndexBuckets + "s" + Dedup.MinhashAB.size, dir)
         if (!new java.io.File(s"$idx/bands/_SUCCESS").exists())
           Dedup.lshIndexBuild(Dedup.incrBase(T(s, dir, "documents")), idx)
         Dedup.dedupIncr(T(s, dir, "documents"), idx, 0.5)

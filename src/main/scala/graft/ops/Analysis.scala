@@ -190,7 +190,9 @@ object Analysis {
     val tok = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("token"))
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // dl and df both fold the tf table — ONE tokenize+explode pass
+    // over the corpus, not three (dl = sum of tf per doc exactly)
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     // avgdl from the EXACT long sum (not avg()): partition-order-
     // dependent double summation could drift an ulp from the oracle

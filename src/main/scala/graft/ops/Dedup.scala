@@ -913,6 +913,68 @@ object Dedup {
        |WHERE inter::DOUBLE / (x.n + y.n - inter) >= $minSim
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Overlap-coefficient (containment) near-dup pairs:
+    * `inter / min(|A|, |B|)` over the same df-capped shared-shingle
+    * join as [[ngramJaccard]]. Catches INCLUSION duplicates that
+    * Jaccard structurally cannot: a short doc wholly quoted inside a
+    * longer one has J = |A|/|B| (arbitrarily small as the host doc
+    * grows) but overlap exactly 1.0 — the fixture's drop-first-token
+    * variants are contained in their originals, so every
+    * original/variant pair must score 1.0 here. Same scale posture
+    * as [[ngramJaccard]]: candidates only where shingles are
+    * actually shared, hot shingles df-capped, anti-join shares the
+    * self-join's exchange.
+    */
+  def ngramContainment(docs: DataFrame, minCont: Double = 0.8,
+      maxDf: Int = MaxShingleDf): DataFrame = {
+    val sub = corpusWithVariants(docs).filter(col("doc_id") % 10 === 0)
+    val shAll = sub
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("toks"), 3))).as("sh"))
+    val hot = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("sh")
+    val sh = shAll.join(hot, Seq("sh"), "left_anti")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b").hint("merge"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("x"), col("id_a") === col("x.doc_id"))
+      .join(sizes.as("y"), col("id_b") === col("y.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          least(col("x.n"), col("y.n"))).as("overlap"))
+      .filter(col("overlap") >= minCont)
+      .orderBy("id_a", "id_b")
+  }
+
+  def ngramContainmentOracle(minCont: Double = 0.8,
+      maxDf: Int = MaxShingleDf): String =
+    s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |corpus AS (
+       |  SELECT doc_id, toks FROM base WHERE len(toks) >= 3
+       |  UNION ALL
+       |  SELECT doc_id + $VariantIdOffset, toks[2:] FROM base WHERE len(toks) > 3),
+       |sub AS (SELECT * FROM corpus WHERE doc_id % 10 = 0),
+       |sh0 AS (SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(1, len(toks)-1),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+       |  FROM sub),
+       |hot AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > $maxDf),
+       |sh AS (SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  inter::DOUBLE / least(x.n, y.n) AS overlap
+       |FROM inter JOIN sizes x ON id_a = x.doc_id
+       |           JOIN sizes y ON id_b = y.doc_id
+       |WHERE inter::DOUBLE / least(x.n, y.n) >= $minCont
+       |ORDER BY id_a, id_b""".stripMargin
+
   // ------------------- incremental dedup against a persisted LSH index
 
   /** Bucket count of the persisted band index. `bucket =
@@ -989,16 +1051,28 @@ object Dedup {
     val spark = docs.sparkSession
     val idx = spark.read.parquet(s"$dir/bands")
     val batch = incrBatch(docs)
-    val bbands = signatures(batch).select(col("doc_id"), col("sig"),
+    val bbands0 = signatures(batch).select(col("doc_id"), col("sig"),
         posexplode(bandKeysOf(col("sig"))).as(Seq("band", "key")))
       .withColumn("bucket",
         pmod(hash(col("band"), col("key")), lit(IndexBuckets)))
+    // broadcast is the default (batch << index is what makes ingest
+    // incremental, and it is what arms dynamic partition pruning on
+    // the bucket layout) — but a backfill-sized batch would OOM the
+    // driver under a FORCED broadcast, so the hint is config-gated
+    // like the frontier loop's: turn it off and AQE plans the probe
+    // as a shuffled join over the same keys (correctness unchanged,
+    // pruning lost — at backfill scale a full index scan is
+    // proportionate anyway).
+    val bbands =
+      if (spark.conf.get("spark.graft.incrBroadcastBatch", "true").toBoolean)
+        broadcast(bbands0)
+      else bbands0
     val est = aggregate(
       zip_with(col("c.sig"), col("n.sig"),
         (u, v) => when(u === v, 1L).otherwise(0L)),
       lit(0L), (acc, m) => acc + m) / lit(MinhashAB.size.toDouble)
     val corpusDup = idx.as("c")
-      .join(broadcast(bbands.as("n")),
+      .join(bbands.as("n"),
         col("c.bucket") === col("n.bucket") &&
           col("c.band") === col("n.band") && col("c.key") === col("n.key"))
       .select(col("n.doc_id").as("doc_id"),

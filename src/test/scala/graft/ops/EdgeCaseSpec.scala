@@ -17,7 +17,31 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Dedup.minhashLsh(emptyDocs, 0.5).count() == 0)
     assert(Dedup.minhashClusters(emptyDocs, 0.5).count() == 0)
     assert(Dedup.ngramJaccard(emptyDocs, 0.5).count() == 0)
+    assert(Dedup.ngramContainment(emptyDocs, 0.8).count() == 0)
     assert(Dedup.simhashPairs(emptyDocs).count() == 0)
+  }
+
+  test("containment scores every original/variant inclusion at 1.0") {
+    val docs = T(spark, sf, "documents")
+    val rows = Dedup.ngramContainment(docs, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // fixture: the drop-first-token variant's shingle set is a subset
+    // of its original's, so overlap must be exactly 1.0 — these are
+    // the inclusion pairs Jaccard under-scores. Pairs exist only for
+    // docs the % 10 subsample keeps on both sides, with >= 4 tokens
+    // (variant needs >= 3 tokens for one shingle) and at least one
+    // shingle surviving the df cap.
+    val expected = Dedup.corpusWithVariants(docs)
+      .filter(col("doc_id") % 10 === 0 && size(col("toks")) > 3 &&
+        (col("doc_id") + Dedup.VariantIdOffset) % 10 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+      .filter(_ < Dedup.VariantIdOffset)
+    assert(expected.nonEmpty)
+    expected.foreach { id =>
+      val pair = (id, id + Dedup.VariantIdOffset)
+      assert(rows.get(pair).contains(1.0),
+        s"expected overlap 1.0 for inclusion pair $pair, got ${rows.get(pair)}")
+    }
   }
 
   test("text analysis on empty and single-doc corpora") {
