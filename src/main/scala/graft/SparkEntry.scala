@@ -1231,11 +1231,14 @@ object SparkEntry {
     // O(corpus).
     q("ns_dedup_incremental", Dedup.dedupIncrOracle(0.5)) {
       (s, dir) =>
-        // the tag carries the LSH geometry: a Bands/IndexBuckets/
-        // signature-width change must invalidate persisted indexes,
-        // not silently probe stale band keys
+        // the tag carries the LSH geometry AND a fixture-split
+        // version: a Bands/IndexBuckets/signature-width change must
+        // invalidate persisted indexes (stale band keys), and so must
+        // a batch/base split change (the index holds incrBase, whose
+        // membership the split defines)
         val idx = layoutDir("lshidx-b" + Dedup.Bands +
-          "x" + Dedup.IndexBuckets + "s" + Dedup.MinhashAB.size, dir)
+          "x" + Dedup.IndexBuckets + "s" + Dedup.MinhashAB.size +
+          "-split2", dir)
         if (!new java.io.File(s"$idx/bands/_SUCCESS").exists())
           Dedup.lshIndexBuild(Dedup.incrBase(T(s, dir, "documents")), idx)
         Dedup.dedupIncr(T(s, dir, "documents"), idx, 0.5)

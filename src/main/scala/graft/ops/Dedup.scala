@@ -990,14 +990,20 @@ object Dedup {
   val IndexBuckets = 64
 
   /** Batch/base split of the fixture corpus for the incremental
-    * queries. `% 4` keeps original+variant together (the offset is
-    * 1_000_000 ≡ 0 mod 4) — guaranteed *batch-internal* near-dup
-    * pairs; `% 3` splits them apart (offset ≡ 1 mod 3) — guaranteed
-    * *batch-vs-corpus* matches. Both decision paths are exercised at
-    * every SF.
+    * queries — a ~5% batch, because batch << corpus is the operating
+    * assumption [[dedupIncr]]'s broadcast probe is built on (the
+    * first cut of this fixture took HALF the corpus as the batch and
+    * force-broadcast ~700 MB of band rows at the 100x SF — the exact
+    * self-inflicted OOM the contract exists to rule out). `% 50`
+    * keeps original+variant together (the offset is 1_000_000 ≡ 0
+    * mod 50) — guaranteed *batch-internal* near-dup pairs; `% 30 = 7`
+    * puts the original in the batch and its variant in the base
+    * (offset ≡ 10 mod 30, and no d ≡ 7 mod 30 is ≡ 0 mod 50) —
+    * guaranteed *batch-vs-corpus* matches. Both decision paths are
+    * exercised at every SF.
     */
   private def incrBatchPred: Column =
-    col("doc_id") % 4 === 0 || col("doc_id") % 3 === 0
+    col("doc_id") % 50 === 0 || col("doc_id") % 30 === 7
 
   /** The standing corpus the index is built over. */
   def incrBase(docs: DataFrame): DataFrame =
@@ -1108,7 +1114,7 @@ object Dedup {
        |  SELECT doc_id + $VariantIdOffset, toks[2:] FROM base WHERE len(toks) > 3),
        |$minhashEstCtes,
        |batch AS (SELECT doc_id FROM corpus
-       |          WHERE doc_id % 4 = 0 OR doc_id % 3 = 0),
+       |          WHERE doc_id % 50 = 0 OR doc_id % 30 = 7),
        |sym AS (SELECT id_a AS d, id_b AS o, est_sim FROM est
        |        UNION ALL SELECT id_b, id_a, est_sim FROM est),
        |cdup AS (SELECT d AS doc_id, min(o) AS dup_corpus FROM sym
