@@ -1219,7 +1219,8 @@ object SparkEntry {
     // a short doc quoted inside a long one scores low Jaccard but
     // overlap 1.0. Every original/variant fixture pair must hit 1.0.
     q("ns_dedup_containment", Dedup.ngramContainmentOracle(0.8)) {
-      (s, dir) => Dedup.ngramContainment(T(s, dir, "documents"), 0.8)
+      (s, dir) =>
+        Dedup.ngramContainment(Dedup.ngramFixture(T(s, dir, "documents")), 0.8)
     },
 
     // Incremental dedup against a persisted LSH band index: the index
@@ -1294,7 +1295,8 @@ object SparkEntry {
 
     // Exact n-gram Jaccard over shared-shingle candidates.
     q("ns_dedup_ngram_jaccard", Dedup.ngramJaccardOracle(0.5)) {
-      (s, dir) => Dedup.ngramJaccard(T(s, dir, "documents"), 0.5)
+      (s, dir) =>
+        Dedup.ngramJaccard(Dedup.ngramFixture(T(s, dir, "documents")), 0.5)
     },
 
     // Embedding-cosine near-dup pairs.

@@ -195,9 +195,15 @@ object Analysis {
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     // avgdl from the EXACT long sum (not avg()): partition-order-
-    // dependent double summation could drift an ulp from the oracle
-    val stats = docs.agg(count(lit(1)).as("n_docs")).crossJoin(
-      dl.agg((sum("dl").cast("double") / count(lit(1))).as("avgdl")))
+    // dependent double summation could drift an ulp from the oracle.
+    // Denominator is the DOCUMENT count, not count(dl rows): a doc
+    // whose text yields zero tokens drops out of dl (split/explode
+    // produces no rows) but still belongs to the collection avgdl
+    // averages over — and it is what the oracle twin divides by.
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(sum("dl").as("sum_dl")))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
     val qterms = df.orderBy(col("df").desc, col("token").asc)
       .limit(nTerms)
     val scored = tf.join(broadcast(qterms), "token")

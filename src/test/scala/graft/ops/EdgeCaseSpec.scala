@@ -16,32 +16,58 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Dedup.exactDedup(emptyDocs).count() == 0)
     assert(Dedup.minhashLsh(emptyDocs, 0.5).count() == 0)
     assert(Dedup.minhashClusters(emptyDocs, 0.5).count() == 0)
-    assert(Dedup.ngramJaccard(emptyDocs, 0.5).count() == 0)
-    assert(Dedup.ngramContainment(emptyDocs, 0.8).count() == 0)
+    assert(Dedup.ngramJaccard(Dedup.ngramFixture(emptyDocs), 0.5).count() == 0)
+    assert(Dedup.ngramContainment(Dedup.ngramFixture(emptyDocs), 0.8).count() == 0)
     assert(Dedup.simhashPairs(emptyDocs).count() == 0)
   }
 
   test("containment scores every original/variant inclusion at 1.0") {
     val docs = T(spark, sf, "documents")
-    val rows = Dedup.ngramContainment(docs, 0.8).collect()
+    val sub = Dedup.ngramFixture(docs)
+    val rows = Dedup.ngramContainment(sub, 0.8).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     // fixture: the drop-first-token variant's shingle set is a subset
     // of its original's, so overlap must be exactly 1.0 — these are
-    // the inclusion pairs Jaccard under-scores. Pairs exist only for
-    // docs the % 10 subsample keeps on both sides, with >= 4 tokens
-    // (variant needs >= 3 tokens for one shingle) and at least one
-    // shingle surviving the df cap.
-    val expected = Dedup.corpusWithVariants(docs)
+    // the inclusion pairs Jaccard under-scores. The 1.0 guarantee
+    // needs the VARIANT to retain >= 1 shingle after the df cap
+    // (subset-ness then forces min = |variant| = inter), so the
+    // expected set is gated on df-cap SURVIVAL, not just token count
+    // — a fixture doc whose variant shingles were all hot would
+    // otherwise fail this assert spuriously.
+    val shAll = sub.select(col("doc_id"),
+      explode(array_distinct(Dedup.shingles(col("toks"), 3))).as("sh"))
+    val hot = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > Dedup.MaxShingleDf).select("sh")
+    val survivors = shAll.join(hot, Seq("sh"), "left_anti")
+      .select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val expected = sub
       .filter(col("doc_id") % 10 === 0 && size(col("toks")) > 3 &&
         (col("doc_id") + Dedup.VariantIdOffset) % 10 === 0)
       .select("doc_id").collect().map(_.getLong(0))
       .filter(_ < Dedup.VariantIdOffset)
+      .filter(id => survivors(id + Dedup.VariantIdOffset))
     assert(expected.nonEmpty)
     expected.foreach { id =>
       val pair = (id, id + Dedup.VariantIdOffset)
       assert(rows.get(pair).contains(1.0),
         s"expected overlap 1.0 for inclusion pair $pair, got ${rows.get(pair)}")
     }
+  }
+
+  test("ngram ops run on a RAW corpus: no hidden subsample or variants") {
+    import spark.implicits._
+    // ids deliberately NOT multiples of 10: the old fixture-infected
+    // ops would have silently dropped every row here
+    val corpus = Seq(
+      (1L, Seq("a", "b", "c", "d", "e")),
+      (2L, Seq("b", "c", "d", "e")), // contained in doc 1
+      (3L, Seq("x", "y", "z"))).toDF("doc_id", "toks")
+    val cont = Dedup.ngramContainment(corpus, 0.8).collect()
+    assert(cont.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(cont.head.getDouble(2) == 1.0)
+    val jac = Dedup.ngramJaccard(corpus, 0.5).collect()
+    assert(jac.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
 
   test("text analysis on empty and single-doc corpora") {

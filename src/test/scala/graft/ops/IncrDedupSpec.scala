@@ -25,7 +25,10 @@ class IncrDedupSpec extends SparkSpec {
     val res = Dedup.dedupIncr(docs, dir, 0.5).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
 
-    // the % 4 / % 3 split guarantees both dup classes exist at any SF
+    // the % 50 / % 30 = 7 split guarantees both dup classes at any SF
+    // (% 50: original+variant both in the batch -> dup_batch;
+    // % 30 = 7: original in the batch, variant in the base ->
+    // dup_corpus; see Dedup.incrBatchPred)
     val decisions = res.map(_._2).toSet
     assert(decisions == Set("dup_corpus", "dup_batch", "kept"), decisions)
 

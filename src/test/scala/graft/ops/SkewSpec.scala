@@ -100,12 +100,14 @@ class SkewSpec extends SparkSpec {
     // cross-doc candidate pairs, plus 60 base-variant pairs — the
     // quadratic hot-key blowup a 100 TB corpus would hit on any
     // boilerplate n-gram
-    val uncapped = Dedup.ngramJaccard(docs, 0.0, maxDf = 1000000).count()
+    val uncapped = Dedup.ngramJaccard(
+      Dedup.ngramFixture(docs), 0.0, maxDf = 1000000).count()
     assert(uncapped == 1830L, s"uncapped=$uncapped")
     // capped at df <= 50: the df=60 boilerplate shingle is dropped
     // BEFORE the self-join; only the base-variant pairs (via their
     // df=2 shingles) remain
-    val capped = Dedup.ngramJaccard(docs, 0.0, maxDf = 50).count()
+    val capped = Dedup.ngramJaccard(
+      Dedup.ngramFixture(docs), 0.0, maxDf = 50).count()
     assert(capped == 60L, s"capped=$capped")
   }
 }
