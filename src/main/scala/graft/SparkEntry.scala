@@ -1232,14 +1232,18 @@ object SparkEntry {
     // O(corpus).
     q("ns_dedup_incremental", Dedup.dedupIncrOracle(0.5)) {
       (s, dir) =>
-        // the tag carries the LSH geometry AND a fixture-split
-        // version: a Bands/IndexBuckets/signature-width change must
-        // invalidate persisted indexes (stale band keys), and so must
-        // a batch/base split change (the index holds incrBase, whose
-        // membership the split defines)
+        // the tag carries the LSH geometry, a fixture-split version,
+        // AND a corpus content fingerprint: a Bands/IndexBuckets/
+        // signature-width change must invalidate persisted indexes
+        // (stale band keys), so must a batch/base split change (the
+        // index holds incrBase, whose membership the split defines),
+        // and so must REGENERATED DATA under the same path — size +
+        // mtime of the source file is the cheap content proxy (no
+        // read), the same staleness class the geometry tag addresses
+        val doc = new java.io.File(s"$dir/documents.parquet")
         val idx = layoutDir("lshidx-b" + Dedup.Bands +
           "x" + Dedup.IndexBuckets + "s" + Dedup.MinhashAB.size +
-          "-split2", dir)
+          "-split2-c" + doc.length() + "m" + doc.lastModified(), dir)
         if (!new java.io.File(s"$idx/bands/_SUCCESS").exists())
           Dedup.lshIndexBuild(Dedup.incrBase(T(s, dir, "documents")), idx)
         Dedup.dedupIncr(T(s, dir, "documents"), idx, 0.5)

@@ -126,9 +126,16 @@ object Dedup {
       j => concat_ws("_",
         element_at(sig, j * 2 + 1), element_at(sig, j * 2 + 2)))
 
-  def minhashPairs(corpus: DataFrame, minSim: Double): DataFrame = {
-    val sigs = signatures(corpus)
+  def minhashPairs(corpus: DataFrame, minSim: Double): DataFrame =
+    minhashPairsFromSigs(signatures(corpus), minSim)
 
+  /** [[minhashPairs]] over an ALREADY-DERIVED `(doc_id, sig)` frame —
+    * the composable form for callers that need the signatures for
+    * something else too ([[dedupBatchVsIndex]] probes an index with
+    * the same signatures), so the corpus is tokenized and min-hashed
+    * exactly once.
+    */
+  def minhashPairsFromSigs(sigs: DataFrame, minSim: Double): DataFrame = {
     // carry the 16-long signature through the band shuffle: one corpus
     // scan + one shuffle, instead of re-deriving signatures for both
     // sides of the estimate join (3 corpus scans)
@@ -1041,44 +1048,74 @@ object Dedup {
       .parquet(s"$dir/bands")
   }
 
-  /** Dedup an incoming batch against a persisted [[lshIndexBuild]]
-    * index plus itself. Per batch doc: `decision` is `dup_corpus`
-    * (shares an LSH band with a standing-corpus doc at est_sim >=
-    * minSim; wins over everything — the standing corpus is already
-    * deduped and kept), else `dup_batch` (keep-first within the
-    * batch: some earlier batch doc matches it), else `kept`;
-    * `dup_of` is the smallest matching doc id (-1 when kept).
-    *
-    * Scale posture: the batch band table BROADCASTS into the index
-    * scan (batch << index is the defining property of incremental
-    * ingest), so the index is never shuffled — one map-only probe
-    * pass whose scan skips unprobed bucket directories via dynamic
-    * partition pruning on the functionally-joined `bucket` column
-    * (IncrDedupSpec pins the dynamicpruning filter in the plan). The
-    * batch-internal pass is [[minhashPairs]] on the batch alone —
-    * O(batch), shares nothing with the index probe by design.
+  /** Auto-gate default for [[dedupBatchVsIndex]]'s batch-band
+    * broadcast, in BAND ROWS (= batch docs x [[Bands]]). A band row
+    * is ~200 B unsafe (16-long sig + band key string + ids), so
+    * 500k rows is a ~100 MB broadcast — comfortably inside a
+    * production driver/executor, far under the ~700 MB that OOM'd
+    * the first mis-sized fixture. Override with
+    * `spark.graft.incrBroadcastRows`.
     */
-  def dedupIncr(docs: DataFrame, dir: String,
+  val IncrBroadcastRows = 500000L
+
+  /** Dedup a prepared `(doc_id, toks)` batch against a persisted
+    * [[lshIndexBuild]] index plus itself. Per batch doc: `decision`
+    * is `dup_corpus` (shares an LSH band with a standing-corpus doc
+    * at est_sim >= minSim; wins over everything — the standing
+    * corpus is already deduped and kept), else `dup_batch`
+    * (keep-first within the batch: some earlier batch doc matches
+    * it), else `kept`; `dup_of` is the smallest matching doc id (-1
+    * when kept).
+    *
+    * Scale posture: the batch is tokenized + min-hashed ONCE (an
+    * [[iterCheckpoint]] barrier on the signature frame feeds the
+    * index probe, the batch-internal pair pass, and the gate count).
+    * When the batch's band table fits the broadcast gate — an EXACT
+    * row count against `spark.graft.incrBroadcastRows`, the frontier
+    * loop's pattern, not a config boolean (round-14 verdict: the
+    * static flag force-broadcast a mis-sized fixture into a driver
+    * OOM) — it broadcasts into the index scan, so the index is never
+    * shuffled: one map-only probe pass whose scan skips unprobed
+    * bucket directories via dynamic partition pruning on the
+    * functionally-joined `bucket` column (IncrDedupSpec pins the
+    * dynamicpruning filter AND the gate boundary). A batch past the
+    * gate — a backfill — falls back to the shuffled join over the
+    * same keys automatically: correctness unchanged, pruning lost,
+    * and at backfill scale a full index scan is proportionate.
+    * `spark.graft.incrBroadcastBatch` (true/false) remains as a
+    * manual override of the auto gate.
+    */
+  def dedupBatchVsIndex(batch: DataFrame, dir: String,
       minSim: Double = 0.5): DataFrame = {
-    val spark = docs.sparkSession
+    val spark = batch.sparkSession
     val idx = spark.read.parquet(s"$dir/bands")
-    val batch = incrBatch(docs)
-    val bbands0 = signatures(batch).select(col("doc_id"), col("sig"),
+    // ONE signature pass: the checkpoint barrier materializes the
+    // batch-sized (doc_id, sig) frame; probe bands, internal pairs
+    // and the gate count all re-read it instead of re-min-hashing
+    val sigs = iterCheckpoint(signatures(batch))
+    val bandRows = sigs.count() * Bands
+    val bbands0 = sigs.select(col("doc_id"), col("sig"),
         posexplode(bandKeysOf(col("sig"))).as(Seq("band", "key")))
       .withColumn("bucket",
         pmod(hash(col("band"), col("key")), lit(IndexBuckets)))
-    // broadcast is the default (batch << index is what makes ingest
-    // incremental, and it is what arms dynamic partition pruning on
-    // the bucket layout) — but a backfill-sized batch would OOM the
-    // driver under a FORCED broadcast, so the hint is config-gated
-    // like the frontier loop's: turn it off and AQE plans the probe
-    // as a shuffled join over the same keys (correctness unchanged,
-    // pruning lost — at backfill scale a full index scan is
-    // proportionate anyway).
-    val bbands =
-      if (spark.conf.get("spark.graft.incrBroadcastBatch", "true").toBoolean)
-        broadcast(bbands0)
-      else bbands0
+      // PartitionPruning only arms the DPP subquery when the build
+      // side LOOKS selective (a comparison/equality filter in the
+      // subtree). The checkpoint barrier erased the caller's batch
+      // predicates, and a raw batch read straight off a source never
+      // had one — so reassert selectivity with an always-true,
+      // zero-cost comparison (band is a posexplode index, >= 0 by
+      // construction). The batch IS selective relative to the index
+      // by the incremental-ingest contract; this keeps the planner
+      // informed of it across the materialization boundary.
+      .filter(col("band") >= 0)
+    val gate = spark.conf.get("spark.graft.incrBroadcastRows",
+      IncrBroadcastRows.toString).toLong
+    val doBroadcast = spark.conf
+      .getOption("spark.graft.incrBroadcastBatch") match {
+      case Some(forced) => forced.toBoolean // manual override
+      case None => bandRows <= gate // measured auto gate
+    }
+    val bbands = if (doBroadcast) broadcast(bbands0) else bbands0
     val est = aggregate(
       zip_with(col("c.sig"), col("n.sig"),
         (u, v) => when(u === v, 1L).otherwise(0L)),
@@ -1091,10 +1128,10 @@ object Dedup {
         col("c.doc_id").as("corpus_id"), est.as("est_sim"))
       .filter(col("est_sim") >= minSim)
       .groupBy("doc_id").agg(min("corpus_id").as("dup_corpus"))
-    val batchDup = minhashPairs(batch, minSim)
+    val batchDup = minhashPairsFromSigs(sigs, minSim)
       .select(col("id_b").as("doc_id"), col("id_a"))
       .groupBy("doc_id").agg(min("id_a").as("dup_batch"))
-    batch.select("doc_id")
+    sigs.select("doc_id")
       .join(corpusDup, Seq("doc_id"), "left")
       .join(batchDup, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -1105,6 +1142,13 @@ object Dedup {
           .as("dup_of"))
       .orderBy("doc_id")
   }
+
+  /** [[dedupBatchVsIndex]] over the standard [[incrBatch]] fixture
+    * split — the oracle-checked query form.
+    */
+  def dedupIncr(docs: DataFrame, dir: String,
+      minSim: Double = 0.5): DataFrame =
+    dedupBatchVsIndex(incrBatch(docs), dir, minSim)
 
   /** DuckDB oracle for [[lshIndexBuild]] on [[incrBase]] +
     * [[dedupIncr]]: the banded est pairs over the FULL corpus

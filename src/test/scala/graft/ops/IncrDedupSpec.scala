@@ -59,4 +59,64 @@ class IncrDedupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.toLowerCase.contains("dynamicpruning"), plan)
   }
+
+  test("broadcast gate is MEASURED: boundary flips the plan, decisions don't change") {
+    val docs = T(spark, sf, "documents")
+    val dir = Files.createTempDirectory("graft-lshidx-gate").toString
+    Dedup.lshIndexBuild(Dedup.incrBase(docs), dir)
+    val batch = Dedup.incrBatch(docs)
+    val bandRows = batch.count() * Dedup.Bands
+
+    // with autoBroadcastJoinThreshold=-1 below, the ONLY possible
+    // BroadcastHashJoin is the gate's hinted probe join — its
+    // presence/absence is the gate's plan observable. (DPP is NOT the
+    // observable: past the gate Spark still runs the pruning filter
+    // as an independent subquery when it estimates benefit, which is
+    // correct and desirable at backfill scale.)
+    def bcast(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin")
+    def dpp(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.toLowerCase
+        .contains("dynamicpruning")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+
+    val rowsKey = "spark.graft.incrBroadcastRows"
+    val forceKey = "spark.graft.incrBroadcastBatch"
+    val autoKey = "spark.sql.autoBroadcastJoinThreshold"
+    val savedAuto = spark.conf.get(autoKey)
+    try {
+      // at fixture scale the planner would auto-broadcast the tiny
+      // batch side regardless of our hint, masking the gate; disable
+      // auto-broadcast so the gate is the only decider — which is
+      // the real situation for any batch big enough to be gated
+      spark.conf.set(autoKey, "-1")
+      // exactly AT the gate (threshold == measured band rows): the
+      // broadcast fires and arms dynamic partition pruning
+      spark.conf.set(rowsKey, bandRows.toString)
+      val at = Dedup.dedupBatchVsIndex(batch, dir, 0.5)
+      assert(bcast(at), "at-gate batch should broadcast into the index scan")
+      assert(dpp(at), "the broadcast probe should arm DPP")
+      val atRows = run(at)
+
+      // one band row PAST the gate: automatic shuffled fallback (the
+      // backfill posture — a shuffled index join instead of a driver
+      // OOM under a forced broadcast)
+      spark.conf.set(rowsKey, (bandRows - 1).toString)
+      val past = Dedup.dedupBatchVsIndex(batch, dir, 0.5)
+      assert(!bcast(past), "past-gate batch must plan the shuffled join")
+      assert(run(past) == atRows, "gate changes the plan, never the answer")
+
+      // the config override still forces either path regardless of size
+      spark.conf.set(forceKey, "true")
+      assert(bcast(Dedup.dedupBatchVsIndex(batch, dir, 0.5)))
+      spark.conf.set(forceKey, "false")
+      spark.conf.set(rowsKey, bandRows.toString)
+      assert(!bcast(Dedup.dedupBatchVsIndex(batch, dir, 0.5)))
+    } finally {
+      spark.conf.unset(rowsKey)
+      spark.conf.unset(forceKey)
+      spark.conf.set(autoKey, savedAuto)
+    }
+  }
 }
