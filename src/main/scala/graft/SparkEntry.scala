@@ -1249,6 +1249,19 @@ object SparkEntry {
         Dedup.dedupIncr(T(s, dir, "documents"), idx, 0.5)
     },
 
+    // The COMPLETE ingest loop (round 15): build the index on the
+    // base corpus, then three sequential batches of
+    // probe -> append-kept — batch 2 dedups against batch 1's kept
+    // docs, batch 3 against both. A fresh directory every run: the
+    // loop MUTATES its index (that is the thing under test), unlike
+    // ns_dedup_incremental's persisted read-only index.
+    q("ns_dedup_incr_loop", Dedup.dedupIncrLoopOracle(0.5)) {
+      (s, dir) =>
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft-incr-loop").toString
+        Dedup.dedupIncrLoop(T(s, dir, "documents"), idx, 0.5)
+    },
+
     // MinHash signatures via the typed Aggregator (map-side-combinable
     // sketch building; same constants, identical signatures).
     q("ns_minhash_signatures", Dedup.minhashSignaturesAggOracle) {

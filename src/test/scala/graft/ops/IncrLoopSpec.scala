@@ -1,0 +1,112 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The full incremental-ingest loop ([[Dedup.dedupIncrLoop]]):
+  * build -> (probe -> append kept) x 3, pinned bit-equal to what ONE
+  * full-corpus LSH run decides under the same sequential keep-first
+  * semantics; plus the maintenance ops around it (geometry-checked
+  * append, per-bucket compaction).
+  */
+class IncrLoopSpec extends SparkSpec {
+
+  test("3 sequential batches' decisions == one full-corpus LSH run") {
+    val docs = T(spark, sf, "documents")
+    val dir = Files.createTempDirectory("graft-incr-loop-spec").toString
+    val res = Dedup.dedupIncrLoop(docs, dir, 0.5).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3)))
+
+    // ground truth: the full pair list, replayed with the loop's
+    // sequential semantics (batch k dedups against base + kept(<k),
+    // then keep-first within the batch)
+    val pairs = Dedup.minhashPairs(Dedup.corpusWithVariants(docs), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val batchOf = (1 to Dedup.IncrLoopBatches).flatMap { k =>
+      Dedup.incrLoopBatch(docs, k).select("doc_id")
+        .collect().map(_.getLong(0) -> k)
+    }.toMap
+    var index = Dedup.incrLoopBase(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = (1 to Dedup.IncrLoopBatches).flatMap { k =>
+      val ids = batchOf.collect { case (d, `k`) => d }.toSeq.sorted
+      val decisions = ids.map { d =>
+        val corpusMatches = pairs.collect {
+          case (a, b) if a == d && index(b) => b
+          case (a, b) if b == d && index(a) => a
+        }
+        val batchMatches = pairs.collect {
+          case (a, b) if b == d && batchOf.get(a).contains(k) => a
+        }
+        if (corpusMatches.nonEmpty) (k, d, "dup_corpus", corpusMatches.min)
+        else if (batchMatches.nonEmpty) (k, d, "dup_batch", batchMatches.min)
+        else (k, d, "kept", -1L)
+      }
+      index ++= decisions.collect { case (_, d, "kept", _) => d }
+      decisions
+    }
+    assert(res.toSeq == expected)
+
+    // the fixture guarantees every decision path — including the one
+    // the loop exists for: a dup_corpus whose keeper was APPENDED by
+    // an earlier batch, not in the base index
+    val base = Dedup.incrLoopBase(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(res.map(_._3).toSet == Set("dup_corpus", "dup_batch", "kept"))
+    assert(res.exists(r => r._3 == "dup_corpus" && !base(r._4)),
+      "no dup_corpus resolved against an appended doc — append is dead")
+  }
+
+  test("append checks the geometry sidecar; compaction shrinks files, not rows") {
+    val docs = T(spark, sf, "documents")
+    val dir = Files.createTempDirectory("graft-lshidx-maint").toString
+    Dedup.lshIndexBuild(Dedup.incrLoopBase(docs), dir)
+
+    // appending under a mismatched geometry must hard-fail
+    val geo = new java.io.File(s"$dir/geometry")
+    val crc = new java.io.File(s"$dir/.geometry.crc")
+    val orig = new String(java.nio.file.Files.readAllBytes(geo.toPath))
+    def tamper(text: String): Unit = {
+      // drop the local-FS checksum sidecar too, or the read fails on
+      // ChecksumException before the geometry check even runs
+      java.nio.file.Files.write(geo.toPath, text.getBytes)
+      if (crc.exists()) crc.delete()
+    }
+    tamper("bands=9 buckets=7 sig=3")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.lshIndexAppend(Dedup.incrLoopBatch(docs, 1), dir)
+    }
+    assert(ex.getMessage.contains("geometry"))
+    tamper(orig)
+
+    // several appends accumulate small files per bucket...
+    (1 to Dedup.IncrLoopBatches).foreach { k =>
+      Dedup.lshIndexAppend(Dedup.incrLoopBatch(docs, k), dir)
+    }
+    def parquetFiles: Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/bands"))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    val before = spark.read.parquet(s"$dir/bands")
+      .groupBy("doc_id", "band").count()
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sorted.toSeq
+    val filesBefore = parquetFiles
+
+    // ...compaction folds them back to ~one per bucket with the exact
+    // same row multiset
+    Dedup.lshIndexCompact(spark, dir)
+    val after = spark.read.parquet(s"$dir/bands")
+      .groupBy("doc_id", "band").count()
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(after == before, "compaction changed the index contents")
+    val filesAfter = parquetFiles
+    assert(filesAfter < filesBefore,
+      s"expected fewer files after compaction: $filesBefore -> $filesAfter")
+  }
+}
