@@ -101,6 +101,12 @@ object TopKStrategy extends SparkStrategy {
   * use the WindowGroupLimit form, whose sort spills. The partial
   * stage bounds the exchange either way; the cardinality question is
   * only about executor heap.
+  *
+  * That assumption is ENFORCED at runtime (round-14 verdict #5): a
+  * partition crossing `spark.graft.topkMaxKeysPerPartition` distinct
+  * keys (default [[TopKPerKeyExec.MaxKeysPerPartition]]) fails fast
+  * with the WindowGroupLimit guidance instead of quietly inflating
+  * the unspillable map until the executor OOMs mid-shuffle.
   */
 case class TopKPerKeyExec(keys: Seq[Expression], ordering: Seq[SortOrder],
     k: Int, partial: Boolean, child: SparkPlan) extends UnaryExecNode {
@@ -122,6 +128,10 @@ case class TopKPerKeyExec(keys: Seq[Expression], ordering: Seq[SortOrder],
     val kk = k
     val childOutput = child.output
     val numOutputRows = longMetric("numOutputRows")
+    // capture on the driver: executor-side tasks don't see session conf
+    val maxKeys = session.conf
+      .get("spark.graft.topkMaxKeysPerPartition",
+        TopKPerKeyExec.MaxKeysPerPartition.toString).toLong
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val cmp = GenerateOrdering.generate(ord, childOutput)
@@ -135,6 +145,16 @@ case class TopKPerKeyExec(keys: Seq[Expression], ordering: Seq[SortOrder],
         val key = keyProj(row)
         var q = heaps.get(key)
         if (q == null) {
+          if (heaps.size() >= maxKeys) {
+            throw new IllegalStateException(
+              s"TopKPerKeyExec: a partition crossed $maxKeys distinct " +
+                "keys (spark.graft.topkMaxKeysPerPartition). The per-key " +
+                "heaps are unspillable and sized for grouped-dimension " +
+                "keys; for near-unique keys use the window form — " +
+                s"row_number() OVER (PARTITION BY key ORDER BY ...) <= $kk" +
+                " — whose WindowGroupLimit sort spills. Raise the config " +
+                "only if the executors have heap for keys x k rows.")
+          }
           q = new java.util.PriorityQueue[InternalRow](kk + 1, worstFirst)
           heaps.put(key.copy(), q)
         }
@@ -154,4 +174,14 @@ case class TopKPerKeyExec(keys: Seq[Expression], ordering: Seq[SortOrder],
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
+}
+
+object TopKPerKeyExec {
+  /** Default per-partition distinct-key ceiling. At k=3 and ~150 B
+    * per retained row, 1M keys is ~0.5 GB of unspillable map per
+    * task — loud enough to stop before an OOM, far above any
+    * grouped-dimension use (the repo's callers carry 10^2-10^4
+    * keys). Override: `spark.graft.topkMaxKeysPerPartition`.
+    */
+  val MaxKeysPerPartition = 1000000L
 }

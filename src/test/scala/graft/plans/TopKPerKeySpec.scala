@@ -109,4 +109,32 @@ class TopKPerKeySpec extends SparkSpec {
       .orderBy("key", "id").collect().map(_.toSeq)
     assert(got.toSeq == want.toSeq)
   }
+
+  test("near-unique keys hit the unspillable-heap guard, loudly") {
+    import spark.implicits._
+    val confKey = "spark.graft.topkMaxKeysPerPartition"
+    try {
+      spark.conf.set(confKey, "10")
+      // 500 distinct keys in few partitions: every partition crosses
+      // the (test-sized) ceiling — the documented misuse of the
+      // operator, which must fail fast with the WindowGroupLimit
+      // guidance, not OOM an executor
+      val df = (1 to 500).map(i => (s"user_$i", i)).toDF("key", "score")
+        .repartition(2)
+      val ex = intercept[Exception] {
+        TopKPerKey.topK(df, Seq("key"), Seq(col("score").desc), 3).collect()
+      }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getMessage +: chain(t.getCause)
+      val msgs = chain(ex).mkString(" | ")
+      assert(msgs.contains("topkMaxKeysPerPartition"), msgs)
+      assert(msgs.contains("row_number"), msgs)
+
+      // the guarded queries themselves stay healthy: grouped
+      // dimensions sit far under the real default
+      spark.conf.unset(confKey)
+      val ok = TopKPerKey.topK(df, Seq("key"), Seq(col("score").desc), 3)
+      assert(ok.count() == 500)
+    } finally spark.conf.unset(confKey)
+  }
 }
