@@ -1436,6 +1436,13 @@ object SparkEntry {
       (s, dir) => Analysis.bm25TopDocs(T(s, dir, "documents"), 20, 3)
     },
 
+    // Multi-term BM25 query scoring: summed per-term BM25 per doc,
+    // top-k docs per query — the retrieval-style decontamination
+    // shape (single-term scoring is ns_bm25).
+    q("ns_bm25_query", Analysis.bm25QueryOracle(5, 3, 3)) {
+      (s, dir) => Analysis.bm25Query(T(s, dir, "documents"), 5, 3, 3)
+    },
+
     // Deterministic hash sampling (reproducible 10% sample, no rand).
     q("p_sample_hash",
       s"""SELECT doc_id, lang FROM documents

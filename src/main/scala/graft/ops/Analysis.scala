@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: language-ID
@@ -185,38 +185,51 @@ object Analysis {
     * (a 20-slot window partition over corpus-sized groups would
     * funnel the whole scored stream through nTerms tasks).
     */
-  def bm25TopDocs(docs: DataFrame, nTerms: Int = 20,
-      k: Int = 3): DataFrame = {
+  /** The BM25 corpus statistics — (tf, dl, df, stats) — shared by
+    * [[bm25TopDocs]] and [[bm25Query]]: dl and df both fold the tf
+    * table, so the corpus is tokenized + exploded ONCE, not three
+    * times (dl = sum of tf per doc exactly). avgdl comes from the
+    * EXACT long sum (not avg(): partition-order-dependent double
+    * summation could drift an ulp from the oracle), divided by the
+    * DOCUMENT count, not count(dl rows) — a doc whose text yields
+    * zero tokens drops out of dl but still belongs to the collection
+    * avgdl averages over, and it is what the oracle twin divides by.
+    */
+  private def bm25Frames(
+      docs: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val tok = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("token"))
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    // dl and df both fold the tf table — ONE tokenize+explode pass
-    // over the corpus, not three (dl = sum of tf per doc exactly)
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    // avgdl from the EXACT long sum (not avg()): partition-order-
-    // dependent double summation could drift an ulp from the oracle.
-    // Denominator is the DOCUMENT count, not count(dl rows): a doc
-    // whose text yields zero tokens drops out of dl (split/explode
-    // produces no rows) but still belongs to the collection avgdl
-    // averages over — and it is what the oracle twin divides by.
     val stats = docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(dl.agg(sum("dl").as("sum_dl")))
       .select(col("n_docs"),
         (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    (tf, dl, df, stats)
+  }
+
+  /** The unrounded per-(term, doc) Okapi BM25 contribution (k1=1.2,
+    * b=0.75; idf in the (1 + ...) form, so scores stay positive at
+    * df > n/2). Expects `tf`, `df`, `dl`, `n_docs`, `avgdl` in scope.
+    */
+  private def bm25Contrib: Column =
+    log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+    (col("tf") * lit(2.2) /
+      (col("tf") + lit(1.2) *
+        (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+
+  def bm25TopDocs(docs: DataFrame, nTerms: Int = 20,
+      k: Int = 3): DataFrame = {
+    val (tf, dl, df, stats) = bm25Frames(docs)
     val qterms = df.orderBy(col("df").desc, col("token").asc)
       .limit(nTerms)
     val scored = tf.join(broadcast(qterms), "token")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .select(col("token"), col("doc_id"),
-        round(
-          log(lit(1.0) +
-            (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-          (col("tf") * lit(2.2) /
-            (col("tf") + lit(1.2) *
-              (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))),
-          6).as("score"))
+        round(bm25Contrib, 6).as("score"))
     val top = graft.plans.TopKPerKey.topK(scored, Seq("token"),
       Seq(col("score").desc, col("doc_id").asc), k)
     // rn over the already-cut <= nTerms x k rows
@@ -254,6 +267,96 @@ object Analysis {
        |  FROM scored)
        |SELECT token, rn, doc_id, score FROM ranked WHERE rn <= $k
        |ORDER BY token, rn""".stripMargin
+
+  /** Multi-term BM25 QUERY scoring (round 15): score a whole query —
+    * a term set — per document by summed per-term BM25, the
+    * retrieval-style decontamination shape ([[bm25TopDocs]] scores
+    * single terms). The deterministic query fixture: the `nQueries *
+    * qTerms` highest-df terms (df desc, token asc), chopped into
+    * `nQueries` disjoint `qTerms`-term queries in rank order — both
+    * engines derive identical queries from the data alone.
+    *
+    * Exactness: per-term contributions are QUANTIZED to integer
+    * micro-units (round(x * 1e6) as long) before the per-(query, doc)
+    * sum, so the sum is exact long arithmetic — no
+    * partition-order-dependent double summation for a 3-term sum to
+    * drift an ulp from DuckDB's — and the presented score is one
+    * exact long->double division.
+    *
+    * Scale posture: same single tokenize pass ([[bm25Frames]]), query
+    * map and corpus stats broadcast into the tf stream, per-(query,
+    * doc) sum map-side combinable, per-query top-k on the
+    * [[graft.plans.TopKPerKey]] partial heaps (nQueries keys — far
+    * under the heap guard) so the shuffle carries <= nQueries x k
+    * rows per partition, not the scored stream.
+    */
+  def bm25Query(docs: DataFrame, nQueries: Int = 5, qTerms: Int = 3,
+      k: Int = 3): DataFrame = {
+    val (tf, dl, df, stats) = bm25Frames(docs)
+    val ranked = df.orderBy(col("df").desc, col("token").asc)
+      .limit(nQueries * qTerms)
+    // rank -> query id over the already-cut nQueries*qTerms rows (the
+    // bare window is fine: the limit bounds it, like bm25TopDocs' rn)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("df").desc, col("token").asc)
+    val qmap = ranked.withColumn("r", row_number().over(w))
+      .select((floor((col("r") - 1) / qTerms) + 1).cast("int")
+          .as("query_id"),
+        col("token"), col("df"))
+    val perTerm = tf.join(broadcast(qmap), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        round(bm25Contrib * lit(1000000.0)).cast("long").as("contrib"))
+    val scored = perTerm.groupBy("query_id", "doc_id")
+      .agg((sum("contrib") / lit(1000000.0)).as("score"),
+        count(lit(1)).as("n_terms"))
+    val top = graft.plans.TopKPerKey.topK(scored, Seq("query_id"),
+      Seq(col("score").desc, col("doc_id").asc), k)
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("doc_id").asc)
+    top.withColumn("rn", row_number().over(w2))
+      .select(col("query_id"), col("rn"), col("doc_id"), col("score"),
+        col("n_terms"))
+      .orderBy("query_id", "rn")
+  }
+
+  /** Same formula and quantization, literal for literal, as
+    * [[bm25Query]].
+    */
+  def bm25QueryOracle(nQueries: Int = 5, qTerms: Int = 3,
+      k: Int = 3): String =
+    s"""WITH tok AS (SELECT doc_id, t.token FROM documents,
+       |    unnest(string_split(text, ' ')) AS t(token)),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       |stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+       |    (SELECT sum(dl) FROM dl)::DOUBLE /
+       |      (SELECT count(*) FROM documents) AS avgdl),
+       |ranked AS (SELECT token, df,
+       |    row_number() OVER (ORDER BY df DESC, token ASC) AS r
+       |  FROM df),
+       |qmap AS (SELECT ((r - 1) // $qTerms) + 1 AS query_id, token, df
+       |  FROM ranked WHERE r <= ${nQueries * qTerms}),
+       |contrib AS (SELECT q.query_id, tf.doc_id,
+       |    CAST(round(
+       |      ln(1.0 + (n_docs - q.df + 0.5) / (q.df + 0.5)) *
+       |      (tf.tf * 2.2 /
+       |        (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)))
+       |      * 1000000) AS BIGINT) AS contrib
+       |  FROM tf JOIN qmap q ON tf.token = q.token
+       |          JOIN dl ON tf.doc_id = dl.doc_id
+       |          CROSS JOIN stats),
+       |agg AS (SELECT query_id, doc_id,
+       |    sum(contrib) / 1000000.0 AS score, count(*) AS n_terms
+       |  FROM contrib GROUP BY 1, 2),
+       |cut AS (SELECT query_id, doc_id, score, n_terms,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id ASC) AS rn
+       |  FROM agg)
+       |SELECT query_id, rn, doc_id, score, n_terms FROM cut WHERE rn <= $k
+       |ORDER BY query_id, rn""".stripMargin
 
   /** PMI co-occurrence: pointwise mutual information of token pairs
     * co-occurring in a document, over the top candidate pairs.
