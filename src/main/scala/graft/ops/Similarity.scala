@@ -441,9 +441,9 @@ object Similarity {
     * (ScaleSmoke measures exactly that setting).
     */
   def nearDupPairsV(allV: DataFrame, minSim: Double,
-      planes: Int): DataFrame = {
+      planes: Int, dim: Int = 64): DataFrame = {
     val all = allV
-      .withColumn("bucket", lshBucket(col("v"), planes))
+      .withColumn("bucket", lshBucket(col("v"), planes, "", dim))
       .withColumn("nrm", norm(col("v")))
     val probeMasks = array((lit(0L) +:
       (0 until planes).map(p => lit(1L << p))): _*)
@@ -522,6 +522,17 @@ object Similarity {
   def embeddingClusters(emb: DataFrame, minSim: Double = 0.9): DataFrame =
     Dedup.propagateLabels(
       embeddingNearDupLsh(emb, minSim).select("id_a", "id_b"))
+
+  /** [[embeddingClusters]] over ANY prepared `(vec_id, v: double[])`
+    * frame at ANY embedding width — the production-path form
+    * (Dim512Spec builds and executes it at d=512 under strict
+    * codegen): the [[nearDupPairsV]] bucketed pair scan feeding
+    * [[Dedup.propagateLabels]].
+    */
+  def embeddingClustersV(allV: DataFrame, minSim: Double,
+      planes: Int, dim: Int): DataFrame =
+    Dedup.propagateLabels(
+      nearDupPairsV(allV, minSim, planes, dim).select("id_a", "id_b"))
 
   /** DuckDB twin: the LSH pair oracle wrapped in the same recursive
     * reachability CTE as [[Dedup.minhashClustersOracle]].
