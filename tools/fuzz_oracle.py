@@ -613,10 +613,86 @@ class Gen:
                f"ORDER BY {c1} {d}, {c2} LIMIT {k}")
         return sql, sql
 
+    # --------------------------------------- event-time (round 15)
+    # Batch-form event-time windows over the events table — the one
+    # SURVEY §2 family (streaming windows) the batch grammar skipped.
+    # Bucketing is exact integer epoch-second arithmetic in both
+    # engines (no interval / time_bucket dialect divergence to
+    # reconcile): Spark reads ts as timestamp_ntz with session TZ
+    # UTC, DuckDB reads the same file naive — identical wall clocks,
+    # identical epoch seconds, identical buckets.
+    SECS_SPARK = "unix_timestamp(CAST(ts AS TIMESTAMP))"
+    SECS_DUCK = "(epoch_us(ts) // 1000000)"
+
+    def q_tumbling(self):
+        """Tumbling window aggregate over fixed-width epoch buckets.
+        Only order-independent aggregates (counts / min / max), so
+        the result is engine-exact with no float summation."""
+        w = self.rnd.choice([900, 3600, 21600, 86400])
+        pred = self.predicate("events")
+        g = self.rnd.choice(["event_type", "(user_id % 8)"])
+        agg = self.rnd.choice(["COUNT(DISTINCT user_id)",
+                               "MIN(event_id)", "MAX(event_id)"])
+
+        def render(secs, idiv):
+            b = f"((({secs}) {idiv} {w}) * {w})"
+            return (f"SELECT {b} AS bucket_start, {g} AS g, "
+                    f"COUNT(*) AS n, {agg} AS m "
+                    f"FROM events WHERE {pred} GROUP BY 1, 2")
+        return render(self.SECS_SPARK, "DIV"), render(self.SECS_DUCK, "//")
+
+    def q_hopping(self):
+        """Hopping window, width = 2 x hop: every event lands in
+        exactly two windows — the per-event window-start expansion is
+        the dialect-divergent bit (explode vs unnest), the counting
+        is identical."""
+        hop = self.rnd.choice([900, 3600, 21600])
+        pred = self.predicate("events")
+        agg = self.rnd.choice(["COUNT(DISTINCT user_id)",
+                               "MIN(event_id)", "MAX(event_id)"])
+
+        def render(secs, idiv, expand):
+            b = f"((({secs}) {idiv} {hop}) * {hop})"
+            starts = expand.format(a=b, b=f"({b} - {hop})")
+            return (f"SELECT wstart, event_type, COUNT(*) AS n, {agg} AS m "
+                    f"FROM (SELECT event_type, user_id, event_id, "
+                    f"{starts} AS wstart "
+                    f"FROM events WHERE {pred}) t GROUP BY 1, 2")
+        return (render(self.SECS_SPARK, "DIV", "explode(array({a}, {b}))"),
+                render(self.SECS_DUCK, "//", "unnest([{a}, {b}])"))
+
+    def q_session(self):
+        """Gap-based sessionization in batch form: a session break is
+        a gap > G seconds from the same user's previous event; the
+        session id is the running break count (LAG + windowed SUM,
+        spelled identically in both dialects over exact integer
+        seconds; (sec, event_id) is a total order). The BIGINT cast
+        on the running sum keeps DuckDB's HUGEINT sum out of pandas
+        floats."""
+        gap = self.rnd.choice([600, 1800, 3600, 14400])
+        pred = self.predicate("events")
+
+        def render(secs):
+            return (
+                f"WITH o AS (SELECT user_id, event_id, {secs} AS sec "
+                f"FROM events WHERE {pred}), "
+                "b AS (SELECT user_id, event_id, sec, "
+                "CASE WHEN sec - LAG(sec) OVER (PARTITION BY user_id "
+                f"ORDER BY sec, event_id) > {gap} THEN 1 ELSE 0 END AS brk "
+                "FROM o), "
+                "s AS (SELECT user_id, sec, CAST(SUM(brk) OVER "
+                "(PARTITION BY user_id ORDER BY sec, event_id "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+                "AS BIGINT) AS sid FROM b) "
+                "SELECT user_id, sid, COUNT(*) AS n, MIN(sec) AS t0, "
+                "MAX(sec) AS t1 FROM s GROUP BY user_id, sid")
+        return render(self.SECS_SPARK), render(self.SECS_DUCK)
+
     SHAPES = ["q_scan", "q_join", "q_agg", "q_window", "q_explode",
               "q_limit", "q_union", "q_subquery", "q_lateral",
               "q_rollup", "q_cte", "q_frame", "q_exists",
-              "q_outer", "q_decimal", "q_having_window", "q_setop_limit"]
+              "q_outer", "q_decimal", "q_having_window", "q_setop_limit",
+              "q_tumbling", "q_hopping", "q_session"]
 
     def generate(self, i):
         shape = self.SHAPES[i % len(self.SHAPES)]
