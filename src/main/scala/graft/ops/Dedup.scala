@@ -1039,11 +1039,14 @@ object Dedup {
     * band-key hash — the physical row format of the persisted index,
     * shared by build and append so the layouts can never diverge.
     */
-  private def indexBandRows(corpus: DataFrame): DataFrame =
-    signatures(corpus).select(col("doc_id"), col("sig"),
+  private def bandRowsFromSigs(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("sig"),
         posexplode(bandKeysOf(col("sig"))).as(Seq("band", "key")))
       .withColumn("bucket",
         pmod(hash(col("band"), col("key")), lit(IndexBuckets)))
+
+  private def indexBandRows(corpus: DataFrame): DataFrame =
+    bandRowsFromSigs(signatures(corpus))
 
   /** The LSH geometry this engine build writes/expects in an index's
     * sidecar: any change to band count, bucket count, or signature
@@ -1052,6 +1055,15 @@ object Dedup {
     */
   def indexGeometry: String =
     s"bands=$Bands buckets=$IndexBuckets sig=${MinhashAB.size}"
+
+  /** Physical schema of the persisted band index. Declared explicitly
+    * on every read: (a) skips footer-based schema inference, and (b)
+    * makes an EMPTY index readable — bootstrap ingest (probe batch 1
+    * against a standing corpus of zero docs) writes a partitioned
+    * parquet with no part files, which schema inference cannot read.
+    */
+  val IndexSchema: String =
+    "doc_id BIGINT, sig ARRAY<BIGINT>, band INT, key STRING, bucket INT"
 
   private def writeSidecar(spark: SparkSession, path: String,
       text: String): Unit = {
@@ -1097,14 +1109,22 @@ object Dedup {
     * [[lshIndexCompact]] periodically to fold the accumulating small
     * files back to ~one per bucket.
     */
-  def lshIndexAppend(kept: DataFrame, dir: String): Unit = {
-    val spark = kept.sparkSession
+  def lshIndexAppend(kept: DataFrame, dir: String): Unit =
+    lshIndexAppendFromSigs(signatures(kept), dir)
+
+  /** [[lshIndexAppend]] over an already-derived `(doc_id, sig)` frame
+    * — the ingest-loop form: the probe already checkpointed the
+    * batch's signatures, so appending the kept subset re-reads that
+    * materialization instead of re-tokenizing the docs.
+    */
+  def lshIndexAppendFromSigs(sigs: DataFrame, dir: String): Unit = {
+    val spark = sigs.sparkSession
     val tag = readSidecar(spark, s"$dir/geometry").getOrElse(
       sys.error(s"$dir has no geometry sidecar — not a graft LSH index"))
     require(tag == indexGeometry,
       s"index at $dir has geometry '$tag' but this engine writes " +
         s"'$indexGeometry' — rebuild the index, do not mix geometries")
-    indexBandRows(kept)
+    bandRowsFromSigs(sigs)
       .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket")
       .parquet(s"$dir/bands")
@@ -1123,7 +1143,7 @@ object Dedup {
     */
   def lshIndexCompact(spark: SparkSession, dir: String): Unit = {
     val tmp = s"$dir/bands_compacting"
-    spark.read.parquet(s"$dir/bands")
+    spark.read.schema(IndexSchema).parquet(s"$dir/bands")
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -1171,18 +1191,25 @@ object Dedup {
     * manual override of the auto gate.
     */
   def dedupBatchVsIndex(batch: DataFrame, dir: String,
-      minSim: Double = 0.5): DataFrame = {
+      minSim: Double = 0.5): DataFrame =
+    dedupBatchVsIndexCore(batch, dir, minSim)._1
+
+  /** [[dedupBatchVsIndex]] plus the batch's materialized `(doc_id,
+    * sig)` frame — so the ingest loop can append the kept docs' band
+    * rows from the SAME signature pass the probe ran on
+    * ([[lshIndexAppendFromSigs]]) instead of re-tokenizing the batch.
+    */
+  private[ops] def dedupBatchVsIndexCore(batch: DataFrame, dir: String,
+      minSim: Double): (DataFrame, DataFrame) = {
     val spark = batch.sparkSession
-    val idx = spark.read.parquet(s"$dir/bands")
+    val idx = spark.read.schema(IndexSchema).parquet(s"$dir/bands")
     // ONE signature pass: the checkpoint barrier materializes the
-    // batch-sized (doc_id, sig) frame; probe bands, internal pairs
-    // and the gate count all re-read it instead of re-min-hashing
+    // batch-sized (doc_id, sig) frame; probe bands, internal pairs,
+    // the gate count AND the caller's append all re-read it instead
+    // of re-min-hashing
     val sigs = iterCheckpoint(signatures(batch))
     val bandRows = sigs.count() * Bands
-    val bbands0 = sigs.select(col("doc_id"), col("sig"),
-        posexplode(bandKeysOf(col("sig"))).as(Seq("band", "key")))
-      .withColumn("bucket",
-        pmod(hash(col("band"), col("key")), lit(IndexBuckets)))
+    val bbands0 = bandRowsFromSigs(sigs)
       // PartitionPruning only arms the DPP subquery when the build
       // side LOOKS selective (a comparison/equality filter in the
       // subtree). The checkpoint barrier erased the caller's batch
@@ -1216,7 +1243,7 @@ object Dedup {
     val batchDup = minhashPairsFromSigs(sigs, minSim)
       .select(col("id_b").as("doc_id"), col("id_a"))
       .groupBy("doc_id").agg(min("id_a").as("dup_batch"))
-    sigs.select("doc_id")
+    val decisions = sigs.select("doc_id")
       .join(corpusDup, Seq("doc_id"), "left")
       .join(batchDup, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -1226,6 +1253,7 @@ object Dedup {
         coalesce(col("dup_corpus"), col("dup_batch"), lit(-1L))
           .as("dup_of"))
       .orderBy("doc_id")
+    (decisions, sigs)
   }
 
   /** [[dedupBatchVsIndex]] over the standard [[incrBatch]] fixture
@@ -1331,9 +1359,12 @@ object Dedup {
       val batch = incrLoopBatch(docs, k)
       // materialize THIS batch's decisions before the append mutates
       // the index the decision frame lazily reads
-      val dec = iterCheckpoint(dedupBatchVsIndex(batch, dir, minSim))
+      val (dec0, sigs) = dedupBatchVsIndexCore(batch, dir, minSim)
+      val dec = iterCheckpoint(dec0)
       val keptIds = dec.filter(col("decision") === "kept").select("doc_id")
-      lshIndexAppend(batch.join(keptIds, "doc_id"), dir)
+      // append from the probe's already-materialized signatures — the
+      // batch is tokenized + min-hashed exactly once per loop step
+      lshIndexAppendFromSigs(sigs.join(keptIds, "doc_id"), dir)
       dec.select(lit(k).as("batch"), col("doc_id"), col("decision"),
         col("dup_of"))
     }

@@ -109,4 +109,29 @@ class IncrLoopSpec extends SparkSpec {
     assert(filesAfter < filesBefore,
       s"expected fewer files after compaction: $filesBefore -> $filesAfter")
   }
+
+  test("bootstrap: empty standing corpus, empty batches — no crash") {
+    val docs = T(spark, sf, "documents")
+    val none = docs.filter(col("doc_id") < 0)
+
+    // an index built over ZERO docs (first day of ingest) writes no
+    // part files; the explicit IndexSchema keeps it readable
+    val dir = Files.createTempDirectory("graft-lshidx-empty").toString
+    Dedup.lshIndexBuild(Dedup.incrLoopBase(none), dir)
+    val firstBatch = Dedup.incrLoopBatch(docs, 1)
+    val dec = Dedup.dedupBatchVsIndex(firstBatch, dir, 0.5).collect()
+    assert(dec.nonEmpty)
+    assert(!dec.exists(_.getString(1) == "dup_corpus"),
+      "nothing can be a corpus dup against an empty index")
+
+    // an empty BATCH against a real index is a no-op, not an error
+    val dir2 = Files.createTempDirectory("graft-lshidx-emptyb").toString
+    Dedup.lshIndexBuild(Dedup.incrLoopBase(docs), dir2)
+    assert(Dedup.dedupBatchVsIndex(Dedup.incrLoopBatch(none, 1), dir2, 0.5)
+      .count() == 0)
+
+    // the whole loop over an empty corpus returns empty
+    val dir3 = Files.createTempDirectory("graft-lshidx-emptyall").toString
+    assert(Dedup.dedupIncrLoop(none, dir3, 0.5).count() == 0)
+  }
 }
