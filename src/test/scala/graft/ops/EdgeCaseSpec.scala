@@ -70,6 +70,15 @@ class EdgeCaseSpec extends SparkSpec {
     assert(jac.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
 
+  test("bm25 family on empty and single-doc corpora") {
+    assert(Analysis.bm25TopDocs(emptyDocs).count() == 0)
+    assert(Analysis.bm25Query(emptyDocs).count() == 0)
+    // single doc: every query term (all from that doc) scores it once
+    val one = Analysis.bm25Query(oneDoc).collect()
+    assert(one.nonEmpty)
+    assert(one.forall(_.getLong(2) == oneDoc.collect().head.getLong(0)))
+  }
+
   test("text analysis on empty and single-doc corpora") {
     assert(Analysis.tfidfTop3(emptyDocs).count() == 0)
     assert(Analysis.pmiPairs(emptyDocs, 1).count() == 0)

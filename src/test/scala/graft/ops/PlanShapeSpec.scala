@@ -262,6 +262,18 @@ class PlanShapeSpec extends SparkSpec {
       "single-partition exchanges must carry only the tiny offsets frame")
   }
 
+  test("bm25 query scoring cuts on TopKPerKey partial heaps, not a corpus window") {
+    val p = plan("ns_bm25_query")
+    // two-stage custom operator present (partial + final; SparkPlan
+    // tree strings strip the Exec suffix)
+    assert("TopKPerKey".r.findAllIn(p).size >= 2, p.take(3000))
+    // ...and the only Window nodes run on ALREADY-CUT rows: the
+    // nQueries*qTerms query-map ranking and the <= nQueries x k rn —
+    // never the scored stream (which would funnel corpus-sized
+    // groups through nQueries tasks)
+    assert("Window".r.findAllIn(p).size <= 2, p.take(3000))
+  }
+
   test("every registered query plans cleanly with zero CartesianProducts") {
     // blanket guard: all pair generation must stay broadcast or
     // bucketed — an unconstrained cross product anywhere is the 100 TB
