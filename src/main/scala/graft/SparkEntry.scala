@@ -1279,6 +1279,14 @@ object SparkEntry {
       (s, dir) => Graph.minhashClustersStar(T(s, dir, "documents"), 0.5)
     },
 
+    // Quality-aware representative selection: keep the HIGHEST-quality
+    // member of each near-dup cluster (keep-first keeps the smallest
+    // id — real pipelines keep the best doc). Per-cluster argmax on
+    // the TopKPerKey partial heaps with k=1.
+    q("ns_dedup_keep_best", Dedup.dedupKeepBestOracle(0.5)) {
+      (s, dir) => Dedup.dedupKeepBest(T(s, dir, "documents"), 0.5)
+    },
+
     // SimHash bucket collisions.
     q("ns_dedup_simhash", Dedup.simhashOracle) {
       (s, dir) => Dedup.simhashPairs(T(s, dir, "documents"))
@@ -1615,6 +1623,14 @@ object SparkEntry {
     // Deterministic per-source (domain-mix) sampling summary.
     q("ns_source_sample", Pipeline.sourceSampleOracle) {
       (s, dir) => Pipeline.sourceSample(T(s, dir, "documents"))
+    },
+
+    // Token-budget domain mixing: per-source token budgets, docs
+    // hash-ranked within source, source cut at the budget via the
+    // two-stage range-partitioned prefix sum (no per-source window
+    // funnel).
+    q("ns_token_budget_mix", Pipeline.tokenBudgetMixOracle) {
+      (s, dir) => Pipeline.tokenBudgetMix(T(s, dir, "documents"))
     },
 
     // Deterministic stratified train/val/test split (90/5/5 by salted

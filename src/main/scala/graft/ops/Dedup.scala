@@ -553,7 +553,22 @@ object Dedup {
     * one. Production entry points always arrive through
     * [[minhashClusters]]; semantics and plan are unchanged.
     */
-  private[graft] def propagateLabels(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  private[graft] def propagateLabels(pairs: DataFrame, maxIter: Int = 10): DataFrame =
+    propagateLabelIds(pairs, maxIter)
+      .groupBy("label")
+      .agg(count(lit(1)).as("cluster_size"),
+        min(col("id")).as("canonical_id"))
+      .select(col("canonical_id"), col("cluster_size"))
+      .orderBy("canonical_id")
+
+  /** [[propagateLabels]] before the per-cluster rollup: one (id,
+    * label) row per node of the pair graph, label = the component's
+    * min id — for consumers that need PER-DOC cluster membership
+    * ([[dedupKeepBest]] picks a quality-argmax representative per
+    * cluster, which the (canonical_id, size) summary can't express).
+    */
+  private[graft] def propagateLabelIds(pairs: DataFrame,
+      maxIter: Int = 10): DataFrame = {
     // materialize the edge list ONCE: every iteration joins against it,
     // and without the checkpoint the whole LSH pipeline would re-run
     // per round
@@ -670,11 +685,7 @@ object Dedup {
       }
       iter += 1
     }
-    best.groupBy("label")
-      .agg(count(lit(1)).as("cluster_size"),
-        min(col("id")).as("canonical_id"))
-      .select(col("canonical_id"), col("cluster_size"))
-      .orderBy("canonical_id")
+    best
   }
 
   def minhashClustersOracle(minSim: Double = 0.5): String =
@@ -690,6 +701,94 @@ object Dedup {
        |labels AS (SELECT id, min(root) AS label FROM reach GROUP BY id)
        |SELECT min(id) AS canonical_id, count(*) AS cluster_size
        |FROM labels GROUP BY label ORDER BY canonical_id""".stripMargin
+
+  /** The quality score of a `(doc_id, toks)` corpus row — the same
+    * formula (weights, evaluation order) as
+    * [[Analysis.qualityScore]], expressed over toks so it also scores
+    * the fixture's variant docs (which exist only as token arrays).
+    */
+  private def tokQuality: Column = {
+    val n = size(col("toks")).cast("double")
+    val ttr = size(array_distinct(col("toks"))).cast("double") / n
+    val meanLen = aggregate(col("toks"), lit(0L),
+      (acc, w) => acc + length(w)).cast("double") / n
+    val lenSat = least(n / lit(100.0), lit(1.0))
+    ttr * lit(0.5) + lenSat * lit(0.3) +
+      least(meanLen / lit(10.0), lit(1.0)) * lit(0.2)
+  }
+
+  /** Quality-aware cluster representative selection (round 15): for
+    * each near-dup cluster keep the member with the HIGHEST quality
+    * score (ties by min id) — production pipelines keep the best
+    * member of a dup cluster, not the lexicographically first, and
+    * keep-first ([[keepFirstSummary]]) can't express that. Output:
+    * one row per cluster — (cluster_id = component min id, kept_id,
+    * kept_quality, cluster_size).
+    *
+    * Scale shape: per-doc labels from the frontier loop
+    * ([[propagateLabelIds]] — delta rounds, gated broadcast), quality
+    * a map-side projection joined on the label table (cluster-member
+    * sized, not corpus sized), and the per-cluster argmax on the
+    * [[graft.plans.TopKPerKey]] partial heaps with k=1 — the shuffle
+    * carries one candidate per (cluster, input partition), never the
+    * member lists.
+    */
+  def dedupKeepBest(docs: DataFrame, minSim: Double = 0.5): DataFrame = {
+    val labels = propagateLabelIds(
+      minhashLsh(docs, minSim).select("id_a", "id_b"))
+    val q = corpusWithVariants(docs)
+      .select(col("doc_id"), tokQuality.as("quality"))
+    val members = labels.join(q, labels("id") === q("doc_id"))
+      .select(col("id"), col("label"), col("quality"))
+    val rep = graft.plans.TopKPerKey.topK(members, Seq("label"),
+      Seq(col("quality").desc, col("id").asc), 1)
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    rep.join(sizes, "label")
+      .select(col("label").as("cluster_id"), col("id").as("kept_id"),
+        round(col("quality"), 6).as("kept_quality"), col("cluster_size"))
+      .orderBy("cluster_id")
+  }
+
+  /** DuckDB oracle for [[dedupKeepBest]]: the clusters CTE of
+    * [[minhashClustersOracle]] joined with the toks-form quality
+    * formula, representative = row_number 1 under the identical
+    * (quality desc, id asc) order.
+    */
+  def dedupKeepBestOracle(minSim: Double = 0.5): String =
+    s"""WITH RECURSIVE base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |corpus AS (
+       |  SELECT doc_id, toks FROM base WHERE len(toks) >= 3
+       |  UNION ALL
+       |  SELECT doc_id + $VariantIdOffset, toks[2:] FROM base WHERE len(toks) > 3),
+       |$minhashEstCtes,
+       |pairs AS (SELECT id_a, id_b FROM est WHERE est_sim >= $minSim),
+       |edges AS (SELECT id_a, id_b FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |nodes AS (SELECT DISTINCT id_a AS id FROM edges),
+       |reach(id, root) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.id_b, r.root FROM reach r JOIN edges e ON e.id_a = r.id),
+       |labels AS (SELECT id, min(root) AS label FROM reach GROUP BY id),
+       |q AS (SELECT doc_id,
+       |    (len(list_distinct(toks))::DOUBLE / len(toks)) * 0.5 +
+       |    least(len(toks)::DOUBLE / 100.0, 1.0) * 0.3 +
+       |    least(((list_sum(list_transform(toks, w -> length(w))))::DOUBLE
+       |           / len(toks)) / 10.0, 1.0) * 0.2 AS quality
+       |  FROM corpus),
+       |members AS (SELECT l.id, l.label, q.quality
+       |  FROM labels l JOIN q ON l.id = q.doc_id),
+       |rep AS (SELECT label, id, quality,
+       |    row_number() OVER (PARTITION BY label
+       |      ORDER BY quality DESC, id ASC) AS rn
+       |  FROM members),
+       |sizes AS (SELECT label, count(*) AS cluster_size
+       |  FROM labels GROUP BY label)
+       |SELECT r.label AS cluster_id, r.id AS kept_id,
+       |  round(r.quality, 6) AS kept_quality, s.cluster_size
+       |FROM rep r JOIN sizes s ON r.label = s.label
+       |WHERE r.rn = 1
+       |ORDER BY cluster_id""".stripMargin
 
   /** End-to-end keep-first dedup: the pipeline decision rule used by
     * production near-dup dedup — DROP any document that has an

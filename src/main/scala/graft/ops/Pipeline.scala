@@ -445,6 +445,81 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** Token-budget domain mixing (round 15): the data-mixing step
+    * between dedup and training — each source gets a TOKEN budget
+    * (not a doc-count rate: mixing weights are specified in tokens),
+    * docs are ranked inside their source by a deterministic hash
+    * (stateless reproducible shuffle, same order on any cluster or
+    * rerun), and the source is cut where the running token sum
+    * crosses its budget. Budgets here derive from the source name
+    * ((hash60 % 5 + 1) x 2000 tokens) so both engines compute them
+    * from the data alone. Output: one audit row per source — budget,
+    * total and kept docs/tokens.
+    *
+    * Scale shape: the running sum is the same TWO-STAGE
+    * range-partitioned prefix sum as the flagship top-p cut
+    * ([[Text.topPMassCut]]), generalized per group: global range
+    * partition on (source, h, doc_id), per-(partition, source) local
+    * running sums in parallel, then a broadcast offsets table of
+    * numPartitions x sources rows — no per-source window funnels a
+    * whole domain (at 100 TB, possibly most of the corpus) through
+    * one task.
+    */
+  def tokenBudgetMix(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ntok"),
+        H.hash60(concat(col("source"), lit("|"),
+          col("doc_id").cast("string"))).as("h"))
+      .repartitionByRange(col("source").asc, col("h").asc,
+        col("doc_id").asc)
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val local = Window.partitionBy("pid", "source")
+      .orderBy(col("h").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withRun = d.withColumn("local_run", sum("ntok").over(local))
+    val prior = Window.partitionBy("source").orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = d.groupBy("pid", "source").agg(sum("ntok").as("part_sum"))
+      .select(col("pid"), col("source"),
+        coalesce(sum("part_sum").over(prior), lit(0L)).as("off"))
+    val budget = (H.hash60(col("source")) % 5 + 1) * lit(2000L)
+    withRun.join(broadcast(offsets), Seq("pid", "source"))
+      .withColumn("run", col("off") + col("local_run"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"), sum("ntok").as("tokens_total"),
+        sum(when(col("run") <= budget, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("run") <= budget, col("ntok")).otherwise(0L))
+          .as("tokens_kept"))
+      .select(col("source"), budget.as("budget"), col("n_total"),
+        col("tokens_total"), col("n_kept"), col("tokens_kept"))
+      .orderBy("source")
+  }
+
+  /** Same hash order, budgets, and cut rule, literal for literal, as
+    * [[tokenBudgetMix]] — with a plain per-source window (the oracle
+    * can afford the single-task funnel).
+    */
+  def tokenBudgetMixOracle: String = {
+    val h = H.duckHash60("source || '|' || doc_id::VARCHAR")
+    val budget = s"(${H.duckHash60("source")} % 5 + 1) * 2000"
+    s"""WITH d AS (SELECT source, doc_id,
+       |    len(string_split(text, ' '))::BIGINT AS ntok, $h AS h
+       |  FROM documents),
+       |r AS (SELECT *, sum(ntok) OVER (PARTITION BY source
+       |    ORDER BY h, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+       |  FROM d)
+       |SELECT source, $budget AS budget,
+       |  count(*) AS n_total,
+       |  CAST(sum(ntok) AS BIGINT) AS tokens_total,
+       |  CAST(sum(CASE WHEN run <= $budget THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  CAST(sum(CASE WHEN run <= $budget THEN ntok ELSE 0 END) AS BIGINT)
+       |    AS tokens_kept
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** Deterministic train/val/test split (90/5/5): each doc's split is
     * pure salted-hash arithmetic on its id — stateless and
     * coordination-free, so ANY worker (or engine, or rerun, or a
