@@ -55,6 +55,27 @@ object SparkEntry {
       java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  /** Cheap content fingerprint (total bytes, max mtime) of the
+    * documents table — over its PART FILES, because a Spark-written
+    * parquet "file" is a directory: the dirent's own length is a
+    * constant and its mtime misses in-place rewrites of same-named
+    * parts. A driver-written single file fingerprints as itself.
+    */
+  private def docsFingerprint(dir: String): (Long, Long) = {
+    val f = new java.io.File(s"$dir/documents.parquet")
+    val parts =
+      if (f.isDirectory)
+        Option(f.listFiles).map(_.filter(_.isFile).toSeq).getOrElse(Seq(f))
+      else Seq(f)
+    (parts.map(_.length).sum, (0L +: parts.map(_.lastModified)).max)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
   /** Register the SQL catalog (graft.sources.GraftCatalog) on the
     * session under the name `gsql`, idempotently, with a warehouse
     * keyed to the sf dir. Spark instantiates the catalog lazily on
@@ -1237,14 +1258,18 @@ object SparkEntry {
         // signature-width change must invalidate persisted indexes
         // (stale band keys), so must a batch/base split change (the
         // index holds incrBase, whose membership the split defines),
-        // and so must REGENERATED DATA under the same path — size +
-        // mtime of the source file is the cheap content proxy (no
-        // read), the same staleness class the geometry tag addresses
-        val doc = new java.io.File(s"$dir/documents.parquet")
+        // and so must REGENERATED DATA under the same path. The
+        // fingerprint sums the PART FILES' sizes and takes their max
+        // mtime (round-15 advisor: documents.parquet is a Spark-written
+        // DIRECTORY, so File.length() was the constant dirent size and
+        // the dir mtime missed in-place part rewrites)
+        val (csum, cmtime) = docsFingerprint(dir)
         val idx = layoutDir("lshidx-b" + Dedup.Bands +
           "x" + Dedup.IndexBuckets + "s" + Dedup.MinhashAB.size +
-          "-split2-c" + doc.length() + "m" + doc.lastModified(), dir)
-        if (!new java.io.File(s"$idx/bands/_SUCCESS").exists())
+          "-split2-c" + csum + "m" + cmtime, dir)
+        // the manifest pointer is the build-complete marker: the
+        // commit writes it LAST, so a crashed build never half-reads
+        if (Dedup.lshIndexVersion(s, idx).isEmpty)
           Dedup.lshIndexBuild(Dedup.incrBase(T(s, dir, "documents")), idx)
         Dedup.dedupIncr(T(s, dir, "documents"), idx, 0.5)
     },
@@ -1257,9 +1282,35 @@ object SparkEntry {
     // ns_dedup_incremental's persisted read-only index.
     q("ns_dedup_incr_loop", Dedup.dedupIncrLoopOracle(0.5)) {
       (s, dir) =>
+        // fresh dir per run (the loop MUTATES its index), deleted
+        // before returning: the decision frames are checkpoint-
+        // materialized inside dedupIncrLoop, so the returned plan no
+        // longer reads the index and a bench of many reps doesn't
+        // accumulate a full build+3-appends index in tmp per rep
+        // (round-15 advisor)
         val idx = java.nio.file.Files
-          .createTempDirectory("graft-incr-loop").toString
-        Dedup.dedupIncrLoop(T(s, dir, "documents"), idx, 0.5)
+          .createTempDirectory("graft-incr-loop")
+        try Dedup.dedupIncrLoop(T(s, dir, "documents"), idx.toString, 0.5)
+        finally deleteRecursively(idx.toFile)
+    },
+
+    // Index-aware keep-best (round 16): quality arbitration at the
+    // batch-vs-corpus boundary — a batch doc that outscores every
+    // corpus doc it matches REPLACES them (merge-on-read delete
+    // against the index's manifest + append), instead of the plain
+    // probe's corpus-always-wins. Fresh dir per run: the apply form
+    // MUTATES the index, so the oracle-checked path exercises the
+    // delete/append machinery too.
+    q("ns_dedup_keep_best_incr", Dedup.dedupKeepBestIncrOracle(0.5)) {
+      (s, dir) =>
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft-keepbest-incr")
+        try {
+          Dedup.lshIndexBuild(Dedup.incrBase(T(s, dir, "documents")),
+            idx.toString)
+          Dedup.dedupBatchVsIndexKeepBestApply(
+            Dedup.incrBatch(T(s, dir, "documents")), idx.toString, 0.5)
+        } finally deleteRecursively(idx.toFile)
     },
 
     // MinHash signatures via the typed Aggregator (map-side-combinable

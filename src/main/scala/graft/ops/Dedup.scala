@@ -1139,13 +1139,30 @@ object Dedup {
     * shared by build and append so the layouts can never diverge.
     */
   private def bandRowsFromSigs(sigs: DataFrame): DataFrame =
-    sigs.select(col("doc_id"), col("sig"),
+    sigs.select(col("doc_id"), col("sig"), col("quality"),
         posexplode(bandKeysOf(col("sig"))).as(Seq("band", "key")))
       .withColumn("bucket",
         pmod(hash(col("band"), col("key")), lit(IndexBuckets)))
 
+  /** [[signatures]] plus the doc's [[tokQuality]] score — the
+    * signature form every index write derives from: band rows carry
+    * the quality so [[dedupBatchVsIndexKeepBest]] can compare batch
+    * docs against standing-corpus docs WITHOUT a corpus-sized side
+    * table. Parquet is columnar, so probes that never read `quality`
+    * pay nothing for it.
+    */
+  private[ops] def signaturesQ(corpus: DataFrame): DataFrame = {
+    val hs = corpus.select(col("doc_id"),
+      transform(shingles(col("toks"), 3), s => H.hash30(s)).as("hs"),
+      tokQuality.as("quality"))
+    hs.select(col("doc_id"),
+      graft.functions.VectorFunctions
+        .minhash_signature(col("hs"), MinhashAB, MinhashMod).as("sig"),
+      col("quality"))
+  }
+
   private def indexBandRows(corpus: DataFrame): DataFrame =
-    bandRowsFromSigs(signatures(corpus))
+    bandRowsFromSigs(signaturesQ(corpus))
 
   /** The LSH geometry this engine build writes/expects in an index's
     * sidecar: any change to band count, bucket count, or signature
@@ -1162,7 +1179,8 @@ object Dedup {
     * parquet with no part files, which schema inference cannot read.
     */
   val IndexSchema: String =
-    "doc_id BIGINT, sig ARRAY<BIGINT>, band INT, key STRING, bucket INT"
+    "doc_id BIGINT, sig ARRAY<BIGINT>, quality DOUBLE, " +
+      "band INT, key STRING, bucket INT"
 
   private def writeSidecar(spark: SparkSession, path: String,
       text: String): Unit = {
@@ -1185,14 +1203,87 @@ object Dedup {
     }
   }
 
+  /** [[IndexSchema]] as a StructType, with `bucket` carrying the
+    * partition-column marker ([[Layout.PartitionMetaKey]]) — recorded
+    * by the build commit so an EMPTY index (bootstrap ingest) still
+    * declares its Hive layout and the first append writes partitioned.
+    */
+  private def indexStruct: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{MetadataBuilder, StructType}
+    val s = StructType.fromDDL(IndexSchema)
+    StructType(s.fields.map { f =>
+      if (f.name == "bucket")
+        f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putBoolean(Layout.PartitionMetaKey, true).build())
+      else f
+    })
+  }
+
+  /** Hard gate every index read/write passes: the sidecar must exist
+    * and match THIS engine build's geometry. Probing or appending
+    * under a different band count / bucket count / signature width
+    * silently never matches (stale band keys), so it is an error, not
+    * a degraded mode. (Round-15 advisor: the probe path skipped this
+    * check and relied on callers baking geometry into the path.)
+    */
+  private def requireGeometry(spark: SparkSession, dir: String): Unit = {
+    val tag = readSidecar(spark, s"$dir/geometry").getOrElse(
+      sys.error(s"$dir has no geometry sidecar — not a graft LSH index"))
+    require(tag == indexGeometry,
+      s"index at $dir has geometry '$tag' but this engine writes " +
+        s"'$indexGeometry' — rebuild the index, do not mix geometries")
+  }
+
+  /** The band table of the index at `dir`, read THROUGH its manifest
+    * (current snapshot, or `version` — time travel / probe pinning):
+    * the file list comes from the committed snapshot, never a
+    * directory walk, so files staged by an in-flight append or
+    * compaction are invisible until their commit lands, and any
+    * deletion vector ([[dedupBatchVsIndexKeepBest]]'s replaced docs)
+    * is subtracted. Geometry-checked first. Pre-manifest indexes
+    * (none are written any more) fall back to the raw schema read.
+    */
+  private[ops] def readIndexBands(spark: SparkSession, dir: String,
+      version: Option[Int] = None): DataFrame = {
+    requireGeometry(spark, dir)
+    val bands = s"$dir/bands"
+    if (Manifest.currentVersion(spark, bands).isDefined)
+      Manifest.readTable(spark, bands, version)
+    else spark.read.schema(IndexSchema).parquet(bands)
+  }
+
+  /** Committed snapshot version of the index — pin a probe to it
+    * ([[dedupBatchVsIndex]]'s `version`) to read consistent results
+    * while maintenance commits land concurrently.
+    */
+  def lshIndexVersion(spark: SparkSession, dir: String): Option[Int] =
+    Manifest.currentVersion(spark, s"$dir/bands")
+
   def lshIndexBuild(corpus: DataFrame, dir: String): Unit = {
+    val spark = corpus.sparkSession
+    val bands = s"$dir/bands"
     indexBandRows(corpus)
       // collapse to one file per bucket instead of one per
       // (bucket, task) — same reasoning as the IVF cell write
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$dir/bands")
-    writeSidecar(corpus.sparkSession, s"$dir/geometry", indexGeometry)
+      .parquet(bands)
+    writeSidecar(spark, s"$dir/geometry", indexGeometry)
+    // v1 snapshot: from here on the MANIFEST is the index — appends
+    // and compactions are versioned commits (crash-safe, OCC), probes
+    // read the committed file list, vacuum reclaims superseded files.
+    // An empty build (bootstrap: zero standing docs) commits an empty
+    // entry list under the declared schema, so it reads as an empty
+    // table and the first append still writes Hive-partitioned.
+    val p = new org.apache.hadoop.fs.Path(bands)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var hasFiles = false
+    while (!hasFiles && it.hasNext)
+      hasFiles = it.next().getPath.getName.endsWith(".parquet")
+    val entries =
+      if (hasFiles) Manifest.scanStats(spark, bands, Nil) else Seq.empty
+    Manifest.write(spark, bands, entries, 1, schema = Some(indexStruct))
   }
 
   /** Append a (kept) batch's band rows to a standing [[lshIndexBuild]]
@@ -1209,7 +1300,7 @@ object Dedup {
     * files back to ~one per bucket.
     */
   def lshIndexAppend(kept: DataFrame, dir: String): Unit =
-    lshIndexAppendFromSigs(signatures(kept), dir)
+    lshIndexAppendFromSigs(signaturesQ(kept), dir)
 
   /** [[lshIndexAppend]] over an already-derived `(doc_id, sig)` frame
     * — the ingest-loop form: the probe already checkpointed the
@@ -1218,39 +1309,46 @@ object Dedup {
     */
   def lshIndexAppendFromSigs(sigs: DataFrame, dir: String): Unit = {
     val spark = sigs.sparkSession
-    val tag = readSidecar(spark, s"$dir/geometry").getOrElse(
-      sys.error(s"$dir has no geometry sidecar — not a graft LSH index"))
-    require(tag == indexGeometry,
-      s"index at $dir has geometry '$tag' but this engine writes " +
-        s"'$indexGeometry' — rebuild the index, do not mix geometries")
-    bandRowsFromSigs(sigs)
-      .repartition(col("bucket"))
-      .write.mode("append").partitionBy("bucket")
-      .parquet(s"$dir/bands")
+    requireGeometry(spark, dir)
+    // a versioned manifest commit (round-15 verdict #1), not a raw
+    // mode(append) write: the batch's band rows land as staged files
+    // renamed in, then ONE snapshot commit (claim lease -> rename
+    // arbiter -> pointer flip) makes them visible atomically. A probe
+    // running concurrently reads the snapshot it pinned; a crashed
+    // append leaves unreferenced files for vacuum, never a torn index.
+    Layout.appendInPlace(spark, s"$dir/bands",
+      bandRowsFromSigs(sigs).repartition(col("bucket")))
   }
 
   /** Rewrite the index to ~one file per bucket. Appends accumulate a
     * file per (append, touched bucket); at daily-ingest cadence that
     * is thousands of small files per bucket within a quarter, and
     * probe cost becomes file-open-bound instead of row-bound. The
-    * rewrite is O(index) but embarrassingly parallel (one shuffle on
-    * the bucket key). Not crash-atomic: the swap is
-    * write-tmp/delete/rename — a production deployment would wrap it
-    * in a manifest commit like [[Manifest]]'s, which is exactly the
-    * pattern graft's table format implements; kept simple here
-    * because the index is rebuildable from the corpus.
+    * rewrite is O(index) but embarrassingly parallel.
+    *
+    * Crash-safe since round 16: this is [[Layout.compactInPlace]]
+    * over the index's own manifest — compacted files land as NEW
+    * siblings inside the bucket directories and the swap is a pure
+    * METADATA commit (the CURRENT pointer flips last), so there is no
+    * instant with no live index: a crash at ANY point leaves the
+    * previous snapshot readable, and a probe pinned to version N
+    * reads bit-identical results while the compaction commits N+1.
+    * Superseded files stay on disk for time travel until
+    * [[lshIndexVacuum]]. Returns (filesBefore, filesAfter).
     */
-  def lshIndexCompact(spark: SparkSession, dir: String): Unit = {
-    val tmp = s"$dir/bands_compacting"
-    spark.read.schema(IndexSchema).parquet(s"$dir/bands")
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val live = new org.apache.hadoop.fs.Path(s"$dir/bands")
-    val fs = live.getFileSystem(conf)
-    fs.delete(live, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), live)
+  def lshIndexCompact(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L << 20): (Int, Int) = {
+    requireGeometry(spark, dir)
+    Layout.compactInPlace(spark, s"$dir/bands", targetBytes)
   }
+
+  /** Reclaim files no retained snapshot references (superseded by
+    * compaction, or staged by a crashed append). Returns files
+    * removed.
+    */
+  def lshIndexVacuum(spark: SparkSession, dir: String,
+      keepVersions: Int = 2): Int =
+    Manifest.vacuum(spark, s"$dir/bands", keepVersions)
 
   /** Auto-gate default for [[dedupBatchVsIndex]]'s batch-band
     * broadcast, in BAND ROWS (= batch docs x [[Bands]]). A band row
@@ -1261,6 +1359,48 @@ object Dedup {
     * `spark.graft.incrBroadcastRows`.
     */
   val IncrBroadcastRows = 500000L
+
+  /** The probe-side band frame of a batch signature set, under the
+    * measured broadcast gate (shared by [[dedupBatchVsIndex]] and
+    * [[dedupBatchVsIndexKeepBest]]): when the batch's band-row count
+    * — an EXACT count off the already-materialized signature frame,
+    * not a config boolean — fits `spark.graft.incrBroadcastRows`, it
+    * broadcasts into the index scan (map-only probe, dynamic
+    * partition pruning on `bucket`); past the gate it falls back to
+    * the shuffled join automatically. `spark.graft.incrBroadcastBatch`
+    * remains the manual override.
+    */
+  private def gatedBatchBands(sigs: DataFrame): DataFrame = {
+    val spark = sigs.sparkSession
+    val bandRows = sigs.count() * Bands
+    val bbands0 = bandRowsFromSigs(sigs)
+      // PartitionPruning only arms the DPP subquery when the build
+      // side LOOKS selective (a comparison/equality filter in the
+      // subtree). The checkpoint barrier erased the caller's batch
+      // predicates, and a raw batch read straight off a source never
+      // had one — so reassert selectivity with an always-true,
+      // zero-cost comparison (band is a posexplode index, >= 0 by
+      // construction). The batch IS selective relative to the index
+      // by the incremental-ingest contract; this keeps the planner
+      // informed of it across the materialization boundary.
+      .filter(col("band") >= 0)
+    val gate = spark.conf.get("spark.graft.incrBroadcastRows",
+      IncrBroadcastRows.toString).toLong
+    val doBroadcast = spark.conf
+      .getOption("spark.graft.incrBroadcastBatch") match {
+      case Some(forced) => forced.toBoolean // manual override
+      case None => bandRows <= gate // measured auto gate
+    }
+    if (doBroadcast) broadcast(bbands0) else bbands0
+  }
+
+  /** Signature-estimate similarity between an index row (`c`) and a
+    * probe row (`n`) — matching minhash positions / signature width.
+    */
+  private def indexEstSim: Column = aggregate(
+    zip_with(col("c.sig"), col("n.sig"),
+      (u, v) => when(u === v, 1L).otherwise(0L)),
+    lit(0L), (acc, m) => acc + m) / lit(MinhashAB.size.toDouble)
 
   /** Dedup a prepared `(doc_id, toks)` batch against a persisted
     * [[lshIndexBuild]] index plus itself. Per batch doc: `decision`
@@ -1290,8 +1430,8 @@ object Dedup {
     * manual override of the auto gate.
     */
   def dedupBatchVsIndex(batch: DataFrame, dir: String,
-      minSim: Double = 0.5): DataFrame =
-    dedupBatchVsIndexCore(batch, dir, minSim)._1
+      minSim: Double = 0.5, version: Option[Int] = None): DataFrame =
+    dedupBatchVsIndexCore(batch, dir, minSim, version)._1
 
   /** [[dedupBatchVsIndex]] plus the batch's materialized `(doc_id,
     * sig)` frame — so the ingest loop can append the kept docs' band
@@ -1299,38 +1439,16 @@ object Dedup {
     * ([[lshIndexAppendFromSigs]]) instead of re-tokenizing the batch.
     */
   private[ops] def dedupBatchVsIndexCore(batch: DataFrame, dir: String,
-      minSim: Double): (DataFrame, DataFrame) = {
+      minSim: Double, version: Option[Int] = None): (DataFrame, DataFrame) = {
     val spark = batch.sparkSession
-    val idx = spark.read.schema(IndexSchema).parquet(s"$dir/bands")
+    val idx = readIndexBands(spark, dir, version)
     // ONE signature pass: the checkpoint barrier materializes the
-    // batch-sized (doc_id, sig) frame; probe bands, internal pairs,
-    // the gate count AND the caller's append all re-read it instead
-    // of re-min-hashing
-    val sigs = iterCheckpoint(signatures(batch))
-    val bandRows = sigs.count() * Bands
-    val bbands0 = bandRowsFromSigs(sigs)
-      // PartitionPruning only arms the DPP subquery when the build
-      // side LOOKS selective (a comparison/equality filter in the
-      // subtree). The checkpoint barrier erased the caller's batch
-      // predicates, and a raw batch read straight off a source never
-      // had one — so reassert selectivity with an always-true,
-      // zero-cost comparison (band is a posexplode index, >= 0 by
-      // construction). The batch IS selective relative to the index
-      // by the incremental-ingest contract; this keeps the planner
-      // informed of it across the materialization boundary.
-      .filter(col("band") >= 0)
-    val gate = spark.conf.get("spark.graft.incrBroadcastRows",
-      IncrBroadcastRows.toString).toLong
-    val doBroadcast = spark.conf
-      .getOption("spark.graft.incrBroadcastBatch") match {
-      case Some(forced) => forced.toBoolean // manual override
-      case None => bandRows <= gate // measured auto gate
-    }
-    val bbands = if (doBroadcast) broadcast(bbands0) else bbands0
-    val est = aggregate(
-      zip_with(col("c.sig"), col("n.sig"),
-        (u, v) => when(u === v, 1L).otherwise(0L)),
-      lit(0L), (acc, m) => acc + m) / lit(MinhashAB.size.toDouble)
+    // batch-sized (doc_id, sig, quality) frame; probe bands, internal
+    // pairs, the gate count AND the caller's append all re-read it
+    // instead of re-min-hashing
+    val sigs = iterCheckpoint(signaturesQ(batch))
+    val bbands = gatedBatchBands(sigs)
+    val est = indexEstSim
     val corpusDup = idx.as("c")
       .join(bbands.as("n"),
         col("c.bucket") === col("n.bucket") &&
@@ -1395,6 +1513,171 @@ object Dedup {
        |       ELSE 'kept' END AS decision,
        |  coalesce(c.dup_corpus, d.dup_batch, -1) AS dup_of
        |FROM batch b LEFT JOIN cdup c USING (doc_id)
+       |             LEFT JOIN bdup d USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+
+  // --------------- index-aware keep-best: replace worse corpus docs
+
+  /** Quality-aware incremental dedup (round 16, verdict #8 —
+    * [[dedupKeepBest]] composed with the persisted index):
+    * [[dedupBatchVsIndex]] always keeps the standing-corpus doc, but
+    * a production pipeline keeps the BEST doc of a dup group — so
+    * when a batch doc scores strictly higher than every corpus doc it
+    * matches, the batch doc wins. Per batch doc:
+    *  - `replaced_corpus`: matches the index at est_sim >= minSim and
+    *    its quality exceeds the best matching corpus doc's — the
+    *    batch doc is the group's new representative; `dup_of` = the
+    *    displaced best (quality desc, id asc) corpus doc;
+    *  - `dup_corpus`: matches but does not beat the best match
+    *    (ties keep the corpus — the standing doc is already serving);
+    *  - `dup_batch` / `kept`: as [[dedupBatchVsIndex]] (batch-internal
+    *    resolution stays keep-first; quality arbitration is for the
+    *    batch-vs-corpus boundary, where re-deciding is expensive).
+    *
+    * Same scale posture as the plain probe: one signature pass, the
+    * measured broadcast gate, map-only index scan under DPP; the
+    * quality comparison reads one extra double column off the index
+    * (stored denormalized per band row at write time — columnar, so
+    * plain probes never pay for it) and the per-doc argmax is one
+    * map-side-combinable max(struct) — no corpus-sized side join.
+    */
+  def dedupBatchVsIndexKeepBest(batch: DataFrame, dir: String,
+      minSim: Double = 0.5): DataFrame =
+    dedupKeepBestVsIndexCore(batch, dir, minSim)._1
+
+  /** [[dedupBatchVsIndexKeepBest]] plus the frames the mutating form
+    * needs: the batch's materialized signatures (append without
+    * re-tokenizing) and the lazy (doc_id, corpus_id) match pairs
+    * (which corpus docs each replaced batch doc displaces).
+    */
+  private def dedupKeepBestVsIndexCore(batch: DataFrame, dir: String,
+      minSim: Double): (DataFrame, DataFrame, DataFrame) = {
+    val spark = batch.sparkSession
+    val idx = readIndexBands(spark, dir)
+    val sigs = iterCheckpoint(signaturesQ(batch))
+    val bbands = gatedBatchBands(sigs)
+    // (batch doc, matched corpus doc, corpus quality) pairs — kept
+    // lazy and returned so the apply form can resolve which corpus
+    // docs a replacement displaces without a second probe
+    val pairs = idx.as("c")
+      .join(bbands.as("n"),
+        col("c.bucket") === col("n.bucket") &&
+          col("c.band") === col("n.band") && col("c.key") === col("n.key"))
+      .select(col("n.doc_id").as("doc_id"),
+        col("c.doc_id").as("corpus_id"), col("c.quality").as("q_c"),
+        indexEstSim.as("est_sim"))
+      .filter(col("est_sim") >= minSim)
+      .select("doc_id", "corpus_id", "q_c").distinct()
+    // per batch doc: the best (quality desc, id asc) corpus match via
+    // max(struct) — negated id makes the lexicographic max implement
+    // the asc tiebreak; corpus_id rides in slot 3 (never compared:
+    // slot 2 is unique)
+    val best = pairs.groupBy("doc_id")
+      .agg(max(struct(col("q_c"), (-col("corpus_id")).as("neg"),
+        col("corpus_id").as("cid"))).as("m"))
+      .select(col("doc_id"), col("m.q_c").as("best_q"),
+        col("m.cid").as("best_id"))
+    val batchDup = minhashPairsFromSigs(sigs, minSim)
+      .select(col("id_b").as("doc_id"), col("id_a"))
+      .groupBy("doc_id").agg(min("id_a").as("dup_batch"))
+    val decisions = sigs.select("doc_id", "quality")
+      .join(best, Seq("doc_id"), "left")
+      .join(batchDup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("best_id").isNotNull && col("quality") > col("best_q"),
+          lit("replaced_corpus"))
+          .when(col("best_id").isNotNull, lit("dup_corpus"))
+          .when(col("dup_batch").isNotNull, lit("dup_batch"))
+          .otherwise(lit("kept")).as("decision"),
+        coalesce(col("best_id"), col("dup_batch"), lit(-1L)).as("dup_of"))
+      .orderBy("doc_id")
+    (decisions, sigs, pairs)
+  }
+
+  /** The MUTATING form: probe with [[dedupBatchVsIndexKeepBest]],
+    * then apply the decisions to the index — every corpus doc matched
+    * by a `replaced_corpus` batch doc is deleted (merge-on-read
+    * deletion vector over the band table's manifest — O(matches)
+    * metadata, no data file rewritten; [[lshIndexCompact]] flushes
+    * marks), and the `kept` + `replaced_corpus` batch docs append.
+    * A re-probe of a replaced doc's content matches ITS band rows,
+    * never the displaced doc's. Returns the decision frame.
+    *
+    * The displaced-id set crosses the driver (the merge-on-read
+    * predicate is an isin) — bounded by O(batch x avg matches), the
+    * same order as the decision frame itself; a backfill-scale
+    * replacement wave should rebuild instead.
+    */
+  def dedupBatchVsIndexKeepBestApply(batch: DataFrame, dir: String,
+      minSim: Double = 0.5): DataFrame = {
+    val spark = batch.sparkSession
+    val (dec0, sigs, pairs0) = dedupKeepBestVsIndexCore(batch, dir, minSim)
+    // materialize decisions AND match pairs before mutating the index
+    // both lazily read
+    val dec = iterCheckpoint(dec0)
+    val pairs = iterCheckpoint(pairs0)
+    val replaced = dec.filter(col("decision") === "replaced_corpus")
+      .select("doc_id")
+    val doomed = pairs.join(replaced, "doc_id")
+      .select("corpus_id").distinct()
+      .collect().map(_.getLong(0)).sorted.toIndexedSeq
+    if (doomed.nonEmpty)
+      Layout.deleteMergeOnRead(spark, s"$dir/bands",
+        col("doc_id").isin(doomed: _*))
+    val keepIds = dec
+      .filter(col("decision").isin("kept", "replaced_corpus"))
+      .select("doc_id")
+    lshIndexAppendFromSigs(sigs.join(keepIds, "doc_id"), dir)
+    dec
+  }
+
+  /** DuckDB oracle for [[dedupBatchVsIndexKeepBest]] over the
+    * standard [[incrBase]]/[[incrBatch]] split: banded est pairs over
+    * the full corpus, the toks-form quality score (identical formula
+    * to [[dedupKeepBestOracle]]'s), best corpus match by (quality
+    * desc, id asc), strict > for the replacement rule.
+    */
+  def dedupKeepBestIncrOracle(minSim: Double = 0.5): String =
+    s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |corpus AS (
+       |  SELECT doc_id, toks FROM base WHERE len(toks) >= 3
+       |  UNION ALL
+       |  SELECT doc_id + $VariantIdOffset, toks[2:] FROM base WHERE len(toks) > 3),
+       |$minhashEstCtes,
+       |batch AS (SELECT doc_id FROM corpus
+       |          WHERE doc_id % 50 = 0 OR doc_id % 30 = 7),
+       |q AS (SELECT doc_id,
+       |    (len(list_distinct(toks))::DOUBLE / len(toks)) * 0.5 +
+       |    least(len(toks)::DOUBLE / 100.0, 1.0) * 0.3 +
+       |    least(((list_sum(list_transform(toks, w -> length(w))))::DOUBLE
+       |           / len(toks)) / 10.0, 1.0) * 0.2 AS quality
+       |  FROM corpus),
+       |sym AS (SELECT id_a AS d, id_b AS o, est_sim FROM est
+       |        UNION ALL SELECT id_b, id_a, est_sim FROM est),
+       |cm AS (SELECT s.d AS doc_id, s.o AS corpus_id, qo.quality AS q_c
+       |       FROM sym s JOIN q qo ON s.o = qo.doc_id
+       |       WHERE s.est_sim >= $minSim
+       |         AND s.d IN (SELECT doc_id FROM batch)
+       |         AND s.o NOT IN (SELECT doc_id FROM batch)),
+       |best AS (SELECT doc_id, corpus_id AS best_id, q_c AS best_q
+       |  FROM (SELECT doc_id, corpus_id, q_c,
+       |          row_number() OVER (PARTITION BY doc_id
+       |            ORDER BY q_c DESC, corpus_id ASC) AS rn
+       |        FROM cm) WHERE rn = 1),
+       |bdup AS (SELECT id_b AS doc_id, min(id_a) AS dup_batch FROM est
+       |         WHERE est_sim >= $minSim
+       |           AND id_a IN (SELECT doc_id FROM batch)
+       |           AND id_b IN (SELECT doc_id FROM batch)
+       |         GROUP BY 1)
+       |SELECT b.doc_id,
+       |  CASE WHEN t.best_id IS NOT NULL AND qd.quality > t.best_q
+       |         THEN 'replaced_corpus'
+       |       WHEN t.best_id IS NOT NULL THEN 'dup_corpus'
+       |       WHEN d.dup_batch IS NOT NULL THEN 'dup_batch'
+       |       ELSE 'kept' END AS decision,
+       |  coalesce(t.best_id, d.dup_batch, -1) AS dup_of
+       |FROM batch b JOIN q qd USING (doc_id)
+       |             LEFT JOIN best t USING (doc_id)
        |             LEFT JOIN bdup d USING (doc_id)
        |ORDER BY b.doc_id""".stripMargin
 

@@ -81,33 +81,46 @@ class IncrLoopSpec extends SparkSpec {
     assert(ex.getMessage.contains("geometry"))
     tamper(orig)
 
-    // several appends accumulate small files per bucket...
+    // several appends accumulate small files per bucket — each one a
+    // versioned manifest commit (build = v1, appends = v2..v4)
     (1 to Dedup.IncrLoopBatches).foreach { k =>
       Dedup.lshIndexAppend(Dedup.incrLoopBatch(docs, k), dir)
     }
+    assert(Dedup.lshIndexVersion(spark, dir)
+      .contains(1 + Dedup.IncrLoopBatches))
     def parquetFiles: Int = {
       def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+        if (f.isDirectory && f.getName != Manifest.DirName)
+          f.listFiles.toSeq.flatMap(walk)
+        else if (f.isDirectory) Seq.empty // metadata, not index data
+        else Seq(f)
       walk(new java.io.File(s"$dir/bands"))
         .count(_.getName.endsWith(".parquet"))
     }
-    val before = spark.read.parquet(s"$dir/bands")
+    def liveFiles: Int = Manifest
+      .read(spark, s"$dir/bands").get.size
+    def rows = Dedup.readIndexBands(spark, dir)
       .groupBy("doc_id", "band").count()
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
       .sorted.toSeq
-    val filesBefore = parquetFiles
+    val before = rows
+    val filesBefore = liveFiles
 
     // ...compaction folds them back to ~one per bucket with the exact
-    // same row multiset
+    // same row multiset — a METADATA swap: superseded files survive on
+    // disk (time travel) until vacuum reclaims them
     Dedup.lshIndexCompact(spark, dir)
-    val after = spark.read.parquet(s"$dir/bands")
-      .groupBy("doc_id", "band").count()
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
-      .sorted.toSeq
-    assert(after == before, "compaction changed the index contents")
-    val filesAfter = parquetFiles
+    assert(rows == before, "compaction changed the index contents")
+    val filesAfter = liveFiles
     assert(filesAfter < filesBefore,
-      s"expected fewer files after compaction: $filesBefore -> $filesAfter")
+      s"expected fewer live files after compaction: $filesBefore -> $filesAfter")
+    val onDiskBefore = parquetFiles
+    assert(onDiskBefore > filesAfter,
+      "superseded files should survive on disk until vacuum")
+    assert(Dedup.lshIndexVacuum(spark, dir, keepVersions = 1) > 0)
+    assert(parquetFiles == filesAfter,
+      "vacuum should leave exactly the live snapshot's files")
+    assert(rows == before, "vacuum changed the index contents")
   }
 
   test("bootstrap: empty standing corpus, empty batches — no crash") {

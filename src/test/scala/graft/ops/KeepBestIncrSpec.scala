@@ -1,0 +1,171 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Index-aware keep-best ([[Dedup.dedupBatchVsIndexKeepBest]] and its
+  * mutating apply form): quality arbitration at the batch-vs-corpus
+  * boundary, decision parity with a full-corpus keep-best run, and
+  * the deletion-vector mechanics (a displaced corpus doc really
+  * leaves the index; the replacement really enters it).
+  */
+class KeepBestIncrSpec extends SparkSpec {
+
+  /** The spec-side twin of Dedup.tokQuality — same formula, same
+    * double evaluation order, so comparisons agree bit-for-bit.
+    */
+  private def quality(toks: Seq[String]): Double = {
+    val n = toks.size.toDouble
+    val ttr = toks.distinct.size.toDouble / n
+    val meanLen = toks.map(_.length.toLong).sum.toDouble / n
+    ttr * 0.5 + math.min(n / 100.0, 1.0) * 0.3 +
+      math.min(meanLen / 10.0, 1.0) * 0.2
+  }
+
+  private def fixture() = {
+    val docs = T(spark, sf, "documents")
+    val q = Dedup.corpusWithVariants(docs)
+      .collect().map(r => r.getLong(0) ->
+        quality(r.getSeq[String](1))).toMap
+    val pairs = Dedup.minhashPairs(Dedup.corpusWithVariants(docs), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val batchIds = Dedup.incrBatch(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    (docs, q, pairs, batchIds)
+  }
+
+  /** Ground-truth decisions replayed from the full pair list under
+    * the operator's contract, against an index whose live membership
+    * is `indexIds` (a batch doc already IN the index — a re-probe
+    * after apply — matches its own rows at est 1.0 and equal quality,
+    * so it can never strictly beat itself).
+    */
+  private def expected(q: Map[Long, Double], pairs: Seq[(Long, Long)],
+      batchIds: Set[Long], indexIds: Set[Long]) =
+    batchIds.toSeq.sorted.map { d =>
+      val corpusMatches0 = pairs.collect {
+        case (a, b) if a == d && indexIds(b) => b
+        case (a, b) if b == d && indexIds(a) => a
+      }
+      val corpusMatches =
+        if (indexIds(d)) corpusMatches0 :+ d else corpusMatches0
+      val batchMatches = pairs.collect {
+        case (a, b) if b == d && batchIds(a) => a
+      }
+      if (corpusMatches.nonEmpty) {
+        val best = corpusMatches.maxBy(c => (q(c), -c))
+        if (q(d) > q(best)) (d, "replaced_corpus", best)
+        else (d, "dup_corpus", best)
+      }
+      else if (batchMatches.nonEmpty) (d, "dup_batch", batchMatches.min)
+      else (d, "kept", -1L)
+    }
+
+  private def baseIds(docs: org.apache.spark.sql.DataFrame): Set[Long] =
+    Dedup.incrBase(docs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+
+  test("decisions match the quality-replayed full pair list; all four paths occur") {
+    val (docs, q, pairs, batchIds) = fixture()
+    val dir = Files.createTempDirectory("graft-keepbest-spec").toString
+    Dedup.lshIndexBuild(Dedup.incrBase(docs), dir)
+    val res = Dedup
+      .dedupBatchVsIndexKeepBest(Dedup.incrBatch(docs), dir, 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(res.toSeq == expected(q, pairs, batchIds, baseIds(docs)))
+    // the %50/%30=7 split + original-beats-variant quality guarantees
+    // every path: originals probing their base variants replace them;
+    // variants probing their base originals lose to them
+    assert(res.map(_._2).toSet ==
+      Set("replaced_corpus", "dup_corpus", "dup_batch", "kept"))
+  }
+
+  test("parity with the full-corpus keep-best run on straddling pair clusters") {
+    val (docs, q, pairs, batchIds) = fixture()
+    val dir = Files.createTempDirectory("graft-keepbest-par").toString
+    Dedup.lshIndexBuild(Dedup.incrBase(docs), dir)
+    val incr = Dedup
+      .dedupBatchVsIndexKeepBest(Dedup.incrBatch(docs), dir, 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    val full = Dedup.dedupKeepBest(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // restrict to 2-member clusters with one side in the batch and one
+    // in the base, distinct qualities (a tie keeps the corpus doc
+    // incrementally but the min id in the full run — both defensible,
+    // neither occurs in this fixture): the full run's kept_id must be
+    // exactly who the incremental decision kept
+    val members = pairs.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    var checked = 0
+    full.foreach { case (_, keptId, size) =>
+      if (size == 2) {
+        val pair = pairs.find(p =>
+          (p._1 == keptId || p._2 == keptId) &&
+            members(p._1) == 1 && members(p._2) == 1)
+        pair.foreach { case (a, b) =>
+          val (inBatch, inBase) =
+            if (batchIds(a) && !batchIds(b)) (a, b)
+            else if (batchIds(b) && !batchIds(a)) (b, a)
+            else (-1L, -1L)
+          if (inBatch >= 0 && q(a) != q(b)) {
+            checked += 1
+            val keptIncr = incr(inBatch) match {
+              case ("replaced_corpus", _) => inBatch
+              case ("dup_corpus", of) => of
+              case other => fail(s"straddling pair ($a,$b): $other")
+            }
+            assert(keptIncr == keptId,
+              s"cluster ($a,$b): full run kept $keptId, incremental " +
+                s"kept $keptIncr")
+          }
+        }
+      }
+    }
+    assert(checked > 0, "fixture produced no straddling pair clusters")
+  }
+
+  test("apply really mutates: displaced docs leave the index, winners enter") {
+    val (docs, q, pairs, batchIds) = fixture()
+    val dir = Files.createTempDirectory("graft-keepbest-mut").toString
+    Dedup.lshIndexBuild(Dedup.incrBase(docs), dir)
+    val batch = Dedup.incrBatch(docs)
+    val dec = Dedup.dedupBatchVsIndexKeepBestApply(batch, dir, 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val replaced = dec.filter(_._2 == "replaced_corpus")
+    assert(replaced.nonEmpty)
+    val doomedBest = replaced.map(_._3).toSet
+
+    val after = Dedup.readIndexBands(spark, dir)
+      .select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(doomedBest.forall(!after(_)),
+      "displaced corpus docs still probe-visible after the DV delete")
+    val enteredIds = dec.collect {
+      case (d, s, _) if s == "kept" || s == "replaced_corpus" => d
+    }.toSet
+    assert(enteredIds.forall(after), "kept/replacing docs were not appended")
+
+    // a SECOND probe of the same batch must follow the contract
+    // against the MUTATED membership (= `after`): every admitted doc
+    // now self-matches at equal quality, so it lands dup_corpus and
+    // is never re-admitted; pass-1 drops can legitimately re-enter —
+    // an orphan whose matches were displaced re-enters as kept, and
+    // a keep-first loser whose quality beats the surviving
+    // representative re-enters as replaced_corpus (batch-internal
+    // resolution is keep-first BY CONTRACT, so pass 1 kept the
+    // earlier doc; once that doc is standing corpus, quality
+    // arbitration applies to it). The replay pins all of it exactly.
+    val again = Dedup.dedupBatchVsIndexKeepBest(batch, dir, 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(again.toSeq == expected(q, pairs, batchIds, after))
+    val admitted = dec.collect {
+      case (d, s, _) if s == "kept" || s == "replaced_corpus" => d
+    }.toSet
+    assert(!again.exists(r => admitted(r._1) &&
+      (r._2 == "kept" || r._2 == "replaced_corpus")),
+      "a doc the first pass already admitted was re-admitted")
+  }
+}
