@@ -2278,6 +2278,20 @@ object SparkEntry {
       (s, dir) => Pipeline.corpusBuild(T(s, dir, "documents"), 0.5)
     },
 
+    // The same composition run INCREMENTALLY (round 16): three ingest
+    // batches against standing manifest-managed state (content-hash
+    // set + LSH index), per-stage survivor counts per batch. Fresh
+    // dir per run (the loop mutates its state), deleted on return —
+    // the per-batch audit rows are driver-held counts, so nothing in
+    // the returned frame reads the deleted state.
+    q("ns_corpus_build_incr", Pipeline.corpusBuildIncrOracle(0.5)) {
+      (s, dir) =>
+        val st = java.nio.file.Files
+          .createTempDirectory("graft-corpus-incr")
+        try Pipeline.corpusBuildIncr(T(s, dir, "documents"), st.toString, 0.5)
+        finally deleteRecursively(st.toFile)
+    },
+
     // Streaming (batch form): 30-minute-gap session windows per user.
     q("st_session_window",
       """WITH e AS (

@@ -38,7 +38,7 @@ object Dedup {
     * otherwise fall back to `localCheckpoint` (local mode — no
     * distributed-FS round trip).
     */
-  private def iterCheckpoint(df: DataFrame): DataFrame =
+  private[ops] def iterCheckpoint(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       df.checkpoint(true)
     else df.localCheckpoint(true)

@@ -426,6 +426,197 @@ object Pipeline {
        |  (SELECT count(*) FROM exact
        |   WHERE doc_id NOT IN (SELECT id_b FROM drops)) AS n_final""".stripMargin
 
+  // -------------------- incremental corpus build (round 16, ask #2)
+
+  /** Batch count of the incremental corpus-build fixture. */
+  val CorpusIncrBatches = 3
+
+  /** Exact-copy id offsets of the ingest fixture. Chosen mod 3 so both
+    * exact-dedup paths occur BY CONSTRUCTION: even docs' copies land
+    * at +4e6 ≡ 1 (mod 3) — a DIFFERENT batch than the original, so one
+    * of the two hits the standing hash set (whichever arrives second);
+    * odd docs' copies land at +6e6 ≡ 0 (mod 3) — the SAME batch, so
+    * within-batch keep-first fires. Variants (+1e6 ≡ 1 mod 3) likewise
+    * straddle batches, so the near-dup stage hits the standing index.
+    */
+  val CopyIdOffsetCross = 4000000L
+  val CopyIdOffsetSame = 6000000L
+
+  /** The ingest stream: originals + drop-first-token variants (the
+    * standard near-dup fixture, in TEXT form so the quality gate can
+    * score them) + exact copies. Batch of a row = (doc_id % 3) + 1.
+    */
+  def corpusIncrFixture(docs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("text"))
+    val toks = split(col("text"), " ")
+    val variants = docs.filter(size(toks) > 3)
+      .select((col("doc_id") + VariantIdOffset).as("doc_id"),
+        array_join(slice(toks, lit(2), size(toks) - 1), " ").as("text"))
+    val copies = docs.select(
+      (col("doc_id") + when(col("doc_id") % 2 === 0,
+        CopyIdOffsetCross).otherwise(CopyIdOffsetSame)).as("doc_id"),
+      col("text"))
+    src.unionByName(variants).unionByName(copies)
+  }
+
+  def corpusIncrBatch(docs: DataFrame, k: Int): DataFrame =
+    corpusIncrFixture(docs).filter(pmod(col("doc_id"), lit(3)) === k - 1)
+
+  /** INCREMENTAL corpus build (round-16 verdict #2): [[corpusBuild]]'s
+    * capstone composition — structural quality gate, exact dedup,
+    * near-dup keep-first — run the way a 100 TB pipeline actually
+    * runs it: per ingest batch against STANDING state, not over the
+    * full corpus each day. The standing state is two manifest-managed
+    * tables under `dir` that always mirror the kept corpus exactly:
+    * `hashes` (content hash per kept doc) and `lsh` (the banded
+    * signature index, [[Dedup.lshIndexBuild]]).
+    *
+    * Per batch k: (1) gate on the structural Gopher rules; (2) exact
+    * dedup — within-batch keep-first per content hash, then drop any
+    * hash already standing (the probe broadcasts the BATCH hash set
+    * into the standing scan, so the standing table is read map-only
+    * and never shuffled); (3) [[Dedup.dedupBatchVsIndex]] against the
+    * standing index (gated broadcast probe + DPP, batch-internal
+    * keep-first included); (4) append the kept docs' hashes and band
+    * rows — each a versioned manifest commit. Output: one audit row
+    * per batch with the per-stage survivor counts.
+    *
+    * Like [[Dedup.dedupIncrLoop]], the loop is driver-COORDINATED but
+    * never driver-SIZED: per step the only driver values are the four
+    * counts, and the only serial state is the two on-disk tables.
+    * `dir` must be fresh (the bootstrap overwrites).
+    */
+  def corpusBuildIncr(docs: DataFrame, dir: String,
+      minSim: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    val fix = corpusIncrFixture(docs)
+    // bootstrap: both state tables start EMPTY but committed (v1 with
+    // a recorded schema), exactly the first-day-of-ingest shape
+    Dedup.lshIndexBuild(
+      fix.select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(lit(false)),
+      s"$dir/lsh")
+    val hdir = s"$dir/hashes"
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL("h BIGINT"))
+      .write.mode("overwrite").parquet(hdir)
+    Manifest.write(spark, hdir, Seq.empty, 1,
+      schema = Some(org.apache.spark.sql.types.StructType.fromDDL("h BIGINT")))
+    val perBatch = (1 to CorpusIncrBatches).map { k =>
+      val batch = corpusIncrBatch(docs, k)
+      val nIn = batch.count()
+      // (1) structural gate — same rule subset as corpusBuild
+      val gated = Analysis.gopherFilter(batch)
+        .filter(col("ok_word_count") && col("ok_mean_word_len") &&
+          col("ok_symbol_ratio") && col("ok_alpha_words"))
+        .select("doc_id").join(batch, "doc_id")
+      // one materialization feeds the count, the keep-first window,
+      // the standing-hash probe, and the near stage
+      val qc = Dedup.iterCheckpoint(
+        gated.select(col("doc_id"), col("text"),
+          H.hash60(col("text")).as("h")))
+      val nQuality = qc.count()
+      // (2) exact: within-batch keep-first, then standing-set drop
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("h").orderBy("doc_id")
+      val firsts = qc.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      val standingHits = Manifest.readTable(spark, hdir)
+        .join(broadcast(firsts.select("h").distinct()), Seq("h"),
+          "left_semi")
+      val ec = Dedup.iterCheckpoint(
+        firsts.join(broadcast(standingHits), Seq("h"), "left_anti"))
+      val nExact = ec.count()
+      // (3) near-dup vs the standing index + within-batch keep-first;
+      // the core form hands back the materialized signatures so the
+      // append reuses the probe's one minhash pass
+      val (dec0, sigs) = Dedup.dedupBatchVsIndexCore(
+        ec.select(col("doc_id"), split(col("text"), " ").as("toks")),
+        s"$dir/lsh", minSim)
+      val dec = Dedup.iterCheckpoint(dec0)
+      val keptIds = dec.filter(col("decision") === "kept").select("doc_id")
+      val nFinal = keptIds.count()
+      // (4) the standing state mirrors the kept corpus exactly
+      Layout.appendInPlace(spark, hdir,
+        ec.join(keptIds, "doc_id").select("h"))
+      Dedup.lshIndexAppendFromSigs(sigs.join(keptIds, "doc_id"),
+        s"$dir/lsh")
+      (k, nIn, nQuality, nExact, nFinal)
+    }
+    import spark.implicits._
+    perBatch.toDF("batch", "n_in", "n_quality", "n_exact", "n_final")
+  }
+
+  /** DuckDB oracle for [[corpusBuildIncr]]: the fixture, the gopher
+    * metric CTE, the banded est pairs ([[Dedup.minhashEstCtes]]), and
+    * the three probe/append steps UNROLLED — batch k's exact stage
+    * drops hashes kept by batches < k, its near stage matches against
+    * base-empty index ∪ kept(1..k-1), exactly the state the engine has
+    * on disk when batch k arrives.
+    */
+  def corpusBuildIncrOracle(minSim: Double = 0.5): String = {
+    // one step: exact survivors e$k, near-kept d$k, rolled-up state
+    def step(k: Int, hashes: String, idx: String) =
+      s"""e$k AS (SELECT f.* FROM firsts f
+         |  WHERE f.b = $k AND NOT EXISTS
+         |    (SELECT 1 FROM $hashes s WHERE s.h = f.h)),
+         |c$k AS (SELECT DISTINCT s.d AS doc_id
+         |  FROM sym s JOIN e$k ee ON s.d = ee.doc_id
+         |             JOIN $idx i ON s.o = i.doc_id),
+         |bb$k AS (SELECT DISTINCT g.id_b AS doc_id
+         |  FROM good g JOIN e$k a ON g.id_a = a.doc_id
+         |              JOIN e$k b2 ON g.id_b = b2.doc_id),
+         |d$k AS (SELECT ee.* FROM e$k ee
+         |  WHERE ee.doc_id NOT IN (SELECT doc_id FROM c$k)
+         |    AND ee.doc_id NOT IN (SELECT doc_id FROM bb$k)),
+         |hashes$k AS (SELECT h FROM $hashes
+         |  UNION ALL SELECT h FROM d$k),
+         |idx$k AS (SELECT doc_id FROM $idx
+         |  UNION ALL SELECT doc_id FROM d$k)""".stripMargin
+    s"""WITH src AS (SELECT doc_id, text FROM documents),
+       |fix AS (
+       |  SELECT doc_id, text FROM src
+       |  UNION ALL
+       |  SELECT doc_id + $VariantIdOffset,
+       |    array_to_string(string_split(text, ' ')[2:], ' ')
+       |  FROM src WHERE len(string_split(text, ' ')) > 3
+       |  UNION ALL
+       |  SELECT doc_id + CASE WHEN doc_id % 2 = 0
+       |      THEN $CopyIdOffsetCross ELSE $CopyIdOffsetSame END, text
+       |  FROM src),
+       |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM fix),
+       |${Analysis.gopherMetricsCte},
+       |okq AS (SELECT f.doc_id, (f.doc_id % 3) + 1 AS b,
+       |    ${H.duckHash60("f.text")} AS h
+       |  FROM fix f JOIN m USING (doc_id)
+       |  WHERE ${Analysis.gopherStructuralCond}),
+       |firsts AS (SELECT doc_id, b, h FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY b, h
+       |      ORDER BY doc_id) AS rn FROM okq) WHERE rn = 1),
+       |corpus AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+       |${Dedup.minhashEstCtes},
+       |good AS (SELECT id_a, id_b FROM est WHERE est_sim >= $minSim),
+       |sym AS (SELECT id_a AS d, id_b AS o FROM good
+       |        UNION ALL SELECT id_b, id_a FROM good),
+       |hashes0 AS (SELECT NULL::BIGINT AS h WHERE FALSE),
+       |idx0 AS (SELECT NULL::BIGINT AS doc_id WHERE FALSE),
+       |${step(1, "hashes0", "idx0")},
+       |${step(2, "hashes1", "idx1")},
+       |${step(3, "hashes2", "idx2")}
+       |SELECT k AS batch,
+       |  (SELECT count(*) FROM fix WHERE doc_id % 3 = k - 1) AS n_in,
+       |  (SELECT count(*) FROM okq WHERE b = k) AS n_quality,
+       |  CASE k WHEN 1 THEN (SELECT count(*) FROM e1)
+       |         WHEN 2 THEN (SELECT count(*) FROM e2)
+       |         ELSE (SELECT count(*) FROM e3) END AS n_exact,
+       |  CASE k WHEN 1 THEN (SELECT count(*) FROM d1)
+       |         WHEN 2 THEN (SELECT count(*) FROM d2)
+       |         ELSE (SELECT count(*) FROM d3) END AS n_final
+       |FROM (SELECT unnest([1, 2, 3]) AS k)
+       |ORDER BY batch""".stripMargin
+  }
+
   /** Deterministic per-source (domain-mix) sampling: each source
     * shard gets a reproducible keep-rate derived from its name, and
     * each doc a reproducible keep/drop from md5 hash arithmetic — the

@@ -1,0 +1,101 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Incremental corpus build ([[Pipeline.corpusBuildIncr]]): the
+  * gate -> exact-dedup -> near-dup -> append loop over three batches,
+  * pinned against a sequential replay built from independently
+  * collected primitives (gate verdicts, content hashes, the full LSH
+  * pair list) — the loop is an O(batch)-per-step refactoring of the
+  * full-corpus pipeline, never a different answer. Plus: the standing
+  * state (hash set + index) must mirror the kept corpus exactly after
+  * the last batch, and the fixture must exercise every drop path.
+  */
+class CorpusIncrSpec extends SparkSpec {
+
+  test("3 batches match the sequential replay; standing state mirrors kept") {
+    val docs = T(spark, sf, "documents")
+    val fix = Pipeline.corpusIncrFixture(docs)
+
+    // independently collected primitives
+    val gateOk = Analysis.gopherFilter(fix)
+      .filter(col("ok_word_count") && col("ok_mean_word_len") &&
+        col("ok_symbol_ratio") && col("ok_alpha_words"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val hashOf = fix.select(col("doc_id"), H.hash60(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.minhashPairs(
+        fix.select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(split(col("text"), " ")) >= 3), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val allIds = fix.select("doc_id").collect().map(_.getLong(0))
+
+    // sequential replay
+    var standingH = Set.empty[Long]
+    var standingIdx = Set.empty[Long]
+    var nCrossExact, nSameExact, nCorpusNear, nBatchNear = 0
+    val expected = (1 to Pipeline.CorpusIncrBatches).map { k =>
+      val batch = allIds.filter(d => d % 3 == k - 1).sorted
+      val quality = batch.filter(gateOk)
+      val exact = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val seenH = scala.collection.mutable.Set.empty[Long]
+      quality.foreach { d =>
+        val h = hashOf(d)
+        if (standingH(h)) nCrossExact += 1
+        else if (seenH(h)) nSameExact += 1
+        else { seenH += h; exact += d }
+      }
+      val exactSet = exact.toSet
+      val kept = exact.filter { d =>
+        val corpusHit = pairs.exists(p =>
+          (p._1 == d && standingIdx(p._2)) ||
+            (p._2 == d && standingIdx(p._1)))
+        val batchHit = pairs.exists(p => p._2 == d && exactSet(p._1))
+        if (corpusHit) nCorpusNear += 1
+        else if (batchHit) nBatchNear += 1
+        corpusHit || batchHit
+      }.toSet
+      val keptIds = exactSet -- kept
+      standingH ++= keptIds.map(hashOf)
+      standingIdx ++= keptIds
+      (k, batch.length.toLong, quality.length.toLong,
+        exact.length.toLong, keptIds.size.toLong)
+    }
+
+    val dir = Files.createTempDirectory("graft-corpus-incr-spec").toString
+    val res = Pipeline.corpusBuildIncr(docs, dir, 0.5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(res.toSeq == expected)
+
+    // every drop path occurs by fixture construction: cross-batch and
+    // within-batch exact copies, standing-index and within-batch
+    // near-dups (see CopyIdOffset* / VariantIdOffset residue design)
+    assert(nCrossExact > 0, "no cross-batch exact dup hit the hash set")
+    assert(nSameExact > 0, "no within-batch exact keep-first fired")
+    assert(nCorpusNear > 0, "no near-dup resolved against the index")
+    assert(nBatchNear > 0, "no within-batch near keep-first fired")
+    // something must survive every stage (the gate itself is a no-op
+    // on this clean synthetic corpus — its drop behavior is pinned by
+    // the gopherFilter oracle; here it must only never ADD docs)
+    assert(expected.map(_._5).sum > 0)
+    assert(expected.forall(r => r._3 <= r._2))
+
+    // the standing state mirrors the kept corpus exactly
+    val idxIds = Dedup.readIndexBands(spark, s"$dir/lsh")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(idxIds == standingIdx)
+    val hs = Manifest.readTable(spark, s"$dir/hashes")
+      .collect().map(_.getLong(0))
+    assert(hs.length == hs.distinct.length, "hash table has duplicates")
+    assert(hs.toSet == standingH)
+    // versioned: bootstrap v1 + one commit per batch, on both tables
+    assert(Manifest.currentVersion(spark, s"$dir/lsh/bands")
+      .contains(1 + Pipeline.CorpusIncrBatches))
+    assert(Manifest.currentVersion(spark, s"$dir/hashes")
+      .contains(1 + Pipeline.CorpusIncrBatches))
+  }
+}
