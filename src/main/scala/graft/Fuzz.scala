@@ -56,7 +56,91 @@ object Fuzz {
           String.valueOf(e.getMessage))
       }
     }
-    println(s"fuzz: ran ${files.length} queries, $failed spark-side errors")
+    // ---- parameterized pipeline-operator invocations (round 16) ----
+    // `<outDir>/ops/<name>.props` (key=value lines, an `op` key plus
+    // that op's parameters) runs a LIBRARY operator with fuzzed
+    // parameters and dumps BOTH the result parquet and the op's own
+    // parameterized DuckDB oracle (`<outDir>/ops_oracle/<name>.sql`) —
+    // one source of truth for the template, the Python harness only
+    // executes and compares. This is how the fuzzer reaches the ops
+    // the SQL grammar can't express (minSim/shingle-n/df-cap/budget/
+    // residue spaces of the ns_ dedup + mixing family).
+    val opsDir = new java.io.File(s"$outDir/ops")
+    val opFiles = Option(opsDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".props")).sortBy(_.getName)
+    if (opFiles.nonEmpty)
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(outDir, "ops_oracle"))
+    opFiles.foreach { f =>
+      val name = f.getName.stripSuffix(".props")
+      val props = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        .linesIterator.filter(_.contains("="))
+        .map { l => val Array(k, v) = l.split("=", 2); (k.trim, v.trim) }
+        .toMap
+      try {
+        val (df, oracle) = FuzzOps.run(spark, sfDir, props)
+        df.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/results/$name")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(outDir, "ops_oracle", s"$name.sql"),
+          oracle)
+      } catch { case e: Throwable =>
+        failed += 1
+        System.err.println(s"[fuzz] $name failed: ${e.getMessage}")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$outDir/results", s"$name.err"),
+          String.valueOf(e.getMessage))
+      }
+    }
+    println(s"fuzz: ran ${files.length + opFiles.length} queries, " +
+      s"$failed spark-side errors")
     spark.stop()
+  }
+}
+
+/** Registry mapping a fuzzed op spec to (result frame, DuckDB oracle)
+  * — each entry pairs a library operator with ITS OWN parameterized
+  * oracle template, so the fuzz compare exercises the same template
+  * the fixed queries pin, across the randomized parameter space.
+  */
+object FuzzOps {
+  def run(spark: SparkSession, sfDir: String,
+      p: Map[String, String]): (org.apache.spark.sql.DataFrame, String) = {
+    val docs = graft.ops.T(spark, sfDir, "documents")
+    def d(k: String) = p(k).toDouble
+    def i(k: String) = p(k).toInt
+    def l(k: String) = p(k).toLong
+    p("op") match {
+      case "ngram_jaccard" =>
+        (graft.ops.Dedup.ngramJaccard(
+          graft.ops.Dedup.ngramFixture(docs, i("residue")),
+          d("minSim"), i("maxDf"), i("n")),
+          graft.ops.Dedup.ngramJaccardOracle(
+            d("minSim"), i("maxDf"), i("n"), i("residue")))
+      case "ngram_containment" =>
+        (graft.ops.Dedup.ngramContainment(
+          graft.ops.Dedup.ngramFixture(docs, i("residue")),
+          d("minCont"), i("maxDf"), i("n")),
+          graft.ops.Dedup.ngramContainmentOracle(
+            d("minCont"), i("maxDf"), i("n"), i("residue")))
+      case "bm25_topdocs" =>
+        (graft.ops.Analysis.bm25TopDocs(docs, i("nTerms"), i("k")),
+          graft.ops.Analysis.bm25TopDocsOracle(i("nTerms"), i("k")))
+      case "bm25_query" =>
+        (graft.ops.Analysis.bm25Query(docs, i("nQueries"), i("qTerms"),
+          i("k")),
+          graft.ops.Analysis.bm25QueryOracle(i("nQueries"), i("qTerms"),
+            i("k")))
+      case "token_budget_mix" =>
+        (graft.ops.Pipeline.tokenBudgetMix(docs, l("budgetPer"),
+          i("budgetMod")),
+          graft.ops.Pipeline.tokenBudgetMixOracle(l("budgetPer"),
+            i("budgetMod")))
+      case "keep_best" =>
+        (graft.ops.Dedup.dedupKeepBest(docs, d("minSim")),
+          graft.ops.Dedup.dedupKeepBestOracle(d("minSim")))
+      case other => sys.error(s"unknown fuzz op '$other'")
+    }
   }
 }

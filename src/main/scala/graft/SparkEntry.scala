@@ -76,6 +76,28 @@ object SparkEntry {
     f.delete(): Unit
   }
 
+  /** Build-once persisted BM25 index over the documents corpus, split
+    * into two ingest batches (build even doc_ids, append odd) so the
+    * probe exercises the ADDITIVE df/dl merge across snapshot
+    * versions, not just a single-build read. Same scratch-dir
+    * lifecycle as the LSH index: the tag carries the bucket geometry
+    * and the corpus fingerprint; the final manifest version (2 =
+    * build + one append) is the build-complete marker, so a crash
+    * between the two commits rebuilds instead of half-reading.
+    */
+  private def bm25IndexDir(s: SparkSession, dir: String): String = {
+    val (csum, cmtime) = docsFingerprint(dir)
+    val idx = layoutDir("bm25idx-b" + Bm25Index.Buckets +
+      "-split2-c" + csum + "m" + cmtime, dir)
+    if (!Bm25Index.version(s, idx).contains(2)) {
+      deleteRecursively(new java.io.File(idx))
+      val docs = T(s, dir, "documents")
+      Bm25Index.build(docs.filter(col("doc_id") % 2 === 0), idx)
+      Bm25Index.append(docs.filter(col("doc_id") % 2 === 1), idx)
+    }
+    idx
+  }
+
   /** Register the SQL catalog (graft.sources.GraftCatalog) on the
     * session under the name `gsql`, idempotently, with a warehouse
     * keyed to the sf dir. Spark instantiates the catalog lazily on
@@ -1502,6 +1524,22 @@ object SparkEntry {
       (s, dir) => Analysis.bm25Query(T(s, dir, "documents"), 5, 3, 3)
     },
 
+    // BM25 served from the PERSISTED inverted index (round 16): df/dl
+    // partials appended per ingest batch merge additively, idf/avgdl
+    // derived at query time; the probe reads the vocab-sized df
+    // partition plus only the postings buckets the query terms hash
+    // to — O(batch) maintenance + O(terms) probes instead of ns_bm25's
+    // full corpus re-tokenize per call. Bit-equal to the recompute
+    // (same oracle).
+    q("ns_bm25_index", Analysis.bm25TopDocsOracle(20, 3)) {
+      (s, dir) => Bm25Index.topDocs(s, bm25IndexDir(s, dir), 20, 3)
+    },
+
+    // Multi-term query scoring against the same persisted index.
+    q("ns_bm25_index_query", Analysis.bm25QueryOracle(5, 3, 3)) {
+      (s, dir) => Bm25Index.query(s, bm25IndexDir(s, dir), 5, 3, 3)
+    },
+
     // Deterministic hash sampling (reproducible 10% sample, no rand).
     q("p_sample_hash",
       s"""SELECT doc_id, lang FROM documents
@@ -1680,7 +1718,7 @@ object SparkEntry {
     // hash-ranked within source, source cut at the budget via the
     // two-stage range-partitioned prefix sum (no per-source window
     // funnel).
-    q("ns_token_budget_mix", Pipeline.tokenBudgetMixOracle) {
+    q("ns_token_budget_mix", Pipeline.tokenBudgetMixOracle()) {
       (s, dir) => Pipeline.tokenBudgetMix(T(s, dir, "documents"))
     },
 

@@ -213,7 +213,7 @@ object Analysis {
     * b=0.75; idf in the (1 + ...) form, so scores stay positive at
     * df > n/2). Expects `tf`, `df`, `dl`, `n_docs`, `avgdl` in scope.
     */
-  private def bm25Contrib: Column =
+  private[ops] def bm25Contrib: Column =
     log(lit(1.0) +
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
     (col("tf") * lit(2.2) /

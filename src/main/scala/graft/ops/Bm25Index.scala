@@ -1,0 +1,288 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Persisted BM25 retrieval index (round-16 verdict #3).
+  *
+  * [[Analysis.bm25TopDocs]] / [[Analysis.bm25Query]] recompute
+  * tf/df/dl from the corpus on every call — O(corpus) per query.
+  * Retrieval-style decontamination over a standing corpus wants the
+  * inverted statistics persisted once and incrementally appended per
+  * ingest batch, exactly like the LSH band index
+  * ([[Dedup.lshIndexBuild]]): df and dl merge ADDITIVELY across
+  * batches (each doc belongs to exactly one batch, so per-batch df
+  * partials sum to the corpus df), while idf and avgdl — the only
+  * non-additive quantities — are derived at query time from the
+  * summed partials. A probe then costs O(postings-of-query-terms +
+  * vocabulary), never a corpus re-tokenize.
+  *
+  * ONE manifest-committed table (`dir/index`) holds three row kinds,
+  * separated by the leading Hive partition column so each probe
+  * phase prunes to exactly its files:
+  *
+  *   - `kind=post`: (token, doc_id, tf, dl) — the postings, with the
+  *     document length DENORMALIZED into each posting row so scoring
+  *     never joins a doc-length table; Hive-partitioned by
+  *     `bucket = pmod(xxhash64(token), Buckets)` so a probe for a
+  *     term set reads only the buckets those terms hash to.
+  *   - `kind=df`: (token, df-partial) — one row per (batch, token);
+  *     the corpus df is the per-token SUM. Bucketed like postings.
+  *   - `kind=stat`: one row per batch carrying (n_docs-partial,
+  *     sum_dl-partial); n_docs counts ALL batch docs (a zero-token
+  *     doc still belongs to the collection avgdl averages over —
+  *     same contract as [[Analysis.bm25Frames]]).
+  *
+  * A single table means a single manifest: every append is ONE
+  * atomic snapshot commit covering postings + df + stats together
+  * (no cross-table torn state), probes pin one version for
+  * consistent reads under concurrent maintenance, compaction is
+  * [[Layout.compactInPlace]]'s metadata swap, and vacuum reclaims
+  * superseded files. A geometry sidecar (bucket count + tokenizer)
+  * hard-gates every read/write, as the LSH index learned in round
+  * 15: probing under a different bucket geometry silently reads the
+  * wrong partitions.
+  *
+  * Exactness vs the full-recompute oracle: tf/df/dl/n_docs/sum_dl
+  * are exact long sums in any batch split, avgdl is one double
+  * division of those longs, and the score expression is
+  * [[Analysis.bm25Contrib]] literal for literal — so index-probe
+  * results are BIT-EQUAL to [[Analysis.bm25TopDocs]] /
+  * [[Analysis.bm25Query]] and share their DuckDB oracles.
+  */
+object Bm25Index {
+
+  /** Hash-bucket count for the postings layout. 64 keeps the
+    * fixture-scale file count sane; at 100 TB the bucket count would
+    * be sized so one bucket's postings fit a task (the geometry
+    * sidecar makes the parameter a hard compatibility gate, not a
+    * tunable).
+    */
+  val Buckets = 64
+
+  def indexGeometry: String = s"buckets=$Buckets tok=space v1"
+
+  /** Physical schema; `kind` and `bucket` carry the partition-column
+    * marker so an append against an empty index still writes the
+    * Hive layout (same pattern as [[Dedup.lshIndexBuild]]).
+    */
+  val IndexSchema: String =
+    "token STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, " +
+      "kind STRING, bucket INT"
+
+  private def indexStruct: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{MetadataBuilder, StructType}
+    val s = StructType.fromDDL(IndexSchema)
+    StructType(s.fields.map { f =>
+      if (f.name == "kind" || f.name == "bucket")
+        f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putBoolean(Layout.PartitionMetaKey, true).build())
+      else f
+    })
+  }
+
+  private def bucketOf(token: org.apache.spark.sql.Column) =
+    pmod(xxhash64(token), lit(Buckets.toLong)).cast("int")
+
+  private def requireGeometry(spark: SparkSession, dir: String): Unit = {
+    val tag = Dedup.readSidecar(spark, s"$dir/geometry").getOrElse(
+      sys.error(s"$dir has no geometry sidecar — not a graft BM25 index"))
+    require(tag == indexGeometry,
+      s"index at $dir has geometry '$tag' but this engine writes " +
+        s"'$indexGeometry' — rebuild the index, do not mix geometries")
+  }
+
+  /** One batch's index rows — postings + df partials + the stat row —
+    * handed to `f` as a single frame. The tf table (the one tokenize
+    * pass) is persisted for the duration because all three kinds fold
+    * it, and unpersisted before returning (round-16 verdict #5: no
+    * cached blocks leak to the caller).
+    */
+  private def withIndexRows[T](docs: DataFrame)(f: DataFrame => T): T = {
+    val tok = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val post = tf.join(dl, "doc_id")
+        .select(col("token"), col("doc_id"), col("tf"), col("dl"),
+          lit("post").as("kind"), bucketOf(col("token")).as("bucket"))
+      val dfPart = tf.groupBy("token").agg(count(lit(1)).as("tf"))
+        .select(col("token"), lit(-1L).as("doc_id"), col("tf"),
+          lit(0L).as("dl"), lit("df").as("kind"),
+          bucketOf(col("token")).as("bucket"))
+      val stat = docs.agg(count(lit(1)).as("n"))
+        .crossJoin(dl.agg(coalesce(sum("dl"), lit(0L)).as("s")))
+        .select(lit("").as("token"), lit(-1L).as("doc_id"),
+          col("n").as("tf"), col("s").as("dl"),
+          lit("stat").as("kind"), lit(0).as("bucket"))
+      // one partition per (kind, bucket) combo -> ~one file each,
+      // same reasoning as the LSH index's per-bucket collapse
+      f(post.unionByName(dfPart).unionByName(stat)
+        .repartition(col("kind"), col("bucket")))
+    } finally { tf.unpersist(); () }
+  }
+
+  /** Build the index over a standing corpus: O(corpus) once — one
+    * tokenize pass, one hash-partitioned write — then a v1 manifest
+    * snapshot so every later append/compact is a versioned commit and
+    * probes read the committed file list. An empty corpus commits an
+    * empty entry list under the declared schema (bootstrap ingest:
+    * the first append still writes partitioned).
+    */
+  def build(corpus: DataFrame, dir: String): Unit = {
+    val spark = corpus.sparkSession
+    val table = s"$dir/index"
+    withIndexRows(corpus) { rows =>
+      rows.write.mode("overwrite").partitionBy("kind", "bucket")
+        .parquet(table)
+    }
+    Dedup.writeSidecar(spark, s"$dir/geometry", indexGeometry)
+    val p = new org.apache.hadoop.fs.Path(table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var hasFiles = false
+    while (!hasFiles && it.hasNext)
+      hasFiles = it.next().getPath.getName.endsWith(".parquet")
+    val entries =
+      if (hasFiles) Manifest.scanStats(spark, table, Nil) else Seq.empty
+    Manifest.write(spark, table, entries, 1, schema = Some(indexStruct))
+  }
+
+  /** Append one ingest batch's statistics: O(batch) — the batch's
+    * postings/df/stat rows land as staged files renamed in, then ONE
+    * snapshot commit makes all three kinds visible atomically. df/dl
+    * merge additively because a doc belongs to exactly one batch;
+    * appending the SAME docs twice would double their df/tf, so the
+    * caller dedups first (that is [[Pipeline.corpusBuildIncr]]'s
+    * job, not this layer's).
+    */
+  def append(batch: DataFrame, dir: String): Unit = {
+    val spark = batch.sparkSession
+    requireGeometry(spark, dir)
+    withIndexRows(batch) { rows =>
+      Layout.appendInPlace(spark, s"$dir/index", rows): Unit
+    }
+  }
+
+  /** Committed snapshot version — pin a probe to it for consistent
+    * reads while maintenance commits land concurrently.
+    */
+  def version(spark: SparkSession, dir: String): Option[Int] =
+    Manifest.currentVersion(spark, s"$dir/index")
+
+  /** Fold the per-append small files back to ~one per (kind, bucket):
+    * a pure metadata swap over the index's manifest — no no-index
+    * window, crash leaves the previous snapshot readable. Returns
+    * (filesBefore, filesAfter).
+    */
+  def compact(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L << 20): (Int, Int) = {
+    requireGeometry(spark, dir)
+    Layout.compactInPlace(spark, s"$dir/index", targetBytes)
+  }
+
+  def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 2): Int =
+    Manifest.vacuum(spark, s"$dir/index", keepVersions)
+
+  private def readIndex(spark: SparkSession, dir: String,
+      version: Option[Int]): DataFrame = {
+    requireGeometry(spark, dir)
+    Manifest.readTable(spark, s"$dir/index", version)
+  }
+
+  /** The query-time derived statistics: corpus df per token (exact
+    * long sum of the per-batch partials, bucket carried along for
+    * probe pruning) and the (n_docs, avgdl) broadcast row.
+    */
+  private def derivedStats(t: DataFrame): (DataFrame, DataFrame) = {
+    val dfAgg = t.filter(col("kind") === "df")
+      .groupBy("token", "bucket").agg(sum("tf").as("df"))
+    val stats = t.filter(col("kind") === "stat")
+      .agg(sum("tf").as("n_docs"), sum("dl").as("sum_dl"))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    (dfAgg, stats)
+  }
+
+  /** The probe's postings scan for a driver-sized term list: prune to
+    * the buckets the terms hash to (partition filter — the scan lists
+    * only those directories of the snapshot's files), then push the
+    * term IN-filter into the parquet read. The collect feeding this
+    * is `nTerms` rows — a query parameter, not data-sized.
+    */
+  private def postingsFor(t: DataFrame, terms: Seq[String],
+      buckets: Seq[Int]): DataFrame =
+    t.filter(col("kind") === "post" &&
+      col("bucket").isin(buckets: _*) &&
+      col("token").isin(terms: _*))
+
+  /** [[Analysis.bm25TopDocs]] served from the index: same output,
+    * same oracle ([[Analysis.bm25TopDocsOracle]]), but the corpus is
+    * never re-tokenized — the probe reads the vocabulary-sized df
+    * partition to pick the query terms, then only the pruned
+    * postings buckets.
+    */
+  def topDocs(spark: SparkSession, dir: String, nTerms: Int = 20,
+      k: Int = 3, version: Option[Int] = None): DataFrame = {
+    val t = readIndex(spark, dir, version)
+    val (dfAgg, stats) = derivedStats(t)
+    val rows = dfAgg.orderBy(col("df").desc, col("token").asc)
+      .limit(nTerms).collect()
+    val terms = rows.map(r => (r.getString(0), r.getAs[Long]("df"))).toSeq
+    val buckets = rows.map(_.getAs[Int]("bucket")).distinct.toSeq
+    import spark.implicits._
+    val qterms = terms.toDF("token", "df")
+    val scored = postingsFor(t, terms.map(_._1), buckets)
+      .join(broadcast(qterms), "token")
+      .crossJoin(broadcast(stats))
+      .select(col("token"), col("doc_id"),
+        round(Analysis.bm25Contrib, 6).as("score"))
+    val top = graft.plans.TopKPerKey.topK(scored, Seq("token"),
+      Seq(col("score").desc, col("doc_id").asc), k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("token").orderBy(col("score").desc, col("doc_id").asc)
+    top.withColumn("rn", row_number().over(w))
+      .select(col("token"), col("rn"), col("doc_id"), col("score"))
+      .orderBy("token", "rn")
+  }
+
+  /** [[Analysis.bm25Query]] served from the index: multi-term query
+    * scoring with the same micro-unit quantization (exact long sums),
+    * same oracle ([[Analysis.bm25QueryOracle]]).
+    */
+  def query(spark: SparkSession, dir: String, nQueries: Int = 5,
+      qTerms: Int = 3, k: Int = 3,
+      version: Option[Int] = None): DataFrame = {
+    val t = readIndex(spark, dir, version)
+    val (dfAgg, stats) = derivedStats(t)
+    val rows = dfAgg.orderBy(col("df").desc, col("token").asc)
+      .limit(nQueries * qTerms).collect()
+    val qmapLocal = rows.zipWithIndex.map { case (r, i) =>
+      (i / qTerms + 1, r.getString(0), r.getAs[Long]("df"))
+    }.toSeq
+    val buckets = rows.map(_.getAs[Int]("bucket")).distinct.toSeq
+    import spark.implicits._
+    val qmap = qmapLocal.toDF("query_id", "token", "df")
+    val perTerm = postingsFor(t, qmapLocal.map(_._2), buckets)
+      .join(broadcast(qmap), "token")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        round(Analysis.bm25Contrib * lit(1000000.0)).cast("long")
+          .as("contrib"))
+    val scored = perTerm.groupBy("query_id", "doc_id")
+      .agg((sum("contrib") / lit(1000000.0)).as("score"),
+        count(lit(1)).as("n_terms"))
+    val top = graft.plans.TopKPerKey.topK(scored, Seq("query_id"),
+      Seq(col("score").desc, col("doc_id").asc), k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    top.withColumn("rn", row_number().over(w))
+      .select(col("query_id"), col("rn"), col("doc_id"), col("score"),
+        col("n_terms"))
+      .orderBy("query_id", "rn")
+  }
+}

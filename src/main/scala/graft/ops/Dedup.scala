@@ -971,8 +971,8 @@ object Dedup {
     * wrapper used to live INSIDE the ops, silently dropping 90% of a
     * production caller's data).
     */
-  def ngramFixture(docs: DataFrame): DataFrame =
-    corpusWithVariants(docs).filter(col("doc_id") % 10 === 0)
+  def ngramFixture(docs: DataFrame, residue: Int = 0): DataFrame =
+    corpusWithVariants(docs).filter(col("doc_id") % 10 === residue)
 
   /** Shared-shingle intersection stats over a prepared `(doc_id,
     * toks)` corpus — the common candidate stage of [[ngramJaccard]]
@@ -983,9 +983,13 @@ object Dedup {
     * actually shared; `maxDf` bounds the worst per-shingle fan-out
     * to df^2 pairs.
     */
-  private def sharedShingleStats(corpus: DataFrame, maxDf: Int): DataFrame = {
-    val shAll = corpus
-      .select(col("doc_id"), explode(array_distinct(shingles(col("toks"), 3))).as("sh"))
+  private def sharedShingleStats(corpus: DataFrame, maxDf: Int,
+      n: Int = 3): DataFrame = {
+    // docs shorter than n tokens have no n-shingles; filter BEFORE
+    // shingling ([[shingles]]' sequence would go negative) — the
+    // oracle's range() yields an empty list for them, same semantics
+    val shAll = corpus.filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(array_distinct(shingles(col("toks"), n))).as("sh"))
     val hot = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("sh")
     // anti join shuffles on sh — the same key the self-join needs, so
@@ -1009,25 +1013,36 @@ object Dedup {
     * join's scale posture; [[ngramFixture]] for the bench fixture).
     */
   def ngramJaccard(corpus: DataFrame, minSim: Double = 0.5,
-      maxDf: Int = MaxShingleDf): DataFrame =
-    sharedShingleStats(corpus, maxDf)
+      maxDf: Int = MaxShingleDf, n: Int = 3): DataFrame =
+    sharedShingleStats(corpus, maxDf, n)
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") /
           (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= minSim)
       .orderBy("id_a", "id_b")
 
+  /** The oracle's n-shingle list expression (1-based list indexing):
+    * `range(1, len-(n-2))` yields exactly len-n+1 shingle starts —
+    * for n=3 this renders byte-identically to the pre-parameterized
+    * form the fixed queries were validated against.
+    */
+  private def duckShingles(n: Int): String = {
+    val terms = (0 until n).map(j =>
+      if (j == 0) "toks[i]" else s"toks[i+$j]").mkString(" || ' ' || ")
+    s"list_transform(range(1, len(toks)-${n - 2}),\n" +
+      s"      i -> $terms)"
+  }
+
   def ngramJaccardOracle(minSim: Double = 0.5,
-      maxDf: Int = MaxShingleDf): String =
+      maxDf: Int = MaxShingleDf, n: Int = 3, residue: Int = 0): String =
     s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |corpus AS (
        |  SELECT doc_id, toks FROM base WHERE len(toks) >= 3
        |  UNION ALL
        |  SELECT doc_id + $VariantIdOffset, toks[2:] FROM base WHERE len(toks) > 3),
-       |sub AS (SELECT * FROM corpus WHERE doc_id % 10 = 0),
+       |sub AS (SELECT * FROM corpus WHERE doc_id % 10 = $residue),
        |sh0 AS (SELECT doc_id, unnest(list_distinct(
-       |    list_transform(range(1, len(toks)-1),
-       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+       |    ${duckShingles(n)})) AS sh
        |  FROM sub),
        |hot AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > $maxDf),
        |sh AS (SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)),
@@ -1054,8 +1069,8 @@ object Dedup {
     * (shared [[sharedShingleStats]] candidate stage).
     */
   def ngramContainment(corpus: DataFrame, minCont: Double = 0.8,
-      maxDf: Int = MaxShingleDf): DataFrame =
-    sharedShingleStats(corpus, maxDf)
+      maxDf: Int = MaxShingleDf, n: Int = 3): DataFrame =
+    sharedShingleStats(corpus, maxDf, n)
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") /
           least(col("n_a"), col("n_b"))).as("overlap"))
@@ -1063,16 +1078,15 @@ object Dedup {
       .orderBy("id_a", "id_b")
 
   def ngramContainmentOracle(minCont: Double = 0.8,
-      maxDf: Int = MaxShingleDf): String =
+      maxDf: Int = MaxShingleDf, n: Int = 3, residue: Int = 0): String =
     s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |corpus AS (
        |  SELECT doc_id, toks FROM base WHERE len(toks) >= 3
        |  UNION ALL
        |  SELECT doc_id + $VariantIdOffset, toks[2:] FROM base WHERE len(toks) > 3),
-       |sub AS (SELECT * FROM corpus WHERE doc_id % 10 = 0),
+       |sub AS (SELECT * FROM corpus WHERE doc_id % 10 = $residue),
        |sh0 AS (SELECT doc_id, unnest(list_distinct(
-       |    list_transform(range(1, len(toks)-1),
-       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+       |    ${duckShingles(n)})) AS sh
        |  FROM sub),
        |hot AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > $maxDf),
        |sh AS (SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)),
@@ -1182,7 +1196,7 @@ object Dedup {
     "doc_id BIGINT, sig ARRAY<BIGINT>, quality DOUBLE, " +
       "band INT, key STRING, bucket INT"
 
-  private def writeSidecar(spark: SparkSession, path: String,
+  private[ops] def writeSidecar(spark: SparkSession, path: String,
       text: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1190,7 +1204,7 @@ object Dedup {
     try out.write(text.getBytes("UTF-8")) finally out.close()
   }
 
-  private def readSidecar(spark: SparkSession,
+  private[ops] def readSidecar(spark: SparkSession,
       path: String): Option[String] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -647,24 +647,34 @@ object Pipeline {
     * from the data alone. Output: one audit row per source — budget,
     * total and kept docs/tokens.
     *
-    * Scale shape: the running sum is the same TWO-STAGE
-    * range-partitioned prefix sum as the flagship top-p cut
-    * ([[Text.topPMassCut]]), generalized per group: global range
-    * partition on (source, h, doc_id), per-(partition, source) local
-    * running sums in parallel, then a broadcast offsets table of
-    * numPartitions x sources rows — no per-source window funnels a
-    * whole domain (at 100 TB, possibly most of the corpus) through
-    * one task.
+    * Scale shape: the running sum is a TWO-STAGE prefix sum like the
+    * flagship top-p cut ([[Text.topPMassCut]]), generalized per
+    * group — but the slice id is a DETERMINISTIC hash-range function
+    * (`pid = h >> (60 - log2(MixSlices))`: hash60 is uniform in
+    * [0, 2^60), so fixed arithmetic ranges are balanced without
+    * boundary sampling), not `spark_partition_id` after a sampled
+    * repartitionByRange. That removes the persist the sampled form
+    * needed to keep its two consumers' pids consistent (round-16
+    * verdict #5: the cached doc frame leaked to the caller until a
+    * driver GC): both branches recompute the pure projection and
+    * agree by construction, nothing is cached, and the result is
+    * invariant to the slice count because prefix-sum composition is
+    * associative. Per-(slice, source) local running sums run in
+    * parallel, then a broadcast offsets table of MixSlices x sources
+    * rows — no per-source window funnels a whole domain (at 100 TB,
+    * possibly most of the corpus) through one task.
     */
-  def tokenBudgetMix(docs: DataFrame): DataFrame = {
+  val MixSlices = 256
+
+  def tokenBudgetMix(docs: DataFrame, budgetPer: Long = 2000L,
+      budgetMod: Int = 5): DataFrame = {
+    val shiftBits = 60 - (63 - java.lang.Long.numberOfLeadingZeros(
+      MixSlices.toLong))
     val d = docs.select(col("source"), col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("ntok"),
         H.hash60(concat(col("source"), lit("|"),
           col("doc_id").cast("string"))).as("h"))
-      .repartitionByRange(col("source").asc, col("h").asc,
-        col("doc_id").asc)
-      .withColumn("pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("pid", shiftright(col("h"), shiftBits).cast("int"))
     val local = Window.partitionBy("pid", "source")
       .orderBy(col("h").asc, col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -674,7 +684,7 @@ object Pipeline {
     val offsets = d.groupBy("pid", "source").agg(sum("ntok").as("part_sum"))
       .select(col("pid"), col("source"),
         coalesce(sum("part_sum").over(prior), lit(0L)).as("off"))
-    val budget = (H.hash60(col("source")) % 5 + 1) * lit(2000L)
+    val budget = (H.hash60(col("source")) % budgetMod + 1) * lit(budgetPer)
     withRun.join(broadcast(offsets), Seq("pid", "source"))
       .withColumn("run", col("off") + col("local_run"))
       .groupBy("source")
@@ -691,9 +701,10 @@ object Pipeline {
     * [[tokenBudgetMix]] — with a plain per-source window (the oracle
     * can afford the single-task funnel).
     */
-  def tokenBudgetMixOracle: String = {
+  def tokenBudgetMixOracle(budgetPer: Long = 2000L,
+      budgetMod: Int = 5): String = {
     val h = H.duckHash60("source || '|' || doc_id::VARCHAR")
-    val budget = s"(${H.duckHash60("source")} % 5 + 1) * 2000"
+    val budget = s"(${H.duckHash60("source")} % $budgetMod + 1) * $budgetPer"
     s"""WITH d AS (SELECT source, doc_id,
        |    len(string_split(text, ' '))::BIGINT AS ntok, $h AS h
        |  FROM documents),

@@ -107,6 +107,23 @@ object TopKStrategy extends SparkStrategy {
   * keys (default [[TopKPerKeyExec.MaxKeysPerPartition]]) fails fast
   * with the WindowGroupLimit guidance instead of quietly inflating
   * the unspillable map until the executor OOMs mid-shuffle.
+  *
+  * Since round 16 the operator is TOTAL under
+  * `spark.graft.topkFallback=sort`: a partition that crosses the
+  * guard DEGRADES — in that partition only — to a SPILLABLE
+  * external sort ([[org.apache.spark.sql.execution.UnsafeExternalRowSorter]],
+  * the machinery under SortExec/Window) ordered by (keys, caller
+  * ordering), emitting the first k rows per key group in one
+  * streaming pass. Rows already evicted by the heaps stay dropped —
+  * an evicted row is worse than k retained rows of its key, so it
+  * can never re-enter the top-k — and the retained rows + the rest
+  * of the stream feed the sorter, so the result set is identical to
+  * the heap path (TopKPerKeySpec pins both directions). The default
+  * stays `fail`: fail-fast remains the guard's contract (a
+  * near-unique-key plan should be REWRITTEN to the window form, not
+  * silently absorbed), and the plans of every shipped query are
+  * unchanged; the config turns the cliff into a degrade for
+  * workloads whose key cardinality is only occasionally over.
   */
 case class TopKPerKeyExec(keys: Seq[Expression], ordering: Seq[SortOrder],
     k: Int, partial: Boolean, child: SparkPlan) extends UnaryExecNode {
@@ -120,7 +137,9 @@ case class TopKPerKeyExec(keys: Seq[Expression], ordering: Seq[SortOrder],
     else ClusteredDistribution(keys) :: Nil
 
   override lazy val metrics = Map(
-    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "output rows"))
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "output rows"),
+    "sortFallbacks" -> SQLMetrics.createMetric(sparkContext,
+      "partitions degraded to spillable sort"))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keys
@@ -128,11 +147,23 @@ case class TopKPerKeyExec(keys: Seq[Expression], ordering: Seq[SortOrder],
     val kk = k
     val childOutput = child.output
     val numOutputRows = longMetric("numOutputRows")
+    val sortFallbacks = longMetric("sortFallbacks")
+    // (keys asc, caller ordering): any total order that CLUSTERS key
+    // groups works for the degrade sort; within a group the caller's
+    // ordering puts the top k first
+    val groupOrd =
+      keyExprs.map(SortOrder(_, Ascending)) ++ ord
+    val schema = org.apache.spark.sql.types.StructType(childOutput.map(a =>
+      org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable)))
     // capture on the driver: executor-side tasks don't see session conf
     val maxKeys = session.conf
       .get("spark.graft.topkMaxKeysPerPartition",
         TopKPerKeyExec.MaxKeysPerPartition.toString).toLong
+    val fallbackMode = session.conf.get("spark.graft.topkFallback", "fail")
+    require(fallbackMode == "fail" || fallbackMode == "sort",
+      s"spark.graft.topkFallback must be 'fail' or 'sort', got '$fallbackMode'")
     child.execute().mapPartitions({ iter =>
+      import scala.jdk.CollectionConverters._
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val cmp = GenerateOrdering.generate(ord, childOutput)
       // head of each queue = WORST retained row (reverse ordering), so
@@ -140,32 +171,87 @@ case class TopKPerKeyExec(keys: Seq[Expression], ordering: Seq[SortOrder],
       val worstFirst = cmp.reverse
       val heaps = new java.util.LinkedHashMap[
         UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
+
+      /** The config-selected degrade (round-16 verdict #4): spill the
+        * retained rows + the rest of the stream through an external
+        * sort on (keys, ordering), then keep the first k per key
+        * group. Heap-evicted rows stay dropped — each is worse than k
+        * retained rows of its own key.
+        */
+      def sortDegrade(pending: InternalRow,
+          rest: Iterator[InternalRow]): Iterator[InternalRow] = {
+        sortFallbacks += 1
+        val fullCmp = GenerateOrdering.generate(groupOrd, childOutput)
+        val prefixComputer =
+          new org.apache.spark.sql.execution.UnsafeExternalRowSorter.PrefixComputer {
+            private val p = new org.apache.spark.sql.execution
+              .UnsafeExternalRowSorter.PrefixComputer.Prefix
+            override def computePrefix(row: InternalRow) = {
+              p.value = 0L; p.isNull = false; p
+            }
+          }
+        val sorter = org.apache.spark.sql.execution.UnsafeExternalRowSorter
+          .create(schema, fullCmp,
+            org.apache.spark.util.collection.unsafe.sort
+              .PrefixComparators.LONG,
+            prefixComputer,
+            org.apache.spark.SparkEnv.get.memoryManager.pageSizeBytes,
+            false)
+        // toUnsafe's buffer reuse is safe: the sorter copies each row
+        // into its pages on insert (same contract SortExec relies on)
+        val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+        val retained = heaps.values().asScala.iterator
+          .flatMap(_.iterator().asScala)
+        val all = (retained ++ Iterator.single(pending) ++ rest).map {
+          case u: UnsafeRow => u
+          case other => toUnsafe(other)
+        }
+        val sorted = sorter.sort(all)
+        var curKey: UnsafeRow = null
+        var inGroup = 0
+        sorted.filter { r =>
+          val key = keyProj(r)
+          if (curKey == null || key != curKey) {
+            curKey = key.copy(); inGroup = 0
+          }
+          inGroup += 1
+          if (inGroup <= kk) { numOutputRows += 1; true } else false
+        }
+      }
+
+      var degrade: Iterator[InternalRow] = null
+      while (degrade == null && iter.hasNext) {
         val row = iter.next()
         val key = keyProj(row)
         var q = heaps.get(key)
         if (q == null) {
           if (heaps.size() >= maxKeys) {
-            throw new IllegalStateException(
+            if (fallbackMode == "sort") degrade = sortDegrade(row, iter)
+            else throw new IllegalStateException(
               s"TopKPerKeyExec: a partition crossed $maxKeys distinct " +
                 "keys (spark.graft.topkMaxKeysPerPartition). The per-key " +
                 "heaps are unspillable and sized for grouped-dimension " +
                 "keys; for near-unique keys use the window form — " +
                 s"row_number() OVER (PARTITION BY key ORDER BY ...) <= $kk" +
                 " — whose WindowGroupLimit sort spills. Raise the config " +
-                "only if the executors have heap for keys x k rows.")
+                "only if the executors have heap for keys x k rows, or " +
+                "set spark.graft.topkFallback=sort to degrade crossing " +
+                "partitions to a spillable external sort.")
+          } else {
+            q = new java.util.PriorityQueue[InternalRow](kk + 1, worstFirst)
+            heaps.put(key.copy(), q)
           }
-          q = new java.util.PriorityQueue[InternalRow](kk + 1, worstFirst)
-          heaps.put(key.copy(), q)
         }
-        if (q.size < kk) q.add(row.copy())
-        else if (cmp.compare(row, q.peek()) < 0) {
-          q.poll()
-          q.add(row.copy())
+        if (degrade == null) {
+          if (q.size < kk) q.add(row.copy())
+          else if (cmp.compare(row, q.peek()) < 0) {
+            q.poll()
+            q.add(row.copy())
+          }
         }
       }
-      import scala.jdk.CollectionConverters._
-      heaps.values().asScala.iterator.flatMap { q =>
+      if (degrade != null) degrade
+      else heaps.values().asScala.iterator.flatMap { q =>
         numOutputRows += q.size
         q.iterator().asScala
       }

@@ -1,0 +1,95 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The persisted BM25 inverted index (round-16 verdict #3): built
+  * once, appended per ingest batch (df/dl partials merge additively),
+  * probed without re-tokenizing the corpus — and bit-equal to the
+  * full-recompute scorer in any batch split, because every persisted
+  * statistic is an exact long sum and the score expression is shared
+  * literal for literal.
+  */
+class Bm25IndexSpec extends SparkSpec {
+
+  private def docs = T(spark, sf, "documents")
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSeq
+
+  test("build+append probe is bit-equal to the full recompute (both shapes)") {
+    val dir = Files.createTempDirectory("graft-bm25-idx").toString
+    Bm25Index.build(docs.filter(col("doc_id") % 2 === 0), dir)
+    assert(Bm25Index.version(spark, dir).contains(1))
+    Bm25Index.append(docs.filter(col("doc_id") % 2 === 1), dir)
+    assert(Bm25Index.version(spark, dir).contains(2))
+
+    assert(rows(Bm25Index.topDocs(spark, dir, 20, 3)) ==
+      rows(Analysis.bm25TopDocs(docs, 20, 3)))
+    assert(rows(Bm25Index.query(spark, dir, 5, 3, 3)) ==
+      rows(Analysis.bm25Query(docs, 5, 3, 3)))
+  }
+
+  test("three-way split matches too — additivity is split-invariant") {
+    val dir = Files.createTempDirectory("graft-bm25-idx3").toString
+    Bm25Index.build(docs.filter(col("doc_id") % 3 === 0), dir)
+    Bm25Index.append(docs.filter(col("doc_id") % 3 === 1), dir)
+    Bm25Index.append(docs.filter(col("doc_id") % 3 === 2), dir)
+    assert(Bm25Index.version(spark, dir).contains(3))
+    assert(rows(Bm25Index.topDocs(spark, dir, 20, 3)) ==
+      rows(Analysis.bm25TopDocs(docs, 20, 3)))
+  }
+
+  test("probe pinned to a version is stable while an append commits") {
+    val dir = Files.createTempDirectory("graft-bm25-pin").toString
+    Bm25Index.build(docs.filter(col("doc_id") % 2 === 0), dir)
+    val atV1 = rows(Bm25Index.topDocs(spark, dir, 10, 2))
+    Bm25Index.append(docs.filter(col("doc_id") % 2 === 1), dir)
+    assert(rows(Bm25Index.topDocs(spark, dir, 10, 2,
+      version = Some(1))) == atV1)
+    assert(rows(Bm25Index.topDocs(spark, dir, 10, 2)) != atV1,
+      "a current-version probe must see the appended batch")
+  }
+
+  test("compact folds files, preserves results; vacuum keeps the index live") {
+    val dir = Files.createTempDirectory("graft-bm25-compact").toString
+    Bm25Index.build(docs.filter(col("doc_id") % 3 === 0), dir)
+    Bm25Index.append(docs.filter(col("doc_id") % 3 === 1), dir)
+    Bm25Index.append(docs.filter(col("doc_id") % 3 === 2), dir)
+    val before = rows(Bm25Index.query(spark, dir, 5, 3, 3))
+    val (nBefore, nAfter) = Bm25Index.compact(spark, dir)
+    assert(nAfter < nBefore, s"compact should fold files: $nBefore -> $nAfter")
+    assert(rows(Bm25Index.query(spark, dir, 5, 3, 3)) == before)
+    assert(Bm25Index.vacuum(spark, dir, keepVersions = 1) > 0)
+    assert(rows(Bm25Index.query(spark, dir, 5, 3, 3)) == before)
+  }
+
+  test("geometry sidecar gates probes and appends") {
+    val dir = Files.createTempDirectory("graft-bm25-geom").toString
+    Bm25Index.build(docs.limit(10), dir)
+    Dedup.writeSidecar(spark, s"$dir/geometry", "buckets=7 tok=space v0")
+    intercept[IllegalArgumentException] {
+      Bm25Index.topDocs(spark, dir, 5, 2)
+    }
+    intercept[IllegalArgumentException] {
+      Bm25Index.append(docs.limit(5), dir)
+    }
+    intercept[RuntimeException] {
+      Bm25Index.topDocs(spark,
+        Files.createTempDirectory("graft-bm25-nogeom").toString, 5, 2)
+    }
+  }
+
+  test("no cached blocks leak from build/append/probe") {
+    val dir = Files.createTempDirectory("graft-bm25-leak").toString
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Bm25Index.build(docs.filter(col("doc_id") % 2 === 0), dir)
+    Bm25Index.append(docs.filter(col("doc_id") % 2 === 1), dir)
+    Bm25Index.topDocs(spark, dir, 10, 2).collect(): Unit
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"persisted RDDs leaked: ${after -- before}")
+  }
+}

@@ -137,4 +137,57 @@ class TopKPerKeySpec extends SparkSpec {
       assert(ok.count() == 500)
     } finally spark.conf.unset(confKey)
   }
+
+  test("topkFallback=sort crosses the guard and completes, identically") {
+    import spark.implicits._
+    val confKey = "spark.graft.topkMaxKeysPerPartition"
+    val fbKey = "spark.graft.topkFallback"
+    withNoAqe { try {
+      // many keys (every partition crosses the test-sized ceiling),
+      // several rows per key so the cut is non-trivial, k=2
+      val df = (1 to 2000)
+        .map(i => (s"user_${i % 400}", i % 37, i)).toDF("key", "score", "id")
+        .repartition(3)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("key")
+        .orderBy(col("score").desc, col("id").asc)
+      val want = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2).drop("rn")
+        .collect().map(_.toSeq).toSet
+
+      spark.conf.set(confKey, "10")
+      spark.conf.set(fbKey, "sort")
+      val viaFallback = TopKPerKey.topK(df, Seq("key"),
+        Seq(col("score").desc, col("id").asc), 2)
+      val got = viaFallback.collect().map(_.toSeq).toSet
+      assert(got == want,
+        s"fallback result differs: only-fb=${(got -- want).take(3)} " +
+          s"only-window=${(want -- got).take(3)}")
+      // the degrade actually fired (metric counted crossing partitions)
+      val fb = viaFallback.queryExecution.executedPlan
+        .collect { case e: TopKPerKeyExec => e }
+        .map(_.metrics("sortFallbacks").value).sum
+      assert(fb > 0, "expected at least one partition to degrade")
+
+      // same data WITHOUT the config still fails fast (default contract)
+      spark.conf.unset(fbKey)
+      intercept[Exception] {
+        TopKPerKey.topK(df, Seq("key"),
+          Seq(col("score").desc, col("id").asc), 2).collect()
+      }
+
+      // and an in-bounds query under fallback=sort never degrades
+      spark.conf.unset(confKey)
+      spark.conf.set(fbKey, "sort")
+      val healthy = TopKPerKey.topK(df, Seq("key"),
+        Seq(col("score").desc, col("id").asc), 2)
+      healthy.collect()
+      val fb2 = healthy.queryExecution.executedPlan
+        .collect { case e: TopKPerKeyExec => e }
+        .map(_.metrics("sortFallbacks").value).sum
+      assert(fb2 == 0, "in-bounds query must stay on the heap path")
+    } finally {
+      spark.conf.unset(confKey)
+      spark.conf.unset(fbKey)
+    } }
+  }
 }

@@ -698,6 +698,45 @@ class Gen:
         shape = self.SHAPES[i % len(self.SHAPES)]
         return shape, *getattr(self, shape)()
 
+    # ---------------------------------------- pipeline-operator shapes
+    # These fuzz the ns_ dedup/mixing/retrieval LIBRARY operators the
+    # SQL grammar cannot express, by randomizing their parameters
+    # (minSim, shingle n, df caps, budgets, fixture residues — the
+    # round-16 verdict's ask). The Scala side (graft.FuzzOps) runs the
+    # operator AND dumps its own parameterized oracle template, so
+    # there is exactly one source of truth for the semantics; this
+    # side only picks parameters, executes the dumped SQL in DuckDB,
+    # and compares. Parameter ranges are sized to stay cheap at
+    # sf0.01 in both engines (shingle n >= 3 and df caps <= 100 bound
+    # the pair fan-out).
+    OP_SHAPES = ["ngram_jaccard", "ngram_containment", "bm25_topdocs",
+                 "bm25_query", "token_budget_mix", "keep_best"]
+
+    def gen_op(self, i):
+        op = self.OP_SHAPES[i % len(self.OP_SHAPES)]
+        r = self.rnd
+        if op == "ngram_jaccard":
+            p = {"minSim": round(r.uniform(0.3, 0.8), 2),
+                 "maxDf": r.choice([20, 50, 100]),
+                 "n": r.choice([3, 4, 5]),
+                 "residue": r.randrange(10)}
+        elif op == "ngram_containment":
+            p = {"minCont": round(r.uniform(0.5, 0.95), 2),
+                 "maxDf": r.choice([20, 50, 100]),
+                 "n": r.choice([3, 4, 5]),
+                 "residue": r.randrange(10)}
+        elif op == "bm25_topdocs":
+            p = {"nTerms": r.randint(5, 40), "k": r.randint(1, 5)}
+        elif op == "bm25_query":
+            p = {"nQueries": r.randint(2, 8), "qTerms": r.randint(2, 5),
+                 "k": r.randint(1, 5)}
+        elif op == "token_budget_mix":
+            p = {"budgetPer": r.choice([500, 1000, 2000, 4000, 8000]),
+                 "budgetMod": r.choice([3, 5, 8, 12])}
+        else:  # keep_best
+            p = {"minSim": r.choice([0.35, 0.4, 0.5, 0.6, 0.7])}
+        return op, p
+
 
 # ------------------------------------------------------------ compare
 def norm(df: pd.DataFrame) -> pd.DataFrame:
@@ -741,6 +780,8 @@ def main():
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default="/tmp/graft_fuzz")
     ap.add_argument("--n", type=int, default=200)
+    ap.add_argument("--n-ops", type=int, default=0,
+                    help="additional parameterized pipeline-op queries")
     ap.add_argument("--seed", type=int, default=13)
     ap.add_argument("--report", default="FUZZ.json")
     ap.add_argument("--skip-spark", action="store_true",
@@ -760,7 +801,18 @@ def main():
         queries[name] = (spark_sql, duck_sql)
         open(f"{args.out}/spark_sql/{name}.sql", "w").write(spark_sql)
         open(f"{args.out}/duck_sql/{name}.sql", "w").write(duck_sql)
-    print(f"generated {len(queries)} paired queries (seed={args.seed})")
+    op_names = []
+    if args.n_ops:
+        os.makedirs(f"{args.out}/ops", exist_ok=True)
+        for i in range(args.n_ops):
+            op, params = gen.gen_op(i)
+            name = f"fzop_{i:04d}_{op}"
+            op_names.append(name)
+            lines = [f"op={op}"] + [f"{k}={v}" for k, v in params.items()]
+            open(f"{args.out}/ops/{name}.props", "w").write(
+                "\n".join(lines) + "\n")
+    print(f"generated {len(queries)} paired queries + {len(op_names)} "
+          f"op specs (seed={args.seed})")
 
     if not args.skip_spark:
         add_opens = []
@@ -790,9 +842,26 @@ def main():
         if detail:
             mismatches[name] = detail
             print(f"FAIL {name}: {detail}")
+    for name in op_names:
+        # the op's oracle template is dumped BY the Scala run (one
+        # source of truth); a missing dump means the op crashed
+        sql_path = f"{args.out}/ops_oracle/{name}.sql"
+        if not os.path.exists(sql_path):
+            detail = compare(name, f"{args.out}/results", gen.con,
+                             "SELECT 1 WHERE 1=0")
+            mismatches[name] = detail or "op ran but dumped no oracle"
+            print(f"FAIL {name}: {mismatches[name]}")
+            continue
+        detail = compare(name, f"{args.out}/results", gen.con,
+                         open(sql_path).read())
+        if detail:
+            mismatches[name] = detail
+            print(f"FAIL {name}: {detail}")
+    total = len(queries) + len(op_names)
     report = {
-        "seed": args.seed, "n": len(queries), "sf_dir": args.sf_dir,
-        "passed": len(queries) - len(mismatches),
+        "seed": args.seed, "n": total, "n_sql": len(queries),
+        "n_ops": len(op_names), "sf_dir": args.sf_dir,
+        "passed": total - len(mismatches),
         "failed": len(mismatches), "mismatches": mismatches,
     }
     json.dump(report, open(args.report, "w"), indent=1)
