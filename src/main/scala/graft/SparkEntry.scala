@@ -1335,6 +1335,24 @@ object SparkEntry {
         } finally deleteRecursively(idx.toFile)
     },
 
+    // The ingest loop maintaining the RETRIEVAL index too (round 16):
+    // corpusBuildIncr's three-batch gate/exact/near-dup loop appends
+    // each batch's kept docs to a persisted BM25 inverted index, then
+    // the query probes the standing index — bit-equal to a full BM25
+    // recompute over exactly the kept corpus (the oracle re-derives
+    // the keep decisions in SQL and scores from scratch). Fresh dir
+    // per run: the loop mutates all three standing tables.
+    q("ns_corpus_bm25_incr", Pipeline.corpusBuildIncrBm25Oracle(0.5, 10, 3)) {
+      (s, dir) =>
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-corpus-bm25")
+        try Pipeline.corpusBuildIncrBm25(
+          T(s, dir, "documents"), d.toString, 0.5, 10, 3)
+          // materialize before the index under the plan is deleted
+          .localCheckpoint(true)
+        finally deleteRecursively(d.toFile)
+    },
+
     // MinHash signatures via the typed Aggregator (map-side-combinable
     // sketch building; same constants, identical signatures).
     q("ns_minhash_signatures", Dedup.minhashSignaturesAggOracle) {

@@ -240,16 +240,21 @@ object Analysis {
       .orderBy("token", "rn")
   }
 
-  /** Same formula, literal for literal, as [[bm25TopDocs]]. */
-  def bm25TopDocsOracle(nTerms: Int = 20, k: Int = 3): String =
-    s"""WITH tok AS (SELECT doc_id, t.token FROM documents,
+  /** The CTE chain of [[bm25TopDocsOracle]] over an arbitrary source
+    * relation (a table name or an earlier CTE carrying (doc_id, text))
+    * — composable into larger oracles, e.g. scoring the KEPT corpus of
+    * an incremental build.
+    */
+  def bm25TopDocsCtes(nTerms: Int = 20, k: Int = 3,
+      src: String = "documents"): String =
+    s"""tok AS (SELECT doc_id, t.token FROM $src,
        |    unnest(string_split(text, ' ')) AS t(token)),
        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-       |stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+       |stats AS (SELECT (SELECT count(*) FROM $src) AS n_docs,
        |    (SELECT sum(dl) FROM dl)::DOUBLE /
-       |      (SELECT count(*) FROM documents) AS avgdl),
+       |      (SELECT count(*) FROM $src) AS avgdl),
        |qterms AS (SELECT token, df FROM df
        |           ORDER BY df DESC, token ASC LIMIT $nTerms),
        |scored AS (SELECT q.token, tf.doc_id,
@@ -264,7 +269,11 @@ object Analysis {
        |ranked AS (SELECT token, doc_id, score,
        |    row_number() OVER (PARTITION BY token
        |      ORDER BY score DESC, doc_id ASC) AS rn
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+
+  /** Same formula, literal for literal, as [[bm25TopDocs]]. */
+  def bm25TopDocsOracle(nTerms: Int = 20, k: Int = 3): String =
+    s"""WITH ${bm25TopDocsCtes(nTerms, k)}
        |SELECT token, rn, doc_id, score FROM ranked WHERE rn <= $k
        |ORDER BY token, rn""".stripMargin
 

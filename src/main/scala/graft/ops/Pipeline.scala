@@ -487,7 +487,7 @@ object Pipeline {
     * `dir` must be fresh (the bootstrap overwrites).
     */
   def corpusBuildIncr(docs: DataFrame, dir: String,
-      minSim: Double = 0.5): DataFrame = {
+      minSim: Double = 0.5, withBm25: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     val fix = corpusIncrFixture(docs)
     // bootstrap: both state tables start EMPTY but committed (v1 with
@@ -496,6 +496,12 @@ object Pipeline {
       fix.select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(lit(false)),
       s"$dir/lsh")
+    // optional third standing table (round-16 verdict #3 meets #2):
+    // the ingest loop ALSO maintains the persisted BM25 retrieval
+    // index of the kept corpus — bootstrap empty, append kept per
+    // batch, so decontamination probes always see the standing corpus
+    if (withBm25)
+      Bm25Index.build(fix.filter(lit(false)), s"$dir/bm25")
     val hdir = s"$dir/hashes"
     spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -542,6 +548,9 @@ object Pipeline {
         ec.join(keptIds, "doc_id").select("h"))
       Dedup.lshIndexAppendFromSigs(sigs.join(keptIds, "doc_id"),
         s"$dir/lsh")
+      if (withBm25)
+        Bm25Index.append(ec.join(keptIds, "doc_id")
+          .select("doc_id", "text"), s"$dir/bm25")
       (k, nIn, nQuality, nExact, nFinal)
     }
     import spark.implicits._
@@ -615,6 +624,46 @@ object Pipeline {
        |         ELSE (SELECT count(*) FROM d3) END AS n_final
        |FROM (SELECT unnest([1, 2, 3]) AS k)
        |ORDER BY batch""".stripMargin
+  }
+
+  /** The ingest loop WITH the retrieval index (round 16): run
+    * [[corpusBuildIncr]] maintaining a third standing table — the
+    * persisted BM25 inverted index ([[Bm25Index]]) of the kept corpus
+    * — then PROBE it. The probe never re-tokenizes the corpus (it
+    * reads the index's df partition + pruned postings buckets), yet
+    * is bit-equal to a full BM25 recompute over exactly the kept set:
+    * the oracle recomputes the three-batch keep decisions in SQL and
+    * scores the kept docs from scratch. This is the standing-corpus
+    * decontamination shape at 100 TB — per ingest batch the index
+    * grows by one O(batch) versioned append, and retrieval probes
+    * stay O(terms) regardless of corpus size.
+    */
+  def corpusBuildIncrBm25(docs: DataFrame, dir: String,
+      minSim: Double = 0.5, nTerms: Int = 10, k: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    // the loop is eager (per-batch counts drive it); its audit frame
+    // is pinned by ns_corpus_build_incr — here the INDEX is the output
+    corpusBuildIncr(docs, dir, minSim, withBm25 = true).collect(): Unit
+    Bm25Index.topDocs(spark, s"$dir/bm25", nTerms, k)
+  }
+
+  /** [[corpusBuildIncrOracle]]'s kept set, scored by
+    * [[Analysis.bm25TopDocsCtes]] from scratch.
+    */
+  def corpusBuildIncrBm25Oracle(minSim: Double = 0.5, nTerms: Int = 10,
+      k: Int = 3): String = {
+    val base = corpusBuildIncrOracle(minSim)
+    // reuse the incremental oracle's CTE chain up to the kept sets
+    // d1/d2/d3, then swap its audit SELECT for the retrieval scoring
+    val ctes = base.substring(0, base.indexOf("\nSELECT k AS batch,"))
+    s"""$ctes,
+       |kept AS (SELECT f.doc_id, f.text FROM fix f
+       |  WHERE f.doc_id IN (SELECT doc_id FROM d1
+       |    UNION ALL SELECT doc_id FROM d2
+       |    UNION ALL SELECT doc_id FROM d3)),
+       |${Analysis.bm25TopDocsCtes(nTerms, k, "kept")}
+       |SELECT token, rn, doc_id, score FROM ranked WHERE rn <= $k
+       |ORDER BY token, rn""".stripMargin
   }
 
   /** Deterministic per-source (domain-mix) sampling: each source

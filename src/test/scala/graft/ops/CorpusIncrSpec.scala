@@ -98,4 +98,25 @@ class CorpusIncrSpec extends SparkSpec {
     assert(Manifest.currentVersion(spark, s"$dir/hashes")
       .contains(1 + Pipeline.CorpusIncrBatches))
   }
+
+  test("loop-maintained BM25 index probe == full recompute over the kept corpus") {
+    val docs = T(spark, sf, "documents")
+    val dir = Files.createTempDirectory("graft-corpus-bm25-spec").toString
+    val viaIndex = Pipeline.corpusBuildIncrBm25(docs, dir, 0.5, 10, 3)
+      .collect().map(_.toSeq).toSeq
+
+    // the kept corpus, derived from the standing state the loop left
+    // behind (its membership is pinned against the sequential replay
+    // by the test above); score it from scratch with the recompute op
+    val keptIds = Dedup.readIndexBands(spark, s"$dir/lsh")
+      .select("doc_id").distinct()
+    val kept = Pipeline.corpusIncrFixture(docs).join(keptIds, "doc_id")
+      .select("doc_id", "text")
+    val recompute = Analysis.bm25TopDocs(kept, 10, 3)
+      .collect().map(_.toSeq).toSeq
+    assert(viaIndex == recompute)
+    // one bootstrap + one versioned append per batch on the bm25 table
+    assert(Bm25Index.version(spark, s"$dir/bm25")
+      .contains(1 + Pipeline.CorpusIncrBatches))
+  }
 }
