@@ -37,10 +37,16 @@ object BenchOne {
         // getPersistentRDDs until a driver GC runs the ContextCleaner,
         // and their eviction pressure lands on THIS measurement
         // (observed: ns_dedup_clusters 16 s on rep 1 vs 100 s on
-        // rep 2 of the same session without this)
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        System.gc()
+        // rep 2 of the same session without this).
+        // SPARK_GRAFT_BENCH_NO_HYGIENE skips it — the DIAGNOSTIC mode
+        // that measures a query under accumulated cross-rep state,
+        // for adjudicating in-chain readings that exceed the hygienic
+        // floor (round-16 verdict #6)
+        if (!sys.env.contains("SPARK_GRAFT_BENCH_NO_HYGIENE")) {
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          System.gc()
+        }
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()
         ((System.nanoTime() - t0) / 1e9, n)

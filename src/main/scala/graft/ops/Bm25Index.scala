@@ -187,6 +187,36 @@ object Bm25Index {
   def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 2): Int =
     Manifest.vacuum(spark, s"$dir/index", keepVersions)
 
+  /** Fold the accumulated per-append df/stat PARTIALS back to one row
+    * per token (and one stat row): after N appends the vocab-sized df
+    * partition holds N partial rows per hot token, and every probe's
+    * term-pick pays an N-way sum. This is a DYNAMIC PARTITION
+    * overwrite of only the `kind=df` and `kind=stat` partitions —
+    * postings are untouched, the swap is one atomic snapshot commit
+    * (crash leaves the previous version readable), and because the
+    * folded rows are the exact long sums of the partials, every probe
+    * answer is unchanged. Run with [[compact]] in the maintenance
+    * window. Returns (filesReplaced, filesAdded).
+    */
+  def optimizeStats(spark: SparkSession, dir: String): (Int, Int) = {
+    requireGeometry(spark, dir)
+    val table = s"$dir/index"
+    val t = Manifest.readTable(spark, table)
+    val dfFold = t.filter(col("kind") === "df")
+      .groupBy("token", "bucket").agg(sum("tf").as("tf"))
+      .select(col("token"), lit(-1L).as("doc_id"), col("tf"),
+        lit(0L).as("dl"), lit("df").as("kind"), col("bucket"))
+    val statFold = t.filter(col("kind") === "stat")
+      .agg(coalesce(sum("tf"), lit(0L)).as("tf"),
+        coalesce(sum("dl"), lit(0L)).as("dl"))
+      .select(lit("").as("token"), lit(-1L).as("doc_id"),
+        col("tf"), col("dl"), lit("stat").as("kind"),
+        lit(0).as("bucket"))
+    Layout.overwritePartitionsInPlace(spark, table,
+      dfFold.unionByName(statFold)
+        .repartition(col("kind"), col("bucket")))
+  }
+
   private def readIndex(spark: SparkSession, dir: String,
       version: Option[Int]): DataFrame = {
     requireGeometry(spark, dir)

@@ -66,6 +66,35 @@ class Bm25IndexSpec extends SparkSpec {
     assert(rows(Bm25Index.query(spark, dir, 5, 3, 3)) == before)
   }
 
+  test("optimizeStats folds df/stat partials; probes unchanged; postings untouched") {
+    val dir = Files.createTempDirectory("graft-bm25-opt").toString
+    Bm25Index.build(docs.filter(col("doc_id") % 3 === 0), dir)
+    Bm25Index.append(docs.filter(col("doc_id") % 3 === 1), dir)
+    Bm25Index.append(docs.filter(col("doc_id") % 3 === 2), dir)
+    def kindCount(k: String) = Manifest
+      .readTable(spark, s"$dir/index").filter(col("kind") === k).count()
+    val before = rows(Bm25Index.topDocs(spark, dir, 20, 3))
+    val postBefore = kindCount("post")
+    val dfBefore = kindCount("df")
+    val distinctTokens = Manifest.readTable(spark, s"$dir/index")
+      .filter(col("kind") === "df").select("token").distinct().count()
+    assert(dfBefore > distinctTokens,
+      "fixture must actually accumulate partials across the 3 batches")
+
+    Bm25Index.optimizeStats(spark, dir): Unit
+    assert(kindCount("df") == distinctTokens)
+    assert(kindCount("stat") == 1)
+    assert(kindCount("post") == postBefore)
+    assert(rows(Bm25Index.topDocs(spark, dir, 20, 3)) == before)
+    // a LATER append still merges additively on the folded base
+    val more = docs.filter(col("doc_id") % 3 === 0)
+      .withColumn("doc_id", col("doc_id") + 9000000L)
+    Bm25Index.append(more, dir)
+    val full = docs.unionByName(more)
+    assert(rows(Bm25Index.topDocs(spark, dir, 20, 3)) ==
+      rows(Analysis.bm25TopDocs(full, 20, 3)))
+  }
+
   test("geometry sidecar gates probes and appends") {
     val dir = Files.createTempDirectory("graft-bm25-geom").toString
     Bm25Index.build(docs.limit(10), dir)
