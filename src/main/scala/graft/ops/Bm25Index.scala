@@ -151,6 +151,17 @@ object Bm25Index {
     Manifest.write(spark, table, entries, 1, schema = Some(indexStruct))
   }
 
+  /** Bootstrap an EMPTY committed index (first day of ingest) without
+    * a write job: geometry sidecar + v1 empty-entry manifest under
+    * the declared schema. Appends land their own stat rows, so the
+    * derived statistics stay exact.
+    */
+  def init(spark: SparkSession, dir: String): Unit = {
+    Dedup.writeSidecar(spark, s"$dir/geometry", indexGeometry)
+    Manifest.write(spark, s"$dir/index", Seq.empty, 1,
+      schema = Some(indexStruct))
+  }
+
   /** Append one ingest batch's statistics: O(batch) — the batch's
     * postings/df/stat rows land as staged files renamed in, then ONE
     * snapshot commit makes all three kinds visible atomically. df/dl

@@ -1273,6 +1273,33 @@ object Dedup {
   def lshIndexVersion(spark: SparkSession, dir: String): Option[Int] =
     Manifest.currentVersion(spark, s"$dir/bands")
 
+  /** Bootstrap an EMPTY committed index — the first-day-of-ingest
+    * shape — without running a write job over an empty frame: just
+    * the geometry sidecar plus a v1 empty-entry manifest under the
+    * declared schema (reads as an empty table; the first append still
+    * writes Hive-partitioned via the schema's partition markers).
+    * [[lshIndexBuild]] over a known-empty corpus spends ~3 s on the
+    * shuffle/write/list machinery to produce exactly this.
+    */
+  def lshIndexInit(spark: SparkSession, dir: String): Unit = {
+    writeSidecar(spark, s"$dir/geometry", indexGeometry)
+    Manifest.write(spark, s"$dir/bands", Seq.empty, 1,
+      schema = Some(indexStruct))
+  }
+
+  /** Independent byte-for-byte copy of a standing index
+    * ([[Layout.cloneTable]] on the band table + the geometry
+    * sidecar): mutation-bearing consumers
+    * ([[dedupBatchVsIndexKeepBestApply]]) work on a clone while the
+    * master stays read-only — file copy, never a re-banding pass.
+    */
+  def lshIndexClone(spark: SparkSession, srcDir: String,
+      dstDir: String): Unit = {
+    requireGeometry(spark, srcDir)
+    Layout.cloneTable(spark, s"$srcDir/bands", s"$dstDir/bands"): Unit
+    writeSidecar(spark, s"$dstDir/geometry", indexGeometry)
+  }
+
   def lshIndexBuild(corpus: DataFrame, dir: String): Unit = {
     val spark = corpus.sparkSession
     val bands = s"$dir/bands"

@@ -45,6 +45,26 @@ class LshManifestSpec extends SparkSpec {
       "a current-version probe must see the appended docs")
   }
 
+  test("clone is independent: probes agree, mutating the clone leaves the master") {
+    val docs = T(spark, sf, "documents")
+    val master = Files.createTempDirectory("graft-lsh-clone-src").toString
+    Dedup.lshIndexBuild(Dedup.incrBase(docs), master)
+    val copy = Files.createTempDirectory("graft-lsh-clone-dst").toString
+    Dedup.lshIndexClone(spark, master, copy)
+    val batch = Dedup.incrBatch(docs)
+    assert(decisions(Dedup.dedupBatchVsIndex(batch, copy, 0.5)) ==
+      decisions(Dedup.dedupBatchVsIndex(batch, master, 0.5)))
+    // mutate the clone (keep-best apply deletes + appends); the
+    // master's snapshot and decisions are untouched
+    val masterV = Dedup.lshIndexVersion(spark, master)
+    val before = decisions(Dedup.dedupBatchVsIndex(batch, master, 0.5))
+    Dedup.dedupBatchVsIndexKeepBestApply(batch, copy, 0.5).collect(): Unit
+    assert(Dedup.lshIndexVersion(spark, master) == masterV)
+    assert(decisions(Dedup.dedupBatchVsIndex(batch, master, 0.5)) == before)
+    assert(Dedup.lshIndexVersion(spark, copy).exists(v =>
+      v > masterV.get || v >= 2), "the clone must have advanced")
+  }
+
   test("kill-mid-compact leaves the index readable; staged files are invisible") {
     val docs = T(spark, sf, "documents")
     val dir = Files.createTempDirectory("graft-lsh-mf-crash").toString
