@@ -613,6 +613,24 @@ object Manifest {
         s.fields.find(_.name == c).map(physNameOf).getOrElse(c))
       case None => statColsIn
     }
+    // Commit-latency fast path: with no stat columns the only things
+    // an entry needs are (rows, bytes), and for a bounded staged set
+    // both come off the parquet FOOTERS, read on the driver — no
+    // Spark job. An append commit was paying a fixed ~0.3-0.5 s
+    // aggregate job just to count rows; at ingest-loop cadence
+    // (build + N appends, two or three tables) that job dominated
+    // the loop's bench cost. Large sets keep the distributed scan.
+    if (statCols.isEmpty && onlyNames.exists(ns =>
+        ns.nonEmpty && ns.size <= 512)) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      return onlyNames.get.map { n =>
+        val p = new Path(s"$dir/$n")
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+        val rows = try rd.getRecordCount finally rd.close()
+        ManifestEntry(n, rows, fs.getFileStatus(p).getLen, Seq.empty, None)
+      }.sortBy(_.name)
+    }
     val src = onlyNames match {
       case Some(names) =>
         if (names.isEmpty) return Seq.empty
