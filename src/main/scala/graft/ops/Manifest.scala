@@ -629,7 +629,13 @@ object Manifest {
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
         val rows = try rd.getRecordCount finally rd.close()
         ManifestEntry(n, rows, fs.getFileStatus(p).getLen, Seq.empty, None)
-      }.sortBy(_.name)
+      }
+        // the distributed path drops ZERO-ROW files naturally (an
+        // empty input produces no groupBy(input_file_name) group) and
+        // statStaged deletes the dropped stage files — e.g. TRUNCATE's
+        // empty overwrite commits an EMPTY entry list. Match it.
+        .filter(_.rows > 0)
+        .sortBy(_.name)
     }
     val src = onlyNames match {
       case Some(names) =>
