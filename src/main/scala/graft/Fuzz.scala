@@ -111,6 +111,15 @@ object FuzzOps {
     def d(k: String) = p(k).toDouble
     def i(k: String) = p(k).toInt
     def l(k: String) = p(k).toLong
+    // incremental shapes build a throwaway index; results are
+    // eagerly checkpointed, so the dir can be reclaimed immediately
+    def rmrf(p0: String): Unit = {
+      def rec(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rec))
+        f.delete(): Unit
+      }
+      rec(new java.io.File(p0))
+    }
     p("op") match {
       case "ngram_jaccard" =>
         (graft.ops.Dedup.ngramJaccard(
@@ -140,6 +149,52 @@ object FuzzOps {
       case "keep_best" =>
         (graft.ops.Dedup.dedupKeepBest(docs, d("minSim")),
           graft.ops.Dedup.dedupKeepBestOracle(d("minSim")))
+      // ------- standing-state (incremental) shapes, round-17: the
+      // fixed fixtures get randomized residues / splits / minSim
+      case "dedup_incr" =>
+        // fresh index over the randomized base split, probe the batch
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-fuzz-incr").toString
+        graft.ops.Dedup.lshIndexBuild(graft.ops.Dedup.incrBaseP(docs,
+          i("m1"), i("r1"), i("m2"), i("r2")), dir)
+        val incrRes = graft.ops.Dedup.dedupBatchVsIndex(
+          graft.ops.Dedup.incrBatchP(docs,
+            i("m1"), i("r1"), i("m2"), i("r2")), dir, d("minSim"))
+          .localCheckpoint(true)
+        rmrf(dir)
+        (incrRes, graft.ops.Dedup.dedupIncrOracle(d("minSim"),
+          i("m1"), i("r1"), i("m2"), i("r2")))
+      case "keep_best_incr" =>
+        // the MUTATING keep-best apply over the standard split,
+        // randomized minSim (the oracle template is minSim-general)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-fuzz-kb").toString
+        graft.ops.Dedup.lshIndexBuild(graft.ops.Dedup.incrBase(docs), dir)
+        val kbRes = graft.ops.Dedup.dedupBatchVsIndexKeepBestApply(
+          graft.ops.Dedup.incrBatch(docs), dir, d("minSim"))
+        rmrf(dir)
+        (kbRes, graft.ops.Dedup.dedupKeepBestIncrOracle(d("minSim")))
+      case "bm25_index_split" =>
+        // build+append the persisted index under a RANDOM batch split;
+        // the probe must be bit-equal to the split-blind recompute
+        // oracle (df/dl additivity is split-invariant by design)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-fuzz-bmidx").toString
+        val m = i("splitMod")
+        graft.ops.Bm25Index.build(
+          docs.filter(org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.lit(m.toLong)) === 0), dir)
+        (1 until m).foreach { r =>
+          graft.ops.Bm25Index.append(
+            docs.filter(org.apache.spark.sql.functions.pmod(
+              org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.lit(m.toLong)) === r), dir)
+        }
+        val bmRes = graft.ops.Bm25Index
+          .topDocs(spark, dir, i("nTerms"), i("k")).localCheckpoint(true)
+        rmrf(dir)
+        (bmRes, graft.ops.Analysis.bm25TopDocsOracle(i("nTerms"), i("k")))
       case other => sys.error(s"unknown fuzz op '$other'")
     }
   }

@@ -1320,20 +1320,24 @@ object SparkEntry {
     // batch-vs-corpus boundary — a batch doc that outscores every
     // corpus doc it matches REPLACES them (merge-on-read delete
     // against the index's manifest + append), instead of the plain
-    // probe's corpus-always-wins. Fresh dir per run: the apply form
-    // MUTATES the index, so the oracle-checked path exercises the
-    // delete/append machinery too. (Measured: rebuilding the base
-    // index here is FASTER at bench scale than Dedup.lshIndexClone
-    // of a build-once master — one parallel banding pass beats ~200
-    // per-file copy tasks; at 100 TB the clone wins, which is why
-    // the verb exists in the library.)
+    // probe's corpus-always-wins. Fresh MUTABLE index per run (the
+    // apply form mutates it, so the oracle-checked path exercises the
+    // delete/append machinery too) — obtained by CLONING a build-once
+    // master (round-17: graft.CloneVsRebuild measured the byte-copy
+    // clone faster than re-banding at every SF — 0.5 s flat vs
+    // 1.8→13.5 s growing; Dedup.lshIndexFresh auto-selects and
+    // rebuilds only an absent/torn master).
     q("ns_dedup_keep_best_incr", Dedup.dedupKeepBestIncrOracle(0.5)) {
       (s, dir) =>
+        val (csum, cmtime) = docsFingerprint(dir)
+        val master = layoutDir("kbmaster-b" + Dedup.Bands +
+          "x" + Dedup.IndexBuckets + "s" + Dedup.MinhashAB.size +
+          "-c" + csum + "m" + cmtime, dir)
         val idx = java.nio.file.Files
           .createTempDirectory("graft-keepbest-incr")
         try {
-          Dedup.lshIndexBuild(Dedup.incrBase(T(s, dir, "documents")),
-            idx.toString)
+          Dedup.lshIndexFresh(Dedup.incrBase(T(s, dir, "documents")),
+            master, idx.toString)
           Dedup.dedupBatchVsIndexKeepBestApply(
             Dedup.incrBatch(T(s, dir, "documents")), idx.toString, 0.5)
         } finally deleteRecursively(idx.toFile)
@@ -1367,6 +1371,35 @@ object SparkEntry {
             withBm25 = true).collect(): Unit
         }
         Bm25Index.topDocs(s, s"$d/bm25", 10, 3)
+    },
+
+    // Keep-best ingest composed with the retrieval index (round 17):
+    // per batch, quality arbitration replaces worse standing docs in
+    // the LSH index — and UN-INDEXES them from the BM25 index
+    // (tombstone + negative df/dl corrections, one atomic commit)
+    // before the winners append. The probe over the loop-built index
+    // is bit-equal to a from-scratch BM25 over the post-replacement
+    // kept corpus (the oracle unrolls the three keep-best steps in
+    // SQL). Fresh dir per run: replacement + un-index machinery is
+    // the thing under test.
+    q("ns_corpus_bm25_keep_best",
+      Pipeline.corpusKeepBestBm25Oracle(0.5, 10, 3)) {
+      (s, dir) =>
+        val (csum, cmtime) = docsFingerprint(dir)
+        // build-once read-only masters of the two standing tables;
+        // each rep CLONES them (measured faster than rebuilding at
+        // every SF — PLANS.md round 17) into a fresh mutable dir
+        val master = layoutDir("kbbm25m-b" + Dedup.Bands +
+          "x" + Dedup.IndexBuckets + "s" + Dedup.MinhashAB.size +
+          "-bb" + Bm25Index.Buckets + "-c" + csum + "m" + cmtime, dir)
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-keepbest-bm25")
+        // the probe lazily reads the index — materialize (lineage cut)
+        // BEFORE the temp index is deleted, like ns_dedup_incr_loop's
+        // checkpointed decisions
+        try Pipeline.corpusKeepBestBm25(T(s, dir, "documents"),
+          d.toString, 0.5, 10, 3, Some(master)).localCheckpoint(true)
+        finally deleteRecursively(d.toFile)
     },
 
     // MinHash signatures via the typed Aggregator (map-side-combinable

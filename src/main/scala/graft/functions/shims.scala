@@ -24,4 +24,12 @@ object graftShims {
   def ofRows(spark: SparkSession,
       plan: catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** `NormalizeFloatingNumbers.normalize` is private[sql]; custom
+    * physical operators that key state on projected bytes need the
+    * same -0.0/NaN canonicalization the optimizer gives built-in
+    * grouping operators.
+    */
+  def normalizeFloats(e: Expression): Expression =
+    catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
 }

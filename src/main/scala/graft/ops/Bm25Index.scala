@@ -176,6 +176,12 @@ object Bm25Index {
     withIndexRows(batch) { rows =>
       Layout.appendInPlace(spark, s"$dir/index", rows): Unit
     }
+    // same auto-compaction cadence as the LSH index's appends
+    // ([[Dedup.AutoCompactFilesPerDir]]): past the per-directory file
+    // budget the append folds the table itself, a metadata-swap commit
+    val thresh = Dedup.autoCompactThreshold(spark)
+    if (thresh > 0 && Layout.maxFilesPerDir(spark, s"$dir/index") > thresh)
+      compact(spark, dir): Unit
   }
 
   /** Committed snapshot version — pin a probe to it for consistent
@@ -183,6 +189,194 @@ object Bm25Index {
     */
   def version(spark: SparkSession, dir: String): Option[Int] =
     Manifest.currentVersion(spark, s"$dir/index")
+
+  /** Independent byte-for-byte copy of a committed index (the
+    * [[Dedup.lshIndexClone]] sibling): mutation-bearing consumers
+    * work on a clone while the master stays read-only.
+    */
+  def cloneIndex(spark: SparkSession, srcDir: String,
+      dstDir: String): Unit = {
+    requireGeometry(spark, srcDir)
+    Layout.cloneTable(spark, s"$srcDir/index", s"$dstDir/index"): Unit
+    Dedup.writeSidecar(spark, s"$dstDir/geometry", indexGeometry)
+  }
+
+  /** Fresh MUTABLE index over `corpus` at `dir` via a build-once
+    * master — same measured auto-select as [[Dedup.lshIndexFresh]]
+    * (clone beats rebuild at every SF; PLANS.md round 17), same
+    * `spark.graft.lsh.setupPath` pin, bit-identical either way.
+    */
+  def fresh(corpus: DataFrame, masterDir: String, dir: String): Unit = {
+    val spark = corpus.sparkSession
+    val mode = spark.conf.get("spark.graft.lsh.setupPath", "auto")
+    require(Seq("auto", "rebuild", "clone").contains(mode),
+      s"spark.graft.lsh.setupPath must be auto|rebuild|clone, got '$mode'")
+    if (mode == "rebuild") { build(corpus, dir); return }
+    val masterOk =
+      Dedup.readSidecar(spark, s"$masterDir/geometry")
+        .contains(indexGeometry) &&
+        Manifest.currentVersion(spark, s"$masterDir/index").isDefined
+    if (!masterOk) {
+      require(mode != "clone",
+        s"setupPath=clone but no committed master at $masterDir")
+      build(corpus, masterDir)
+    }
+    cloneIndex(spark, masterDir, dir)
+  }
+
+  /** UN-INDEX documents (round-16 verdict #2 — the delete path the
+    * LSH sibling has and this index lacked): ONE atomic append commit
+    * carrying, for the doomed ids,
+    *
+    *   - `kind=del` TOMBSTONES (one row per doomed doc_id) — probes
+    *     subtract tombstoned docs from the postings scan with a
+    *     broadcast anti-join, so a deleted doc is never scored;
+    *   - NEGATIVE `kind=df` partials, one per (token, bucket) the
+    *     doomed docs contributed — the additive df merge stays exact
+    *     (long sums), so idf over the post-delete corpus needs no
+    *     special casing;
+    *   - one NEGATIVE `kind=stat` partial (-n_docs, -sum_dl).
+    *
+    * Because all three land in the SAME snapshot commit, there is no
+    * window where postings are dead but df still counts them (or the
+    * reverse) — a probe pinned to any version scores a CONSISTENT
+    * corpus. The corrections are computed from the index's OWN
+    * postings (the standing record of the doomed docs' statistics),
+    * so the caller needs only ids — the deleted docs' text can be
+    * long gone. Already-tombstoned ids are skipped (double-delete is
+    * a no-op), and the scan cost is one postings pass — a maintenance
+    * verb, not a probe. Contract: doomed ids must be PREVIOUSLY
+    * APPENDED docs, and a deleted id must never be re-appended (the
+    * tombstone would mask the new rows; ingest pipelines mint unique
+    * ids). Physical reclamation + tombstone retirement is
+    * [[flushDeletes]]; past `spark.graft.bm25.autoFlushRatio`
+    * (default 0.10, 0 disables) of the corpus tombstoned, this verb
+    * flushes immediately — the DV auto-flush policy, so sustained
+    * delete workloads keep the probe-side anti-join set bounded.
+    * Returns newly tombstoned doc count.
+    */
+  def delete(doomedIds: DataFrame, dir: String): Long = {
+    val spark = doomedIds.sparkSession
+    requireGeometry(spark, dir)
+    deleteRows(spark, dir, doomedIds) match {
+      case None => 0L
+      case Some((rows, n)) =>
+        Layout.appendInPlace(spark, s"$dir/index",
+          rows.repartition(col("kind"), col("bucket"))): Unit
+        maybeAutoFlush(spark, dir)
+        n
+    }
+  }
+
+  /** [[delete]] + [[append]] as ONE atomic commit — the per-batch
+    * "replace" shape of a keep-best ingest loop: the displaced docs'
+    * tombstones + negative corrections AND the incoming batch's
+    * postings/df/stat rows land in a single snapshot, halving the
+    * loop's commit count with the same no-torn-scores guarantee.
+    * `batch` and `doomedIds` must be disjoint (a replacement batch
+    * doc carries its own fresh id). Returns newly tombstoned count.
+    */
+  def deleteAndAppend(doomedIds: DataFrame, batch: DataFrame,
+      dir: String): Long = {
+    val spark = batch.sparkSession
+    requireGeometry(spark, dir)
+    val del = deleteRows(spark, dir, doomedIds)
+    withIndexRows(batch) { rows =>
+      val all = del.map(_._1.unionByName(rows)).getOrElse(rows)
+      Layout.appendInPlace(spark, s"$dir/index",
+        all.repartition(col("kind"), col("bucket"))): Unit
+    }
+    maybeAutoFlush(spark, dir)
+    val thresh = Dedup.autoCompactThreshold(spark)
+    if (thresh > 0 && Layout.maxFilesPerDir(spark, s"$dir/index") > thresh)
+      compact(spark, dir): Unit
+    del.map(_._2).getOrElse(0L)
+  }
+
+  /** The tombstone + correction rows of a delete against the CURRENT
+    * snapshot — None when every doomed id is already tombstoned (a
+    * double-delete). Shared by [[delete]] and [[deleteAndAppend]].
+    */
+  private def deleteRows(spark: SparkSession, dir: String,
+      doomedIds: DataFrame): Option[(DataFrame, Long)] = {
+    val t = Manifest.readTable(spark, s"$dir/index")
+    val already = t.filter(col("kind") === "del").select("doc_id")
+    val doomed = Dedup.iterCheckpoint(
+      doomedIds.select(col("doc_id").cast("bigint").as("doc_id"))
+        .distinct().join(already, Seq("doc_id"), "left_anti"))
+    val n = doomed.count()
+    if (n == 0L) return None
+    val victims = t.filter(col("kind") === "post")
+      .join(broadcast(doomed), Seq("doc_id"), "left_semi")
+    val dfCorr = victims.groupBy("token", "bucket")
+      .agg((-count(lit(1))).as("tf"))
+      .select(col("token"), lit(-1L).as("doc_id"), col("tf"),
+        lit(0L).as("dl"), lit("df").as("kind"), col("bucket"))
+    // dl is denormalized per posting row — one distinct per doc
+    val statCorr = victims.select("doc_id", "dl").distinct()
+      .agg(coalesce(sum("dl"), lit(0L)).as("s"))
+      .select(lit("").as("token"), lit(-1L).as("doc_id"),
+        lit(-n).as("tf"), (-col("s")).as("dl"),
+        lit("stat").as("kind"), lit(0).as("bucket"))
+    val tombs = doomed.select(lit("").as("token"), col("doc_id"),
+      lit(0L).as("tf"), lit(0L).as("dl"),
+      lit("del").as("kind"), lit(0).as("bucket"))
+    Some((tombs.unionByName(dfCorr).unionByName(statCorr), n))
+  }
+
+  /** The DV auto-flush policy, BM25 form: past
+    * `spark.graft.bm25.autoFlushRatio` (default 0.10, 0 disables) of
+    * the live corpus tombstoned, flush immediately so the probe-side
+    * anti-join set stays bounded under sustained deletes.
+    */
+  private def maybeAutoFlush(spark: SparkSession, dir: String): Unit = {
+    val flushRatio = spark.conf
+      .getOption("spark.graft.bm25.autoFlushRatio")
+      .map(_.toDouble).getOrElse(0.10)
+    if (flushRatio > 0) {
+      val t2 = Manifest.readTable(spark, s"$dir/index")
+      val live = t2.filter(col("kind") === "stat")
+        .agg(coalesce(sum("tf"), lit(0L))).head.getLong(0)
+      val dels = t2.filter(col("kind") === "del").count()
+      if (live > 0 && dels > flushRatio * live)
+        flushDeletes(spark, dir): Unit
+    }
+  }
+
+  /** Materialize accumulated tombstones: rewrite the index WITHOUT
+    * the tombstoned docs' postings (the df/dl partials fold to their
+    * exact net sums, zero-df tokens dropped) and retire the `kind=del`
+    * partition — the probe-side anti-join set goes back to empty.
+    * O(index) rewrite, one atomic overwrite commit (crash leaves the
+    * previous snapshot readable) — the maintenance-window half of
+    * merge-on-read, exactly like [[Layout.flushDeleteVectors]]. Every
+    * probe answer is unchanged. Returns tombstones retired.
+    */
+  def flushDeletes(spark: SparkSession, dir: String): Long = {
+    requireGeometry(spark, dir)
+    val table = s"$dir/index"
+    val t = Manifest.readTable(spark, table)
+    val dels = t.filter(col("kind") === "del").select("doc_id")
+    val nDel = dels.count()
+    if (nDel == 0L) return 0L
+    val posts = t.filter(col("kind") === "post")
+      .join(broadcast(dels), Seq("doc_id"), "left_anti")
+    val dfFold = t.filter(col("kind") === "df")
+      .groupBy("token", "bucket").agg(sum("tf").as("tf"))
+      .filter(col("tf") > 0)
+      .select(col("token"), lit(-1L).as("doc_id"), col("tf"),
+        lit(0L).as("dl"), lit("df").as("kind"), col("bucket"))
+    val statFold = t.filter(col("kind") === "stat")
+      .agg(coalesce(sum("tf"), lit(0L)).as("tf"),
+        coalesce(sum("dl"), lit(0L)).as("dl"))
+      .select(lit("").as("token"), lit(-1L).as("doc_id"),
+        col("tf"), col("dl"), lit("stat").as("kind"),
+        lit(0).as("bucket"))
+    Layout.overwriteInPlace(spark, table,
+      posts.unionByName(dfFold).unionByName(statFold)
+        .repartition(col("kind"), col("bucket")))
+    nDel
+  }
 
   /** Fold the per-append small files back to ~one per (kind, bucket):
     * a pure metadata swap over the index's manifest — no no-index
@@ -212,9 +406,22 @@ object Bm25Index {
   def optimizeStats(spark: SparkSession, dir: String): (Int, Int) = {
     requireGeometry(spark, dir)
     val table = s"$dir/index"
-    val t = Manifest.readTable(spark, table)
+    // WRITER-SIDE GUARD (round-16 advisor): this verb reads df/stat
+    // partials and overwrites their partitions with the fold — an
+    // append committing BETWEEN the read and the overwrite would have
+    // its partials clobbered while its postings survive. Pin the read
+    // to the current version and re-verify it is STILL current right
+    // before the swap: a concurrent commit fails this verb loudly
+    // (retry in the maintenance window) instead of silently skewing
+    // every later score. Like [[compact]], maintenance verbs assume a
+    // single-writer window; this check converts a violated assumption
+    // into an error.
+    val v = Manifest.currentVersion(spark, table).getOrElse(
+      sys.error(s"$table has no manifest — not a committed BM25 index"))
+    val t = Manifest.readTable(spark, table, Some(v))
     val dfFold = t.filter(col("kind") === "df")
       .groupBy("token", "bucket").agg(sum("tf").as("tf"))
+      .filter(col("tf") =!= 0)
       .select(col("token"), lit(-1L).as("doc_id"), col("tf"),
         lit(0L).as("dl"), lit("df").as("kind"), col("bucket"))
     val statFold = t.filter(col("kind") === "stat")
@@ -223,6 +430,10 @@ object Bm25Index {
       .select(lit("").as("token"), lit(-1L).as("doc_id"),
         col("tf"), col("dl"), lit("stat").as("kind"),
         lit(0).as("bucket"))
+    require(Manifest.currentVersion(spark, table).contains(v),
+      s"$table advanced past v$v while optimizeStats was folding — " +
+        "a concurrent writer violated the single-writer maintenance " +
+        "window; retry when no appends are in flight")
     Layout.overwritePartitionsInPlace(spark, table,
       dfFold.unionByName(statFold)
         .repartition(col("kind"), col("bucket")))
@@ -239,8 +450,13 @@ object Bm25Index {
     * probe pruning) and the (n_docs, avgdl) broadcast row.
     */
   private def derivedStats(t: DataFrame): (DataFrame, DataFrame) = {
+    // df > 0 drops fully-deleted tokens (net-zero partials after
+    // [[delete]]'s negative corrections) so the term pick never
+    // wastes a slot on a token with no live postings — term-for-term
+    // what a from-scratch recompute over the live corpus would pick
     val dfAgg = t.filter(col("kind") === "df")
       .groupBy("token", "bucket").agg(sum("tf").as("df"))
+      .filter(col("df") > 0)
     val stats = t.filter(col("kind") === "stat")
       .agg(sum("tf").as("n_docs"), sum("dl").as("sum_dl"))
       .select(col("n_docs"),
@@ -251,14 +467,19 @@ object Bm25Index {
   /** The probe's postings scan for a driver-sized term list: prune to
     * the buckets the terms hash to (partition filter — the scan lists
     * only those directories of the snapshot's files), then push the
-    * term IN-filter into the parquet read. The collect feeding this
-    * is `nTerms` rows — a query parameter, not data-sized.
+    * term IN-filter into the parquet read. Tombstoned docs
+    * ([[delete]]) subtract with a broadcast anti-join — the del set
+    * is flush-bounded by the auto-flush ratio, never corpus-sized.
+    * The collect feeding this is `nTerms` rows — a query parameter,
+    * not data-sized.
     */
   private def postingsFor(t: DataFrame, terms: Seq[String],
       buckets: Seq[Int]): DataFrame =
     t.filter(col("kind") === "post" &&
       col("bucket").isin(buckets: _*) &&
       col("token").isin(terms: _*))
+      .join(broadcast(t.filter(col("kind") === "del").select("doc_id")),
+        Seq("doc_id"), "left_anti")
 
   /** [[Analysis.bm25TopDocs]] served from the index: same output,
     * same oracle ([[Analysis.bm25TopDocsOracle]]), but the corpus is

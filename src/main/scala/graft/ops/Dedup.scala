@@ -1128,8 +1128,10 @@ object Dedup {
     * guaranteed *batch-vs-corpus* matches. Both decision paths are
     * exercised at every SF.
     */
-  private def incrBatchPred: Column =
-    col("doc_id") % 50 === 0 || col("doc_id") % 30 === 7
+  private def incrBatchPred(m1: Int, r1: Int, m2: Int, r2: Int): Column =
+    col("doc_id") % m1 === r1 || col("doc_id") % m2 === r2
+
+  private def incrBatchPred: Column = incrBatchPred(50, 0, 30, 7)
 
   /** The standing corpus the index is built over. */
   def incrBase(docs: DataFrame): DataFrame =
@@ -1138,6 +1140,18 @@ object Dedup {
   /** The incoming batch to dedup against the index. */
   def incrBatch(docs: DataFrame): DataFrame =
     corpusWithVariants(docs).filter(incrBatchPred)
+
+  /** Residue-PARAMETERIZED base/batch split (round-16 verdict #6: the
+    * standing-state ops fuzzed beyond their fixed fixture) — the
+    * default split is (50, 0, 30, 7).
+    */
+  def incrBaseP(docs: DataFrame, m1: Int, r1: Int, m2: Int,
+      r2: Int): DataFrame =
+    corpusWithVariants(docs).filter(!incrBatchPred(m1, r1, m2, r2))
+
+  def incrBatchP(docs: DataFrame, m1: Int, r1: Int, m2: Int,
+      r2: Int): DataFrame =
+    corpusWithVariants(docs).filter(incrBatchPred(m1, r1, m2, r2))
 
   /** Persist the LSH band index of a standing corpus under
     * `dir/bands`: one row per (doc, band) carrying the full
@@ -1300,6 +1314,41 @@ object Dedup {
     writeSidecar(spark, s"$dstDir/geometry", indexGeometry)
   }
 
+  /** A fresh MUTABLE index over `corpus` at `dir`, via a build-once
+    * read-only master at `masterDir` (round-16 verdict #5 — the
+    * re-band vs clone crossover, now MEASURED instead of asserted):
+    * `graft.CloneVsRebuild` times both paths, and the byte-copy clone
+    * beats re-banding at EVERY measured scale — sf0.01 0.44 s vs
+    * 1.87 s, sf0.1 0.48 vs 1.84, sf1 0.57 vs 2.74, sf10 0.56 vs 13.5
+    * (PLANS.md round 17). There is no crossover to gate on: the clone
+    * is file-parallel I/O over ~one file per bucket while the rebuild
+    * re-tokenizes and re-minhashes the corpus, so `auto` clones
+    * whenever a committed master exists and (re)builds the master
+    * only when it is absent or torn (no manifest version — the
+    * build's completion marker). The round-16 prose claim that
+    * rebuilding was faster at bench scale predates the per-bucket
+    * file collapse and did not survive measurement.
+    * `spark.graft.lsh.setupPath` pins `rebuild` / `clone` for A/Bs;
+    * results are bit-identical either way (a clone is a byte copy).
+    */
+  def lshIndexFresh(corpus: DataFrame, masterDir: String,
+      dir: String): Unit = {
+    val spark = corpus.sparkSession
+    val mode = spark.conf.get("spark.graft.lsh.setupPath", "auto")
+    require(Seq("auto", "rebuild", "clone").contains(mode),
+      s"spark.graft.lsh.setupPath must be auto|rebuild|clone, got '$mode'")
+    if (mode == "rebuild") { lshIndexBuild(corpus, dir); return }
+    val masterOk =
+      readSidecar(spark, s"$masterDir/geometry").contains(indexGeometry) &&
+        Manifest.currentVersion(spark, s"$masterDir/bands").isDefined
+    if (!masterOk) {
+      require(mode != "clone",
+        s"setupPath=clone but no committed master at $masterDir")
+      lshIndexBuild(corpus, masterDir)
+    }
+    lshIndexClone(spark, masterDir, dir)
+  }
+
   def lshIndexBuild(corpus: DataFrame, dir: String): Unit = {
     val spark = corpus.sparkSession
     val bands = s"$dir/bands"
@@ -1348,6 +1397,23 @@ object Dedup {
     * batch's signatures, so appending the kept subset re-reads that
     * materialization instead of re-tokenizing the docs.
     */
+  /** Auto-compaction cadence default (round-16 verdict #7): when any
+    * bucket directory's file count crosses this after an append, the
+    * append triggers [[lshIndexCompact]] itself — at daily-ingest
+    * cadence nothing else ever runs it, and the loop would otherwise
+    * accrue a file per (append x bucket) until probes go
+    * file-open-bound. The check is pure manifest metadata
+    * ([[Layout.maxFilesPerDir]]), the compaction a metadata-swap
+    * commit (probes pinned to the pre-compact version read
+    * bit-identical results). Same shape as the DV auto-flush ratio:
+    * `spark.graft.autoCompactFilesPerDir` overrides, 0 disables.
+    */
+  val AutoCompactFilesPerDir = 16
+
+  private[ops] def autoCompactThreshold(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.autoCompactFilesPerDir",
+      AutoCompactFilesPerDir.toString).toInt
+
   def lshIndexAppendFromSigs(sigs: DataFrame, dir: String): Unit = {
     val spark = sigs.sparkSession
     requireGeometry(spark, dir)
@@ -1359,6 +1425,9 @@ object Dedup {
     // append leaves unreferenced files for vacuum, never a torn index.
     Layout.appendInPlace(spark, s"$dir/bands",
       bandRowsFromSigs(sigs).repartition(col("bucket")))
+    val thresh = autoCompactThreshold(spark)
+    if (thresh > 0 && Layout.maxFilesPerDir(spark, s"$dir/bands") > thresh)
+      lshIndexCompact(spark, dir): Unit
   }
 
   /** Rewrite the index to ~one file per bucket. Appends accumulate a
@@ -1527,7 +1596,8 @@ object Dedup {
     * batch-vs-base direction (the index probe has no id ordering),
     * id_a < id_b keep-first for the batch-internal direction.
     */
-  def dedupIncrOracle(minSim: Double = 0.5): String =
+  def dedupIncrOracle(minSim: Double = 0.5, m1: Int = 50, r1: Int = 0,
+      m2: Int = 30, r2: Int = 7): String =
     s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |corpus AS (
        |  SELECT doc_id, toks FROM base WHERE len(toks) >= 3
@@ -1535,7 +1605,7 @@ object Dedup {
        |  SELECT doc_id + $VariantIdOffset, toks[2:] FROM base WHERE len(toks) > 3),
        |$minhashEstCtes,
        |batch AS (SELECT doc_id FROM corpus
-       |          WHERE doc_id % 50 = 0 OR doc_id % 30 = 7),
+       |          WHERE doc_id % $m1 = $r1 OR doc_id % $m2 = $r2),
        |sym AS (SELECT id_a AS d, id_b AS o, est_sim FROM est
        |        UNION ALL SELECT id_b, id_a, est_sim FROM est),
        |cdup AS (SELECT d AS doc_id, min(o) AS dup_corpus FROM sym
@@ -1644,13 +1714,24 @@ object Dedup {
     * A re-probe of a replaced doc's content matches ITS band rows,
     * never the displaced doc's. Returns the decision frame.
     *
-    * The displaced-id set crosses the driver (the merge-on-read
-    * predicate is an isin) — bounded by O(batch x avg matches), the
-    * same order as the decision frame itself; a backfill-scale
-    * replacement wave should rebuild instead.
+    * The displaced-id set stays DISTRIBUTED (round-16 verdict #3):
+    * the merge-on-read marks come from a broadcast semi-join against
+    * the doomed frame ([[Layout.deleteMergeOnReadKeys]]), never a
+    * driver-collected literal In — a re-crawl-heavy batch replacing
+    * 100k+ standing docs is a normal plan, not a 100k-literal one.
     */
   def dedupBatchVsIndexKeepBestApply(batch: DataFrame, dir: String,
-      minSim: Double = 0.5): DataFrame = {
+      minSim: Double = 0.5): DataFrame =
+    dedupBatchVsIndexKeepBestApplyCore(batch, dir, minSim)._1
+
+  /** [[dedupBatchVsIndexKeepBestApply]] plus the materialized frame
+    * of DISPLACED standing-corpus ids (column `corpus_id`; empty when
+    * no replacement fired) — so a composed ingest loop can propagate
+    * the replacements to its OTHER standing indexes (the BM25
+    * un-index path, round-17 verdict #2) without re-probing.
+    */
+  private[ops] def dedupBatchVsIndexKeepBestApplyCore(batch: DataFrame,
+      dir: String, minSim: Double): (DataFrame, DataFrame) = {
     val spark = batch.sparkSession
     val (dec0, sigs, pairs0) = dedupKeepBestVsIndexCore(batch, dir, minSim)
     // materialize decisions AND match pairs before mutating the index
@@ -1659,17 +1740,25 @@ object Dedup {
     val pairs = iterCheckpoint(pairs0)
     val replaced = dec.filter(col("decision") === "replaced_corpus")
       .select("doc_id")
-    val doomed = pairs.join(replaced, "doc_id")
-      .select("corpus_id").distinct()
-      .collect().map(_.getLong(0)).sorted.toIndexedSeq
-    if (doomed.nonEmpty)
-      Layout.deleteMergeOnRead(spark, s"$dir/bands",
-        col("doc_id").isin(doomed: _*))
+    val doomed = iterCheckpoint(
+      pairs.join(replaced, "doc_id").select("corpus_id").distinct())
     val keepIds = dec
       .filter(col("decision").isin("kept", "replaced_corpus"))
       .select("doc_id")
-    lshIndexAppendFromSigs(sigs.join(keepIds, "doc_id"), dir)
-    dec
+    // ONE atomic replace commit (round 17): the displaced docs' DV
+    // marks and the winners' band rows become visible together — no
+    // version exists where a dup group has neither its old nor its
+    // new representative. Also halves the loop's per-batch commit
+    // count (the two-commit form was pure machinery cost).
+    requireGeometry(spark, dir)
+    Layout.appendAndDeleteKeys(spark, s"$dir/bands",
+      bandRowsFromSigs(sigs.join(keepIds, "doc_id"))
+        .repartition(col("bucket")),
+      doomed.withColumnRenamed("corpus_id", "doc_id"), "doc_id")
+    val thresh = autoCompactThreshold(spark)
+    if (thresh > 0 && Layout.maxFilesPerDir(spark, s"$dir/bands") > thresh)
+      lshIndexCompact(spark, dir): Unit
+    (dec, doomed)
   }
 
   /** DuckDB oracle for [[dedupBatchVsIndexKeepBest]] over the
@@ -1678,6 +1767,20 @@ object Dedup {
     * to [[dedupKeepBestOracle]]'s), best corpus match by (quality
     * desc, id asc), strict > for the replacement rule.
     */
+  /** The toks-form quality score over the `corpus` CTE — identical
+    * formula, term for term, to the engine's tokQuality (and to
+    * [[dedupKeepBestOracle]]'s inline copy). Exposed so composed
+    * keep-best oracles ([[Pipeline.corpusKeepBestBm25Oracle]]) reuse
+    * one definition.
+    */
+  private[ops] def qualityCte: String =
+    s"""q AS MATERIALIZED (SELECT doc_id,
+       |    (len(list_distinct(toks))::DOUBLE / len(toks)) * 0.5 +
+       |    least(len(toks)::DOUBLE / 100.0, 1.0) * 0.3 +
+       |    least(((list_sum(list_transform(toks, w -> length(w))))::DOUBLE
+       |           / len(toks)) / 10.0, 1.0) * 0.2 AS quality
+       |  FROM corpus)""".stripMargin
+
   def dedupKeepBestIncrOracle(minSim: Double = 0.5): String =
     s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |corpus AS (
@@ -1687,12 +1790,7 @@ object Dedup {
        |$minhashEstCtes,
        |batch AS (SELECT doc_id FROM corpus
        |          WHERE doc_id % 50 = 0 OR doc_id % 30 = 7),
-       |q AS (SELECT doc_id,
-       |    (len(list_distinct(toks))::DOUBLE / len(toks)) * 0.5 +
-       |    least(len(toks)::DOUBLE / 100.0, 1.0) * 0.3 +
-       |    least(((list_sum(list_transform(toks, w -> length(w))))::DOUBLE
-       |           / len(toks)) / 10.0, 1.0) * 0.2 AS quality
-       |  FROM corpus),
+       |$qualityCte,
        |sym AS (SELECT id_a AS d, id_b AS o, est_sim FROM est
        |        UNION ALL SELECT id_b, id_a, est_sim FROM est),
        |cm AS (SELECT s.d AS doc_id, s.o AS corpus_id, qo.quality AS q_c
@@ -1742,7 +1840,7 @@ object Dedup {
     *    in the BASE index; variants ≡ 42 (of batch-2's kept ≡ 2
     *    originals) match appended docs again.
     */
-  private def loopResidues(k: Int): Seq[Long] = k match {
+  private[ops] def loopResidues(k: Int): Seq[Long] = k match {
     case 1 => Seq(1L, 21L)
     case 2 => Seq(2L, 41L)
     case 3 => Seq(3L, 42L)

@@ -881,7 +881,118 @@ object Layout {
     * own view. Returns (rowsMarked, totalFiles).
     */
   def deleteMergeOnRead(spark: SparkSession, dir: String, pred: Column,
+      statCols: Seq[String] = Nil): (Long, Int) =
+    deleteMergeOnReadWhere(spark, dir, _.filter(pred), statCols)
+
+  /** [[deleteMergeOnRead]] with a FRAME-VALUED doomed set (round-16
+    * verdict #3): the rows to mark are the ones whose `keyCol` appears
+    * in `doomed`. The `Column`-predicate form forces a driver-sized
+    * key list (`isin(ids: _*)` builds a literal In-expression — a
+    * 100k-key replacement wave means a 100k-literal plan, analyzer
+    * cost, and driver memory); this form keeps the doomed set
+    * distributed and marks via the SAME broadcast semi-join shape the
+    * DV read path already uses for subtraction. `doomed` must be
+    * small enough to broadcast (the replacement-wave contract — a
+    * backfill-scale delete should rewrite instead); past that, drop
+    * the hint at the call site.
+    */
+  def deleteMergeOnReadKeys(spark: SparkSession, dir: String,
+      doomed: DataFrame, keyCol: String,
+      statCols: Seq[String] = Nil): (Long, Int) =
+    deleteMergeOnReadWhere(spark, dir,
+      _.join(broadcast(doomed.select(col(keyCol)).distinct()),
+        Seq(keyCol), "left_semi"), statCols)
+
+  /** APPEND + merge-on-read DELETE as ONE atomic snapshot commit —
+    * the "replace" verb an incremental keep-best consumer needs: the
+    * displaced rows' marks AND the replacement batch's files become
+    * visible together, so no version exists where the displaced rows
+    * are gone but their replacements absent (or the reverse). The
+    * doomed set is frame-valued (broadcast semi-join marking, like
+    * [[deleteMergeOnReadKeys]]); the single change record carries the
+    * newly-marked deletes plus the staged inserts, so the change feed
+    * sees the commit as the replace it is. Returns
+    * (rowsMarked, filesAdded).
+    */
+  def appendAndDeleteKeys(spark: SparkSession, dir: String,
+      batch: DataFrame, doomed: DataFrame, keyCol: String,
       statCols: Seq[String] = Nil): (Long, Int) = {
+    val (v, carried, legacy, head) =
+      Manifest.ensureVersionedDelta(spark, dir, statCols)
+    val newVersion = v + 1
+    val (names, totalRows) =
+      if (legacy.nonEmpty) (legacy.map(_.name), legacy.map(_.rows).sum)
+      else Manifest.namesAndRows(spark, dir, v)
+    val old = Manifest.dvMarks(spark, dir, v)
+    val rawOpt =
+      if (names.isEmpty) None // empty standing table: nothing to mark
+      else Some(Manifest.readPhysical(spark, dir,
+          names.map(n => s"$dir/$n"))
+        .withColumn("_mk_f", Manifest.dvFileKey(Manifest.dvDepth(names)))
+        .withColumn("_mk_p", col("_metadata.row_index")))
+    val marks = rawOpt match {
+      case None => old.filter(lit(false))
+      case Some(raw) =>
+        val logical = Manifest.currentVersion(spark, dir)
+          .flatMap(Manifest.tableSchema(spark, dir, _))
+          .map(Manifest.toLogicalKeeping(raw, _)).getOrElse(raw)
+        logical
+          .join(broadcast(doomed.select(col(keyCol)).distinct()),
+            Seq(keyCol), "left_semi")
+          .select(col("_mk_f").as("file"), col("_mk_p").as("pos"))
+    }
+    val claim = Manifest.claimVersion(spark, dir, newVersion)
+    val all = old.unionByName(marks).distinct().cache()
+    val marked = all.count()
+    if (marked > 0)
+      all.repartition(col("file")).write.mode("overwrite")
+        .partitionBy("file").parquet(Manifest.dvDir(dir, newVersion))
+    // stage the batch exactly like appendInPlace
+    val sample = legacy.headOption.orElse(head).toSeq
+    val partCols = partColsFor(spark, dir, sample)
+    val (aligned, evolved) =
+      alignForWrite(spark, dir, sample, batch, partCols)
+    val stagedNames = stageAndRename(spark, dir, aligned, partCols,
+      s"append-v$newVersion")
+    val newEntries = statStaged(spark, dir, statCols, stagedNames)
+    // ONE change record: newly-marked deletes + the staged inserts
+    // (the feed reads recorded sets exclusively when present, so the
+    // inserts must be restated here, unlike a plain append)
+    val newMarks = marks.exceptAll(old)
+    // read the SURVIVING entries, not all staged names — statStaged
+    // drops zero-row staged files (the round-16 footer fast path)
+    val cdcIns =
+      if (newEntries.isEmpty)
+        Manifest.readTable(spark, dir).filter(lit(false))
+          .withColumn("_change_type", lit("insert"))
+      else spark.read.option("basePath", dir)
+        .parquet(newEntries.map(e => s"$dir/${e.name}"): _*)
+        .withColumn("_change_type", lit("insert"))
+    val cdcDel = rawOpt match {
+      case None => cdcIns.filter(lit(false))
+        .withColumn("_change_type", lit("delete"))
+      case Some(raw) => raw
+        .join(broadcast(newMarks), raw("_mk_f") === newMarks("file") &&
+          raw("_mk_p") === newMarks("pos"), "left_semi")
+        .drop("_mk_f", "_mk_p")
+        .withColumn("_change_type", lit("delete"))
+    }
+    Manifest.recordCdc(spark, dir, newVersion,
+      cdcDel.unionByName(cdcIns, allowMissingColumns = true))
+    all.unpersist()
+    Manifest.writeChunked(spark, dir, newVersion, carried,
+      Seq(legacy, newEntries), claim = Some(claim), schema = evolved)
+    // same auto-flush policy as deleteMergeOnRead
+    val flushRatio = spark.conf.getOption("spark.graft.dv.autoFlushRatio")
+      .map(_.toDouble).getOrElse(0.10)
+    if (flushRatio > 0 && totalRows > 0 && marked > flushRatio * totalRows)
+      flushDeleteVectors(spark, dir, statCols)
+    (marked, stagedNames.size)
+  }
+
+  private def deleteMergeOnReadWhere(spark: SparkSession, dir: String,
+      matching: DataFrame => DataFrame,
+      statCols: Seq[String]): (Long, Int) = {
     // entries transfer verbatim — only NAMES (for the scan) and the
     // row total (for the flush policy) ever reach the driver; a
     // chunked base commits O(#chunks) metadata however big the table
@@ -894,16 +1005,18 @@ object Layout {
     val raw = Manifest.readPhysical(spark, dir,
         names.map(n => s"$dir/$n"))
       // materialize position metadata BEFORE any projection, then
-      // present logical names so `pred` resolves on a renamed table
-      .withColumn("_mk_f", element_at(
-        split(col("_metadata.file_path"), "/"), -1))
+      // present logical names so `pred` resolves on a renamed table.
+      // Keyed by the ROOT-RELATIVE name (Manifest.dvFileKey): Hive
+      // partition dirs repeat basenames, and a basename key deletes
+      // same-position rows in sibling partitions (round-17 fix)
+      .withColumn("_mk_f", Manifest.dvFileKey(Manifest.dvDepth(names)))
       .withColumn("_mk_p", col("_metadata.row_index"))
     val logical = Manifest.currentVersion(spark, dir)
       .flatMap(Manifest.tableSchema(spark, dir, _))
       .map(Manifest.toLogicalKeeping(raw, _)).getOrElse(raw)
     // re-marking an already-deleted row is harmless (set union), so
     // the scan can run raw — no need to subtract existing vectors
-    val marks = logical.filter(pred).select(
+    val marks = matching(logical).select(
       col("_mk_f").as("file"), col("_mk_p").as("pos"))
     val old = Manifest.dvMarks(spark, dir, v)
     // claim the version BEFORE writing its vector: a lost commit race
@@ -968,12 +1081,12 @@ object Layout {
     val markedFiles = dv.select("file").distinct()
       .collect().map(_.getString(0)).toSet
     val (hit, kept) = entries.partition(e =>
-      markedFiles.contains(e.name.split('/').last))
+      markedFiles.contains(e.name))
     val newVersion = v + 1
     val survivors = Manifest.readPhysical(spark, dir,
         hit.map(e => s"$dir/${e.name}"))
-      .withColumn("_dv_f", element_at(
-        split(col("_metadata.file_path"), "/"), -1))
+      .withColumn("_dv_f",
+        Manifest.dvFileKey(Manifest.dvDepth(hit.map(_.name))))
       .withColumn("_dv_p", col("_metadata.row_index"))
       .join(broadcast(dv), col("_dv_f") === dv("file") &&
         col("_dv_p") === dv("pos"), "left_anti")
@@ -1053,9 +1166,11 @@ object Layout {
         // claim BEFORE writing dv-v{K+1}: a lost commit race must not
         // leave an orphan vector the winner's snapshot appears to own
         val c = Manifest.claimVersion(spark, dir, newVersion)
-        Manifest.dvMarks(spark, dir, v).repartition(col("file"))
-          .write.mode("overwrite")
-          .partitionBy("file").parquet(Manifest.dvDir(dir, newVersion))
+        // the carried vector is BYTE-IDENTICAL to the previous one —
+        // a filesystem copy, not a Spark job (round-17: the rewrite
+        // job was ~1-2 s of fixed cost per append on a DV-carrying
+        // table, pure commit machinery)
+        Manifest.copyDvDir(spark, dir, v, newVersion)
         Some(c)
       }
     Manifest.writeChunked(spark, dir, newVersion, carried,
@@ -1144,9 +1259,7 @@ object Layout {
       }
       val newEntries = statStaged(spark, dir, statCols, names)
       if (Manifest.hasDeletionVectors(spark, dir))
-        Manifest.dvMarks(spark, dir, newVersion - 1).repartition(col("file"))
-          .write.mode("overwrite")
-          .partitionBy("file").parquet(Manifest.dvDir(dir, newVersion))
+        Manifest.copyDvDir(spark, dir, newVersion - 1, newVersion)
       Manifest.writeChunked(spark, dir, newVersion, carried,
         Seq(legacy, newEntries), txn, claim = Some(claim),
         txnApp = txnApp)
@@ -1346,6 +1459,17 @@ object Layout {
     * would otherwise pay.
     * Returns (filesBefore, filesAfter).
     */
+  /** Max data-file count in any leaf partition directory of the
+    * CURRENT snapshot — pure manifest metadata (no listing, no file
+    * opens). This is the number an append-heavy standing index's
+    * auto-compaction cadence gates on: past a per-directory file
+    * budget, probe cost goes file-open-bound instead of row-bound.
+    */
+  def maxFilesPerDir(spark: SparkSession, dir: String): Int =
+    Manifest.read(spark, dir).map(
+      _.groupBy(_.name.split('/').dropRight(1).mkString("/"))
+        .values.map(_.size).maxOption.getOrElse(0)).getOrElse(0)
+
   def compactInPlace(spark: SparkSession, dir: String,
       targetBytes: Long = 128L << 20,
       statCols: Seq[String] = Nil,
@@ -1373,7 +1497,7 @@ object Layout {
     // DV-marked files (their marks are consumed by this commit).
     def splitGroup(es: Seq[ManifestEntry]) = es.partition { e =>
       zorderBy.nonEmpty || e.bytes < targetBytes / 2 ||
-        markedFiles.contains(e.name.split('/').last)
+        markedFiles.contains(e.name)
     }
     // a group rewrites when its rewriteable tail actually shrinks
     // (>= 2 files merge into fewer) or carries marks to consume
@@ -1381,7 +1505,7 @@ object Layout {
       val (tail, _) = splitGroup(es)
       (tail.size > bound(tail) && tail.size >= 2) ||
         zorderBy.nonEmpty ||
-        tail.exists(e => markedFiles.contains(e.name.split('/').last))
+        tail.exists(e => markedFiles.contains(e.name))
     }
     val toMerge = toMergeFull.map { case (sub, es) =>
       sub -> splitGroup(es)._1
@@ -1422,10 +1546,9 @@ object Layout {
               // anti-join — no shuffle) so this rewrite doubles as
               // the flush for its group's vectors
               val base =
-                if (es.exists(e => markedFiles.contains(
-                    e.name.split('/').last)))
-                  raw.withColumn("_dv_f", element_at(
-                      split(col("_metadata.file_path"), "/"), -1))
+                if (es.exists(e => markedFiles.contains(e.name)))
+                  raw.withColumn("_dv_f",
+                      Manifest.dvFileKey(Manifest.dvDepth(es.map(_.name))))
                     .withColumn("_dv_p", col("_metadata.row_index"))
                     .join(broadcast(dv), col("_dv_f") === dv("file") &&
                       col("_dv_p") === dv("pos"), "left_anti")
@@ -1718,8 +1841,8 @@ object Layout {
     val pre =
       if (hit.isEmpty) empty
       else readNames(hit)
-        .withColumn("_dv_f", element_at(
-          split(col("_metadata.file_path"), "/"), -1))
+        .withColumn("_dv_f",
+          Manifest.dvFileKey(Manifest.dvDepth(hit.map(_.name))))
         .withColumn("_dv_p", col("_metadata.row_index"))
         .join(broadcast(dvOld), col("_dv_f") === dvOld("file") &&
           col("_dv_p") === dvOld("pos"), "left_anti")
@@ -1732,9 +1855,9 @@ object Layout {
     // files were consumed by the DV-subtracted scan. Keyed on the
     // REPLACED set — bounded by the operation's touch count, not the
     // table's file count
-    val replacedBase = hit.map(_.name.split('/').last)
-    val carried = (if (replacedBase.isEmpty) dvOld
-      else dvOld.where(!col("file").isin(replacedBase: _*))).cache()
+    val replacedNames = hit.map(_.name)
+    val carried = (if (replacedNames.isEmpty) dvOld
+      else dvOld.where(!col("file").isin(replacedNames: _*))).cache()
     if (carried.count() > 0)
       carried.repartition(col("file")).write.mode("overwrite")
         .partitionBy("file").parquet(Manifest.dvDir(dir, newVersion))

@@ -861,8 +861,48 @@ object Manifest {
     currentVersion(spark, dir).exists(v =>
       fsOf(spark, dir).exists(new Path(dvDir(dir, v))))
 
+  /** DV file key of a scanned row: the data file's TABLE-ROOT-RELATIVE
+    * name — the last `depth + 1` components of the scan's
+    * `_metadata.file_path`, where `depth` is the table's
+    * partition-directory depth ([[dvDepth]]). The relative name IS the
+    * manifest entry name, unique by construction. Keying by BASENAME
+    * (the pre-round-17 form) is only unique for unpartitioned tables:
+    * Hive layouts repeat basenames across partition directories
+    * (`bucket=1/append-v2-t-0.parquet` and `bucket=2/append-v2-t-0
+    * .parquet`), so a basename-keyed vector silently deleted
+    * same-position rows in EVERY sibling partition — the round-17
+    * over-deletion fix, caught by the keep-best/BM25 composition spec.
+    */
+  def dvFileKey(depth: Int): Column =
+    array_join(slice(split(col("_metadata.file_path"), "/"),
+      -(depth + 1), depth + 1), "/")
+
+  /** Partition-directory depth of a table, from its entry names
+    * (uniform across a Hive layout; 0 = unpartitioned, where the key
+    * degenerates to the basename — the old format, so unpartitioned
+    * tables' vectors stay compatible).
+    */
+  def dvDepth(names: Seq[String]): Int =
+    names.headOption.map(_.count(_ == '/')).getOrElse(0)
+
+  /** Carry a deletion vector VERBATIM to the next version: a plain
+    * recursive filesystem copy of dv-v{from} as dv-v{to} — the marks
+    * are byte-identical, so no Spark job (and its fixed scheduling
+    * cost) is owed for an append that merely preserves them.
+    */
+  def copyDvDir(spark: SparkSession, dir: String, from: Int,
+      to: Int): Unit = {
+    val fs = fsOf(spark, dir)
+    val src = new Path(dvDir(dir, from))
+    if (fs.exists(src))
+      org.apache.hadoop.fs.FileUtil.copy(fs, src,
+        fs, new Path(dvDir(dir, to)), false, true,
+        spark.sparkContext.hadoopConfiguration): Unit
+  }
+
   /** The deletion-vector marks of `version` as a (file, pos) DataFrame
-    * — empty (not missing) when the version has no vector.
+    * — empty (not missing) when the version has no vector. `file` is
+    * the table-root-relative data-file name ([[dvFileKey]]).
     */
   def dvMarks(spark: SparkSession, dir: String, version: Int): DataFrame =
     if (fsOf(spark, dir).exists(new Path(dvDir(dir, version))))
@@ -881,14 +921,13 @@ object Manifest {
     * must also apply, or marked rows would silently reappear there.
     */
   private def subtractDv(spark: SparkSession, dir: String, base: DataFrame,
-      version: Option[Int]): DataFrame =
+      version: Option[Int], depth: Int): DataFrame =
     version.filter(v =>
         fsOf(spark, dir).exists(new Path(dvDir(dir, v)))) match {
       case Some(v) =>
         val marks = spark.read.parquet(dvDir(dir, v))
         base
-          .withColumn("_dv_f", element_at(
-            split(col("_metadata.file_path"), "/"), -1))
+          .withColumn("_dv_f", dvFileKey(depth))
           .withColumn("_dv_p", col("_metadata.row_index"))
           .join(broadcast(marks), col("_dv_f") === marks("file") &&
             col("_dv_p") === marks("pos"), "left_anti")
@@ -955,7 +994,8 @@ object Manifest {
         val base = sch.map(s => rd.schema(physicalSchema(s)))
           .getOrElse(rd)
           .parquet(entries.map(e => s"$dir/${e.name}"): _*)
-        val live = subtractDv(spark, dir, base, v)
+        val live = subtractDv(spark, dir, base, v,
+          dvDepth(entries.map(_.name)))
         sch.map(toLogical(live, _)).getOrElse(live)
     }
   }
@@ -978,7 +1018,8 @@ object Manifest {
         val base = sch.map(s => rd.schema(physicalSchema(s)))
           .getOrElse(rd).parquet(paths: _*)
         val live = subtractDv(spark, dir, base,
-          currentVersion(spark, dir))
+          currentVersion(spark, dir),
+          dvDepth(paths.map(_.stripPrefix(s"$dir/"))))
         sch.map(toLogical(live, _)).getOrElse(live)
       case Some(_) => read(spark, dir) match {
         case Some(entries) if entries.isEmpty =>
@@ -1018,7 +1059,8 @@ object Manifest {
       val base = sch.map(s => rd.schema(physicalSchema(s)))
         .getOrElse(rd)
         .parquet(added.map(e => s"$dir/${e.name}"): _*)
-      val live = subtractDv(spark, dir, base, Some(toVersion))
+      val live = subtractDv(spark, dir, base, Some(toVersion),
+        dvDepth(added.map(_.name)))
       sch.map(toLogical(live, _)).getOrElse(live)
     }
   }
@@ -1065,8 +1107,7 @@ object Manifest {
       val withDv = schema.map(s => rd.schema(physicalSchema(s)))
         .getOrElse(rd)
         .parquet(names.map(n => s"$dir/$n"): _*)
-        .withColumn("_dv_f", element_at(
-          split(col("_metadata.file_path"), "/"), -1))
+        .withColumn("_dv_f", dvFileKey(dvDepth(names)))
         .withColumn("_dv_p", col("_metadata.row_index"))
       // logical projection AFTER the metadata columns materialize
       // (`_metadata` resolves only on the scan's own output)
@@ -1093,7 +1134,7 @@ object Manifest {
     // distributed — a 100 TB delete's million-row diff must not
     // funnel through the driver.
     import spark.implicits._
-    val commonBase = common.map(n => n.split('/').last).toDF("file")
+    val commonBase = common.toDF("file")
     def markedRows(marks: DataFrame): DataFrame = {
       val diff = marks.join(broadcast(commonBase), Seq("file"), "left_semi")
       val files = diff.select("file").distinct()
@@ -1102,7 +1143,7 @@ object Manifest {
         val base = readTable(spark, dir, Some(toVersion)).filter(lit(false))
         return base
       }
-      val names = common.filter(n => files.contains(n.split('/').last))
+      val names = common.filter(files.contains)
       val base = readNames(names)
       base.join(diff, base("_dv_f") === diff("file") &&
           base("_dv_p") === diff("pos"), "left_semi")

@@ -431,6 +431,15 @@ object Pipeline {
   /** Batch count of the incremental corpus-build fixture. */
   val CorpusIncrBatches = 3
 
+  /** Auto-gate default for [[corpusBuildIncr]]'s exact-stage hash
+    * broadcasts, in HASH ROWS (= batch docs surviving the quality
+    * gate). A hash row is ~16 B unsafe, so 2M rows is a ~32 MB
+    * broadcast — same sizing discipline as
+    * [[Dedup.IncrBroadcastRows]]. Override with
+    * `spark.graft.incrHashBroadcastRows`.
+    */
+  val IncrHashBroadcastRows = 2000000L
+
   /** Exact-copy id offsets of the ingest fixture. Chosen mod 3 so both
     * exact-dedup paths occur BY CONSTRUCTION: even docs' copies land
     * at +4e6 ≡ 1 (mod 3) — a DIFFERENT batch than the original, so one
@@ -486,6 +495,30 @@ object Pipeline {
     * counts, and the only serial state is the two on-disk tables.
     * `dir` must be fresh (the bootstrap overwrites).
     */
+  /** The exact stage's standing-set drop under the MEASURED broadcast
+    * gate (round-16 verdict #4 — the [[Dedup.gatedBatchBands]]
+    * pattern for the hash path): `nBatch` is an EXACT count off the
+    * already-checkpointed batch frame (an upper bound on |firsts|),
+    * never a config boolean. Under `spark.graft.incrHashBroadcastRows`
+    * the batch's distinct hashes broadcast into the standing scan
+    * (standing read map-only, never shuffled) and the standing HITS —
+    * batch-bounded by the semi-join — broadcast back into the anti.
+    * Past the gate (a backfill) both joins fall back to one plain
+    * shuffled anti-join, survivors bit-identical.
+    */
+  private[ops] def exactVsStanding(firsts: DataFrame,
+      standing: DataFrame, nBatch: Long): DataFrame = {
+    val spark = firsts.sparkSession
+    val gate = spark.conf.get("spark.graft.incrHashBroadcastRows",
+      IncrHashBroadcastRows.toString).toLong
+    if (nBatch <= gate) {
+      val standingHits = standing
+        .join(broadcast(firsts.select("h").distinct()), Seq("h"),
+          "left_semi")
+      firsts.join(broadcast(standingHits), Seq("h"), "left_anti")
+    } else firsts.join(standing, Seq("h"), "left_anti")
+  }
+
   def corpusBuildIncr(docs: DataFrame, dir: String,
       minSim: Double = 0.5, withBm25: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
@@ -521,11 +554,9 @@ object Pipeline {
         .partitionBy("h").orderBy("doc_id")
       val firsts = qc.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).drop("rn")
-      val standingHits = Manifest.readTable(spark, hdir)
-        .join(broadcast(firsts.select("h").distinct()), Seq("h"),
-          "left_semi")
       val ec = Dedup.iterCheckpoint(
-        firsts.join(broadcast(standingHits), Seq("h"), "left_anti"))
+        exactVsStanding(firsts, Manifest.readTable(spark, hdir),
+          nQuality))
       val nExact = ec.count()
       // (3) near-dup vs the standing index + within-batch keep-first;
       // the core form hands back the materialized signatures so the
@@ -557,7 +588,28 @@ object Pipeline {
     * base-empty index ∪ kept(1..k-1), exactly the state the engine has
     * on disk when batch k arrives.
     */
-  def corpusBuildIncrOracle(minSim: Double = 0.5): String = {
+  def corpusBuildIncrOracle(minSim: Double = 0.5): String =
+    s"""WITH ${corpusBuildIncrCtes(minSim)}
+       |SELECT k AS batch,
+       |  (SELECT count(*) FROM fix WHERE doc_id % 3 = k - 1) AS n_in,
+       |  (SELECT count(*) FROM okq WHERE b = k) AS n_quality,
+       |  CASE k WHEN 1 THEN (SELECT count(*) FROM e1)
+       |         WHEN 2 THEN (SELECT count(*) FROM e2)
+       |         ELSE (SELECT count(*) FROM e3) END AS n_exact,
+       |  CASE k WHEN 1 THEN (SELECT count(*) FROM d1)
+       |         WHEN 2 THEN (SELECT count(*) FROM d2)
+       |         ELSE (SELECT count(*) FROM d3) END AS n_final
+       |FROM (SELECT unnest([1, 2, 3]) AS k)
+       |ORDER BY batch""".stripMargin
+
+  /** [[corpusBuildIncrOracle]]'s CTE chain (fixture, gopher gate,
+    * banded est pairs, three unrolled probe/append steps ending in
+    * the kept sets d1/d2/d3) — a named method so the BM25 composition
+    * can extend the chain instead of substring-splicing the finished
+    * SQL (round-16 advisor: an indexOf splice breaks silently when
+    * the audit SELECT is reworded).
+    */
+  private[ops] def corpusBuildIncrCtes(minSim: Double): String = {
     // one step: exact survivors e$k, near-kept d$k, rolled-up state
     def step(k: Int, hashes: String, idx: String) =
       s"""e$k AS (SELECT f.* FROM firsts f
@@ -576,7 +628,7 @@ object Pipeline {
          |  UNION ALL SELECT h FROM d$k),
          |idx$k AS (SELECT doc_id FROM $idx
          |  UNION ALL SELECT doc_id FROM d$k)""".stripMargin
-    s"""WITH src AS (SELECT doc_id, text FROM documents),
+    s"""src AS (SELECT doc_id, text FROM documents),
        |fix AS (
        |  SELECT doc_id, text FROM src
        |  UNION ALL
@@ -605,18 +657,7 @@ object Pipeline {
        |idx0 AS (SELECT NULL::BIGINT AS doc_id WHERE FALSE),
        |${step(1, "hashes0", "idx0")},
        |${step(2, "hashes1", "idx1")},
-       |${step(3, "hashes2", "idx2")}
-       |SELECT k AS batch,
-       |  (SELECT count(*) FROM fix WHERE doc_id % 3 = k - 1) AS n_in,
-       |  (SELECT count(*) FROM okq WHERE b = k) AS n_quality,
-       |  CASE k WHEN 1 THEN (SELECT count(*) FROM e1)
-       |         WHEN 2 THEN (SELECT count(*) FROM e2)
-       |         ELSE (SELECT count(*) FROM e3) END AS n_exact,
-       |  CASE k WHEN 1 THEN (SELECT count(*) FROM d1)
-       |         WHEN 2 THEN (SELECT count(*) FROM d2)
-       |         ELSE (SELECT count(*) FROM d3) END AS n_final
-       |FROM (SELECT unnest([1, 2, 3]) AS k)
-       |ORDER BY batch""".stripMargin
+       |${step(3, "hashes2", "idx2")}""".stripMargin
   }
 
   /** The ingest loop WITH the retrieval index (round 16): run
@@ -645,15 +686,146 @@ object Pipeline {
     */
   def corpusBuildIncrBm25Oracle(minSim: Double = 0.5, nTerms: Int = 10,
       k: Int = 3): String = {
-    val base = corpusBuildIncrOracle(minSim)
-    // reuse the incremental oracle's CTE chain up to the kept sets
-    // d1/d2/d3, then swap its audit SELECT for the retrieval scoring
-    val ctes = base.substring(0, base.indexOf("\nSELECT k AS batch,"))
-    s"""$ctes,
+    // the incremental oracle's CTE chain up to the kept sets d1/d2/d3,
+    // extended with the retrieval scoring instead of the audit SELECT
+    s"""WITH ${corpusBuildIncrCtes(minSim)},
        |kept AS (SELECT f.doc_id, f.text FROM fix f
        |  WHERE f.doc_id IN (SELECT doc_id FROM d1
        |    UNION ALL SELECT doc_id FROM d2
        |    UNION ALL SELECT doc_id FROM d3)),
+       |${Analysis.bm25TopDocsCtes(nTerms, k, "kept")}
+       |SELECT token, rn, doc_id, score FROM ranked WHERE rn <= $k
+       |ORDER BY token, rn""".stripMargin
+  }
+
+  /** The keep-best ingest loop with BOTH standing indexes maintained
+    * (round-16 verdict #2's composition gap, closed): per batch,
+    * [[Dedup.dedupBatchVsIndexKeepBestApply]] arbitrates quality
+    * against the LSH index — and every corpus doc a replacement
+    * displaces is now ALSO un-indexed from the BM25 retrieval index
+    * ([[Bm25Index.delete]]: tombstone + negative df/dl corrections in
+    * one atomic commit) before the batch's kept + replacement docs
+    * append. Until round 17 the two round-16 features were mutually
+    * exclusive by omission: composing keep-best with `withBm25` would
+    * have left the displaced docs' postings and df/dl contributions
+    * silently scoring forever.
+    *
+    * Output: the BM25 top-docs probe over the post-replacement
+    * standing corpus — bit-equal to a from-scratch BM25 recompute
+    * over exactly the docs the keep-best recursion kept (the oracle
+    * unrolls all three batches in SQL, replacements included).
+    *
+    * Scale posture: inherits the probe's gated broadcast + DPP and
+    * the delete's one-postings-pass maintenance cost; the loop is
+    * driver-coordinated, never driver-sized. `dir` must be fresh.
+    */
+  def corpusKeepBestBm25(docs: DataFrame, dir: String,
+      minSim: Double = 0.5, nTerms: Int = 10, k: Int = 3,
+      masterDir: Option[String] = None): DataFrame = {
+    val spark = docs.sparkSession
+    val base = Dedup.incrLoopBase(docs)
+    val baseText = base.select(col("doc_id"),
+      array_join(col("toks"), " ").as("text"))
+    // fresh MUTABLE standing tables: clone build-once masters when a
+    // master dir is given (measured faster than rebuilding at every
+    // SF — PLANS.md round 17), plain builds otherwise
+    masterDir match {
+      case Some(m) =>
+        Dedup.lshIndexFresh(base, s"$m/lsh", s"$dir/lsh")
+        Bm25Index.fresh(baseText, s"$m/bm25", s"$dir/bm25")
+      case None =>
+        Dedup.lshIndexBuild(base, s"$dir/lsh")
+        Bm25Index.build(baseText, s"$dir/bm25")
+    }
+    (1 to Dedup.IncrLoopBatches).foreach { b =>
+      val batch = Dedup.incrLoopBatch(docs, b)
+      val (dec, doomed) = Dedup.dedupBatchVsIndexKeepBestApplyCore(
+        batch, s"$dir/lsh", minSim)
+      val keep = dec
+        .filter(col("decision").isin("kept", "replaced_corpus"))
+        .select("doc_id")
+      // propagate the displaced standing docs AND the batch's winners
+      // to the retrieval index in ONE atomic commit
+      Bm25Index.deleteAndAppend(
+        doomed.withColumnRenamed("corpus_id", "doc_id"),
+        batch.join(keep, "doc_id")
+          .select(col("doc_id"), array_join(col("toks"), " ").as("text")),
+        s"$dir/bm25"): Unit
+    }
+    Bm25Index.topDocs(spark, s"$dir/bm25", nTerms, k)
+  }
+
+  /** DuckDB oracle for [[corpusKeepBestBm25]]: the three keep-best
+    * probe/apply steps UNROLLED — batch b's matches are taken against
+    * standing(b-1) = base minus every displaced doc plus every
+    * kept/replaced append, exactly the index state on disk when batch
+    * b arrives — then the FINAL standing corpus is scored from
+    * scratch with [[Analysis.bm25TopDocsCtes]].
+    */
+  def corpusKeepBestBm25Oracle(minSim: Double = 0.5, nTerms: Int = 10,
+      k: Int = 3): String = {
+    def in(b: Int) = Dedup.loopResidues(b).mkString(", ")
+    // one keep-best step: decisions of batch b against standing s{b-1}
+    def step(b: Int, s: String) =
+      s"""cm$b AS MATERIALIZED (SELECT s.d AS doc_id, s.o AS corpus_id, qo.quality AS q_c
+         |  FROM sym s JOIN m md ON s.d = md.doc_id AND md.b = $b
+         |             JOIN $s i ON s.o = i.doc_id
+         |             JOIN q qo ON s.o = qo.doc_id),
+         |best$b AS MATERIALIZED (SELECT doc_id, corpus_id AS best_id, q_c AS best_q
+         |  FROM (SELECT doc_id, corpus_id, q_c,
+         |          row_number() OVER (PARTITION BY doc_id
+         |            ORDER BY q_c DESC, corpus_id ASC) AS rn
+         |        FROM cm$b) WHERE rn = 1),
+         |bb$b AS MATERIALIZED (SELECT g.id_b AS doc_id, min(g.id_a) AS dup_batch
+         |  FROM good g JOIN m ma ON g.id_a = ma.doc_id AND ma.b = $b
+         |              JOIN m mb ON g.id_b = mb.doc_id AND mb.b = $b
+         |  GROUP BY 1),
+         |dec$b AS MATERIALIZED (SELECT mm.doc_id,
+         |    CASE WHEN t.best_id IS NOT NULL AND qd.quality > t.best_q
+         |           THEN 'replaced_corpus'
+         |         WHEN t.best_id IS NOT NULL THEN 'dup_corpus'
+         |         WHEN d.dup_batch IS NOT NULL THEN 'dup_batch'
+         |         ELSE 'kept' END AS decision
+         |  FROM m mm JOIN q qd ON mm.doc_id = qd.doc_id
+         |            LEFT JOIN best$b t ON mm.doc_id = t.doc_id
+         |            LEFT JOIN bb$b d ON mm.doc_id = d.doc_id
+         |  WHERE mm.b = $b),
+         |rm$b AS MATERIALIZED (SELECT DISTINCT c.corpus_id AS doc_id FROM cm$b c
+         |  JOIN dec$b dd ON c.doc_id = dd.doc_id
+         |  WHERE dd.decision = 'replaced_corpus'),
+         |s$b AS MATERIALIZED (SELECT doc_id FROM $s
+         |    WHERE doc_id NOT IN (SELECT doc_id FROM rm$b)
+         |  UNION ALL SELECT doc_id FROM dec$b
+         |    WHERE decision IN ('kept', 'replaced_corpus'))""".stripMargin
+    s"""WITH base AS (SELECT doc_id, text,
+       |    string_split(text, ' ') AS toks FROM documents),
+       |corpus AS MATERIALIZED (
+       |  SELECT doc_id, toks FROM base WHERE len(toks) >= 3
+       |  UNION ALL
+       |  SELECT doc_id + ${Dedup.VariantIdOffset}, toks[2:]
+       |  FROM base WHERE len(toks) > 3),
+       |${Dedup.minhashEstCtes},
+       |${Dedup.qualityCte},
+       |m AS MATERIALIZED (SELECT doc_id,
+       |    CASE WHEN doc_id % 60 IN (${in(1)}) THEN 1
+       |         WHEN doc_id % 60 IN (${in(2)}) THEN 2
+       |         WHEN doc_id % 60 IN (${in(3)}) THEN 3 ELSE 0 END AS b
+       |  FROM corpus),
+       |good AS MATERIALIZED (SELECT id_a, id_b FROM est WHERE est_sim >= $minSim),
+       |sym AS MATERIALIZED (SELECT id_a AS d, id_b AS o FROM good
+       |        UNION ALL SELECT id_b, id_a FROM good),
+       |s0 AS MATERIALIZED (SELECT doc_id FROM m WHERE b = 0),
+       |${step(1, "s0")},
+       |${step(2, "s1")},
+       |${step(3, "s2")},
+       |txt AS MATERIALIZED (
+       |  SELECT doc_id, text FROM base WHERE len(toks) >= 3
+       |  UNION ALL
+       |  SELECT doc_id + ${Dedup.VariantIdOffset},
+       |    array_to_string(toks[2:], ' ')
+       |  FROM base WHERE len(toks) > 3),
+       |kept AS MATERIALIZED (SELECT t.doc_id, t.text FROM txt t
+       |  WHERE t.doc_id IN (SELECT doc_id FROM s3)),
        |${Analysis.bm25TopDocsCtes(nTerms, k, "kept")}
        |SELECT token, rn, doc_id, score FROM ranked WHERE rn <= $k
        |ORDER BY token, rn""".stripMargin

@@ -142,7 +142,17 @@ case class TopKPerKeyExec(keys: Seq[Expression], ordering: Seq[SortOrder],
       "partitions degraded to spillable sort"))
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val keyExprs = keys
+    // Both stages key their state on RAW PROJECTED BYTES (the heap
+    // path's LinkedHashMap and the degrade sort's group-boundary
+    // compare), while the degrade sort ORDERS by a comparator — so a
+    // float/double key whose comparator-equal values are byte-distinct
+    // (-0.0 vs 0.0, NaN bit patterns) would interleave in the sorted
+    // stream and reset the group counter mid-key. The custom node sits
+    // outside the optimizer's NormalizeFloatingNumbers rule, so apply
+    // the same normalization here: grouping treats -0.0 == 0.0 and all
+    // NaNs as one value (Spark's GROUP BY contract), and the heap and
+    // sort paths agree bit-for-bit.
+    val keyExprs = keys.map(graftShims.normalizeFloats)
     val ord = ordering
     val kk = k
     val childOutput = child.output

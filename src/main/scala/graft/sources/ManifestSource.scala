@@ -782,7 +782,9 @@ object ManifestSource {
       conf: SerializableHadoopConf) extends InputPartition
 
   /** Executor-side load of ONE data file's deletion-vector positions.
-    * Keyed layout (`dv-v{K}/file=<base>/`, what every writer produces):
+    * Keyed layout (`dv-v{K}/file=<key>/`, what every writer produces;
+    * the key is the TABLE-ROOT-RELATIVE file name — Manifest.dvFileKey,
+    * partition dirs included, Hive-escaped in the directory name):
     * read just this file's own subdirectory — O(own marks) I/O.
     * Legacy flat layout (tables written before keying): scan the
     * root's parquet files filtering on the `file` column. Either way
@@ -794,7 +796,12 @@ object ManifestSource {
     val root = new Path(mp.dvRoot)
     val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) return Set.empty
-    val base = new Path(mp.file).getName
+    // the table root is dvRoot's grandparent; both strings were built
+    // from the same `dir` at planning time, so a plain prefix strip
+    // recovers the root-relative name the marks are keyed by
+    val tableDir = mp.dvRoot.substring(0,
+      mp.dvRoot.lastIndexOf(s"/${graft.ops.Manifest.DirName}/"))
+    val base = mp.file.stripPrefix(tableDir + "/")
     val out = scala.collection.mutable.HashSet[Long]()
     def drain(p: Path, legacyFilter: Boolean): Unit =
       fs.listStatus(p).iterator
@@ -814,7 +821,10 @@ object ManifestSource {
             }
           } finally r.close()
         }
-    val keyed = new Path(root, s"file=$base")
+    // the Hive directory name escapes the key the same way Spark's
+    // partitioned writer did when the vector landed ('/' -> %2F etc.)
+    val keyed = new Path(root, "file=" + org.apache.spark.sql.catalyst
+      .catalog.ExternalCatalogUtils.escapePathName(base))
     if (fs.exists(keyed)) drain(keyed, legacyFilter = false)
     else drain(root, legacyFilter = true)
     out.toSet

@@ -95,6 +95,63 @@ class Bm25IndexSpec extends SparkSpec {
       rows(Analysis.bm25TopDocs(full, 20, 3)))
   }
 
+  test("delete un-indexes: probe == recompute over the live corpus only") {
+    val dir = Files.createTempDirectory("graft-bm25-del").toString
+    val keepSide = docs.filter(col("doc_id") % 4 =!= 3)
+    val doomedSide = docs.filter(col("doc_id") % 4 === 3)
+    // tombstones stay visible for this test — no auto-flush
+    spark.conf.set("spark.graft.bm25.autoFlushRatio", "0")
+    try {
+      Bm25Index.build(keepSide, dir)
+      Bm25Index.append(doomedSide, dir)
+      val n = Bm25Index.delete(doomedSide.select("doc_id"), dir)
+      assert(n == doomedSide.count())
+      // ONE commit carried tombstones + df/stat corrections: v1 build,
+      // v2 append, v3 delete — nothing else
+      assert(Bm25Index.version(spark, dir).contains(3))
+      // bit-equal to a from-scratch recompute over the live docs, for
+      // both probe shapes — deleted docs neither score nor skew idf
+      assert(rows(Bm25Index.topDocs(spark, dir, 20, 3)) ==
+        rows(Analysis.bm25TopDocs(keepSide, 20, 3)))
+      assert(rows(Bm25Index.query(spark, dir, 5, 3, 3)) ==
+        rows(Analysis.bm25Query(keepSide, 5, 3, 3)))
+      // double-delete is a no-op (no version bump, answers unchanged)
+      assert(Bm25Index.delete(doomedSide.select("doc_id"), dir) == 0L)
+      assert(Bm25Index.version(spark, dir).contains(3))
+      // a probe pinned BEFORE the delete still sees the full corpus
+      assert(rows(Bm25Index.topDocs(spark, dir, 20, 3,
+        version = Some(2))) == rows(Analysis.bm25TopDocs(docs, 20, 3)))
+
+      // flush: tombstones retire, postings physically drop, every
+      // answer unchanged
+      val retired = Bm25Index.flushDeletes(spark, dir)
+      assert(retired == n)
+      assert(rows(Bm25Index.topDocs(spark, dir, 20, 3)) ==
+        rows(Analysis.bm25TopDocs(keepSide, 20, 3)))
+      val t = Manifest.readTable(spark, s"$dir/index")
+      assert(t.filter(col("kind") === "del").count() == 0)
+      assert(t.filter(col("kind") === "post")
+        .join(doomedSide.select("doc_id"), Seq("doc_id"), "left_semi")
+        .count() == 0, "flushed postings must be physically gone")
+      // idempotent
+      assert(Bm25Index.flushDeletes(spark, dir) == 0L)
+    } finally spark.conf.unset("spark.graft.bm25.autoFlushRatio")
+  }
+
+  test("delete auto-flushes past the tombstone ratio") {
+    val dir = Files.createTempDirectory("graft-bm25-delflush").toString
+    Bm25Index.build(docs, dir)
+    // default ratio 0.10; delete ~25% of the corpus
+    Bm25Index.delete(docs.filter(col("doc_id") % 4 === 3)
+      .select("doc_id"), dir)
+    val t = Manifest.readTable(spark, s"$dir/index")
+    assert(t.filter(col("kind") === "del").count() == 0,
+      "a quarter-corpus delete must auto-flush its tombstones")
+    assert(rows(Bm25Index.topDocs(spark, dir, 20, 3)) ==
+      rows(Analysis.bm25TopDocs(docs.filter(col("doc_id") % 4 =!= 3),
+        20, 3)))
+  }
+
   test("geometry sidecar gates probes and appends") {
     val dir = Files.createTempDirectory("graft-bm25-geom").toString
     Bm25Index.build(docs.limit(10), dir)

@@ -119,4 +119,90 @@ class CorpusIncrSpec extends SparkSpec {
     assert(Bm25Index.version(spark, s"$dir/bm25")
       .contains(1 + Pipeline.CorpusIncrBatches))
   }
+
+  test("keep-best loop: BM25 index mirrors the post-replacement standing corpus") {
+    val docs = T(spark, sf, "documents")
+    val dir = Files.createTempDirectory("graft-kb-bm25-spec").toString
+    val viaIndex = Pipeline.corpusKeepBestBm25(docs, dir, 0.5, 10, 3)
+      .collect().map(_.toSeq).toSeq
+
+    // replacements must have FIRED — some LSH-indexed base doc was
+    // displaced (DV-subtracted from the band table) — or the
+    // composition is untested. (Band membership is not the full
+    // standing corpus: a doc too short to shingle has no band rows,
+    // which is why the BM25 assertions below use the index's own live
+    // set; the true membership recursion is the DuckDB oracle's job.)
+    val bandsLive = Dedup.readIndexBands(spark, s"$dir/lsh")
+      .select("doc_id").distinct()
+    val baseBanded = Dedup.incrLoopBase(docs).select("doc_id")
+      .intersect(Dedup.readIndexBands(spark, s"$dir/lsh",
+        version = Some(1)).select("doc_id").distinct())
+    val displaced = baseBanded
+      .join(bandsLive, Seq("doc_id"), "left_anti")
+    assert(displaced.count() > 0,
+      "no base doc was displaced — the fixture exercises no replacement")
+
+    // INTERNAL CONSISTENCY of the mutated BM25 index: its derived
+    // statistics (df/dl/n_docs after the negative corrections) must
+    // be exactly what a from-scratch recompute over its OWN live docs
+    // produces — any drift in the correction rows shows up here
+    val t = Manifest.readTable(spark, s"$dir/bm25/index")
+    val live = t.filter(col("kind") === "post").select("doc_id")
+      .distinct()
+      .join(t.filter(col("kind") === "del").select("doc_id"),
+        Seq("doc_id"), "left_anti")
+    val kept = Dedup.corpusWithVariants(docs)
+      .join(live, "doc_id")
+      .select(col("doc_id"), array_join(col("toks"), " ").as("text"))
+    val recompute = Analysis.bm25TopDocs(kept, 10, 3)
+      .collect().map(_.toSeq).toSeq
+    assert(viaIndex == recompute)
+
+    // and the un-index path actually ran: the displaced docs' postings
+    // are tombstoned (or flushed) — they never score
+    val liveDisplaced = live.join(displaced, Seq("doc_id"), "left_semi")
+      .count()
+    assert(liveDisplaced == 0,
+      "displaced docs still have live (un-tombstoned) postings")
+  }
+
+  test("exact-stage hash gate: under-threshold broadcasts, one-past shuffles, same survivors") {
+    val gateKey = "spark.graft.incrHashBroadcastRows"
+    val docs = T(spark, sf, "documents")
+    val fix = Pipeline.corpusIncrFixture(docs)
+    val firsts = fix.select(col("doc_id"), H.hash60(col("text")).as("h"))
+    val standing = firsts.filter(col("doc_id") % 5 === 0).select("h")
+    val nBatch = firsts.count()
+    try {
+      // stats-based auto-broadcast OFF: what this pins is the HINT —
+      // under the gate our code hints the broadcast; past it no hint
+      // survives (Catalyst may still broadcast a genuinely small
+      // standing side from its own stats, which is fine and not ours
+      // to suppress)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // UNDER the gate: the batch's distinct hashes broadcast into the
+      // standing scan — the anti-join must be a BroadcastHashJoin with
+      // the standing table never on a shuffle edge
+      spark.conf.set(gateKey, nBatch.toString)
+      val under = Pipeline.exactVsStanding(firsts, standing, nBatch)
+      val pUnder = under.queryExecution.executedPlan.toString
+      assert(pUnder.contains("BroadcastHashJoin"), pUnder.take(2000))
+      // ONE PAST the gate: automatic shuffled fallback — no broadcast
+      // hint survives, the anti-join runs on shuffled exchanges
+      spark.conf.set(gateKey, (nBatch - 1).toString)
+      val past = Pipeline.exactVsStanding(firsts, standing, nBatch)
+      val pPast = past.queryExecution.executedPlan.toString
+      assert(!pPast.contains("BroadcastHashJoin") &&
+        !pPast.contains("BroadcastExchange"), pPast.take(2000))
+      // survivors bit-identical in both directions
+      val a = under.collect().map(_.toSeq).toSet
+      val b = past.collect().map(_.toSeq).toSet
+      assert(a == b && a.nonEmpty)
+      assert(under.select("doc_id").collect()
+        .forall(_.getLong(0) % 5 != 0))
+    } finally {
+      spark.conf.unset(gateKey)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }

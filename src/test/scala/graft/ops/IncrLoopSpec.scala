@@ -123,6 +123,33 @@ class IncrLoopSpec extends SparkSpec {
     assert(rows == before, "vacuum changed the index contents")
   }
 
+  test("auto-compaction cadence: crossing the per-bucket file budget triggers exactly one OPTIMIZE") {
+    val confKey = "spark.graft.autoCompactFilesPerDir"
+    val docs = T(spark, sf, "documents")
+    // baseline decisions under the default cadence (never triggers at
+    // 4 files/bucket: build + 3 appends)
+    val dirA = Files.createTempDirectory("graft-autocompact-a").toString
+    val base = Dedup.dedupIncrLoop(docs, dirA, 0.5).collect().map(_.toSeq)
+    assert(!Manifest.history(spark, s"$dirA/bands").map(_.operation)
+      .contains("OPTIMIZE"))
+    try {
+      // budget 2: build(1/bucket) -> append1(2) -> append2(3 > 2:
+      // compact inside the append) -> append3(2). Exactly one
+      // OPTIMIZE commit, decisions bit-identical.
+      spark.conf.set(confKey, "2")
+      val dirB = Files.createTempDirectory("graft-autocompact-b").toString
+      val gated = Dedup.dedupIncrLoop(docs, dirB, 0.5).collect().map(_.toSeq)
+      assert(gated.toSeq == base.toSeq,
+        "auto-compaction must never change decisions")
+      val ops = Manifest.history(spark, s"$dirB/bands").map(_.operation)
+      assert(ops.count(_ == "OPTIMIZE") == 1,
+        s"expected exactly one compaction commit, got $ops")
+      // the budget is restored: no bucket carries more files than the
+      // cadence allows +1 (the append that will trigger next time)
+      assert(Layout.maxFilesPerDir(spark, s"$dirB/bands") <= 2)
+    } finally spark.conf.unset(confKey)
+  }
+
   test("bootstrap: empty standing corpus, empty batches — no crash") {
     val docs = T(spark, sf, "documents")
     val none = docs.filter(col("doc_id") < 0)

@@ -168,4 +168,39 @@ class KeepBestIncrSpec extends SparkSpec {
       (r._2 == "kept" || r._2 == "replaced_corpus")),
       "a doc the first pass already admitted was re-admitted")
   }
+
+  test("lshIndexFresh: clone and rebuild setup paths decide identically") {
+    val docs = T(spark, sf, "documents")
+    val pathKey = "spark.graft.lsh.setupPath"
+    def decide(mode: String, master: String): Seq[(Long, String, Long)] = {
+      spark.conf.set(pathKey, mode)
+      val idx = Files.createTempDirectory(s"graft-fresh-$mode").toString
+      Dedup.lshIndexFresh(Dedup.incrBase(docs), master, idx)
+      Dedup.dedupBatchVsIndexKeepBestApply(Dedup.incrBatch(docs), idx, 0.5)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSeq
+    }
+    try {
+      val master = Files.createTempDirectory("graft-fresh-master").toString
+      val viaRebuild = decide("rebuild", master)
+      // auto with NO master yet: builds the master, then clones it
+      val viaAuto = decide("auto", master)
+      assert(Manifest.currentVersion(spark, s"$master/bands").isDefined,
+        "auto must have materialized the master")
+      // clone with the now-standing master
+      val viaClone = decide("clone", master)
+      assert(viaRebuild == viaAuto && viaAuto == viaClone,
+        "setup path must never change keep-best decisions")
+      // and the master stayed read-only: still at its build version
+      assert(Manifest.currentVersion(spark, s"$master/bands").contains(1),
+        "a mutation leaked into the master")
+      // clone without a master fails loudly
+      spark.conf.set(pathKey, "clone")
+      intercept[Exception] {
+        val idx = Files.createTempDirectory("graft-fresh-none").toString
+        Dedup.lshIndexFresh(Dedup.incrBase(docs),
+          Files.createTempDirectory("graft-no-master").toString, idx)
+      }
+    } finally spark.conf.unset(pathKey)
+  }
 }

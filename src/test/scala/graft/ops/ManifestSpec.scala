@@ -1062,4 +1062,98 @@ class ManifestSpec extends SparkSpec {
     assert(viaPruned.count(r => r.getLong(2) >= 10 && r.getLong(2) <= 15 &&
       r.getLong(3) == 2) == 0)
   }
+
+  test("atomic replace: appendAndDeleteKeys marks + adds in ONE version, feed sees both") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mf-repl").toString
+    spark.range(100).select(col("id").as("doc_id"),
+        (col("id") % 7).as("grp"))
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    Manifest.create(spark, dir, Seq("doc_id"))                      // v1
+    spark.conf.set("spark.graft.dv.autoFlushRatio", "0")
+    try {
+      val doomed = spark.range(10).select(col("id").as("doc_id"))
+      val batch = spark.range(1000, 1010).select(col("id").as("doc_id"),
+        (col("id") % 7).as("grp"))
+      val (marked, added) = Layout.appendAndDeleteKeys(spark, dir,
+        batch, doomed, "doc_id", Seq("doc_id"))                     // v2
+      assert(marked == 10 && added > 0)
+      // ONE commit: v2 is current, and the logical table already
+      // reflects BOTH halves
+      assert(Manifest.currentVersion(spark, dir).contains(2))
+      val ids = Manifest.readTable(spark, dir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(!(0L to 9L).exists(ids), "doomed rows survived")
+      assert((1000L to 1009L).forall(ids), "batch rows missing")
+      assert(ids.size == 100)
+      // the change record carries the replace: deletes AND inserts
+      // under the SAME commit version
+      val feed = Manifest.readChangeFeed(spark, dir, 1, 2)
+      def at(t: String) = feed.filter(col("_change_type") === t)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(at("delete") == (0L to 9L))
+      assert(at("insert") == (1000L to 1009L))
+      // a version-1 read still sees the pre-replace table
+      assert(Manifest.readTable(spark, dir, Some(1)).count() == 100)
+      // double-apply with already-marked keys: marks are idempotent
+      val (marked2, _) = Layout.appendAndDeleteKeys(spark, dir,
+        spark.range(2000, 2002).select(col("id").as("doc_id"),
+          (col("id") % 7).as("grp")),
+        doomed, "doc_id", Seq("doc_id"))                            // v3
+      assert(marked2 == 10, "mark total is the union, re-marking is a no-op")
+      val feed3 = Manifest.readChangeFeed(spark, dir, 2, 3)
+      assert(feed3.filter(col("_change_type") === "delete").count() == 0,
+        "re-marked rows must not restate as deletes")
+    } finally spark.conf.unset("spark.graft.dv.autoFlushRatio")
+  }
+
+  test("frame-valued DV delete: 100k doomed keys mark via broadcast semi-join, no literal In") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mf-keys").toString
+    spark.range(300000).select(col("id").as("doc_id"),
+        (col("id") % 97).as("grp"))
+      .repartition(8).write.mode("overwrite").parquet(dir)
+    Manifest.create(spark, dir, Seq("doc_id"))
+    // keep the vector visible (100k/300k marks would trip auto-flush)
+    spark.conf.set("spark.graft.dv.autoFlushRatio", "0")
+    // capture the executed plans of the marking job: the doomed set
+    // must enter as a broadcast semi-join build side, never a
+    // collect + isin literal (which at 100k keys is a 100k-literal
+    // plan — the round-16 verdict's driver-ceiling finding)
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val doomed = spark.range(100000).select(col("id").as("doc_id"))
+      val (marked, _) = Layout.deleteMergeOnReadKeys(spark, dir, doomed,
+        "doc_id", Seq("doc_id"))
+      assert(marked == 100000L, s"marked $marked")
+      val t = Manifest.readTable(spark, dir)
+      assert(t.count() == 200000L)
+      assert(t.agg(min("doc_id")).head.getLong(0) == 100000L)
+      assert(Manifest.hasDeletionVectors(spark, dir))
+      // listener delivery is async — poll for the semi-join plan
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      def semiJoinSeen: Boolean = plans.asScala.exists(p =>
+        p.contains("LeftSemi") && (p.contains("BroadcastHashJoin") ||
+          p.contains("BroadcastExchange")))
+      while (!semiJoinSeen && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(semiJoinSeen,
+        "expected a broadcast left-semi marking plan; got:\n" +
+          plans.asScala.map(_.take(400)).mkString("\n---\n"))
+      assert(!plans.asScala.exists(_.contains("doc_id IN (0, 1, 2, 3")),
+        "marking must not enumerate doomed keys as literals")
+    } finally {
+      spark.listenerManager.unregister(listener)
+      spark.conf.unset("spark.graft.dv.autoFlushRatio")
+    }
+  }
 }

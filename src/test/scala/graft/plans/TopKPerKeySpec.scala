@@ -190,4 +190,57 @@ class TopKPerKeySpec extends SparkSpec {
       spark.conf.unset(fbKey)
     } }
   }
+
+  test("float keys: -0.0/0.0 and NaN group as one key on both paths") {
+    import spark.implicits._
+    val confKey = "spark.graft.topkMaxKeysPerPartition"
+    val fbKey = "spark.graft.topkFallback"
+    withNoAqe { try {
+      // byte-distinct but comparator-equal doubles: -0.0 vs 0.0, and
+      // two NaN bit patterns. Without key normalization the degrade
+      // sort interleaves them (comparator order) while the group
+      // detector compares bytes — emitting more than k per logical key.
+      val nanA = java.lang.Double.longBitsToDouble(0x7ff8000000000000L)
+      val nanB = java.lang.Double.longBitsToDouble(0x7ff8000000000001L)
+      val rows = Seq.tabulate(40) { i =>
+        val key = (i % 4) match {
+          case 0 => 0.0
+          case 1 => -0.0
+          case 2 => nanA
+          case _ => nanB
+        }
+        (key, i % 7, i)
+      }
+      val df = rows.toDF("key", "score", "id").repartition(2)
+      // logical keys after normalization: {0.0, NaN} — k=2 each
+      def check(tag: String, got: Array[org.apache.spark.sql.Row]): Unit = {
+        val byKey = got.groupBy(r => {
+          val d = r.getDouble(0)
+          if (d.isNaN) "nan" else (d + 0.0).toString // +0.0 folds -0.0
+        })
+        assert(byKey.keySet == Set("nan", "0.0"), s"$tag keys: ${byKey.keySet}")
+        byKey.foreach { case (k, rs) =>
+          assert(rs.length == 2, s"$tag: key $k emitted ${rs.length} rows, want k=2")
+        }
+      }
+      val heap = TopKPerKey.topK(df, Seq("key"),
+        Seq(col("score").desc, col("id").asc), 2).collect()
+      check("heap", heap)
+      spark.conf.set(confKey, "1") // force every partition past the guard
+      spark.conf.set(fbKey, "sort")
+      val viaSort = TopKPerKey.topK(df, Seq("key"),
+        Seq(col("score").desc, col("id").asc), 2)
+      val sorted = viaSort.collect()
+      check("sort", sorted)
+      val fb = viaSort.queryExecution.executedPlan
+        .collect { case e: TopKPerKeyExec => e }
+        .map(_.metrics("sortFallbacks").value).sum
+      assert(fb > 0, "expected the degrade path to fire")
+      assert(heap.map(_.toSeq.drop(1)).toSet == sorted.map(_.toSeq.drop(1)).toSet,
+        "heap and sort paths must retain the same (score, id) rows")
+    } finally {
+      spark.conf.unset(confKey)
+      spark.conf.unset(fbKey)
+    } }
+  }
 }

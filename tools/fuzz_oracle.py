@@ -710,7 +710,10 @@ class Gen:
     # sf0.01 in both engines (shingle n >= 3 and df caps <= 100 bound
     # the pair fan-out).
     OP_SHAPES = ["ngram_jaccard", "ngram_containment", "bm25_topdocs",
-                 "bm25_query", "token_budget_mix", "keep_best"]
+                 "bm25_query", "token_budget_mix", "keep_best",
+                 # round-17: standing-state (incremental) shapes — the
+                 # fixed fixtures with randomized residues/splits/minSim
+                 "dedup_incr", "keep_best_incr", "bm25_index_split"]
 
     def gen_op(self, i):
         op = self.OP_SHAPES[i % len(self.OP_SHAPES)]
@@ -733,8 +736,19 @@ class Gen:
         elif op == "token_budget_mix":
             p = {"budgetPer": r.choice([500, 1000, 2000, 4000, 8000]),
                  "budgetMod": r.choice([3, 5, 8, 12])}
-        else:  # keep_best
+        elif op == "keep_best":
             p = {"minSim": r.choice([0.35, 0.4, 0.5, 0.6, 0.7])}
+        elif op == "dedup_incr":
+            # residue split: keep the batch a small fraction (the
+            # incremental-ingest contract) but never the fixed fixture
+            p = {"minSim": r.choice([0.35, 0.4, 0.5, 0.6, 0.7]),
+                 "m1": r.choice([40, 50, 60]), "r1": r.randrange(10),
+                 "m2": r.choice([25, 30, 35]), "r2": r.randrange(10)}
+        elif op == "keep_best_incr":
+            p = {"minSim": r.choice([0.35, 0.4, 0.5, 0.6, 0.7])}
+        else:  # bm25_index_split
+            p = {"splitMod": r.choice([2, 3, 4, 5]),
+                 "nTerms": r.randint(5, 40), "k": r.randint(1, 5)}
         return op, p
 
 
