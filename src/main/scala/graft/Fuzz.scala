@@ -174,6 +174,20 @@ object FuzzOps {
           graft.ops.Dedup.incrBatch(docs), dir, d("minSim"))
         rmrf(dir)
         (kbRes, graft.ops.Dedup.dedupKeepBestIncrOracle(d("minSim")))
+      case "corpus_keep_best_bm25" =>
+        // round-18: the COMPOSED shape — keep-best arbitration against
+        // the LSH index, displaced docs un-indexed from the BM25 index,
+        // final probe scored against the post-replacement corpus; the
+        // oracle unrolls all three batches in SQL and recomputes BM25
+        // from scratch over exactly the kept set
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-fuzz-kbm").toString
+        val kbmRes = graft.ops.Pipeline.corpusKeepBestBm25(
+          docs, dir, d("minSim"), i("nTerms"), i("k"))
+          .localCheckpoint(true)
+        rmrf(dir)
+        (kbmRes, graft.ops.Pipeline.corpusKeepBestBm25Oracle(
+          d("minSim"), i("nTerms"), i("k")))
       case "bm25_index_split" =>
         // build+append the persisted index under a RANDOM batch split;
         // the probe must be bit-equal to the split-blind recompute

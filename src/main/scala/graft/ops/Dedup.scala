@@ -1231,6 +1231,27 @@ object Dedup {
     }
   }
 
+  /** Order-independent content fingerprint of a corpus frame —
+    * `count:bit_xor(xxhash64(all columns, sorted by name))` — recorded
+    * in a `corpusfp` sidecar by every index BUILD and REQUIRED to
+    * match before [[lshIndexFresh]]/[[Bm25Index.fresh]] clone a
+    * build-once master (round-17 advisor: geometry + a committed
+    * version only prove the master is a WELL-FORMED index, not that it
+    * was built over THIS corpus — a stale master at the path would
+    * silently clone outdated state and every probe would return wrong
+    * results; until now only the callers' fingerprinted dir names
+    * guarded this). One map-only column-pruned pass over the corpus —
+    * tiny next to the tokenize+minhash+shuffle a rebuild pays, so the
+    * clone path keeps its measured win.
+    */
+  private[ops] def corpusFingerprint(corpus: DataFrame): String = {
+    val cols = corpus.columns.sorted.toIndexedSeq.map(col)
+    val r = corpus.select(xxhash64(cols: _*).as("h"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(h)"), lit(0L)).as("x")).head()
+    s"${r.getLong(0)}:${r.getLong(1)}"
+  }
+
   /** [[IndexSchema]] as a StructType, with `bucket` carrying the
     * partition-column marker ([[Layout.PartitionMetaKey]]) — recorded
     * by the build commit so an EMPTY index (bootstrap ingest) still
@@ -1312,6 +1333,8 @@ object Dedup {
     requireGeometry(spark, srcDir)
     Layout.cloneTable(spark, s"$srcDir/bands", s"$dstDir/bands"): Unit
     writeSidecar(spark, s"$dstDir/geometry", indexGeometry)
+    readSidecar(spark, s"$srcDir/corpusfp").foreach(fp =>
+      writeSidecar(spark, s"$dstDir/corpusfp", fp))
   }
 
   /** A fresh MUTABLE index over `corpus` at `dir`, via a build-once
@@ -1338,12 +1361,20 @@ object Dedup {
     require(Seq("auto", "rebuild", "clone").contains(mode),
       s"spark.graft.lsh.setupPath must be auto|rebuild|clone, got '$mode'")
     if (mode == "rebuild") { lshIndexBuild(corpus, dir); return }
+    // the master is only clonable if it is a committed index AND its
+    // recorded corpus fingerprint matches THIS corpus (round-17
+    // advisor) — a stale or foreign master at the path rebuilds in
+    // auto mode and errors in clone mode instead of silently serving
+    // wrong probe results
+    val fp = corpusFingerprint(corpus)
     val masterOk =
       readSidecar(spark, s"$masterDir/geometry").contains(indexGeometry) &&
-        Manifest.currentVersion(spark, s"$masterDir/bands").isDefined
+        Manifest.currentVersion(spark, s"$masterDir/bands").isDefined &&
+        readSidecar(spark, s"$masterDir/corpusfp").contains(fp)
     if (!masterOk) {
       require(mode != "clone",
-        s"setupPath=clone but no committed master at $masterDir")
+        s"setupPath=clone but no committed master over this corpus " +
+          s"(fingerprint $fp) at $masterDir")
       lshIndexBuild(corpus, masterDir)
     }
     lshIndexClone(spark, masterDir, dir)
@@ -1359,6 +1390,9 @@ object Dedup {
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(bands)
     writeSidecar(spark, s"$dir/geometry", indexGeometry)
+    // the build-once master contract: record WHAT corpus this index
+    // was built over, so [[lshIndexFresh]] can refuse a stale master
+    writeSidecar(spark, s"$dir/corpusfp", corpusFingerprint(corpus))
     // v1 snapshot: from here on the MANIFEST is the index — appends
     // and compactions are versioned commits (crash-safe, OCC), probes
     // read the committed file list, vacuum reclaims superseded files.
@@ -1732,7 +1766,22 @@ object Dedup {
     */
   private[ops] def dedupBatchVsIndexKeepBestApplyCore(batch: DataFrame,
       dir: String, minSim: Double): (DataFrame, DataFrame) = {
-    val spark = batch.sparkSession
+    val (dec, doomed, sigs) =
+      dedupBatchVsIndexKeepBestDecide(batch, dir, minSim)
+    dedupBatchVsIndexKeepBestCommit(dec, doomed, sigs, dir, None)
+    (dec, doomed)
+  }
+
+  /** The PROBE half of the keep-best apply: decisions, displaced
+    * standing ids, and the batch's materialized signatures — all
+    * checkpointed, NOTHING committed. Deterministic for a fixed index
+    * state (every window carries a total-order tiebreak), so a caller
+    * that crashes after this and re-runs it against the unchanged
+    * index derives the identical plan — the property the cross-index
+    * ingest transaction ([[Pipeline.corpusKeepBestBm25]]) leans on.
+    */
+  private[ops] def dedupBatchVsIndexKeepBestDecide(batch: DataFrame,
+      dir: String, minSim: Double): (DataFrame, DataFrame, DataFrame) = {
     val (dec0, sigs, pairs0) = dedupKeepBestVsIndexCore(batch, dir, minSim)
     // materialize decisions AND match pairs before mutating the index
     // both lazily read
@@ -1742,6 +1791,19 @@ object Dedup {
       .select("doc_id")
     val doomed = iterCheckpoint(
       pairs.join(replaced, "doc_id").select("corpus_id").distinct())
+    (dec, doomed, sigs)
+  }
+
+  /** The COMMIT half: apply a decided replacement wave to the band
+    * index. `txnApp` stamps the commit with an app-scoped transaction
+    * watermark ([[Manifest.lastTxnFor]]) so a crashed-and-restarted
+    * ingest loop can detect the already-applied half and skip it —
+    * a replayed commit is a no-op.
+    */
+  private[ops] def dedupBatchVsIndexKeepBestCommit(dec: DataFrame,
+      doomed: DataFrame, sigs: DataFrame, dir: String,
+      txnApp: Option[(String, Long)]): Unit = {
+    val spark = dec.sparkSession
     val keepIds = dec
       .filter(col("decision").isin("kept", "replaced_corpus"))
       .select("doc_id")
@@ -1754,11 +1816,11 @@ object Dedup {
     Layout.appendAndDeleteKeys(spark, s"$dir/bands",
       bandRowsFromSigs(sigs.join(keepIds, "doc_id"))
         .repartition(col("bucket")),
-      doomed.withColumnRenamed("corpus_id", "doc_id"), "doc_id")
+      doomed.withColumnRenamed("corpus_id", "doc_id"), "doc_id",
+      txnApp = txnApp): Unit
     val thresh = autoCompactThreshold(spark)
     if (thresh > 0 && Layout.maxFilesPerDir(spark, s"$dir/bands") > thresh)
       lshIndexCompact(spark, dir): Unit
-    (dec, doomed)
   }
 
   /** DuckDB oracle for [[dedupBatchVsIndexKeepBest]] over the

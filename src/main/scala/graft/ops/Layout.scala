@@ -916,7 +916,12 @@ object Layout {
     */
   def appendAndDeleteKeys(spark: SparkSession, dir: String,
       batch: DataFrame, doomed: DataFrame, keyCol: String,
-      statCols: Seq[String] = Nil): (Long, Int) = {
+      statCols: Seq[String] = Nil,
+      txnApp: Option[(String, Long)] = None): (Long, Int) = {
+    // app-scoped exactly-once (the appendInPlace contract): a replayed
+    // replace — an ingest loop restarting after a crash downstream of
+    // this commit — no-ops instead of re-marking and re-appending
+    if (isReplay(spark, dir, None, txnApp)) return (0L, 0)
     val (v, carried, legacy, head) =
       Manifest.ensureVersionedDelta(spark, dir, statCols)
     val newVersion = v + 1
@@ -944,9 +949,11 @@ object Layout {
     val claim = Manifest.claimVersion(spark, dir, newVersion)
     val all = old.unionByName(marks).distinct().cache()
     val marked = all.count()
-    if (marked > 0)
+    if (marked > 0) {
       all.repartition(col("file")).write.mode("overwrite")
         .partitionBy("file").parquet(Manifest.dvDir(dir, newVersion))
+      Manifest.stampDvFormat(spark, dir, newVersion)
+    }
     // stage the batch exactly like appendInPlace
     val sample = legacy.headOption.orElse(head).toSeq
     val partCols = partColsFor(spark, dir, sample)
@@ -981,7 +988,8 @@ object Layout {
       cdcDel.unionByName(cdcIns, allowMissingColumns = true))
     all.unpersist()
     Manifest.writeChunked(spark, dir, newVersion, carried,
-      Seq(legacy, newEntries), claim = Some(claim), schema = evolved)
+      Seq(legacy, newEntries), claim = Some(claim), schema = evolved,
+      txnApp = txnApp)
     // same auto-flush policy as deleteMergeOnRead
     val flushRatio = spark.conf.getOption("spark.graft.dv.autoFlushRatio")
       .map(_.toDouble).getOrElse(0.10)
@@ -1031,9 +1039,11 @@ object Layout {
     // task can load exactly its own file's positions — O(own marks)
     // per reader, never the whole table's vector through the driver
     // (Delta-style per-file DV keying)
-    if (marked > 0)
+    if (marked > 0) {
       all.repartition(col("file")).write.mode("overwrite")
         .partitionBy("file").parquet(Manifest.dvDir(dir, newVersion))
+      Manifest.stampDvFormat(spark, dir, newVersion)
+    }
     // change record: the NEWLY marked rows (marks already present in
     // the previous vector were deleted by an earlier commit and must
     // not restate) — read back by position from the raw scan
@@ -1077,7 +1087,7 @@ object Layout {
       spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(Manifest.dvDir(dir, v)))) return 0
     val entries = Manifest.read(spark, dir).get
-    val dv = spark.read.parquet(Manifest.dvDir(dir, v))
+    val dv = Manifest.dvMarks(spark, dir, v) // key-format gated
     val markedFiles = dv.select("file").distinct()
       .collect().map(_.getString(0)).toSet
     val (hit, kept) = entries.partition(e =>
@@ -1143,7 +1153,8 @@ object Layout {
     */
   def appendInPlace(spark: SparkSession, dir: String, batch: DataFrame,
       statCols: Seq[String] = Nil, txn: Option[Long] = None,
-      txnApp: Option[(String, Long)] = None): Int = {
+      txnApp: Option[(String, Long)] = None,
+      meta: Option[Map[String, Long]] = None): Int = {
     if (isReplay(spark, dir, txn, txnApp)) return 0
     // DELTA commit: the base snapshot's chunk list is carried by
     // reference and only the new entries are written — appending to a
@@ -1175,7 +1186,7 @@ object Layout {
       }
     Manifest.writeChunked(spark, dir, newVersion, carried,
       Seq(legacy, newEntries), txn, claim = claim,
-      schema = evolved, txnApp = txnApp)
+      schema = evolved, txnApp = txnApp, meta = meta)
     newEntries.size
   }
 
@@ -1284,10 +1295,27 @@ object Layout {
     * and flushed vectors (the replaced partitions' marks would die
     * with their files). Returns (replacedFiles, addedFiles).
     */
+  /** `expectedBase` makes the overwrite COMPARE-AND-SWAP (round-17
+    * advisor): a caller that computed `batch` from a snapshot read at
+    * version V passes Some(V), and the commit fails loudly if the
+    * table has advanced past V by the time the claim is taken —
+    * closing the read/commit TOCTOU window (a concurrent append
+    * landing between the caller's read and this commit would
+    * otherwise have its partition contents clobbered by a fold that
+    * never saw them). The claim's own basis check then guarantees no
+    * FURTHER commit can interleave: of two writers claiming V+1, one
+    * fails at claim time.
+    */
   def overwritePartitionsInPlace(spark: SparkSession, dir: String,
-      batch: DataFrame, statCols: Seq[String] = Nil): (Int, Int) = {
+      batch: DataFrame, statCols: Seq[String] = Nil,
+      expectedBase: Option[Int] = None): (Int, Int) = {
     requireNoDvs(spark, dir)
     val (curV, entries) = Manifest.ensureVersioned(spark, dir, statCols)
+    expectedBase.foreach(e => if (e != curV)
+      throw new java.util.ConcurrentModificationException(
+        s"$dir advanced to v$curV past the caller's read at v$e — " +
+          "the staged fold was computed from a stale snapshot; " +
+          "re-read and retry in a single-writer maintenance window"))
     val newVersion = curV + 1
     val partCols = partColsFor(spark, dir, entries)
     require(partCols.nonEmpty,
@@ -1385,7 +1413,8 @@ object Layout {
     * re-type a column. Returns the number of files written.
     */
   def overwriteInPlace(spark: SparkSession, dir: String, batch: DataFrame,
-      statCols: Seq[String] = Nil, txn: Option[Long] = None): Int = {
+      statCols: Seq[String] = Nil, txn: Option[Long] = None,
+      meta: Option[Map[String, Long]] = None): Int = {
     if (txn.exists(t => Manifest.lastTxn(spark, dir).exists(_ >= t)))
       return 0
     val (curV, entries) = Manifest.ensureVersioned(spark, dir, statCols)
@@ -1397,7 +1426,7 @@ object Layout {
       partCols, s"overwrite-v$newVersion")
     val newEntries = statStaged(spark, dir, statCols, names)
     Manifest.write(spark, dir, newEntries.sortBy(_.name),
-      newVersion, txn, schema = evolved)
+      newVersion, txn, schema = evolved, meta = meta)
     newEntries.size
   }
 
@@ -1858,9 +1887,11 @@ object Layout {
     val replacedNames = hit.map(_.name)
     val carried = (if (replacedNames.isEmpty) dvOld
       else dvOld.where(!col("file").isin(replacedNames: _*))).cache()
-    if (carried.count() > 0)
+    if (carried.count() > 0) {
       carried.repartition(col("file")).write.mode("overwrite")
         .partitionBy("file").parquet(Manifest.dvDir(dir, newVersion))
+      Manifest.stampDvFormat(spark, dir, newVersion)
+    }
     carried.unpersist()
     Manifest.write(spark, dir, (kept ++ newEntries).sortBy(_.name),
       newVersion, claim = Some(claim))
@@ -1877,7 +1908,9 @@ object Layout {
     *  - manifest entries carry verbatim too (same relative names ⇒
     *    same partition segments; recorded stats stay exact);
     *  - live deletion vectors copy into the clone's v1 vector (marks
-    *    key on file base names, which the copy preserves);
+    *    key on table-root-relative file names, which the copy
+    *    preserves — the format marker rides along in the recursive
+    *    copy);
     *  - the recorded schema carries, so evolution state survives.
     *
     * The clone shares NOTHING after the copy: writes to either side
@@ -1919,7 +1952,9 @@ object Layout {
         new Path(Manifest.dvDir(dstDir, 1)), false, true,
         spark.sparkContext.hadoopConfiguration)
     Manifest.write(spark, dstDir, entries, 1,
-      schema = Manifest.tableSchema(spark, srcDir, version))
+      schema = Manifest.tableSchema(spark, srcDir, version),
+      meta = Some(Manifest.metaOf(spark, srcDir, version))
+        .filter(_.nonEmpty))
     (entries.size, entries.map(_.bytes).sum)
   }
 

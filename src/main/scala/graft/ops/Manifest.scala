@@ -267,7 +267,8 @@ object Manifest {
       claim: Option[String] = None,
       schema: Option[StructType] = None,
       leaseMs: Long = DefaultLeaseMs,
-      txnApp: Option[(String, Long)] = None): Unit = {
+      txnApp: Option[(String, Long)] = None,
+      meta: Option[Map[String, Long]] = None): Unit = {
     val id = claim.getOrElse(claimVersion(spark, dir, version, leaseMs))
     val fs = fsOf(spark, dir)
     fs.mkdirs(new Path(s"$dir/$DirName/$ChunksDir"))
@@ -287,7 +288,7 @@ object Manifest {
     try out.write(refs.map(r => s"""{"path":"${r.path}","n":${r.n}}""")
       .mkString("", "\n", "\n").getBytes("UTF-8")) finally out.close()
     fs.create(new Path(s"$stage/_SUCCESS"), true).close()
-    commitStage(spark, dir, version, id, stage, txn, schema, txnApp)
+    commitStage(spark, dir, version, id, stage, txn, schema, txnApp, meta)
   }
 
   /** Chunked commit with REMOVALS — the delete-shaped delta: carried
@@ -433,6 +434,36 @@ object Manifest {
       new Path(s"$dir/$DirName/v$version/$SchemaFile"))
       .map(DataType.fromJson(_).asInstanceOf[StructType])
 
+  /** Per-SNAPSHOT key/value counters (`v<K>/_meta.props`) — small
+    * exact statistics a table's OWNER maintains at commit time so
+    * policy checks (auto-flush ratios, broadcast gates) read DRIVER-
+    * SIDE metadata instead of running a Spark job per maintenance
+    * decision (round-17 verdict #3). Stored IN the snapshot dir like
+    * `_schema.json`, so version-pinned readers see the counters AS OF
+    * their version, and carried forward verbatim by commits that do
+    * not update them (compaction, stat folds, appends by meta-unaware
+    * writers). The map is opaque to this layer: callers own key
+    * names and delta arithmetic; single-writer commit discipline
+    * (claims + basis check) is what keeps read-modify-write updates
+    * exact.
+    */
+  val MetaFile = "_meta.props"
+
+  def metaOf(spark: SparkSession, dir: String,
+      version: Int): Map[String, Long] =
+    readSmallFile(spark, dir,
+      new Path(s"$dir/$DirName/v$version/$MetaFile"))
+      .map(_.linesIterator.filter(_.contains("="))
+        .map { l =>
+          val Array(k, v) = l.split("=", 2); (k.trim, v.trim.toLong)
+        }.toMap)
+      .getOrElse(Map.empty)
+
+  /** Current-version counters, empty when absent (legacy tables). */
+  def currentMeta(spark: SparkSession, dir: String): Map[String, Long] =
+    currentVersion(spark, dir)
+      .map(metaOf(spark, dir, _)).getOrElse(Map.empty)
+
   /** Claim the lease token for committing `version`; returns the claim
     * id. First-writer-wins: `fs.create(path, overwrite = false)`
     * succeeds exactly once per token, so of two racing committers that
@@ -503,13 +534,14 @@ object Manifest {
       claim: Option[String] = None,
       schema: Option[StructType] = None,
       leaseMs: Long = DefaultLeaseMs,
-      txnApp: Option[(String, Long)] = None): Unit = {
+      txnApp: Option[(String, Long)] = None,
+      meta: Option[Map[String, Long]] = None): Unit = {
     val id = claim.getOrElse(claimVersion(spark, dir, version, leaseMs))
     val stage = s"$dir/$DirName/.stage-v$version-$id"
     val ds: Dataset[ManifestEntry] =
       spark.createDataset(entries)(Encoders.product[ManifestEntry])
     ds.coalesce(1).write.mode("overwrite").json(stage)
-    commitStage(spark, dir, version, id, stage, txn, schema, txnApp)
+    commitStage(spark, dir, version, id, stage, txn, schema, txnApp, meta)
   }
 
   /** Shared commit tail of [[write]] and [[writeChunked]]: carry the
@@ -519,7 +551,8 @@ object Manifest {
   private def commitStage(spark: SparkSession, dir: String, version: Int,
       id: String, stage: String, txn: Option[Long],
       schema: Option[StructType],
-      txnApp: Option[(String, Long)]): Unit = {
+      txnApp: Option[(String, Long)],
+      meta: Option[Map[String, Long]] = None): Unit = {
     // a maintenance commit must not erase the last streaming txn (a
     // post-crash batch replay would re-append) nor the schema record:
     // carry both forward unless this commit sets its own. App-scoped
@@ -542,6 +575,15 @@ object Manifest {
     effSchema.foreach { s =>
       val out = fs.create(new Path(s"$stage/$SchemaFile"), true)
       try out.write(s.json.getBytes("UTF-8")) finally out.close()
+    }
+    // snapshot counters: set by this commit, else carried verbatim
+    val effMeta = meta.getOrElse(currentMeta(spark, dir))
+    if (effMeta.nonEmpty) {
+      val out = fs.create(new Path(s"$stage/$MetaFile"), true)
+      try out.write(effMeta.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=$v" }
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
     }
     val vPath = new Path(s"$dir/$DirName/v$version")
     val landed = !fs.exists(vPath) && fs.rename(new Path(stage), vPath)
@@ -900,20 +942,132 @@ object Manifest {
         spark.sparkContext.hadoopConfiguration): Unit
   }
 
+  /** Key-format marker every deletion-vector write stamps inside
+    * dv-v{K} (round-17 advisor): the r17 basename→root-relative rekey
+    * changed what the `file` column MEANS, and a pre-r17 vector on a
+    * partitioned table would silently match nothing in the subtract
+    * joins — previously deleted rows resurrecting instead of erroring.
+    * The marker makes the format self-describing: readers fail loudly
+    * on a legacy vector over a partitioned table (pointing at
+    * [[migrateDvKeys]]) instead of resurrecting. The underscore name
+    * is invisible to parquet directory reads, and [[copyDvDir]] /
+    * [[graft.ops.Layout.cloneTable]] carry it verbatim (recursive
+    * copies). Unpartitioned tables need no marker — there the relative
+    * name IS the basename, so both formats coincide.
+    */
+  val DvFormatFile = "_KEYFMT"
+  val DvFormatRel = "rel-v2"
+
+  private[graft] def stampDvFormat(spark: SparkSession, dir: String,
+      version: Int): Unit = {
+    val fs = fsOf(spark, dir)
+    val out = fs.create(
+      new Path(s"${dvDir(dir, version)}/$DvFormatFile"), true)
+    try out.write(s"$DvFormatRel\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  private def dvFormatOf(spark: SparkSession, dir: String,
+      version: Int): Option[String] =
+    readSmallFile(spark, dir,
+      new Path(s"${dvDir(dir, version)}/$DvFormatFile"))
+
+  /** Fail loudly when `version`'s vector predates root-relative keys
+    * AND the table is partitioned — the silent-resurrection case. The
+    * partitioned check reads ONE entry name, and only on the
+    * marker-missing path (every post-r18 vector carries the marker).
+    */
+  private def requireDvKeyFormat(spark: SparkSession, dir: String,
+      version: Int): Unit =
+    if (!dvFormatOf(spark, dir, version).contains(DvFormatRel)) {
+      val depth = entriesDF(spark, dir, version)
+        .flatMap(_.select("name").limit(1).collect().headOption)
+        .map(_.getString(0).count(_ == '/')).getOrElse(0)
+      if (depth > 0) throw new IllegalStateException(
+        s"deletion vector ${dvDir(dir, version)} has no $DvFormatFile " +
+          "marker: it was written before DV keys became table-root-" +
+          "relative, and on a PARTITIONED table its basename keys " +
+          "would silently match nothing (deleted rows resurrecting). " +
+          "Run graft.ops.Manifest.migrateDvKeys(spark, dir) once in a " +
+          "single-writer maintenance window to rewrite the keys, or " +
+          "Layout.flushDeleteVectors on a pre-r17 engine build.")
+    }
+
   /** The deletion-vector marks of `version` as a (file, pos) DataFrame
     * — empty (not missing) when the version has no vector. `file` is
-    * the table-root-relative data-file name ([[dvFileKey]]).
+    * the table-root-relative data-file name ([[dvFileKey]]); the
+    * key-format gate ([[requireDvKeyFormat]]) runs here, so EVERY
+    * consumer of marks — subtract joins, compaction, replace-commit
+    * carry, CDC diffs — refuses a legacy-keyed vector on a
+    * partitioned table instead of silently resurrecting rows.
     */
   def dvMarks(spark: SparkSession, dir: String, version: Int): DataFrame =
-    if (fsOf(spark, dir).exists(new Path(dvDir(dir, version))))
+    if (fsOf(spark, dir).exists(new Path(dvDir(dir, version)))) {
+      requireDvKeyFormat(spark, dir, version)
       // the store is Hive-keyed by `file` (per-file reader loads), so
       // a discovery read yields (pos, file); pin the canonical
       // (file, pos) order — consumers run POSITIONAL algebra on this
       spark.read.parquet(dvDir(dir, version))
         .select(col("file").cast("string"), col("pos"))
-    else spark.emptyDataFrame
+    } else spark.emptyDataFrame
       .withColumn("file", lit("")).withColumn("pos", lit(0L))
       .filter(lit(false))
+
+  /** One-time key migration for a PRE-r17 deletion vector on a
+    * partitioned table: rewrite the current version's marks from
+    * basename keys to table-root-relative keys by resolving each
+    * basename against the snapshot's entry names. A basename matching
+    * MORE than one entry is the unrecoverable case (the old writer's
+    * bug made such marks ambiguous — which sibling was meant is not
+    * recorded): the migration fails loudly rather than guess.
+    * Maintenance verb — single-writer window; the rewrite lands in a
+    * temp dir and swaps in whole.
+    */
+  def migrateDvKeys(spark: SparkSession, dir: String): Long = {
+    val v = currentVersion(spark, dir).getOrElse(
+      sys.error(s"$dir has no manifest — nothing to migrate"))
+    val fs = fsOf(spark, dir)
+    val dvp = new Path(dvDir(dir, v))
+    if (!fs.exists(dvp)) return 0L
+    if (dvFormatOf(spark, dir, v).contains(DvFormatRel)) return 0L
+    // distributed rewrite — a vector can be up to the auto-flush ratio
+    // of the TABLE's rows, so the marks never transit the driver; only
+    // the (small) resolution-failure diagnostics collect
+    val entryNames = entriesDF(spark, dir, v).map(
+      _.select(col("name"))
+        .withColumn("base", element_at(split(col("name"), "/"), -1)))
+      .getOrElse(return 0L)
+    val marks = spark.read.parquet(dvDir(dir, v))
+      .select(col("file").cast("string"), col("pos"))
+    val legacy = marks.filter(!col("file").contains("/"))
+      .withColumnRenamed("file", "base")
+    val resolved = legacy.join(broadcast(entryNames), Seq("base"))
+    val bad = resolved.groupBy("base", "pos")
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .select("base").distinct().limit(5).collect().map(_.getString(0))
+    if (bad.nonEmpty) sys.error(
+      s"DV keys ${bad.mkString(", ")} of $dir are ambiguous across " +
+        "sibling partition directories — the legacy basename keying " +
+        "did not record which sibling was meant; restore from a " +
+        "pre-r17 engine (flushDeleteVectors there) instead")
+    val unmatched = legacy.join(broadcast(entryNames), Seq("base"),
+      "left_anti").select("base").distinct().limit(5).collect()
+      .map(_.getString(0))
+    if (unmatched.nonEmpty) sys.error(
+      s"DV keys ${unmatched.mkString(", ")} match no entry of $dir " +
+        s"v$v — vector and snapshot are inconsistent")
+    val migrated = marks.filter(col("file").contains("/"))
+      .unionByName(resolved.select(col("name").as("file"), col("pos")))
+      .cache()
+    val n = migrated.count()
+    val tmp = new Path(s"$dir/$DirName/.dvmig-v$v")
+    migrated.repartition(col("file")).write.mode("overwrite")
+      .partitionBy("file").parquet(tmp.toString)
+    migrated.unpersist()
+    fs.delete(dvp, true)
+    require(fs.rename(tmp, dvp), s"migrated vector failed to land at $dvp")
+    stampDvFormat(spark, dir, v)
+    n
+  }
 
   /** Subtract `version`'s deletion vector (if any) from a read over
     * this table's files — the broadcast anti-join every read path that
@@ -925,7 +1079,7 @@ object Manifest {
     version.filter(v =>
         fsOf(spark, dir).exists(new Path(dvDir(dir, v)))) match {
       case Some(v) =>
-        val marks = spark.read.parquet(dvDir(dir, v))
+        val marks = dvMarks(spark, dir, v) // key-format gated
         base
           .withColumn("_dv_f", dvFileKey(depth))
           .withColumn("_dv_p", col("_metadata.row_index"))

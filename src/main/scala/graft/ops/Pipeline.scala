@@ -719,6 +719,23 @@ object Pipeline {
     * the delete's one-postings-pass maintenance cost; the loop is
     * driver-coordinated, never driver-sized. `dir` must be fresh.
     */
+  /** App id stamping the keep-best loop's per-batch commits on BOTH
+    * standing indexes ([[Manifest.lastTxnFor]] watermarks) — the
+    * cross-index ingest TRANSACTION (round-17 verdict #1): without a
+    * spanning marker, a crash between the LSH commit and the BM25
+    * commit stranded the displaced docs' postings live in the
+    * retrieval index forever.
+    */
+  private[ops] val KbTxnApp = "graft-kb-bm25-loop"
+
+  /** Crash-injection point for the transaction spec: set to batch b to
+    * kill the loop AFTER batch b's LSH commit and BEFORE its BM25
+    * commit — the exact torn window the txn protocol exists to heal.
+    */
+  private[graft] val KbCrashConf = "spark.graft.kb.crashAfterLshCommit"
+
+  private def kbIntentDir(dir: String, b: Long) = s"$dir/txn/batch=$b"
+
   def corpusKeepBestBm25(docs: DataFrame, dir: String,
       minSim: Double = 0.5, nTerms: Int = 10, k: Int = 3,
       masterDir: Option[String] = None): DataFrame = {
@@ -726,33 +743,94 @@ object Pipeline {
     val base = Dedup.incrLoopBase(docs)
     val baseText = base.select(col("doc_id"),
       array_join(col("toks"), " ").as("text"))
+    // bootstrap is RESUMABLE: a restart after a crash skips whatever
+    // already committed (each build is itself atomic — geometry
+    // sidecar + v1 manifest land last)
+    val lshUp = Manifest.currentVersion(spark, s"$dir/lsh/bands").isDefined
+    val bmUp = Manifest.currentVersion(spark, s"$dir/bm25/index").isDefined
     // fresh MUTABLE standing tables: clone build-once masters when a
     // master dir is given (measured faster than rebuilding at every
     // SF — PLANS.md round 17), plain builds otherwise
     masterDir match {
       case Some(m) =>
-        Dedup.lshIndexFresh(base, s"$m/lsh", s"$dir/lsh")
-        Bm25Index.fresh(baseText, s"$m/bm25", s"$dir/bm25")
+        if (!lshUp) Dedup.lshIndexFresh(base, s"$m/lsh", s"$dir/lsh")
+        if (!bmUp) Bm25Index.fresh(baseText, s"$m/bm25", s"$dir/bm25")
       case None =>
-        Dedup.lshIndexBuild(base, s"$dir/lsh")
-        Bm25Index.build(baseText, s"$dir/bm25")
+        if (!lshUp) Dedup.lshIndexBuild(base, s"$dir/lsh")
+        if (!bmUp) Bm25Index.build(baseText, s"$dir/bm25")
     }
-    (1 to Dedup.IncrLoopBatches).foreach { b =>
-      val batch = Dedup.incrLoopBatch(docs, b)
-      val (dec, doomed) = Dedup.dedupBatchVsIndexKeepBestApplyCore(
+    (1 to Dedup.IncrLoopBatches).foreach(kbStep(docs, dir, _, minSim))
+    Bm25Index.topDocs(spark, s"$dir/bm25", nTerms, k)
+  }
+
+  /** One keep-best batch as a CROSS-INDEX TRANSACTION. The protocol:
+    *
+    *   1. decide — probe the LSH index; deterministic for a fixed
+    *      index state ([[Dedup.dedupBatchVsIndexKeepBestDecide]]);
+    *   2. write the INTENT — doomed standing ids + the winners' text
+    *      — durably under `dir/txn/batch=b` BEFORE either commit (the
+    *      write-ahead record both halves apply from);
+    *   3. commit the LSH half, stamped `txn:<KbTxnApp>=b`;
+    *   4. commit the BM25 half FROM THE INTENT, same stamp.
+    *
+    * Every crash window heals on restart: before (3), the standing
+    * index is unchanged so the re-run derives the identical plan and
+    * re-writes the identical intent; between (3) and (4) — the torn
+    * state that used to strand displaced postings live — the LSH
+    * watermark says b is applied, so the restart skips (1)-(3) and
+    * rolls the BM25 half forward from the intent; after (4), both
+    * watermarks say b and the step no-ops. Both commits are
+    * app-scoped-replay no-ops, so a DOUBLE restart is safe too. The
+    * BM25 half reads the intent even on the happy path — one code
+    * path, so the recovery branch is exercised by every run.
+    */
+  private def kbStep(docs: DataFrame, dir: String, b: Int,
+      minSim: Double): Unit =
+    kbApplyBatch(Dedup.incrLoopBatch(docs, b), dir, b.toLong, minSim,
+      KbTxnApp)
+
+  /** The transaction body over an ARBITRARY `(doc_id, toks)` batch —
+    * shared by the batch loop (batch id = loop step) and the STREAMING
+    * ingest ([[graft.streaming.KeepBestStream]], batch id = micro-
+    * batch epoch; a foreachBatch re-delivery after a crash or restart
+    * replays the same id and heals exactly like a loop restart).
+    */
+  private[graft] def kbApplyBatch(batch: DataFrame, dir: String, b: Long,
+      minSim: Double, app: String): Unit = {
+    val spark = batch.sparkSession
+    val lshDone = Manifest
+      .lastTxnFor(spark, s"$dir/lsh/bands", app).exists(_ >= b)
+    val bmDone = Manifest
+      .lastTxnFor(spark, s"$dir/bm25/index", app).exists(_ >= b)
+    if (lshDone && bmDone) return
+    if (!lshDone) {
+      val (dec, doomed, sigs) = Dedup.dedupBatchVsIndexKeepBestDecide(
         batch, s"$dir/lsh", minSim)
       val keep = dec
         .filter(col("decision").isin("kept", "replaced_corpus"))
         .select("doc_id")
-      // propagate the displaced standing docs AND the batch's winners
-      // to the retrieval index in ONE atomic commit
-      Bm25Index.deleteAndAppend(
-        doomed.withColumnRenamed("corpus_id", "doc_id"),
-        batch.join(keep, "doc_id")
-          .select(col("doc_id"), array_join(col("toks"), " ").as("text")),
-        s"$dir/bm25"): Unit
+      // (2) the write-ahead intent: displaced ids + winners' text
+      doomed.withColumnRenamed("corpus_id", "doc_id")
+        .select(col("doc_id"), lit("").as("text"), lit("doom").as("role"))
+        .unionByName(batch.join(keep, "doc_id")
+          .select(col("doc_id"),
+            array_join(col("toks"), " ").as("text"),
+            lit("keep").as("role")))
+        .write.mode("overwrite").parquet(kbIntentDir(dir, b))
+      // (3) LSH half
+      Dedup.dedupBatchVsIndexKeepBestCommit(dec, doomed, sigs,
+        s"$dir/lsh", Some((app, b)))
+      if (spark.conf.getOption(KbCrashConf).contains(b.toString))
+        throw new IllegalStateException(
+          s"injected crash after batch $b's LSH commit ($KbCrashConf)")
     }
-    Bm25Index.topDocs(spark, s"$dir/bm25", nTerms, k)
+    // (4) BM25 half, from the durable intent — identical on the happy
+    // path and the roll-forward path
+    val intent = spark.read.parquet(kbIntentDir(dir, b))
+    Bm25Index.deleteAndAppend(
+      intent.filter(col("role") === "doom").select("doc_id"),
+      intent.filter(col("role") === "keep").select("doc_id", "text"),
+      s"$dir/bm25", txnApp = Some((app, b))): Unit
   }
 
   /** DuckDB oracle for [[corpusKeepBestBm25]]: the three keep-best

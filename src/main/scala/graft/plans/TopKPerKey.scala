@@ -132,9 +132,21 @@ case class TopKPerKeyExec(keys: Seq[Expression], ordering: Seq[SortOrder],
 
   override def outputPartitioning = child.outputPartitioning
 
+  /** The final stage demands clustering on the NORMALIZED keys, not
+    * the raw ones (round-17 advisor): doExecute's grouping projection
+    * treats -0.0 == 0.0 and all NaN bit patterns as one value, so the
+    * exchange that satisfies this distribution must agree — a child
+    * satisfying ClusteredDistribution(raw keys) via range partitioning
+    * orders -0.0 < 0.0 (Double.compare) and could land
+    * comparator-equal float keys in DIFFERENT partitions, emitting up
+    * to 2k rows for one logical key. Declaring the normalized
+    * expressions here is exactly where Spark's own
+    * NormalizeFloatingNumbers rule puts them for built-in aggregates:
+    * below the exchange.
+    */
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
-    else ClusteredDistribution(keys) :: Nil
+    else ClusteredDistribution(keys.map(graftShims.normalizeFloats)) :: Nil
 
   override lazy val metrics = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "output rows"),

@@ -821,6 +821,18 @@ object ManifestSource {
             }
           } finally r.close()
         }
+    // key-format gate (round-17 advisor), executor-side form of
+    // Manifest.requireDvKeyFormat: a marker-less vector whose keys
+    // should be partition-relative (base contains '/') is a PRE-r17
+    // basename-keyed vector — its marks would match nothing here and
+    // deleted rows would silently resurrect; fail the task loudly.
+    val hasMarker = fs.exists(
+      new Path(root, graft.ops.Manifest.DvFormatFile))
+    if (!hasMarker && base.contains('/'))
+      throw new IllegalStateException(
+        s"deletion vector $root has no ${graft.ops.Manifest.DvFormatFile}" +
+          " marker but the table is partitioned: basename-keyed legacy " +
+          "marks cannot be applied — run Manifest.migrateDvKeys first")
     // the Hive directory name escapes the key the same way Spark's
     // partitioned writer did when the vector landed ('/' -> %2F etc.)
     val keyed = new Path(root, "file=" + org.apache.spark.sql.catalyst

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** STREAMING keep-best ingest (round-17 verdict #7): the quality-
+  * arbitrated replace — probe the standing LSH index, displace
+  * lower-quality standing docs, keep the winners, and propagate every
+  * replacement to the BM25 retrieval index — run per micro-batch over
+  * a document stream, closing the last batch/streaming asymmetry
+  * (DedupStream only did bucket-ownership dedup; replacements existed
+  * only in the batch loop).
+  *
+  * Architecture: foreachBatch driving the SAME cross-index
+  * transaction body as the batch loop
+  * ([[graft.ops.Pipeline.kbApplyBatch]]), with the micro-batch EPOCH
+  * as the transaction id. A state-store port (transformWithState)
+  * cannot be the commit point here — the replace must land as atomic
+  * snapshot commits on TWO standing tables, and exactly-once for
+  * table commits is the app-scoped txn-watermark pattern the
+  * streaming sink already established ([[ManifestSink]]): a
+  * re-delivered epoch after a crash or restart replays the same id
+  * against both indexes and heals whatever half was missing —
+  * including the torn between-commits window, via the write-ahead
+  * intent. The per-batch cost is the gated O(batch) probe + two
+  * O(batch) commits, identical to the batch loop; state is the
+  * standing indexes themselves, not a state store, so a restart needs
+  * no state rebuild.
+  *
+  * The standing indexes must be bootstrapped (built over the base
+  * corpus) before the stream starts — same contract as the loop.
+  */
+object KeepBestStream {
+
+  /** Start the ingest over a streaming `(doc_id, text)` frame.
+    * Decisions and replacements land in the standing indexes under
+    * `dir`; the returned query is the handle to stop/await.
+    */
+  def start(docs: DataFrame, dir: String, checkpoint: String,
+      minSim: Double = 0.5,
+      app: String = "graft-kb-stream"): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, epoch: Long) =>
+        graft.ops.Pipeline.kbApplyBatch(
+          b.select(col("doc_id"),
+              split(col("text"), " ").as("toks"))
+            .filter(size(col("toks")) >= 3),
+          dir, epoch, minSim, app)
+      }
+      .start()
+}

@@ -178,4 +178,36 @@ class Bm25IndexSpec extends SparkSpec {
     assert((after -- before).isEmpty,
       s"persisted RDDs leaked: ${after -- before}")
   }
+
+  test("double-delete stays a no-op ACROSS a flush boundary (retired record)") {
+    val dir = Files.createTempDirectory("graft-bm25-redel").toString
+    val keepSide = docs.filter(col("doc_id") % 4 =!= 3)
+    val doomedSide = docs.filter(col("doc_id") % 4 === 3)
+    spark.conf.set("spark.graft.bm25.autoFlushRatio", "0")
+    try {
+      Bm25Index.build(keepSide, dir)
+      Bm25Index.append(doomedSide, dir)
+      val n = Bm25Index.delete(doomedSide.select("doc_id"), dir)
+      assert(n == doomedSide.count())
+      assert(Bm25Index.flushDeletes(spark, dir) == n)
+      val vAfterFlush = Bm25Index.version(spark, dir).get
+      // the advisor's skew: before the retired record, re-deleting a
+      // flushed id found no tombstone and decremented n_docs for a doc
+      // with no postings — permanently wrong idf/avgdl. Now: no-op.
+      assert(Bm25Index.delete(doomedSide.select("doc_id"), dir) == 0L)
+      assert(Bm25Index.version(spark, dir).contains(vAfterFlush))
+      assert(rows(Bm25Index.topDocs(spark, dir, 20, 3)) ==
+        rows(Analysis.bm25TopDocs(keepSide, 20, 3)))
+      // a SECOND flush after the no-op retires nothing and keeps the
+      // retired record intact
+      assert(Bm25Index.flushDeletes(spark, dir) == 0L)
+      assert(Bm25Index.delete(doomedSide.select("doc_id"), dir) == 0L)
+      // fresh deletes of LIVE docs still work normally after a flush
+      val more = keepSide.filter(col("doc_id") % 8 === 0)
+      assert(Bm25Index.delete(more.select("doc_id"), dir) == more.count())
+      val live = keepSide.filter(col("doc_id") % 8 =!= 0)
+      assert(rows(Bm25Index.topDocs(spark, dir, 20, 3)) ==
+        rows(Analysis.bm25TopDocs(live, 20, 3)))
+    } finally spark.conf.unset("spark.graft.bm25.autoFlushRatio")
+  }
 }

@@ -243,4 +243,29 @@ class TopKPerKeySpec extends SparkSpec {
       spark.conf.unset(fbKey)
     } }
   }
+
+  test("the final stage's exchange hashes NORMALIZED float keys") {
+    import spark.implicits._
+    withNoAqe {
+      // a child that satisfies clustering on the RAW key via range
+      // partitioning: Double.compare orders -0.0 < 0.0, so without
+      // normalization in requiredChildDistribution the planner would
+      // accept this partitioning and comparator-equal float keys could
+      // sit in different partitions — up to 2k rows for one logical
+      // key (round-17 advisor). The normalized requirement forces one
+      // exchange that hashes -0.0 and 0.0 together.
+      val df = Seq.tabulate(64)(i =>
+          (if (i % 2 == 0) 0.0 else -0.0, i % 5, i))
+        .toDF("key", "score", "id")
+        .repartitionByRange(4, col("key"))
+      val top = TopKPerKey.topK(df, Seq("key"),
+        Seq(col("score").desc, col("id").asc), 2)
+      val got = top.collect()
+      assert(got.length == 2,
+        s"one logical key (0.0) must emit exactly k=2 rows, got ${got.length}")
+      val plan = top.queryExecution.executedPlan.toString.toLowerCase
+      assert(plan.contains("normalizenanandzero"),
+        s"the exchange must partition on the normalized key:\n$plan")
+    }
+  }
 }

@@ -713,7 +713,10 @@ class Gen:
                  "bm25_query", "token_budget_mix", "keep_best",
                  # round-17: standing-state (incremental) shapes — the
                  # fixed fixtures with randomized residues/splits/minSim
-                 "dedup_incr", "keep_best_incr", "bm25_index_split"]
+                 "dedup_incr", "keep_best_incr", "bm25_index_split",
+                 # round-18: the COMPOSED keep-best + BM25 ingest loop
+                 # (both standing indexes mutated per batch)
+                 "corpus_keep_best_bm25"]
 
     def gen_op(self, i):
         op = self.OP_SHAPES[i % len(self.OP_SHAPES)]
@@ -746,9 +749,12 @@ class Gen:
                  "m2": r.choice([25, 30, 35]), "r2": r.randrange(10)}
         elif op == "keep_best_incr":
             p = {"minSim": r.choice([0.35, 0.4, 0.5, 0.6, 0.7])}
-        else:  # bm25_index_split
+        elif op == "bm25_index_split":
             p = {"splitMod": r.choice([2, 3, 4, 5]),
                  "nTerms": r.randint(5, 40), "k": r.randint(1, 5)}
+        else:  # corpus_keep_best_bm25
+            p = {"minSim": r.choice([0.35, 0.4, 0.5, 0.6, 0.7]),
+                 "nTerms": r.randint(5, 20), "k": r.randint(1, 4)}
         return op, p
 
 
