@@ -233,11 +233,17 @@ object Bm25Index {
     * caller dedups first (that is [[Pipeline.corpusBuildIncr]]'s
     * job, not this layer's).
     */
-  def append(batch: DataFrame, dir: String): Unit = {
+  def append(batch: DataFrame, dir: String,
+      txnApp: Option[(String, Long)] = None): Unit = {
     val spark = batch.sparkSession
     requireGeometry(spark, dir)
+    // app-scoped exactly-once for ingest-loop restarts — checked
+    // BEFORE the tokenize/stat jobs run, not just at the commit
+    if (txnApp.exists { case (a, n) =>
+        Manifest.lastTxnFor(spark, s"$dir/index", a).exists(_ >= n) })
+      return
     withIndexRows(batch) { rows =>
-      Layout.appendInPlace(spark, s"$dir/index", rows,
+      Layout.appendInPlace(spark, s"$dir/index", rows, txnApp = txnApp,
         meta = bumpCounters(spark, dir, dLive = batch.count())): Unit
     }
     // same auto-compaction cadence as the LSH index's appends

@@ -1448,9 +1448,15 @@ object Dedup {
     spark.conf.get("spark.graft.autoCompactFilesPerDir",
       AutoCompactFilesPerDir.toString).toInt
 
-  def lshIndexAppendFromSigs(sigs: DataFrame, dir: String): Unit = {
+  def lshIndexAppendFromSigs(sigs: DataFrame, dir: String,
+      txnApp: Option[(String, Long)] = None): Unit = {
     val spark = sigs.sparkSession
     requireGeometry(spark, dir)
+    // app-scoped exactly-once for ingest-loop restarts: a replayed
+    // append ([[Pipeline.corpusBuildIncr]]'s txn protocol) no-ops
+    if (txnApp.exists { case (a, n) =>
+        Manifest.lastTxnFor(spark, s"$dir/bands", a).exists(_ >= n) })
+      return
     // a versioned manifest commit (round-15 verdict #1), not a raw
     // mode(append) write: the batch's band rows land as staged files
     // renamed in, then ONE snapshot commit (claim lease -> rename
@@ -1458,7 +1464,8 @@ object Dedup {
     // running concurrently reads the snapshot it pinned; a crashed
     // append leaves unreferenced files for vacuum, never a torn index.
     Layout.appendInPlace(spark, s"$dir/bands",
-      bandRowsFromSigs(sigs).repartition(col("bucket")))
+      bandRowsFromSigs(sigs).repartition(col("bucket")),
+      txnApp = txnApp)
     val thresh = autoCompactThreshold(spark)
     if (thresh > 0 && Layout.maxFilesPerDir(spark, s"$dir/bands") > thresh)
       lshIndexCompact(spark, dir): Unit

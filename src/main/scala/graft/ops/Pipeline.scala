@@ -519,23 +519,85 @@ object Pipeline {
     } else firsts.join(standing, Seq("h"), "left_anti")
   }
 
+  /** App id stamping [[corpusBuildIncr]]'s per-batch commits on all
+    * THREE standing tables (hashes, LSH, BM25) — the loop's own
+    * cross-table transaction (round 18, same protocol as
+    * [[kbApplyBatch]]): without it, a crash between the three appends
+    * left the tables describing DIFFERENT corpora (hashes with batch
+    * k, the band index without it ⇒ batch k+1's near-dup probe misses
+    * docs its exact stage knows), and a naive re-run would re-derive
+    * survivors against the half-advanced state — the re-probe of an
+    * already-appended batch drops every doc as a standing dup.
+    */
+  private[ops] val CiTxnApp = "graft-corpus-incr-loop"
+
+  /** Crash injection for the spec: `<k>:<table>` (table ∈ h|lsh)
+    * kills the loop after batch k's commit on that table.
+    */
+  private[graft] val CiCrashConf = "spark.graft.corpusIncr.crashAfter"
+
+  private def ciIntentDir(dir: String, k: Int) = s"$dir/txn/batch=$k"
+
   def corpusBuildIncr(docs: DataFrame, dir: String,
       minSim: Double = 0.5, withBm25: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     // bootstrap: all state tables start EMPTY but committed (v1 with
     // a recorded schema), exactly the first-day-of-ingest shape —
-    // manifest-only inits, no write job over an empty frame
-    Dedup.lshIndexInit(spark, s"$dir/lsh")
+    // manifest-only inits, no write job over an empty frame. Each
+    // init is itself atomic, so a restart skips whatever landed.
+    if (Manifest.currentVersion(spark, s"$dir/lsh/bands").isEmpty)
+      Dedup.lshIndexInit(spark, s"$dir/lsh")
     // optional third standing table (round-16 verdict #3 meets #2):
     // the ingest loop ALSO maintains the persisted BM25 retrieval
     // index of the kept corpus — bootstrap empty, append kept per
     // batch, so decontamination probes always see the standing corpus
-    if (withBm25)
+    if (withBm25 &&
+        Manifest.currentVersion(spark, s"$dir/bm25/index").isEmpty)
       Bm25Index.init(spark, s"$dir/bm25")
     val hdir = s"$dir/hashes"
-    Manifest.write(spark, hdir, Seq.empty, 1,
-      schema = Some(org.apache.spark.sql.types.StructType.fromDDL("h BIGINT")))
-    val perBatch = (1 to CorpusIncrBatches).map { k =>
+    if (Manifest.currentVersion(spark, hdir).isEmpty)
+      Manifest.write(spark, hdir, Seq.empty, 1,
+        schema =
+          Some(org.apache.spark.sql.types.StructType.fromDDL("h BIGINT")))
+    val perBatch = (1 to CorpusIncrBatches).map(
+      ciStep(docs, dir, _, minSim, withBm25))
+    import spark.implicits._
+    perBatch.toDF("batch", "n_in", "n_quality", "n_exact", "n_final")
+  }
+
+  /** One [[corpusBuildIncr]] batch as a CROSS-TABLE transaction
+    * ([[kbApplyBatch]]'s protocol, three-way): derive the survivors
+    * ONLY when no table has the batch applied (the derivation is
+    * valid solely against the pre-batch standing state), write the
+    * intent — kept (doc_id, text, h) plus the audit counts — durably,
+    * then commit each table's half stamped `txn:<CiTxnApp>=k`,
+    * skipping halves a previous attempt already landed. A restart in
+    * ANY window re-derives identically (nothing committed), rolls the
+    * missing halves forward from the intent, or no-ops — and the
+    * audit row always reports the ORIGINAL counts (from the intent
+    * sidecar), never a recount against advanced state.
+    *
+    * The happy-path LSH append still reuses the probe's checkpointed
+    * signatures (the one-minhash-pass contract); only the recovery
+    * path re-derives them from the intent's text.
+    */
+  private def ciStep(docs: DataFrame, dir: String, k: Int,
+      minSim: Double, withBm25: Boolean): (Int, Long, Long, Long, Long) = {
+    val spark = docs.sparkSession
+    val hdir = s"$dir/hashes"
+    def appliedTo(table: String) =
+      Manifest.lastTxnFor(spark, table, CiTxnApp).exists(_ >= k)
+    def crashpoint(tag: String): Unit =
+      if (spark.conf.getOption(CiCrashConf).contains(s"$k:$tag"))
+        throw new IllegalStateException(
+          s"injected crash after batch $k's $tag commit ($CiCrashConf)")
+    val hDone = appliedTo(hdir)
+    val lshDone = appliedTo(s"$dir/lsh/bands")
+    val bmDone = withBm25 && appliedTo(s"$dir/bm25/index")
+    val anyDone = hDone || lshDone || bmDone
+    // the probe's signatures, reusable by the happy-path LSH append
+    var sigsKept: Option[DataFrame] = None
+    if (!anyDone) {
       val batch = corpusIncrBatch(docs, k)
       val nIn = batch.count()
       // (1) structural gate — same rule subset as corpusBuild
@@ -567,18 +629,38 @@ object Pipeline {
       val dec = Dedup.iterCheckpoint(dec0)
       val keptIds = dec.filter(col("decision") === "kept").select("doc_id")
       val nFinal = keptIds.count()
-      // (4) the standing state mirrors the kept corpus exactly
-      Layout.appendInPlace(spark, hdir,
-        ec.join(keptIds, "doc_id").select("h"))
-      Dedup.lshIndexAppendFromSigs(sigs.join(keptIds, "doc_id"),
-        s"$dir/lsh")
-      if (withBm25)
-        Bm25Index.append(ec.join(keptIds, "doc_id")
-          .select("doc_id", "text"), s"$dir/bm25")
-      (k, nIn, nQuality, nExact, nFinal)
+      sigsKept = Some(sigs.join(keptIds, "doc_id"))
+      // the write-ahead intent: kept docs + the audit counts
+      ec.join(keptIds, "doc_id").select("doc_id", "text", "h")
+        .write.mode("overwrite").parquet(ciIntentDir(dir, k))
+      Dedup.writeSidecar(spark, s"${ciIntentDir(dir, k)}.counts",
+        s"$nIn:$nQuality:$nExact:$nFinal")
     }
-    import spark.implicits._
-    perBatch.toDF("batch", "n_in", "n_quality", "n_exact", "n_final")
+    // (4) the standing state mirrors the kept corpus exactly — each
+    // half from the durable intent, stamped, skippable
+    val intent = spark.read.parquet(ciIntentDir(dir, k))
+    if (!hDone) {
+      Layout.appendInPlace(spark, hdir, intent.select("h"),
+        txnApp = Some((CiTxnApp, k.toLong))): Unit
+      crashpoint("h")
+    }
+    if (!lshDone) {
+      Dedup.lshIndexAppendFromSigs(
+        sigsKept.getOrElse(Dedup.signaturesQ(
+          intent.select(col("doc_id"),
+            split(col("text"), " ").as("toks")))),
+        s"$dir/lsh", txnApp = Some((CiTxnApp, k.toLong)))
+      crashpoint("lsh")
+    }
+    if (withBm25 && !bmDone)
+      Bm25Index.append(intent.select("doc_id", "text"), s"$dir/bm25",
+        txnApp = Some((CiTxnApp, k.toLong)))
+    val counts = Dedup.readSidecar(spark,
+      s"${ciIntentDir(dir, k)}.counts").getOrElse(
+        sys.error(s"batch $k has commits but no intent sidecar — " +
+          s"was ${ciIntentDir(dir, k)} deleted?"))
+      .split(":").map(_.toLong)
+    (k, counts(0), counts(1), counts(2), counts(3))
   }
 
   /** DuckDB oracle for [[corpusBuildIncr]]: the fixture, the gopher
