@@ -1402,6 +1402,28 @@ object SparkEntry {
         finally deleteRecursively(d.toFile)
     },
 
+    // The SAME keep-best + BM25 loop ACTUALLY STREAMED (round 18): the
+    // three loop batches feed a MemoryStream as three micro-batch
+    // epochs through the foreachBatch cross-index transaction
+    // (KeepBestStream), so the stream and the batch loop share one
+    // oracle — the replace semantics are identical by construction,
+    // and a crash/restart at any epoch heals exactly like a loop
+    // restart (KeepBestStreamSpec's kill/restart soak).
+    q("st_corpus_keep_best",
+      Pipeline.corpusKeepBestBm25Oracle(0.5, 10, 3)) {
+      (s, dir) =>
+        val (csum, cmtime) = docsFingerprint(dir)
+        val master = layoutDir("kbbm25m-b" + Dedup.Bands +
+          "x" + Dedup.IndexBuckets + "s" + Dedup.MinhashAB.size +
+          "-bb" + Bm25Index.Buckets + "-c" + csum + "m" + cmtime, dir)
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-keepbest-stream")
+        try graft.streaming.KeepBestStream.runLoopFixture(
+          s, T(s, dir, "documents"), d.toString, 0.5, 10, 3,
+          Some(master)).localCheckpoint(true)
+        finally deleteRecursively(d.toFile)
+    },
+
     // MinHash signatures via the typed Aggregator (map-side-combinable
     // sketch building; same constants, identical signatures).
     q("ns_minhash_signatures", Dedup.minhashSignaturesAggOracle) {

@@ -50,4 +50,49 @@ object KeepBestStream {
           dir, epoch, minSim, app)
       }
       .start()
+
+  /** The fixture loop ACTUALLY STREAMED — the oracle-checked form
+    * (`st_corpus_keep_best`): the three loop batches feed a
+    * MemoryStream as three real micro-batch epochs through [[start]],
+    * and the returned probe over the post-replacement standing corpus
+    * shares [[graft.ops.Pipeline.corpusKeepBestBm25Oracle]] with the
+    * batch loop — the stream and the loop are the same transaction
+    * body, so they must score identically. The driver-side collect
+    * feeding the MemoryStream is the fixture-source shape (a memory
+    * stream's input is driver-fed by definition); production streams
+    * arrive from a real source and never transit the driver.
+    */
+  def runLoopFixture(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, dir: String, minSim: Double = 0.5,
+      nTerms: Int = 10, k: Int = 3,
+      masterDir: Option[String] = None): DataFrame = {
+    import graft.ops.{Bm25Index, Dedup}
+    import spark.implicits._
+    val base = Dedup.incrLoopBase(docs)
+    val baseText = base.select(col("doc_id"),
+      array_join(col("toks"), " ").as("text"))
+    masterDir match {
+      case Some(m) =>
+        Dedup.lshIndexFresh(base, s"$m/lsh", s"$dir/lsh")
+        Bm25Index.fresh(baseText, s"$m/bm25", s"$dir/bm25")
+      case None =>
+        Dedup.lshIndexBuild(base, s"$dir/lsh")
+        Bm25Index.build(baseText, s"$dir/bm25")
+    }
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = start(stream.toDF().toDF("doc_id", "text"), dir,
+      s"$dir/ckpt", minSim)
+    try {
+      (1 to Dedup.IncrLoopBatches).foreach { b =>
+        stream.addData(Dedup.incrLoopBatch(docs, b)
+          .select(col("doc_id"), array_join(col("toks"), " ").as("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq): Unit
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    Bm25Index.topDocs(spark, s"$dir/bm25", nTerms, k)
+  }
 }
