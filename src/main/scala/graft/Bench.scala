@@ -117,13 +117,48 @@ object Bench {
     // in-chain spikes of iterative queries (the documented GC
     // envelope) are diffable against their isolated truth in the SAME
     // JSON instead of a rerun.
-    val isolated = sys.env.get("SPARK_GRAFT_BENCH_ISOLATED")
+    val isolatedRaw = sys.env.get("SPARK_GRAFT_BENCH_ISOLATED")
       .map(p => new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(p)),
         java.nio.charset.StandardCharsets.UTF_8).trim)
       .filter(s => s.startsWith("{") && s.endsWith("}"))
+    val isolated = isolatedRaw
       .map(s => s""","isolated_min":$s""").getOrElse("")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"canary_s":$canary,"canary_end_s":$canaryEnd,"heap_gb":$heapGb,"gc_every":$gcEvery,"n_errors":${errors.size},"errors":$errsJson,"queries":$qs,"queries_min":$mins,"queries_max":$maxs$isolated,"sf":"$sfDir"}"""
+    // AUTOMATIC CHAIN-STATE ADJUDICATION (round-18 verdict #5): twice
+    // now (r15 clusters, r18 q21) an in-chain reading far above the
+    // query's own isolated floor needed a MANUAL re-run to adjudicate
+    // "chain-state episode" vs "real regression". Do it here: any
+    // query whose chain median exceeds REPROBE_K x its embedded
+    // isolated_min (and by >1 s absolute, so sub-second noise never
+    // triggers) is re-timed after a full state scrub — all persistent
+    // blocks dropped, cache cleared, two GCs — i.e. under the same
+    // conditions the isolated floor was measured in. The re-probe
+    // lands IN the artifact ("reprobe_s"); tools/scale_check.py reads
+    // it and reports a flagged query whose re-probe is within budget
+    // as an adjudicated chain-state episode instead of a flag.
+    val isolatedMap: Map[String, Double] = isolatedRaw.toSeq.flatMap(s =>
+      "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r.findAllMatchIn(s)
+        .map(m => m.group(1) -> m.group(2).toDouble)).toMap
+    val reprobeK = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPROBE_K", "3.0")
+      .toDouble
+    val reprobes = results.collect {
+      case (name, med, _, _) if med >= 0 &&
+          isolatedMap.get(name).exists(iso =>
+            med > reprobeK * iso && med - iso > 1.0) =>
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        spark.catalog.clearCache()
+        System.gc(); System.gc()
+        val ts = (1 to reps).map(_ =>
+          time(SparkEntry.queries(name))).filter(_ >= 0)
+        (name, if (ts.isEmpty) -1.0 else ts.min)
+    }
+    val reprobe =
+      if (reprobes.isEmpty) ""
+      else s""","reprobe_k":$reprobeK,"reprobe_s":""" + reprobes
+        .map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"canary_s":$canary,"canary_end_s":$canaryEnd,"heap_gb":$heapGb,"gc_every":$gcEvery,"n_errors":${errors.size},"errors":$errsJson,"queries":$qs,"queries_min":$mins,"queries_max":$maxs$isolated$reprobe,"sf":"$sfDir"}"""
     println(line)
     // The stdout line gets truncated by log tooling past ~50 queries; persist the
     // full per-query breakdown so cross-round comparisons cover every query.

@@ -39,4 +39,22 @@ object graftShims {
     */
   def drainListenerBus(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
+
+  /** The runtime-filter bloom pair (`BloomFilterAggregate` /
+    * `BloomFilterMightContain`) is NOT in the public function registry
+    * — Spark only instantiates it inside InjectRuntimeFilter. The BM25
+    * index's retired-tombstone check reuses the same codegen'd pair
+    * for its flush-maintained sidecar bloom, so expose constructors.
+    */
+  def bloomFilterAgg(c: Column, estimatedItems: Long,
+      numBits: Long): Column =
+    toColumn(new catalyst.expressions.aggregate.BloomFilterAggregate(
+      toExpression(c),
+      catalyst.expressions.Literal(estimatedItems),
+      catalyst.expressions.Literal(numBits)).toAggregateExpression())
+
+  def bloomMightContain(bloom: Array[Byte], c: Column): Column =
+    toColumn(catalyst.expressions.BloomFilterMightContain(
+      catalyst.expressions.Literal(bloom, types.BinaryType),
+      toExpression(c)))
 }

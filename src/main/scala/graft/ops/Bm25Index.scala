@@ -76,6 +76,39 @@ object Bm25Index {
   private val LiveKey = "live_docs"
   private val DelKey = "pending_dels"
 
+  /** Retired-tombstone counter (round-18 verdict #3): total ids ever
+    * moved del→ret by [[flushDeletes]]. Sizes and VALIDATES the ret
+    * bloom sidecar — the bloom is only trusted while its stamp equals
+    * this counter, so a crash between sidecar write and flush commit
+    * degrades to the exact check instead of a wrong answer.
+    */
+  private val RetKey = "retired_docs"
+
+  /** How [[deleteRows]] runs its already-retired check, whose exact
+    * form is an anti-join against a `kind=ret` set that grows with
+    * TOTAL deletes ever issued — in a keep-best replace workload,
+    * eventually larger than the live index (round-18 verdict #3).
+    *
+    *   - `bloom` (default): probe the flush-maintained bloom sidecar
+    *     first — O(batch), no ret I/O. Only ids the bloom flags (true
+    *     retirees being re-deleted, or ~1e-5 false positives) pay the
+    *     exact anti-join, so in the steady state (unique id mint) a
+    *     delete NEVER scans the ret partition. Bit-exact: blooms have
+    *     no false negatives, and every positive is re-checked exactly.
+    *     Falls back to `exact` when no valid sidecar exists.
+    *   - `exact`: the anti-join every time (pre-round-19 behavior).
+    *   - `off`: skip the ret check — for pipelines that ENFORCE the
+    *     unique-id mint upstream; a violated contract then skews
+    *     n_docs/avgdl exactly as documented on [[delete]].
+    */
+  private[graft] val RetCheckConf = "spark.graft.bm25.retCheck"
+
+  /** ~24 bits/id ≈ 1e-5 false-positive rate: a 10k-doc delete batch
+    * then has a ~10% chance of even ONE bloom hit (one bounded exact
+    * re-check), while the sidecar stays ~3 MB per million retirees.
+    */
+  private val RetBloomBitsPerId = 24L
+
   /** Broadcast gate (rows) for the tombstone anti-join sets — the
     * probe-side subtraction ([[postingsFor]]) and the flush's postings
     * rewrite broadcast the del set bounded only by the auto-flush
@@ -187,7 +220,8 @@ object Bm25Index {
     * empty entry list under the declared schema (bootstrap ingest:
     * the first append still writes partitioned).
     */
-  def build(corpus: DataFrame, dir: String): Unit = {
+  def build(corpus: DataFrame, dir: String,
+      corpusId: Option[String] = None): Unit = {
     val spark = corpus.sparkSession
     val table = s"$dir/index"
     withIndexRows(corpus) { rows =>
@@ -195,12 +229,17 @@ object Bm25Index {
         .parquet(table)
     }
     Dedup.writeSidecar(spark, s"$dir/geometry", indexGeometry)
-    // record the built-over corpus for [[fresh]]'s stale-master guard;
-    // its count doubles as the live-doc counter seed (one agg pass
-    // serves both)
-    val fp = Dedup.corpusFingerprint(corpus)
+    // record the built-over corpus for [[fresh]]'s stale-master guard:
+    // the caller-supplied snapshot identity (zero-job), else the
+    // content fingerprint, whose count doubles as the live-doc
+    // counter seed (one agg pass serves both)
+    val (fp, nDocs) = corpusId match {
+      case Some(id) => (id, corpus.count())
+      case None =>
+        val f = Dedup.corpusFingerprint(corpus)
+        (f, f.split(":")(0).toLong)
+    }
     Dedup.writeSidecar(spark, s"$dir/corpusfp", fp)
-    val nDocs = fp.split(":")(0).toLong
     val p = new org.apache.hadoop.fs.Path(table)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val it = fs.listFiles(p, true)
@@ -210,7 +249,7 @@ object Bm25Index {
     val entries =
       if (hasFiles) Manifest.scanStats(spark, table, Nil) else Seq.empty
     Manifest.write(spark, table, entries, 1, schema = Some(indexStruct),
-      meta = Some(Map(LiveKey -> nDocs, DelKey -> 0L)))
+      meta = Some(Map(LiveKey -> nDocs, DelKey -> 0L, RetKey -> 0L)))
   }
 
   /** Bootstrap an EMPTY committed index (first day of ingest) without
@@ -222,7 +261,7 @@ object Bm25Index {
     Dedup.writeSidecar(spark, s"$dir/geometry", indexGeometry)
     Manifest.write(spark, s"$dir/index", Seq.empty, 1,
       schema = Some(indexStruct),
-      meta = Some(Map(LiveKey -> 0L, DelKey -> 0L)))
+      meta = Some(Map(LiveKey -> 0L, DelKey -> 0L, RetKey -> 0L)))
   }
 
   /** Append one ingest batch's statistics: O(batch) — the batch's
@@ -243,8 +282,9 @@ object Bm25Index {
         Manifest.lastTxnFor(spark, s"$dir/index", a).exists(_ >= n) })
       return
     withIndexRows(batch) { rows =>
-      Layout.appendInPlace(spark, s"$dir/index", rows, txnApp = txnApp,
-        meta = bumpCounters(spark, dir, dLive = batch.count())): Unit
+      val (observed, obs) = observeLive(rows)
+      Layout.appendInPlace(spark, s"$dir/index", observed, txnApp = txnApp,
+        metaDelta = counterDelta(observedLive(obs), 0L)): Unit
     }
     // same auto-compaction cadence as the LSH index's appends
     // ([[Dedup.AutoCompactFilesPerDir]]): past the per-directory file
@@ -271,6 +311,17 @@ object Bm25Index {
     Dedup.writeSidecar(spark, s"$dstDir/geometry", indexGeometry)
     Dedup.readSidecar(spark, s"$srcDir/corpusfp").foreach(fp =>
       Dedup.writeSidecar(spark, s"$dstDir/corpusfp", fp))
+    // carry the ret bloom (binary + stamp) so the clone's deletes keep
+    // the O(batch) already-check; a missing pair just means exact
+    val src = new org.apache.hadoop.fs.Path(s"$srcDir/retbloom.bin")
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(src)) {
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+        new org.apache.hadoop.fs.Path(s"$dstDir/retbloom.bin"),
+        false, true, spark.sparkContext.hadoopConfiguration): Unit
+      Dedup.readSidecar(spark, s"$srcDir/retbloom.n").foreach(n =>
+        Dedup.writeSidecar(spark, s"$dstDir/retbloom.n", n))
+    }
   }
 
   /** Fresh MUTABLE index over `corpus` at `dir` via a build-once
@@ -278,16 +329,19 @@ object Bm25Index {
     * (clone beats rebuild at every SF; PLANS.md round 17), same
     * `spark.graft.lsh.setupPath` pin, bit-identical either way.
     */
-  def fresh(corpus: DataFrame, masterDir: String, dir: String): Unit = {
+  def fresh(corpus: DataFrame, masterDir: String, dir: String,
+      corpusId: Option[String] = None): Unit = {
     val spark = corpus.sparkSession
     val mode = spark.conf.get("spark.graft.lsh.setupPath", "auto")
     require(Seq("auto", "rebuild", "clone").contains(mode),
       s"spark.graft.lsh.setupPath must be auto|rebuild|clone, got '$mode'")
-    if (mode == "rebuild") { build(corpus, dir); return }
+    if (mode == "rebuild") { build(corpus, dir, corpusId); return }
     // stale-master guard (round-17 advisor): the master must carry the
     // corpus fingerprint of THIS corpus, not just valid geometry —
-    // same contract as [[Dedup.lshIndexFresh]]
-    val fp = Dedup.corpusFingerprint(corpus)
+    // same contract as [[Dedup.lshIndexFresh]]. A manifest-table
+    // corpus's [[Manifest.snapshotIdentity]] stands in for the content
+    // scan — zero Spark jobs (round-18 verdict #2)
+    val fp = corpusId.getOrElse(Dedup.corpusFingerprint(corpus))
     val masterOk =
       Dedup.readSidecar(spark, s"$masterDir/geometry")
         .contains(indexGeometry) &&
@@ -297,26 +351,64 @@ object Bm25Index {
       require(mode != "clone",
         s"setupPath=clone but no committed master over this corpus " +
           s"(fingerprint $fp) at $masterDir")
-      build(corpus, masterDir)
+      build(corpus, masterDir, corpusId)
     }
     cloneIndex(spark, masterDir, dir)
   }
 
-  /** The next snapshot's counter record: current counters plus this
-    * commit's known deltas. None on a pre-tracking index (no record to
-    * extend — the gated paths fall back to measuring). The read-
-    * modify-write is safe under the commit claim's basis check: a
-    * concurrent commit between this read and the claim fails the
-    * whole commit loudly, so a stale counter can never land.
+  /** This commit's counter DELTAS, folded against the claim-time base
+    * inside the commit itself ([[Manifest]] commitStage) — NOT a
+    * caller-side read-modify-write. Round-18 advisor: the old form
+    * read the base meta at planning time but the commit claimed
+    * whatever version was current at claim time, so a concurrent
+    * commit landing in between had its counter update silently lost
+    * (and drifted pending_dels feeds the zero-tombstone fast paths).
+    * `dLive` is by-name: the append verbs derive it from an
+    * [[org.apache.spark.sql.Observation]] over the rows being written,
+    * which only resolves after the staged-write job has run.
     */
-  private def bumpCounters(spark: SparkSession, dir: String,
-      dLive: Long = 0L, dDel: Long = 0L): Option[Map[String, Long]] = {
-    val cur = Manifest.currentMeta(spark, s"$dir/index")
-    if (cur.isEmpty) None
-    else Some(Map(
-      LiveKey -> (cur.getOrElse(LiveKey, 0L) + dLive),
-      DelKey -> (cur.getOrElse(DelKey, 0L) + dDel)))
+  private def counterDelta(dLive: => Long, dDel: => Long,
+      dRet: Long = 0L): () => Option[Map[String, Long]] =
+    () => Some(Map(LiveKey -> dLive, DelKey -> dDel, RetKey -> dRet))
+
+  /** Observe the batch's live-doc delta ON THE ROWS BEING WRITTEN —
+    * the `kind=stat` partial's `tf` column is exactly the batch's
+    * n_docs (minus the displaced docs' negative correction on the
+    * replace path), so the staged-write job itself yields the delta
+    * and the append costs no separate `batch.count()` job (round-18
+    * verdict #4).
+    */
+  private def observeLive(rows: DataFrame)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = new org.apache.spark.sql.Observation(
+      s"bm25-dlive-${java.util.UUID.randomUUID()}")
+    (rows.observe(obs,
+      coalesce(sum(when(col("kind") === "stat", col("tf"))), lit(0L))
+        .as("d_live")), obs)
   }
+
+  /** Bounded wait on the observed metric — the staged write has
+    * already run by the time the commit evaluates its delta, so the
+    * row is normally present immediately; if the metric never fires
+    * (a broken lineage would drop the CollectMetrics node) fail
+    * LOUDLY rather than block the commit forever or record a wrong
+    * counter.
+    */
+  private def observedLive(obs: org.apache.spark.sql.Observation): Long =
+    try {
+      val row = scala.concurrent.Await.result(obs.future,
+        scala.concurrent.duration.Duration(30, "s"))
+      row.getAs[Any]("d_live") match {
+        case n: Number => n.longValue()
+        case _ => throw new IllegalStateException(
+          "BM25 append: the d_live observation yielded no number")
+      }
+    } catch {
+      case _: java.util.concurrent.TimeoutException =>
+        throw new IllegalStateException(
+          "BM25 append: the d_live observation never fired for the " +
+            "staged write — counter delta unavailable")
+    }
 
   /** UN-INDEX documents (round-16 verdict #2 — the delete path the
     * LSH sibling has and this index lacked): ONE atomic append commit
@@ -361,7 +453,7 @@ object Bm25Index {
       case Some((rows, n)) =>
         Layout.appendInPlace(spark, s"$dir/index",
           rows.repartition(col("kind"), col("bucket")),
-          meta = bumpCounters(spark, dir, dLive = -n, dDel = n)): Unit
+          metaDelta = counterDelta(-n, n)): Unit
         maybeAutoFlush(spark, dir)
         n
     }
@@ -389,11 +481,13 @@ object Bm25Index {
     val n = del.map(_._2).getOrElse(0L)
     withIndexRows(batch) { rows =>
       val all = del.map(_._1.unionByName(rows)).getOrElse(rows)
+      // the union's stat partials sum to batch_n - n, i.e. dLive —
+      // observed during the staged write, no separate count job
+      val (observed, obs) = observeLive(all)
       Layout.appendInPlace(spark, s"$dir/index",
-        all.repartition(col("kind"), col("bucket")),
+        observed.repartition(col("kind"), col("bucket")),
         txnApp = txnApp,
-        meta = bumpCounters(spark, dir,
-          dLive = batch.count() - n, dDel = n)): Unit
+        metaDelta = counterDelta(observedLive(obs), n)): Unit
     }
     maybeAutoFlush(spark, dir)
     val thresh = Dedup.autoCompactThreshold(spark)
@@ -402,24 +496,92 @@ object Bm25Index {
     n
   }
 
+  /** The ret bloom sidecar pair: `retbloom.bin` (the serialized
+    * filter) stamped by `retbloom.n` (the retired count it covers).
+    * Written by [[flushDeletes]] BEFORE its commit, trusted by
+    * [[loadRetBloom]] only while the stamp equals the snapshot's
+    * [[RetKey]] counter — any torn write/commit interleaving degrades
+    * to the exact check, never to a false negative.
+    */
+  private def writeRetBloom(spark: SparkSession, dir: String,
+      retired: DataFrame, nRet: Long): Unit = {
+    val maxBits = spark.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+      "67108864").toLong
+    val bits = math.min(math.max(nRet, 1L) * RetBloomBitsPerId, maxBits)
+    val bin = retired
+      .agg(org.apache.spark.sql.graftShims.bloomFilterAgg(
+        col("doc_id"), math.max(nRet, 1L), bits))
+      .head().getAs[Array[Byte]](0)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/retbloom.bin")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(bin) finally out.close()
+    // the stamp lands LAST: a crash in between leaves an unstamped
+    // (untrusted) bloom
+    Dedup.writeSidecar(spark, s"$dir/retbloom.n", nRet.toString)
+  }
+
+  private def loadRetBloom(spark: SparkSession,
+      dir: String): Option[Array[Byte]] = {
+    val stamp = Dedup.readSidecar(spark, s"$dir/retbloom.n")
+      .flatMap(_.trim.toLongOption)
+    val tracked = Manifest.currentMeta(spark, s"$dir/index").get(RetKey)
+    if (stamp.isEmpty || stamp != tracked) return None
+    val p = new org.apache.hadoop.fs.Path(s"$dir/retbloom.bin")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    val in = fs.open(p)
+    try { in.readFully(buf); Some(buf) } finally in.close()
+  }
+
   /** The tombstone + correction rows of a delete against the CURRENT
     * snapshot — None when every doomed id is already tombstoned (a
     * double-delete). Shared by [[delete]] and [[deleteAndAppend]].
+    *
+    * "Already deleted" spans BOTH pending tombstones (kind=del, flush-
+    * bounded — always an exact anti-join) and RETIRED ones (kind=ret,
+    * written by [[flushDeletes]]) — without the retired record,
+    * re-deleting an id after a flush would find no tombstone,
+    * decrement n_docs for a doc with no postings, and permanently skew
+    * idf/avgdl (round-17 advisor). The no-op guarantee for
+    * double-delete holds across flush boundaries. The ret check runs
+    * per [[RetCheckConf]]: under `bloom` the steady-state delete costs
+    * O(batch) with ZERO ret-partition I/O, instead of an anti-join
+    * whose far side grows with total churn.
     */
   private def deleteRows(spark: SparkSession, dir: String,
       doomedIds: DataFrame): Option[(DataFrame, Long)] = {
     val t = Manifest.readTable(spark, s"$dir/index")
-    // "already deleted" spans BOTH pending tombstones (kind=del) and
-    // RETIRED ones (kind=ret, written by [[flushDeletes]]) — without
-    // the retired record, re-deleting an id after a flush would find
-    // no tombstone, decrement n_docs for a doc with no postings, and
-    // permanently skew idf/avgdl (round-17 advisor). The no-op
-    // guarantee for double-delete holds across flush boundaries.
-    val already = t.filter(col("kind").isin("del", "ret"))
-      .select("doc_id")
+    val doomed0 = doomedIds
+      .select(col("doc_id").cast("bigint").as("doc_id")).distinct()
+    val rets = t.filter(col("kind") === "ret").select("doc_id")
+    val mode = spark.conf.get(RetCheckConf, "bloom")
+    require(Seq("bloom", "exact", "off").contains(mode),
+      s"$RetCheckConf must be bloom|exact|off, got '$mode'")
+    val notRetired = mode match {
+      case "off" => doomed0
+      case "bloom" =>
+        loadRetBloom(spark, dir) match {
+          case Some(bin) =>
+            val flagged = Dedup.iterCheckpoint(doomed0.withColumn("_rb",
+              org.apache.spark.sql.graftShims.bloomMightContain(
+                bin, col("doc_id"))))
+            val nMaybe = flagged.filter(col("_rb")).count()
+            val sure = flagged.filter(!col("_rb")).drop("_rb")
+            // only bloom POSITIVES pay the exact re-check; a clean
+            // batch (the steady state) never touches the ret partition
+            if (nMaybe == 0L) sure
+            else sure.unionByName(flagged.filter(col("_rb")).drop("_rb")
+              .join(rets, Seq("doc_id"), "left_anti"))
+          case None => doomed0.join(rets, Seq("doc_id"), "left_anti")
+        }
+      case _ => doomed0.join(rets, Seq("doc_id"), "left_anti")
+    }
+    val dels = t.filter(col("kind") === "del").select("doc_id")
     val doomed = Dedup.iterCheckpoint(
-      doomedIds.select(col("doc_id").cast("bigint").as("doc_id"))
-        .distinct().join(already, Seq("doc_id"), "left_anti"))
+      notRetired.join(dels, Seq("doc_id"), "left_anti"))
     val n = doomed.count()
     if (n == 0L) return None
     val victims = t.filter(col("kind") === "post")
@@ -446,7 +608,7 @@ object Bm25Index {
     * anti-join set stays bounded under sustained deletes.
     *
     * METADATA-ONLY since round 18 (verdict #3): the live/tombstone
-    * counts come from the snapshot's counter record ([[bumpCounters]])
+    * counts come from the snapshot's counter record ([[counterDelta]])
     * — the check after every delete costs zero Spark jobs. The
     * stat-sum + del-count jobs remain only as the fallback for
     * pre-tracking indexes.
@@ -463,7 +625,7 @@ object Bm25Index {
         else {
           val t2 = Manifest.readTable(spark, s"$dir/index")
           (t2.filter(col("kind") === "stat")
-            .agg(coalesce(sum("tf"), lit(0L))).head.getLong(0),
+            .agg(coalesce(sum("tf"), lit(0L))).head().getLong(0),
             t2.filter(col("kind") === "del").count())
         }
       if (live > 0 && dels > flushRatio * live)
@@ -515,11 +677,18 @@ object Bm25Index {
       .select(lit("").as("token"), col("doc_id"), lit(0L).as("tf"),
         lit(0L).as("dl"), lit("ret").as("kind"), lit(0).as("bucket"))
       .distinct()
+    // refresh the ret bloom over the post-flush retired set, BEFORE
+    // the commit (torn either way → stamp mismatch → exact fallback);
+    // one extra agg pass inside a maintenance verb, and it is what
+    // keeps the per-delete already-check off the ret partition
+    val nRetTotal = Manifest.currentMeta(spark, table).get(RetKey)
+      .map(_ + nDel).getOrElse(retired.count())
+    writeRetBloom(spark, dir, retired.select("doc_id"), nRetTotal)
     Layout.overwriteInPlace(spark, table,
       posts.unionByName(dfFold).unionByName(statFold)
         .unionByName(retired)
         .repartition(col("kind"), col("bucket")),
-      meta = bumpCounters(spark, dir, dDel = -nDel))
+      metaDelta = counterDelta(0L, -nDel, dRet = nDel))
     nDel
   }
 

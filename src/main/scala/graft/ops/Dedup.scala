@@ -1242,14 +1242,26 @@ object Dedup {
     * results; until now only the callers' fingerprinted dir names
     * guarded this). One map-only column-pruned pass over the corpus —
     * tiny next to the tokenize+minhash+shuffle a rebuild pays, so the
-    * clone path keeps its measured win.
+    * clone path keeps its measured win. For a MANIFEST-TABLE corpus
+    * pass [[Manifest.snapshotIdentity]] as the fingerprint instead —
+    * snapshot identity needs zero jobs.
+    *
+    * Two order-independent aggregates ride alongside the count
+    * (round-18 advisor): bit_xor alone self-cancels duplicate rows —
+    * any two equal-count corpora whose distinct rows each occur an
+    * EVEN number of times xor to 0, and dup-heavy corpora are exactly
+    * this framework's input — so an exact decimal SUM of the same
+    * hashes (which never cancels on duplicates, and being decimal
+    * never overflows under ANSI arithmetic) joins the fingerprint.
     */
   private[ops] def corpusFingerprint(corpus: DataFrame): String = {
     val cols = corpus.columns.sorted.toIndexedSeq.map(col)
     val r = corpus.select(xxhash64(cols: _*).as("h"))
       .agg(count(lit(1)).as("n"),
-        coalesce(expr("bit_xor(h)"), lit(0L)).as("x")).head()
-    s"${r.getLong(0)}:${r.getLong(1)}"
+        coalesce(expr("bit_xor(h)"), lit(0L)).as("x"),
+        coalesce(sum(col("h").cast("decimal(28,0)")),
+          lit(java.math.BigDecimal.ZERO)).as("s")).head()
+    s"${r.getLong(0)}:${r.getLong(1)}:${r.getDecimal(2).toPlainString}"
   }
 
   /** [[IndexSchema]] as a StructType, with `bucket` carrying the
@@ -1355,18 +1367,22 @@ object Dedup {
     * results are bit-identical either way (a clone is a byte copy).
     */
   def lshIndexFresh(corpus: DataFrame, masterDir: String,
-      dir: String): Unit = {
+      dir: String, corpusId: Option[String] = None): Unit = {
     val spark = corpus.sparkSession
     val mode = spark.conf.get("spark.graft.lsh.setupPath", "auto")
     require(Seq("auto", "rebuild", "clone").contains(mode),
       s"spark.graft.lsh.setupPath must be auto|rebuild|clone, got '$mode'")
-    if (mode == "rebuild") { lshIndexBuild(corpus, dir); return }
+    if (mode == "rebuild") { lshIndexBuild(corpus, dir, corpusId); return }
     // the master is only clonable if it is a committed index AND its
     // recorded corpus fingerprint matches THIS corpus (round-17
     // advisor) — a stale or foreign master at the path rebuilds in
     // auto mode and errors in clone mode instead of silently serving
-    // wrong probe results
-    val fp = corpusFingerprint(corpus)
+    // wrong probe results. `corpusId` (a manifest-table corpus's
+    // [[Manifest.snapshotIdentity]]) stands in for the content scan:
+    // the check becomes ZERO Spark jobs (round-18 verdict #2), and a
+    // stale master — recorded over an older snapshot version — still
+    // mismatches and refuses.
+    val fp = corpusId.getOrElse(corpusFingerprint(corpus))
     val masterOk =
       readSidecar(spark, s"$masterDir/geometry").contains(indexGeometry) &&
         Manifest.currentVersion(spark, s"$masterDir/bands").isDefined &&
@@ -1375,12 +1391,13 @@ object Dedup {
       require(mode != "clone",
         s"setupPath=clone but no committed master over this corpus " +
           s"(fingerprint $fp) at $masterDir")
-      lshIndexBuild(corpus, masterDir)
+      lshIndexBuild(corpus, masterDir, corpusId)
     }
     lshIndexClone(spark, masterDir, dir)
   }
 
-  def lshIndexBuild(corpus: DataFrame, dir: String): Unit = {
+  def lshIndexBuild(corpus: DataFrame, dir: String,
+      corpusId: Option[String] = None): Unit = {
     val spark = corpus.sparkSession
     val bands = s"$dir/bands"
     indexBandRows(corpus)
@@ -1391,8 +1408,11 @@ object Dedup {
       .parquet(bands)
     writeSidecar(spark, s"$dir/geometry", indexGeometry)
     // the build-once master contract: record WHAT corpus this index
-    // was built over, so [[lshIndexFresh]] can refuse a stale master
-    writeSidecar(spark, s"$dir/corpusfp", corpusFingerprint(corpus))
+    // was built over, so [[lshIndexFresh]] can refuse a stale master —
+    // the snapshot identity when the corpus is a manifest table
+    // (zero-job), else the content fingerprint
+    writeSidecar(spark, s"$dir/corpusfp",
+      corpusId.getOrElse(corpusFingerprint(corpus)))
     // v1 snapshot: from here on the MANIFEST is the index — appends
     // and compactions are versioned commits (crash-safe, OCC), probes
     // read the committed file list, vacuum reclaims superseded files.

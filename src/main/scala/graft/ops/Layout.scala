@@ -1085,7 +1085,12 @@ object Layout {
     val v = Manifest.currentVersion(spark, dir).getOrElse(return 0)
     val fs = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(Manifest.dvDir(dir, v)))) return 0
+    if (!fs.exists(new Path(Manifest.dvDir(dir, v)))) {
+      // no vector is only a no-op when no torn migrateDvKeys swap is
+      // pending — flushing "nothing" over that state would bless it
+      Manifest.requireNoTornDvMigration(spark, dir, v)
+      return 0
+    }
     val entries = Manifest.read(spark, dir).get
     val dv = Manifest.dvMarks(spark, dir, v) // key-format gated
     val markedFiles = dv.select("file").distinct()
@@ -1154,7 +1159,8 @@ object Layout {
   def appendInPlace(spark: SparkSession, dir: String, batch: DataFrame,
       statCols: Seq[String] = Nil, txn: Option[Long] = None,
       txnApp: Option[(String, Long)] = None,
-      meta: Option[Map[String, Long]] = None): Int = {
+      meta: Option[Map[String, Long]] = None,
+      metaDelta: () => Option[Map[String, Long]] = () => None): Int = {
     if (isReplay(spark, dir, txn, txnApp)) return 0
     // DELTA commit: the base snapshot's chunk list is carried by
     // reference and only the new entries are written — appending to a
@@ -1186,7 +1192,8 @@ object Layout {
       }
     Manifest.writeChunked(spark, dir, newVersion, carried,
       Seq(legacy, newEntries), txn, claim = claim,
-      schema = evolved, txnApp = txnApp, meta = meta)
+      schema = evolved, txnApp = txnApp, meta = meta,
+      metaDelta = metaDelta)
     newEntries.size
   }
 
@@ -1414,7 +1421,8 @@ object Layout {
     */
   def overwriteInPlace(spark: SparkSession, dir: String, batch: DataFrame,
       statCols: Seq[String] = Nil, txn: Option[Long] = None,
-      meta: Option[Map[String, Long]] = None): Int = {
+      meta: Option[Map[String, Long]] = None,
+      metaDelta: () => Option[Map[String, Long]] = () => None): Int = {
     if (txn.exists(t => Manifest.lastTxn(spark, dir).exists(_ >= t)))
       return 0
     val (curV, entries) = Manifest.ensureVersioned(spark, dir, statCols)
@@ -1426,7 +1434,8 @@ object Layout {
       partCols, s"overwrite-v$newVersion")
     val newEntries = statStaged(spark, dir, statCols, names)
     Manifest.write(spark, dir, newEntries.sortBy(_.name),
-      newVersion, txn, schema = evolved, meta = meta)
+      newVersion, txn, schema = evolved, meta = meta,
+      metaDelta = metaDelta)
     newEntries.size
   }
 

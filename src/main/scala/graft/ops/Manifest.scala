@@ -163,6 +163,34 @@ object Manifest {
     currentLine(spark, dir).toSeq.flatMap(_.split("\\s+")
       .filter(_.startsWith("txn:")))
 
+  /** Every app-scoped watermark of the current pointer, keyed by the
+    * sanitized token key — the maintenance view (intent vacuuming)
+    * that doesn't know which app ids stamped the table.
+    */
+  private[graft] def txnAppWatermarks(spark: SparkSession,
+      dir: String): Map[String, Long] =
+    txnAppTokens(spark, dir).flatMap { t =>
+      t.stripPrefix("txn:").split("=", 2) match {
+        case Array(k, v) => v.toLongOption.map(k -> _)
+        case _ => None
+      }
+    }.toMap
+
+  /** Zero-job identity of a manifest-table corpus (round-18 verdict
+    * #2): a committed snapshot is immutable, so (qualified dir,
+    * version) identifies its CONTENT without scanning it — the
+    * build-once-master guards ([[graft.ops.Dedup.lshIndexFresh]],
+    * [[graft.ops.Bm25Index.fresh]]) accept this as the corpus
+    * fingerprint, turning every clone-path setup from an O(corpus)
+    * content scan into two FS reads. None when `dir` holds no
+    * committed manifest (raw frames keep the content scan).
+    */
+  def snapshotIdentity(spark: SparkSession, dir: String): Option[String] =
+    currentVersion(spark, dir).map { v =>
+      val p = new Path(dir)
+      s"mf:${fsOf(spark, dir).makeQualified(p)}@v$v"
+    }
+
   def read(spark: SparkSession, dir: String): Option[Seq[ManifestEntry]] =
     currentVersion(spark, dir).flatMap(v => readVersion(spark, dir, v))
 
@@ -268,7 +296,8 @@ object Manifest {
       schema: Option[StructType] = None,
       leaseMs: Long = DefaultLeaseMs,
       txnApp: Option[(String, Long)] = None,
-      meta: Option[Map[String, Long]] = None): Unit = {
+      meta: Option[Map[String, Long]] = None,
+      metaDelta: () => Option[Map[String, Long]] = () => None): Unit = {
     val id = claim.getOrElse(claimVersion(spark, dir, version, leaseMs))
     val fs = fsOf(spark, dir)
     fs.mkdirs(new Path(s"$dir/$DirName/$ChunksDir"))
@@ -288,7 +317,8 @@ object Manifest {
     try out.write(refs.map(r => s"""{"path":"${r.path}","n":${r.n}}""")
       .mkString("", "\n", "\n").getBytes("UTF-8")) finally out.close()
     fs.create(new Path(s"$stage/_SUCCESS"), true).close()
-    commitStage(spark, dir, version, id, stage, txn, schema, txnApp, meta)
+    commitStage(spark, dir, version, id, stage, txn, schema, txnApp,
+      meta, metaDelta)
   }
 
   /** Chunked commit with REMOVALS — the delete-shaped delta: carried
@@ -535,13 +565,15 @@ object Manifest {
       schema: Option[StructType] = None,
       leaseMs: Long = DefaultLeaseMs,
       txnApp: Option[(String, Long)] = None,
-      meta: Option[Map[String, Long]] = None): Unit = {
+      meta: Option[Map[String, Long]] = None,
+      metaDelta: () => Option[Map[String, Long]] = () => None): Unit = {
     val id = claim.getOrElse(claimVersion(spark, dir, version, leaseMs))
     val stage = s"$dir/$DirName/.stage-v$version-$id"
     val ds: Dataset[ManifestEntry] =
       spark.createDataset(entries)(Encoders.product[ManifestEntry])
     ds.coalesce(1).write.mode("overwrite").json(stage)
-    commitStage(spark, dir, version, id, stage, txn, schema, txnApp, meta)
+    commitStage(spark, dir, version, id, stage, txn, schema, txnApp,
+      meta, metaDelta)
   }
 
   /** Shared commit tail of [[write]] and [[writeChunked]]: carry the
@@ -552,7 +584,8 @@ object Manifest {
       id: String, stage: String, txn: Option[Long],
       schema: Option[StructType],
       txnApp: Option[(String, Long)],
-      meta: Option[Map[String, Long]] = None): Unit = {
+      meta: Option[Map[String, Long]] = None,
+      metaDelta: () => Option[Map[String, Long]] = () => None): Unit = {
     // a maintenance commit must not erase the last streaming txn (a
     // post-crash batch replay would re-append) nor the schema record:
     // carry both forward unless this commit sets its own. App-scoped
@@ -576,8 +609,26 @@ object Manifest {
       val out = fs.create(new Path(s"$stage/$SchemaFile"), true)
       try out.write(s.json.getBytes("UTF-8")) finally out.close()
     }
-    // snapshot counters: set by this commit, else carried verbatim
-    val effMeta = meta.getOrElse(currentMeta(spark, dir))
+    // snapshot counters: set by this commit (absolute `meta`), or the
+    // commit's DELTAS folded against the claim-time base — the read
+    // happens HERE, under the held claim (whose basis check pinned the
+    // base to version-1), so a concurrent commit landing between the
+    // caller's planning read and this commit can no longer have its
+    // counter update silently overwritten (round-18 advisor: the old
+    // caller-side read-modify-write could lose another writer's delta
+    // and feed the zero-tombstone fast paths stale pending_dels).
+    // Otherwise carried verbatim. metaDelta is lazily evaluated here —
+    // callers may derive deltas from metrics observed during this
+    // commit's own staged-write job. A pre-tracking table (empty base)
+    // records nothing; the gated consumers fall back to measuring.
+    val effMeta = meta.getOrElse {
+      val base = currentMeta(spark, dir)
+      metaDelta() match {
+        case Some(d) if base.nonEmpty =>
+          base ++ d.map { case (k, dv) => k -> (base.getOrElse(k, 0L) + dv) }
+        case _ => base
+      }
+    }
     if (effMeta.nonEmpty) {
       val out = fs.create(new Path(s"$stage/$MetaFile"), true)
       try out.write(effMeta.toSeq.sortBy(_._1)
@@ -900,8 +951,14 @@ object Manifest {
     s"$dir/$DirName/dv-v$version"
 
   def hasDeletionVectors(spark: SparkSession, dir: String): Boolean =
-    currentVersion(spark, dir).exists(v =>
-      fsOf(spark, dir).exists(new Path(dvDir(dir, v))))
+    currentVersion(spark, dir).exists { v =>
+      val has = fsOf(spark, dir).exists(new Path(dvDir(dir, v)))
+      // a missing vector is only "no deletes" when no torn migration
+      // aside copy exists — otherwise an append here would commit a
+      // vector-less snapshot and make the resurrection PERMANENT
+      if (!has) requireNoTornDvMigration(spark, dir, v)
+      has
+    }
 
   /** DV file key of a scanned row: the data file's TABLE-ROOT-RELATIVE
     * name — the last `depth + 1` components of the scan's
@@ -1008,9 +1065,39 @@ object Manifest {
       // (file, pos) order — consumers run POSITIONAL algebra on this
       spark.read.parquet(dvDir(dir, version))
         .select(col("file").cast("string"), col("pos"))
-    } else spark.emptyDataFrame
-      .withColumn("file", lit("")).withColumn("pos", lit(0L))
-      .filter(lit(false))
+    } else {
+      requireNoTornDvMigration(spark, dir, version)
+      spark.emptyDataFrame
+        .withColumn("file", lit("")).withColumn("pos", lit(0L))
+        .filter(lit(false))
+    }
+
+  /** The migration's aside copy of the legacy vector ([[migrateDvKeys]]):
+    * the old dv-v{K} is RENAMED here before the rewritten one renames
+    * into place, so no crash window ever leaves the table with no
+    * vector at all (a missing dv dir reads as "no deletes" — the
+    * silent-resurrection failure the _KEYFMT marker exists to prevent).
+    */
+  private[graft] def dvAsidePath(dir: String, version: Int): Path =
+    new Path(s"$dir/$DirName/.dvmig-old-v$version")
+
+  /** Fail loudly when dv-v{K} is MISSING but the migration's aside copy
+    * exists: a [[migrateDvKeys]] run crashed between renaming the old
+    * vector aside and renaming the rewritten one into place. Treating
+    * that state as "no deletes" would resurrect every deleted row;
+    * re-running migrateDvKeys heals it (restores the aside copy and
+    * redoes the rewrite). One FS existence check, only on the
+    * dv-missing path.
+    */
+  private[graft] def requireNoTornDvMigration(spark: SparkSession,
+      dir: String, version: Int): Unit =
+    if (fsOf(spark, dir).exists(dvAsidePath(dir, version)))
+      throw new IllegalStateException(
+        s"deletion vector ${dvDir(dir, version)} is missing but the " +
+          s"migration aside copy ${dvAsidePath(dir, version)} exists: " +
+          "a migrateDvKeys run crashed mid-swap. Reading this state as " +
+          "'no deletes' would resurrect deleted rows — re-run " +
+          "graft.ops.Manifest.migrateDvKeys(spark, dir) to heal it.")
 
   /** One-time key migration for a PRE-r17 deletion vector on a
     * partitioned table: rewrite the current version's marks from
@@ -1020,15 +1107,34 @@ object Manifest {
     * bug made such marks ambiguous — which sibling was meant is not
     * recorded): the migration fails loudly rather than guess.
     * Maintenance verb — single-writer window; the rewrite lands in a
-    * temp dir and swaps in whole.
+    * temp dir and swaps in via rename-aside → rename-in → stamp →
+    * delete-aside, so EVERY crash window leaves either the legacy
+    * vector, the aside copy (restored on re-run), or the migrated
+    * vector — never an absent one (round-18 advisor).
     */
   def migrateDvKeys(spark: SparkSession, dir: String): Long = {
     val v = currentVersion(spark, dir).getOrElse(
       sys.error(s"$dir has no manifest — nothing to migrate"))
     val fs = fsOf(spark, dir)
     val dvp = new Path(dvDir(dir, v))
+    val aside = dvAsidePath(dir, v)
+    // heal a torn prior run: the swap crashed after renaming the old
+    // vector aside but before the rewrite landed — restore the legacy
+    // vector and redo the whole migration from it
+    if (!fs.exists(dvp) && fs.exists(aside))
+      require(fs.rename(aside, dvp),
+        s"failed to restore aside vector $aside to $dvp")
     if (!fs.exists(dvp)) return 0L
-    if (dvFormatOf(spark, dir, v).contains(DvFormatRel)) return 0L
+    if (dvFormatOf(spark, dir, v).contains(DvFormatRel)) {
+      // completed swap whose final delete-aside didn't run: reclaim
+      if (fs.exists(aside)) fs.delete(aside, true): Unit
+      return 0L
+    }
+    // a prior run that crashed after rename-in but before stamping
+    // left both dirs: dvp (migrated or legacy, re-migrating either is
+    // idempotent) is authoritative; drop the stale aside so the
+    // rename below has a clear destination
+    if (fs.exists(aside)) fs.delete(aside, true): Unit
     // distributed rewrite — a vector can be up to the auto-flush ratio
     // of the TABLE's rows, so the marks never transit the driver; only
     // the (small) resolution-failure diagnostics collect
@@ -1063,9 +1169,11 @@ object Manifest {
     migrated.repartition(col("file")).write.mode("overwrite")
       .partitionBy("file").parquet(tmp.toString)
     migrated.unpersist()
-    fs.delete(dvp, true)
+    require(fs.rename(dvp, aside),
+      s"failed to move legacy vector $dvp aside to $aside")
     require(fs.rename(tmp, dvp), s"migrated vector failed to land at $dvp")
     stampDvFormat(spark, dir, v)
+    fs.delete(aside, true): Unit
     n
   }
 
@@ -1086,7 +1194,11 @@ object Manifest {
           .join(broadcast(marks), col("_dv_f") === marks("file") &&
             col("_dv_p") === marks("pos"), "left_anti")
           .drop("_dv_f", "_dv_p")
-      case None => base
+      case None =>
+        // missing vector: reject the torn-migration state rather than
+        // read it as "no deletes" (rows would silently resurrect)
+        version.foreach(requireNoTornDvMigration(spark, dir, _))
+        base
     }
 
   /** An empty DataFrame with the table's schema as of `version` —

@@ -587,13 +587,35 @@ object Pipeline {
     val hdir = s"$dir/hashes"
     def appliedTo(table: String) =
       Manifest.lastTxnFor(spark, table, CiTxnApp).exists(_ >= k)
+    val hDone = appliedTo(hdir)
+    val lshDone = appliedTo(s"$dir/lsh/bands")
+    val bmDone = withBm25 && appliedTo(s"$dir/bm25/index")
+    val allDone = hDone && lshDone && (!withBm25 || bmDone)
+    if (!allDone) withIngestLease(spark, dir) {
+      ciStepBody(docs, dir, k, minSim, withBm25, hDone, lshDone, bmDone)
+    }
+    // every table has batch k applied: the intent DATA (kept docs'
+    // full text) is dead weight — reclaim it and any straggler; the
+    // audit sidecar stays, so a fully-replayed loop still reports the
+    // original counts below
+    retireIntents(spark, dir, k.toLong): Unit
+    val counts = Dedup.readSidecar(spark,
+      s"${ciIntentDir(dir, k)}.counts").getOrElse(
+        sys.error(s"batch $k has commits but no intent sidecar — " +
+          s"was ${ciIntentDir(dir, k)} deleted?"))
+      .split(":").map(_.toLong)
+    (k, counts(0), counts(1), counts(2), counts(3))
+  }
+
+  private def ciStepBody(docs: DataFrame, dir: String, k: Int,
+      minSim: Double, withBm25: Boolean,
+      hDone: Boolean, lshDone: Boolean, bmDone: Boolean): Unit = {
+    val spark = docs.sparkSession
+    val hdir = s"$dir/hashes"
     def crashpoint(tag: String): Unit =
       if (spark.conf.getOption(CiCrashConf).contains(s"$k:$tag"))
         throw new IllegalStateException(
           s"injected crash after batch $k's $tag commit ($CiCrashConf)")
-    val hDone = appliedTo(hdir)
-    val lshDone = appliedTo(s"$dir/lsh/bands")
-    val bmDone = withBm25 && appliedTo(s"$dir/bm25/index")
     val anyDone = hDone || lshDone || bmDone
     // the probe's signatures, reusable by the happy-path LSH append
     var sigsKept: Option[DataFrame] = None
@@ -655,12 +677,6 @@ object Pipeline {
     if (withBm25 && !bmDone)
       Bm25Index.append(intent.select("doc_id", "text"), s"$dir/bm25",
         txnApp = Some((CiTxnApp, k.toLong)))
-    val counts = Dedup.readSidecar(spark,
-      s"${ciIntentDir(dir, k)}.counts").getOrElse(
-        sys.error(s"batch $k has commits but no intent sidecar — " +
-          s"was ${ciIntentDir(dir, k)} deleted?"))
-      .split(":").map(_.toLong)
-    (k, counts(0), counts(1), counts(2), counts(3))
   }
 
   /** DuckDB oracle for [[corpusBuildIncr]]: the fixture, the gopher
@@ -818,6 +834,114 @@ object Pipeline {
 
   private def kbIntentDir(dir: String, b: Long) = s"$dir/txn/batch=$b"
 
+  /** Lease window for [[withIngestLease]] — override with
+    * `spark.graft.ingest.leaseMs`.
+    */
+  private[graft] val IngestLeaseMsConf = "spark.graft.ingest.leaseMs"
+
+  /** Single-writer guard on a standing-index directory's ingest
+    * transactions (round-18 verdict #7): the write-ahead intent lives
+    * at a per-batch-id path and the counter read-modify-writes assume
+    * one loop per `dir` — a SECOND concurrent loop would silently
+    * overwrite the first one's intent before any snapshot commit
+    * collides. Each transaction body (one batch / one micro-batch
+    * epoch) claims `dir/txn/_lease` exclusively for its duration, so
+    * a true concurrent writer fails FAST with a diagnostic instead of
+    * interleaving. Crash behavior: an in-JVM failure releases in the
+    * `finally`; a hard process kill leaves the lease, and a restart
+    * inside the lease window fails loudly rather than guessing the
+    * old writer is dead — takeover happens only past the window
+    * (the [[Manifest.claimVersion]] lease pattern). Two FS calls per
+    * batch — never a Spark job.
+    */
+  private def withIngestLease[T](spark: org.apache.spark.sql.SparkSession,
+      dir: String)(body: => T): T = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/txn/_lease")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    val owner = java.util.UUID.randomUUID().toString
+    val leaseMs = spark.conf.getOption(IngestLeaseMsConf)
+      .map(_.toLong).getOrElse(Manifest.DefaultLeaseMs)
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(p, false)
+        try out.write(owner.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryCreate()) {
+      val age = System.currentTimeMillis() -
+        fs.getFileStatus(p).getModificationTime
+      if (age < leaseMs) throw new java.util.ConcurrentModificationException(
+        s"another ingest loop/stream holds the write lease on $dir " +
+          s"($p, age ${age}ms < lease ${leaseMs}ms): the cross-index " +
+          "transactions assume a single writer per directory — stop " +
+          "the other writer, or if it crashed hard wait out the lease " +
+          s"(override $IngestLeaseMsConf)")
+      fs.delete(p, false)
+      if (!tryCreate()) throw new java.util.ConcurrentModificationException(
+        s"lost the ingest-lease takeover race on $dir — retry")
+    }
+    try body finally {
+      // release only if still ours — a takeover may have superseded us
+      val mine =
+        try {
+          val len = fs.getFileStatus(p).getLen.toInt
+          val buf = new Array[Byte](len)
+          val in = fs.open(p)
+          try in.readFully(buf) finally in.close()
+          new String(buf, "UTF-8") == owner
+        } catch { case _: java.io.IOException => false }
+      if (mine) fs.delete(p, false): Unit
+    }
+  }
+
+  /** Reclaim write-ahead intents up to batch id `upTo` (round-18
+    * verdict #1): once every standing table's watermark has passed a
+    * batch id, its intent — which holds the winners' FULL TEXT — is
+    * dead weight; without reclamation the streaming ingest (one intent
+    * per micro-batch epoch) asymptotically accumulates a second copy
+    * of every kept document ever ingested. Deletes only the
+    * `batch=<id>` DIRECTORIES; the tiny `batch=<id>.counts` audit
+    * sidecars stay (a fully-replayed [[corpusBuildIncr]] still reports
+    * the original counts). Returns intents reclaimed.
+    */
+  private[graft] def retireIntents(spark: org.apache.spark.sql.SparkSession,
+      dir: String, upTo: Long): Int = {
+    val txn = new org.apache.hadoop.fs.Path(s"$dir/txn")
+    val fs = txn.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(txn)) return 0
+    var n = 0
+    fs.listStatus(txn).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("batch="))
+        name.stripPrefix("batch=").toLongOption.foreach { id =>
+          if (id <= upTo && fs.delete(st.getPath, true)) n += 1
+        }
+    }
+    n
+  }
+
+  /** Maintenance backstop for intents a crashed loop never retired:
+    * reclaim every intent whose batch id has been applied to ALL of
+    * the directory's standing tables (their app-scoped txn watermarks
+    * — a table with no watermark yet keeps everything). Run alongside
+    * the indexes' vacuum in the maintenance window; the happy path
+    * already retires inline at the end of each transaction.
+    */
+  def vacuumIntents(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Int = {
+    val txn = new org.apache.hadoop.fs.Path(s"$dir/txn")
+    val fs = txn.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(txn)) return 0
+    val tables = Seq(s"$dir/hashes", s"$dir/lsh/bands", s"$dir/bm25/index")
+      .filter(t => Manifest.currentVersion(spark, t).isDefined)
+    if (tables.isEmpty) return 0
+    val upTo = tables.map(t =>
+      Manifest.txnAppWatermarks(spark, t).values
+        .foldLeft(-1L)(math.max)).min
+    if (upTo < 0L) 0 else retireIntents(spark, dir, upTo)
+  }
+
   def corpusKeepBestBm25(docs: DataFrame, dir: String,
       minSim: Double = 0.5, nTerms: Int = 10, k: Int = 3,
       masterDir: Option[String] = None): DataFrame = {
@@ -876,15 +1000,39 @@ object Pipeline {
     * ingest ([[graft.streaming.KeepBestStream]], batch id = micro-
     * batch epoch; a foreachBatch re-delivery after a crash or restart
     * replays the same id and heals exactly like a loop restart).
+    * The canonical >=3-token gate applies HERE so both ingest forms
+    * filter identically; the body runs under the per-directory
+    * [[withIngestLease]] single-writer guard; and once both
+    * watermarks pass `b` the batch's write-ahead intent is retired
+    * inline ([[retireIntents]]) — a long-running stream holds at most
+    * the newest epoch's intent, never a second copy of the corpus.
     */
-  private[graft] def kbApplyBatch(batch: DataFrame, dir: String, b: Long,
+  private[graft] def kbApplyBatch(batch0: DataFrame, dir: String, b: Long,
       minSim: Double, app: String): Unit = {
-    val spark = batch.sparkSession
+    val spark = batch0.sparkSession
+    // ONE canonical short-doc gate for BOTH ingest forms (round-18
+    // advisor: the stream applied >=3 tokens, the batch loop didn't —
+    // identical input could diverge between the two); the fixture
+    // corpus is pre-gated, so loop results are unchanged
+    val batch = batch0.filter(size(col("toks")) >= 3)
     val lshDone = Manifest
       .lastTxnFor(spark, s"$dir/lsh/bands", app).exists(_ >= b)
     val bmDone = Manifest
       .lastTxnFor(spark, s"$dir/bm25/index", app).exists(_ >= b)
     if (lshDone && bmDone) return
+    withIngestLease(spark, dir) {
+      kbApplyBatchBody(batch, dir, b, minSim, app, lshDone)
+    }
+    // both watermarks now >= b: this batch's intent (and any straggler
+    // an earlier crash left) is dead weight — reclaim inline. A replay
+    // of a retired batch returns at the watermark check above, before
+    // the intent is ever read.
+    retireIntents(spark, dir, b): Unit
+  }
+
+  private def kbApplyBatchBody(batch: DataFrame, dir: String, b: Long,
+      minSim: Double, app: String, lshDone: Boolean): Unit = {
+    val spark = batch.sparkSession
     if (!lshDone) {
       val (dec, doomed, sigs) = Dedup.dedupBatchVsIndexKeepBestDecide(
         batch, s"$dir/lsh", minSim)

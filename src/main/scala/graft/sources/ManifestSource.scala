@@ -997,14 +997,20 @@ object ManifestSource {
 
   /** The snapshot's DV pointer for partition planning: the dv-v{K}
     * path when it exists, else "" — one FS existence check per scan.
+    * A missing vector is only "no deletes" when no torn migrateDvKeys
+    * aside copy exists ([[graft.ops.Manifest.requireNoTornDvMigration]]);
+    * otherwise planning fails loudly instead of resurrecting rows.
     */
-  private[sources] def dvRootOf(spark: SparkSession, dir: String,
+  private[graft] def dvRootOf(spark: SparkSession, dir: String,
       version: Int): String = {
     val p = graft.ops.Manifest.dvDir(dir, version)
     val path = new Path(p)
     if (path.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .exists(path)) p
-    else ""
+    else {
+      graft.ops.Manifest.requireNoTornDvMigration(spark, dir, version)
+      ""
+    }
   }
 
   /** Executor-side parquet row reader (parquet-hadoop's Group model —

@@ -43,10 +43,12 @@ object KeepBestStream {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, epoch: Long) =>
+        // no gate here: the >=3-token short-doc gate lives INSIDE
+        // kbApplyBatch so the stream and the batch loop apply ONE
+        // identical filter (round-18 advisor)
         graft.ops.Pipeline.kbApplyBatch(
           b.select(col("doc_id"),
-              split(col("text"), " ").as("toks"))
-            .filter(size(col("toks")) >= 3),
+            split(col("text"), " ").as("toks")),
           dir, epoch, minSim, app)
       }
       .start()

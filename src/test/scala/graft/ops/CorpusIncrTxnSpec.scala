@@ -62,6 +62,35 @@ class CorpusIncrTxnSpec extends SparkSpec {
     assert(Seq(s"$dirB/hashes", s"$dirB/lsh/bands", s"$dirB/bm25/index")
       .map(Manifest.currentVersion(spark, _)) == vs,
       "a fully-applied loop must not re-commit any standing table")
+
+    // INTENT RECLAMATION (round-18 verdict #1): fully-applied intents'
+    // DATA dirs (kept docs' full text) are reclaimed inline; the
+    // one-line .counts audit sidecars stay — that third replayed run
+    // above reported the ORIGINAL counts from them
+    for (d <- Seq(dirA, dirB)) {
+      val fs = new org.apache.hadoop.fs.Path(d).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val entries = fs.listStatus(new org.apache.hadoop.fs.Path(s"$d/txn"))
+        .map(st => (st.getPath.getName, st.isDirectory)).toSeq
+      assert(!entries.exists { case (n, isDir) =>
+        isDir && n.startsWith("batch=") },
+        s"$d retains applied intent data: $entries")
+      assert((1 to Pipeline.CorpusIncrBatches).forall(k =>
+        entries.contains((s"batch=$k.counts", false))),
+        s"the audit sidecars must survive reclamation: $entries")
+    }
+
+    // a crashed straggler no inline pass ever reached is the VACUUM
+    // backstop's job: plant one below the watermarks and one above
+    val fsB = new org.apache.hadoop.fs.Path(dirB).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    docs.limit(1).write.parquet(s"$dirB/txn/batch=0")
+    docs.limit(1).write.parquet(s"$dirB/txn/batch=99")
+    assert(Pipeline.vacuumIntents(spark, dirB) == 1,
+      "vacuum must reclaim exactly the fully-applied straggler")
+    assert(!fsB.exists(new org.apache.hadoop.fs.Path(s"$dirB/txn/batch=0")))
+    assert(fsB.exists(new org.apache.hadoop.fs.Path(s"$dirB/txn/batch=99")),
+      "an intent AHEAD of a table's watermark must survive the vacuum")
   }
 
   test("crash between the LSH and BM25 commits heals the same way") {

@@ -90,4 +90,94 @@ class FreshCloneSpec extends SparkSpec {
       }
     } finally spark.conf.unset("spark.graft.lsh.setupPath")
   }
+
+  test("the content fingerprint does NOT cancel on duplicate rows") {
+    // round-18 advisor: count + bit_xor alone fingerprints ANY corpus
+    // whose distinct rows each occur an even number of times to "n:0"
+    // — and dup-heavy corpora are this framework's input. The decimal
+    // hash SUM added alongside must separate two such corpora.
+    import spark.implicits._
+    val evenDupsA = Seq("a", "a", "b", "b").toDF("text")
+    val evenDupsB = Seq("c", "c", "d", "d").toDF("text")
+    val fpA = Dedup.corpusFingerprint(evenDupsA)
+    val fpB = Dedup.corpusFingerprint(evenDupsB)
+    assert(fpA.split(":")(1) == "0" && fpB.split(":")(1) == "0",
+      s"fixture must actually cancel the xor component: $fpA / $fpB")
+    assert(fpA != fpB,
+      "equal-count even-multiplicity corpora must fingerprint apart")
+    // and the fingerprint is order-independent, as the sidecar
+    // comparison requires
+    assert(Dedup.corpusFingerprint(
+      Seq("b", "a", "b", "a").toDF("text")) == fpA)
+  }
+
+  test("a manifest-table corpus validates the master with ZERO extra jobs") {
+    // round-18 verdict #2: corpusFingerprint is an O(corpus) scan per
+    // fresh() — the very scan the clone path exists to avoid. For a
+    // corpus that IS a committed manifest table, (dir, version)
+    // identifies the content; passing Manifest.snapshotIdentity as the
+    // corpusId makes the stale-master guard METADATA-ONLY.
+    val tdir = Files.createTempDirectory("graft-fpmf-corpus").toString
+    val master = Files.createTempDirectory("graft-fpmf-master").toString
+    docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+      .write.mode("overwrite").parquet(tdir)
+    Manifest.write(spark, tdir, Manifest.scanStats(spark, tdir, Nil), 1)
+    val corpus = Manifest.readTable(spark, tdir).select("doc_id", "text")
+    val id = Manifest.snapshotIdentity(spark, tdir)
+    assert(id.isDefined && id.get.startsWith("mf:"))
+
+    def jobsDuring(f: => Unit): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          counter.incrementAndGet(): Unit
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { f; org.apache.spark.sql.graftShims.drainListenerBus(spark) }
+      finally spark.sparkContext.removeSparkListener(l)
+      counter.get()
+    }
+
+    // first call builds the master (jobs expected), recording the id
+    Bm25Index.fresh(corpus, master, Files
+      .createTempDirectory("graft-fpmf-d0").toString, corpusId = id)
+    assert(Dedup.readSidecar(spark, s"$master/corpusfp") == id)
+
+    // the GUARD itself must add zero jobs on top of the bare clone
+    val cloneJobs = jobsDuring {
+      Bm25Index.cloneIndex(spark, master,
+        Files.createTempDirectory("graft-fpmf-d1").toString)
+    }
+    val freshJobs = jobsDuring {
+      Bm25Index.fresh(corpus, master,
+        Files.createTempDirectory("graft-fpmf-d2").toString,
+        corpusId = id)
+    }
+    assert(freshJobs == cloneJobs,
+      s"snapshot-identity validation must be metadata-only: " +
+        s"fresh ran $freshJobs jobs vs bare clone $cloneJobs")
+    // while the content-scan form pays extra jobs for the same answer
+    val scanJobs = jobsDuring {
+      Bm25Index.fresh(corpus, master,
+        Files.createTempDirectory("graft-fpmf-d3").toString)
+    }
+    assert(scanJobs > cloneJobs,
+      "without the identity the guard must fall back to the scan")
+
+    // STALE VERSION REFUSED: commit a new corpus snapshot — the
+    // identity moves, the master no longer matches it
+    Layout.appendInPlace(spark, tdir,
+      docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text")): Unit
+    val id2 = Manifest.snapshotIdentity(spark, tdir)
+    assert(id2 != id, "a new snapshot must mint a new identity")
+    spark.conf.set("spark.graft.lsh.setupPath", "clone")
+    try intercept[IllegalArgumentException] {
+      Bm25Index.fresh(Manifest.readTable(spark, tdir)
+        .select("doc_id", "text"), master,
+        Files.createTempDirectory("graft-fpmf-d4").toString,
+        corpusId = id2)
+    } finally spark.conf.unset("spark.graft.lsh.setupPath")
+  }
 }

@@ -70,6 +70,71 @@ class KbTxnSpec extends SparkSpec {
       "a fully-applied loop must not re-commit the LSH index")
     assert(Manifest.currentVersion(spark, s"$dirB/bm25/index") == vBm,
       "a fully-applied loop must not re-commit the BM25 index")
+
+    // INTENT RECLAMATION (round-18 verdict #1): after the heal, every
+    // batch is applied to both indexes, so no intent — including the
+    // crash's batch=2 straggler — may remain; only the lease-less
+    // txn/ shell is left
+    for (d <- Seq(dirA, dirB)) {
+      val fs = new org.apache.hadoop.fs.Path(d).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val left = fs.listStatus(new org.apache.hadoop.fs.Path(s"$d/txn"))
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("batch="))
+        .map(_.getPath.getName).toSeq
+      assert(left.isEmpty, s"$d retains applied intents: " +
+        left.mkString(", "))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$d/txn/_lease")),
+        s"$d's ingest lease must be released after the loop")
+    }
+  }
+
+  test("the >=3-token gate lives in the TRANSACTION BODY, not one ingest form") {
+    // round-18 advisor: the stream filtered short docs and the batch
+    // loop didn't — identical input could diverge between the two.
+    // Feed a batch containing a 2-token doc straight into the shared
+    // body: it must not enter either index, from any caller.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-kbtxn-gate").toString
+    val base = Dedup.incrLoopBase(docs)
+    Dedup.lshIndexBuild(base, s"$dir/lsh")
+    Bm25Index.build(base.select(col("doc_id"),
+      array_join(col("toks"), " ").as("text")), s"$dir/bm25")
+    val batch = Seq(
+      (900001L, Seq("tiny", "doc")),
+      (900002L, Seq("a", "proper", "three", "token", "document")))
+      .toDF("doc_id", "toks")
+    Pipeline.kbApplyBatch(batch, dir, 1L, 0.5, "graft-kb-gate-test")
+    val indexed = Manifest.readTable(spark, s"$dir/bm25/index")
+      .filter(col("kind") === "post" &&
+        col("doc_id").isin(900001L, 900002L))
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(indexed == Set(900002L),
+      s"the short doc must be gated out in kbApplyBatch itself: $indexed")
+  }
+
+  test("a concurrent writer fails FAST on the ingest lease") {
+    // round-18 verdict #7: a SECOND loop on the same dir would
+    // silently interleave intent overwrites before any snapshot
+    // commit collides — the per-batch lease makes it fail loudly
+    val dir = Files.createTempDirectory("graft-kbtxn-lease").toString
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val lease = new org.apache.hadoop.fs.Path(s"$dir/txn/_lease")
+    fs.mkdirs(lease.getParent)
+    val out = fs.create(lease, false)
+    out.write("other-writer".getBytes("UTF-8")); out.close()
+
+    val e = intercept[java.util.ConcurrentModificationException] {
+      Pipeline.corpusKeepBestBm25(docs, dir)
+    }
+    assert(e.getMessage.contains("write lease"), e.getMessage)
+
+    // the other writer finishing (lease released) unblocks this one
+    fs.delete(lease, false)
+    val ref = rows(Pipeline.corpusKeepBestBm25(
+      docs, Files.createTempDirectory("graft-kbtxn-lease-ref").toString))
+    assert(rows(Pipeline.corpusKeepBestBm25(docs, dir)) == ref)
   }
 
   test("a FIRST-batch tear (no prior BM25 watermark) heals too") {
