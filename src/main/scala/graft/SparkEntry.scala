@@ -1336,8 +1336,13 @@ object SparkEntry {
         val idx = java.nio.file.Files
           .createTempDirectory("graft-keepbest-incr")
         try {
+          // zero-job stale-master identity (round 19): the source
+          // parquet's (bytes, mtime) + the fixed derivation name the
+          // corpus as precisely as the content scan did — the scan
+          // re-tokenized the full base corpus once per rep
           Dedup.lshIndexFresh(Dedup.incrBase(T(s, dir, "documents")),
-            master, idx.toString)
+            master, idx.toString,
+            corpusId = Some(s"docs:$csum:$cmtime:incrBase"))
           Dedup.dedupBatchVsIndexKeepBestApply(
             Dedup.incrBatch(T(s, dir, "documents")), idx.toString, 0.5)
         } finally deleteRecursively(idx.toFile)
@@ -1398,7 +1403,12 @@ object SparkEntry {
         // BEFORE the temp index is deleted, like ns_dedup_incr_loop's
         // checkpointed decisions
         try Pipeline.corpusKeepBestBm25(T(s, dir, "documents"),
-          d.toString, 0.5, 10, 3, Some(master)).localCheckpoint(true)
+          d.toString, 0.5, 10, 3, Some(master),
+          // zero-job stale-master identity (round 19): file
+          // (bytes, mtime) + fixed derivation, instead of two
+          // content-fingerprint scans of the base corpus per rep
+          corpusId = Some(s"docs:$csum:$cmtime:incrLoopBase"))
+          .localCheckpoint(true)
         finally deleteRecursively(d.toFile)
     },
 
@@ -1420,7 +1430,11 @@ object SparkEntry {
           .createTempDirectory("graft-keepbest-stream")
         try graft.streaming.KeepBestStream.runLoopFixture(
           s, T(s, dir, "documents"), d.toString, 0.5, 10, 3,
-          Some(master)).localCheckpoint(true)
+          Some(master),
+          // same zero-job identity as the batch twin — the two
+          // queries share one build-once master pair
+          corpusId = Some(s"docs:$csum:$cmtime:incrLoopBase"))
+          .localCheckpoint(true)
         finally deleteRecursively(d.toFile)
     },
 

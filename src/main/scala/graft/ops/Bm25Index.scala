@@ -190,19 +190,32 @@ object Bm25Index {
   private def withIndexRows[T](docs: DataFrame)(f: DataFrame => T): T = {
     val tok = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("token"))
-    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    // ONE exchange derives tf AND dl (round 19): cluster the token
+    // stream by doc_id — HashPartitioning(doc_id) satisfies the
+    // (doc_id, token) aggregation's clustered distribution AND the
+    // doc-length window, so the old shape's three exchanges (partial
+    // tf rows, dl re-shuffle, tf⨝dl join) collapse into one shuffle
+    // of the token stream. Token multiplicity in text is low (most
+    // tf = 1), so the raw-token exchange carries ≈ the same bytes the
+    // tf-partial exchange did, and two further tf-sized shuffles and
+    // a join disappear. Values are the identical exact longs.
+    val tfdl = tok.repartition(col("doc_id"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .withColumn("dl", sum("tf").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-      val post = tf.join(dl, "doc_id")
+      val post = tfdl
         .select(col("token"), col("doc_id"), col("tf"), col("dl"),
           lit("post").as("kind"), bucketOf(col("token")).as("bucket"))
-      val dfPart = tf.groupBy("token").agg(count(lit(1)).as("tf"))
+      val dfPart = tfdl.groupBy("token").agg(count(lit(1)).as("tf"))
         .select(col("token"), lit(-1L).as("doc_id"), col("tf"),
           lit(0L).as("dl"), lit("df").as("kind"),
           bucketOf(col("token")).as("bucket"))
+      // per-doc dl once per doc (tf rows denormalize it), summed
       val stat = docs.agg(count(lit(1)).as("n"))
-        .crossJoin(dl.agg(coalesce(sum("dl"), lit(0L)).as("s")))
+        .crossJoin(tfdl.select("doc_id", "dl").distinct()
+          .agg(coalesce(sum("dl"), lit(0L)).as("s")))
         .select(lit("").as("token"), lit(-1L).as("doc_id"),
           col("n").as("tf"), col("s").as("dl"),
           lit("stat").as("kind"), lit(0).as("bucket"))
@@ -210,7 +223,7 @@ object Bm25Index {
       // same reasoning as the LSH index's per-bucket collapse
       f(post.unionByName(dfPart).unionByName(stat)
         .repartition(col("kind"), col("bucket")))
-    } finally { tf.unpersist(); () }
+    } finally { tfdl.unpersist(); () }
   }
 
   /** Build the index over a standing corpus: O(corpus) once — one
@@ -565,9 +578,14 @@ object Bm25Index {
       case "bloom" =>
         loadRetBloom(spark, dir) match {
           case Some(bin) =>
-            val flagged = Dedup.iterCheckpoint(doomed0.withColumn("_rb",
+            // the bloom column is a cheap O(batch) expression — no
+            // checkpoint needed (round 19: the old flagged-frame
+            // checkpoint was one extra job per delete batch); the
+            // zero-positive steady state still skips the ret
+            // partition entirely via the nMaybe count
+            val flagged = doomed0.withColumn("_rb",
               org.apache.spark.sql.graftShims.bloomMightContain(
-                bin, col("doc_id"))))
+                bin, col("doc_id")))
             val nMaybe = flagged.filter(col("_rb")).count()
             val sure = flagged.filter(!col("_rb")).drop("_rb")
             // only bloom POSITIVES pay the exact re-check; a clean
@@ -575,13 +593,23 @@ object Bm25Index {
             if (nMaybe == 0L) sure
             else sure.unionByName(flagged.filter(col("_rb")).drop("_rb")
               .join(rets, Seq("doc_id"), "left_anti"))
-          case None => doomed0.join(rets, Seq("doc_id"), "left_anti")
+          case None =>
+            // no trusted bloom: one anti-join against del ∪ ret below
+            // (round 19 — the separate ret and del anti-joins excluded
+            // the identical union, one exchange pair each)
+            doomed0
         }
-      case _ => doomed0.join(rets, Seq("doc_id"), "left_anti")
+      case _ => doomed0
     }
     val dels = t.filter(col("kind") === "del").select("doc_id")
+    // exclusion set: pending tombstones, plus the retired record when
+    // the bloom path did not already clear it exactly
+    val bloomCleared = mode == "bloom" && (notRetired ne doomed0)
+    val excl =
+      if (mode == "off" || bloomCleared) dels
+      else dels.unionByName(rets)
     val doomed = Dedup.iterCheckpoint(
-      notRetired.join(dels, Seq("doc_id"), "left_anti"))
+      notRetired.join(excl, Seq("doc_id"), "left_anti"))
     val n = doomed.count()
     if (n == 0L) return None
     val victims = t.filter(col("kind") === "post")

@@ -1254,7 +1254,7 @@ object Dedup {
     * hashes (which never cancels on duplicates, and being decimal
     * never overflows under ANSI arithmetic) joins the fingerprint.
     */
-  private[ops] def corpusFingerprint(corpus: DataFrame): String = {
+  private[graft] def corpusFingerprint(corpus: DataFrame): String = {
     val cols = corpus.columns.sorted.toIndexedSeq.map(col)
     val r = corpus.select(xxhash64(cols: _*).as("h"))
       .agg(count(lit(1)).as("n"),
@@ -1609,8 +1609,15 @@ object Dedup {
     * rows from the SAME signature pass the probe ran on
     * ([[lshIndexAppendFromSigs]]) instead of re-tokenizing the batch.
     */
+  /** `ordered = false` (round 19) skips the query-facing `doc_id`
+    * sort: the ingest loops materialize the decision frame only to
+    * FILTER it (kept ids), so the sort's sample + range-exchange
+    * stages were pure per-batch overhead; the query wrappers keep the
+    * sorted form, so every declared result is row-identical.
+    */
   private[ops] def dedupBatchVsIndexCore(batch: DataFrame, dir: String,
-      minSim: Double, version: Option[Int] = None): (DataFrame, DataFrame) = {
+      minSim: Double, version: Option[Int] = None,
+      ordered: Boolean = true): (DataFrame, DataFrame) = {
     val spark = batch.sparkSession
     val idx = readIndexBands(spark, dir, version)
     // ONE signature pass: the checkpoint barrier materializes the
@@ -1640,8 +1647,7 @@ object Dedup {
           .otherwise(lit("kept")).as("decision"),
         coalesce(col("dup_corpus"), col("dup_batch"), lit(-1L))
           .as("dup_of"))
-      .orderBy("doc_id")
-    (decisions, sigs)
+    (if (ordered) decisions.orderBy("doc_id") else decisions, sigs)
   }
 
   /** [[dedupBatchVsIndex]] over the standard [[incrBatch]] fixture
@@ -1724,13 +1730,24 @@ object Dedup {
     */
   private def dedupKeepBestVsIndexCore(batch: DataFrame, dir: String,
       minSim: Double): (DataFrame, DataFrame, DataFrame) = {
+    val (sigs, pairs) = kbProbePairs(batch, dir, minSim)
+    (kbDecisions(sigs, pairs, minSim).orderBy("doc_id"), sigs, pairs)
+  }
+
+  /** The probe half: the batch's checkpointed signatures and the LAZY
+    * (batch doc, matched corpus doc, corpus quality) pair frame —
+    * split out of the core (round 19) so [[dedupBatchVsIndexKeepBestDecide]]
+    * can materialize the pairs ONCE and derive the decisions from the
+    * materialization: the old shape checkpointed the decisions and the
+    * pairs as two independent plans, each of which re-ran the index
+    * probe join — two index scans per ingest batch where one suffices.
+    */
+  private def kbProbePairs(batch: DataFrame, dir: String,
+      minSim: Double): (DataFrame, DataFrame) = {
     val spark = batch.sparkSession
     val idx = readIndexBands(spark, dir)
     val sigs = iterCheckpoint(signaturesQ(batch))
     val bbands = gatedBatchBands(sigs)
-    // (batch doc, matched corpus doc, corpus quality) pairs — kept
-    // lazy and returned so the apply form can resolve which corpus
-    // docs a replacement displaces without a second probe
     val pairs = idx.as("c")
       .join(bbands.as("n"),
         col("c.bucket") === col("n.bucket") &&
@@ -1740,6 +1757,16 @@ object Dedup {
         indexEstSim.as("est_sim"))
       .filter(col("est_sim") >= minSim)
       .select("doc_id", "corpus_id", "q_c").distinct()
+    (sigs, pairs)
+  }
+
+  /** The decision half over an already-derived pair frame — UNSORTED
+    * (ingest loops only filter the decisions; the query-facing
+    * wrappers add the `doc_id` total order on top, so their output is
+    * row-for-row what the old always-sorted core produced).
+    */
+  private def kbDecisions(sigs: DataFrame, pairs: DataFrame,
+      minSim: Double): DataFrame = {
     // per batch doc: the best (quality desc, id asc) corpus match via
     // max(struct) — negated id makes the lexicographic max implement
     // the asc tiebreak; corpus_id rides in slot 3 (never compared:
@@ -1752,7 +1779,7 @@ object Dedup {
     val batchDup = minhashPairsFromSigs(sigs, minSim)
       .select(col("id_b").as("doc_id"), col("id_a"))
       .groupBy("doc_id").agg(min("id_a").as("dup_batch"))
-    val decisions = sigs.select("doc_id", "quality")
+    sigs.select("doc_id", "quality")
       .join(best, Seq("doc_id"), "left")
       .join(batchDup, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -1762,8 +1789,6 @@ object Dedup {
           .when(col("dup_batch").isNotNull, lit("dup_batch"))
           .otherwise(lit("kept")).as("decision"),
         coalesce(col("best_id"), col("dup_batch"), lit(-1L)).as("dup_of"))
-      .orderBy("doc_id")
-    (decisions, sigs, pairs)
   }
 
   /** The MUTATING form: probe with [[dedupBatchVsIndexKeepBest]],
@@ -1796,7 +1821,9 @@ object Dedup {
     val (dec, doomed, sigs) =
       dedupBatchVsIndexKeepBestDecide(batch, dir, minSim)
     dedupBatchVsIndexKeepBestCommit(dec, doomed, sigs, dir, None)
-    (dec, doomed)
+    // the decide-side decisions are checkpointed UNSORTED (the loops
+    // only filter them); restate the query-facing doc_id total order
+    (dec.orderBy("doc_id"), doomed)
   }
 
   /** The PROBE half of the keep-best apply: decisions, displaced
@@ -1809,11 +1836,14 @@ object Dedup {
     */
   private[ops] def dedupBatchVsIndexKeepBestDecide(batch: DataFrame,
       dir: String, minSim: Double): (DataFrame, DataFrame, DataFrame) = {
-    val (dec0, sigs, pairs0) = dedupKeepBestVsIndexCore(batch, dir, minSim)
-    // materialize decisions AND match pairs before mutating the index
-    // both lazily read
-    val dec = iterCheckpoint(dec0)
+    val (sigs, pairs0) = kbProbePairs(batch, dir, minSim)
+    // materialize the PAIRS first, then derive the decisions from the
+    // materialization (round 19): decisions and pairs are both needed
+    // after the index mutates, and checkpointing them as independent
+    // plans ran the index probe join twice per ingest batch — the
+    // probe (the batch's one index scan) now runs exactly once
     val pairs = iterCheckpoint(pairs0)
+    val dec = iterCheckpoint(kbDecisions(sigs, pairs, minSim))
     val replaced = dec.filter(col("decision") === "replaced_corpus")
       .select("doc_id")
     val doomed = iterCheckpoint(
@@ -1964,12 +1994,21 @@ object Dedup {
     */
   def dedupIncrLoop(docs: DataFrame, dir: String,
       minSim: Double = 0.5): DataFrame = {
-    lshIndexBuild(incrLoopBase(docs), dir)
+    // the loop's index is a THROWAWAY under a temp dir — no master
+    // will ever clone from it, so the build-once fingerprint scan
+    // (one full tokenize+hash pass of the base corpus) buys nothing:
+    // record an ephemeral marker that can never match a content
+    // fingerprint, and lshIndexFresh refuses it exactly like a stale
+    // master (round 19 — guide §1.2, drop work the query throws away)
+    lshIndexBuild(incrLoopBase(docs), dir,
+      corpusId = Some(s"ephemeral:$dir"))
     val parts = (1 to IncrLoopBatches).map { k =>
       val batch = incrLoopBatch(docs, k)
       // materialize THIS batch's decisions before the append mutates
-      // the index the decision frame lazily reads
-      val (dec0, sigs) = dedupBatchVsIndexCore(batch, dir, minSim)
+      // the index the decision frame lazily reads (unsorted — the
+      // final union carries the query's (batch, doc_id) total order)
+      val (dec0, sigs) = dedupBatchVsIndexCore(batch, dir, minSim,
+        ordered = false)
       val dec = iterCheckpoint(dec0)
       val keptIds = dec.filter(col("decision") === "kept").select("doc_id")
       // append from the probe's already-materialized signatures — the

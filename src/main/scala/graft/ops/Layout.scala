@@ -935,16 +935,26 @@ object Layout {
           names.map(n => s"$dir/$n"))
         .withColumn("_mk_f", Manifest.dvFileKey(Manifest.dvDepth(names)))
         .withColumn("_mk_p", col("_metadata.row_index")))
-    val marks = rawOpt match {
+    // ONE standing-table scan (round 19): materialize the doomed-
+    // matching rows — O(doomed) rows, all columns + (file, pos) — and
+    // derive BOTH the new DV marks and the change record's delete
+    // rows from the materialization. The old shape scanned the full
+    // table once for the marks and a second time for the CDC delete
+    // rows; at 100 TB the table scan is this commit's dominant cost,
+    // and it was paid twice per replace batch.
+    val matchedOpt = rawOpt.map { raw =>
+      val logical = Manifest.currentVersion(spark, dir)
+        .flatMap(Manifest.tableSchema(spark, dir, _))
+        .map(Manifest.toLogicalKeeping(raw, _)).getOrElse(raw)
+      logical
+        .join(broadcast(doomed.select(col(keyCol)).distinct()),
+          Seq(keyCol), "left_semi")
+        .localCheckpoint(true)
+    }
+    val marks = matchedOpt match {
       case None => old.filter(lit(false))
-      case Some(raw) =>
-        val logical = Manifest.currentVersion(spark, dir)
-          .flatMap(Manifest.tableSchema(spark, dir, _))
-          .map(Manifest.toLogicalKeeping(raw, _)).getOrElse(raw)
-        logical
-          .join(broadcast(doomed.select(col(keyCol)).distinct()),
-            Seq(keyCol), "left_semi")
-          .select(col("_mk_f").as("file"), col("_mk_p").as("pos"))
+      case Some(m) =>
+        m.select(col("_mk_f").as("file"), col("_mk_p").as("pos"))
     }
     val claim = Manifest.claimVersion(spark, dir, newVersion)
     val all = old.unionByName(marks).distinct().cache()
@@ -968,19 +978,26 @@ object Layout {
     val newMarks = marks.exceptAll(old)
     // read the SURVIVING entries, not all staged names — statStaged
     // drops zero-row staged files (the round-16 footer fast path)
-    val cdcIns =
+    // logical names on BOTH change-record sides: the delete rows come
+    // off the logical `matched` frame, so the insert read projects to
+    // logical too or a renamed-schema table's unionByName would
+    // misalign (recordCdc stores the union back under physical names)
+    val cdcIns0 =
       if (newEntries.isEmpty)
         Manifest.readTable(spark, dir).filter(lit(false))
           .withColumn("_change_type", lit("insert"))
       else spark.read.option("basePath", dir)
         .parquet(newEntries.map(e => s"$dir/${e.name}"): _*)
         .withColumn("_change_type", lit("insert"))
-    val cdcDel = rawOpt match {
+    val cdcIns = Manifest.currentVersion(spark, dir)
+      .flatMap(Manifest.tableSchema(spark, dir, _))
+      .map(Manifest.toLogicalKeeping(cdcIns0, _)).getOrElse(cdcIns0)
+    val cdcDel = matchedOpt match {
       case None => cdcIns.filter(lit(false))
         .withColumn("_change_type", lit("delete"))
-      case Some(raw) => raw
-        .join(broadcast(newMarks), raw("_mk_f") === newMarks("file") &&
-          raw("_mk_p") === newMarks("pos"), "left_semi")
+      case Some(m) => m
+        .join(broadcast(newMarks), m("_mk_f") === newMarks("file") &&
+          m("_mk_p") === newMarks("pos"), "left_semi")
         .drop("_mk_f", "_mk_p")
         .withColumn("_change_type", lit("delete"))
     }
@@ -1939,8 +1956,25 @@ object Layout {
     val conf = new graft.util.SerializableHadoopConf(
       spark.sparkContext.hadoopConfiguration)
     val (srcRoot, dstRoot) = (srcDir, dstDir)
-    if (entries.nonEmpty)
-      spark.sparkContext
+    // Small tables copy on the DRIVER (round 19): a parallelize job
+    // costs fixed scheduling latency that dwarfs the byte copy when
+    // the table is a few MB — e.g. the per-rep fresh-clone setup of
+    // the keep-best loops. Past the gate (a real table), bytes keep
+    // moving executor-side. `spark.graft.clone.localBytes` overrides;
+    // 0 forces the distributed path.
+    val localGate = spark.conf.get("spark.graft.clone.localBytes",
+      (64L << 20).toString).toLong
+    if (entries.nonEmpty) {
+      if (entries.map(_.bytes).sum <= localGate && entries.size <= 512) {
+        entries.map(_.name).foreach { name =>
+          val from = new Path(s"$srcRoot/$name")
+          val to = new Path(s"$dstRoot/$name")
+          val fs = to.getFileSystem(conf.value)
+          org.apache.hadoop.fs.FileUtil.copy(
+            from.getFileSystem(conf.value), from, fs, to,
+            false, true, conf.value): Unit
+        }
+      } else spark.sparkContext
         .parallelize(entries.map(_.name), math.min(entries.size, 64))
         .foreach { name =>
           val from = new Path(s"$srcRoot/$name")
@@ -1950,6 +1984,7 @@ object Layout {
             from.getFileSystem(conf.value), from, fs, to,
             false, true, conf.value)
         }
+    }
     // live merge-on-read marks become the clone's v1 vector
     val fs = new Path(dstDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)

@@ -202,9 +202,10 @@ object Manifest {
     */
   def readVersion(spark: SparkSession, dir: String,
       version: Int): Option[Seq[ManifestEntry]] =
-    entriesDF(spark, dir, version).map(
-      _.as(Encoders.product[ManifestEntry])
-        .collect().toSeq.sortBy(_.name))
+    entriesLocal(spark, dir, version).map(_.sortBy(_.name)).orElse(
+      entriesDF(spark, dir, version).map(
+        _.as(Encoders.product[ManifestEntry])
+          .collect().toSeq.sortBy(_.name)))
 
   // ── Chunked snapshots (manifest-list indirection) ──────────────────
   //
@@ -240,6 +241,108 @@ object Manifest {
 
   private[graft] val entrySchema: StructType =
     Encoders.product[ManifestEntry].schema
+
+  // ── Driver-side entry JSONL (round 19) ─────────────────────────────
+  //
+  // Every commit used to launch a Spark job just to serialize a
+  // driver-resident Seq[ManifestEntry] as a one-file JSONL chunk, and
+  // every metadata read (readVersion / namesAndRows / the append's
+  // sample entry) launched another to parse it back — pure fixed
+  // per-commit/per-read latency (guide §5: the driver should do no
+  // DATA work, but table METADATA of bounded size is exactly driver
+  // work). The entries are our own fixed shape, written by this file:
+  // serialize and parse them on the driver. Reads are size-gated —
+  // a 100 TB table's million-entry list stays on the distributed
+  // path ([[entriesDF]]), which remains the planning surface.
+
+  private def escJson(s: String): String = {
+    val b = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case c if c < ' ' => b.append("\\u%04x".format(c.toInt))
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
+  /** One entry as a JSON line — parse-compatible with what
+    * `Dataset[ManifestEntry].write.json` produced (same field names;
+    * schema-based readers are field-order-insensitive and treat a
+    * missing `sstats` as null, which is how Spark serialized None).
+    */
+  private[graft] def entryJsonLine(e: ManifestEntry): String = {
+    val stats = e.stats.map(r =>
+      s"""{"col":"${escJson(r.col)}","min":${r.min},"max":${r.max}}""")
+      .mkString("[", ",", "]")
+    val sstats = e.sstats.map(_.map(r =>
+      s"""{"col":"${escJson(r.col)}","min":"${escJson(r.min)}",""" +
+        s""""max":"${escJson(r.max)}"}""")
+      .mkString(""","sstats":[""", ",", "]")).getOrElse("")
+    s"""{"name":"${escJson(e.name)}","rows":${e.rows},""" +
+      s""""bytes":${e.bytes},"stats":$stats$sstats}"""
+  }
+
+  private lazy val entryMapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def parseEntryLine(line: String): ManifestEntry = {
+    import scala.jdk.CollectionConverters._
+    val n = entryMapper.readTree(line)
+    def ranges(field: String): Option[Seq[(String, String, String)]] =
+      Option(n.get(field)).filterNot(_.isNull).map(_.elements().asScala
+        .map(e => (e.get("col").asText(), e.get("min").asText(),
+          e.get("max").asText())).toSeq)
+    ManifestEntry(
+      n.get("name").asText(), n.get("rows").asLong(),
+      n.get("bytes").asLong(),
+      ranges("stats").getOrElse(Seq.empty)
+        .map { case (c, mn, mx) => ColRange(c, mn.toLong, mx.toLong) },
+      ranges("sstats").map(_.map { case (c, mn, mx) =>
+        ColRangeS(c, mn, mx) }))
+  }
+
+  /** Size gate for driver-side entry reads: lists at or under this
+    * many entries parse on the driver; larger snapshots keep the
+    * distributed JSON scan. 64k entries ≈ a few MB of JSONL — trivial
+    * driver work; a genuinely large table never crosses onto the
+    * driver. `spark.graft.manifest.localReadEntries` overrides.
+    */
+  private def localReadGate(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.manifest.localReadEntries",
+      "65536").toLong
+
+  /** Driver-side read of a snapshot's full entry list — None when the
+    * snapshot is missing, too large for the gate, or inline-legacy
+    * with oversized files (callers fall back to [[entriesDF]]).
+    */
+  private def entriesLocal(spark: SparkSession, dir: String,
+      version: Int): Option[Seq[ManifestEntry]] = {
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(new Path(s"$dir/$DirName/v$version"))) return None
+    val gate = localReadGate(spark)
+    val files: Seq[Path] = chunkRefs(spark, dir, version) match {
+      case Some(refs) =>
+        if (refs.map(_.n).sum > gate) return None
+        refs.map(r => new Path(s"$dir/$DirName/${r.path}"))
+      case None =>
+        // inline legacy snapshot: JSONL part files inside v<K>; gate
+        // on total bytes (~100 B/entry ⇒ 16 MB covers the 64k gate)
+        val parts = fs.listStatus(new Path(s"$dir/$DirName/v$version"))
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".json")
+            && !st.getPath.getName.startsWith("_"))
+        if (parts.isEmpty || parts.map(_.getLen).sum > (16L << 20))
+          return None
+        parts.map(_.getPath).toSeq
+    }
+    val out = Seq.newBuilder[ManifestEntry]
+    files.foreach { p =>
+      readSmallFile(spark, dir, p).foreach(_.split('\n').iterator
+        .map(_.trim).filter(_.nonEmpty)
+        .foreach(l => out += parseEntryLine(l)))
+    }
+    Some(out.result())
+  }
 
   /** The chunk list of a snapshot — None for inline (legacy) and
     * missing snapshots.
@@ -301,11 +404,13 @@ object Manifest {
     val id = claim.getOrElse(claimVersion(spark, dir, version, leaseMs))
     val fs = fsOf(spark, dir)
     fs.mkdirs(new Path(s"$dir/$DirName/$ChunksDir"))
+    // the added entry lists are ALREADY driver-resident Seqs — land
+    // them as JSONL with plain FS writes (round 19): the old
+    // createDataset + coalesce(1) json write paid one Spark job per
+    // commit purely to serialize what the driver was holding
     val newRefs = added.filter(_.nonEmpty).zipWithIndex.flatMap {
-      case (es, i) => landChunk(spark, dir,
-        s"c-v$version-${id.take(8)}-$i",
-        spark.createDataset(es)(Encoders.product[ManifestEntry]).toDF(),
-        es.size.toLong)
+      case (es, i) => landChunkLocal(spark, dir,
+        s"c-v$version-${id.take(8)}-$i", es)
     }
     val allRefs = carried ++ newRefs
     val refs =
@@ -375,6 +480,27 @@ object Manifest {
     * multiple parts, each its own chunk, so metadata writes stay
     * distributed like everything else.
     */
+  /** [[landChunk]] for a driver-resident entry list: JSONL written
+    * with plain FS create+rename (same tmp-then-rename landing), no
+    * Spark job. Splits at [[ChunkPartRows]] like the distributed form
+    * so chunk sizing policy is unchanged; refs carry EXACT counts.
+    */
+  private def landChunkLocal(spark: SparkSession, dir: String,
+      name: String, es: Seq[ManifestEntry]): Seq[ChunkRef] = {
+    val fs = fsOf(spark, dir)
+    es.grouped(ChunkPartRows.toInt).zipWithIndex.map { case (part, i) =>
+      val rel = s"$ChunksDir/$name-$i.json"
+      val tmp = new Path(s"$dir/$DirName/.chunk-$name-$i.json")
+      val out = fs.create(tmp, true)
+      try out.write(part.map(entryJsonLine)
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+      require(fs.rename(tmp, new Path(s"$dir/$DirName/$rel")),
+        s"chunk $name-$i failed to land under $dir")
+      ChunkRef(rel, part.size.toLong)
+    }.toSeq
+  }
+
   private def landChunk(spark: SparkSession, dir: String, name: String,
       df: DataFrame, n: Long): Seq[ChunkRef] = {
     val fs = fsOf(spark, dir)
@@ -418,11 +544,14 @@ object Manifest {
     */
   private[graft] def namesAndRows(spark: SparkSession, dir: String,
       version: Int): (Seq[String], Long) =
-    entriesDF(spark, dir, version) match {
-      case None => (Nil, 0L)
-      case Some(df) =>
-        val rs = df.select("name", "rows").collect()
-        (rs.map(_.getString(0)).toSeq.sorted, rs.map(_.getLong(1)).sum)
+    entriesLocal(spark, dir, version) match {
+      case Some(es) => (es.map(_.name).sorted, es.map(_.rows).sum)
+      case None => entriesDF(spark, dir, version) match {
+        case None => (Nil, 0L)
+        case Some(df) =>
+          val rs = df.select("name", "rows").collect()
+          (rs.map(_.getString(0)).toSeq.sorted, rs.map(_.getLong(1)).sum)
+      }
     }
 
   /** [[ensureVersioned]] for DELTA commits: pins the version and hands
@@ -438,9 +567,24 @@ object Manifest {
     currentVersion(spark, dir) match {
       case Some(v) => chunkRefs(spark, dir, v) match {
         case Some(refs) =>
-          val head = entriesDF(spark, dir, v).flatMap(
-            _.limit(1).as(Encoders.product[ManifestEntry])
-              .collect().headOption)
+          // the sample entry (partition layout + schema alignment)
+          // only needs ONE row: the first line of the first chunk,
+          // read on the driver — the old limit(1) collect was a Spark
+          // job on EVERY delta append (round 19)
+          val head = refs.headOption.flatMap { r =>
+            val fs = fsOf(spark, dir)
+            val p = new Path(s"$dir/$DirName/${r.path}")
+            if (!fs.exists(p)) None
+            else {
+              val in = fs.open(p)
+              try {
+                val br = new java.io.BufferedReader(
+                  new java.io.InputStreamReader(in, "UTF-8"))
+                Option(br.readLine()).map(_.trim).filter(_.nonEmpty)
+                  .map(parseEntryLine)
+              } finally in.close()
+            }
+          }
           (v, refs, Nil, head)
         case None =>
           val es = readVersion(spark, dir, v).getOrElse(
@@ -569,9 +713,18 @@ object Manifest {
       metaDelta: () => Option[Map[String, Long]] = () => None): Unit = {
     val id = claim.getOrElse(claimVersion(spark, dir, version, leaseMs))
     val stage = s"$dir/$DirName/.stage-v$version-$id"
-    val ds: Dataset[ManifestEntry] =
-      spark.createDataset(entries)(Encoders.product[ManifestEntry])
-    ds.coalesce(1).write.mode("overwrite").json(stage)
+    // the entry list is driver-resident: write the snapshot JSONL
+    // directly (round 19 — the createDataset + coalesce(1) write was
+    // one Spark job per inline commit, pure serialization)
+    val fs = fsOf(spark, dir)
+    fs.mkdirs(new Path(stage))
+    val out = fs.create(new Path(s"$stage/entries.json"), true)
+    try out.write(entries.map(e => entryJsonLine(e) + "\n")
+      .mkString.getBytes("UTF-8"))
+    finally out.close()
+    // the Spark writer used to land this implicitly; claimVersion's
+    // already-committed probe reads it
+    fs.create(new Path(s"$stage/_SUCCESS"), true).close()
     commitStage(spark, dir, version, id, stage, txn, schema, txnApp,
       meta, metaDelta)
   }

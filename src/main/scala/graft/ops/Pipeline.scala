@@ -645,9 +645,12 @@ object Pipeline {
       // (3) near-dup vs the standing index + within-batch keep-first;
       // the core form hands back the materialized signatures so the
       // append reuses the probe's one minhash pass
+      // unsorted decisions: this loop only filters kept ids off the
+      // materialization, so the query-facing doc_id sort would be two
+      // wasted exchange stages per batch (round 19)
       val (dec0, sigs) = Dedup.dedupBatchVsIndexCore(
         ec.select(col("doc_id"), split(col("text"), " ").as("toks")),
-        s"$dir/lsh", minSim)
+        s"$dir/lsh", minSim, ordered = false)
       val dec = Dedup.iterCheckpoint(dec0)
       val keptIds = dec.filter(col("decision") === "kept").select("doc_id")
       val nFinal = keptIds.count()
@@ -944,7 +947,8 @@ object Pipeline {
 
   def corpusKeepBestBm25(docs: DataFrame, dir: String,
       minSim: Double = 0.5, nTerms: Int = 10, k: Int = 3,
-      masterDir: Option[String] = None): DataFrame = {
+      masterDir: Option[String] = None,
+      corpusId: Option[String] = None): DataFrame = {
     val spark = docs.sparkSession
     val base = Dedup.incrLoopBase(docs)
     val baseText = base.select(col("doc_id"),
@@ -954,13 +958,20 @@ object Pipeline {
     // sidecar + v1 manifest land last)
     val lshUp = Manifest.currentVersion(spark, s"$dir/lsh/bands").isDefined
     val bmUp = Manifest.currentVersion(spark, s"$dir/bm25/index").isDefined
+    // stale-master guard identity: the caller's (round 19 — e.g. a
+    // source-file fingerprint or a manifest snapshotIdentity, zero
+    // Spark jobs), else ONE content fingerprint scan shared by both
+    // standing tables — the old per-fresh scans tokenized the base
+    // corpus twice per setup for the same identity
+    def fp = corpusId.getOrElse(Dedup.corpusFingerprint(base))
     // fresh MUTABLE standing tables: clone build-once masters when a
     // master dir is given (measured faster than rebuilding at every
     // SF — PLANS.md round 17), plain builds otherwise
     masterDir match {
       case Some(m) =>
-        if (!lshUp) Dedup.lshIndexFresh(base, s"$m/lsh", s"$dir/lsh")
-        if (!bmUp) Bm25Index.fresh(baseText, s"$m/bm25", s"$dir/bm25")
+        lazy val id = Some(fp)
+        if (!lshUp) Dedup.lshIndexFresh(base, s"$m/lsh", s"$dir/lsh", id)
+        if (!bmUp) Bm25Index.fresh(baseText, s"$m/bm25", s"$dir/bm25", id)
       case None =>
         if (!lshUp) Dedup.lshIndexBuild(base, s"$dir/lsh")
         if (!bmUp) Bm25Index.build(baseText, s"$dir/bm25")

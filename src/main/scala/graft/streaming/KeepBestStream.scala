@@ -67,7 +67,8 @@ object KeepBestStream {
   def runLoopFixture(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame, dir: String, minSim: Double = 0.5,
       nTerms: Int = 10, k: Int = 3,
-      masterDir: Option[String] = None): DataFrame = {
+      masterDir: Option[String] = None,
+      corpusId: Option[String] = None): DataFrame = {
     import graft.ops.{Bm25Index, Dedup}
     import spark.implicits._
     val base = Dedup.incrLoopBase(docs)
@@ -75,8 +76,11 @@ object KeepBestStream {
       array_join(col("toks"), " ").as("text"))
     masterDir match {
       case Some(m) =>
-        Dedup.lshIndexFresh(base, s"$m/lsh", s"$dir/lsh")
-        Bm25Index.fresh(baseText, s"$m/bm25", s"$dir/bm25")
+        // one shared stale-master identity — caller-supplied (zero
+        // jobs) or a single content-fingerprint scan for BOTH tables
+        val id = Some(corpusId.getOrElse(Dedup.corpusFingerprint(base)))
+        Dedup.lshIndexFresh(base, s"$m/lsh", s"$dir/lsh", id)
+        Bm25Index.fresh(baseText, s"$m/bm25", s"$dir/bm25", id)
       case None =>
         Dedup.lshIndexBuild(base, s"$dir/lsh")
         Bm25Index.build(baseText, s"$dir/bm25")
